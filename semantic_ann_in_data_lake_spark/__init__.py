@@ -1,0 +1,34 @@
+"""semantic_ann_in_data_lake_spark — a PySpark-native analytics engine.
+
+A from-scratch rebuild of the capabilities of the reference project
+``davoudifatemeh/semantic-ann-in-data-lake`` (semantic joinable-column
+discovery over a data lake), re-expressed as lazy, Catalyst-optimized
+DataFrame operators rather than an eager single-process pandas program.
+
+Layout
+------
+- ``session``            SparkSession factory tuned for local[N] testing and
+                         cluster-scale defaults (AQE, Arrow, shuffle parts).
+- ``sources``            readers (CSV dir scan, Parquet, JSON/JSONL),
+                         writers, and the cache-or-compute checkpoint helper.
+- ``operators.profiler`` the catalog builder: per-column type/null/length
+                         stats, distinct samples, most-common values.
+- ``operators.knn``      the kNN similarity self-join (exact SQL, broadcast
+                         numpy, and LSH physical strategies).
+- ``operators.evaluation`` P/R/F1 + NDCG@k harness vs. ground-truth pairs.
+- ``operators.pairs``    training-pair building + seeded splits.
+- ``operators.dedup``    exact / MinHash-LSH / SimHash / n-gram-Jaccard /
+                         embedding-cosine near-duplicate detection.
+- ``operators.textstats`` language-ID, quality scoring, token counting,
+                         fingerprinting.
+- ``operators.multimodal`` binary-column (image/audio) plumbing with
+                         stubbed decoders.
+- ``functions``          reusable column expressions: portable hashes,
+                         vector math, date normalization, serialization.
+- ``annotate``           LLM-annotation stage plumbing with deterministic
+                         local fallbacks; corruption + synonym operators.
+- ``streaming``          Structured Streaming extensions (incremental
+                         profiling, rollups) — extension, not parity.
+"""
+
+__version__ = "0.1.0"

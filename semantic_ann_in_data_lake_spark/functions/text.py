@@ -1,0 +1,92 @@
+"""Text normalization, tokenization and shingling expressions.
+
+Reference parity:
+
+- ``normalize_sentence`` mirrors ``DeepJoin/search_query.py:16-17``
+  (strip + lower + whitespace collapse).
+- ``words`` / shingles are the building blocks for the dedup extension
+  ops (MinHash / SimHash / n-gram Jaccard) that the reference's
+  retrieval-quality harness motivates but does not itself implement.
+
+Everything is a built-in column expression — shingling a 100 TB corpus
+must stay inside whole-stage codegen; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_sentence(col: Column | str) -> Column:
+    """lower(trim(collapse whitespace)) — `search_query.py:16-17` parity."""
+    return F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization of a normalized string → ARRAY<STRING>.
+
+    Applied to already-normalized text; empty string yields empty array.
+    """
+    c = normalize_sentence(col)
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, " ")
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct, sorted) → ARRAY<STRING>.
+
+    Sorted+distinct so the result is deterministic under any partitioning
+    and portable to the SQL oracle.
+    """
+    w = words(col)
+    joined = F.transform(
+        # one slot per starting position: size - n + 1 (min 0)
+        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.array_sort(F.array_distinct(joined))
+
+
+def char_shingles(col: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles of normalized text (distinct, sorted)."""
+    c = normalize_sentence(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.substring(c, i, n),
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+# --- DuckDB twins --------------------------------------------------------
+
+def normalize_sentence_sql(expr: str) -> str:
+    return f"lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g')))"
+
+
+def words_sql(expr: str) -> str:
+    n = normalize_sentence_sql(expr)
+    return f"(case when length({n}) = 0 then []::VARCHAR[] else string_split({n}, ' ') end)"
+
+
+def word_shingles_sql(expr: str, n: int = 3) -> str:
+    w = words_sql(expr)
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"range(1, greatest(len({w}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({w}, i, i + {n - 1}), ' '))))"
+    )
+
+
+def char_shingles_sql(expr: str, n: int = 5) -> str:
+    c = normalize_sentence_sql(expr)
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"range(1, greatest(length({c}) - {n - 1}, 0) + 1), "
+        f"i -> substr({c}, i, {n}))))"
+    )

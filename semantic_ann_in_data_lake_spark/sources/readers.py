@@ -1,0 +1,102 @@
+"""Scans (reference S1-S5, SURVEY §2.1).
+
+The reference's sources are directory globs of CSVs
+(``SchemaExtraction/extract_schema.py:88-99``), single CSV/TSV loads
+(``SemanticAnnotation/semantic_annotation.py:17-36``), JSON catalogs
+(array-of-objects) and JSONL files. Spark-native equivalents:
+
+- CSV directory → one ``spark.read.csv`` over the glob with
+  ``input_file_name()`` as table identity (no per-file Python loop);
+- all-string loads → explicit all-string schema (reference loads with
+  ``dtype="string"``);
+- JSON array → ``multiLine`` JSON; JSONL → plain ``spark.read.json``.
+
+``read_table`` is the canonical testdata entry point; it normalizes
+the ``events`` table's TIMESTAMP(NANOS) column (Spark reads nanos as
+long under ``spark.sql.legacy.parquet.nanosAsLong``) to a micros
+timestamp so downstream operators see standard types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with normalized types."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long → micros timestamp (truncation, like DuckDB's
+        # TIMESTAMP_NS → TIMESTAMP cast)
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def read_lake(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The whole testdata lake as {table_name: DataFrame}."""
+    return {t: read_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def read_csv_dir(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    all_string: bool = True,
+    permissive: bool = True,
+) -> DataFrame:
+    """S1: scan a directory of CSVs as one DataFrame with a
+    ``table_name`` column derived from the file name.
+
+    ``all_string=True`` mirrors the reference's ``dtype="string"`` load
+    (``semantic_annotation.py:32``); ``permissive`` drops malformed
+    lines like the reference skips unreadable files
+    (``extract_schema.py:96-99``).
+    """
+    reader = (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("mode", "DROPMALFORMED" if permissive else "FAILFAST")
+    )
+    if all_string:
+        reader = reader.option("inferSchema", False)
+    else:
+        reader = reader.option("inferSchema", True)
+    df = reader.csv(f"{path.rstrip('/')}/*.csv")
+    return df.withColumn(
+        "table_name",
+        F.regexp_extract(F.input_file_name(), r"([^/]+)\.csv$", 1),
+    )
+
+
+def read_json_catalog(spark: SparkSession, path: str) -> DataFrame:
+    """S4: top-level JSON array of objects (the reference's catalog
+    artifacts, e.g. ``{app}_csv_schema.json``)."""
+    return spark.read.option("multiLine", True).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:
+    """S5: line-delimited JSON (pairs/queries artifacts) — Spark-native."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def ground_truth_schema() -> T.StructType:
+    """S3: the 4-column ground-truth pair file
+    (``DeepJoin/repositoryLoader.py:89-92``)."""
+    return T.StructType(
+        [
+            T.StructField("query_table", T.StringType()),
+            T.StructField("query_column", T.StringType()),
+            T.StructField("candidate_table", T.StringType()),
+            T.StructField("candidate_column", T.StringType()),
+        ]
+    )

@@ -1,0 +1,290 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference dedups only exact artifacts (row dedup ``P4``, seen-sets
+``repositoryLoader.py:88-97``, ``search_query.py:28-31``); a 100 TB
+LLM-data pipeline needs the full near-dup family. All operators are
+pure DataFrame programs:
+
+- exact dedup: hash-groupBy on the text digest;
+- MinHash + LSH: shingle → k-min-hash signature → band → bucket join →
+  exact-Jaccard verification (the classic sub-quadratic pipeline);
+- SimHash: per-bit majority vote over token hashes, near-dups by
+  Hamming distance on the 64/32-bit code;
+- n-gram Jaccard: exact pairwise verification (bounded inputs only);
+- embedding cosine: near-dups in vector space.
+
+Every operator takes ``hash_portable``: True uses the md5-based hash
+that the DuckDB oracle can replicate bit-for-bit; False uses native
+``xxhash64`` (the production path — ~10× cheaper, same algorithm
+shape). Shingle arrays are distinct+sorted, so set sizes are
+engine-portable.
+
+Scale notes: signatures/simhash are per-row column expressions (no
+shuffle); the only shuffles are the LSH band self-join (keyed by band
+hash — bounded buckets, AQE handles skewed hot buckets) and the final
+pair dedup. Never an all-pairs cross join except in the explicitly
+bounded ``ngram_jaccard_pairs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from semantic_ann_in_data_lake_spark.functions.hashing import (
+    fast_hash64,
+    portable_hash64,
+)
+from semantic_ann_in_data_lake_spark.functions.text import word_shingles, words
+
+
+def _shingle_hash(s: Column, seed: int, portable: bool) -> Column:
+    if portable:
+        return portable_hash64(s, seed=f"{seed}:")
+    return F.xxhash64(s, F.lit(seed))
+
+
+def _shingle_hasher(seed: int, portable: bool):
+    """Single-arg lambda factory: a `lambda s, i=seed:` default arg would
+    make PySpark treat it as an (element, index) higher-order lambda."""
+    return lambda s: _shingle_hash(s, seed, portable)
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via content digest: one row per distinct text with
+    the canonical (minimum) id and the copy count."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    hash_portable: bool = True,
+) -> DataFrame:
+    """(id, shingles, minhash[num_hashes]) — signature matrix as one
+    row-local expression; empty-shingle docs get a null signature slot
+    filtered out downstream."""
+    sh = word_shingles(text_col, shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, _shingle_hasher(i, hash_portable)))
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        sh.alias("shingles"),
+        sig.alias("minhash"),
+    ).where(F.size("shingles") > 0)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int, rows_per_band: int, hash_portable: bool = True
+) -> DataFrame:
+    """Band the signature and self-join on (band_index, band_hash).
+
+    Emits distinct (id_a < id_b) candidate pairs. The join key is the
+    hashed band content, so the shuffle is by bucket — sub-quadratic as
+    long as buckets stay bounded (AQE's skew-join splitting covers hot
+    buckets at scale).
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col("minhash")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard on distinct-element arrays (portable set sizes)."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(sh_a) + F.size(sh_b) - inter
+    return inter.cast("double") / F.greatest(union, F.lit(1))
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.01,
+    hash_portable: bool = True,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → band buckets → candidate
+    pairs → exact-Jaccard verification ≥ threshold.
+
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 6 dp.
+    """
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_n, hash_portable
+    )
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, hash_portable)
+    sh = sigs.select("doc_id", "shingles")
+    return (
+        cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.02,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold (id_a < id_b).
+
+    O(n²) by construction — the brute-force verification baseline the
+    LSH path is measured against. Only for bounded inputs (the LSH
+    operator is the scale path).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    hash_portable: bool = True,
+) -> DataFrame:
+    """Per-document SimHash code: majority vote of each hash bit over
+    all tokens (duplicates count — frequency-weighted by construction).
+
+    Entirely row-local: token array → one hash per token → 32/64
+    bit-sum folds → packed integer. No shuffle, no UDF.
+    """
+    toks = words(text_col)
+    tok_hash = (
+        (lambda t: portable_hash64(t))
+        if hash_portable
+        else (lambda t: fast_hash64(t))
+    )
+    hashes = F.transform(toks, tok_hash)
+
+    def bit_sum_at(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    code = None
+    for b in range(bits):
+        contrib = (
+            F.when(bit_sum_at(b) > 0, F.lit(2 ** b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        code = contrib if code is None else code + contrib
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        code.alias("simhash"),
+    ).where(F.size(toks) > 0)
+
+
+def simhash_near_dups(
+    sim: DataFrame, max_hamming: int = 8
+) -> DataFrame:
+    """Pairs of docs whose SimHash codes differ in ≤ max_hamming bits.
+
+    Pairwise on codes (cheap: one long per doc); for true scale, join
+    on code prefixes first (pigeonhole) — noted as the production
+    refinement.
+    """
+    a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: pairs with cosine ≥ τ.
+
+    Exact pairwise form (the LSH strategy in ``operators.knn`` is the
+    scale path for this too).
+    """
+    from semantic_ann_in_data_lake_spark.functions.vectors import cosine_sim
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine_sim("va", "vb"), 6).alias("cosine")
+        )
+        .where(F.col("cosine") >= tau)
+    )

@@ -1,0 +1,149 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+fingerprinting.
+
+Extensions beyond the reference's surface (its text handling stops at
+normalization + serialization, ``search_query.py:16-17``,
+``repositoryLoader.py:139-180``) — these are the per-document analyses
+a training-data pipeline runs at ingest. All are row-local column
+expressions (no shuffle, no UDF): at 100 TB they run entirely inside
+whole-stage codegen on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from semantic_ann_in_data_lake_spark.functions.hashing import portable_hash64
+from semantic_ann_in_data_lake_spark.functions.text import (
+    normalize_sentence,
+    word_shingles,
+    words,
+)
+
+#: tiny built-in stopword list (English) for ratio features
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
+
+#: marker words per language for the n-gram/stopword language heuristic;
+#: checked in this order, ties break toward the earlier entry.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is", "in", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "los", "las", "es", "que", "un"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "que"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+}
+
+
+def _count_in(toks: Column, vocab: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*vocab)))
+
+
+#: nudge rounded ratios off exact decimal midpoints: Spark rounds the
+#: shortest-repr decimal of a double, DuckDB the binary value, so a
+#: derived value whose shortest repr is exactly "0.xxxx5" rounds
+#: differently (0.50245 → 0.5025 vs 0.5024). The bias is identical on
+#: both sides, so results stay engine-portable.
+ROUND_BIAS = 1e-9
+
+
+def _r4(c: Column) -> Column:
+    return F.round(c + F.lit(ROUND_BIAS), 4)
+
+
+def token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc token statistics + a composite quality score.
+
+    Quality = 0.4·min(n_tokens/100, 1) + 0.3·type_token_ratio +
+    0.3·stopword_ratio, all ratios exact int/int divisions (rounded
+    4 dp) so the score is engine-portable.
+    """
+    toks = words(text_col)
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        toks.alias("__toks__"),
+        normalize_sentence(text_col).alias("__norm__"),
+    )
+    n_tokens = F.size("__toks__")
+    n_distinct = F.size(F.array_distinct("__toks__"))
+    stop_hits = _count_in(F.col("__toks__"), STOPWORDS)
+    punct_chars = F.length("__norm__") - F.length(
+        F.regexp_replace(F.col("__norm__"), r"[.,!?;:]", "")
+    )
+    digit_chars = F.length("__norm__") - F.length(
+        F.regexp_replace(F.col("__norm__"), r"[0-9]", "")
+    )
+    safe_tok = F.greatest(n_tokens, F.lit(1))
+    safe_chr = F.greatest(F.length("__norm__"), F.lit(1))
+    ttr = _r4(n_distinct.cast("double") / safe_tok)
+    stop_ratio = _r4(stop_hits.cast("double") / safe_tok)
+    quality = _r4(
+        F.lit(0.4) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * ttr
+        + F.lit(0.3) * stop_ratio
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        _r4(
+            (F.length("__norm__") - n_tokens + 1).cast("double") / safe_tok
+        ).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        _r4(punct_chars.cast("double") / safe_chr).alias("punct_ratio"),
+        _r4(digit_chars.cast("double") / safe_chr).alias("digit_ratio"),
+        ttr.alias("type_token_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-word language heuristic → (doc_id, lang_pred, lang_score).
+
+    Scores = marker-token hit counts per language; argmax with
+    deterministic tie-break in LANG_MARKERS order; all-zero → 'und'.
+    """
+    toks = words(text_col)
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks__"))
+    scores = {
+        lang: _count_in(F.col("__toks__"), markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best: Column = F.lit(0)
+    for lang in langs:
+        best = F.greatest(best, scores[lang])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    n_tokens = F.greatest(F.size("__toks__"), F.lit(1))
+    return d.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        _r4(best.cast("double") / n_tokens).alias("lang_score"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Document fingerprints: md5 of normalized text (exact identity up
+    to whitespace/case) + min shingle hash (winnowing-style content
+    fingerprint, stable under local edits)."""
+    sh = word_shingles(text_col, shingle_n)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_sentence(text_col)).alias("fp_md5"),
+        F.array_min(F.transform(sh, lambda s: portable_hash64(s, seed="fp:"))).alias(
+            "fp_minshingle"
+        ),
+    )

@@ -393,3 +393,236 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# Deduplication suite (training-data pipeline extensions — first-class)
+# ---------------------------------------------------------------------------
+
+from semantic_ann_in_data_lake_spark.functions.hashing import (  # noqa: E402
+    portable_hash_expr,
+)
+from semantic_ann_in_data_lake_spark.functions.text import (  # noqa: E402
+    normalize_sentence_sql,
+    word_shingles_sql,
+    words_sql,
+)
+from semantic_ann_in_data_lake_spark.operators import dedup, textstats  # noqa: E402
+
+_SH = word_shingles_sql("text", 3)
+_TOKS = words_sql("text")
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_sig_sql(n_hashes: int = 16) -> str:
+    sig = ", ".join(
+        f"list_min(list_transform(sh, s -> {portable_hash_expr('s', seed=f'{i}:')}))"
+        for i in range(n_hashes)
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents)
+    SELECT doc_id, sh AS shingles, [{sig}] AS minhash
+    FROM s WHERE len(sh) > 0
+    """
+
+
+@register("minhash_signatures", _minhash_sig_sql(16))
+def minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_lsh_sql(bands: int = 8, r: int = 2, threshold: float = 0.01) -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"minhash[{b * r + 1}]::VARCHAR || '|' || minhash[{b * r + 2}]::VARCHAR AS band_key, sh "
+        f"FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    sigs AS (
+      SELECT doc_id, sh,
+             {_minhash_sig_inner(16)} AS minhash
+      FROM s WHERE len(sh) > 0
+    ),
+    banded AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / greatest(len(sa.sh) + len(sb.sh)
+                              - len(list_intersect(sa.sh, sb.sh)), 1), 6) AS jaccard
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+    )
+    SELECT * FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+def _minhash_sig_inner(n_hashes: int) -> str:
+    sig = ", ".join(
+        f"list_min(list_transform(sh, s -> {portable_hash_expr('s', seed=f'{i}:')}))"
+        for i in range(n_hashes)
+    )
+    return f"[{sig}]"
+
+
+@register("minhash_lsh_pairs", _minhash_lsh_sql(8, 2, 0.01))
+def minhash_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16, bands=8, rows_per_band=2, threshold=0.01,
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    nz AS (SELECT * FROM s WHERE len(sh) > 0),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / greatest(len(a.sh) + len(b.sh)
+                              - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+      FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    )
+    SELECT * FROM pairs WHERE jaccard >= 0.02
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.02)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    code_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, "
+        f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {2 ** b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    h AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             list_transform(toks, tk -> {portable_hash_expr('tk')}) AS hs
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_tokens, {code_terms} AS simhash FROM h
+    """
+
+
+@register("simhash_codes", _simhash_sql(32))
+def simhash_codes(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+@register(
+    "embedding_dup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({cosine_sim_sql('a.v', 'b.v')}, 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({cosine_sim_sql('a.v', 'b.v')}, 6) >= 0.3
+    """,
+)
+def embedding_dup_pairs(spark, sf_dir):
+    return dedup.embedding_near_dups(_t(spark, sf_dir, "embeddings"), tau=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis suite
+# ---------------------------------------------------------------------------
+
+_STOP_IN = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, length(text)::INT AS n_chars,
+             {_TOKS} AS toks, {normalize_sentence_sql('text')} AS norm
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_chars,
+             len(toks)::INT AS n_tokens,
+             len(list_distinct(toks))::INT AS n_distinct_tokens,
+             greatest(len(toks), 1) AS safe_tok,
+             greatest(length(norm), 1) AS safe_chr,
+             len(list_filter(toks, tk -> tk IN ({_STOP_IN}))) AS stop_hits,
+             length(norm) AS norm_len,
+             length(norm) - length(regexp_replace(norm, '[.,!?;:]', '', 'g')) AS punct_chars,
+             length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS digit_chars
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+           round((norm_len - n_tokens + 1)::DOUBLE / safe_tok + 1e-9, 4) AS avg_token_len,
+           round(stop_hits::DOUBLE / safe_tok + 1e-9, 4) AS stopword_ratio,
+           round(punct_chars::DOUBLE / safe_chr + 1e-9, 4) AS punct_ratio,
+           round(digit_chars::DOUBLE / safe_chr + 1e-9, 4) AS digit_ratio,
+           round(n_distinct_tokens::DOUBLE / safe_tok + 1e-9, 4) AS type_token_ratio,
+           round(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+                 + 0.3 * round(n_distinct_tokens::DOUBLE / safe_tok + 1e-9, 4)
+                 + 0.3 * round(stop_hits::DOUBLE / safe_tok + 1e-9, 4) + 1e-9, 4) AS quality_score
+    FROM m
+    """,
+)
+def doc_token_stats(spark, sf_dir):
+    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    score_cols = ", ".join(
+        f"len(list_filter(toks, tk -> tk IN ({', '.join(chr(39) + w + chr(39) for w in ws)}))) AS s_{lang}"
+        for lang, ws in textstats.LANG_MARKERS.items()
+    )
+    langs = list(textstats.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, greatest(len(toks), 1) AS n_tokens, {score_cols} FROM t)
+    SELECT doc_id, {pred} AS lang_pred,
+           round({best}::DOUBLE / n_tokens + 1e-9, 4) AS lang_score
+    FROM s
+    """
+
+
+@register("lang_id", _lang_id_sql())
+def lang_id(spark, sf_dir):
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH s AS (SELECT doc_id, {normalize_sentence_sql('text')} AS norm,
+                      {_SH} AS sh FROM documents)
+    SELECT doc_id, md5(norm) AS fp_md5,
+           list_min(list_transform(sh, s -> {portable_hash_expr('s', seed='fp:')}))
+               AS fp_minshingle
+    FROM s
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))

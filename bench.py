@@ -1,0 +1,110 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries mix the oracle-gated plans (relational aggs, joins, windows,
+profiling, evaluation pipeline) with the PRODUCTION-path variants of
+the scale operators (broadcast kNN, xxhash64 MinHash-LSH/SimHash) —
+bench measures the fast tier, the correctness gate pins the portable
+tier, and unit tests prove the tiers agree where exact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from semantic_ann_in_data_lake_spark.operators import dedup  # noqa: E402
+from semantic_ann_in_data_lake_spark.operators.knn import knn_join  # noqa: E402
+from semantic_ann_in_data_lake_spark.plans import pipeline, registry  # noqa: E402
+from semantic_ann_in_data_lake_spark.session import get_spark  # noqa: E402
+from semantic_ann_in_data_lake_spark.sources.readers import read_table  # noqa: E402
+
+
+def bench_queries(spark, sf_dir):
+    reg = registry.REGISTRY
+
+    def from_registry(name):
+        fn, _ = reg[name]
+        return lambda: fn(spark, sf_dir)
+
+    def knn_broadcast():
+        emb = read_table(spark, sf_dir, "embeddings")
+        return knn_join(emb, emb, k=10, strategy="broadcast")
+
+    def knn_lsh():
+        emb = read_table(spark, sf_dir, "embeddings")
+        return knn_join(emb, emb, k=10, strategy="lsh")
+
+    def minhash_fast():
+        docs = read_table(spark, sf_dir, "documents")
+        return dedup.minhash_near_dups(
+            docs, num_hashes=16, bands=8, rows_per_band=2,
+            threshold=0.01, hash_portable=False,
+        )
+
+    def simhash_fast():
+        docs = read_table(spark, sf_dir, "documents")
+        return dedup.simhash(docs, bits=32, hash_portable=False)
+
+    def semlink_eval_broadcast():
+        return pipeline.evaluate_discovery(
+            spark, sf_dir, k=10, tau=1.3, strategy="broadcast"
+        )
+
+    return {
+        "q1_pricing_summary": from_registry("q1_pricing_summary"),
+        "q3_top_orders": from_registry("q3_top_orders"),
+        "q5_local_supplier": from_registry("q5_local_supplier"),
+        "profile_lineitem": from_registry("profile_lineitem"),
+        "window_topk_orders": from_registry("window_topk_orders"),
+        "events_hourly_rollup": from_registry("events_hourly_rollup"),
+        "dedup_exact": from_registry("dedup_exact"),
+        "doc_token_stats": from_registry("doc_token_stats"),
+        "lang_id": from_registry("lang_id"),
+        "hash_embeddings": from_registry("hash_embeddings"),
+        "knn_broadcast_k10": knn_broadcast,
+        "knn_lsh_k10": knn_lsh,
+        "minhash_lsh_fast": minhash_fast,
+        "simhash_fast": simhash_fast,
+        "semlink_eval_e2e": semlink_eval_broadcast,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    timings: dict[str, float] = {}
+    for name, make in bench_queries(spark, sf_dir).items():
+        t0 = time.time()
+        df = make()
+        n = df.count()  # force full execution
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_batch_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -9,47 +9,12 @@ Usage:  python scripts/oracle_check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import datetime as dt
-import decimal
-import math
 import sys
 import time
 
-import duckdb
-
 sys.path.insert(0, "/root/repo")
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-def canon(v):
-    if v is None:
-        return "\x00NULL"
-    if isinstance(v, bool):
-        return f"b:{v}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "f:nan"
-        return f"f:{v!r}"
-    if isinstance(v, decimal.Decimal):
-        return f"f:{float(v)!r}"
-    if isinstance(v, int):
-        return f"i:{v}"
-    if isinstance(v, (dt.datetime, dt.date)):
-        return f"t:{v.isoformat()}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}={canon(v[k])}" for k in sorted(v)) + "}"
-    return f"s:{v}"
-
-
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+from tests._compare import compare, duckdb_con  # noqa: E402
 
 
 def main():
@@ -60,11 +25,7 @@ def main():
     from semantic_ann_in_data_lake_spark.session import get_spark
 
     spark = get_spark("oracle_check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duckdb_con(sf_dir)
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed, passed, skipped = [], [], []
@@ -74,44 +35,24 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                n = sdf.count()
+                skipped.append(name)
+                print(f"SKIP  {name}: rows-only ({n} rows, {time.time()-t0:.1f}s)")
+                continue
+            problems = compare(sdf, con, oracles[name])
         except Exception as e:
             failed.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: error: {str(e).splitlines()[0][:200]}")
             continue
-        if name not in oracles:
-            skipped.append(name)
-            print(f"SKIP  {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
-            continue
-        try:
-            res = con.sql(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
-        except Exception as e:
-            failed.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
-            continue
-        problems = []
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
-        if sorted(s_cols) != sorted(d_cols):
-            problems.append(f"schema spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        if not problems:
-            cs, cd = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
-            if cs != cd:
-                diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
-                problems.append(f"values differ; first diffs: {diff}")
         if problems:
             failed.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             passed.append(name)
-            print(f"PASS  {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            print(f"PASS  {name} ({time.time()-t0:.1f}s)")
 
-    print(
-        f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only"
-    )
+    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only")
     sys.exit(1 if failed else 0)
 
 

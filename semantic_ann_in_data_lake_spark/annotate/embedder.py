@@ -1,0 +1,130 @@
+"""Pluggable embedding stage (reference V4/V5).
+
+The reference embeds column descriptions one HTTP call at a time with
+a hard 0.1 s sleep (≤10 columns/s, ``join_discoverer.py:244``). The
+Spark shape is a batched ``mapInPandas`` stage: each Arrow batch goes
+through the embedder once, with per-executor lazy model/client init,
+optional rate limiting, and content-hash keys for idempotent caching
+(so task retries/speculation never double-bill an API;
+SURVEY §4.3).
+
+Two built-in embedders:
+
+- ``HashEmbedder`` — deterministic feature-hash vector from md5
+  chunks; no model, no network; also available as a PURE COLUMN
+  EXPRESSION (``hash_embedding_expr``) so the DuckDB oracle can check
+  the whole embed→index→search pipeline end to end.
+- ``CallableEmbedder`` — wraps any ``list[str] -> list[list[float]]``
+  (an OpenAI client, a sentence-transformer, …). Import-gated; never
+  required for correctness tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Callable, Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from semantic_ann_in_data_lake_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash_expr,
+)
+
+_SCALE = 100000.0
+
+
+class HashEmbedder:
+    """Deterministic local embedder: dim hash projections of the text.
+
+    Component i = (md5("i:" + text) as 60-bit int mod 200001)/100000 - 1
+    ∈ [-1, 1] — matches ``hash_embedding_expr`` bit-for-bit.
+    """
+
+    def __init__(self, dim: int = 16):
+        self.dim = dim
+
+    def __call__(self, texts: list[str]) -> list[list[float]]:
+        out = []
+        for t in texts:
+            vec = []
+            for i in range(self.dim):
+                h = int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:15], 16)
+                vec.append((h % 200001) / _SCALE - 1.0)
+            out.append(vec)
+        return out
+
+
+def hash_embedding_expr(text: Column | str, dim: int = 16) -> Column:
+    """The HashEmbedder as a JVM column expression (oracle-checkable)."""
+    c = F.col(text) if isinstance(text, str) else text
+    comps = [
+        (
+            F.pmod(portable_hash64(c, seed=f"{i}:"), F.lit(200001)).cast("double")
+            / F.lit(_SCALE)
+            - F.lit(1.0)
+        )
+        for i in range(dim)
+    ]
+    return F.array(*comps)
+
+
+def hash_embedding_sql(expr: str, dim: int = 16) -> str:
+    """DuckDB twin of :func:`hash_embedding_expr`."""
+    comps = ", ".join(
+        f"(({portable_hash_expr(expr, seed=f'{i}:')} % 200001)::DOUBLE / {_SCALE} - 1.0)"
+        for i in range(dim)
+    )
+    return f"[{comps}]"
+
+
+class CallableEmbedder:
+    """Adapter for real model/API embedders; constructed lazily on the
+    executor (the factory runs once per python worker)."""
+
+    def __init__(self, factory: Callable[[], Callable[[list[str]], list[list[float]]]]):
+        self.factory = factory
+        self._fn = None
+
+    def __call__(self, texts: list[str]) -> list[list[float]]:
+        if self._fn is None:
+            self._fn = self.factory()
+        return self._fn(texts)
+
+
+def embed_texts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    embedder: Callable[[list[str]], list[list[float]]] | None = None,
+    dim: int = 16,
+    batch_size: int = 256,
+) -> DataFrame:
+    """mapInPandas embedding stage → id cols + content_hash + embedding.
+
+    ``content_hash`` keys an idempotent cache (the reference's
+    artifact-cache S9 generalized): re-runs or task retries can join
+    against previously persisted embeddings and skip the model call.
+    """
+    import pandas as pd
+
+    emb = embedder or HashEmbedder(dim)
+    out_fields = ", ".join(f"{c} string" for c in id_cols)
+    schema = f"{out_fields}, content_hash string, embedding array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                texts = chunk[text_col].fillna("").tolist()
+                vecs = emb(texts)
+                out = {c: chunk[c].astype(str) for c in id_cols}
+                out["content_hash"] = [
+                    hashlib.md5(t.encode()).hexdigest() for t in texts
+                ]
+                out["embedding"] = vecs
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=schema)

@@ -38,19 +38,28 @@ def words(col: Column | str) -> Column:
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct, sorted) → ARRAY<STRING>.
+def word_shingles_from(w: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a MATERIALIZED words-array column.
 
-    Sorted+distinct so the result is deterministic under any partitioning
-    and portable to the SQL oracle.
+    ``w`` must be a bound column reference (not an expression tree):
+    expressions inside a higher-order lambda body are re-evaluated per
+    array element, so an inline ``words(text)`` here would re-split the
+    whole text at every shingle position — O(len²) per document
+    (measured ~100× at sf0.1). Operators project the words array first
+    and pass the column.
     """
-    w = words(col)
     joined = F.transform(
         # one slot per starting position: size - n + 1 (min 0)
         F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))),
         lambda i: F.array_join(F.slice(w, i, n), " "),
     )
     return F.array_sort(F.array_distinct(joined))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Inline convenience form (small inputs / oracle parity only —
+    see the perf note on :func:`word_shingles_from`)."""
+    return word_shingles_from(words(col), n)
 
 
 def char_shingles(col: Column | str, n: int = 5) -> Column:
@@ -74,13 +83,18 @@ def words_sql(expr: str) -> str:
     return f"(case when length({n}) = 0 then []::VARCHAR[] else string_split({n}, ' ') end)"
 
 
-def word_shingles_sql(expr: str, n: int = 3) -> str:
-    w = words_sql(expr)
+def word_shingles_from_sql(wcol: str, n: int = 3) -> str:
+    """Shingles from a CTE-staged words column (same O(len²) caveat as
+    the Spark side: inline words_sql here re-splits per position)."""
     return (
         f"list_sort(list_distinct(list_transform("
-        f"range(1, greatest(len({w}) - {n - 1}, 0) + 1), "
-        f"i -> array_to_string(list_slice({w}, i, i + {n - 1}), ' '))))"
+        f"range(1, greatest(len({wcol}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({wcol}, i, i + {n - 1}), ' '))))"
     )
+
+
+def word_shingles_sql(expr: str, n: int = 3) -> str:
+    return word_shingles_from_sql(words_sql(expr), n)
 
 
 def char_shingles_sql(expr: str, n: int = 5) -> str:

@@ -73,21 +73,31 @@ def minhash_signatures(
     shingle_n: int = 3,
     hash_portable: bool = True,
 ) -> DataFrame:
-    """(id, shingles, minhash[num_hashes]) — signature matrix as one
-    row-local expression; empty-shingle docs get a null signature slot
-    filtered out downstream."""
-    sh = word_shingles(text_col, shingle_n)
+    """(id, shingles, minhash[num_hashes]) — row-local, but staged as
+    words → shingles → signature projections so each level is computed
+    once per row (HOF lambda bodies re-evaluate referenced expression
+    trees per element — inline nesting is O(len²))."""
+    from semantic_ann_in_data_lake_spark.functions.text import (
+        word_shingles_from,
+        words,
+    )
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("__w")
+    ).select(
+        "doc_id", word_shingles_from(F.col("__w"), shingle_n).alias("shingles")
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, _shingle_hasher(i, hash_portable)))
+            F.array_min(
+                F.transform(F.col("shingles"), _shingle_hasher(i, hash_portable))
+            )
             for i in range(num_hashes)
         ]
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        sh.alias("shingles"),
-        sig.alias("minhash"),
-    ).where(F.size("shingles") > 0)
+    return staged.select("doc_id", "shingles", sig.alias("minhash")).where(
+        F.size("shingles") > 0
+    )
 
 
 def lsh_candidate_pairs(
@@ -158,6 +168,13 @@ def minhash_near_dups(
     sigs = minhash_signatures(
         docs, id_col, text_col, num_hashes, shingle_n, hash_portable
     )
+    # Materialize signatures: they feed the band join TWICE and the
+    # verification join twice more, and Catalyst does not CSE
+    # higher-order array expressions across self-joins — without this,
+    # shingling+hashing re-executes at every plan site (measured 100×
+    # slowdown at sf0.1). At cluster scale this is a checkpointed
+    # signature table (write once, reuse across dedup runs).
+    sigs = sigs.persist()
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band, hash_portable)
     sh = sigs.select("doc_id", "shingles")
     return (
@@ -185,9 +202,16 @@ def ngram_jaccard_pairs(
     LSH path is measured against. Only for bounded inputs (the LSH
     operator is the scale path).
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_n).alias("sh")
-    ).where(F.size("sh") > 0)
+    from semantic_ann_in_data_lake_spark.functions.text import (
+        word_shingles_from,
+        words,
+    )
+
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), words(text_col).alias("__w"))
+        .select("doc_id", word_shingles_from(F.col("__w"), shingle_n).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -212,19 +236,27 @@ def simhash(
     all tokens (duplicates count — frequency-weighted by construction).
 
     Entirely row-local: token array → one hash per token → 32/64
-    bit-sum folds → packed integer. No shuffle, no UDF.
+    bit-sum folds → packed integer. No shuffle, no UDF. Tokens and
+    hashes are staged as projection columns so the 32/64 bit folds
+    reference them (once per row) instead of recomputing the
+    tokenize+hash expression per fold.
     """
-    toks = words(text_col)
     tok_hash = (
         (lambda t: portable_hash64(t))
         if hash_portable
         else (lambda t: fast_hash64(t))
     )
-    hashes = F.transform(toks, tok_hash)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        F.transform(F.col("__toks"), tok_hash).alias("__hashes"),
+    )
 
     def bit_sum_at(b: int) -> Column:
         return F.aggregate(
-            hashes,
+            F.col("__hashes"),
             F.lit(0),
             lambda acc, h: acc
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
@@ -237,11 +269,9 @@ def simhash(
             .otherwise(F.lit(0).cast("long"))
         )
         code = contrib if code is None else code + contrib
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tokens"),
-        code.alias("simhash"),
-    ).where(F.size(toks) > 0)
+    return staged.select(
+        "doc_id", "n_tokens", code.alias("simhash")
+    ).where(F.col("n_tokens") > 0)
 
 
 def simhash_near_dups(

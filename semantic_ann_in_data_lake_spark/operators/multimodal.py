@@ -1,0 +1,129 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Policy (per the build brief): media decode libraries are not in this
+environment, so the DECODE step is stubbed — but everything Spark-side
+is real and tested: the binary-column schema, typed metadata, Arrow
+batch shapes, partition sizing, and the ``mapInPandas`` operator
+signatures a production decode/feature-extract stage would use.
+
+Design for 100 TB of media:
+- payloads are opaque ``BINARY`` columns with a typed ``meta`` struct
+  (modality, mime, width/height/duration) so planning never touches
+  bytes — predicate pushdown on metadata prunes before any decode;
+- decode/feature stages are ``mapInPandas`` (Arrow batches of bytes),
+  sized by ``spark.sql.files.maxPartitionBytes`` /
+  ``maxRecordsPerBatch`` so a batch of payloads fits executor memory;
+- features come back as fixed-dim ``ARRAY<FLOAT>`` ready for the
+  kNN/dedup operators — media dedup IS embedding dedup downstream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("modality", T.StringType()),
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table from the documents fixture: text bytes
+    stand in for payloads so plumbing tests have real binary columns."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("application/octet-stream").alias("mime"),
+            (F.pmod(F.col("doc_id"), F.lit(1024)) + 32).cast("int").alias("width"),
+            (F.pmod(F.col("doc_id") * 7, F.lit(1024)) + 32).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decode requires an image library not present in this
+    container — STUB by policy. The Spark plumbing around it
+    (``extract_features``) is real and tested with the deterministic
+    fake."""
+    raise NotImplementedError(
+        "image decode requires PIL/libvips — not available in this environment; "
+        "plug a decoder into extract_features(feature_fn=...)"
+    )
+
+
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in feature extractor: md5-chunk projections
+    of the raw bytes (same shape/contract as a real CNN embedding)."""
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"{i}:".encode() + (payload or b"")).hexdigest()[:15], 16)
+        out.append((h % 200001) / 100000.0 - 1.0)
+    return out
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, feature_fn=None, batch_size: int = 64
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    ``feature_fn(payload: bytes) -> list[float]`` defaults to the
+    deterministic fake; a real decoder drops in without touching the
+    Spark side. Output: (media_id, modality, feature array<float>).
+    """
+    import pandas as pd
+
+    fn = feature_fn or (lambda p: _fake_features(p, dim))
+    schema = "media_id long, modality string, feature array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "modality": [m["modality"] for m in chunk["meta"]],
+                        "feature": [fn(p) for p in chunk["payload"]],
+                    }
+                )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(run, schema=schema)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling PLAN: explode timestamps from metadata
+    duration — the real decode of each frame is the stubbed step; the
+    partitioning/explode shape is the production one."""
+    return (
+        media.where(F.col("meta.duration_ms").isNotNull())
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Training-pair construction + splits (reference DeepJoin pairsBuilder).
+
+- J7: positive pairs = all i<j combinations of columns sharing a
+  family/header (``pairsBuilder.py:85-92``) → self-join with an
+  inequality predicate inside the family group.
+- J8: ground-truth-driven pairs = two lookup joins attaching each
+  side's serialized text (``pairsBuilder.py:94-115``).
+- W6: train/test split. The reference splits positionally after a
+  seeded shuffle (``pairsBuilder.py:131-145``, ratio 0.8 seed 42) —
+  order-dependent, so the distributed version uses a deterministic
+  content-hash split (same ratio in expectation, reproducible on any
+  cluster layout; divergence documented per SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantic_ann_in_data_lake_spark.functions.hashing import portable_hash64
+
+
+def positive_pairs(
+    items: DataFrame, family_col: str, id_col: str
+) -> DataFrame:
+    """All unordered i<j pairs within each family group.
+
+    Equi-join on the family key + inequality on ids: Catalyst plans the
+    equi part as a hash join (shuffle by family), so cost is
+    Σ_family |group|² — not |table|².
+    """
+    a = items.select(
+        F.col(family_col).alias("family"), F.col(id_col).alias("id_a")
+    )
+    b = items.select(
+        F.col(family_col).alias("family"), F.col(id_col).alias("id_b")
+    )
+    return a.join(b, ["family"]).where(F.col("id_a") < F.col("id_b")).select(
+        "family", "id_a", "id_b"
+    )
+
+
+def pairs_from_ground_truth(
+    gt: DataFrame, meta: DataFrame, text_col: str = "serialized"
+) -> DataFrame:
+    """J8: for each GT row, attach both sides' serialized text via two
+    broadcast lookup joins; misses fall back to the raw column name
+    (``pairsBuilder.py:98-114`` left-join-with-default semantics)."""
+    mq = meta.select(
+        F.col("table_name").alias("q_m_table"),
+        F.col("column_name").alias("q_m_column"),
+        F.col(text_col).alias("q_m_text"),
+    )
+    mc = meta.select(
+        F.col("table_name").alias("c_m_table"),
+        F.col("column_name").alias("c_m_column"),
+        F.col(text_col).alias("c_m_text"),
+    )
+    q = gt.join(
+        F.broadcast(mq),
+        (gt.query_table == mq.q_m_table) & (gt.query_column == mq.q_m_column),
+        "left",
+    ).select(gt["*"], F.coalesce(mq.q_m_text, gt.query_column).alias("text_a"))
+    c = q.join(
+        F.broadcast(mc),
+        (q.candidate_table == mc.c_m_table) & (q.candidate_column == mc.c_m_column),
+        "left",
+    ).select(q["*"], F.coalesce(mc.c_m_text, q.candidate_column).alias("text_b"))
+    return c.select("query_table", "query_column", "candidate_table",
+                    "candidate_column", "text_a", "text_b")
+
+
+def train_test_split(
+    pairs: DataFrame,
+    key_cols: list[str],
+    train_ratio: float = 0.8,
+    seed: str = "split42",
+) -> DataFrame:
+    """Deterministic content-hash split: ``split`` column ∈
+    {train, test}. Reproducible regardless of partitioning — the
+    distributed replacement for the reference's positional split."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    bucket = F.pmod(portable_hash64(key, seed=seed), F.lit(1000))
+    return pairs.withColumn(
+        "split",
+        F.when(bucket < int(train_ratio * 1000), F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )

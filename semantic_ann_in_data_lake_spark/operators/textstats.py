@@ -139,11 +139,22 @@ def fingerprints(
     """Document fingerprints: md5 of normalized text (exact identity up
     to whitespace/case) + min shingle hash (winnowing-style content
     fingerprint, stable under local edits)."""
-    sh = word_shingles(text_col, shingle_n)
-    return docs.select(
+    from semantic_ann_in_data_lake_spark.functions.text import (
+        word_shingles_from,
+        words,
+    )
+
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(normalize_sentence(text_col)).alias("fp_md5"),
-        F.array_min(F.transform(sh, lambda s: portable_hash64(s, seed="fp:"))).alias(
-            "fp_minshingle"
-        ),
+        words(text_col).alias("__w"),
+    ).select(
+        "doc_id", "fp_md5", word_shingles_from(F.col("__w"), shingle_n).alias("__sh")
+    )
+    return staged.select(
+        "doc_id",
+        "fp_md5",
+        F.array_min(
+            F.transform(F.col("__sh"), lambda s: portable_hash64(s, seed="fp:"))
+        ).alias("fp_minshingle"),
     )

@@ -404,13 +404,19 @@ from semantic_ann_in_data_lake_spark.functions.hashing import (  # noqa: E402
 )
 from semantic_ann_in_data_lake_spark.functions.text import (  # noqa: E402
     normalize_sentence_sql,
-    word_shingles_sql,
+    word_shingles_from_sql,
     words_sql,
 )
 from semantic_ann_in_data_lake_spark.operators import dedup, textstats  # noqa: E402
 
-_SH = word_shingles_sql("text", 3)
 _TOKS = words_sql("text")
+#: staged CTE: words once per row, then shingles from the bound column
+#: (inline shingles-over-words re-splits the text per position — same
+#: O(len²) blowup as the Spark side; see text.word_shingles_from)
+_W_CTE = f"w AS (SELECT doc_id, {_TOKS} AS w FROM documents)"
+_SH_CTE = (
+    f"s AS (SELECT doc_id, {word_shingles_from_sql('w', 3)} AS sh FROM w)"
+)
 
 
 @register(
@@ -431,7 +437,7 @@ def _minhash_sig_sql(n_hashes: int = 16) -> str:
         for i in range(n_hashes)
     )
     return f"""
-    WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents)
+    WITH {_W_CTE}, {_SH_CTE}
     SELECT doc_id, sh AS shingles, [{sig}] AS minhash
     FROM s WHERE len(sh) > 0
     """
@@ -450,7 +456,7 @@ def _minhash_lsh_sql(bands: int = 8, r: int = 2, threshold: float = 0.01) -> str
         for b in range(bands)
     )
     return f"""
-    WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    WITH {_W_CTE}, {_SH_CTE},
     sigs AS (
       SELECT doc_id, sh,
              {_minhash_sig_inner(16)} AS minhash
@@ -494,7 +500,7 @@ def minhash_lsh_pairs(spark, sf_dir):
 @register(
     "ngram_jaccard_pairs",
     f"""
-    WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    WITH {_W_CTE}, {_SH_CTE},
     nz AS (SELECT * FROM s WHERE len(sh) > 0),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -616,8 +622,10 @@ def lang_id(spark, sf_dir):
 @register(
     "doc_fingerprints",
     f"""
-    WITH s AS (SELECT doc_id, {normalize_sentence_sql('text')} AS norm,
-                      {_SH} AS sh FROM documents)
+    WITH wn AS (SELECT doc_id, {normalize_sentence_sql('text')} AS norm,
+                       {_TOKS} AS w FROM documents),
+    s AS (SELECT doc_id, norm,
+                 {word_shingles_from_sql('w', 3)} AS sh FROM wn)
     SELECT doc_id, md5(norm) AS fp_md5,
            list_min(list_transform(sh, s -> {portable_hash_expr('s', seed='fp:')}))
                AS fp_minshingle
@@ -626,3 +634,395 @@ def lang_id(spark, sf_dir):
 )
 def doc_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Join coverage (reference J1/J2/J7/J9/J10) + TPC-H-style bench queries
+# ---------------------------------------------------------------------------
+
+from semantic_ann_in_data_lake_spark.annotate.corruption import (  # noqa: E402
+    corrupt_positional,
+)
+from semantic_ann_in_data_lake_spark.annotate.embedder import (  # noqa: E402
+    hash_embedding_expr,
+    hash_embedding_sql,
+)
+from semantic_ann_in_data_lake_spark.functions.dates import (  # noqa: E402
+    normalize_date,
+    normalize_date_sql,
+)
+from semantic_ann_in_data_lake_spark.functions.serialize import (  # noqa: E402
+    column_to_text,
+    column_to_text_sql,
+)
+from semantic_ann_in_data_lake_spark.operators import pairs as pairs_ops  # noqa: E402
+
+
+@register(
+    "j1_lookup_join",
+    """
+    SELECT l_orderkey, l_partkey, p_name, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def j1_lookup_join(spark, sf_dir):
+    """J1: attach dimension attributes via broadcast hash lookup — the
+    reference's dict-probe join (`repositoryLoader.py:56-72`)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    p = _t(spark, sf_dir, "part")
+    return li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    ).select("l_orderkey", "l_partkey", "p_name", "p_brand")
+
+
+@register(
+    "j2_left_default",
+    """
+    SELECT o_orderkey, o_custkey,
+           coalesce(c_mktsegment, '') AS segment
+    FROM orders LEFT JOIN (
+      SELECT * FROM customer WHERE c_acctbal > 5000
+    ) c ON o_custkey = c_custkey
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def j2_left_default(spark, sf_dir):
+    """J2: left lookup with ''-default for misses
+    (`repositoryLoader.py:113-118,129-132`)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(F.col("c_mktsegment"), F.lit("")).alias("segment"),
+    )
+
+
+@register(
+    "j7_supplier_pairs",
+    """
+    SELECT a.s_nationkey AS family, a.s_suppkey AS id_a, b.s_suppkey AS id_b
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    """,
+)
+def j7_supplier_pairs(spark, sf_dir):
+    """J7: all i<j combos within a family group (`pairsBuilder.py:85-92`)."""
+    s = _t(spark, sf_dir, "supplier")
+    return pairs_ops.positive_pairs(s, "s_nationkey", "s_suppkey")
+
+
+@register(
+    "semi_anti_parts",
+    """
+    SELECT
+      (SELECT count(*) FROM part WHERE EXISTS
+        (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)) AS n_ordered,
+      (SELECT count(*) FROM part WHERE NOT EXISTS
+        (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)) AS n_never_ordered
+    """,
+)
+def semi_anti_parts(spark, sf_dir):
+    """J9: semi/anti-join cardinalities (the TP/FP/FN mechanics of
+    `search_query.py:80-87` on relational data)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    n_ordered = p.join(li, p.p_partkey == li.l_partkey, "left_semi").count()
+    n_never = p.join(li, p.p_partkey == li.l_partkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(n_ordered, n_never)], "n_ordered long, n_never_ordered long"
+    )
+
+
+@register(
+    "j10_symmetric_neighbors",
+    """
+    WITH pairs AS (
+      SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+      FROM supplier a JOIN supplier b
+        ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    ), sym AS (
+      SELECT id_a AS sid, id_b AS nb FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    )
+    SELECT sid AS s_suppkey, list_sort(list(DISTINCT nb)) AS neighbors
+    FROM sym GROUP BY sid
+    """,
+)
+def j10_symmetric_neighbors(spark, sf_dir):
+    """J10: symmetric closure of GT pairs + neighbor sets
+    (`join_discoverer.py:392-397`)."""
+    s = _t(spark, sf_dir, "supplier")
+    p = pairs_ops.positive_pairs(s, "s_nationkey", "s_suppkey")
+    sym = p.select(F.col("id_a").alias("sid"), F.col("id_b").alias("nb")).union(
+        p.select(F.col("id_b").alias("sid"), F.col("id_a").alias("nb"))
+    )
+    return sym.groupBy("sid").agg(
+        F.sort_array(F.collect_set("nb")).alias("neighbors")
+    ).select(F.col("sid").alias("s_suppkey"), "neighbors")
+
+
+@register(
+    "q3_top_orders",
+    """
+    WITH rev AS (
+      SELECT o_orderkey, o_orderdate,
+             round(sum(l_extendedprice::DECIMAL(18,2)
+                       * (1 - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY o_orderkey, o_orderdate
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS rnk
+      FROM rev
+    )
+    SELECT o_orderkey, o_orderdate, revenue, rnk::INT AS rank
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def q3_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("o_orderkey", "o_orderdate", "revenue", "rank")
+    )
+
+
+@register(
+    "q5_local_supplier",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice::DECIMAL(18,2)
+                     * (1 - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date normalization (F7), serialization (V1), corruption (C1), splits (W6),
+# hash embeddings (V4 deterministic tier), streaming rollup (batch twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_normalize_orders",
+    f"""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 4
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+               WHEN 2 THEN strftime(o_orderdate, '%Y%m%d')
+               ELSE year(o_orderdate)::VARCHAR || '-Q' || quarter(o_orderdate)::VARCHAR
+             END AS raw_date
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey, raw_date,
+           {normalize_date_sql('raw_date')} AS normalized
+    FROM raw
+    """,
+)
+def date_normalize_orders(spark, sf_dir):
+    """F7: multi-format date normalization round-trip — strings in 4
+    formats (incl. the reference's quarter form) → 'dd MMMM yyyy'."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    raw = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format("o_orderdate", "dd/MM/yyyy"))
+        .when(F.col("o_orderkey") % 4 == 2, F.date_format("o_orderdate", "yyyyMMdd"))
+        .otherwise(
+            F.concat(
+                F.year("o_orderdate").cast("string"),
+                F.lit("-Q"),
+                F.quarter("o_orderdate").cast("string"),
+            )
+        )
+    )
+    d = o.select("o_orderkey", raw.alias("raw_date"))
+    return d.select(
+        "o_orderkey", "raw_date", normalize_date("raw_date").alias("normalized")
+    )
+
+
+_CUSTOMER_COLS = [c for c, _ in _PROFILE_TYPES["customer"]]
+
+
+@register(
+    "column_to_text_customer",
+    " UNION ALL ".join(
+        f"""
+        SELECT 'customer' AS table_name, '{c}' AS column_name,
+               {column_to_text_sql(
+                   f"'{c}'",
+                   f"count({c})",
+                   f"coalesce(min(length({c}::VARCHAR)), 0)::INT",
+                   f"coalesce(max(length({c}::VARCHAR)), 0)::INT",
+                   f"coalesce(round(avg(length({c}::VARCHAR)), 2), 0.0)",
+                   f"(SELECT list_slice(list_sort(list(DISTINCT {c}::VARCHAR)), 1, 5)"
+                   f" FROM customer WHERE {c} IS NOT NULL)",
+                   title="'customer'",
+               )} AS serialized
+        FROM customer"""
+        for c in _CUSTOMER_COLS
+    ),
+)
+def column_to_text_customer(spark, sf_dir):
+    """V1: serialize each customer column profile to the DeepJoin
+    sentence form (`repositoryLoader.py:139-180`)."""
+    cust = _t(spark, sf_dir, "customer")
+    prof = profiler.profile(cust, "customer")
+    samples = profiler.distinct_sample(cust, "customer", _CUSTOMER_COLS, 5)
+    joined = prof.join(samples, ["table_name", "column_name"])
+    return joined.select(
+        "table_name",
+        "column_name",
+        column_to_text(
+            F.col("column_name"),
+            F.col("num_values"),
+            F.col("min_length"),
+            F.col("max_length"),
+            F.col("avg_length"),
+            F.col("values_sample"),
+            title=F.col("table_name"),
+        ).alias("serialized"),
+    )
+
+
+@register(
+    "corrupt1_positional",
+    f"""
+    WITH cols AS (
+      SELECT unnest([{', '.join(f"'{c}'" for c in _CUSTOMER_COLS)}]) AS column_name
+    ), ranked AS (
+      SELECT column_name,
+             row_number() OVER (
+               ORDER BY ('0x' || substr(md5('c1' || column_name), 1, 15))::BIGINT
+             ) AS rnk
+      FROM cols
+    )
+    SELECT 'customer' AS table_name, column_name,
+           'attribiute_' || (rnk - 1)::VARCHAR AS new_name
+    FROM ranked
+    """,
+)
+def corrupt1_positional(spark, sf_dir):
+    """C1: hash-permuted positional rename (typo 'attribiute' is
+    reference behavior, `corruption.py:29`)."""
+    return corrupt_positional(spark, "customer", _CUSTOMER_COLS, seed="c1")
+
+
+@register(
+    "train_test_split_pairs",
+    """
+    WITH pairs AS (
+      SELECT a.s_nationkey AS family, a.s_suppkey AS id_a, b.s_suppkey AS id_b
+      FROM supplier a JOIN supplier b
+        ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    )
+    SELECT family, id_a, id_b,
+           CASE WHEN ('0x' || substr(md5('split42' || id_a::VARCHAR || '|' || id_b::VARCHAR), 1, 15))::BIGINT % 1000 < 800
+                THEN 'train' ELSE 'test' END AS split
+    FROM pairs
+    """,
+)
+def train_test_split_pairs(spark, sf_dir):
+    """W6: deterministic content-hash 80/20 split (distributed
+    replacement for the positional split, `pairsBuilder.py:131-145`)."""
+    s = _t(spark, sf_dir, "supplier")
+    p = pairs_ops.positive_pairs(s, "s_nationkey", "s_suppkey")
+    return pairs_ops.train_test_split(p, ["id_a", "id_b"], 0.8, seed="split42")
+
+
+@register(
+    "hash_embeddings",
+    f"""
+    SELECT doc_id, {hash_embedding_sql('text', 8)} AS embedding
+    FROM documents
+    """,
+)
+def hash_embeddings(spark, sf_dir):
+    """V4 deterministic tier: feature-hash embedding as a pure column
+    expression — the no-model stand-in that makes the embed→index→
+    search pipeline oracle-checkable end to end."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", hash_embedding_expr("text", 8).alias("embedding"))
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window rollup — the batch twin of the Structured
+    Streaming incremental profile (streaming/ is the extension
+    surface; same plan runs under readStream + watermark)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )

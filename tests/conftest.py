@@ -1,0 +1,29 @@
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_TEST = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from semantic_ann_in_data_lake_spark.session import get_spark
+
+    s = get_spark("pytest", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_TEST
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    from tests._compare import duckdb_con
+
+    return duckdb_con(sf_dir)

@@ -1,0 +1,328 @@
+"""Operator unit tests: hand-computed metric cases (reference-identical
+arithmetic), strategy equivalence, determinism discipline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- kNN strategies ------------------------------------------------------
+
+
+def test_knn_strategies_agree(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    exact = knn_join(emb, emb, k=4, strategy="exact").collect()
+    bcast = knn_join(emb, emb, k=4, strategy="broadcast").collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, bcast))
+
+
+def test_knn_lsh_is_subset_quality(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    lsh = knn_join(emb, emb, k=3, strategy="lsh")
+    rows = lsh.collect()
+    assert len(rows) > 0
+    assert all(r["rank"] <= 3 and r["query_id"] != r["cand_id"] for r in rows)
+
+
+def test_threshold_join_sqrt_semantics(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join, threshold_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    knn = knn_join(emb, emb, k=5, strategy="exact")
+    tau = 1.3
+    kept = threshold_join(knn, tau).collect()
+    assert all(r["distance"] ** 0.5 <= tau for r in kept)
+
+
+# --- evaluation harness: hand-computed cases -----------------------------
+
+
+def test_pair_metrics_hand_case(spark):
+    from semantic_ann_in_data_lake_spark.operators.evaluation import pair_metrics_df
+
+    retrieved = spark.createDataFrame(
+        [(1, 2), (2, 3)], "query_id long, cand_id long"
+    )
+    truth = spark.createDataFrame([(2, 1), (3, 4)], "t_query long, t_cand long")
+    row = pair_metrics_df(retrieved, truth).collect()[0]
+    # tp={1,2}, fp={2,3}, fn={3,4} → p=r=f1=0.5 (ε-guarded, 4dp)
+    assert (row["tp"], row["fp"], row["fn"]) == (1, 1, 1)
+    assert row["precision"] == 0.5 and row["recall"] == 0.5
+    assert row["f1"] == 0.5
+
+
+def test_ndcg_hand_case(spark):
+    from semantic_ann_in_data_lake_spark.operators.evaluation import (
+        ndcg_at_k,
+        symmetric_truth,
+    )
+
+    # one query, hits at ranks 1 and 3 of k=3; truth has 2 relevant
+    ranked = spark.createDataFrame(
+        [(10, 20, 1), (10, 30, 2), (10, 40, 3)],
+        "query_id long, cand_id long, rank int",
+    )
+    gt = spark.createDataFrame([(10, 20), (10, 40)], "id_a long, id_b long")
+    truth = symmetric_truth(gt, "id_a", "id_b")
+    got = ndcg_at_k(ranked, truth, 3).collect()[0]["ndcg_at_k"]
+    import math
+
+    dcg = 1.0 + 1.0 / math.log2(4)
+    idcg = 1.0 + 1.0 / math.log2(3)
+    assert got == round(dcg / idcg, 4)
+
+
+# --- pairs / splits ------------------------------------------------------
+
+
+def test_positive_pairs_i_lt_j(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.operators.pairs import positive_pairs
+
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    p = positive_pairs(s, "s_nationkey", "s_suppkey").collect()
+    assert all(r["id_a"] < r["id_b"] for r in p)
+
+
+def test_train_test_split_deterministic(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.operators.pairs import (
+        positive_pairs,
+        train_test_split,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").limit(100)
+    p = positive_pairs(c, "c_nationkey", "c_custkey")
+    s1 = train_test_split(p, ["id_a", "id_b"]).collect()
+    s2 = train_test_split(p, ["id_a", "id_b"]).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    frac = sum(1 for r in s1 if r["split"] == "train") / len(s1)
+    assert 0.6 < frac < 0.95
+
+
+def test_pairs_from_ground_truth_left_default(spark):
+    from semantic_ann_in_data_lake_spark.operators.pairs import pairs_from_ground_truth
+
+    gt = spark.createDataFrame(
+        [("t1", "a", "t2", "b"), ("t1", "a", "t9", "zz")],
+        "query_table string, query_column string, candidate_table string, candidate_column string",
+    )
+    meta = spark.createDataFrame(
+        [("t1", "a", "t1.a text"), ("t2", "b", "t2.b text")],
+        "table_name string, column_name string, serialized string",
+    )
+    rows = {(r["candidate_table"]): r for r in pairs_from_ground_truth(gt, meta).collect()}
+    assert rows["t2"]["text_a"] == "t1.a text" and rows["t2"]["text_b"] == "t2.b text"
+    assert rows["t9"]["text_b"] == "zz"  # miss falls back to raw name
+
+
+# --- annotation / synonyms / corruption ----------------------------------
+
+
+def test_rule_annotator_roundtrip(spark):
+    from semantic_ann_in_data_lake_spark.annotate.annotator import annotate_tables
+
+    catalog = spark.createDataFrame(
+        [("my_table", ["Col A", "col-B", "ok_col"], "| a | b |")],
+        "table_name string, columns array<string>, sample_markdown string",
+    )
+    row = annotate_tables(catalog).collect()[0]
+    assert row["ok"] and row["attempts"] == 1
+    assert row["columns"]["Col A"] == "col_a"
+    assert row["columns"]["col-B"] == "col_b"
+
+
+def test_annotator_retry_then_fallback(spark):
+    from semantic_ann_in_data_lake_spark.annotate.annotator import annotate_tables
+
+    calls = {"n": 0}
+
+    def bad_annotator(table, cols, md):
+        calls["n"] += 1
+        return "no json here at all"
+
+    catalog = spark.createDataFrame(
+        [("t", ["x"], "")],
+        "table_name string, columns array<string>, sample_markdown string",
+    )
+    row = annotate_tables(catalog, annotator=bad_annotator).collect()[0]
+    assert not row["ok"] and row["attempts"] == 2  # retry-once contract
+    assert row["columns"]["x"] == "x"  # identity fallback
+
+
+def test_extract_json_block_fenced_and_loose():
+    from semantic_ann_in_data_lake_spark.annotate.annotator import extract_json_block
+
+    fenced = 'bla\n```json\n{"a": 1}\n```\ntail'
+    assert extract_json_block(fenced) == {"a": 1}
+    loose = 'Sure! {"table_name": "t", "x": [1]} hope that helps'
+    assert extract_json_block(loose)["table_name"] == "t"
+    assert extract_json_block("nothing") is None
+
+
+def test_synonym_greedy_first_seen():
+    from semantic_ann_in_data_lake_spark.annotate.synonyms import (
+        canonicalize_terms,
+        invert_grouping,
+    )
+
+    mapping = canonicalize_terms(["id", "identifier", "name", "title"])
+    assert mapping["identifier"] == "id"
+    assert mapping["title"] == "name"
+    inv = invert_grouping(mapping)
+    assert "identifier" in inv["id"]
+
+
+def test_corruption_deterministic_and_applies(spark):
+    from semantic_ann_in_data_lake_spark.annotate.corruption import (
+        apply_corruption,
+        corrupt_charnoise,
+        corrupt_positional,
+        corrupt_swap,
+    )
+
+    cols = ["alpha", "beta", "gamma"]
+    c1a = corrupt_positional(spark, "t", cols).collect()
+    c1b = corrupt_positional(spark, "t", cols).collect()
+    assert sorted(map(tuple, c1a)) == sorted(map(tuple, c1b))
+    assert {r["new_name"] for r in c1a} == {"attribiute_0", "attribiute_1", "attribiute_2"}
+
+    c2 = {r["column_name"]: r["new_name"] for r in corrupt_charnoise(spark, "t", cols).collect()}
+    assert all(len(v) in (len(k), len(k) - 1) for k, v in c2.items())
+
+    c3 = {r["column_name"]: r["new_name"] for r in corrupt_swap(spark, "t", cols).collect()}
+    assert all(c3[k] != k for k in c3)  # derangement-style rotation
+
+    df = spark.createDataFrame([(1, 2, 3)], "alpha int, beta int, gamma int")
+    mapping = corrupt_positional(spark, "t", cols)
+    renamed = apply_corruption(df, mapping)
+    assert set(renamed.columns) == {"attribiute_0", "attribiute_1", "attribiute_2"}
+
+
+# --- embedder ------------------------------------------------------------
+
+
+def test_hash_embedder_matches_expr(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.annotate.embedder import (
+        embed_texts,
+        hash_embedding_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    via_udf = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_texts(docs, dim=8).withColumn(
+            "doc_id", F.col("doc_id").cast("long")
+        ).collect()
+    }
+    via_expr = {
+        r["doc_id"]: r["embedding"]
+        for r in docs.select("doc_id", hash_embedding_expr("text", 8).alias("embedding")).collect()
+    }
+    assert via_udf == via_expr
+
+
+# --- dates ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("1995-03-04", "04 March 1995"),
+        ("04/03/1995", "04 March 1995"),
+        ("19950304", "04 March 1995"),
+        ("1995-Q2", "01 April 1995"),
+        ("1995-S2", "01 July 1995"),
+        ("1995-03", "01 March 1995"),
+        ("March 04, 1995", "04 March 1995"),
+        ("not a date", None),
+    ],
+)
+def test_normalize_date_formats(spark, raw, expected):
+    from semantic_ann_in_data_lake_spark.functions.dates import normalize_date
+
+    df = spark.createDataFrame([(raw,)], "raw string")
+    got = df.select(normalize_date("raw").alias("norm")).collect()[0]["norm"]
+    assert got == expected
+
+
+# --- profiler edge cases -------------------------------------------------
+
+
+def test_profile_empty_table_defaults(spark):
+    from semantic_ann_in_data_lake_spark.operators.profiler import profile
+
+    empty = spark.createDataFrame([], "a string, b int")
+    rows = {r["column_name"]: r for r in profile(empty, "empty").collect()}
+    assert rows["a"]["min_length"] == 0 and rows["a"]["avg_length"] == 0.0
+    assert rows["a"]["row_count"] == 0 and rows["a"]["n_nulls"] == 0
+
+
+def test_profile_null_accounting(spark):
+    from semantic_ann_in_data_lake_spark.operators.profiler import profile
+
+    df = spark.createDataFrame([("x",), (None,), ("yy",)], "a string")
+    r = profile(df, "t").collect()[0]
+    assert r["n_nulls"] == 1 and r["num_values"] == 2
+    assert r["min_length"] == 1 and r["max_length"] == 2
+
+
+# --- multimodal plumbing -------------------------------------------------
+
+
+def test_multimodal_features_and_stub(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        decode_image,
+        extract_features,
+        frame_sample_plan,
+        synthesize_media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    media = synthesize_media_from_documents(docs)
+    feats = extract_features(media, dim=6).collect()
+    assert len(feats) == 10
+    assert all(len(r["feature"]) == 6 for r in feats)
+    # determinism across runs
+    feats2 = extract_features(media, dim=6).collect()
+    assert sorted((r["media_id"], tuple(r["feature"])) for r in feats) == sorted(
+        (r["media_id"], tuple(r["feature"])) for r in feats2
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes")
+    # frame sampling: duration null in image fixture → empty plan, no error
+    assert frame_sample_plan(media).count() == 0
+
+
+# --- sources -------------------------------------------------------------
+
+
+def test_read_csv_dir_and_checkpoint(spark, tmp_path):
+    import os
+
+    from semantic_ann_in_data_lake_spark.sources.readers import read_csv_dir
+    from semantic_ann_in_data_lake_spark.sources.writers import checkpoint
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    (d / "t1.csv").write_text("a,b\n1,x\n2,y\n")
+    (d / "t2.csv").write_text("a,b\n3,z\n")
+    df = read_csv_dir(spark, str(d))
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r["table_name"] for r in rows} == {"t1", "t2"}
+
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(5)
+
+    p = str(tmp_path / "ckpt")
+    a = checkpoint(spark, p, compute)
+    b = checkpoint(spark, p, compute)
+    assert calls["n"] == 1 and a.count() == b.count() == 5
+    assert os.path.exists(os.path.join(p, "_SUCCESS"))

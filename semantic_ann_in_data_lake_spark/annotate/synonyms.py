@@ -80,18 +80,20 @@ def apply_canonical_map(
     ]
     mapping = canonicalize_terms(sorted(terms), synonyms)
     map_df = spark.createDataFrame(
-        [(k, v) for k, v in mapping.items()], "term string, canonical string"
+        [(k, v) for k, v in mapping.items()],
+        "__syn_term string, __syn_canonical string",
     )
     return (
         df.join(
             F.broadcast(map_df),
-            F.lower(F.trim(F.col(term_col))) == F.col("term"),
+            F.lower(F.trim(F.col(term_col))) == F.col("__syn_term"),
             "left",
         )
         .withColumn(
-            f"{term_col}_canonical", F.coalesce(F.col("canonical"), F.col(term_col))
+            f"{term_col}_canonical",
+            F.coalesce(F.col("__syn_canonical"), F.col(term_col)),
         )
-        .drop("term", "canonical")
+        .drop("__syn_term", "__syn_canonical")
     )
 
 

@@ -804,11 +804,13 @@ def q3_top_orders(spark, sf_dir):
             .alias("revenue")
         )
     )
+    # Distributed top-10 first (TakeOrderedAndProject), then rank the 10
+    # survivors — a global row_number window would funnel every grouped
+    # row into one partition (WindowExec warns exactly this).
+    top = rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
-    return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("o_orderkey", "o_orderdate", "revenue", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "o_orderkey", "o_orderdate", "revenue", "rank"
     )
 
 
@@ -1026,3 +1028,204 @@ def events_hourly_rollup(spark, sf_dir):
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog merge (J4/J5), annotation stage, embed prompt (V2), full document
+# semantic search, and rows-only entries for the approximate/stub tiers
+# ---------------------------------------------------------------------------
+
+from semantic_ann_in_data_lake_spark.annotate.annotator import (  # noqa: E402
+    annotate_tables,
+    snake_case_sql,
+)
+from semantic_ann_in_data_lake_spark.functions.serialize import (  # noqa: E402
+    embed_prompt,
+)
+
+#: deliberately messy header fixture for the annotation stage (the sf
+#: tables are already snake_case; cleaning needs something to clean)
+_MESSY_COLS = ["Order Key", "Total-Price", "Cust  Name", "ship_date", "N°Items"]
+
+
+@register(
+    "annotate_columns_rule",
+    f"""
+    WITH cols AS (
+      SELECT unnest([{', '.join(f"'{c}'" for c in _MESSY_COLS)}]) AS column_name
+    )
+    SELECT 'messy_orders' AS table_name, column_name,
+           {snake_case_sql('column_name')} AS annotated_name
+    FROM cols
+    """,
+)
+def annotate_columns_rule(spark, sf_dir):
+    """The mapInPandas annotation stage (retry/validation plumbing
+    included) checked against its pure-SQL semantic: snake_case
+    cleaning of messy headers."""
+    catalog = spark.createDataFrame(
+        [("messy_orders", _MESSY_COLS, "")],
+        "table_name string, columns array<string>, sample_markdown string",
+    )
+    ann = annotate_tables(catalog)
+    return (
+        ann.select("table_name", F.explode("columns").alias("column_name", "annotated_name"))
+    )
+
+
+@register(
+    "catalog_join_pipeline",
+    f"""
+    WITH prof AS ({_profile_oracle('customer')}),
+    ann AS (
+      SELECT 'customer' AS a_table, column_name AS a_column,
+             {snake_case_sql('column_name')} AS annotated_name
+      FROM (SELECT unnest([{', '.join(f"'{c}'" for c, _ in _PROFILE_TYPES['customer'])}]) AS column_name)
+    )
+    SELECT p.table_name, p.column_name, p.col_type, p.num_values,
+           coalesce(a.annotated_name, p.column_name) AS semantic_name,
+           'Table customer with 5 columns.' AS table_description
+    FROM prof p LEFT JOIN ann a
+      ON p.table_name = 'customer' AND p.column_name = a.a_column
+    """,
+)
+def catalog_join_pipeline(spark, sf_dir):
+    """J4/J5: merge LLM-ish annotations onto profile stats — the
+    catalog⋈annotations left join + per-column map lookup
+    (`data_loader.py:181-206`, with the first-column-only `break` bug
+    at `:175` fixed, not ported)."""
+    cust = _t(spark, sf_dir, "customer")
+    prof = profiler.profile(cust, "customer")
+    catalog = spark.createDataFrame(
+        [("customer", cust.columns, "")],
+        "table_name string, columns array<string>, sample_markdown string",
+    )
+    ann = annotate_tables(catalog).select(
+        F.col("table_name").alias("a_table"),
+        F.col("table_description"),
+        F.explode("columns").alias("a_column", "annotated_name"),
+    )
+    return prof.join(
+        F.broadcast(ann),
+        (prof.table_name == ann.a_table) & (prof.column_name == ann.a_column),
+        "left",
+    ).select(
+        "table_name",
+        "column_name",
+        "col_type",
+        "num_values",
+        F.coalesce(F.col("annotated_name"), F.col("column_name")).alias("semantic_name"),
+        F.coalesce(F.col("table_description"), F.lit("")).alias("table_description"),
+    )
+
+
+@register(
+    "embed_prompt_customer",
+    f"""
+    WITH prof AS ({_profile_oracle('customer')}),
+    samples AS (
+      {' UNION ALL '.join(
+        f"SELECT '{c}' AS s_column, "
+        f"(SELECT list_slice(list_sort(list(DISTINCT {c}::VARCHAR)), 1, 5) "
+        f" FROM customer WHERE {c} IS NOT NULL) AS values_sample"
+        for c, _ in _PROFILE_TYPES['customer']
+      )}
+    )
+    SELECT p.table_name, p.column_name,
+           'Column: ' || p.column_name || chr(10) ||
+           'Table: ' || p.table_name || chr(10) ||
+           'Type: ' || p.col_type || chr(10) ||
+           'Values count: ' || p.num_values::VARCHAR || chr(10) ||
+           'Examples: ' || array_to_string(s.values_sample, ', ') AS prompt
+    FROM prof p JOIN samples s ON p.column_name = s.s_column
+    """,
+)
+def embed_prompt_customer(spark, sf_dir):
+    """V2: the SemLink embed-prompt builder over real profiles
+    (`join_discoverer.py:64-127`)."""
+    cust = _t(spark, sf_dir, "customer")
+    prof = profiler.profile(cust, "customer")
+    samples = profiler.distinct_sample(cust, "customer", cust.columns, 5)
+    joined = prof.join(samples, ["table_name", "column_name"])
+    return joined.select(
+        "table_name",
+        "column_name",
+        embed_prompt(
+            F.col("table_name"),
+            F.col("column_name"),
+            F.col("col_type"),
+            F.col("num_values"),
+            F.col("values_sample"),
+        ).alias("prompt"),
+    )
+
+
+_DOC_SEARCH_SQL = f"""
+    WITH emb AS (
+      SELECT doc_id, {hash_embedding_sql('text', 8)} AS v FROM documents
+    ),
+    pairs AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+             round({cosine_sim_sql('q.v', 'c.v')}, 6) AS distance
+      FROM emb q, emb c WHERE q.doc_id <> c.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY distance DESC, cand_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, cand_id, distance, rnk::INT AS rank
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("semantic_search_docs", _DOC_SEARCH_SQL)
+def semantic_search_docs(spark, sf_dir):
+    """End-to-end embed→index→search on raw documents: deterministic
+    hash embeddings + cosine top-3 — the full SemLink lifecycle with
+    no model dependency, oracle-checked."""
+    d = _t(spark, sf_dir, "documents")
+    emb = d.select(
+        F.col("doc_id").alias("vec_id"),
+        hash_embedding_expr("text", 8).alias("embedding"),
+    )
+    return knn_join(emb, emb, k=3, metric="cosine", strategy="exact")
+
+
+# --- rows-only tier: approximate / stubbed / driver-loop operators -------
+
+
+@register("knn_lsh_l2", None)
+def knn_lsh_l2(spark, sf_dir):
+    """Approximate kNN via BucketedRandomProjectionLSH — rows-only
+    (approximation is judged by the P/R/NDCG harness, not equality)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb, k=5, strategy="lsh")
+
+
+@register("media_features", None)
+def media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads → mapInPandas feature
+    extraction (decode stubbed per environment policy) — rows-only."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(synthesize_media_from_documents(docs), dim=8)
+
+
+@register("synonym_canonical_terms", None)
+def synonym_canonical_terms(spark, sf_dir):
+    """Y1-Y4: greedy first-seen synonym canonicalization (inherently
+    sequential driver loop over the small distinct-term set) applied to
+    annotated column names — rows-only."""
+    from semantic_ann_in_data_lake_spark.annotate.synonyms import apply_canonical_map
+
+    cust = _t(spark, sf_dir, "customer")
+    terms = spark.createDataFrame(
+        [(c,) for c in cust.columns] + [("identifier",), ("title",), ("cost",)],
+        "term string",
+    )
+    return apply_canonical_map(terms, "term", spark)

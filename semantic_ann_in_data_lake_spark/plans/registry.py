@@ -1229,3 +1229,179 @@ def synonym_canonical_terms(spark, sf_dir):
         "term string",
     )
     return apply_canonical_map(terms, "term", spark)
+
+
+# ---------------------------------------------------------------------------
+# Final coverage batch: q6, SimHash near-dups, V3 truncation, deterministic
+# sample (W5 engine-portable variant), lake-wide profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice::DECIMAL(18,2)
+                     * l_discount::DECIMAL(18,2)), 2)::DOUBLE AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * dec("l_discount")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "simhash_near_dup_pairs",
+    f"""
+    WITH codes AS ({_simhash_sql(32).strip()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def simhash_near_dup_pairs(spark, sf_dir):
+    """SimHash near-duplicates: Hamming ≤ 2 on 32-bit codes (shared-
+    vocab corpus: median pairwise Hamming is 10, ≤2 isolates the
+    truly-similar tail)."""
+    sim = dedup.simhash(_t(spark, sf_dir, "documents"), bits=32)
+    pairs = dedup.simhash_near_dups(sim, max_hamming=2)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "token_truncate_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks)::INT AS n_tokens,
+           least(len(toks), 32)::INT AS n_tokens_kept,
+           array_to_string(list_slice(toks, 1, 32), ' ') AS truncated
+    FROM t
+    """,
+)
+def token_truncate_docs(spark, sf_dir):
+    """V3: token-budget truncation. The reference counts tiktoken
+    cl100k tokens (`join_discoverer.py:34-62`); tiktoken is not in this
+    environment, so the engine ships the whitespace-token budget tier
+    (exact BPE pluggable via pandas_udf behind the same signature)."""
+    from semantic_ann_in_data_lake_spark.functions.text import words
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("__toks")
+    )
+    return d.select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        F.least(F.size("__toks"), F.lit(32)).alias("n_tokens_kept"),
+        F.array_join(F.slice(F.col("__toks"), 1, 32), " ").alias("truncated"),
+    )
+
+
+@register(
+    "deterministic_sample_docs",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {portable_hash_expr("doc_id::VARCHAR", seed="sample42:")} AS hk
+      FROM documents
+    ), top AS (
+      SELECT doc_id, hk FROM h ORDER BY hk, doc_id LIMIT 10
+    )
+    SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id)::INT AS sample_rank
+    FROM top
+    """,
+)
+def deterministic_sample_docs(spark, sf_dir):
+    """W5 engine-portable variant: seeded 'random' sample as hash-order
+    top-n (the reference's pandas seed-42 sample is not reproducible
+    cross-engine; hash order is — divergence per SURVEY §7.4.3)."""
+    from semantic_ann_in_data_lake_spark.functions.hashing import portable_hash64
+
+    d = _t(spark, sf_dir, "documents")
+    hk = portable_hash64(F.col("doc_id").cast("string"), seed="sample42:")
+    top = (
+        d.select("doc_id", hk.alias("hk"))
+        .orderBy("hk", "doc_id")
+        .limit(10)
+    )
+    w = Window.orderBy("hk", "doc_id")
+    return top.withColumn("sample_rank", F.row_number().over(w)).select(
+        "doc_id", "sample_rank"
+    )
+
+
+_PROFILE_TYPES.update(
+    {
+        "region": [("r_regionkey", "integer"), ("r_name", "string")],
+        "nation": [
+            ("n_nationkey", "integer"),
+            ("n_name", "string"),
+            ("n_regionkey", "integer"),
+        ],
+        "supplier": [
+            ("s_suppkey", "integer"),
+            ("s_name", "string"),
+            ("s_nationkey", "integer"),
+            ("s_acctbal", "float"),
+        ],
+        "part": [
+            ("p_partkey", "integer"),
+            ("p_name", "string"),
+            ("p_brand", "string"),
+            ("p_type", "string"),
+            ("p_size", "integer"),
+            ("p_retailprice", "float"),
+        ],
+        "orders": [
+            ("o_orderkey", "integer"),
+            ("o_custkey", "integer"),
+            ("o_orderstatus", "string"),
+            ("o_totalprice", "float"),
+            ("o_orderdate", "datetime"),
+            ("o_orderpriority", "string"),
+        ],
+        "documents": [
+            ("doc_id", "integer"),
+            ("text", "string"),
+            ("lang", "string"),
+            ("source", "string"),
+            ("n_chars", "integer"),
+        ],
+    }
+)
+
+_LAKE_TABLES = ["region", "nation", "supplier", "part", "orders", "documents"]
+
+
+@register(
+    "profile_lake_core",
+    " UNION ALL ".join(_profile_oracle(t) for t in _LAKE_TABLES),
+)
+def profile_lake_core(spark, sf_dir):
+    """Lake-wide catalog build (reference §3.1 entry point): one
+    single-pass profile job per table, plan-level union — customer and
+    lineitem are gated individually; vector/nanos tables are profiled
+    via their scalar columns elsewhere."""
+    tables = {t: _t(spark, sf_dir, t) for t in _LAKE_TABLES}
+    return profiler.profile_lake(tables)

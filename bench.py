@@ -44,6 +44,10 @@ def bench_queries(spark, sf_dir):
         emb = read_table(spark, sf_dir, "embeddings")
         return knn_join(emb, emb, k=10, strategy="lsh")
 
+    def knn_ivf():
+        emb = read_table(spark, sf_dir, "embeddings")
+        return knn_join(emb, emb, k=10, strategy="ivf")
+
     def minhash_fast():
         docs = read_table(spark, sf_dir, "documents")
         return dedup.minhash_near_dups(
@@ -73,6 +77,7 @@ def bench_queries(spark, sf_dir):
         "hash_embeddings": from_registry("hash_embeddings"),
         "knn_broadcast_k10": knn_broadcast,
         "knn_lsh_k10": knn_lsh,
+        "knn_ivf_k10": knn_ivf,
         "minhash_lsh_fast": minhash_fast,
         "simhash_fast": simhash_fast,
         "semlink_eval_e2e": semlink_eval_broadcast,

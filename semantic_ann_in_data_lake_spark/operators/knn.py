@@ -78,6 +78,10 @@ def knn_join(
         return _knn_lsh(
             queries, candidates, id_col, vec_col, k, exclude_self, round_dp
         )
+    if strategy == "ivf":
+        return _knn_ivf(
+            queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp
+        )
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -227,6 +231,89 @@ def _knn_lsh(
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("cand_id"))
     return _ranked_topk(scored, k, "l2_sq")
+
+
+def _knn_ivf(
+    queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp,
+    nlist: int = 16, nprobe: int = 4, seed: int = 42,
+) -> DataFrame:
+    """Strategy (d): IVF-style partitioned search (FAISS IVF-Flat's
+    shape, distributed).
+
+    1. KMeans over (a sample of) the candidate vectors → nlist
+       centroids (small, broadcastable);
+    2. every candidate is assigned to its nearest centroid (one cell);
+    3. every query probes its ``nprobe`` nearest cells;
+    4. equi-join on cell id + exact distance + top-k window.
+
+    The join is a plain shuffle on cell id, so BOTH sides scale out —
+    unlike the broadcast strategy (candidate side must fit memory) —
+    and recall degrades gracefully with nprobe/nlist instead of
+    falling off a bucket cliff like LSH. Recall < 1 by design: the
+    true neighbor may live in an unprobed cell.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    c = _prep(candidates, id_col, vec_col, "cand")
+    # centroids from a bounded sample — at 100 TB you never k-means the
+    # full table; the sample cap keeps the driver-side fit O(sample·d)
+    sample = c.select("cand_vec").limit(100_000).toPandas()
+    mat = np.asarray(list(sample["cand_vec"]), dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+    for _ in range(10):  # Lloyd iterations, driver-side on the sample
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(centroids)):
+            members = mat[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign_cells(n_cells: int):
+        def run(batches):
+            cents = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.asarray(list(pdf.iloc[:, 1]), dtype=np.float64)
+                d2 = (
+                    (vecs * vecs).sum(axis=1)[:, None]
+                    - 2.0 * (vecs @ cents.T)
+                    + (cents * cents).sum(axis=1)[None, :]
+                )
+                order = np.argsort(d2, axis=1, kind="stable")[:, :n_cells]
+                out = pdf.copy()
+                out["cells"] = [row.tolist() for row in order]
+                yield out
+
+        return run
+
+    c_cells = c.mapInPandas(
+        assign_cells(1), schema="cand_id long, cand_vec array<double>, cells array<int>"
+    ).select("cand_id", "cand_vec", F.col("cells")[0].alias("cell"))
+    q = _prep(queries, id_col, vec_col, "query")
+    q_cells = q.mapInPandas(
+        assign_cells(nprobe),
+        schema="query_id long, query_vec array<double>, cells array<int>",
+    ).select("query_id", "query_vec", F.explode("cells").alias("cell"))
+
+    pairs = q_cells.join(c_cells, "cell")
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("cand_id"))
+    dist = (
+        l2_sq("query_vec", "cand_vec")
+        if metric == "l2_sq"
+        else cosine_sim("query_vec", "cand_vec")
+    )
+    # no dedup needed: each candidate lives in exactly ONE cell, so a
+    # (query, cand) pair can appear at most once even with nprobe > 1
+    scored = pairs.select(
+        "query_id", "cand_id", F.round(dist, round_dp).alias("distance")
+    )
+    return _ranked_topk(scored, k, metric)
 
 
 def threshold_join(knn: DataFrame, tau: float) -> DataFrame:

@@ -1405,3 +1405,11 @@ def profile_lake_core(spark, sf_dir):
     via their scalar columns elsewhere."""
     tables = {t: _t(spark, sf_dir, t) for t in _LAKE_TABLES}
     return profiler.profile_lake(tables)
+
+
+@register("knn_ivf_l2", None)
+def knn_ivf_l2(spark, sf_dir):
+    """Strategy (d): IVF-partitioned approximate kNN — rows-only
+    (recall judged by tests/bench, distances exact-metric where found)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb, k=5, strategy="ivf")

@@ -1,0 +1,137 @@
+"""Stateful sessionization of an event stream (Structured Streaming
+``applyInPandasWithState``) with an identical-semantics batch twin.
+
+Extension beyond the reference (which has no streaming, SURVEY §2.10):
+the canonical custom stateful operator a training-data/events pipeline
+needs — group events into per-user sessions closed by an inactivity
+gap. The streaming form keeps one small state blob per user (bounded
+state; watermark evicts idle users); the batch twin computes the same
+sessions with a lag-window gap-and-island plan, so tests can assert
+stream ≡ batch on the same input.
+
+Scale notes: batch twin shuffles once on user_id (window partition);
+streaming state is O(active users), timeouts via event-time watermark.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-and-island sessionization: new session when the gap from the
+    previous event of the same user exceeds ``gap_minutes``."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # microsecond gap comparison — cast-to-long truncates to seconds and
+    # would split sessions differently than the micros-exact stream twin
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0),
+    )
+    with_id = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_id.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .drop("session_id")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """applyInPandasWithState sessionizer.
+
+    State per user: (open-session start, last ts, count, sum). An
+    incoming batch's events are folded in event-time order; sessions
+    whose gap closed are emitted; the open session stays in state and
+    is flushed on event-time timeout (watermark-driven), so results for
+    fully-delivered input match ``sessionize_batch``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n, total = state.get
+                rows.append((user_id, start_us, last_us, n, round(total, 2)))
+                state.remove()
+        else:
+            # integer microseconds end-to-end: float epochs would round
+            # session bounds off the source micros and break the
+            # stream ≡ batch equality contract
+            events_ts: list[tuple[int, float]] = []
+            for pdf in pdfs:
+                for r in pdf.itertuples(index=False):
+                    events_ts.append((int(r.ts.value // 1000), float(r.value)))
+            events_ts.sort(key=lambda x: x[0])
+            if state.exists:
+                start_us, last_us, n, total = state.get
+            else:
+                start_us = last_us = None
+                n, total = 0, 0.0
+            for ts_us, val in events_ts:
+                if last_us is not None and ts_us - last_us > gap_us:
+                    rows.append((user_id, start_us, last_us, n, round(total, 2)))
+                    start_us, n, total = None, 0, 0.0
+                if start_us is None:
+                    start_us = ts_us
+                last_us = ts_us
+                n += 1
+                total += val
+            if start_us is not None:
+                state.update((start_us, last_us, n, total))
+                # close the open session once event time passes last+gap
+                state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        if rows:
+            yield pd.DataFrame(
+                [
+                    (
+                        u,
+                        pd.Timestamp(s * 1000),  # ns from exact micros
+                        pd.Timestamp(e * 1000),
+                        n,
+                        v,
+                    )
+                    for (u, s, e, n, v) in rows
+                ],
+                columns=[
+                    "user_id", "session_start", "session_end", "n_events", "sum_value",
+                ],
+            )
+
+    state_schema = "start_us long, last_us long, n long, total double"
+    return (
+        events.withWatermark("ts", "1 minute")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

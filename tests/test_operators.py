@@ -326,3 +326,23 @@ def test_read_csv_dir_and_checkpoint(spark, tmp_path):
     b = checkpoint(spark, p, compute)
     assert calls["n"] == 1 and a.count() == b.count() == 5
     assert os.path.exists(os.path.join(p, "_SUCCESS"))
+
+
+def test_knn_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF strategy: valid ranked subset with usable recall@k vs exact."""
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = knn_join(emb, emb, k=5, strategy="exact").collect()
+    ivf = knn_join(emb, emb, k=5, strategy="ivf").collect()
+    assert all(r["rank"] <= 5 and r["query_id"] != r["cand_id"] for r in ivf)
+    truth = {(r["query_id"], r["cand_id"]) for r in exact}
+    got = {(r["query_id"], r["cand_id"]) for r in ivf}
+    recall = len(got & truth) / len(truth)
+    assert recall > 0.3, f"IVF recall collapsed: {recall}"
+    # every IVF distance must agree with the exact metric (same rounding)
+    exact_d = {(r["query_id"], r["cand_id"]): r["distance"] for r in exact}
+    for r in ivf:
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_d:
+            assert r["distance"] == exact_d[key]

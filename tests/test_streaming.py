@@ -51,3 +51,61 @@ def test_incremental_embed_idempotent(spark, sf_dir, tmp_path):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert out.count() == n_docs  # no duplicates from the second delivery
     assert out.select("content_hash").distinct().count() == n_docs
+
+
+def test_sessionize_stream_equals_batch_closed_sessions(spark, sf_dir, tmp_path):
+    """Single-delivery availableNow run: every session closed by an
+    in-batch gap must match the batch twin; each user's final (still
+    open) session stays in state awaiting event-time timeout."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+    from semantic_ann_in_data_lake_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    batch = sessionize_batch(events, gap_minutes=30)
+    # Emitted sessions = closed by an in-batch gap (every non-final
+    # session) PLUS final sessions whose event-time timeout fired: the
+    # post-data no-data batch advances the watermark to max_ts - 1min,
+    # closing final sessions with end + 30min < that watermark.
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    w = Window.partitionBy("user_id").orderBy(F.col("session_end").desc())
+    flagged = batch.withColumn("rn", F.row_number().over(w))
+    closed = flagged.where(
+        (F.col("rn") > 1)
+        | (
+            F.unix_micros(F.col("session_end")) + 31 * 60 * 1_000_000
+            < F.unix_micros(F.lit(max_ts))
+        )
+    ).drop("rn")
+
+    events_dir = _stage_dir(f"{sf_dir}/events.parquet", tmp_path, "sess_in")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_src = spark.readStream.schema(raw_schema).parquet(events_dir)
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        hourly_rollup_stream,  # noqa: F401  (ts-normalization helper lives there)
+    )
+    from pyspark.sql import functions as F2
+
+    if dict(stream_src.dtypes).get("ts") == "bigint":
+        stream_src = stream_src.withColumn(
+            "ts", F2.timestamp_micros((F2.col("ts") / 1000).cast("long"))
+        )
+    sess = sessionize_stream(stream_src, gap_minutes=30)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("sessions_test").collect()
+    want = closed.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0

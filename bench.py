@@ -59,6 +59,20 @@ def bench_queries(spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents")
         return dedup.simhash(docs, bits=32, hash_portable=False)
 
+    def doc_search_broadcast():
+        from pyspark.sql import functions as FF
+
+        from semantic_ann_in_data_lake_spark.annotate.embedder import (
+            hash_embedding_expr,
+        )
+
+        d = read_table(spark, sf_dir, "documents")
+        emb = d.select(
+            FF.col("doc_id").alias("vec_id"),
+            hash_embedding_expr("text", 8).alias("embedding"),
+        ).persist()
+        return knn_join(emb, emb, k=3, metric="cosine", strategy="broadcast")
+
     def semlink_eval_broadcast():
         return pipeline.evaluate_discovery(
             spark, sf_dir, k=10, tau=1.3, strategy="broadcast"
@@ -75,6 +89,10 @@ def bench_queries(spark, sf_dir):
         "doc_token_stats": from_registry("doc_token_stats"),
         "lang_id": from_registry("lang_id"),
         "hash_embeddings": from_registry("hash_embeddings"),
+        "q6_forecast_revenue": from_registry("q6_forecast_revenue"),
+        "profile_lake_core": from_registry("profile_lake_core"),
+        "semantic_search_docs_bcast": doc_search_broadcast,
+        "sessionize_events": from_registry("sessionize_events"),
         "knn_broadcast_k10": knn_broadcast,
         "knn_lsh_k10": knn_lsh,
         "knn_ivf_k10": knn_ivf,

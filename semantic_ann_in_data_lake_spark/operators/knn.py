@@ -66,6 +66,16 @@ def knn_join(
     (similarity desc, cand_id asc) for ``cosine`` (where ``distance``
     holds the similarity).
     """
+    if strategy == "auto":
+        # SURVEY §4.2's optional dispatch: broadcast the candidate index
+        # when it fits comfortably in executor memory, else fall back to
+        # the partitioned IVF path (both-sides-huge). Cost of the probe:
+        # one count() on parquet metadata + one head() for the dim.
+        n_cand = candidates.count()
+        first = candidates.select(vec_col).head(1)
+        dim = len(first[0][0]) if first else 0
+        approx_bytes = n_cand * dim * 8
+        strategy = "broadcast" if approx_bytes <= 256 << 20 else "ivf"
     if strategy == "exact":
         return _knn_exact(
             queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp
@@ -104,14 +114,26 @@ def _knn_exact(
 ) -> DataFrame:
     q = _prep(queries, id_col, vec_col, "query")
     c = _prep(candidates, id_col, vec_col, "cand")
+    if metric == "cosine":
+        # norms are per-ROW quantities: compute them once per side
+        # before the join instead of re-folding both arrays per PAIR
+        # (3× fewer array folds; same expression tree → bit-identical
+        # values, oracle-safe). The norm fold matches functions.vectors.norm.
+        from semantic_ann_in_data_lake_spark.functions.vectors import norm
+
+        q = q.withColumn("query_norm", norm("query_vec"))
+        c = c.withColumn("cand_norm", norm("cand_vec"))
     pairs = q.crossJoin(F.broadcast(c))
     if exclude_self:
         pairs = pairs.where(F.col("query_id") != F.col("cand_id"))
-    dist = (
-        l2_sq("query_vec", "cand_vec")
-        if metric == "l2_sq"
-        else cosine_sim("query_vec", "cand_vec")
-    )
+    if metric == "l2_sq":
+        dist = l2_sq("query_vec", "cand_vec")
+    else:
+        from semantic_ann_in_data_lake_spark.functions.vectors import dot
+
+        dist = dot("query_vec", "cand_vec") / (
+            (F.col("query_norm") * F.col("cand_norm")) + F.lit(1e-12)
+        )
     scored = pairs.select(
         "query_id", "cand_id", F.round(dist, round_dp).alias("distance")
     )

@@ -1188,7 +1188,9 @@ def semantic_search_docs(spark, sf_dir):
     emb = d.select(
         F.col("doc_id").alias("vec_id"),
         hash_embedding_expr("text", 8).alias("embedding"),
-    )
+    ).persist()  # materialize: Catalyst would otherwise inline the
+    # 8-way md5 embedding expression on BOTH sides of the kNN join and
+    # re-evaluate it per PAIR (measured 280s of a 363s sf0.1 run)
     return knn_join(emb, emb, k=3, metric="cosine", strategy="exact")
 
 
@@ -1413,3 +1415,36 @@ def knn_ivf_l2(spark, sf_dir):
     (recall judged by tests/bench, distances exact-metric where found)."""
     emb = _t(spark, sf_dir, "embeddings")
     return knn_join(emb, emb, k=5, strategy="ivf")
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH e AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+    ), g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+      ) AS session_id
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-and-island sessionization (30-min inactivity gap) — the
+    batch twin of the applyInPandasWithState streaming sessionizer,
+    oracle-gated so the session semantics themselves are pinned."""
+    from semantic_ann_in_data_lake_spark.streaming.sessionize import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30)

@@ -35,7 +35,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long → micros timestamp (truncation, like DuckDB's
         # TIMESTAMP_NS → TIMESTAMP cast)
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div: float division of ns epochs (~1.7e18 > 2^53) loses
+        # the low microsecond and shifts timestamps off the DuckDB cast
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -28,7 +28,7 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
     """Watermarked tumbling-window rollup (same plan as the batch twin)."""
     e = events
     if dict(e.dtypes).get("ts") == "bigint":  # nanos-as-long parquet
-        e = e.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return (
         e.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

@@ -346,3 +346,13 @@ def test_knn_ivf_recall_vs_exact(spark, sf_dir):
         key = (r["query_id"], r["cand_id"])
         if key in exact_d:
             assert r["distance"] == exact_d[key]
+
+
+def test_knn_auto_dispatches_to_broadcast(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
+    auto = knn_join(emb, emb, k=3, strategy="auto").collect()
+    exact = knn_join(emb, emb, k=3, strategy="exact").collect()
+    # small candidate side → broadcast → exact-equal results
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, exact))

@@ -93,7 +93,7 @@ def test_sessionize_stream_equals_batch_closed_sessions(spark, sf_dir, tmp_path)
 
     if dict(stream_src.dtypes).get("ts") == "bigint":
         stream_src = stream_src.withColumn(
-            "ts", F2.timestamp_micros((F2.col("ts") / 1000).cast("long"))
+            "ts", F2.timestamp_micros(F2.expr("ts div 1000"))
         )
     sess = sessionize_stream(stream_src, gap_minutes=30)
     q = (

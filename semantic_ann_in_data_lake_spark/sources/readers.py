@@ -31,6 +31,14 @@ TESTDATA_TABLES = [
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with normalized types."""
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS); a session built without
+        # our factory (e.g. the driver's) rejects it outright — the
+        # conf is settable at runtime, so self-defend here.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long → micros timestamp (truncation, like DuckDB's

@@ -90,6 +90,7 @@ def bench_queries(spark, sf_dir):
         "lang_id": from_registry("lang_id"),
         "hash_embeddings": from_registry("hash_embeddings"),
         "q6_forecast_revenue": from_registry("q6_forecast_revenue"),
+        "q18_large_volume": from_registry("q18_large_volume_customers"),
         "profile_lake_core": from_registry("profile_lake_core"),
         "semantic_search_docs_bcast": doc_search_broadcast,
         "sessionize_events": from_registry("sessionize_events"),

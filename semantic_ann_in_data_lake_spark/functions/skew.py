@@ -1,0 +1,68 @@
+"""Skew mitigation helpers.
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on in
+our session factory) handles most skew at runtime; explicit salting
+remains necessary when (a) AQE is off/unavailable, (b) the skew is in
+an AGGREGATION rather than a join, or (c) one key dominates so hard
+that even split partitions overwhelm a task.
+
+``salted_join`` replicates the small side per salt and scatters the big
+side's hot keys across ``n_salts`` partitions; results are row-identical
+to the plain join (proven by test).
+
+``two_stage_agg`` pre-aggregates per (key, salt) before the final
+per-key combine — the manual form of partial aggregation for aggregates
+Catalyst can't combine map-side (e.g. exact distinct lists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's hot keys scattered over n_salts.
+
+    The big side gets a random-ish (hash-derived, deterministic) salt;
+    the small side is exploded n_salts× so every (key, salt) pair can
+    match. Output columns = big ∪ small minus the duplicate key/salt.
+    """
+    big_s = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns], F.lit(42)), F.lit(n_salts)).cast("int"),
+    )
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = big_s.join(small_s, [key, "__salt"], how)
+    return joined.drop("__salt")
+
+
+def two_stage_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    agg_exprs: dict[str, Column],
+    combine_exprs: dict[str, Column],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Salted two-stage aggregation: groupBy(key, salt) with
+    ``agg_exprs``, then groupBy(key) with ``combine_exprs`` over the
+    partials. Caller supplies the decomposition (sum→sum of sums,
+    count→sum of counts, …)."""
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(7)), F.lit(n_salts)).cast("int"),
+    )
+    partial = salted.groupBy(*key_cols, "__salt").agg(
+        *[c.alias(name) for name, c in agg_exprs.items()]
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[c.alias(name) for name, c in combine_exprs.items()]
+    )

@@ -1448,3 +1448,43 @@ def sessionize_events(spark, sf_dir):
     from semantic_ann_in_data_lake_spark.streaming.sessionize import sessionize_batch
 
     return sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity::DECIMAL(18,2)), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity::DECIMAL(18,2)) > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           total_qty::DOUBLE AS total_qty,
+           round(o_totalprice::DECIMAL(18,2), 2)::DOUBLE AS o_totalprice
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """q18 shape: aggregate-then-semi-join a HAVING subquery onto its
+    dimensions — the agg side is the big shuffle, dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(dec("l_quantity")), 2).alias("total_qty_dec"))
+        .where(F.col("total_qty_dec") > 150)
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("total_qty_dec").cast("double").alias("total_qty"),
+            F.round(dec("o_totalprice"), 2).cast("double").alias("o_totalprice"),
+        )
+    )

@@ -356,3 +356,38 @@ def test_knn_auto_dispatches_to_broadcast(spark, sf_dir):
     exact = knn_join(emb, emb, k=3, strategy="exact").collect()
     # small candidate side → broadcast → exact-equal results
     assert sorted(map(tuple, auto)) == sorted(map(tuple, exact))
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must be a pure physical rewrite: row-identical output."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.functions.skew import (
+        salted_join,
+        two_stage_agg,
+    )
+
+    # skewed big side: lineitem keyed by suppkey (hot keys exist)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    plain = li.join(s, "s_suppkey").collect()
+    salted = salted_join(li, s, "s_suppkey", n_salts=4).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+    agg_plain = (
+        li.groupBy("s_suppkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    agg_salted = two_stage_agg(
+        li,
+        ["s_suppkey"],
+        {"n_part": F.count(F.lit(1))},
+        {"n": F.sum("n_part")},
+        n_salts=4,
+    ).collect()
+    assert sorted((r["s_suppkey"], r["n"]) for r in agg_plain) == sorted(
+        (r["s_suppkey"], r["n"]) for r in agg_salted
+    )

@@ -48,3 +48,40 @@ def test_topk_queries_avoid_global_window(spark, sf_dir):
 def test_knn_window_is_partitioned_by_query(spark, sf_dir):
     plan = _plan(spark, sf_dir, "knn_exact_l2")
     assert "hashpartitioning(query_id" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key co-locates the join: the
+    physical plan must contain NO Exchange on either side — the
+    pre-partitioning story for repeated joins at scale."""
+    import shutil
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    spark.sql("DROP TABLE IF EXISTS li_bkt")
+    spark.sql("DROP TABLE IF EXISTS o_bkt")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("li_bkt")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("o_bkt")
+    try:
+        j = spark.table("li_bkt").join(
+            spark.table("o_bkt"),
+            spark.table("li_bkt").l_orderkey == spark.table("o_bkt").o_orderkey,
+        )
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = j._jdf.queryExecution().explainString(jmode)
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS o_bkt")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)

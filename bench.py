@@ -108,6 +108,11 @@ def main():
     spark = get_spark("bench")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
+    # warm the JVM / parquet footers / codegen so the first timed query
+    # doesn't absorb session startup (untimed; not in the output)
+    for t in ["region", "lineitem", "documents", "embeddings"]:
+        read_table(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     for name, make in bench_queries(spark, sf_dir).items():
         t0 = time.time()

@@ -48,10 +48,18 @@ def word_shingles_from(w: Column, n: int = 3) -> Column:
     (measured ~100× at sf0.1). Operators project the words array first
     and pass the column.
     """
-    joined = F.transform(
-        # one slot per starting position: size - n + 1 (min 0)
-        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
+    n_pos = F.size(w) - F.lit(n - 1)
+    joined = F.when(
+        # guard, not greatest(..,0): Spark's sequence(1, 0) is the
+        # DESCENDING sequence [1, 0], and slice(w, 0, n) then throws
+        # (found by hypothesis on sub-n-word inputs)
+        n_pos < 1,
+        F.array().cast("array<string>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
     )
     return F.array_sort(F.array_distinct(joined))
 
@@ -65,9 +73,14 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 def char_shingles(col: Column | str, n: int = 5) -> Column:
     """Character n-gram shingles of normalized text (distinct, sorted)."""
     c = normalize_sentence(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.substring(c, i, n),
+    n_pos = F.length(c) - F.lit(n - 1)
+    grams = F.when(
+        n_pos < 1, F.array().cast("array<string>")  # see word_shingles_from
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.substring(c, i, n),
+        )
     )
     return F.array_sort(F.array_distinct(grams))
 

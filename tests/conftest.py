@@ -27,3 +27,10 @@ def duck(sf_dir):
     from tests._compare import duckdb_con
 
     return duckdb_con(sf_dir)
+
+
+@pytest.fixture(scope="session")
+def shared_spark(spark):
+    """Alias usable inside hypothesis @given tests (function-scoped
+    fixtures clash with hypothesis; session fixtures do not)."""
+    return spark

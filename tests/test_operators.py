@@ -391,3 +391,38 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert sorted((r["s_suppkey"], r["n"]) for r in agg_plain) == sorted(
         (r["s_suppkey"], r["n"]) for r in agg_salted
     )
+
+
+def test_sink_roundtrips(spark, tmp_path):
+    """S6/S7 sinks round-trip through their paired readers."""
+    from semantic_ann_in_data_lake_spark.sources.readers import read_jsonl
+    from semantic_ann_in_data_lake_spark.sources.writers import (
+        write_csv,
+        write_json_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b,with,commas"), (3, None)], "id long, s string"
+    )
+    jp = str(tmp_path / "out_jsonl")
+    write_json_lines(df, jp)
+    back = read_jsonl(spark, jp, schema="id long, s string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    cp = str(tmp_path / "out_csv")
+    write_csv(df, cp)
+    back_csv = (
+        spark.read.option("header", True).schema("id long, s string").csv(cp)
+    )
+    assert sorted(map(tuple, back_csv.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_char_shingles_short_input(spark):
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.functions.text import char_shingles
+
+    df = spark.createDataFrame([("ab",), ("",), ("exactly5",)], "t string")
+    rows = df.select(char_shingles("t", 5).alias("sh")).collect()
+    assert rows[0]["sh"] == [] and rows[1]["sh"] == []
+    assert len(rows[2]["sh"]) == 4

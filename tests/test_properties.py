@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) for the pure column functions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _dates(draw):
+    return draw(
+        st.dates(min_value=dt.date(1200, 1, 1), max_value=dt.date(2400, 12, 31))
+    )
+
+
+class TestDateNormalizationProperties:
+    """normalize_date must round-trip any real date through every
+    unambiguous plain format."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(_dates(), st.sampled_from(["%Y-%m-%d", "%Y%m%d", "%d %B %Y"]))
+    def test_roundtrip(self, shared_spark, d, fmt):
+        from semantic_ann_in_data_lake_spark.functions.dates import normalize_date
+
+        raw = d.strftime(fmt)
+        df = shared_spark.createDataFrame([(raw,)], "raw string")
+        got = df.select(normalize_date("raw").alias("n")).collect()[0]["n"]
+        assert got == d.strftime("%d %B %Y")
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=5)
+)
+def test_word_shingles_invariants(shared_spark, texts):
+    """Shingles are always distinct, sorted, and only contain tokens
+    from the source text."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.functions.text import words, word_shingles_from
+
+    df = shared_spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = (
+        df.select(words("t").alias("w"))
+        .select(F.col("w"), word_shingles_from(F.col("w"), 2).alias("sh"))
+        .collect()
+    )
+    for r in rows:
+        sh = r["sh"]
+        assert sh == sorted(set(sh))
+        toks = set(r["w"])
+        for s in sh:
+            assert set(s.split(" ")) <= toks
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=8))
+def test_portable_hash_matches_duckdb(shared_spark, values):
+    """The portable hash tier must be bit-identical in DuckDB for
+    arbitrary strings (the foundation of every gated hash operator)."""
+    import duckdb
+
+    from semantic_ann_in_data_lake_spark.functions.hashing import (
+        portable_hash64,
+        portable_hash_expr,
+    )
+
+    df = shared_spark.createDataFrame([(v,) for v in values], "v string")
+    spark_hashes = {
+        r["v"]: r["h"]
+        for r in df.select("v", portable_hash64("v", seed="p:").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for v, h in spark_hashes.items():
+        expr = portable_hash_expr("?", seed="p:")
+        got = con.execute(f"SELECT {expr}", [v]).fetchone()[0]
+        assert got == h, v

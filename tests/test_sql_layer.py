@@ -1,0 +1,38 @@
+"""The SQL registration layer: operators consumable from spark.sql."""
+
+from __future__ import annotations
+
+
+def test_sql_over_lake_and_derived_views(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.plans.views import (
+        register_derived_views,
+        register_views,
+    )
+
+    assert len(register_views(spark, sf_dir)) == 10
+    register_derived_views(spark, sf_dir)
+
+    # plain SQL across a raw table and a derived operator view
+    row = spark.sql(
+        """
+        SELECT p.col_type, count(*) AS n
+        FROM catalog_profiles p
+        WHERE p.table_name = 'lineitem'
+        GROUP BY p.col_type ORDER BY n DESC LIMIT 1
+        """
+    ).collect()[0]
+    assert row["n"] >= 4  # lineitem is mostly floats/integers
+
+    knn = spark.sql(
+        """
+        SELECT k.query_id, count(*) AS n_neighbors
+        FROM knn_neighbors k JOIN embeddings e ON k.query_id = e.vec_id
+        GROUP BY k.query_id
+        """
+    ).collect()
+    assert all(r["n_neighbors"] == 5 for r in knn)
+
+    sig = spark.sql(
+        "SELECT count(*) AS n FROM minhash_signatures WHERE size(minhash) = 16"
+    ).collect()[0]
+    assert sig["n"] > 0

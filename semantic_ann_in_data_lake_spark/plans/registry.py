@@ -1488,3 +1488,93 @@ def q18_large_volume_customers(spark, sf_dir):
             F.round(dec("o_totalprice"), 2).cast("double").alias("o_totalprice"),
         )
     )
+
+
+_DEEPJOIN_EVAL_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({l2_sq_sql('q.v', 'c.v')}, 6) AS distance
+      FROM e q, e c WHERE q.vec_id <> c.vec_id
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY distance ASC, cand_id ASC) AS rnk
+        FROM pairs) WHERE rnk <= 5
+    ),
+    sym AS (
+      SELECT a.vec_id AS tq, b.vec_id AS tc
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    per_q AS (
+      SELECT k.query_id,
+             count(*) FILTER (WHERE s.tc IS NOT NULL) AS tp,
+             count(*) FILTER (WHERE s.tc IS NULL) AS fp
+      FROM knn k LEFT JOIN sym s ON k.query_id = s.tq AND k.cand_id = s.tc
+      GROUP BY k.query_id
+    ),
+    nrel AS (SELECT tq AS query_id, count(*) AS n_rel FROM sym GROUP BY tq),
+    acc AS (
+      SELECT sum(p.tp) AS tp, sum(p.fp) AS fp,
+             sum(greatest(coalesce(n.n_rel, 0) - p.tp, 0)) AS fn
+      FROM per_q p LEFT JOIN nrel n USING (query_id)
+    )
+    SELECT 5 AS k, tp, fp, fn,
+           round(tp / (tp + fp + 1e-8), 4) AS micro_precision,
+           round(tp / (tp + fn + 1e-8), 4) AS micro_recall,
+           round(2 * (tp / (tp + fp + 1e-8)) * (tp / (tp + fn + 1e-8))
+                 / ((tp / (tp + fp + 1e-8)) + (tp / (tp + fn + 1e-8)) + 1e-8),
+                 4) AS micro_f1
+    FROM acc
+"""
+
+
+@register("deepjoin_eval", _DEEPJOIN_EVAL_SQL)
+def deepjoin_eval(spark, sf_dir):
+    """DeepJoin-style MICRO metrics (`search_query.py:69-117`): per-query
+    TP/FP against each query's own relevant set, accumulated then
+    combined — distinct from the SemLink canonical-pair variant
+    (`semlink_eval`), which scores unordered pair sets globally."""
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = knn_join(emb, emb, k=5, strategy="exact")
+    truth = pipeline.label_truth_pairs(emb)
+    sym = symmetric_truth(truth, "id_a", "id_b").select(
+        F.col("t_query").cast("long").alias("tq"),
+        F.col("t_cand").cast("long").alias("tc"),
+    )
+    per_q = (
+        knn.join(
+            sym,
+            (knn.query_id == sym.tq) & (knn.cand_id == sym.tc),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("tc").isNotNull(), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(F.col("tc").isNull(), 1).otherwise(0)).alias("fp"),
+        )
+    )
+    nrel = sym.groupBy("tq").agg(F.count(F.lit(1)).alias("n_rel"))
+    acc = (
+        per_q.join(nrel, per_q.query_id == nrel.tq, "left")
+        .na.fill({"n_rel": 0})
+        .agg(
+            F.sum("tp").alias("tp"),
+            F.sum("fp").alias("fp"),
+            F.sum(F.greatest(F.col("n_rel") - F.col("tp"), F.lit(0))).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    eps = F.lit(1e-8)
+    prec = tp / (tp + fp + eps)
+    rec = tp / (tp + fn + eps)
+    return acc.select(
+        F.lit(5).alias("k"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(prec, 4).alias("micro_precision"),
+        F.round(rec, 4).alias("micro_recall"),
+        F.round(2 * prec * rec / (prec + rec + eps), 4).alias("micro_f1"),
+    )

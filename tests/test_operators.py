@@ -426,3 +426,22 @@ def test_char_shingles_short_input(spark):
     rows = df.select(char_shingles("t", 5).alias("sh")).collect()
     assert rows[0]["sh"] == [] and rows[1]["sh"] == []
     assert len(rows[2]["sh"]) == 4
+
+
+def test_frame_sample_plan_with_durations(spark):
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    media = spark.createDataFrame(
+        [(1, b"x", ("video", "video/mp4", None, None, 3500)),
+         (2, b"y", ("image", "image/png", 64, 64, None))],
+        "media_id long, payload binary, "
+        "meta struct<modality:string,mime:string,width:int,height:int,duration_ms:int>",
+    )
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    # video with 3500ms at 1000ms cadence → ts 0,1000,2000,3000; image skipped
+    assert sorted(r["frame_ts_ms"] for r in frames) == [0, 1000, 2000, 3000]
+    assert {r["media_id"] for r in frames} == {1}

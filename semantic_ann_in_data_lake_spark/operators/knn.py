@@ -344,3 +344,23 @@ def threshold_join(knn: DataFrame, tau: float) -> DataFrame:
     (``join_discoverer.py:318``).
     """
     return knn.where(F.sqrt(F.col("distance")) <= F.lit(tau))
+
+
+def build_vector_index(
+    emb: DataFrame, path: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> None:
+    """S8 analog: persist the (id, vector) table as the engine's 'index'
+    artifact. Spark has no incremental index file (SURVEY §4.3) — the
+    artifact is columnar Parquet; strategies rebuild (lsh/ivf fit) or
+    broadcast (exact/broadcast) from it at load."""
+    emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<float>").alias("embedding"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_vector_index(spark, path: str) -> DataFrame:
+    """Load a persisted vector index artifact (validates schema)."""
+    df = spark.read.parquet(path)
+    assert {"vec_id", "embedding"} <= set(df.columns), df.columns
+    return df

@@ -179,3 +179,33 @@ def most_common_values(
             )
         )
     return reduce(DataFrame.unionByName, parts)
+
+
+def sample_rows_markdown(df: DataFrame, n: int = 10, seed: str = "md42") -> str:
+    """F16: render a deterministic sample of rows as a markdown table
+    (the reference feeds this into the LLM annotation prompt,
+    ``semantic_annotation.py:66-67``: dedup → seeded sample → fillna('')
+    → markdown). Driver-side by design — n is tiny and the result is a
+    prompt string, not a dataset.
+
+    Sampling is hash-ordered (engine-portable W5 variant) instead of
+    the reference's pandas seed-42 draw.
+    """
+    from semantic_ann_in_data_lake_spark.functions.hashing import portable_hash64
+
+    cols = df.columns
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    rows = (
+        df.dropDuplicates()
+        .na.fill("")
+        .orderBy(portable_hash64(key, seed=seed))
+        .limit(n)
+        .collect()
+    )
+    header = "| " + " | ".join(cols) + " |"
+    sep = "| " + " | ".join("---" for _ in cols) + " |"
+    body = [
+        "| " + " | ".join("" if r[c] is None else str(r[c]) for c in cols) + " |"
+        for r in rows
+    ]
+    return "\n".join([header, sep] + body)

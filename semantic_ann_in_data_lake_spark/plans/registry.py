@@ -1578,3 +1578,60 @@ def deepjoin_eval(spark, sf_dir):
         F.round(rec, 4).alias("micro_recall"),
         F.round(2 * prec * rec / (prec + rec + eps), 4).alias("micro_f1"),
     )
+
+
+# C2/C3 corruption regimes, gated (SQL mirrors of the hash-keyed
+# deterministic variants; C1 gated earlier as corrupt1_positional)
+
+from semantic_ann_in_data_lake_spark.annotate.corruption import (  # noqa: E402
+    corrupt_charnoise,
+    corrupt_swap,
+)
+
+_CUST_COLS_SQL = ", ".join(f"'{c}'" for c in _CUSTOMER_COLS)
+
+
+@register(
+    "corrupt2_charnoise",
+    f"""
+    WITH cols AS (SELECT unnest([{_CUST_COLS_SQL}]) AS column_name),
+    h AS (
+      SELECT column_name,
+             ('0x' || substr(md5('c2' || column_name), 1, 15))::BIGINT AS hk
+      FROM cols
+    )
+    SELECT 'customer' AS table_name, column_name,
+           CASE WHEN hk % 100 < 65 AND length(column_name) > 1
+                THEN substr(column_name, 1, (hk % length(column_name))::INT)
+                     || substr(column_name, (hk % length(column_name))::INT + 2)
+                ELSE column_name END AS new_name
+    FROM h
+    """,
+)
+def corrupt2_charnoise(spark, sf_dir):
+    """C2: deterministic char-drop noise (65% of hash draws), the
+    nlpaug-free regime (`corruption.py:5-11,31-34`)."""
+    return corrupt_charnoise(spark, "customer", _CUSTOMER_COLS, seed="c2")
+
+
+@register(
+    "corrupt3_swap",
+    f"""
+    WITH cols AS (SELECT unnest([{_CUST_COLS_SQL}]) AS column_name),
+    ranked AS (
+      SELECT column_name,
+             row_number() OVER (
+               ORDER BY ('0x' || substr(md5('c3' || column_name), 1, 15))::BIGINT
+             ) AS rnk
+      FROM cols
+    )
+    SELECT 'customer' AS table_name, a.column_name,
+           b.column_name AS new_name
+    FROM ranked a JOIN ranked b
+      ON (a.rnk % {len(_CUSTOMER_COLS)}) + 1 = b.rnk
+    """,
+)
+def corrupt3_swap(spark, sf_dir):
+    """C3: swapped-name regime — every column takes the next column's
+    name in hash order (`corruption.py:17,35` made deterministic)."""
+    return corrupt_swap(spark, "customer", _CUSTOMER_COLS, seed="c3")

@@ -445,3 +445,35 @@ def test_frame_sample_plan_with_durations(spark):
     # video with 3500ms at 1000ms cadence → ts 0,1000,2000,3000; image skipped
     assert sorted(r["frame_ts_ms"] for r in frames) == [0, 1000, 2000, 3000]
     assert {r["media_id"] for r in frames} == {1}
+
+
+def test_sample_rows_markdown_deterministic(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.operators.profiler import (
+        sample_rows_markdown,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    md1 = sample_rows_markdown(df, n=5)
+    md2 = sample_rows_markdown(df, n=5)
+    assert md1 == md2
+    lines = md1.splitlines()
+    assert lines[0].startswith("| n_nationkey |")
+    assert len(lines) == 2 + 5  # header + separator + 5 rows
+
+
+def test_vector_index_roundtrip(spark, sf_dir, tmp_path):
+    from semantic_ann_in_data_lake_spark.operators.knn import (
+        build_vector_index,
+        knn_join,
+        load_vector_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    path = str(tmp_path / "vec_index")
+    build_vector_index(emb, path)
+    loaded = load_vector_index(spark, path)
+    assert loaded.count() == 50
+    # the reloaded artifact serves queries identically to the original
+    a = knn_join(emb, emb, k=3, strategy="exact").collect()
+    b = knn_join(loaded, loaded, k=3, strategy="exact").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -209,3 +209,33 @@ def sample_rows_markdown(df: DataFrame, n: int = 10, seed: str = "md42") -> str:
         for r in rows
     ]
     return "\n".join([header, sep] + body)
+
+
+def profile_approx_distinct(
+    df: DataFrame, table_name: str, rsd: float = 0.05
+) -> DataFrame:
+    """Approximate distinct-count profile: one HLL++ sketch per column
+    in a single pass (``approx_count_distinct``, relative sd ``rsd``).
+
+    The 100 TB companion to :func:`profile`: exact per-column distinct
+    counts need a shuffle per column; sketches ride the same single
+    global aggregation as the other stats. Not oracle-gated — DuckDB's
+    HLL implementation differs — so it carries a rows-only check plus
+    an accuracy test against exact counts.
+    """
+    cols = df.columns
+    aggs = [
+        F.approx_count_distinct(F.col(c), rsd).alias(f"{c}__approx")
+        for c in cols
+    ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__approx").alias("approx_n_distinct"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select(
+        F.lit(table_name).alias("table_name"), "p.*"
+    )

@@ -1635,3 +1635,10 @@ def corrupt3_swap(spark, sf_dir):
     """C3: swapped-name regime — every column takes the next column's
     name in hash order (`corruption.py:17,35` made deterministic)."""
     return corrupt_swap(spark, "customer", _CUSTOMER_COLS, seed="c3")
+
+
+@register("profile_approx_distinct", None)
+def profile_approx_distinct_q(spark, sf_dir):
+    """Sketch-based distinct counts (HLL++) — rows-only: sketch
+    implementations differ across engines; accuracy asserted in tests."""
+    return profiler.profile_approx_distinct(_t(spark, sf_dir, "orders"), "orders")

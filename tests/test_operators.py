@@ -477,3 +477,20 @@ def test_vector_index_roundtrip(spark, sf_dir, tmp_path):
     a = knn_join(emb, emb, k=3, strategy="exact").collect()
     b = knn_join(loaded, loaded, k=3, strategy="exact").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_profile_approx_distinct_accuracy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.profiler import (
+        profile_approx_distinct,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    approx = {
+        r["column_name"]: r["approx_n_distinct"]
+        for r in profile_approx_distinct(o, "orders", rsd=0.05).collect()
+    }
+    for c in ["o_orderkey", "o_orderstatus", "o_orderpriority"]:
+        exact = o.select(F.countDistinct(c)).collect()[0][0]
+        assert abs(approx[c] - exact) <= max(0.15 * exact, 2), (c, approx[c], exact)

@@ -112,6 +112,12 @@ def main():
     # doesn't absorb session startup (untimed; not in the output)
     for t in ["region", "lineitem", "documents", "embeddings"]:
         read_table(spark, sf_dir, t).count()
+    # ...and the Python workers: the first mapInPandas pays worker
+    # fork + Arrow init (~6 s measured) — warm them too so the
+    # UDF-backed queries report steady-state
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, make in bench_queries(spark, sf_dir).items():

@@ -1642,3 +1642,95 @@ def profile_approx_distinct_q(spark, sf_dir):
     """Sketch-based distinct counts (HLL++) — rows-only: sketch
     implementations differ across engines; accuracy asserted in tests."""
     return profiler.profile_approx_distinct(_t(spark, sf_dir, "orders"), "orders")
+
+
+# Final relational shapes: q12-style conditional counts, pivot, rollup
+
+
+@register(
+    "q12_priority_shipping",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_shipping(spark, sf_dir):
+    """q12 shape: conditional aggregation over a fact⋈dim join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O'
+                     THEN l_quantity::DECIMAL(18,2) ELSE 0 END), 2)::DOUBLE AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F'
+                     THEN l_quantity::DECIMAL(18,2) ELSE 0 END), 2)::DOUBLE AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_linestatus(spark, sf_dir):
+    """Pivot: wide per-category aggregates (groupBy().pivot())."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_quantity").cast("decimal(18,2)")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(dec), 2).cast("double"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP: hierarchical subtotals (flag, flag+status, grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )

@@ -1734,3 +1734,200 @@ def rollup_revenue(spark, sf_dir):
             "n_items",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q4/q14 relational shapes + source/sink gates (SURVEY §2.1 S1/S2/S5/S6/S7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_late_shipment_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_shipment_priority(spark, sf_dir):
+    """q4 shape: correlated-predicate EXISTS (left-semi with a join
+    condition referencing both sides; testdata lacks commit/receipt
+    dates so 'late' = shipped >60 days after order)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q14_economy_revenue_ratio",
+    """
+    WITH j AS (
+      SELECT p_type,
+             l_extendedprice::DECIMAL(18,2)
+               * (1 - l_discount::DECIMAL(18,2)) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'
+    )
+    SELECT round(100.0 * (round(sum(CASE WHEN p_type = 'ECONOMY' THEN rev END), 2)::DOUBLE)
+                 / (round(sum(rev), 2)::DOUBLE) + 1e-9, 4) AS economy_pct,
+           round(sum(rev), 2)::DOUBLE AS total_rev
+    FROM j
+    """,
+)
+def q14_economy_revenue_ratio(spark, sf_dir):
+    """q14 shape: conditional revenue ratio. Both operands are exact
+    rounded decimals cast to double, so the quotient is bit-identical
+    across engines; +1e-9 bias before the final round (registry
+    docstring / textstats.ROUND_BIAS)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_type", rev.alias("rev")
+    )
+    econ = F.round(F.sum(F.when(F.col("p_type") == "ECONOMY", F.col("rev"))), 2).cast(
+        "double"
+    )
+    total = F.round(F.sum("rev"), 2).cast("double")
+    return j.agg(
+        F.round(F.lit(100.0) * econ / total + F.lit(1e-9), 4).alias("economy_pct"),
+        total.alias("total_rev"),
+    )
+
+
+# --- source/sink gates: fixtures under /tmp (testdata is read-only) ---
+
+_CSV_FIXTURE = "/tmp/sals_gate/csv_src"
+_JSONL_RT = "/tmp/sals_gate/jsonl_rt"
+_CSV_RT = "/tmp/sals_gate/csv_rt"
+
+
+def _gen_csv_fixture(sf_dir: str) -> None:
+    """Deterministically derive a 2-file CSV dir from the sf_dir customer
+    parquet (DuckDB COPY → exact file names, so ``table_name`` derived
+    from ``input_file_name`` is meaningful). Integer/string columns only
+    — float→text formatting is engine-specific."""
+    import os
+
+    import duckdb
+
+    os.makedirs(_CSV_FIXTURE, exist_ok=True)
+    con = duckdb.connect()
+    for name, parity in [("customer_even", 0), ("customer_odd", 1)]:
+        con.execute(
+            f"COPY (SELECT c_custkey, c_name, c_nationkey, c_mktsegment "
+            f"FROM '{sf_dir}/customer.parquet' WHERE c_custkey % 2 = {parity} "
+            f"ORDER BY c_custkey) TO '{_CSV_FIXTURE}/{name}.csv' "
+            f"(HEADER, DELIMITER ',')"
+        )
+    con.close()
+
+
+@register(
+    "csv_dir_scan_stats",
+    f"""
+    SELECT regexp_extract(filename, '([^/]+)\\.csv$', 1) AS table_name,
+           count(*) AS n_rows,
+           sum(c_custkey::BIGINT) AS custkey_sum,
+           sum(length(c_name)) AS name_chars
+    FROM read_csv('{_CSV_FIXTURE}/*.csv', header=true, all_varchar=true,
+                  filename=true)
+    GROUP BY 1
+    """,
+)
+def csv_dir_scan_stats(spark, sf_dir):
+    """S1/S2 gate: all-string CSV directory scan with per-file
+    ``table_name`` (reference extract_schema.py:88-99), aggregated per
+    source file. The fixture is regenerated from sf_dir each call, so
+    Spark and the oracle read identical bytes."""
+    from semantic_ann_in_data_lake_spark.sources.readers import read_csv_dir
+
+    _gen_csv_fixture(sf_dir)
+    df = read_csv_dir(spark, _CSV_FIXTURE, all_string=True)
+    return df.groupBy("table_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_custkey").cast("long")).alias("custkey_sum"),
+        F.sum(F.length("c_name")).alias("name_chars"),
+    )
+
+
+@register(
+    "jsonl_roundtrip_stats",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n, sum(o_orderkey) AS key_sum
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def jsonl_roundtrip_stats(spark, sf_dir):
+    """S5+S6 gate: orders → JSONL sink → JSONL source → aggregate; the
+    oracle aggregates the original parquet, so any round-trip loss
+    (types, row drops, encoding) breaks the hash."""
+    from semantic_ann_in_data_lake_spark.sources.readers import read_jsonl
+    from semantic_ann_in_data_lake_spark.sources.writers import write_json_lines
+
+    write_json_lines(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_orderstatus"
+        ),
+        _JSONL_RT,
+    )
+    back = read_jsonl(
+        spark,
+        _JSONL_RT,
+        "o_orderkey long, o_orderpriority string, o_orderstatus string",
+    )
+    return back.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("key_sum")
+    )
+
+
+@register(
+    "csv_sink_roundtrip",
+    """
+    SELECT p_brand, p_type, count(*) AS n,
+           sum(p_size) AS size_sum, sum(p_partkey) AS key_sum
+    FROM part GROUP BY 1, 2
+    """,
+)
+def csv_sink_roundtrip(spark, sf_dir):
+    """S7 gate: part → header-CSV sink → read back with an explicit
+    schema → aggregate vs the original parquet (int/string columns only
+    — float→text formatting is engine-specific)."""
+    from semantic_ann_in_data_lake_spark.sources.writers import write_csv
+
+    write_csv(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size"),
+        _CSV_RT,
+    )
+    back = (
+        spark.read.option("header", True)
+        .schema("p_partkey long, p_brand string, p_type string, p_size int")
+        .csv(_CSV_RT)
+    )
+    return back.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p_size").alias("size_sum"),
+        F.sum("p_partkey").alias("key_sum"),
+    )

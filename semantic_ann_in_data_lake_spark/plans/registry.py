@@ -1931,3 +1931,93 @@ def csv_sink_roundtrip(spark, sf_dir):
         F.sum("p_size").alias("size_sum"),
         F.sum("p_partkey").alias("key_sum"),
     )
+
+
+@register(
+    "q10_returned_revenue",
+    """
+    WITH rev AS (
+      SELECT c_custkey, c_name, n_name,
+             round(sum(l_extendedprice::DECIMAL(18,2)
+                       * (1 - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+    )
+    SELECT c_custkey, c_name, n_name, revenue
+    FROM rev ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark, sf_dir):
+    """q10 shape: returned-item revenue per customer, top-20. Fact-fact
+    join shuffles on orderkey; nation is broadcast; top-k is distributed
+    TakeOrderedAndProject (no global window). Ties broken by c_custkey
+    so the cut line is deterministic cross-engine."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+_JSON_CATALOG = "/tmp/sals_gate/json_catalog"
+
+
+@register(
+    "json_catalog_scan",
+    f"""
+    SELECT meta.region AS region, count(*) AS n_tables,
+           sum(meta.key) AS key_sum, sum(length(table_name)) AS name_chars
+    FROM read_json('{_JSON_CATALOG}/catalog.json')
+    GROUP BY 1
+    """,
+)
+def json_catalog_scan(spark, sf_dir):
+    """S4 gate: multi-line JSON array catalog (the reference's
+    ``{{app}}_csv_schema.json`` shape, extract_schema.py:118-129) with a
+    nested object per entry, read via ``read_json_catalog`` and
+    aggregated by a nested field. Fixture derived from sf_dir nation ⋈
+    region so both engines read identical bytes."""
+    import os
+
+    import duckdb
+
+    from semantic_ann_in_data_lake_spark.sources.readers import read_json_catalog
+
+    os.makedirs(_JSON_CATALOG, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+          SELECT 'NATION_' || n_nationkey AS table_name,
+                 {{'region': r_name, 'key': n_nationkey}} AS meta
+          FROM '{sf_dir}/nation.parquet'
+          JOIN '{sf_dir}/region.parquet' ON n_regionkey = r_regionkey
+          ORDER BY n_nationkey
+        ) TO '{_JSON_CATALOG}/catalog.json' (FORMAT JSON, ARRAY true)"""
+    )
+    con.close()
+    df = read_json_catalog(spark, _JSON_CATALOG + "/catalog.json")
+    return df.groupBy(F.col("meta.region").alias("region")).agg(
+        F.count(F.lit(1)).alias("n_tables"),
+        F.sum("meta.key").alias("key_sum"),
+        F.sum(F.length("table_name")).alias("name_chars"),
+    )

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from semantic_ann_in_data_lake_spark.functions.hashing import (
     fast_hash64,
@@ -42,12 +43,6 @@ def _shingle_hash(s: Column, seed: int, portable: bool) -> Column:
     if portable:
         return portable_hash64(s, seed=f"{seed}:")
     return F.xxhash64(s, F.lit(seed))
-
-
-def _shingle_hasher(seed: int, portable: bool):
-    """Single-arg lambda factory: a `lambda s, i=seed:` default arg would
-    make PySpark treat it as an (element, index) higher-order lambda."""
-    return lambda s: _shingle_hash(s, seed, portable)
 
 
 def exact_duplicates(
@@ -73,31 +68,51 @@ def minhash_signatures(
     shingle_n: int = 3,
     hash_portable: bool = True,
 ) -> DataFrame:
-    """(id, shingles, minhash[num_hashes]) — row-local, but staged as
-    words → shingles → signature projections so each level is computed
-    once per row (HOF lambda bodies re-evaluate referenced expression
-    trees per element — inline nesting is O(len²))."""
-    from semantic_ann_in_data_lake_spark.functions.text import (
-        word_shingles_from,
-        words,
-    )
+    """(id, shingles, minhash[num_hashes]).
 
-    staged = docs.select(
-        F.col(id_col).alias("doc_id"), words(text_col).alias("__w")
-    ).select(
-        "doc_id", word_shingles_from(F.col("__w"), shingle_n).alias("shingles")
+    Shape: ``posexplode`` the words ONCE, build each n-gram shingle
+    with ``lead()`` windows (pure codegen string concat — no
+    higher-order array functions anywhere), then one groupBy computes
+    the sorted-distinct shingle set AND all ``num_hashes`` minima.
+
+    Why not ``array_min(transform(shingles, hᵢ))`` over a shingles
+    array expression: Catalyst collapses the words/shingles staging
+    projections into every reference, so the HOF lambda re-splits the
+    document per shingle position — O(len²) per doc, measured 13 s vs
+    ~3 s at sf0.1 (5k docs). The explode path evaluates tokenization
+    exactly once per row, and the window's hash-partitioning on doc_id
+    is reused by the groupBy — ONE narrow (doc_id, shingle) shuffle
+    total, linear and skew-free at cluster scale."""
+    n = shingle_n
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(text_col)).alias("__pos", "__wd"),
     )
-    sig = F.array(
+    if n > 1:
+        win = Window.partitionBy("doc_id").orderBy("__pos")
+        leads = [F.lead("__wd", j).over(win) for j in range(1, n)]
+        # concat_ws silently skips nulls → guard on the LAST lead so
+        # tail positions (< n words left) emit no truncated shingle
+        sh = w.select(
+            "doc_id",
+            F.when(
+                leads[-1].isNotNull(), F.concat_ws(" ", F.col("__wd"), *leads)
+            ).alias("__sh"),
+        ).where(F.col("__sh").isNotNull())
+    else:
+        sh = w.select("doc_id", F.col("__wd").alias("__sh"))
+    agg = sh.groupBy("doc_id").agg(
+        # sorted distinct set == array_sort(array_distinct(...)) of the
+        # positional shingle stream (oracle-parity: DuckDB side is
+        # list_sort(list_distinct(...)))
+        F.array_sort(F.collect_set("__sh")).alias("shingles"),
         *[
-            F.array_min(
-                F.transform(F.col("shingles"), _shingle_hasher(i, hash_portable))
-            )
+            F.min(_shingle_hash(F.col("__sh"), i, hash_portable)).alias(f"__h{i}")
             for i in range(num_hashes)
-        ]
+        ],
     )
-    return staged.select("doc_id", "shingles", sig.alias("minhash")).where(
-        F.size("shingles") > 0
-    )
+    sig = F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
+    return agg.select("doc_id", "shingles", sig.alias("minhash"))
 
 
 def lsh_candidate_pairs(
@@ -235,43 +250,43 @@ def simhash(
     """Per-document SimHash code: majority vote of each hash bit over
     all tokens (duplicates count — frequency-weighted by construction).
 
-    Entirely row-local: token array → one hash per token → 32/64
-    bit-sum folds → packed integer. No shuffle, no UDF. Tokens and
-    hashes are staged as projection columns so the 32/64 bit folds
-    reference them (once per row) instead of recomputing the
-    tokenize+hash expression per fold.
+    Shape: explode tokens once → one codegen'd hash column → one
+    groupBy with ``bits`` conditional-sum aggregates (map-side partial
+    agg; the shuffle carries only the per-doc partial sums) → pack the
+    code from the sums. The HOF alternative — ``bits`` separate
+    ``F.aggregate`` folds over a ``transform(words(text), hash)``
+    array — re-evaluates tokenize+hash per fold after projection
+    collapse and runs interpreted (same Catalyst trap as
+    :func:`minhash_signatures`).
     """
-    tok_hash = (
-        (lambda t: portable_hash64(t))
-        if hash_portable
-        else (lambda t: fast_hash64(t))
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(text_col)).alias("__t"),
     )
-    staged = docs.select(
-        F.col(id_col).alias("doc_id"), words(text_col).alias("__toks")
-    ).select(
+    h = tok.select(
         "doc_id",
-        F.size("__toks").alias("n_tokens"),
-        F.transform(F.col("__toks"), tok_hash).alias("__hashes"),
+        (portable_hash64(F.col("__t")) if hash_portable
+         else fast_hash64(F.col("__t"))).alias("__h"),
     )
-
-    def bit_sum_at(b: int) -> Column:
-        return F.aggregate(
-            F.col("__hashes"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(bits)
+    ]
+    agg = h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"), *bit_sums
+    )
     code = None
     for b in range(bits):
         contrib = (
-            F.when(bit_sum_at(b) > 0, F.lit(2 ** b).cast("long"))
+            F.when(F.col(f"__b{b}") > 0, F.lit(2 ** b).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
         code = contrib if code is None else code + contrib
-    return staged.select(
-        "doc_id", "n_tokens", code.alias("simhash")
-    ).where(F.col("n_tokens") > 0)
+    return agg.select("doc_id", "n_tokens", code.alias("simhash"))
 
 
 def simhash_near_dups(

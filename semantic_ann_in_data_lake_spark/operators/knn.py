@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from semantic_ann_in_data_lake_spark.functions.vectors import cosine_sim, l2_sq
+from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq
 
 DEFAULT_ROUND_DP = 6
 
@@ -140,6 +140,46 @@ def _knn_exact(
     return _ranked_topk(scored, k, metric)
 
 
+def _np_topk_rows(qids, qmat, cids, cmat, k, metric, exclude_self, round_dp,
+                  with_rank=True):
+    """Shared numpy kernel: BLAS distance matrix + per-query stable top-k.
+
+    ``cids``/``cmat`` MUST be pre-sorted by id so the stable argsort on
+    rounded distances reproduces the declarative (distance, cand_id)
+    tie-break. Distances are rounded BEFORE ranking (cross-engine
+    reproducibility — module docstring).
+    """
+    import numpy as np
+
+    sq_c = (cmat * cmat).sum(axis=1)
+    if metric == "l2_sq":
+        # ||q-c||² = ||q||² - 2q·c + ||c||², BLAS-backed
+        d = (
+            (qmat * qmat).sum(axis=1)[:, None]
+            - 2.0 * (qmat @ cmat.T)
+            + sq_c[None, :]
+        )
+        d = np.round(np.maximum(d, 0.0), round_dp)
+        asc = True
+    else:
+        qn = np.sqrt((qmat * qmat).sum(axis=1))
+        cn = np.sqrt(sq_c)
+        d = np.round((qmat @ cmat.T) / (qn[:, None] * cn[None, :] + 1e-12), round_dp)
+        asc = False
+    rows = []
+    for i in range(len(qids)):
+        di = d[i]
+        mask = cids != qids[i] if exclude_self else np.ones(len(cids), bool)
+        idx = np.nonzero(mask)[0]
+        key = di[idx] if asc else -di[idx]
+        # stable sort on rounded distance keeps cand_id tie-break
+        take = idx[np.argsort(key, kind="stable")[:k]]
+        for r, j in enumerate(take, start=1):
+            row = (int(qids[i]), int(cids[j]), float(di[j]))
+            rows.append(row + (r,) if with_rank else row)
+    return rows
+
+
 def _knn_broadcast(
     queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp
 ) -> DataFrame:
@@ -170,36 +210,14 @@ def _knn_broadcast(
         import pandas as pd
 
         ids, mat = bc.value
-        sq_c = (mat * mat).sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             qmat = np.asarray(list(pdf["query_vec"]), dtype=np.float64)
             qids = pdf["query_id"].to_numpy(dtype=np.int64)
-            if metric == "l2_sq":
-                # ||q-c||² = ||q||² - 2q·c + ||c||², BLAS-backed
-                d = (
-                    (qmat * qmat).sum(axis=1)[:, None]
-                    - 2.0 * (qmat @ mat.T)
-                    + sq_c[None, :]
-                )
-                d = np.round(np.maximum(d, 0.0), round_dp)
-                asc = True
-            else:
-                qn = np.sqrt((qmat * qmat).sum(axis=1))
-                cn = np.sqrt(sq_c)
-                d = np.round((qmat @ mat.T) / (qn[:, None] * cn[None, :] + 1e-12), round_dp)
-                asc = False
-            rows = []
-            for i in range(len(qids)):
-                di = d[i]
-                mask = ids != qids[i] if exclude_self else np.ones(len(ids), bool)
-                idx = np.nonzero(mask)[0]
-                key = di[idx] if asc else -di[idx]
-                # stable sort on rounded distance keeps cand_id tie-break
-                take = idx[np.argsort(key, kind="stable")[:k]]
-                for r, j in enumerate(take, start=1):
-                    rows.append((int(qids[i]), int(ids[j]), float(di[j]), r))
+            rows = _np_topk_rows(
+                qids, qmat, ids, mat, k, metric, exclude_self, round_dp
+            )
             yield pd.DataFrame(
                 rows, columns=["query_id", "cand_id", "distance", "rank"]
             )
@@ -322,18 +340,38 @@ def _knn_ivf(
         schema="query_id long, query_vec array<double>, cells array<int>",
     ).select("query_id", "query_vec", F.explode("cells").alias("cell"))
 
-    pairs = q_cells.join(c_cells, "cell")
-    if exclude_self:
-        pairs = pairs.where(F.col("query_id") != F.col("cand_id"))
-    dist = (
-        l2_sq("query_vec", "cand_vec")
-        if metric == "l2_sq"
-        else cosine_sim("query_vec", "cand_vec")
-    )
-    # no dedup needed: each candidate lives in exactly ONE cell, so a
-    # (query, cand) pair can appear at most once even with nprobe > 1
-    scored = pairs.select(
-        "query_id", "cand_id", F.round(dist, round_dp).alias("distance")
+    # Per-cell BLAS scoring with a LOCAL top-k, then a global merge over
+    # ≤ nprobe·k survivors per query — the classic IVF merge. The naive
+    # alternative (equi-join on cell + per-pair distance + one global
+    # window) materializes |Q|·nprobe·(n/nlist) pairs and funnels them
+    # all through the ranking shuffle (measured 13 s vs ~2 s at sf0.1);
+    # here the shuffle after scoring carries only nprobe·k rows/query.
+    # Each cogroup holds one cell (~n/nlist candidates + its probing
+    # queries) — nlist grows with n, keeping cells worker-sized.
+    # A query's global top-k over probed cells is contained in the union
+    # of its per-cell top-ks, so the merge is lossless.
+    import pandas as pd
+
+    def score_cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "cand_id", "distance"]
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(columns=cols)
+        cids = cpdf["cand_id"].to_numpy(dtype=np.int64)
+        cmat = np.asarray(list(cpdf["cand_vec"]), dtype=np.float64)
+        order = np.argsort(cids)
+        cids, cmat = cids[order], cmat[order]
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        qmat = np.asarray(list(qpdf["query_vec"]), dtype=np.float64)
+        rows = _np_topk_rows(
+            qids, qmat, cids, cmat, k, metric, exclude_self, round_dp,
+            with_rank=False,
+        )
+        return pd.DataFrame(rows, columns=cols)
+
+    scored = (
+        q_cells.groupBy("cell")
+        .cogroup(c_cells.groupBy("cell"))
+        .applyInPandas(score_cell, schema="query_id long, cand_id long, distance double")
     )
     return _ranked_topk(scored, k, metric)
 

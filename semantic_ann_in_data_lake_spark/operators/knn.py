@@ -15,10 +15,10 @@ b. ``strategy="broadcast"`` collect+broadcast the candidate matrix, then
    FAISS/hnswlib role. Identical results to (a) for exact metrics;
    ~50-100× faster since the distance matrix is BLAS-computed. Right
    whenever candidates fit in executor memory (≤ a few GB of vectors).
-c. ``strategy="lsh"``     ``BucketedRandomProjectionLSH`` approx join —
-   the Spark-native analog of HNSW approximation; only strategy whose
-   cost stays sub-quadratic when BOTH sides are huge. Quality is judged
-   by the P/R/NDCG harness, not hash-equality.
+c. ``strategy="lsh"``     random-projection bucket LSH (p-stable hash
+   family) with per-bucket BLAS rescoring — the analog of HNSW
+   approximation; cost stays sub-quadratic when BOTH sides are huge.
+   Quality is judged by the P/R/NDCG harness, not hash-equality.
 
 Distances are SQUARED L2 internally, exactly like FAISS ``IndexFlatL2``
 (the reference thresholds ``dist**0.5 <= tau``,
@@ -227,49 +227,101 @@ def _knn_broadcast(
 
 def _knn_lsh(
     queries, candidates, id_col, vec_col, k, exclude_self, round_dp,
-    radius: float = 1.3, num_hash_tables: int = 2, bucket_length: float = 0.5,
+    num_hash_tables: int = 4, bucket_length: float = 1.0, seed: int = 42,
 ) -> DataFrame:
-    """Strategy (c): BucketedRandomProjectionLSH approximate join.
+    """Strategy (c): random-projection bucket LSH (scalar-quantized
+    p-stable LSH — the same hash family as Spark ML's
+    ``BucketedRandomProjectionLSH``), re-expressed as explicit
+    DataFrame stages so scoring stays BLAS-side.
 
     HNSW's (M, ef_construction) knobs (``annIndex.py:12-18``) map onto
-    (numHashTables, bucketLength). Candidate pairs that collide in any
-    hash bucket get exact re-scoring + top-k; recall < 1 by design.
+    (num_hash_tables, bucket_length). Per table t: bucket =
+    floor(v·g_t / bucket_length) with g_t seeded gaussian. Each side is
+    bucketed in ONE vectorized pass; each (table, bucket) cogroup
+    computes exact BLAS distances + a local top-k; cross-table
+    duplicate pairs (identical exact distance) collapse in a
+    dropDuplicates over ≤ num_hash_tables·k rows/query before the
+    global merge. Neighbors that collide in no table are unfindable —
+    recall < 1 by design, judged by the P/R/NDCG harness.
 
-    ``radius`` is a FINITE euclidean cut — an infinite radius makes the
-    similarity join score every colliding pair (measured ~50× slower at
-    sf0.1); the bucket join prunes only if the distance predicate
-    prunes too. Neighbors beyond the radius are unfindable (the
-    approximation contract): size it just below the bulk of the
-    pairwise-distance distribution, at/above the expected k-NN
-    distance (measured sweep at sf0.1: radius 1.5 kept 74% of all
-    pairs → 74 s; radius 1.3 with 2 tables kept 9% → 6 s).
+    vs Spark ML's ``approxSimilarityJoin`` (radius-cut + per-pair UDF
+    distance + key-distinct on the full collision set): measured 9.6 s
+    → ~2 s at sf0.1, and no finite-radius blind spot. Scale notes: the
+    collision shuffle carries only (id, vec, table, bucket); hot
+    buckets (many near-identical vectors) are the skew risk — shrink
+    bucket_length or add tables, exactly the classic LSH tuning.
+    Measured on sf0.1 64-dim embeddings (k=10, recall vs exact):
+    (2, 0.5)→0.33, (4, 0.5)→0.55, (4, 1.0)→0.80 [default],
+    (4, 2.0)→0.96 — wider buckets buy recall at the price of bigger
+    cogroups, so prefer more tables at cluster scale.
     """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
+    import pandas as pd
 
-    q = _prep(queries, id_col, vec_col, "query").withColumn(
-        "features", array_to_vector("query_vec")
+    spark = queries.sparkSession
+    c = _prep(candidates, id_col, vec_col, "cand")
+    q = _prep(queries, id_col, vec_col, "query")
+    first = c.select("cand_vec").head(1)
+    if not first:
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, distance double, rank int"
+        )
+    dim = len(first[0][0])
+    rng = np.random.RandomState(seed)
+    proj = rng.standard_normal((num_hash_tables, dim))
+    bc = spark.sparkContext.broadcast(proj)
+
+    def bucketize(side: str):
+        def run(batches):
+            P = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.asarray(list(pdf.iloc[:, 1]), dtype=np.float64)
+                B = np.floor((vecs @ P.T) / bucket_length).astype(np.int64)
+                out = []
+                for t in range(P.shape[0]):
+                    part = pdf.copy()
+                    part["table"] = t
+                    part["bucket"] = B[:, t]
+                    out.append(part)
+                yield pd.concat(out, ignore_index=True)
+
+        return run
+
+    c_b = c.mapInPandas(
+        bucketize("cand"),
+        schema="cand_id long, cand_vec array<double>, table int, bucket long",
     )
-    c = _prep(candidates, id_col, vec_col, "cand").withColumn(
-        "features", array_to_vector("cand_vec")
+    q_b = q.mapInPandas(
+        bucketize("query"),
+        schema="query_id long, query_vec array<double>, table int, bucket long",
     )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=42,
+
+    def score_bucket(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "cand_id", "distance"]
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(columns=cols)
+        cids = cpdf["cand_id"].to_numpy(dtype=np.int64)
+        cmat = np.asarray(list(cpdf["cand_vec"]), dtype=np.float64)
+        order = np.argsort(cids)
+        cids, cmat = cids[order], cmat[order]
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        qmat = np.asarray(list(qpdf["query_vec"]), dtype=np.float64)
+        rows = _np_topk_rows(
+            qids, qmat, cids, cmat, k, "l2_sq", exclude_self, round_dp,
+            with_rank=False,
+        )
+        return pd.DataFrame(rows, columns=cols)
+
+    scored = (
+        q_b.groupBy("table", "bucket")
+        .cogroup(c_b.groupBy("table", "bucket"))
+        .applyInPandas(score_bucket, schema="query_id long, cand_id long, distance double")
+        # a pair colliding in several tables repeats with an IDENTICAL
+        # exact distance — collapse before ranking so it occupies one slot
+        .dropDuplicates(["query_id", "cand_id"])
     )
-    model = lsh.fit(c)
-    # approxSimilarityJoin emits euclidean distance; keep squared internally
-    joined = model.approxSimilarityJoin(q, c, radius, distCol="eucl")
-    scored = joined.select(
-        F.col("datasetA.query_id").alias("query_id"),
-        F.col("datasetB.cand_id").alias("cand_id"),
-        F.round(F.col("eucl") * F.col("eucl"), round_dp).alias("distance"),
-    )
-    if exclude_self:
-        scored = scored.where(F.col("query_id") != F.col("cand_id"))
     return _ranked_topk(scored, k, "l2_sq")
 
 

@@ -159,23 +159,48 @@ def _np_topk_rows(qids, qmat, cids, cmat, k, metric, exclude_self, round_dp,
             - 2.0 * (qmat @ cmat.T)
             + sq_c[None, :]
         )
-        d = np.round(np.maximum(d, 0.0), round_dp)
+        d = np.maximum(d, 0.0)
         asc = True
     else:
         qn = np.sqrt((qmat * qmat).sum(axis=1))
         cn = np.sqrt(sq_c)
-        d = np.round((qmat @ cmat.T) / (qn[:, None] * cn[None, :] + 1e-12), round_dp)
+        d = (qmat @ cmat.T) / (qn[:, None] * cn[None, :] + 1e-12)
         asc = False
+    # Vectorized selection (a per-query python loop with a full argsort
+    # was the measured hot spot, and rounding the FULL matrix costs more
+    # than the matmul): work on key = ±d so "best" is always smallest,
+    # knock out self-matches with +inf via one searchsorted, threshold
+    # every row at its kth UNROUNDED key + one rounding quantum (any
+    # candidate whose rounded key could tie the kth must lie within it),
+    # then round and exact-tie-break ONLY the ≤ k+ties survivors.
+    key = d if asc else -d
+    if exclude_self:
+        pos = np.searchsorted(cids, qids)
+        ok = pos < len(cids)
+        ri = np.nonzero(ok)[0]
+        hit = ri[cids[pos[ok]] == qids[ri]]
+        key[hit, pos[hit]] = np.inf
+    kk = min(k, key.shape[1])
+    kth = np.partition(key, kk - 1, axis=1)[:, kk - 1]
+    quantum = 10.0 ** (-round_dp)
+    with np.errstate(invalid="ignore"):
+        mask = (key <= kth[:, None] + quantum) & np.isfinite(key)
+    counts = mask.sum(axis=1)
+    _, cols_idx = np.nonzero(mask)
     rows = []
-    for i in range(len(qids)):
-        di = d[i]
-        mask = cids != qids[i] if exclude_self else np.ones(len(cids), bool)
-        idx = np.nonzero(mask)[0]
-        key = di[idx] if asc else -di[idx]
-        # stable sort on rounded distance keeps cand_id tie-break
-        take = idx[np.argsort(key, kind="stable")[:k]]
-        for r, j in enumerate(take, start=1):
-            row = (int(qids[i]), int(cids[j]), float(di[j]))
+    sign = 1.0 if asc else -1.0
+    for i, cols in enumerate(np.split(cols_idx, np.cumsum(counts)[:-1])):
+        if len(cols) == 0:
+            continue
+        # np.round is half-even and symmetric, so round(key)=±round(d)
+        ki = np.round(key[i, cols], round_dp)
+        # cols ascend in cand_id (cids pre-sorted), so a stable sort on
+        # the rounded key alone reproduces the (distance, cand_id)
+        # tie-break of the declarative round-then-rank plan
+        order = np.argsort(ki, kind="stable")[:k]
+        qi = int(qids[i])
+        for r, (j, kv) in enumerate(zip(cols[order], ki[order]), start=1):
+            row = (qi, int(cids[j]), float(sign * kv))
             rows.append(row + (r,) if with_rank else row)
     return rows
 
@@ -204,6 +229,12 @@ def _knn_broadcast(
     bc = spark.sparkContext.broadcast((cand_ids, cand_mat))
 
     q = _prep(queries, id_col, vec_col, "query")
+    # a single-file parquet source arrives as ONE partition → the whole
+    # top-k would run on one task; spread queries across the executors
+    # (narrow rows, one extra shuffle — negligible next to the scoring)
+    target = spark.sparkContext.defaultParallelism
+    if q.rdd.getNumPartitions() < target:
+        q = q.repartition(target)
     out_schema = "query_id long, cand_id long, distance double, rank int"
 
     def topk(batches: Iterator) -> Iterator:

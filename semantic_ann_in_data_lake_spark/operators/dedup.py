@@ -333,3 +333,61 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") >= tau)
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id)
+    with ``cluster_id`` = the minimum doc_id reachable from doc_id
+    (the canonical representative every dedup pipeline keeps).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; labels only
+    decrease, so the fixpoint is exact in ≤ graph-diameter rounds
+    (near-dup clusters are shallow — typically 2-4). Each round is one
+    shuffle join + one groupBy; intermediate labels are persisted and
+    the loop stops on a monotone convergence check (sum of labels
+    stops decreasing). The driver holds only the iteration counter —
+    both the edge list and labels stay distributed, so the operator
+    scales to billion-edge graphs (this is label propagation, the same
+    scheme GraphX/GraphFrames connected components uses).
+
+    ``pairs``: (id_a, id_b) undirected near-dup edges (e.g. from
+    :func:`..dedup.minhash_near_dups`).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .persist()
+    )
+    total = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .persist()
+        )
+        new_total = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_total == total:
+            break
+        total = new_total
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))

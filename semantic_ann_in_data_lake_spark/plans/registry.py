@@ -2021,3 +2021,58 @@ def json_catalog_scan(spark, sf_dir):
         F.sum("meta.key").alias("key_sum"),
         F.sum(F.length("table_name")).alias("name_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline breadth: chunking + dedup clustering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_docs",
+    f"""
+    WITH {_W_CTE},
+    c AS (SELECT doc_id, w, unnest(range(0, len(w), 8)) AS cid
+          FROM w WHERE len(w) > 0)
+    SELECT doc_id, (cid / 8)::INT AS chunk_id, cid::INT AS start_pos,
+           len(list_slice(w, cid + 1, cid + 16))::INT AS n_tokens,
+           array_to_string(list_slice(w, cid + 1, cid + 16), ' ') AS chunk_text
+    FROM c
+    """,
+)
+def chunk_docs(spark, sf_dir):
+    """Sliding-window token chunking (window 16, stride 8): the
+    pre-training corpus prep step. Chunks start at every stride while
+    tokens remain; trailing chunks may be partial."""
+    from semantic_ann_in_data_lake_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), window=16, stride=8)
+
+
+@register(
+    "dedup_cluster_assign",
+    f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_minhash_lsh_sql(8, 2, 0.01)}) t),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.d
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_assign(spark, sf_dir):
+    """Connected components over MinHash-LSH near-dup pairs →
+    (doc_id, cluster_id = min reachable doc_id): the canonical-doc
+    assignment a dedup pipeline keeps. Spark side is distributed
+    min-label propagation; the oracle is a DuckDB recursive CTE over
+    the SAME pair set — full value-hash gate on an iterative graph
+    algorithm."""
+    pairs = dedup.minhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16, bands=8, rows_per_band=2, threshold=0.01,
+    )
+    return dedup.dedup_clusters(pairs)

@@ -494,3 +494,37 @@ def test_profile_approx_distinct_accuracy(spark, sf_dir):
     for c in ["o_orderkey", "o_orderstatus", "o_orderpriority"]:
         exact = o.select(F.countDistinct(c)).collect()[0][0]
         assert abs(approx[c] - exact) <= max(0.15 * exact, 2), (c, approx[c], exact)
+
+
+# --- chunking + dedup clustering ----------------------------------------
+
+
+def test_chunk_documents_hand_case(spark):
+    from semantic_ann_in_data_lake_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): r
+        for r in chunk_documents(docs, window=4, stride=2).collect()
+    }
+    # doc 1: starts 0,2,4 → "a b c d", "c d e", "e"; doc 2 empty; doc 3 one
+    assert set(rows) == {(1, 0), (1, 1), (1, 2), (3, 0)}
+    assert rows[(1, 0)].chunk_text == "a b c d" and rows[(1, 0)].n_tokens == 4
+    assert rows[(1, 1)].chunk_text == "c d e" and rows[(1, 1)].start_pos == 2
+    assert rows[(1, 2)].chunk_text == "e" and rows[(1, 2)].n_tokens == 1
+    assert rows[(3, 0)].chunk_text == "x"
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=4, stride=5)
+
+
+def test_dedup_clusters_chain_and_islands(spark):
+    from semantic_ann_in_data_lake_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3-4-5 (needs >1 propagation round) + island 8-9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 8: 8, 9: 8}

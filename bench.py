@@ -73,6 +73,14 @@ def bench_queries(spark, sf_dir):
         ).persist()
         return knn_join(emb, emb, k=3, metric="cosine", strategy="broadcast")
 
+    def chunk_docs_bench():
+        from semantic_ann_in_data_lake_spark.operators.chunking import (
+            chunk_documents,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        return chunk_documents(docs, window=64, stride=32)
+
     def semlink_eval_broadcast():
         return pipeline.evaluate_discovery(
             spark, sf_dir, k=10, tau=1.3, strategy="broadcast"
@@ -100,6 +108,8 @@ def bench_queries(spark, sf_dir):
         "minhash_lsh_fast": minhash_fast,
         "simhash_fast": simhash_fast,
         "semlink_eval_e2e": semlink_eval_broadcast,
+        "chunk_docs_w64": chunk_docs_bench,
+        "tfidf_top_terms": from_registry("tfidf_top_terms"),
     }
 
 

@@ -158,3 +158,52 @@ def fingerprints(
             F.transform(F.col("__sh"), lambda s: portable_hash64(s, seed="fp:"))
         ).alias("fp_minshingle"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: (doc_id, term, tf, df, score,
+    rank) with score = round4(tf · ln((N+1)/(df+1)) + bias) and rank by
+    (score desc, term asc).
+
+    Two-level corpus aggregation: term frequencies per (doc, term),
+    document frequencies per term (a groupBy over the ALREADY-distinct
+    (doc, term) pairs — no countDistinct shuffle), the corpus size as a
+    broadcast one-row cross join, and a per-doc ranking window. Scale
+    notes: both groupBys partial-aggregate map-side; the tf ⋈ df join
+    shuffles on term — stopword terms are the skew risk (AQE skew
+    splitting, or pre-filter a stopword list, both fine since stopword
+    scores rank last anyway).
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            _r4(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

@@ -2076,3 +2076,31 @@ def dedup_cluster_assign(spark, sf_dir):
         num_hashes=16, bands=8, rows_per_band=2, threshold=0.01,
     )
     return dedup.dedup_clusters(pairs)
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * ln((n_docs + 1.0) / (df + 1.0)) + 1e-9, 4) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rnk::INT AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF: per-doc top-5 terms (two-level agg + broadcast
+    corpus size + ranking window); ln bit-parity guarded by the
+    textstats round-bias discipline."""
+    return textstats.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)

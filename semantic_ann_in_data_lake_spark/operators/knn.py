@@ -485,3 +485,36 @@ def load_vector_index(spark, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     assert {"vec_id", "embedding"} <= set(df.columns), df.columns
     return df
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 index compression: (vec_id, scale, qvec) with
+    scale = max(|v|)/127 and qvec[i] = sign(v_i)·floor(|v_i|/scale+0.5)
+    in [-127, 127] (round-half-away — engine-portable, no banker's
+    rounding). 8× memory cut vs float64 is what keeps a billion-vector
+    index broadcastable / cache-resident; rebuild ≈ qvec·scale.
+
+    Shape: posexplode elements → one groupBy computing the max-abs AND
+    the ordered element list → quantize via a transform over the BOUND
+    agg output (cheap column refs only — quantizing an inline
+    max-abs expression per element would re-scan the vector per
+    element, the Catalyst HOF trap documented in operators.dedup).
+    """
+    ex = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x"),
+    )
+    agg = ex.groupBy("vec_id").agg(
+        F.max(F.abs(F.col("__x"))).alias("__mx"),
+        F.array_sort(F.collect_list(F.struct("__pos", "__x"))).alias("__vs"),
+    )
+    scale = F.col("__mx") / F.lit(127.0)
+    qvec = F.transform(
+        F.col("__vs"),
+        lambda s: F.when(F.col("__mx") == 0, F.lit(0))
+        .otherwise(F.signum(s["__x"]) * F.floor(F.abs(s["__x"]) / scale + F.lit(0.5)))
+        .cast("int"),
+    )
+    return agg.select("vec_id", scale.alias("scale"), qvec.alias("qvec"))

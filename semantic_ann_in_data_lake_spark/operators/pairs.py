@@ -87,3 +87,31 @@ def train_test_split(
             F.lit("test")
         ),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str,
+    seed: str = "strat42:",
+) -> DataFrame:
+    """Deterministic per-group quota sample: the first ``n_per_group``
+    rows of each group in seeded-hash order (engine-portable 'random' —
+    same discipline as the W5 sample; see SURVEY §7.4.3).
+
+    One ranking window partitioned by the group — no driver-side group
+    enumeration, so it scales to millions of strata; per-group data
+    stays on its shuffle partition. The classic training-data use:
+    per-language / per-source quotas when balancing a corpus.
+    """
+    hk = portable_hash64(F.col(id_col).cast("string"), seed=seed)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy("__hk", id_col)
+    return (
+        df.withColumn("__hk", hk)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_group)
+        .drop("__hk")
+    )

@@ -2104,3 +2104,51 @@ def tfidf_top_terms(spark, sf_dir):
     corpus size + ranking window); ln bit-parity guarded by the
     textstats round-bias discipline."""
     return textstats.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "stratified_sample_docs",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             {portable_hash_expr("doc_id::VARCHAR", seed="strat42:")} AS hk
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rnk
+      FROM h
+    )
+    SELECT doc_id, lang, source, rnk::INT AS sample_rank
+    FROM r WHERE rnk <= 5
+    """,
+)
+def stratified_sample_docs(spark, sf_dir):
+    """Per-language quota sample (5 docs/lang) in seeded-hash order —
+    the corpus-balancing primitive; one ranking window, no driver-side
+    stratum enumeration."""
+    from semantic_ann_in_data_lake_spark.operators.pairs import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(d, "lang", 5, "doc_id")
+
+
+@register(
+    "quantize_embeddings_int8",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx
+          FROM e)
+    SELECT vec_id, mx / 127.0 AS scale,
+           list_transform(v, x -> CASE WHEN mx = 0 THEN 0
+             ELSE (sign(x) * floor(abs(x) / (mx / 127.0) + 0.5))::INT
+           END) AS qvec
+    FROM m
+    """,
+)
+def quantize_embeddings_int8(spark, sf_dir):
+    """Int8 symmetric quantization of the vector index (8× smaller
+    broadcast); scale doubles and all 64 lanes value-hash-gated."""
+    from semantic_ann_in_data_lake_spark.operators.knn import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))

@@ -528,3 +528,32 @@ def test_dedup_clusters_chain_and_islands(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 8: 8, 9: 8}
+
+
+def test_quantize_embeddings_zero_vector_and_range(spark):
+    from semantic_ann_in_data_lake_spark.operators.knn import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -0.5]), (3, [0.1, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    assert got[1].scale == 0.0 and got[1].qvec == [0, 0]
+    assert got[2].qvec == [127, -64]  # -0.5/(1/127) = -63.5 → away from 0
+    # 0.1/(0.2/127) = 63.4999... in binary floats → floors to 63 (same
+    # arithmetic both engines — the quantizer is bit-portable, not ideal-real)
+    assert got[3].qvec == [63, 127] and abs(got[3].scale - 0.2 / 127) < 1e-15
+
+
+def test_stratified_sample_quota_and_small_groups(spark):
+    from semantic_ann_in_data_lake_spark.operators.pairs import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b") for i in range(12)], "id long, grp string"
+    )
+    out = stratified_sample(df, "grp", 3, "id").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r.sample_rank)
+    assert sorted(by_grp["a"]) == [1, 2, 3]
+    assert sorted(by_grp["b"]) == [1, 2]  # group smaller than quota

@@ -58,6 +58,7 @@ def knn_join(
     strategy: str = "exact",
     exclude_self: bool = True,
     round_dp: int = DEFAULT_ROUND_DP,
+    compress: str | None = None,
 ) -> DataFrame:
     """Top-k nearest candidates per query.
 
@@ -65,6 +66,13 @@ def knn_join(
     1..k ordered by (distance asc, cand_id asc) for ``l2_sq`` and
     (similarity desc, cand_id asc) for ``cosine`` (where ``distance``
     holds the similarity).
+
+    ``compress="int8"`` (broadcast strategy only): ship the candidate
+    matrix as the symmetric-int8 index (:func:`quantize_embeddings`) —
+    8× smaller broadcast, so the broadcast strategy holds to ~8× more
+    vectors before IVF takes over. Workers dequantize (qvec·scale) and
+    score as usual; distances are then approximate (quantization
+    error ~scale/2 per lane), so results are near- but not hash-exact.
     """
     if strategy == "auto":
         # SURVEY §4.2's optional dispatch: broadcast the candidate index
@@ -82,7 +90,8 @@ def knn_join(
         )
     if strategy == "broadcast":
         return _knn_broadcast(
-            queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp
+            queries, candidates, id_col, vec_col, k, metric, exclude_self,
+            round_dp, compress,
         )
     if strategy == "lsh":
         return _knn_lsh(
@@ -206,27 +215,45 @@ def _np_topk_rows(qids, qmat, cids, cmat, k, metric, exclude_self, round_dp,
 
 
 def _knn_broadcast(
-    queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp
+    queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp,
+    compress=None,
 ) -> DataFrame:
     """Strategy (b): the candidate matrix rides a broadcast variable; each
     query partition computes a BLAS distance matrix + argpartition top-k.
 
     Mirrors the role of the reference's in-process FAISS index
-    (``join_discoverer.py:276-287``) with identical exact semantics.
+    (``join_discoverer.py:276-287``) with identical exact semantics
+    (``compress="int8"`` trades hash-exactness for an 8× smaller
+    broadcast — see :func:`knn_join`).
     """
     import numpy as np
 
     spark = queries.sparkSession
-    cand_rows = (
-        _prep(candidates, id_col, vec_col, "cand").toPandas()
-    )
-    cand_ids = np.asarray(cand_rows["cand_id"].to_numpy(), dtype=np.int64)
-    cand_mat = np.asarray(list(cand_rows["cand_vec"]), dtype=np.float64)
-    # Pre-sort candidates by id so numpy's stable argsort tie-break matches
-    # the declarative (distance, cand_id) ordering.
-    order = np.argsort(cand_ids)
-    cand_ids, cand_mat = cand_ids[order], cand_mat[order]
-    bc = spark.sparkContext.broadcast((cand_ids, cand_mat))
+    if compress == "int8":
+        qrows = quantize_embeddings(candidates, id_col, vec_col).toPandas()
+        cand_ids = qrows["vec_id"].to_numpy(dtype=np.int64)
+        qmat_i8 = np.asarray(list(qrows["qvec"]), dtype=np.int8)
+        scales = qrows["scale"].to_numpy(dtype=np.float64)
+        order = np.argsort(cand_ids)
+        cand_ids = cand_ids[order]
+        # dequantize ONCE per executor at broadcast-read time is ideal;
+        # here the payload stays int8 (+1 double/row) and each python
+        # worker dequantizes on first access
+        payload = (qmat_i8[order], scales[order])
+    elif compress is None:
+        cand_rows = (
+            _prep(candidates, id_col, vec_col, "cand").toPandas()
+        )
+        cand_ids = np.asarray(cand_rows["cand_id"].to_numpy(), dtype=np.int64)
+        cand_mat = np.asarray(list(cand_rows["cand_vec"]), dtype=np.float64)
+        # Pre-sort candidates by id so numpy's stable argsort tie-break
+        # matches the declarative (distance, cand_id) ordering.
+        order = np.argsort(cand_ids)
+        cand_ids, cand_mat = cand_ids[order], cand_mat[order]
+        payload = cand_mat
+    else:
+        raise ValueError(f"unknown compress {compress!r}")
+    bc = spark.sparkContext.broadcast((cand_ids, payload, compress))
 
     q = _prep(queries, id_col, vec_col, "query")
     # a single-file parquet source arrives as ONE partition → the whole
@@ -240,7 +267,12 @@ def _knn_broadcast(
     def topk(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        ids, mat = bc.value
+        ids, data, comp = bc.value
+        if comp == "int8":
+            qi8, sc = data
+            mat = qi8.astype(np.float64) * sc[:, None]
+        else:
+            mat = data
         for pdf in batches:
             if len(pdf) == 0:
                 continue

@@ -557,3 +557,20 @@ def test_stratified_sample_quota_and_small_groups(spark):
         by_grp.setdefault(r.grp, []).append(r.sample_rank)
     assert sorted(by_grp["a"]) == [1, 2, 3]
     assert sorted(by_grp["b"]) == [1, 2]  # group smaller than quota
+
+
+def test_knn_broadcast_int8_compressed_recall(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(150)
+    exact = knn_join(emb, emb, k=5, strategy="broadcast").collect()
+    comp = knn_join(emb, emb, k=5, strategy="broadcast", compress="int8").collect()
+    a = {(r.query_id, r.cand_id) for r in exact}
+    b = {(r.query_id, r.cand_id) for r in comp}
+    # int8 error ~scale/2 per lane: near-exact neighbor sets
+    assert len(a & b) / len(a) >= 0.9
+    # distances close to exact ones on the intersection
+    da = {(r.query_id, r.cand_id): r.distance for r in exact}
+    db = {(r.query_id, r.cand_id): r.distance for r in comp}
+    for p in list(a & b)[:50]:
+        assert abs(da[p] - db[p]) < 0.05

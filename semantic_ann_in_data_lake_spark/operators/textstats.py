@@ -207,3 +207,60 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+def bm25_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document top-k BM25 terms (Okapi BM25 with the standard
+    ``ln(1 + (N-df+0.5)/(df+0.5))`` idf):
+
+        score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Same distributed shape as :func:`tfidf_top_terms` plus the
+    doc-length table (one extra per-doc aggregate reusing the token
+    explode) and the corpus avgdl in the broadcast one-row join.
+    Rounded via the textstats bias discipline before ranking.
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        F.broadcast(dl.agg(F.avg("dl").alias("avgdl")))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "dl",
+            _r4(idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "dl", "score", "rank")
+    )

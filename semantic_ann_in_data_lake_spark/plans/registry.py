@@ -2152,3 +2152,35 @@ def quantize_embeddings_int8(spark, sf_dir):
     from semantic_ann_in_data_lake_spark.operators.knn import quantize_embeddings
 
     return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "bm25_top_terms",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    corpus AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT avg(dl) FROM dl) AS avgdl),
+    scored AS (
+      SELECT doc_id, term, tf, df, dl,
+             round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + 1e-9, 4) AS score
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, dl, score, rnk::INT AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def bm25_top_terms(spark, sf_dir):
+    """Okapi BM25 per-doc top-5 terms (k1=1.2, b=0.75): tf-idf breadth
+    plus doc-length normalization — the standard retrieval scorer over
+    a corpus, all portable arithmetic."""
+    return textstats.bm25_top_terms(_t(spark, sf_dir, "documents"), k=5)

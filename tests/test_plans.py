@@ -85,3 +85,46 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS o_bkt")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_minhash_signatures_single_shuffle(spark, sf_dir):
+    # the lead()-window's hashpartitioning(doc_id) must be REUSED by the
+    # signature groupBy — one narrow shuffle total, and no interpreted
+    # HOF folds (ArrayTransform/ArrayAggregate) anywhere in the plan
+    from semantic_ann_in_data_lake_spark.operators import dedup
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    df = dedup.minhash_signatures(docs, num_hashes=16, hash_portable=False)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert "transform(" not in plan and "aggregate(" not in plan
+
+
+def test_tfidf_broadcasts_corpus_size(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    # the one-row corpus count joins as a broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # term-frequency + doc-frequency groupBys partial-aggregate map-side
+    assert plan.count("HashAggregate") >= 4  # partial+final per groupBy
+
+
+def test_chunking_no_tokenize_reevaluation(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.operators.chunking import chunk_documents
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    df = chunk_documents(docs, window=16, stride=8)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    # tokenization lives in exactly ONE Generate (the posexplode).
+    # words() itself references the normalized string twice (empty
+    # guard + split) → 2 regexp_replace PER ROW is the floor; any
+    # more means the expression got inlined into a second consumer
+    # (the Catalyst trap in PERF.md)
+    assert plan.count("regexp_replace") == 2

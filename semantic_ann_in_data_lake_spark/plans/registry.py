@@ -2184,3 +2184,59 @@ def bm25_top_terms(spark, sf_dir):
     plus doc-length normalization — the standard retrieval scorer over
     a corpus, all portable arithmetic."""
     return textstats.bm25_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH f AS (SELECT user_id, min(date_trunc('day', ts::TIMESTAMP))::DATE AS cohort
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP)::DATE AS day
+          FROM events)
+    SELECT f.cohort, date_diff('day', f.cohort, a.day)::INT AS day_offset,
+           count(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted on each later active day. Two shuffles (per-user min, then
+    the distinct day set) + an equi-join on user_id — the cohort table
+    is user-sized, so at lake scale this co-partitions on user_id and
+    never widens beyond (user, day)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    active = e.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort", F.datediff("day", "cohort").cast("int").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "event_props_json_stats",
+    """
+    SELECT event_type,
+           count(json_extract_string(props, '$.k')) AS n_with_k,
+           sum(json_extract_string(props, '$.k')::BIGINT) AS k_sum,
+           min(json_extract_string(props, '$.k')::BIGINT) AS k_min,
+           max(json_extract_string(props, '$.k')::BIGINT) AS k_max
+    FROM events GROUP BY 1
+    """,
+)
+def event_props_json_stats(spark, sf_dir):
+    """F9-F11 over a fact table: semi-structured JSON property
+    extraction (`get_json_object`, JVM-side) aggregated per event type —
+    the common clickstream-props pattern; no Python, no parsing UDF."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )

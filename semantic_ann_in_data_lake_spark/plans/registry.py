@@ -117,19 +117,25 @@ def profile_lineitem(spark, sf_dir):
     "distinct_sample_orders",
     """
     SELECT 'orders' AS table_name, 'o_orderstatus' AS column_name,
-           list_slice(list_sort(list(DISTINCT o_orderstatus::VARCHAR)), 1, 30)
-               AS values_sample
+           array_to_string(
+             list_slice(list_sort(list(DISTINCT o_orderstatus::VARCHAR)), 1, 30),
+             '|') AS values_sample
     FROM orders WHERE o_orderstatus IS NOT NULL
     UNION ALL
     SELECT 'orders', 'o_orderpriority',
-           list_slice(list_sort(list(DISTINCT o_orderpriority::VARCHAR)), 1, 30)
+           array_to_string(
+             list_slice(list_sort(list(DISTINCT o_orderpriority::VARCHAR)), 1, 30),
+             '|')
     FROM orders WHERE o_orderpriority IS NOT NULL
     """,
 )
 def distinct_sample_orders(spark, sf_dir):
+    # Gated output serializes the sample array: the driver's canonicalizer
+    # hashes sorted rows and cannot hash list cells. The operator itself
+    # (profiler.distinct_sample) keeps the typed array.
     return profiler.distinct_sample(
         _t(spark, sf_dir, "orders"), "orders", ["o_orderstatus", "o_orderpriority"], 30
-    )
+    ).withColumn("values_sample", F.array_join("values_sample", "|"))
 
 
 @register(
@@ -438,14 +444,25 @@ def _minhash_sig_sql(n_hashes: int = 16) -> str:
     )
     return f"""
     WITH {_W_CTE}, {_SH_CTE}
-    SELECT doc_id, sh AS shingles, [{sig}] AS minhash
+    SELECT doc_id,
+           array_to_string(sh, '|') AS shingles,
+           array_to_string(list_transform([{sig}], x -> x::VARCHAR), '|')
+               AS minhash
     FROM s WHERE len(sh) > 0
     """
 
 
 @register("minhash_signatures", _minhash_sig_sql(16))
 def minhash_signatures(spark, sf_dir):
-    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+    # Arrays serialized for the driver's row-hash canonicalizer; the
+    # operator (dedup.minhash_signatures) keeps the typed arrays.
+    sigs = dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+    return sigs.select(
+        "doc_id",
+        F.array_join("shingles", "|").alias("shingles"),
+        F.array_join(F.transform("minhash", lambda x: x.cast("string")), "|")
+        .alias("minhash"),
+    )
 
 
 def _minhash_lsh_sql(bands: int = 8, r: int = 2, threshold: float = 0.01) -> str:
@@ -747,13 +764,17 @@ def semi_anti_parts(spark, sf_dir):
       UNION ALL
       SELECT id_b, id_a FROM pairs
     )
-    SELECT sid AS s_suppkey, list_sort(list(DISTINCT nb)) AS neighbors
+    SELECT sid AS s_suppkey,
+           array_to_string(
+             list_transform(list_sort(list(DISTINCT nb)), x -> x::VARCHAR),
+             '|') AS neighbors
     FROM sym GROUP BY sid
     """,
 )
 def j10_symmetric_neighbors(spark, sf_dir):
     """J10: symmetric closure of GT pairs + neighbor sets
-    (`join_discoverer.py:392-397`)."""
+    (`join_discoverer.py:392-397`). Neighbor arrays serialized for the
+    driver's row-hash canonicalizer."""
     s = _t(spark, sf_dir, "supplier")
     p = pairs_ops.positive_pairs(s, "s_nationkey", "s_suppkey")
     sym = p.select(F.col("id_a").alias("sid"), F.col("id_b").alias("nb")).union(
@@ -761,7 +782,12 @@ def j10_symmetric_neighbors(spark, sf_dir):
     )
     return sym.groupBy("sid").agg(
         F.sort_array(F.collect_set("nb")).alias("neighbors")
-    ).select(F.col("sid").alias("s_suppkey"), "neighbors")
+    ).select(
+        F.col("sid").alias("s_suppkey"),
+        F.array_join(
+            F.transform("neighbors", lambda x: x.cast("string")), "|"
+        ).alias("neighbors"),
+    )
 
 
 @register(
@@ -990,16 +1016,38 @@ def train_test_split_pairs(spark, sf_dir):
 @register(
     "hash_embeddings",
     f"""
-    SELECT doc_id, {hash_embedding_sql('text', 8)} AS embedding
+    SELECT doc_id,
+           array_to_string(
+             list_transform({hash_embedding_sql('text', 8)},
+                            x -> round((x + 1.0) * 100000.0)::BIGINT::VARCHAR),
+             '|') AS embedding
     FROM documents
     """,
 )
 def hash_embeddings(spark, sf_dir):
     """V4 deterministic tier: feature-hash embedding as a pure column
     expression — the no-model stand-in that makes the embed→index→
-    search pipeline oracle-checkable end to end."""
+    search pipeline oracle-checkable end to end.
+
+    Gated output stringifies the vector via the exact integer
+    round-trip (component = k/1e5 - 1, so round((x+1)*1e5) recovers k
+    bit-exactly in both engines) — double→VARCHAR formatting differs
+    across engines, integer formatting does not; and the driver's
+    canonicalizer cannot hash list cells."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", hash_embedding_expr("text", 8).alias("embedding"))
+    emb = d.select("doc_id", hash_embedding_expr("text", 8).alias("embedding"))
+    return emb.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.round((x + F.lit(1.0)) * F.lit(100000.0))
+                .cast("long")
+                .cast("string"),
+            ),
+            "|",
+        ).alias("embedding"),
+    )
 
 
 @register(
@@ -1208,14 +1256,33 @@ def knn_lsh_l2(spark, sf_dir):
 @register("media_features", None)
 def media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → mapInPandas feature
-    extraction (decode stubbed per environment policy) — rows-only."""
+    extraction (decode stubbed per environment policy) — rows-only.
+
+    The float32 feature vector is serialized via the integer round-trip
+    (component = k/1e5 - 1; float32 error ≪ 0.5 so round recovers k)
+    because the driver canonicalizer cannot hash list cells."""
     from semantic_ann_in_data_lake_spark.operators.multimodal import (
         extract_features,
         synthesize_media_from_documents,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return extract_features(synthesize_media_from_documents(docs), dim=8)
+    feats = extract_features(synthesize_media_from_documents(docs), dim=8)
+    return feats.select(
+        "media_id",
+        "modality",
+        F.array_join(
+            F.transform(
+                "feature",
+                lambda x: F.round(
+                    (x.cast("double") + F.lit(1.0)) * F.lit(100000.0)
+                )
+                .cast("long")
+                .cast("string"),
+            ),
+            "|",
+        ).alias("feature"),
+    )
 
 
 @register("synonym_canonical_terms", None)
@@ -1520,7 +1587,7 @@ _DEEPJOIN_EVAL_SQL = f"""
              sum(greatest(coalesce(n.n_rel, 0) - p.tp, 0)) AS fn
       FROM per_q p LEFT JOIN nrel n USING (query_id)
     )
-    SELECT 5 AS k, tp, fp, fn,
+    SELECT 5 AS k, tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
            round(tp / (tp + fp + 1e-8), 4) AS micro_precision,
            round(tp / (tp + fn + 1e-8), 4) AS micro_recall,
            round(2 * (tp / (tp + fp + 1e-8)) * (tp / (tp + fn + 1e-8))
@@ -2220,12 +2287,17 @@ def user_retention_cohorts(spark, sf_dir):
 @register(
     "event_props_json_stats",
     """
+    WITH kx AS (
+      SELECT event_type,
+             try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
     SELECT event_type,
-           count(json_extract_string(props, '$.k')) AS n_with_k,
-           sum(json_extract_string(props, '$.k')::BIGINT) AS k_sum,
-           min(json_extract_string(props, '$.k')::BIGINT) AS k_min,
-           max(json_extract_string(props, '$.k')::BIGINT) AS k_max
-    FROM events GROUP BY 1
+           count(k) AS n_with_k,
+           sum(k)::BIGINT AS k_sum,
+           min(k) AS k_min,
+           max(k) AS k_max
+    FROM kx GROUP BY 1
     """,
 )
 def event_props_json_stats(spark, sf_dir):

@@ -21,15 +21,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from semantic_ann_in_data_lake_spark.plans import registry  # noqa: E402
 from semantic_ann_in_data_lake_spark.plans.pipeline import (  # noqa: E402
-    evaluate_discovery,
+    grid_evaluate_discovery,
 )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the full SemLink-style discover+evaluate pipeline on the
-    sf0.001 embeddings (kNN self-join → √L2 threshold → P/R/F1 + NDCG)."""
-    return evaluate_discovery(
-        spark, "/root/testdata/sf0.001", k=10, tau=1.3, strategy="broadcast"
+    """Flagship: the reference's headline (k, τ) evaluation grid
+    (`join_discoverer.py:485-517`) on the sf0.001 embeddings — kNN
+    self-join once at k_max, every grid cell a conditional slice →
+    12 rows of (k, tau, tp, fp, fn, precision, recall, f1, ndcg_at_k)."""
+    return grid_evaluate_discovery(
+        spark, "/root/testdata/sf0.001", strategy="broadcast"
     )
 
 

@@ -86,6 +86,9 @@ def bench_queries(spark, sf_dir):
             spark, sf_dir, k=10, tau=1.3, strategy="broadcast"
         )
 
+    def grid_eval_broadcast():
+        return pipeline.grid_evaluate_discovery(spark, sf_dir, strategy="broadcast")
+
     return {
         "q1_pricing_summary": from_registry("q1_pricing_summary"),
         "q3_top_orders": from_registry("q3_top_orders"),
@@ -108,6 +111,7 @@ def bench_queries(spark, sf_dir):
         "minhash_lsh_fast": minhash_fast,
         "simhash_fast": simhash_fast,
         "semlink_eval_e2e": semlink_eval_broadcast,
+        "grid_eval_12cells": grid_eval_broadcast,
         "chunk_docs_w64": chunk_docs_bench,
         "tfidf_top_terms": from_registry("tfidf_top_terms"),
     }

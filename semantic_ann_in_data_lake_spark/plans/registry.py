@@ -393,6 +393,94 @@ def semlink_eval(spark, sf_dir):
     return pipeline.evaluate_discovery(spark, sf_dir, k=10, tau=_TAU, strategy="exact")
 
 
+_GRID_KS_SQL = ", ".join(str(k) for k in pipeline.GRID_KS)
+_GRID_TAUS_SQL = ", ".join(str(t) for t in pipeline.GRID_TAUS)
+
+_GRID_EVAL_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({l2_sq_sql('q.v', 'c.v')}, 6) AS distance
+      FROM e q, e c WHERE q.vec_id <> c.vec_id
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY distance ASC, cand_id ASC) AS rnk
+        FROM pairs) WHERE rnk <= {max(pipeline.GRID_KS)}
+    ),
+    grid AS (
+      SELECT kk.k, tt.tau
+      FROM (SELECT unnest([{_GRID_KS_SQL}]) AS k) kk
+      CROSS JOIN (SELECT unnest([{_GRID_TAUS_SQL}]) AS tau) tt
+    ),
+    canon AS (
+      SELECT least(query_id::VARCHAR, cand_id::VARCHAR) AS lo,
+             greatest(query_id::VARCHAR, cand_id::VARCHAR) AS hi,
+             min(rnk) AS min_rnk, min(distance) AS dist
+      FROM knn GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT DISTINCT least(a.vec_id::VARCHAR, b.vec_id::VARCHAR) AS lo,
+                      greatest(a.vec_id::VARCHAR, b.vec_id::VARCHAR) AS hi,
+                      1 AS is_true
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    flags AS (
+      SELECT c.min_rnk, c.dist, t.is_true
+      FROM canon c FULL OUTER JOIN truth t USING (lo, hi)
+    ),
+    conf AS (
+      SELECT g.k, g.tau,
+        count(*) FILTER (WHERE coalesce(f.min_rnk <= g.k AND sqrt(f.dist) <= g.tau, FALSE)
+                         AND f.is_true IS NOT NULL) AS tp,
+        count(*) FILTER (WHERE coalesce(f.min_rnk <= g.k AND sqrt(f.dist) <= g.tau, FALSE)
+                         AND f.is_true IS NULL) AS fp,
+        count(*) FILTER (WHERE NOT coalesce(f.min_rnk <= g.k AND sqrt(f.dist) <= g.tau, FALSE)
+                         AND f.is_true IS NOT NULL) AS fn
+      FROM flags f CROSS JOIN grid g GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT a.vec_id AS tq, b.vec_id AS tc
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT k.query_id, k.rnk,
+             CASE WHEN s.tq IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM knn k LEFT JOIN sym s ON k.query_id = s.tq AND k.cand_id = s.tc
+    ),
+    klist AS (SELECT unnest([{_GRID_KS_SQL}]) AS k),
+    dcgk AS (
+      SELECT klist.k, s.query_id, sum(s.rel / log2(s.rnk + 1)) AS dcg
+      FROM scored s CROSS JOIN klist WHERE s.rnk <= klist.k GROUP BY 1, 2
+    ),
+    nrel AS (SELECT tq AS query_id, count(*) AS n_rel FROM sym GROUP BY tq),
+    ndcgk AS (
+      SELECT d.k, round(avg(CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
+        d.dcg / list_sum(list_transform(
+          range(1, least(d.k, n.n_rel) + 1), i -> 1.0 / log2(i + 1)))
+        ELSE 0.0 END), 4) AS ndcg_at_k
+      FROM dcgk d LEFT JOIN nrel n USING (query_id) GROUP BY d.k
+    )
+    SELECT c.k, round(c.tau, 2) AS tau, tp, fp, fn,
+           round(tp / (tp + fp + 1e-8), 4) AS precision,
+           round(tp / (tp + fn + 1e-8), 4) AS recall,
+           round(2 * (tp / (tp + fp + 1e-8)) * (tp / (tp + fn + 1e-8))
+                 / ((tp / (tp + fp + 1e-8)) + (tp / (tp + fn + 1e-8)) + 1e-8),
+                 4) AS f1,
+           ndcg_at_k
+    FROM conf c JOIN ndcgk USING (k)
+"""
+
+
+@register("grid_eval_discovery", _GRID_EVAL_SQL)
+def grid_eval_discovery(spark, sf_dir):
+    """The reference's headline entry loop (`join_discoverer.py:485-517`,
+    grid `SemLink/config.py:26-27`): 12 (k, τ) cells → one row each —
+    kNN computed ONCE at k_max, every cell a conditional slice."""
+    return pipeline.grid_evaluate_discovery(spark, sf_dir, strategy="exact")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

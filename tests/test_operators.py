@@ -574,3 +574,53 @@ def test_knn_broadcast_int8_compressed_recall(spark, sf_dir):
     db = {(r.query_id, r.cand_id): r.distance for r in comp}
     for p in list(a & b)[:50]:
         assert abs(da[p] - db[p]) < 0.05
+
+
+def test_grid_eval_matches_single_cell(spark, sf_dir):
+    """Each (k, τ) grid row must equal the independently-computed
+    single-cell evaluation — pins the shared-kNN slicing logic."""
+    from semantic_ann_in_data_lake_spark.plans import pipeline
+
+    grid = pipeline.grid_evaluate_discovery(
+        spark, sf_dir, ks=[5, 10], taus=[0.2, 0.4]
+    ).collect()
+    assert len(grid) == 4
+    by_cell = {(r.k, round(r.tau, 2)): r for r in grid}
+    for k in (5, 10):
+        for tau in (0.2, 0.4):
+            single = pipeline.evaluate_discovery(
+                spark, sf_dir, k=k, tau=tau, strategy="exact"
+            ).collect()[0]
+            g = by_cell[(k, tau)]
+            assert (g.tp, g.fp, g.fn) == (single.tp, single.fp, single.fn), (k, tau)
+            assert g.precision == single.precision
+            assert g.recall == single.recall
+            assert g.f1 == single.f1
+            assert g.ndcg_at_k == single.ndcg_at_k
+
+
+def test_export_evaluation_artifacts(spark, sf_dir, tmp_path):
+    """Artifact sinks mirror the reference's per-cell CSV outputs
+    (join_discoverer.py:491-517): distances + joinable per cell,
+    evaluation_results for the grid."""
+    import os
+
+    from semantic_ann_in_data_lake_spark.plans import pipeline
+
+    out = str(tmp_path / "eval_out")
+    results = pipeline.export_evaluation_artifacts(
+        spark, sf_dir, out, ks=[5], taus=[0.2, 0.4]
+    )
+    assert results.count() == 2
+    for name in (
+        "distances_5_dist_0.2.csv",
+        "distances_5_dist_0.4.csv",
+        "joinable_columns_5_dist_0.2.csv",
+        "joinable_columns_5_dist_0.4.csv",
+        "evaluation_results.csv",
+    ):
+        assert os.path.exists(os.path.join(out, name, "_SUCCESS")), name
+    # joinable is the thresholded subset of distances
+    dist = spark.read.option("header", True).csv(f"{out}/distances_5_dist_0.2.csv")
+    join = spark.read.option("header", True).csv(f"{out}/joinable_columns_5_dist_0.2.csv")
+    assert join.count() <= dist.count()

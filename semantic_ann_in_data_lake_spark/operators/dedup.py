@@ -289,26 +289,85 @@ def simhash(
     return agg.select("doc_id", "n_tokens", code.alias("simhash"))
 
 
+def _pigeonhole_segments(bits: int, n_seg: int) -> list[tuple[int, int]]:
+    """(offset, width) per segment, bits split as evenly as possible so
+    every segment is non-empty (an empty segment would equi-join ALL
+    codes and reintroduce the cartesian)."""
+    base, extra = divmod(bits, n_seg)
+    segs, off = [], 0
+    for i in range(n_seg):
+        w = base + (1 if i < extra else 0)
+        segs.append((off, w))
+        off += w
+    return segs
+
+
 def simhash_near_dups(
-    sim: DataFrame, max_hamming: int = 8
+    sim: DataFrame, max_hamming: int = 8, bits: int = 32, banded: bool = True
 ) -> DataFrame:
     """Pairs of docs whose SimHash codes differ in ≤ max_hamming bits.
 
-    Pairwise on codes (cheap: one long per doc); for true scale, join
-    on code prefixes first (pigeonhole) — noted as the production
-    refinement.
+    ``banded=True`` (the scale path) uses pigeonhole banding: the code's
+    ``bits`` are split into ``max_hamming + 1`` non-empty segments — two
+    codes within Hamming ``max_hamming`` MUST agree on at least one whole
+    segment (pigeonhole), so an equi-join on (segment_id, segment_value)
+    has recall 1.0 and the ``bit_count`` verify keeps it exact. Plan:
+    explode each code into m+1 segment rows (narrow, codegen bit-ops) →
+    shuffle equi-join on the segment key → distinct → verify. No
+    cartesian; candidate volume is bounded by per-bucket collisions, not
+    n². ``banded=False`` keeps the O(n²) brute-force as the oracle twin
+    (tests assert pair-set equality).
+
+    The input codes feed both join sides — persisted here so the
+    tokenize→agg producing them runs once, not once per side (Catalyst
+    does not CSE across self-join branches).
     """
-    a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
-    b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    if not banded:
+        a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+        b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
         )
-        .where(F.col("hamming") <= max_hamming)
+
+    sim = sim.select("doc_id", "simhash").persist()
+    segs = _pigeonhole_segments(bits, max_hamming + 1)
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+            for i, (off, w) in enumerate(segs)
+        ]
     )
+    e = sim.select("doc_id", "simhash", F.explode(seg_structs).alias("s")).select(
+        "doc_id", "simhash", F.col("s.seg").alias("seg"), F.col("s.val").alias("val")
+    )
+    a = e.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "seg", "val"
+    )
+    b = e.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"), "seg", "val"
+    )
+    cand = (
+        a.join(b, ["seg", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
 
 
 def embedding_near_dups(
@@ -316,22 +375,45 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tau: float = 0.3,
+    strategy: str = "exact",
+    k: int = 20,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: pairs with cosine ≥ τ.
 
-    Exact pairwise form (the LSH strategy in ``operators.knn`` is the
-    scale path for this too).
+    ``strategy="exact"`` is the O(n²) pairwise oracle baseline (gated
+    against DuckDB). Any other strategy ("lsh", "ivf", "broadcast",
+    "auto") routes through :func:`operators.knn.knn_join`'s cosine
+    top-k — the 100 TB path: candidate generation is the index's
+    bucketed/celled join, never all pairs. Approximation caveat (the
+    standard ANN-dedup trade): a pair with cosine ≥ τ outside each
+    other's top-``k`` is missed — raise ``k`` to trade cost for recall
+    (tests measure recall vs the exact tier).
     """
     from semantic_ann_in_data_lake_spark.functions.vectors import cosine_sim
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", F.round(cosine_sim("va", "vb"), 6).alias("cosine")
+    if strategy == "exact":
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", F.round(cosine_sim("va", "vb"), 6).alias("cosine")
+            )
+            .where(F.col("cosine") >= tau)
         )
-        .where(F.col("cosine") >= tau)
+
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+
+    vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    knn = knn_join(vecs, vecs, k=k, metric="cosine", strategy=strategy)
+    return (
+        knn.where(F.col("distance") >= tau)
+        .select(
+            F.least("query_id", "cand_id").alias("id_a"),
+            F.greatest("query_id", "cand_id").alias("id_b"),
+            F.col("distance").alias("cosine"),
+        )
+        .distinct()
     )
 
 

@@ -94,6 +94,23 @@ def knn_join(
             round_dp, compress,
         )
     if strategy == "lsh":
+        if metric == "cosine":
+            # cosine top-k == L2 top-k on unit vectors (L2² = 2 - 2cos);
+            # normalization happens inside the LSH numpy stage (no extra
+            # plan nodes, no interpreted HOF norm), then the similarity
+            # is recovered as 1 - L2²/2.
+            res = _knn_lsh(
+                queries, candidates, id_col, vec_col, k, exclude_self,
+                round_dp, normalize=True,
+            )
+            return res.select(
+                "query_id",
+                "cand_id",
+                F.round(F.lit(1.0) - F.col("distance") / 2, round_dp).alias(
+                    "distance"
+                ),
+                "rank",
+            )
         return _knn_lsh(
             queries, candidates, id_col, vec_col, k, exclude_self, round_dp
         )
@@ -291,6 +308,7 @@ def _knn_broadcast(
 def _knn_lsh(
     queries, candidates, id_col, vec_col, k, exclude_self, round_dp,
     num_hash_tables: int = 4, bucket_length: float = 1.0, seed: int = 42,
+    normalize: bool = False,
 ) -> DataFrame:
     """Strategy (c): random-projection bucket LSH (scalar-quantized
     p-stable LSH — the same hash family as Spark ML's
@@ -341,6 +359,14 @@ def _knn_lsh(
                 if len(pdf) == 0:
                     continue
                 vecs = np.asarray(list(pdf.iloc[:, 1]), dtype=np.float64)
+                if normalize:  # cosine-via-unit-L2: see knn_join
+                    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+                    norms[norms == 0.0] = 1.0
+                    vecs = vecs / norms
+                    pdf = pdf.copy()
+                    pdf[pdf.columns[1]] = pd.Series(
+                        list(vecs), index=pdf.index
+                    )
                 B = np.floor((vecs @ P.T) / bucket_length).astype(np.int64)
                 out = []
                 for t in range(P.shape[0]):

@@ -624,3 +624,43 @@ def test_export_evaluation_artifacts(spark, sf_dir, tmp_path):
     dist = spark.read.option("header", True).csv(f"{out}/distances_5_dist_0.2.csv")
     join = spark.read.option("header", True).csv(f"{out}/joinable_columns_5_dist_0.2.csv")
     assert join.count() <= dist.count()
+
+
+def test_simhash_banded_equals_bruteforce(spark, sf_dir):
+    """Pigeonhole banding has recall 1.0 for Hamming <= max_hamming:
+    pair sets must match the O(n^2) brute force exactly."""
+    from semantic_ann_in_data_lake_spark.operators import dedup
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    sim = dedup.simhash(read_table(spark, sf_dir, "documents"), bits=32)
+    for mh in (2, 6):
+        banded = dedup.simhash_near_dups(sim, max_hamming=mh, bits=32, banded=True)
+        brute = dedup.simhash_near_dups(sim, max_hamming=mh, banded=False)
+        bset = {(r.id_a, r.id_b, r.hamming) for r in banded.collect()}
+        xset = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+        assert bset == xset, f"max_hamming={mh}: banded != brute"
+        assert len(bset) > 0 or mh == 2  # fixture sanity
+
+
+def test_embedding_near_dups_ann_recall(spark, sf_dir):
+    """The ANN scale tier of embedding_near_dups: every emitted pair is
+    exact-verified (precision 1.0) and recall vs the O(n^2) baseline
+    stays above the measured floor (lsh/ivf ~0.8 on the fixture)."""
+    from semantic_ann_in_data_lake_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in dedup.embedding_near_dups(emb, tau=0.3).collect()}
+    assert exact
+    # broadcast top-k at k=20 recovers the full threshold set here
+    bc = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dups(emb, tau=0.3, strategy="broadcast", k=20).collect()
+    }
+    assert bc == exact
+    for strat in ("lsh", "ivf"):
+        ann = {
+            (r.id_a, r.id_b)
+            for r in dedup.embedding_near_dups(emb, tau=0.3, strategy=strat, k=20).collect()
+        }
+        assert ann <= exact, f"{strat} emitted a non-duplicate pair"
+        assert len(ann & exact) / len(exact) >= 0.6, f"{strat} recall too low"

@@ -128,3 +128,18 @@ def test_chunking_no_tokenize_reevaluation(spark, sf_dir):
     # more means the expression got inlined into a second consumer
     # (the Catalyst trap in PERF.md)
     assert plan.count("regexp_replace") == 2
+
+
+def test_simhash_near_dups_banded_no_cartesian(spark, sf_dir):
+    """The banded simhash pair plan must be an equi-join on the segment
+    key — never a cartesian / nested-loop over all code pairs."""
+    plan = _plan(spark, sf_dir, "simhash_near_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grid_eval_single_knn_reuse(spark, sf_dir):
+    """The 12-cell grid must reuse ONE persisted kNN (InMemoryRelation
+    appears; no second crossJoin distance computation per cell)."""
+    plan = _plan(spark, sf_dir, "grid_eval_discovery")
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan

@@ -117,3 +117,61 @@ def char_shingles_sql(expr: str, n: int = 5) -> str:
         f"range(1, greatest(length({c}) - {n - 1}, 0) + 1), "
         f"i -> substr({c}, i, {n}))))"
     )
+
+
+def token_truncate(
+    df,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    max_tokens: int = 32,
+    tokenizer=None,
+):
+    """V3: token-budget truncation (`SemLink/join_discoverer.py:34-62`).
+
+    Two tiers behind one signature:
+
+    - ``tokenizer=None`` (default): whitespace tokens, pure JVM column
+      expressions — the oracle-gated tier. The reference counts tiktoken
+      cl100k BPE tokens; tiktoken is not in this environment, so the
+      whitespace budget is the documented divergence.
+    - ``tokenizer=factory``: the exact-BPE seam. ``factory()`` must
+      return an object with ``encode(str) -> list[int]`` and
+      ``decode(list[int]) -> str`` (tiktoken's interface). It is
+      invoked lazily ONCE PER PYTHON WORKER inside an Arrow-batched
+      pandas iterator (mapInPandas) — plug ``lambda:
+      tiktoken.get_encoding("cl100k_base")`` in an environment that has
+      it and this tier becomes reference-exact with zero Spark-side
+      changes.
+
+    Output: id_cols + (n_tokens, n_tokens_kept, truncated).
+    """
+    out_schema = ", ".join(
+        [f"{c} {dict(df.dtypes)[c]}" for c in id_cols]
+        + ["n_tokens int", "n_tokens_kept int", "truncated string"]
+    )
+    if tokenizer is None:
+        toks = words(text_col)
+        return df.select(
+            *id_cols,
+            F.size(toks).alias("n_tokens"),
+            F.least(F.size(toks), F.lit(max_tokens)).alias("n_tokens_kept"),
+            F.array_join(F.slice(toks, 1, max_tokens), " ").alias("truncated"),
+        )
+
+    def run(batches):
+        import pandas as pd
+
+        enc = tokenizer()  # once per worker, not per row
+        for pdf in batches:
+            ids = pdf[text_col].map(lambda t: enc.encode(t or ""))
+            kept = ids.map(lambda x: x[:max_tokens])
+            yield pd.DataFrame(
+                {
+                    **{c: pdf[c] for c in id_cols},
+                    "n_tokens": ids.map(len).astype("int32"),
+                    "n_tokens_kept": kept.map(len).astype("int32"),
+                    "truncated": kept.map(enc.decode),
+                }
+            )
+
+    return df.select(*id_cols, text_col).mapInPandas(run, schema=out_schema)

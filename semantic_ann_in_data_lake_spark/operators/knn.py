@@ -12,9 +12,13 @@ a. ``strategy="exact"``   cross join + higher-order-array L2 + ranking
    and the one whose semantics the DuckDB oracle can check bit-for-bit.
 b. ``strategy="broadcast"`` collect+broadcast the candidate matrix, then
    a vectorized numpy top-k per partition via ``mapInPandas`` — the
-   FAISS/hnswlib role. Identical results to (a) for exact metrics;
-   ~50-100× faster since the distance matrix is BLAS-computed. Right
-   whenever candidates fit in executor memory (≤ a few GB of vectors).
+   FAISS/hnswlib role. Matches (a) for exact metrics in practice
+   (every gated run agrees hash-exactly), with one theoretical caveat:
+   the BLAS expansion ||q||²-2q·c+||c||² sums in a different order
+   than (a)'s sequential per-element fold, so a distance within ~1 ulp
+   of a 6-dp rounding boundary could round differently. ~50-100×
+   faster since the distance matrix is BLAS-computed. Right whenever
+   candidates fit in executor memory (≤ a few GB of vectors).
 c. ``strategy="lsh"``     random-projection bucket LSH (p-stable hash
    family) with per-bucket BLAS rescoring — the analog of HNSW
    approximation; cost stays sub-quadratic when BOTH sides are huge.
@@ -239,8 +243,9 @@ def _knn_broadcast(
     query partition computes a BLAS distance matrix + argpartition top-k.
 
     Mirrors the role of the reference's in-process FAISS index
-    (``join_discoverer.py:276-287``) with identical exact semantics
-    (``compress="int8"`` trades hash-exactness for an 8× smaller
+    (``join_discoverer.py:276-287``) with exact semantics up to BLAS
+    summation order (see the module docstring's rounding-boundary
+    caveat; ``compress="int8"`` trades near-exactness for an 8× smaller
     broadcast — see :func:`knn_join`).
     """
     import numpy as np

@@ -842,13 +842,21 @@ def j7_supplier_pairs(spark, sf_dir):
 )
 def semi_anti_parts(spark, sf_dir):
     """J9: semi/anti-join cardinalities (the TP/FP/FN mechanics of
-    `search_query.py:80-87` on relational data)."""
+    `search_query.py:80-87` on relational data) — ONE lazy plan: left
+    join onto the distinct key set + conditional agg, replacing the two
+    eager .count() actions (each a full lineitem scan)."""
     p = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem")
-    n_ordered = p.join(li, p.p_partkey == li.l_partkey, "left_semi").count()
-    n_never = p.join(li, p.p_partkey == li.l_partkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(n_ordered, n_never)], "n_ordered long, n_never_ordered long"
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left")
+        .agg(
+            F.sum(F.when(F.col("l_partkey").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ordered"),
+            F.sum(F.when(F.col("l_partkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_never_ordered"),
+        )
     )
 
 
@@ -1385,17 +1393,40 @@ def media_features(spark, sf_dir):
     )
 
 
-@register("synonym_canonical_terms", None)
+#: expected greedy-canonicalization result, derived BY HAND from the
+#: documented Y2 semantics (first-seen in sorted term order expands
+#: through DEFAULT_SYNONYMS): sorted terms are visited in order, so
+#: "cost" claims "price", "id" claims "identifier"/"key", "label"
+#: claims "name" (before "name" and "title" are visited) — the literal
+#: table is an independently-derived oracle, not an engine echo.
+_SYNONYM_EXPECTED = [
+    ("c_acctbal", "c_acctbal"), ("c_custkey", "c_custkey"),
+    ("c_mktsegment", "c_mktsegment"), ("c_name", "c_name"),
+    ("c_nationkey", "c_nationkey"), ("cost", "cost"), ("id", "id"),
+    ("identifier", "id"), ("label", "label"), ("name", "label"),
+    ("price", "cost"), ("title", "title"),
+]
+
+
+@register(
+    "synonym_canonical_terms",
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}', '{c}')" for t, c in _SYNONYM_EXPECTED)
+    + ") AS v(term, term_canonical)",
+)
 def synonym_canonical_terms(spark, sf_dir):
     """Y1-Y4: greedy first-seen synonym canonicalization (inherently
     sequential driver loop over the small distinct-term set) applied to
-    annotated column names — rows-only."""
+    annotated column names. The term set mixes real customer columns
+    with dictionary synonyms so the canonical map actually remaps
+    (identifier→id, name→label, price→cost under sorted first-seen
+    order); gated against the hand-derived literal expectation."""
     from semantic_ann_in_data_lake_spark.annotate.synonyms import apply_canonical_map
 
     cust = _t(spark, sf_dir, "customer")
+    extra = ["identifier", "title", "cost", "id", "name", "price", "label"]
     terms = spark.createDataFrame(
-        [(c,) for c in cust.columns] + [("identifier",), ("title",), ("cost",)],
-        "term string",
+        [(c,) for c in cust.columns] + [(t,) for t in extra], "term string"
     )
     return apply_canonical_map(terms, "term", spark)
 
@@ -1470,20 +1501,13 @@ def simhash_near_dup_pairs(spark, sf_dir):
     """,
 )
 def token_truncate_docs(spark, sf_dir):
-    """V3: token-budget truncation. The reference counts tiktoken
-    cl100k tokens (`join_discoverer.py:34-62`); tiktoken is not in this
-    environment, so the engine ships the whitespace-token budget tier
-    (exact BPE pluggable via pandas_udf behind the same signature)."""
-    from semantic_ann_in_data_lake_spark.functions.text import words
+    """V3: token-budget truncation via :func:`functions.text.token_truncate`
+    (whitespace tier; the exact-BPE tokenizer seam on the same function
+    is unit-tested with a fake tokenizer — `join_discoverer.py:34-62`)."""
+    from semantic_ann_in_data_lake_spark.functions.text import token_truncate
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", words("text").alias("__toks")
-    )
-    return d.select(
-        "doc_id",
-        F.size("__toks").alias("n_tokens"),
-        F.least(F.size("__toks"), F.lit(32)).alias("n_tokens_kept"),
-        F.array_join(F.slice(F.col("__toks"), 1, 32), " ").alias("truncated"),
+    return token_truncate(
+        _t(spark, sf_dir, "documents"), "text", ("doc_id",), max_tokens=32
     )
 
 

@@ -69,6 +69,20 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     gap_us = gap_minutes * 60 * 1_000_000
 
+    def to_cents(val: float) -> int:
+        # exact integer cents, matching the batch twin's
+        # cast(value AS DECIMAL(18,2)): Spark converts via the double's
+        # shortest string repr and rounds HALF_UP — Decimal(repr(val))
+        # is that same repr, quantized the same way. A float accumulator
+        # with round(total, 2) (binary half-even) can diverge on .005
+        # boundaries and under accumulation drift.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(
+            Decimal(repr(val)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            * 100
+        )
+
     def fn(
         key, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
@@ -76,8 +90,8 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         rows = []
         if state.hasTimedOut:
             if state.exists:
-                start_us, last_us, n, total = state.get
-                rows.append((user_id, start_us, last_us, n, round(total, 2)))
+                start_us, last_us, n, cents = state.get
+                rows.append((user_id, start_us, last_us, n, cents / 100.0))
                 state.remove()
         else:
             # integer microseconds end-to-end: float epochs would round
@@ -89,21 +103,21 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                     events_ts.append((int(r.ts.value // 1000), float(r.value)))
             events_ts.sort(key=lambda x: x[0])
             if state.exists:
-                start_us, last_us, n, total = state.get
+                start_us, last_us, n, cents = state.get
             else:
                 start_us = last_us = None
-                n, total = 0, 0.0
+                n, cents = 0, 0
             for ts_us, val in events_ts:
                 if last_us is not None and ts_us - last_us > gap_us:
-                    rows.append((user_id, start_us, last_us, n, round(total, 2)))
-                    start_us, n, total = None, 0, 0.0
+                    rows.append((user_id, start_us, last_us, n, cents / 100.0))
+                    start_us, n, cents = None, 0, 0
                 if start_us is None:
                     start_us = ts_us
                 last_us = ts_us
                 n += 1
-                total += val
+                cents += to_cents(val)
             if start_us is not None:
-                state.update((start_us, last_us, n, total))
+                state.update((start_us, last_us, n, cents))
                 # close the open session once event time passes last+gap
                 state.setTimeoutTimestamp((last_us + gap_us) // 1000)
         if rows:
@@ -123,7 +137,7 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 ],
             )
 
-    state_schema = "start_us long, last_us long, n long, total double"
+    state_schema = "start_us long, last_us long, n long, total_cents long"
     return (
         events.withWatermark("ts", "1 minute")
         .groupBy("user_id")

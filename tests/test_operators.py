@@ -664,3 +664,39 @@ def test_embedding_near_dups_ann_recall(spark, sf_dir):
         }
         assert ann <= exact, f"{strat} emitted a non-duplicate pair"
         assert len(ann & exact) / len(exact) >= 0.6, f"{strat} recall too low"
+
+
+def test_token_truncate_bpe_seam(spark):
+    """The exact-BPE seam: a fake tokenizer with tiktoken's interface
+    (encode/decode) drives the pandas path; whitespace tier unchanged."""
+    from semantic_ann_in_data_lake_spark.functions.text import token_truncate
+
+    class FakeBPE:
+        """Char-level 'BPE': every character is one token."""
+
+        def encode(self, s):
+            return [ord(ch) for ch in s]
+
+        def decode(self, ids):
+            return "".join(chr(i) for i in ids)
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "ab"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in token_truncate(
+            df, "text", ("doc_id",), max_tokens=5, tokenizer=FakeBPE
+        ).collect()
+    }
+    assert out[1].n_tokens == 11
+    assert out[1].n_tokens_kept == 5
+    assert out[1].truncated == "hello"
+    assert out[2].n_tokens == 2 and out[2].truncated == "ab"
+    assert out[3].n_tokens == 0 and out[3].truncated == ""
+
+    ws = {
+        r.doc_id: r
+        for r in token_truncate(df, "text", ("doc_id",), max_tokens=1).collect()
+    }
+    assert ws[1].truncated == "hello" and ws[1].n_tokens == 2

@@ -1,0 +1,111 @@
+"""As-of (temporal) join: for each left row, the most recent right row
+at-or-before the left timestamp, per key.
+
+Extension beyond the reference surface (the reference joins only on
+equality — ``SemLink/join_discoverer.py`` candidate pairs): an as-of
+join is the standard event-enrichment primitive a training-data /
+telemetry pipeline needs (attach last-known state to each observation).
+
+Spark has no built-in ASOF JOIN (DuckDB and kdb do). A naive
+``l.key = r.key AND r.ts <= l.ts`` range join followed by a max-ts
+dedup materializes O(|matches|) intermediate rows — quadratic per key
+in the worst case. The scale-correct distributed shape used here is
+the union-tag / sort / carry-forward composition:
+
+1. tag right rows side=0 and left rows side=1, union by name;
+2. one hash shuffle on the key, sort within partitions by
+   (ts, side, right_id) — a single exchange, AQE-coalesced;
+3. ``last(right_col, ignorenulls=True)`` over rows-between
+   (unboundedPreceding → current) carries the latest right payload
+   forward onto each left row;
+4. keep side=1 rows.
+
+Cost is one shuffle + one sort of |L| + |R| rows — the same lower
+bound a sort-merge equi-join pays; no row amplification. Skewed keys
+behave like any sort-window op (AQE/salting apply). Ordering right
+rows BEFORE left rows at equal ts gives the inclusive (ts >= right.ts)
+semantics DuckDB's ASOF JOIN has; the right_id ascending tie-break
+makes equal-(key, ts) right rows resolve deterministically to the
+largest id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+    how: str = "left",
+    tolerance_us: int | None = None,
+    right_id: str | None = None,
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right.{right_ts} <= left.{left_ts}`` and equal ``on`` key.
+
+    right_cols are emitted as ``matched_<name>``; unmatched left rows
+    keep NULLs (how='left') or are dropped (how='inner').
+    ``tolerance_us`` (microseconds) drops matches older than
+    ``left_ts − tolerance`` — the pandas ``merge_asof(tolerance=...)``
+    semantics. ``right_id`` (a right column name, typically already in
+    right_cols) breaks equal-(key, ts) right-row ties deterministically
+    toward the largest id; without it such ties are partition-order
+    dependent.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    rsel = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__r_ts"),
+        (F.col(right_id) if right_id is not None else F.lit(0)).alias("__r_id"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    lsel = left.select(
+        "*",
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+    )
+    u = lsel.unionByName(rsel, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__r_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        F.last("__r_ts", ignorenulls=True).over(w).alias("matched_ts"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"matched_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.where(F.col("__side") == 1)
+    if tolerance_us is not None:
+        in_tol = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("matched_ts"))
+        ) <= F.lit(tolerance_us)
+        keep = F.when(in_tol, True).otherwise(False)
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("matched_")],
+            *[
+                F.when(keep, F.col(c)).alias(c)
+                for c in out.columns
+                if c.startswith("matched_")
+            ],
+        )
+    if how == "inner":
+        out = out.where(F.col("matched_ts").isNotNull())
+    drop = ["__key", "__ts", "__side", "__r_ts", "__r_id"] + [
+        f"__r_{c}" for c in right_cols
+    ]
+    return out.drop(*drop)

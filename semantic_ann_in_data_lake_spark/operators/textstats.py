@@ -264,3 +264,90 @@ def bm25_top_terms(
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "dl", "score", "rank")
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Within-document repetition filter: duplicate word-n-gram fraction.
+
+    The Gopher-style quality rule (Rae et al. 2021, public): documents
+    whose n-grams repeat heavily are boilerplate/spam candidates.
+    Output: (doc_id, n_tokens, n_ngrams, n_distinct_ngrams,
+    dup_ngram_fraction) where dup_ngram_fraction =
+    (n_ngrams − n_distinct_ngrams) / n_ngrams (0 when no n-grams).
+
+    Extension beyond the reference surface (its text handling stops at
+    normalization, ``search_query.py:16-17``) — a per-document,
+    row-local column expression: no explode, no shuffle, no UDF. At
+    100 TB this runs entirely inside whole-stage codegen on the scan;
+    the per-row cost is O(doc length), the distinct count reuses the
+    shingle transform on a MATERIALIZED words array (the HOF
+    re-evaluation trap — see word_shingles_from — is avoided by staging
+    the projection).
+    """
+    from semantic_ann_in_data_lake_spark.functions.text import (
+        word_shingles_from,
+        words,
+    )
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("__w")
+    ).select(
+        "doc_id",
+        F.size("__w").alias("n_tokens"),
+        F.greatest(F.size("__w") - F.lit(n - 1), F.lit(0)).alias("n_ngrams"),
+        F.size(word_shingles_from(F.col("__w"), n)).alias("n_distinct_ngrams"),
+    )
+    frac = F.when(F.col("n_ngrams") == 0, F.lit(0.0)).otherwise(
+        (F.col("n_ngrams") - F.col("n_distinct_ngrams")).cast("double")
+        / F.col("n_ngrams")
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "n_ngrams",
+        "n_distinct_ngrams",
+        _r4(frac).alias("dup_ngram_fraction"),
+    )
+
+
+#: PII-ish patterns shared by the scrubber and its oracle twin — kept to
+#: the regex subset Java (Spark) and RE2 (DuckDB) treat identically.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"555-[0-9]{4}",
+}
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact PII-ish spans (emails, URLs, phone-like numbers) and count
+    them: (doc_id, clean_text, n_emails, n_urls, n_phones).
+
+    Standard training-data-pipeline scrub pass (extension beyond the
+    reference surface). Replacement order matters — emails first (an
+    email inside a URL query string would otherwise be masked by the
+    URL pass), then URLs, then phones. Pure regexp column expressions:
+    row-local, no shuffle, whole-stage codegen at 100 TB.
+    """
+    t = F.col(text_col)
+    counts = {
+        k: F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0)))
+        for k, p in PII_PATTERNS.items()
+    }
+    clean = F.regexp_replace(t, PII_PATTERNS["email"], "[EMAIL]")
+    clean = F.regexp_replace(clean, PII_PATTERNS["url"], "[URL]")
+    clean = F.regexp_replace(clean, PII_PATTERNS["phone"], "[PHONE]")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        counts["email"].alias("n_emails"),
+        counts["url"].alias("n_urls"),
+        counts["phone"].alias("n_phones"),
+    )

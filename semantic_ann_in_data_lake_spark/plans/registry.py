@@ -2436,3 +2436,161 @@ def event_props_json_stats(spark, sf_dir):
         F.min(k).alias("k_min"),
         F.max(k).alias("k_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions, round 2: within-doc repetition filter,
+# PII scrubbing, as-of event enrichment
+# ---------------------------------------------------------------------------
+
+from semantic_ann_in_data_lake_spark.functions.text import (  # noqa: E402
+    word_shingles_from_sql,
+)
+
+
+@register(
+    "doc_repetition_stats",
+    f"""
+    WITH {_W_CTE},
+    s AS (
+      SELECT doc_id, len(w)::INT AS n_tokens,
+             greatest(len(w) - 2, 0)::INT AS n_ngrams,
+             len({word_shingles_from_sql('w', 3)})::INT AS n_distinct_ngrams
+      FROM w
+    )
+    SELECT doc_id, n_tokens, n_ngrams, n_distinct_ngrams,
+           round((CASE WHEN n_ngrams = 0 THEN 0.0
+                  ELSE (n_ngrams - n_distinct_ngrams)::DOUBLE / n_ngrams END)
+                 + 1e-9, 4) AS dup_ngram_fraction
+    FROM s
+    """,
+)
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-style duplicate-n-gram repetition filter over documents —
+    row-local column expressions, no shuffle (textstats.repetition_stats)."""
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _pii_augmented(spark, sf_dir):
+    """Deterministic PII-ish fixture: splice synthetic emails/URLs/phones
+    into document text keyed on doc_id (same construction in the oracle
+    CTE) — the raw corpus has none, so the scrub gate would otherwise
+    count only zeros."""
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), sid, F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit(" see https://site.example/p/"), sid, F.lit("?u=a@b.co")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", aug.alias("text"))
+
+
+_PII_AUG_SQL = """
+    aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                ELSE '' END
+             || CASE WHEN doc_id % 3 = 1
+                THEN ' see https://site.example/p/' || doc_id::VARCHAR || '?u=a@b.co'
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                ELSE '' END
+             AS text
+      FROM documents
+    )
+"""
+
+
+@register(
+    "pii_scrub_docs",
+    f"""
+    WITH {_PII_AUG_SQL}
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{textstats.PII_PATTERNS["email"]}', '[EMAIL]', 'g'),
+             '{textstats.PII_PATTERNS["url"]}', '[URL]', 'g'),
+             '{textstats.PII_PATTERNS["phone"]}', '[PHONE]', 'g') AS clean_text,
+           len(regexp_extract_all(text, '{textstats.PII_PATTERNS["email"]}'))::INT AS n_emails,
+           len(regexp_extract_all(text, '{textstats.PII_PATTERNS["url"]}'))::INT AS n_urls,
+           len(regexp_extract_all(text, '{textstats.PII_PATTERNS["phone"]}'))::INT AS n_phones
+    FROM aug
+    """,
+)
+def pii_scrub_docs(spark, sf_dir):
+    """PII scrub pass (emails → [EMAIL], URLs → [URL], phones → [PHONE])
+    with per-doc match counts, over the deterministic PII fixture.
+    Email-before-URL replacement order is part of the pinned semantics
+    (an email inside a URL query string is masked by the email pass
+    first; the URL pass then swallows the placeholder)."""
+    return textstats.pii_scrub(_pii_augmented(spark, sf_dir))
+
+
+@register(
+    "asof_join_events",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts::TIMESTAMP AS ts
+      FROM events WHERE event_type = 'error'
+    ),
+    r AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, max(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           r.view_event_id,
+           r.ts AS view_ts,
+           (epoch_us(l.ts) - epoch_us(r.ts))::BIGINT AS gap_us
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of enrichment: each 'error' event joined to the latest
+    at-or-before 'view' event of the same user (union-tag / single
+    shuffle-sort / carry-forward — operators/asof.py), gated against
+    DuckDB's native ASOF LEFT JOIN. The right side is pre-deduped to
+    max(event_id) per (user_id, ts) so equal-timestamp ties are
+    deterministic in both engines."""
+    from semantic_ann_in_data_lake_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    res = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=("view_event_id",),
+        right_id="view_event_id",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("matched_view_event_id").alias("view_event_id"),
+        F.col("matched_ts").alias("view_ts"),
+        (F.unix_micros("ts") - F.unix_micros("matched_ts")).alias("gap_us"),
+    )

@@ -700,3 +700,144 @@ def test_token_truncate_bpe_seam(spark):
         for r in token_truncate(df, "text", ("doc_id",), max_tokens=1).collect()
     }
     assert ws[1].truncated == "hello" and ws[1].n_tokens == 2
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: repetition stats, PII scrub, as-of join
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_known_values(spark):
+    from semantic_ann_in_data_lake_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 trigrams, 3 distinct -> 4/7
+            (2, "one two three four"),  # 2 trigrams, 2 distinct -> 0
+            (3, "x y"),  # fewer than n tokens -> 0 ngrams
+            (4, ""),  # empty
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs, n=3).collect()}
+    assert rows[1]["n_ngrams"] == 7 and rows[1]["n_distinct_ngrams"] == 3
+    assert abs(rows[1]["dup_ngram_fraction"] - round(4 / 7, 4)) < 1e-9
+    assert rows[2]["dup_ngram_fraction"] == 0.0
+    assert rows[3]["n_ngrams"] == 0 and rows[3]["dup_ngram_fraction"] == 0.0
+    assert rows[4]["n_tokens"] == 0 and rows[4]["dup_ngram_fraction"] == 0.0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from semantic_ann_in_data_lake_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.com or call 555-1234"),
+            (2, "docs at https://ex.org/a?b=c and http://ex.org plain"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert "[EMAIL]" in rows[1]["clean_text"] and "[PHONE]" in rows[1]["clean_text"]
+    assert "@" not in rows[1]["clean_text"]
+    assert rows[2]["n_urls"] == 2 and rows[2]["clean_text"].count("[URL]") == 2
+    assert rows[3]["clean_text"] == "nothing sensitive here"
+    assert (rows[3]["n_emails"], rows[3]["n_urls"], rows[3]["n_phones"]) == (0, 0, 0)
+
+
+def _ts(s):
+    from datetime import datetime
+
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    from semantic_ann_in_data_lake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (100, 1, _ts("2024-01-01 10:00:00")),  # after r2 -> match 12
+            (101, 1, _ts("2024-01-01 09:00:00")),  # exactly at r1 -> inclusive
+            (102, 1, _ts("2024-01-01 08:00:00")),  # before all -> null
+            (103, 2, _ts("2024-01-01 10:00:00")),  # other key -> its own row
+            (104, 3, _ts("2024-01-01 10:00:00")),  # key with no right rows
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (11, 1, _ts("2024-01-01 09:00:00")),
+            (12, 1, _ts("2024-01-01 09:30:00")),
+            (13, 2, _ts("2024-01-01 09:45:00")),
+        ],
+        ["rid", "user_id", "ts"],
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, on="user_id", right_cols=("rid",), right_id="rid"
+        ).collect()
+    }
+    assert out[100]["matched_rid"] == 12
+    assert out[101]["matched_rid"] == 11  # ts >= right.ts is inclusive
+    assert out[102]["matched_rid"] is None and out[102]["matched_ts"] is None
+    assert out[103]["matched_rid"] == 13
+    assert out[104]["matched_rid"] is None
+    assert set(out) == {100, 101, 102, 103, 104}  # left join keeps all
+
+    inner = asof_join(
+        left, right, on="user_id", right_cols=("rid",), right_id="rid", how="inner"
+    )
+    assert {r["event_id"] for r in inner.collect()} == {100, 101, 103}
+
+    # tolerance: 100 is 30min after r2; a 10-minute budget drops it
+    tol = asof_join(
+        left,
+        right,
+        on="user_id",
+        right_cols=("rid",),
+        right_id="rid",
+        tolerance_us=10 * 60 * 1_000_000,
+    )
+    trows = {r["event_id"]: r for r in tol.collect()}
+    assert trows[100]["matched_rid"] is None  # outside tolerance
+    assert trows[101]["matched_rid"] == 11  # gap 0 within tolerance
+
+
+def test_asof_join_equal_ts_tiebreak(spark):
+    from semantic_ann_in_data_lake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01 12:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (21, 7, _ts("2024-01-01 11:00:00")),
+            (22, 7, _ts("2024-01-01 11:00:00")),  # same (key, ts): keep max id
+        ],
+        ["rid", "user_id", "ts"],
+    )
+    out = asof_join(
+        left, right, on="user_id", right_cols=("rid",), right_id="rid"
+    ).collect()
+    assert out[0]["matched_rid"] == 22
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The as-of composition must cost exactly one exchange (the key
+    hash partitioning for the window sort) — no join, no row blowup."""
+    from semantic_ann_in_data_lake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 12:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(2, 1, _ts("2024-01-01 11:00:00"))], ["rid", "user_id", "ts"]
+    )
+    plan = asof_join(
+        left, right, on="user_id", right_cols=("rid",), right_id="rid"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -2594,3 +2594,371 @@ def asof_join_events(spark, sf_dir):
         F.col("matched_ts").alias("view_ts"),
         (F.unix_micros("ts") - F.unix_micros("matched_ts")).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape breadth, round 2: q7/q8/q13/q15/q17/q19/q22 adapted to the
+# testdata schema (no partsupp/receiptdate/comment/phone columns; predicate
+# constants chosen to select non-trivial subsets at every sf)
+# ---------------------------------------------------------------------------
+
+_DEC = "::DECIMAL(18,2)"
+
+
+@register(
+    "q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice{_DEC} * (1 - l_discount{_DEC})), 2)::DOUBLE
+             AS revenue
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= '1996-01-01'::TIMESTAMP
+      AND l_shipdate < '1998-01-01'::TIMESTAMP
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between a nation pair by
+    ship year. Both nation joins broadcast (25 rows); the fact-side
+    joins shuffle on their keys with AQE; the nation-name disjunction is
+    applied post-join where Catalyst can still prune fact columns."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    WITH flat AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice{_DEC} * (1 - l_discount{_DEC}) AS volume,
+             n2.n_name AS supp_nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                ELSE 0{_DEC} END), 2)::DOUBLE
+                 / round(sum(volume), 2)::DOUBLE + 1e-9, 4) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's share of PROMO-part revenue into ASIA
+    customers per order year. Numerator and denominator accumulate in
+    DECIMAL (exact, order-independent), are rounded, and only then meet
+    double division — the cross-engine float discipline for ratios."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")))
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    vol = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    flat = (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(r, F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return flat.groupBy("o_year").agg(
+        F.round(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)),
+                2,
+            ).cast("double")
+            / F.round(F.sum("volume"), 2).cast("double")
+            + F.lit(1e-9),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q13_order_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts with
+    a filtered LEFT OUTER join (the filter lives in the join condition,
+    so zero-order customers survive into the c_count = 0 bucket)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice{_DEC} * (1 - l_discount{_DEC})), 2)::DOUBLE
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01'::TIMESTAMP
+        AND l_shipdate < '1996-04-01'::TIMESTAMP
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with max quarterly revenue. The
+    scalar max is a one-row aggregate broadcast back over the revenue
+    view (no global sort); equality on a rounded exact-decimal value is
+    engine-portable."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH pk AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#5' AND p_size <= 10
+    ),
+    th AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+      FROM lineitem JOIN pk ON l_partkey = p_partkey
+      GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice{_DEC})::DOUBLE / 7.0 + 1e-9, 2) AS avg_yearly
+    FROM lineitem JOIN th ON lineitem.l_partkey = th.l_partkey
+    WHERE l_quantity < qty_thresh
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of
+    Brand#5 small parts. The correlated AVG subquery becomes a per-part
+    aggregate joined back to the fact; l_quantity is integer-valued so
+    the double average is an exact-sum / count — order-independent on
+    both engines."""
+    pk = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#5") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    flt = li.join(pk, li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    th = flt.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    return (
+        flt.join(th, flt.l_partkey == th.t_partkey)
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0) + F.lit(1e-9),
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT round(sum(l_extendedprice{_DEC} * (1 - l_discount{_DEC})), 2)::DOUBLE
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive mixed part/lineitem predicates.
+    The part side pre-filters to the union of brand/size branches (the
+    pushdown-able part of the disjunction) and broadcasts; the residual
+    cross-table disjunction evaluates post-join in codegen."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where(
+            ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+            | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+            | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15))
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    return (
+        li.join(p, li.l_partkey == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    f"""
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, c_acctbal{_DEC} AS bal
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ),
+    stats AS (
+      SELECT sum(bal) AS bal_sum, count(*) AS bal_cnt
+      FROM pool WHERE bal > 0
+    ),
+    eligible AS (
+      SELECT c_custkey, c_nationkey, bal
+      FROM pool, stats
+      WHERE bal * bal_cnt > bal_sum
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(bal), 2)::DOUBLE AS totacctbal
+    FROM eligible
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= '2000-01-01'::TIMESTAMP)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers above the average positive balance of
+    a nation pool who never ordered. The avg threshold is evaluated as
+    the exact integer-scaled comparison bal·count > sum over DECIMALs —
+    a double average of cents is order-dependent under parallel
+    summation and would make row membership nondeterministic. The
+    no-recent-orders predicate (nothing since 2000-01-01 — at testdata
+    scale every customer has SOME order, so the unwindowed Q22 predicate
+    selects nothing) is a LEFT ANTI join against the filtered orders."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    pool = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey").isin(nations))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+    )
+    stats = pool.where(F.col("bal") > 0).agg(
+        F.sum("bal").alias("bal_sum"), F.count(F.lit(1)).alias("bal_cnt")
+    )
+    eligible = pool.crossJoin(F.broadcast(stats)).where(
+        F.col("bal") * F.col("bal_cnt") > F.col("bal_sum")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    idle = eligible.join(o, eligible.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
+    )

@@ -63,6 +63,7 @@ def knn_join(
     exclude_self: bool = True,
     round_dp: int = DEFAULT_ROUND_DP,
     compress: str | None = None,
+    ivf_fit: str = "sample",
 ) -> DataFrame:
     """Top-k nearest candidates per query.
 
@@ -120,7 +121,8 @@ def knn_join(
         )
     if strategy == "ivf":
         return _knn_ivf(
-            queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp
+            queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp,
+            fit=ivf_fit,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -421,7 +423,7 @@ def _knn_lsh(
 
 def _knn_ivf(
     queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp,
-    nlist: int = 16, nprobe: int = 4, seed: int = 42,
+    nlist: int = 16, nprobe: int = 4, seed: int = 42, fit: str = "sample",
 ) -> DataFrame:
     """Strategy (d): IVF-style partitioned search (FAISS IVF-Flat's
     shape, distributed).
@@ -443,19 +445,39 @@ def _knn_ivf(
 
     spark = queries.sparkSession
     c = _prep(candidates, id_col, vec_col, "cand")
-    # centroids from a bounded sample — at 100 TB you never k-means the
-    # full table; the sample cap keeps the driver-side fit O(sample·d)
-    sample = c.select("cand_vec").limit(100_000).toPandas()
-    mat = np.asarray(list(sample["cand_vec"]), dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    centroids = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
-    for _ in range(10):  # Lloyd iterations, driver-side on the sample
-        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for j in range(len(centroids)):
-            members = mat[assign == j]
-            if len(members):
-                centroids[j] = members.mean(axis=0)
+    if fit == "kmeans_ml":
+        # Distributed centroid training (Spark ML k-means||): every
+        # candidate row participates, executors hold only their
+        # partitions — the fit itself scales with the cluster instead of
+        # with the driver's sample budget. Preferred at 100 TB when the
+        # sketch-on-a-sample tier isn't representative (many fine
+        # cells, drifting data).
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = c.select(
+            array_to_vector(F.col("cand_vec").cast("array<double>")).alias("features")
+        )
+        km = KMeans(
+            k=nlist, seed=seed, maxIter=10, initMode="k-means||"
+        ).fit(train)
+        centroids = np.asarray([ctr for ctr in km.clusterCenters()], dtype=np.float64)
+    elif fit == "sample":
+        # centroids from a bounded sample — the cheap tier: the
+        # driver-side fit stays O(sample·d) regardless of table size
+        sample = c.select("cand_vec").limit(100_000).toPandas()
+        mat = np.asarray(list(sample["cand_vec"]), dtype=np.float64)
+        rng = np.random.RandomState(seed)
+        centroids = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+        for _ in range(10):  # Lloyd iterations, driver-side on the sample
+            d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(centroids)):
+                members = mat[assign == j]
+                if len(members):
+                    centroids[j] = members.mean(axis=0)
+    else:
+        raise ValueError(f"unknown ivf fit {fit!r}")
     bc = spark.sparkContext.broadcast(centroids)
 
     def assign_cells(n_cells: int):

@@ -2962,3 +2962,12 @@ def q22_idle_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
     )
+
+
+@register("knn_ivf_kmeans_l2", None)
+def knn_ivf_kmeans_l2(spark, sf_dir):
+    """Strategy (d) with distributed centroid training (Spark ML
+    k-means||) instead of the driver-side sample fit — rows-only like
+    the other approximate tiers; recall pinned by tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb, k=5, strategy="ivf", ivf_fit="kmeans_ml")

@@ -99,3 +99,39 @@ def incremental_embed_foreach_batch(
         docs_stream.writeStream.foreachBatch(handle)
         .trigger(availableNow=True)
     )
+
+
+def incremental_dedup_foreach_batch(docs_stream: DataFrame, sink_path: str,
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text"):
+    """foreachBatch streaming exact dedup (the streamed form of
+    ``dedup.exact_duplicates``): each micro-batch keeps one canonical
+    row per content digest — the minimum id within the batch — and only
+    for digests not already in the sink, so re-deliveries and
+    cross-batch duplicates are dropped exactly once.
+
+    Sink rows: (text_hash, canonical_id). First-arrival wins across
+    batches; when input files arrive in id order this equals the batch
+    operator's global min-id canonicalization. At scale the per-batch
+    work is one partial-aggregating groupBy over the micro-batch plus a
+    left-anti join against the sink's digest column (parquet
+    column-pruned scan; for very large seen-sets swap the sink read for
+    a Delta/bucketed table — the plan shape is unchanged)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        firsts = (
+            batch_df.select(
+                F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col)
+            )
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("canonical_id"))
+        )
+        try:
+            seen = spark.read.parquet(sink_path).select("text_hash").distinct()
+            fresh = firsts.join(seen, "text_hash", "left_anti")
+        except Exception:  # first batch: sink does not exist yet
+            fresh = firsts
+        fresh.write.mode("append").parquet(sink_path)
+
+    return docs_stream.writeStream.foreachBatch(handle).trigger(availableNow=True)

@@ -841,3 +841,20 @@ def test_asof_join_single_shuffle_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_ivf_kmeans_ml_recall_vs_exact(spark, sf_dir):
+    """Distributed-KMeans IVF must run end-to-end and keep useful recall
+    against the exact path at the same (nlist, nprobe)."""
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = knn_join(emb, emb, k=5, strategy="exact")
+    approx = knn_join(emb, emb, k=5, strategy="ivf", ivf_fit="kmeans_ml")
+    true_pairs = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    got_pairs = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(true_pairs & got_pairs) / len(true_pairs)
+    assert recall >= 0.4, recall  # nprobe=4/nlist=16 -> partial by design
+    # every distance reported must be the exact metric for that pair
+    assert got_pairs  # non-empty

@@ -109,3 +109,62 @@ def test_sessionize_stream_equals_batch_closed_sessions(spark, sf_dir, tmp_path)
     want = closed.collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) > 0
+
+
+def test_incremental_dedup_equals_batch_and_idempotent(spark, sf_dir, tmp_path):
+    """Two-file stream (duplicates spanning the files, ids ordered by
+    file) must reproduce the batch exact-dedup canonicalization, and a
+    second run over the same input must add nothing."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.dedup import exact_duplicates
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        incremental_dedup_foreach_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    lo = docs.where(F.col("doc_id") < 250)
+    hi = docs.where(F.col("doc_id") >= 250)
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    lo.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "_lo"))
+    hi.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "_hi"))
+    import glob
+    import shutil
+
+    # file names chosen so listing order == id order (first-arrival = min id)
+    shutil.copy(glob.glob(str(tmp_path / "_lo" / "part-*.parquet"))[0], in_dir / "a.parquet")
+    shutil.copy(glob.glob(str(tmp_path / "_hi" / "part-*.parquet"))[0], in_dir / "b.parquet")
+
+    sink = str(tmp_path / "dedup_sink")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = incremental_dedup_foreach_batch(stream, sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt1")
+    ).start()
+    q.awaitTermination()
+
+    got = {
+        (r["text_hash"], r["canonical_id"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["text_hash"], r["canonical_id"])
+        for r in exact_duplicates(docs).select("text_hash", "canonical_id").collect()
+    }
+    assert got == want
+
+    # re-delivery: same input, fresh checkpoint -> no new rows
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q2 = incremental_dedup_foreach_batch(stream2, sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt2")
+    ).start()
+    q2.awaitTermination()
+    assert spark.read.parquet(sink).count() == len(want)

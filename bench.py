@@ -114,6 +114,11 @@ def bench_queries(spark, sf_dir):
         "grid_eval_12cells": grid_eval_broadcast,
         "chunk_docs_w64": chunk_docs_bench,
         "tfidf_top_terms": from_registry("tfidf_top_terms"),
+        "asof_join_events": from_registry("asof_join_events"),
+        "doc_repetition_stats": from_registry("doc_repetition_stats"),
+        "pii_scrub_docs": from_registry("pii_scrub_docs"),
+        "q13_order_distribution": from_registry("q13_order_distribution"),
+        "q19_disjunctive_revenue": from_registry("q19_disjunctive_revenue"),
     }
 
 

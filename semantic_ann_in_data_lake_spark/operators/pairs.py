@@ -115,3 +115,38 @@ def stratified_sample(
         .where(F.col("sample_rank") <= n_per_group)
         .drop("__hk")
     )
+
+
+def mix_sample(
+    df,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix42:",
+):
+    """Weighted data mixing: per-group deterministic Bernoulli sampling.
+
+    The pretraining-mix primitive: given target keep-fractions per
+    source (e.g. {'web': 0.1, 'code': 1.0}), keep a row iff
+    ``portable_hash(id) mod 1e6 < frac·1e6`` for its group. Groups
+    absent from ``fractions`` are dropped (fraction 0).
+
+    Scale properties: a pure row-local filter — no shuffle, no group
+    counts, no driver state; selectivity is stable under repartition,
+    retries, and incremental runs (the hash, not position, decides), so
+    the same row set is kept on every engine and every execution. This
+    is what quota/window sampling (:func:`stratified_sample`) cannot do
+    without a per-group count or sort at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.functions.hashing import portable_hash64
+
+    M = 1_000_000
+    hk = portable_hash64(F.col(id_col).cast("string"), seed=seed) % M
+    thresh = F.lit(0)
+    for g, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(group_col) == g, F.lit(int(round(frac * M)))).otherwise(
+            thresh
+        )
+    return df.where(hk < thresh)

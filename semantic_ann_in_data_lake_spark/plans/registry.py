@@ -2971,3 +2971,34 @@ def knn_ivf_kmeans_l2(spark, sf_dir):
     the other approximate tiers; recall pinned by tests."""
     emb = _t(spark, sf_dir, "embeddings")
     return knn_join(emb, emb, k=5, strategy="ivf", ivf_fit="kmeans_ml")
+
+
+def _mix_case_sql(fractions: dict[str, float], m: int = 1_000_000) -> str:
+    from semantic_ann_in_data_lake_spark.functions.hashing import portable_hash_expr
+
+    branches = " ".join(
+        f"WHEN source = '{g}' THEN {int(round(f * m))}"
+        for g, f in sorted(fractions.items())
+    )
+    hk = portable_hash_expr("doc_id::VARCHAR", seed="mix42:")
+    return f"({hk}) % {m} < (CASE {branches} ELSE 0 END)"
+
+
+_MIX_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1, "src4": 0.0}
+
+
+@register(
+    "mix_sample_docs",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_mix_case_sql(_MIX_FRACS)}
+    """,
+)
+def mix_sample_docs(spark, sf_dir):
+    """Pretraining-mix sampling: per-source deterministic Bernoulli keep
+    fractions (1.0 / 0.5 / 0.25 / 0.1 / 0.0 over src0..src4; unlisted
+    sources drop) — a row-local hash filter, no shuffle, no counts."""
+    from semantic_ann_in_data_lake_spark.operators.pairs import mix_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return mix_sample(d, _MIX_FRACS).select("doc_id", "source")

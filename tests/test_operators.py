@@ -858,3 +858,27 @@ def test_ivf_kmeans_ml_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.4, recall  # nprobe=4/nlist=16 -> partial by design
     # every distance reported must be the exact metric for that pair
     assert got_pairs  # non-empty
+
+
+def test_mix_sample_fractions_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.pairs import mix_sample
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    fracs = {"src0": 1.0, "src1": 0.5, "src5": 0.0}
+    kept = mix_sample(docs, fracs)
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n0 = docs.where(F.col("source") == "src0").count()
+    n1 = docs.where(F.col("source") == "src1").count()
+    assert by_src.get("src0") == n0  # fraction 1.0 keeps everything
+    assert 0 < by_src.get("src1", 0) < n1  # 0.5 keeps a strict subset
+    assert "src5" not in by_src  # fraction 0.0
+    assert set(by_src) <= {"src0", "src1"}  # unlisted sources drop
+    # deterministic: same rows on a re-run
+    again = {r["doc_id"] for r in mix_sample(docs, fracs).select("doc_id").collect()}
+    assert again == {r["doc_id"] for r in kept.select("doc_id").collect()}

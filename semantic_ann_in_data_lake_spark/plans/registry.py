@@ -3002,3 +3002,91 @@ def mix_sample_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return mix_sample(d, _MIX_FRACS).select("doc_id", "source")
+
+
+@register(
+    "profile_percentiles_lineitem",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25) + 1e-9, 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50) + 1e-9, 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75) + 1e-9, 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def profile_percentiles_lineitem(spark, sf_dir):
+    """Distribution profiling: exact linear-interpolated percentiles per
+    group (Spark `percentile` == DuckDB `quantile_cont` definition; the
+    exact form is the oracle-gateable tier — `approx_percentile`'s
+    t-digest is the scale tier, engine-specific by construction, kept
+    rows-only in profile_approx_distinct's family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = [
+        F.round(
+            F.percentile("l_extendedprice", F.lit(p)) + F.lit(1e-9), 4
+        ).alias(name)
+        for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+    ]
+    return li.groupBy("l_returnflag").agg(*agg)
+
+
+@register(
+    "quality_filter_docs",
+    f"""
+    WITH {_W_CTE},
+    s AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             greatest(len(w) - 2, 0) AS n_ngrams,
+             len({word_shingles_from_sql('w', 3)}) AS n_distinct_ngrams,
+             len(list_filter(w, tk -> tk IN ({_STOP_IN}))) AS stop_hits
+      FROM w
+    )
+    SELECT doc_id FROM s
+    WHERE n_tokens BETWEEN 20 AND 200
+      AND round(stop_hits::DOUBLE / greatest(n_tokens, 1) + 1e-9, 4) >= 0.05
+      AND round((CASE WHEN n_ngrams = 0 THEN 0.0
+                 ELSE (n_ngrams - n_distinct_ngrams)::DOUBLE / n_ngrams END)
+                + 1e-9, 4) <= 0.2
+    """,
+)
+def quality_filter_docs(spark, sf_dir):
+    """Composed quality gate (the Gopher-rule pipeline): token-count
+    band AND stopword-ratio floor AND duplicate-n-gram ceiling — the
+    standard keep/drop decision a pretraining ingest applies per
+    document. Composed as ONE projection over a single staged words
+    array (not a join of token_stats ⋈ repetition_stats — that shape
+    costs a shuffle for what is a row-local predicate): the whole
+    filter runs inside whole-stage codegen on the scan."""
+    from semantic_ann_in_data_lake_spark.functions.text import (
+        word_shingles_from,
+        words,
+    )
+    from semantic_ann_in_data_lake_spark.operators.textstats import (
+        STOPWORDS,
+        _count_in,
+        _r4,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(F.col("doc_id"), words("text").alias("__w")).select(
+        "doc_id",
+        F.size("__w").alias("n_tokens"),
+        F.greatest(F.size("__w") - F.lit(2), F.lit(0)).alias("n_ngrams"),
+        F.size(word_shingles_from(F.col("__w"), 3)).alias("n_distinct_ngrams"),
+        _count_in(F.col("__w"), STOPWORDS).alias("stop_hits"),
+    )
+    stop_ratio = _r4(
+        F.col("stop_hits").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
+    )
+    dup_frac = _r4(
+        F.when(F.col("n_ngrams") == 0, F.lit(0.0)).otherwise(
+            (F.col("n_ngrams") - F.col("n_distinct_ngrams")).cast("double")
+            / F.col("n_ngrams")
+        )
+    )
+    return staged.where(
+        F.col("n_tokens").between(20, 200)
+        & (stop_ratio >= 0.05)
+        & (dup_frac <= 0.2)
+    ).select("doc_id")

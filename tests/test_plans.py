@@ -143,3 +143,18 @@ def test_grid_eval_single_knn_reuse(spark, sf_dir):
     appears; no second crossJoin distance computation per cell)."""
     plan = _plan(spark, sf_dir, "grid_eval_discovery")
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+def test_quality_filter_single_pass_no_shuffle(spark, sf_dir):
+    """The composed quality gate is a row-local predicate: its plan must
+    be one codegen scan+filter — zero exchanges, zero joins."""
+    from semantic_ann_in_data_lake_spark.plans.registry import quality_filter_docs
+
+    plan = (
+        quality_filter_docs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 0
+    assert "Join" not in plan

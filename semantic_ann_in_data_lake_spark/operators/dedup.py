@@ -115,16 +115,11 @@ def minhash_signatures(
     return agg.select("doc_id", "shingles", sig.alias("minhash"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int, rows_per_band: int, hash_portable: bool = True
-) -> DataFrame:
-    """Band the signature and self-join on (band_index, band_hash).
-
-    Emits distinct (id_a < id_b) candidate pairs. The join key is the
-    hashed band content, so the shuffle is by bucket — sub-quadratic as
-    long as buckets stay bounded (AQE's skew-join splitting covers hot
-    buckets at scale).
-    """
+def band_keys(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a minhash signature into its LSH band keys:
+    (doc_id, band, band_key) — one row per band, band_key = the band's
+    signature slice serialized. Shared by the batch self-join and the
+    streaming incremental near-dup sink."""
     band_structs = F.array(
         *[
             F.struct(
@@ -140,9 +135,22 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
-        "doc_id", F.explode(band_structs).alias("bk")
-    ).select("doc_id", "bk.band", "bk.band_key")
+    return sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band", "bk.band_key"
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int, rows_per_band: int, hash_portable: bool = True
+) -> DataFrame:
+    """Band the signature and self-join on (band_index, band_hash).
+
+    Emits distinct (id_a < id_b) candidate pairs. The join key is the
+    hashed band content, so the shuffle is by bucket — sub-quadratic as
+    long as buckets stay bounded (AQE's skew-join splitting covers hot
+    buckets at scale).
+    """
+    banded = band_keys(sigs, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

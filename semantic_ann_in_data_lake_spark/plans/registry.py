@@ -1361,10 +1361,25 @@ def knn_lsh_l2(spark, sf_dir):
     return knn_join(emb, emb, k=5, strategy="lsh")
 
 
-@register("media_features", None)
+@register(
+    "media_features",
+    """
+    SELECT doc_id AS media_id, 'image' AS modality,
+           array_to_string(
+             list_transform(range(0, 8),
+               i -> (('0x' || substr(md5(i::VARCHAR || ':' || text), 1, 15))::BIGINT
+                     % 200001)::VARCHAR),
+             '|') AS feature
+    FROM documents
+    """,
+)
 def media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → mapInPandas feature
-    extraction (decode stubbed per environment policy) — rows-only.
+    extraction. The DECODE is the deterministic md5-projection fake
+    (real decode stubbed per environment policy), which makes even this
+    Python-stage operator oracle-gateable: DuckDB reproduces the
+    md5-chunk integers exactly, so the gate pins the full plumbing —
+    binary encode, Arrow batching, float32 array schema — end to end.
 
     The float32 feature vector is serialized via the integer round-trip
     (component = k/1e5 - 1; float32 error ≪ 0.5 so round recovers k)

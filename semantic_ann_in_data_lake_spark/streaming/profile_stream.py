@@ -135,3 +135,87 @@ def incremental_dedup_foreach_batch(docs_stream: DataFrame, sink_path: str,
         fresh.write.mode("append").parquet(sink_path)
 
     return docs_stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
+
+
+def incremental_neardup_foreach_batch(
+    docs_stream: DataFrame,
+    bands_path: str,
+    pairs_path: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    hash_portable: bool = True,
+):
+    """foreachBatch streaming NEAR-duplicate detection (the streamed
+    form of MinHash-LSH): each micro-batch is signed and banded once,
+    candidate pairs are the union of
+
+    - in-batch band collisions (the batch's own LSH self-join), and
+    - collisions of the batch's band keys against the historical band
+      sink (new doc vs everything already ingested),
+
+    then the batch's bands append to the sink. A pair is therefore
+    discovered exactly when its LATER document arrives — no historical
+    re-pairing, no quadratic catch-up. New pairs are anti-joined against
+    the pairs sink so re-delivered files add nothing (idempotent).
+
+    Scale: per batch this costs the one narrow (doc_id, shingle)
+    signature shuffle plus a band-key bucket join whose right side is a
+    parquet scan pruned to (band, band_key); for a long-lived stream,
+    partition/bucket the band sink by band so each micro-batch touches
+    only matching buckets. Pairs are CANDIDATES (same contract as
+    lsh_candidate_pairs); exact-Jaccard verification composes downstream
+    unchanged."""
+    from semantic_ann_in_data_lake_spark.operators.dedup import (
+        band_keys,
+        minhash_signatures,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(
+            batch_df,
+            num_hashes=num_hashes,
+            shingle_n=shingle_n,
+            hash_portable=hash_portable,
+        )
+        banded = band_keys(sigs, bands, rows_per_band).persist()
+        a, b = banded.alias("a"), banded.alias("b")
+        in_batch = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        )
+        try:
+            hist = spark.read.parquet(bands_path)
+            cross = (
+                hist.alias("h")
+                .join(
+                    banded.alias("n"),
+                    (F.col("h.band") == F.col("n.band"))
+                    & (F.col("h.band_key") == F.col("n.band_key"))
+                    & (F.col("h.doc_id") != F.col("n.doc_id")),
+                )
+                .select(
+                    F.least("h.doc_id", "n.doc_id").alias("id_a"),
+                    F.greatest("h.doc_id", "n.doc_id").alias("id_b"),
+                )
+            )
+            pairs = in_batch.unionByName(cross).distinct()
+        except Exception:  # first batch: no band history yet
+            pairs = in_batch.distinct()
+        try:
+            seen_pairs = spark.read.parquet(pairs_path)
+            pairs = pairs.join(seen_pairs, ["id_a", "id_b"], "left_anti")
+        except Exception:
+            pass
+        pairs.write.mode("append").parquet(pairs_path)
+        banded.write.mode("append").parquet(bands_path)
+        banded.unpersist()
+
+    return docs_stream.writeStream.foreachBatch(handle).trigger(availableNow=True)

@@ -168,3 +168,59 @@ def test_incremental_dedup_equals_batch_and_idempotent(spark, sf_dir, tmp_path):
     ).start()
     q2.awaitTermination()
     assert spark.read.parquet(sink).count() == len(want)
+
+
+def test_incremental_neardup_equals_batch_lsh(spark, sf_dir, tmp_path):
+    """Streamed MinHash-LSH over two file-batches must discover exactly
+    the batch operator's candidate pair set (band keys are per-doc, so
+    batch boundaries cannot change collisions), and a re-run must add
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        incremental_neardup_foreach_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    import glob
+    import shutil
+
+    in_dir = tmp_path / "nd_in"
+    in_dir.mkdir()
+    docs.where(F.col("doc_id") < 250).coalesce(1).write.parquet(str(tmp_path / "_a"))
+    docs.where(F.col("doc_id") >= 250).coalesce(1).write.parquet(str(tmp_path / "_b"))
+    shutil.copy(glob.glob(str(tmp_path / "_a" / "part-*.parquet"))[0], in_dir / "a.parquet")
+    shutil.copy(glob.glob(str(tmp_path / "_b" / "part-*.parquet"))[0], in_dir / "b.parquet")
+
+    bands_sink = str(tmp_path / "bands")
+    pairs_sink = str(tmp_path / "pairs")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        q = incremental_neardup_foreach_batch(stream, bands_sink, pairs_sink).option(
+            "checkpointLocation", str(tmp_path / ckpt)
+        ).start()
+        q.awaitTermination()
+
+    run("ckpt1")
+    got = {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_sink).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(docs), bands=8, rows_per_band=2
+        ).collect()
+    }
+    assert got == want and want  # non-empty at sf0.001
+
+    run("ckpt2")  # re-delivery: same files, fresh checkpoint
+    assert spark.read.parquet(pairs_sink).count() == len(want)

@@ -3105,3 +3105,45 @@ def quality_filter_docs(spark, sf_dir):
         & (stop_ratio >= 0.05)
         & (dup_frac <= 0.2)
     ).select("doc_id")
+
+
+@register(
+    "customer_order_trends",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS order_seq,
+           round(o_totalprice::DECIMAL(18,2), 2)::DOUBLE AS price,
+           round(lag(o_totalprice::DECIMAL(18,2)) OVER w, 2)::DOUBLE AS prev_price,
+           round(sum(o_totalprice::DECIMAL(18,2)) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE
+             AS running_total,
+           round((avg(o_totalprice::DECIMAL(18,2)) OVER
+                 (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::DOUBLE + 1e-9, 2)
+             AS moving_avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_order_trends(spark, sf_dir):
+    """Per-customer order-sequence analytics: sequence number, previous
+    price (lag), running total, 3-order moving average — the rolling
+    window family over a properly partitioned window (shuffle by
+    customer only; no global sort). Money stays DECIMAL through every
+    frame; only the divided moving average crosses to double (with the
+    rounding bias)."""
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wavg = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(dec, 2).cast("double").alias("price"),
+        F.round(F.lag(dec).over(w), 2).cast("double").alias("prev_price"),
+        F.round(F.sum(dec).over(wrun), 2).cast("double").alias("running_total"),
+        F.round(F.avg(dec).over(wavg).cast("double") + F.lit(1e-9), 2).alias(
+            "moving_avg3"
+        ),
+    )

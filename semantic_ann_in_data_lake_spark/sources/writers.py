@@ -46,3 +46,32 @@ def checkpoint(
     if not os.path.exists(marker):
         compute().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def write_layout(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    num_output_tasks: int = 8,
+) -> None:
+    """Layout-optimized parquet sink: hive-partition directories by
+    ``partition_by``, rows range-routed and sorted by
+    ``partition_by + sort_by``.
+
+    Why this exists at 100 TB: a naive ``partitionBy`` write emits one
+    file per (task × partition-value) — thousands of small files per
+    value — and unsorted row groups defeat parquet min/max pruning.
+    ``repartitionByRange`` gives every output task a CONTIGUOUS
+    (partition, sort-key) range, so (a) each hive value's rows land in
+    few files, (b) the sort key's min/max ranges are disjoint across
+    files AND row groups — later range scans (dates, ids) prune whole
+    files from footer stats. ``num_output_tasks`` sizes target files
+    (rows/task ≈ total/num); this is the write-side half of scan
+    performance — no compaction pass needed.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in (partition_by + (sort_by or []))]
+    routed = df.repartitionByRange(num_output_tasks, *cols).sortWithinPartitions(*cols)
+    routed.write.mode("overwrite").partitionBy(*partition_by).parquet(path)

@@ -219,3 +219,24 @@ def incremental_neardup_foreach_batch(
         banded.unpersist()
 
     return docs_stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Engine-native streaming dedup: ``dropDuplicatesWithinWatermark``
+    keeps the first arrival per key and holds each key in state only
+    until the watermark passes its event time — bounded state, unlike an
+    unbounded ``dropDuplicates`` on a stream. Complements the
+    foreachBatch digest-sink dedup: this tier is for at-least-once
+    transport dedup (same key re-delivered within the lateness bound);
+    the sink tier is for content dedup across the whole history."""
+    e = events
+    if dict(e.dtypes).get(ts_col) == "bigint":  # nanos-as-long parquet
+        e = e.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return e.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

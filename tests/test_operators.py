@@ -882,3 +882,40 @@ def test_mix_sample_fractions_and_determinism(spark, sf_dir):
     # deterministic: same rows on a re-run
     again = {r["doc_id"] for r in mix_sample(docs, fracs).select("doc_id").collect()}
     assert again == {r["doc_id"] for r in kept.select("doc_id").collect()}
+
+
+def test_write_layout_partitioned_sorted(spark, sf_dir, tmp_path):
+    """The layout writer must produce hive dirs per partition value, few
+    files per value, and row groups sorted by the sort key (checked via
+    per-file min/max disjointness)."""
+    import glob
+
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+    from semantic_ann_in_data_lake_spark.sources.writers import write_layout
+
+    o = read_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_layout")
+    write_layout(
+        o, out, partition_by=["o_orderstatus"], sort_by=["o_orderdate"],
+        num_output_tasks=4,
+    )
+    part_dirs = glob.glob(f"{out}/o_orderstatus=*")
+    assert len(part_dirs) >= 2  # one dir per status value
+    # few files per value (range routing, not task x value explosion)
+    for d in part_dirs:
+        files = glob.glob(f"{d}/*.parquet")
+        assert 1 <= len(files) <= 4
+    # disjoint o_orderdate ranges across the files of one value
+    import pyarrow.parquet as pq
+
+    biggest = max(part_dirs, key=lambda d: len(glob.glob(f"{d}/*.parquet")))
+    spans = []
+    for f in sorted(glob.glob(f"{biggest}/*.parquet")):
+        t = pq.read_table(f, columns=["o_orderdate"])["o_orderdate"].to_pylist()
+        assert t == sorted(t)  # sorted within file
+        spans.append((min(t), max(t)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # ranges do not overlap -> footer stats prune
+    # round-trip
+    assert spark.read.parquet(out).count() == o.count()

@@ -224,3 +224,33 @@ def test_incremental_neardup_equals_batch_lsh(spark, sf_dir, tmp_path):
 
     run("ckpt2")  # re-delivery: same files, fresh checkpoint
     assert spark.read.parquet(pairs_sink).count() == len(want)
+
+
+def test_dedup_stream_drops_redelivered_events(spark, sf_dir, tmp_path):
+    """Native watermarked dedup: a doubled input (every event delivered
+    twice) must come out exactly once per event_id."""
+    import shutil
+
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import dedup_stream
+
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", in_dir / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", in_dir / "b.parquet")  # re-delivery
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(str(in_dir))
+    deduped = dedup_stream(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream_test").select("event_id").collect()
+    n_distinct = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert len(got) == n_distinct
+    assert len({r["event_id"] for r in got}) == n_distinct

@@ -51,21 +51,12 @@ def pair_metrics(
 ) -> DataFrame:
     """Canonical-pair precision/recall/F1 (one row), reference-identical
     ε and rounding (``join_discoverer.py:399-429``).
+
+    Delegates to :func:`pair_metrics_df` — the single lazy plan (one
+    full-outer-flag aggregation) — so there is exactly one metric
+    implementation and no eager three-job twin to misuse.
     """
-    disc = _canonical(retrieved, *retrieved_cols)
-    tru = _canonical(truth, *truth_cols)
-    on = ["pair_lo", "pair_hi"]
-    tp = disc.join(tru, on, "left_semi").count()
-    fp = disc.join(tru, on, "left_anti").count()
-    fn = tru.join(disc, on, "left_anti").count()
-    spark = retrieved.sparkSession
-    precision = tp / (tp + fp + EPS)
-    recall = tp / (tp + fn + EPS)
-    f1 = 2 * precision * recall / (precision + recall + EPS)
-    return spark.createDataFrame(
-        [(tp, fp, fn, round(precision, 4), round(recall, 4), round(f1, 4))],
-        "tp long, fp long, fn long, precision double, recall double, f1 double",
-    )
+    return pair_metrics_df(retrieved, truth, retrieved_cols, truth_cols)
 
 
 def pair_metrics_df(

@@ -3147,3 +3147,32 @@ def customer_order_trends(spark, sf_dir):
             "moving_avg3"
         ),
     )
+
+
+@register(
+    "view_error_interval_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_event_id, v.ts::TIMESTAMP AS view_ts,
+           e.event_id AS error_event_id, e.ts::TIMESTAMP AS error_ts
+    FROM events v JOIN events e
+      ON v.user_id = e.user_id
+     AND e.ts > v.ts AND e.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view' AND e.event_type = 'error'
+    """,
+)
+def view_error_interval_join(spark, sf_dir):
+    """Interval (range) join: every error within 10 minutes after a view
+    by the same user — the BATCH twin of the stream-stream join
+    (streaming/profile_stream.error_after_view_join_stream runs the
+    SAME plan under watermarked state; the equality test pins the two).
+    Equi-key on user_id carries the shuffle; the time interval is a
+    residual predicate — no cartesian."""
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        error_after_view_join_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view")
+    errors = ev.where(F.col("event_type") == "error")
+    return error_after_view_join_stream(views, errors)

@@ -240,3 +240,46 @@ def dedup_stream(
     return e.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def error_after_view_join_stream(
+    views: DataFrame,
+    errors: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: every (view, error) pair of the same
+    user where the error follows the view within ``within``.
+
+    The canonical Structured Streaming two-stream join: both sides are
+    watermarked (bounding how long either side's rows wait in state) and
+    the join condition carries the time interval, so state for a view
+    row is dropped once the error-side watermark passes view.ts +
+    within. Output columns: user_id, view_event_id, view_ts,
+    error_event_id, error_ts.
+
+    The batch twin (same plan on static frames) is what the equality
+    test pins — interval-join semantics are identical in batch, only
+    state management differs."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    x = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_event_id"),
+        F.col("ts").alias("error_ts"),
+    ).withWatermark("error_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("e_user"))
+        & (F.col("error_ts") > F.col("view_ts"))
+        & (F.col("error_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return v.join(x, cond).select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        "view_ts",
+        "error_event_id",
+        "error_ts",
+    )

@@ -254,3 +254,51 @@ def test_dedup_stream_drops_redelivered_events(spark, sf_dir, tmp_path):
     n_distinct = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert len(got) == n_distinct
     assert len({r["event_id"] for r in got}) == n_distinct
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch twin's pairs once all input is processed."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.plans.registry import (
+        view_error_interval_join,
+    )
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        error_after_view_join_stream,
+    )
+
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", in_dir / "a.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(raw_schema).parquet(str(in_dir))
+    # nanos-as-long ts -> timestamp, same as read_table does for batch
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))) if dict(
+        raw.dtypes
+    ).get("ts") == "bigint" else raw
+    joined = error_after_view_join_stream(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "error"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["view_event_id"], r["error_event_id"])
+        for r in spark.table("ssj_test").collect()
+    }
+    want = {
+        (r["view_event_id"], r["error_event_id"])
+        for r in view_error_interval_join(spark, sf_dir).collect()
+    }
+    assert got == want and want

@@ -72,12 +72,13 @@ def knn_join(
     (similarity desc, cand_id asc) for ``cosine`` (where ``distance``
     holds the similarity).
 
-    ``compress="int8"`` (broadcast strategy only): ship the candidate
-    matrix as the symmetric-int8 index (:func:`quantize_embeddings`) —
-    8× smaller broadcast, so the broadcast strategy holds to ~8× more
-    vectors before IVF takes over. Workers dequantize (qvec·scale) and
-    score as usual; distances are then approximate (quantization
-    error ~scale/2 per lane), so results are near- but not hash-exact.
+    ``compress="int8"`` (broadcast and ivf strategies): ship the
+    candidate matrix as the symmetric-int8 index
+    (:func:`quantize_embeddings`) — 8× smaller broadcast (broadcast
+    strategy) or 8× smaller cell shuffle + cache-resident cells (ivf).
+    Workers dequantize (qvec·scale) and score as usual; distances are
+    then approximate (quantization error ~scale/2 per lane), so results
+    are near- but not hash-exact.
     """
     if strategy == "auto":
         # SURVEY §4.2's optional dispatch: broadcast the candidate index
@@ -122,7 +123,7 @@ def knn_join(
     if strategy == "ivf":
         return _knn_ivf(
             queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp,
-            fit=ivf_fit,
+            fit=ivf_fit, compress=compress,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -424,6 +425,7 @@ def _knn_lsh(
 def _knn_ivf(
     queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp,
     nlist: int = 16, nprobe: int = 4, seed: int = 42, fit: str = "sample",
+    compress: str | None = None,
 ) -> DataFrame:
     """Strategy (d): IVF-style partitioned search (FAISS IVF-Flat's
     shape, distributed).
@@ -499,9 +501,41 @@ def _knn_ivf(
 
         return run
 
-    c_cells = c.mapInPandas(
-        assign_cells(1), schema="cand_id long, cand_vec array<double>, cells array<int>"
-    ).select("cand_id", "cand_vec", F.col("cells")[0].alias("cell"))
+    if compress == "int8":
+        # The candidate side crosses the cell shuffle as the int8 index
+        # (8× narrower than float64); cells dequantize qvec·scale at
+        # scoring time. Distances become quantization-approximate —
+        # same contract as the broadcast int8 tier.
+        cq = quantize_embeddings(candidates, id_col, vec_col).select(
+            F.col("vec_id").alias("cand_id"), "scale", "qvec"
+        )
+
+        def assign_q(batches):
+            cents = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.asarray(list(pdf["qvec"]), dtype=np.float64)
+                vecs *= pdf["scale"].to_numpy(dtype=np.float64)[:, None]
+                d2 = (
+                    (vecs * vecs).sum(axis=1)[:, None]
+                    - 2.0 * (vecs @ cents.T)
+                    + (cents * cents).sum(axis=1)[None, :]
+                )
+                out = pdf.copy()
+                out["cell"] = d2.argmin(axis=1).astype("int32")
+                yield out
+
+        c_cells = cq.mapInPandas(
+            assign_q, schema="cand_id long, scale double, qvec array<int>, cell int"
+        )
+    elif compress is None:
+        c_cells = c.mapInPandas(
+            assign_cells(1),
+            schema="cand_id long, cand_vec array<double>, cells array<int>",
+        ).select("cand_id", "cand_vec", F.col("cells")[0].alias("cell"))
+    else:
+        raise ValueError(f"unknown compress {compress!r}")
     q = _prep(queries, id_col, vec_col, "query")
     q_cells = q.mapInPandas(
         assign_cells(nprobe),
@@ -525,7 +559,11 @@ def _knn_ivf(
         if len(qpdf) == 0 or len(cpdf) == 0:
             return pd.DataFrame(columns=cols)
         cids = cpdf["cand_id"].to_numpy(dtype=np.int64)
-        cmat = np.asarray(list(cpdf["cand_vec"]), dtype=np.float64)
+        if "cand_vec" in cpdf.columns:
+            cmat = np.asarray(list(cpdf["cand_vec"]), dtype=np.float64)
+        else:  # int8 cells: dequantize qvec·scale at scoring time
+            cmat = np.asarray(list(cpdf["qvec"]), dtype=np.float64)
+            cmat *= cpdf["scale"].to_numpy(dtype=np.float64)[:, None]
         order = np.argsort(cids)
         cids, cmat = cids[order], cmat[order]
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)

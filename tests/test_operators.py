@@ -919,3 +919,19 @@ def test_write_layout_partitioned_sorted(spark, sf_dir, tmp_path):
         assert hi1 <= lo2  # ranges do not overlap -> footer stats prune
     # round-trip
     assert spark.read.parquet(out).count() == o.count()
+
+
+def test_ivf_int8_recall_vs_uncompressed(spark, sf_dir):
+    """int8-compressed IVF must keep nearly the uncompressed tier's
+    result set at the same (nlist, nprobe) — cell routing and scoring
+    survive quantization."""
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    full = knn_join(emb, emb, k=5, strategy="ivf")
+    comp = knn_join(emb, emb, k=5, strategy="ivf", compress="int8")
+    p_full = {(r["query_id"], r["cand_id"]) for r in full.collect()}
+    p_comp = {(r["query_id"], r["cand_id"]) for r in comp.collect()}
+    overlap = len(p_full & p_comp) / len(p_full)
+    assert overlap >= 0.9, overlap

@@ -89,6 +89,28 @@ def bench_queries(spark, sf_dir):
     def grid_eval_broadcast():
         return pipeline.grid_evaluate_discovery(spark, sf_dir, strategy="broadcast")
 
+    def csv_scan_pricing():
+        # cross-format tier: the q1 aggregation over a CSV copy of
+        # lineitem (materialized once, untimed, in main()) — measures
+        # the text-scan + cast path against the parquet numbers above
+        csv_dir = _csv_copy_dir(sf_dir)
+        li = (
+            spark.read.option("header", True)
+            .schema(
+                "l_quantity double, l_extendedprice double, l_discount double, "
+                "l_returnflag string, l_linestatus string"
+            )
+            .csv(csv_dir)
+        )
+        dec = lambda c: F.col(c).cast("decimal(18,2)")
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
     return {
         "q1_pricing_summary": from_registry("q1_pricing_summary"),
         "q3_top_orders": from_registry("q3_top_orders"),
@@ -119,7 +141,23 @@ def bench_queries(spark, sf_dir):
         "pii_scrub_docs": from_registry("pii_scrub_docs"),
         "q13_order_distribution": from_registry("q13_order_distribution"),
         "q19_disjunctive_revenue": from_registry("q19_disjunctive_revenue"),
+        "csv_scan_pricing": csv_scan_pricing,
     }
+
+
+def _csv_copy_dir(sf_dir: str) -> str:
+    return f"/tmp/sals_bench_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+def _materialize_csv_copy(spark, sf_dir: str) -> None:
+    """One-time (cached) CSV copy of lineitem's q1 columns for the
+    cross-format scan benchmark — written untimed during warmup."""
+    out = _csv_copy_dir(sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        read_table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice", "l_discount",
+            "l_returnflag", "l_linestatus",
+        ).write.mode("overwrite").option("header", True).csv(out)
 
 
 def main():
@@ -131,6 +169,7 @@ def main():
     # doesn't absorb session startup (untimed; not in the output)
     for t in ["region", "lineitem", "documents", "embeddings"]:
         read_table(spark, sf_dir, t).count()
+    _materialize_csv_copy(spark, sf_dir)
     # ...and the Python workers: the first mapInPandas pays worker
     # fork + Arrow init (~6 s measured) — warm them too so the
     # UDF-backed queries report steady-state

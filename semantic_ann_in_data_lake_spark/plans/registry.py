@@ -3176,3 +3176,84 @@ def view_error_interval_join(spark, sf_dir):
     views = ev.where(F.col("event_type") == "view")
     errors = ev.where(F.col("event_type") == "error")
     return error_after_view_join_stream(views, errors)
+
+
+@register(
+    "events_sliding_rollup",
+    """
+    WITH offs AS (SELECT unnest([0, 1]) AS off),
+    e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events)
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - off * INTERVAL '30 minutes'
+             AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS sum_value
+    FROM e CROSS JOIN offs
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_rollup(spark, sf_dir):
+    """Sliding-window rollup: 1-hour windows every 30 minutes (each
+    event lands in exactly window/slide = 2 buckets). Spark's
+    F.window(slide) explodes the same two assignments internally; the
+    oracle makes the expansion explicit with an offset cross join.
+    Same plan runs streamed under a watermark (hourly_rollup_stream
+    generalizes; window state is bounded by watermark horizon ×
+    bucket cardinality)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "cube_revenue",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           grouping(l_returnflag)::INT AS g_flag,
+           grouping(l_linestatus)::INT AS g_status,
+           count(*) AS n,
+           round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark, sf_dir):
+    """CUBE grouping sets over (returnflag, linestatus) with GROUPING()
+    provenance flags — all four aggregation levels in one pass (Spark
+    Expand + single partial-agg shuffle, not four scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n",
+            "revenue",
+        )
+    )

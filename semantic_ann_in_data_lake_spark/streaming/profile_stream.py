@@ -283,3 +283,66 @@ def error_after_view_join_stream(
         "error_event_id",
         "error_ts",
     )
+
+
+def incremental_rollup_foreach_batch(events_stream: DataFrame, sink_path: str):
+    """foreachBatch incremental MATERIALIZED rollup: maintain a durable
+    hourly (window_start, event_type) aggregate table under appends —
+    the materialized-view-maintenance pattern on plain parquet.
+
+    Each micro-batch: aggregate the batch, read back ONLY the sink
+    partitions (day=...) the batch touches (partition pruning), merge by
+    summing, and rewrite JUST those partitions via dynamic partition
+    overwrite. Untouched days are never read or written, so maintenance
+    cost scales with the batch's time locality, not table history.
+    Counters are integer cents (exact merge — no float re-aggregation
+    drift across arbitrary batch splits); `sum_value` derives at read
+    time as cents/100."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        e = batch_df
+        if dict(e.dtypes).get("ts") == "bigint":  # nanos-as-long parquet
+            e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        b = (
+            e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.round(F.col("value").cast("decimal(18,2)") * 100).cast("long")
+                ).alias("sum_cents"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.to_date(F.col("w.start")).alias("day"),
+                "event_type",
+                "n_events",
+                "sum_cents",
+            )
+        )
+        days = [r["day"] for r in b.select("day").distinct().collect()]
+        try:
+            old = spark.read.parquet(sink_path).where(F.col("day").isin(days))
+            merged = (
+                b.unionByName(old)
+                .groupBy("window_start", "day", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_cents").alias("sum_cents"),
+                )
+            )
+        except Exception:  # first batch: no sink yet
+            merged = b
+        # materialize before writing: the merge plan READS the sink path
+        # it is about to overwrite (Spark rejects self-overwrite on file
+        # sources). localCheckpoint truncates the lineage; a table
+        # format with MERGE (Delta/Iceberg) replaces this dance 1:1.
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(sink_path)
+        )
+
+    return events_stream.writeStream.foreachBatch(handle).trigger(availableNow=True)

@@ -935,3 +935,18 @@ def test_ivf_int8_recall_vs_uncompressed(spark, sf_dir):
     p_comp = {(r["query_id"], r["cand_id"]) for r in comp.collect()}
     overlap = len(p_full & p_comp) / len(p_full)
     assert overlap >= 0.9, overlap
+
+
+def test_approx_percentile_within_tolerance_of_exact(spark, sf_dir):
+    """The t-digest scale tier must track the exact percentiles it
+    replaces at 100 TB (exact tier is the gated one)."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("appr"),
+    ).collect()[0]
+    assert abs(row["appr"] - row["exact"]) / row["exact"] < 0.01

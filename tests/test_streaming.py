@@ -302,3 +302,52 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
         for r in view_error_interval_join(spark, sf_dir).collect()
     }
     assert got == want and want
+
+
+def test_incremental_rollup_equals_batch(spark, sf_dir, tmp_path):
+    """The incrementally-maintained materialized rollup, fed the events
+    in two file-batches, must equal the one-shot batch rollup."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.plans.registry import events_hourly_rollup
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        incremental_rollup_foreach_batch,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    import glob
+    import shutil
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw.where(F.col("event_id") <= mid).coalesce(1).write.parquet(str(tmp_path / "_a"))
+    raw.where(F.col("event_id") > mid).coalesce(1).write.parquet(str(tmp_path / "_b"))
+    shutil.copy(glob.glob(str(tmp_path / "_a/part-*.parquet"))[0], in_dir / "a.parquet")
+    shutil.copy(glob.glob(str(tmp_path / "_b/part-*.parquet"))[0], in_dir / "b.parquet")
+
+    sink = str(tmp_path / "rollup_sink")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = incremental_rollup_foreach_batch(stream, sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination()
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_cents"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (
+            r["n_events"],
+            int(round(r["sum_value"] * 100)),
+        )
+        for r in events_hourly_rollup(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -239,3 +239,41 @@ def profile_approx_distinct(
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select(
         F.lit(table_name).alias("table_name"), "p.*"
     )
+
+
+def categorical_entropy(df, cols: list[str]) -> "DataFrame":
+    """Shannon entropy (bits) + distinct count per categorical column:
+    (column, n_distinct, entropy).
+
+    Profiling-depth extension: entropy ranks columns by information
+    content — near-zero entropy flags constants/degenerate columns, high
+    entropy flags key-like columns (the reference's profiler stops at
+    distinct samples, `extract_schema.py`). One partial-aggregating
+    groupBy per column over only that column, unioned; each per-column
+    result is a handful of rows, so the final union is negligible.
+    """
+    from pyspark.sql import functions as F
+
+    outs = []
+    for c in cols:
+        counts = df.groupBy(F.col(c).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        tot = counts.agg(
+            F.sum("__n").alias("__tot"), F.count(F.lit(1)).alias("__k")
+        )
+        p = F.col("__n").cast("double") / F.col("__tot")
+        outs.append(
+            counts.crossJoin(F.broadcast(tot))
+            .agg(
+                F.first(F.lit(c)).alias("column"),
+                F.first("__k").alias("n_distinct"),
+                F.round(
+                    -F.sum(p * F.log2(p)) + F.lit(1e-9), 4
+                ).alias("entropy"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -3257,3 +3257,66 @@ def cube_revenue(spark, sf_dir):
             "revenue",
         )
     )
+
+
+@register(
+    "profile_entropy",
+    """
+    WITH ec AS (SELECT event_type AS v, count(*) AS n FROM events GROUP BY 1),
+    et AS (SELECT sum(n) AS tot, count(*) AS k FROM ec),
+    sc AS (SELECT source AS v, count(*) AS n FROM documents GROUP BY 1),
+    st AS (SELECT sum(n) AS tot, count(*) AS k FROM sc),
+    pc AS (SELECT o_orderpriority AS v, count(*) AS n FROM orders GROUP BY 1),
+    pt AS (SELECT sum(n) AS tot, count(*) AS k FROM pc)
+    SELECT 'event_type' AS "column", k::BIGINT AS n_distinct,
+           round(-sum((n::DOUBLE / tot) * log2(n::DOUBLE / tot)) + 1e-9, 4)
+             AS entropy
+    FROM ec, et GROUP BY k
+    UNION ALL
+    SELECT 'source', k::BIGINT,
+           round(-sum((n::DOUBLE / tot) * log2(n::DOUBLE / tot)) + 1e-9, 4)
+    FROM sc, st GROUP BY k
+    UNION ALL
+    SELECT 'o_orderpriority', k::BIGINT,
+           round(-sum((n::DOUBLE / tot) * log2(n::DOUBLE / tot)) + 1e-9, 4)
+    FROM pc, pt GROUP BY k
+    """,
+)
+def profile_entropy(spark, sf_dir):
+    """Column information-content profiling: Shannon entropy + distinct
+    count for the categorical columns of three tables in one result."""
+    ev = _t(spark, sf_dir, "events").select(F.col("event_type"))
+    docs = _t(spark, sf_dir, "documents").select(F.col("source"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderpriority"))
+    a = profiler.categorical_entropy(ev, ["event_type"])
+    b = profiler.categorical_entropy(docs, ["source"])
+    c = profiler.categorical_entropy(o, ["o_orderpriority"])
+    return a.unionByName(b).unionByName(c)
+
+
+@register(
+    "histogram_totalprice",
+    """
+    SELECT floor(o_totalprice / 50000)::INT AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice)::DECIMAL(18,2), 2)::DOUBLE AS lo,
+           round(max(o_totalprice)::DECIMAL(18,2), 2)::DOUBLE AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark, sf_dir):
+    """Fixed-width histogram of order totals: bucket index + count +
+    actual [lo, hi] per bucket — one partial-aggregating groupBy, the
+    profiling primitive behind range-skew diagnostics."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice").cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("lo"),
+        F.round(F.max("o_totalprice").cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("hi"),
+    )

@@ -277,3 +277,59 @@ def categorical_entropy(df, cols: list[str]) -> "DataFrame":
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def validate(df, rules: dict[str, "Column"], unique_cols: list[str] | None = None):
+    """Data-quality expectation checks (Deequ-style, minimal): one pass
+    over the table evaluating every row-local rule as a conditional
+    count, plus optional key-uniqueness checks.
+
+    ``rules`` maps rule name → boolean Column that should hold per row;
+    output is (rule, n_rows, n_violations, pass) — one row per rule.
+    Row-local rules share a SINGLE aggregation (no per-rule scans);
+    each uniqueness check adds one distinct-count aggregation
+    (count vs approx tier is the caller's choice at 100 TB — exact here
+    since the gate demands determinism).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(F.when(~cond | cond.isNull(), 1).otherwise(0)).alias(f"__v_{name}")
+        )
+    row = df.agg(*aggs)
+    outs = []
+    for name in rules:
+        outs.append(
+            row.select(
+                F.lit(name).alias("rule"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__v_{name}").alias("n_violations"),
+                (F.col(f"__v_{name}") == 0).alias("pass"),
+            )
+        )
+    for cols in unique_cols or []:
+        key = [cols] if isinstance(cols, str) else list(cols)
+        dup = (
+            df.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias(
+                    "__viol"
+                ),
+                F.sum("__c").alias("__n"),
+            )
+        )
+        outs.append(
+            dup.select(
+                F.lit(f"unique({','.join(key)})").alias("rule"),
+                F.col("__n").alias("n_rows"),
+                F.col("__viol").alias("n_violations"),
+                (F.col("__viol") == 0).alias("pass"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -3320,3 +3320,50 @@ def histogram_totalprice(spark, sf_dir):
         .cast("double")
         .alias("hi"),
     )
+
+
+@register(
+    "validate_orders",
+    """
+    WITH base AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN NOT (o_totalprice > 0)
+                      OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS v_price,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_cust,
+             sum(CASE WHEN NOT (o_orderdate >= '1990-01-01'::TIMESTAMP
+                                AND o_orderdate < '2010-01-01'::TIMESTAMP)
+                      OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_date
+      FROM orders
+    ),
+    uq AS (
+      SELECT sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS viol, sum(c) AS n
+      FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+    )
+    SELECT 'price_positive' AS rule, n AS n_rows, v_price AS n_violations,
+           v_price = 0 AS pass FROM base
+    UNION ALL
+    SELECT 'custkey_not_null', n, v_cust, v_cust = 0 FROM base
+    UNION ALL
+    SELECT 'orderdate_in_range', n, v_date, v_date = 0 FROM base
+    UNION ALL
+    SELECT 'unique(o_orderkey)', n, viol, viol = 0 FROM uq
+    """,
+)
+def validate_orders(spark, sf_dir):
+    """Expectation checks over orders: positivity, non-null key, date
+    range (single shared aggregation) + o_orderkey uniqueness (one
+    distinct-count agg) — the data-quality report a pipeline runs
+    before publishing a table."""
+    o = _t(spark, sf_dir, "orders")
+    return profiler.validate(
+        o,
+        rules={
+            "price_positive": F.col("o_totalprice") > 0,
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "orderdate_in_range": (
+                F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp")
+            )
+            & (F.col("o_orderdate") < F.lit("2010-01-01").cast("timestamp")),
+        },
+        unique_cols=["o_orderkey"],
+    )

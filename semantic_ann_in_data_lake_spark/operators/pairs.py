@@ -150,3 +150,36 @@ def mix_sample(
             thresh
         )
     return df.where(hk < thresh)
+
+
+def upsert_latest(
+    target,
+    updates,
+    keys: list[str],
+    version_col: str,
+    tiebreak_col: str | None = None,
+):
+    """Batch MERGE/upsert: one row per key — the highest ``version_col``
+    across target ∪ updates (``tiebreak_col`` desc breaks version ties;
+    defaults to the first key).
+
+    The plain-parquet form of Delta/Iceberg MERGE INTO for
+    full-snapshot maintenance: a union plus ONE window over the key
+    partition (single shuffle on the keys), no join — at 100 TB this is
+    the same cost as the dedup it generalizes. Pairs with
+    streaming.incremental_rollup_foreach_batch for the incremental
+    partition-local variant.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tb = tiebreak_col or keys[0]
+    u = target.unionByName(updates)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col(tb).desc()
+    )
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

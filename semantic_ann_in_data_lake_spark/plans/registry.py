@@ -3367,3 +3367,52 @@ def validate_orders(spark, sf_dir):
         },
         unique_cols=["o_orderkey"],
     )
+
+
+@register(
+    "upsert_orders_latest",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice::DECIMAL(18,2) * 1.1, 2)::DOUBLE AS o_totalprice,
+             o_orderdate, o_orderpriority, 2 AS version
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    uni AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice::DECIMAL(18,2), 2)::DOUBLE AS o_totalprice,
+             o_orderdate, o_orderpriority, 1 AS version
+      FROM orders
+      UNION ALL SELECT * FROM updates
+    )
+    SELECT o_orderkey,
+           round(o_totalprice::DECIMAL(18,2), 2)::DOUBLE AS o_totalprice,
+           version
+    FROM uni
+    QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC, o_orderkey DESC) = 1
+    """,
+)
+def upsert_orders_latest(spark, sf_dir):
+    """Batch MERGE semantics: a deterministic update set (every 7th
+    order re-priced at +10%, version 2) upserted over the base snapshot
+    (version 1) — latest version wins per key via one key-partitioned
+    window; the updated keys must surface version 2 and the new price."""
+    from semantic_ann_in_data_lake_spark.operators.pairs import upsert_latest
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round(dec("o_totalprice"), 2).cast("double").alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority", F.lit(1).alias("version"),
+    )
+    updates = base.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice",
+        F.round(dec("o_totalprice") * F.lit(1.1), 2).cast("double"),
+    ).withColumn("version", F.lit(2))
+    merged = upsert_latest(base, updates, keys=["o_orderkey"], version_col="version")
+    return merged.select(
+        "o_orderkey",
+        F.round(dec("o_totalprice"), 2).cast("double").alias("o_totalprice"),
+        "version",
+    )

@@ -158,3 +158,31 @@ def test_quality_filter_single_pass_no_shuffle(spark, sf_dir):
     )
     assert plan.count("Exchange") == 0
     assert "Join" not in plan
+
+
+def test_tpch_additions_broadcast_no_cartesian(spark, sf_dir):
+    """The round-2 TPC-H shapes must keep their dimension broadcasts and
+    never degrade to a cartesian product."""
+    from semantic_ann_in_data_lake_spark.plans import registry
+
+    for name, min_bcast in [
+        ("q7_nation_volume", 2),
+        ("q8_market_share", 4),
+        ("q19_disjunctive_revenue", 1),
+    ]:
+        fn, _ = registry.REGISTRY[name]
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= min_bcast, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_upsert_latest_single_window_no_join(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.plans import registry
+
+    fn, _ = registry.REGISTRY["upsert_orders_latest"]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union + window, not a join
+    assert plan.count("Window [") == 1  # one ranking window...
+    # ...with the rank<=1 limit pushed into partial/final group limits
+    # (rows drop BEFORE the shuffle, not after ranking)
+    assert "WindowGroupLimit" in plan

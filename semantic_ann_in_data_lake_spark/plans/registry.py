@@ -3416,3 +3416,57 @@ def upsert_orders_latest(spark, sf_dir):
         F.round(dec("o_totalprice"), 2).cast("double").alias("o_totalprice"),
         "version",
     )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    SELECT l1.l_suppkey, count(*) AS numwait
+    FROM lineitem l1 JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY l1.l_suppkey
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (no receiptdate in testdata — 'kept the order
+    waiting' becomes 'shipped last'): per supplier, finished orders
+    where at least one OTHER supplier participated (correlated EXISTS →
+    LEFT SEMI join) and no other supplier shipped later (correlated
+    NOT EXISTS → LEFT ANTI join). Both decorrelate onto the l_orderkey
+    shuffle key, so the three lineitem scans co-partition."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    l1 = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    stage = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("ship3") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return stage.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))

@@ -3470,3 +3470,36 @@ def q21_waiting_supplier(spark, sf_dir):
         "left_anti",
     )
     return stage.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@register(
+    "dedup_keep_canonical",
+    f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_minhash_lsh_sql(8, 2, 0.01)}) t),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.d
+    ),
+    assign AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM assign WHERE id <> cluster_id)
+    """,
+)
+def dedup_keep_canonical(spark, sf_dir):
+    """The end-to-end corpus-dedup deliverable: MinHash-LSH near-dup
+    pairs → connected components → drop every non-canonical cluster
+    member → the kept doc_id set (singletons pass through untouched via
+    a LEFT ANTI join against the dropped set). This is the composition
+    a pretraining ingest actually ships; every stage is the gated
+    operator it reuses."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(
+        docs, num_hashes=16, bands=8, rows_per_band=2, threshold=0.01
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.select("doc_id").join(dropped, "doc_id", "left_anti")

@@ -76,3 +76,69 @@ def test_portable_hash_matches_duckdb(shared_spark, values):
         expr = portable_hash_expr("?", seed="p:")
         got = con.execute(f"SELECT {expr}", [v]).fetchone()[0]
         assert got == h, v
+
+
+class TestAsofJoinProperties:
+    """asof_join must agree with pandas merge_asof (direction='backward',
+    allow_exact_matches=True) on arbitrary keyed event sets, after the
+    documented max-id dedup per (key, ts) on the right side."""
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 100)),
+            min_size=1, max_size=12,
+        ),
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 100)),
+            min_size=1, max_size=12,
+        ),
+    )
+    def test_matches_pandas_merge_asof(self, shared_spark, lrows, rrows):
+        import pandas as pd
+
+        from semantic_ann_in_data_lake_spark.operators.asof import asof_join
+
+        base = dt.datetime(2024, 1, 1)
+        left_pd = pd.DataFrame(
+            {
+                "event_id": range(len(lrows)),
+                "user_id": [k for k, _ in lrows],
+                "ts": [base + dt.timedelta(seconds=s) for _, s in lrows],
+            }
+        )
+        right_pd = (
+            pd.DataFrame(
+                {
+                    "rid": range(1000, 1000 + len(rrows)),
+                    "user_id": [k for k, _ in rrows],
+                    "ts": [base + dt.timedelta(seconds=s) for _, s in rrows],
+                }
+            )
+            # documented dedup: keep max rid per (key, ts)
+            .sort_values("rid")
+            .groupby(["user_id", "ts"], as_index=False)
+            .last()
+        )
+        left = shared_spark.createDataFrame(left_pd)
+        right = shared_spark.createDataFrame(right_pd)
+        got = {
+            r["event_id"]: r["matched_rid"]
+            for r in asof_join(
+                left, right, on="user_id", right_cols=("rid",), right_id="rid"
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            left_pd.sort_values(["ts", "event_id"]),
+            right_pd.sort_values("ts"),
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+            suffixes=("", "_r"),
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.rid) else int(r.rid))
+            for r in want_df.itertuples()
+        }
+        assert got == want

@@ -1,0 +1,110 @@
+"""Lake-wide joinable-column discovery — the reference's headline
+scenario (profile → describe → embed → kNN → candidate join pairs,
+``semlink.py:11-32``) run over the ACTUAL lake tables, not a
+pre-embedded fixture.
+
+Stages (all lazy, one program):
+
+1. ``column_catalog``: per table ONE wide aggregation computing row
+   count, per-column distinct counts and null counts (the profiler's
+   shape — no per-column re-scan), exploded into one row per column
+   with a serialized description string. ``countDistinct`` is the
+   gate-exact tier; swap ``approx_count_distinct`` at 100 TB (same
+   plan shape, documented divergence).
+2. hash-embed the description (`annotate.embedder.hash_embedding_expr`
+   — the deterministic twin of the model embedder, oracle-checkable).
+3. cross-table kNN: column pairs from DIFFERENT tables ranked by
+   squared-L2 over the embeddings (sequential fold semantics, 6-dp
+   rounding, id tie-break — the engine-portable distance discipline).
+
+The column count is O(lake schema), thousands at most — the pair join
+is tiny; all the data-proportional work is stage 1's aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from semantic_ann_in_data_lake_spark.annotate.embedder import hash_embedding_expr
+from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq
+
+
+def column_catalog(
+    spark: SparkSession, sf_dir: str, tables: list[str]
+) -> DataFrame:
+    """One row per (table, column): (col_key, table_name, desc) where
+    desc = 'table.col n=<rows> distinct=<d> nulls=<nulls>'."""
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    outs = []
+    for t in tables:
+        df = read_table(spark, sf_dir, t)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in df.columns:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__d_{c}"))
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__u_{c}")
+            )
+        row = df.agg(*aggs)
+        per_col = [
+            F.struct(
+                F.lit(f"{t}.{c}").alias("col_key"),
+                F.lit(t).alias("table_name"),
+                F.concat(
+                    F.lit(f"{t}.{c} n="),
+                    F.col("__n").cast("string"),
+                    F.lit(" distinct="),
+                    F.col(f"__d_{c}").cast("string"),
+                    F.lit(" nulls="),
+                    F.coalesce(F.col(f"__u_{c}"), F.lit(0)).cast("string"),
+                ).alias("desc"),
+            )
+            for c in df.columns
+        ]
+        outs.append(
+            row.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def discover_joinable_columns(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str],
+    dim: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k nearest cross-table column candidates per column:
+    (query_col, cand_col, distance, rank)."""
+    cat = column_catalog(spark, sf_dir, tables)
+    emb = cat.select(
+        "col_key", "table_name", hash_embedding_expr("desc", dim).alias("e")
+    )
+    a = emb.select(
+        F.col("col_key").alias("query_col"),
+        F.col("table_name").alias("qt"),
+        F.col("e").alias("qe"),
+    )
+    b = emb.select(
+        F.col("col_key").alias("cand_col"),
+        F.col("table_name").alias("ct"),
+        F.col("e").alias("ce"),
+    )
+    pairs = a.join(b, F.col("qt") != F.col("ct")).select(
+        "query_col",
+        "cand_col",
+        F.round(l2_sq("qe", "ce"), 6).alias("distance"),
+    )
+    w = Window.partitionBy("query_col").orderBy(
+        F.col("distance").asc(), F.col("cand_col").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_col", "cand_col", "distance", "rank")
+    )

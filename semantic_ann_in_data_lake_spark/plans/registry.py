@@ -3503,3 +3503,58 @@ def dedup_keep_canonical(spark, sf_dir):
     clusters = dedup.dedup_clusters(pairs)
     dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs.select("doc_id").join(dropped, "doc_id", "left_anti")
+
+
+def _lake_discovery_sql(tables: dict[str, list[str]], dim: int = 16, k: int = 3) -> str:
+    from semantic_ann_in_data_lake_spark.annotate.embedder import hash_embedding_sql
+    from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq_sql
+
+    col_rows = []
+    for t, cols in tables.items():
+        for c in cols:
+            col_rows.append(
+                f"SELECT '{t}.{c}' AS col_key, '{t}' AS table_name, "
+                f"'{t}.{c} n=' || (SELECT count(*) FROM {t})::VARCHAR "
+                f"|| ' distinct=' || (SELECT count(DISTINCT {c}) FROM {t})::VARCHAR "
+                f"|| ' nulls=' || (SELECT sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) "
+                f"FROM {t})::VARCHAR AS \"desc\""
+            )
+    cat = " UNION ALL ".join(col_rows)
+    return f"""
+    WITH cat AS ({cat}),
+    emb AS (SELECT col_key, table_name, {hash_embedding_sql('"desc"', dim)} AS e
+            FROM cat),
+    pairs AS (
+      SELECT a.col_key AS query_col, b.col_key AS cand_col,
+             round({l2_sq_sql('a.e', 'b.e')}, 6) AS distance
+      FROM emb a JOIN emb b ON a.table_name <> b.table_name
+    )
+    SELECT query_col, cand_col, distance, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_col
+                                   ORDER BY distance, cand_col) AS rank
+      FROM pairs
+    ) WHERE rank <= {k}
+    """
+
+
+_LAKE_TABLES = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+}
+
+
+@register("lake_join_discovery", _lake_discovery_sql(_LAKE_TABLES))
+def lake_join_discovery(spark, sf_dir):
+    """The reference's headline scenario over the ACTUAL lake: profile
+    every column of four tables (one wide agg per table), serialize each
+    column description, hash-embed it, and rank top-3 cross-table
+    candidate join columns per column by embedding L2. Fully hash-gated
+    end to end — profiling counts, serialization bytes, embedding
+    components, distances, and ranking all reproduce in the oracle."""
+    from semantic_ann_in_data_lake_spark.operators.discovery import (
+        discover_joinable_columns,
+    )
+
+    return discover_joinable_columns(spark, sf_dir, list(_LAKE_TABLES))

@@ -142,6 +142,7 @@ def bench_queries(spark, sf_dir):
         "q13_order_distribution": from_registry("q13_order_distribution"),
         "q19_disjunctive_revenue": from_registry("q19_disjunctive_revenue"),
         "csv_scan_pricing": csv_scan_pricing,
+        "lake_join_discovery": from_registry("lake_join_discovery"),
     }
 
 

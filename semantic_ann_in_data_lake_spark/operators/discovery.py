@@ -82,9 +82,12 @@ def discover_joinable_columns(
     """Top-k nearest cross-table column candidates per column:
     (query_col, cand_col, distance, rank)."""
     cat = column_catalog(spark, sf_dir, tables)
+    # persist: the embedded catalog feeds BOTH sides of the pair
+    # self-join, and Catalyst does not CSE across join branches — without
+    # this every table is profiled twice (8 scans for 4 tables, observed)
     emb = cat.select(
         "col_key", "table_name", hash_embedding_expr("desc", dim).alias("e")
-    )
+    ).persist()
     a = emb.select(
         F.col("col_key").alias("query_col"),
         F.col("table_name").alias("qt"),

@@ -3537,7 +3537,7 @@ def _lake_discovery_sql(tables: dict[str, list[str]], dim: int = 16, k: int = 3)
     """
 
 
-_LAKE_TABLES = {
+_DISCOVERY_TABLES = {
     "region": ["r_regionkey", "r_name"],
     "nation": ["n_nationkey", "n_name", "n_regionkey"],
     "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
@@ -3545,7 +3545,7 @@ _LAKE_TABLES = {
 }
 
 
-@register("lake_join_discovery", _lake_discovery_sql(_LAKE_TABLES))
+@register("lake_join_discovery", _lake_discovery_sql(_DISCOVERY_TABLES))
 def lake_join_discovery(spark, sf_dir):
     """The reference's headline scenario over the ACTUAL lake: profile
     every column of four tables (one wide agg per table), serialize each
@@ -3557,4 +3557,4 @@ def lake_join_discovery(spark, sf_dir):
         discover_joinable_columns,
     )
 
-    return discover_joinable_columns(spark, sf_dir, list(_LAKE_TABLES))
+    return discover_joinable_columns(spark, sf_dir, list(_DISCOVERY_TABLES))

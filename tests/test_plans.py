@@ -186,3 +186,20 @@ def test_upsert_latest_single_window_no_join(spark, sf_dir):
     # ...with the rank<=1 limit pushed into partial/final group limits
     # (rows drop BEFORE the shuffle, not after ranking)
     assert "WindowGroupLimit" in plan
+
+
+def test_lake_discovery_one_agg_per_table(spark, sf_dir):
+    """Stage 1 must profile each table in ONE wide aggregation (no
+    per-column re-scans): the plan holds exactly one aggregate pair
+    (partial+final) per table scan, and the pair stage joins only
+    schema-sized rows (no data-proportional shuffle join)."""
+    from semantic_ann_in_data_lake_spark.plans import registry
+
+    fn, _ = registry.REGISTRY["lake_join_discovery"]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # the persisted catalog feeds both join sides through the SAME cache
+    # (without the persist each side re-profiled every table: 8 scans
+    # observed for 4 tables). The cached relation's printed subtree
+    # still embeds the parquet scans, so assert the cache reuse itself.
+    assert plan.count("InMemoryTableScan") == 2
+    assert "CartesianProduct" not in plan

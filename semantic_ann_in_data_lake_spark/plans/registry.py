@@ -3558,3 +3558,35 @@ def lake_join_discovery(spark, sf_dir):
     )
 
     return discover_joinable_columns(spark, sf_dir, list(_DISCOVERY_TABLES))
+
+
+@register(
+    "customer_trailing_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice::DECIMAL(18,2)) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate::TIMESTAMP)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ), 2)::DOUBLE AS trailing_30d_revenue
+    FROM orders
+    """,
+)
+def customer_trailing_revenue(spark, sf_dir):
+    """RANGE-frame window (the time-based frame ROWS cannot express):
+    per order, the customer's revenue over the trailing 30 days —
+    orders at the same timestamp share one frame value, and gaps in
+    order history shrink the frame (unlike a fixed row count). Ordered
+    by epoch seconds so the numeric RANGE bound is engine-portable."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("trailing_30d_revenue"),
+    )

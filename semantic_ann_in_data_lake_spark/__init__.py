@@ -14,21 +14,32 @@ Layout
 - ``operators.profiler`` the catalog builder: per-column type/null/length
                          stats, distinct samples, most-common values.
 - ``operators.knn``      the kNN similarity self-join (exact SQL, broadcast
-                         numpy, and LSH physical strategies).
+                         numpy, bucket-LSH and IVF physical strategies;
+                         int8 index compression, k-means|| training).
+- ``operators.asof``     as-of temporal join (one shuffle-sort).
+- ``operators.discovery`` lake-wide joinable-column discovery
+                         (profile -> describe -> embed -> kNN -> rank).
+- ``operators.chunking`` sliding-token-window document chunking.
 - ``operators.evaluation`` P/R/F1 + NDCG@k harness vs. ground-truth pairs.
 - ``operators.pairs``    training-pair building + seeded splits.
 - ``operators.dedup``    exact / MinHash-LSH / SimHash / n-gram-Jaccard /
                          embedding-cosine near-duplicate detection.
 - ``operators.textstats`` language-ID, quality scoring, token counting,
-                         fingerprinting.
+                         fingerprinting, TF-IDF/BM25, repetition filter,
+                         PII scrubbing.
 - ``operators.multimodal`` binary-column (image/audio) plumbing with
                          stubbed decoders.
 - ``functions``          reusable column expressions: portable hashes,
                          vector math, date normalization, serialization.
 - ``annotate``           LLM-annotation stage plumbing with deterministic
                          local fallbacks; corruption + synonym operators.
-- ``streaming``          Structured Streaming extensions (incremental
-                         profiling, rollups) — extension, not parity.
+- ``functions.skew``     salted joins + two-stage skew aggregation.
+- ``streaming``          Structured Streaming extensions: watermarked
+                         rollups (tumbling/sliding), stateful
+                         sessionization, stream-stream interval join,
+                         native + foreachBatch dedup, incremental
+                         embedding / near-dup / materialized rollup —
+                         extension, not parity.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -3590,3 +3590,43 @@ def customer_trailing_revenue(spark, sf_dir):
         .cast("double")
         .alias("trailing_30d_revenue"),
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(t_view)::BIGINT AS n_view,
+           sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)::BIGINT
+             AS n_view_then_click,
+           sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+                    THEN 1 ELSE 0 END)::BIGINT AS n_full_funnel
+    FROM f
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel: users who viewed, then clicked AFTER the first
+    view, then purchased AFTER that first click — the classic
+    sequence-constrained conversion count. One conditional-min
+    aggregation per user (map-side partial) + one global roll-up; no
+    joins, no per-step scans."""
+    e = _t(spark, sf_dir, "events")
+    m = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    f = e.groupBy("user_id").agg(
+        m("view").alias("t_view"),
+        m("click").alias("t_click"),
+        m("purchase").alias("t_purchase"),
+    )
+    step2 = F.col("t_click") > F.col("t_view")
+    step3 = step2 & (F.col("t_purchase") > F.col("t_click"))
+    return f.agg(
+        F.count("t_view").alias("n_view"),
+        F.sum(F.when(step2, 1).otherwise(0)).alias("n_view_then_click"),
+        F.sum(F.when(step3, 1).otherwise(0)).alias("n_full_funnel"),
+    )

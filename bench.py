@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from semantic_ann_in_data_lake_spark.cache import (  # noqa: E402
+    cache_scope,
+    scoped_persist,
+)
 from semantic_ann_in_data_lake_spark.operators import dedup  # noqa: E402
 from semantic_ann_in_data_lake_spark.operators.knn import knn_join  # noqa: E402
 from semantic_ann_in_data_lake_spark.plans import pipeline, registry  # noqa: E402
@@ -67,10 +71,12 @@ def bench_queries(spark, sf_dir):
         )
 
         d = read_table(spark, sf_dir, "documents")
-        emb = d.select(
-            FF.col("doc_id").alias("vec_id"),
-            hash_embedding_expr("text", 8).alias("embedding"),
-        ).persist()
+        emb = scoped_persist(
+            d.select(
+                FF.col("doc_id").alias("vec_id"),
+                hash_embedding_expr("text", 8).alias("embedding"),
+            )
+        )
         return knn_join(emb, emb, k=3, metric="cosine", strategy="broadcast")
 
     def chunk_docs_bench():
@@ -180,10 +186,14 @@ def main():
 
     timings: dict[str, float] = {}
     for name, make in bench_queries(spark, sf_dir).items():
-        t0 = time.time()
-        df = make()
-        n = df.count()  # force full execution
-        timings[name] = round(time.time() - t0, 3)
+        # cache_scope: operators that persist multi-branch subtrees
+        # release their blocks after each query's action, so repeated
+        # bench runs in one session can't accumulate cached partitions
+        with cache_scope():
+            t0 = time.time()
+            df = make()
+            n = df.count()  # force full execution
+            timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -61,13 +61,23 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    # The whole right payload travels as ONE struct so that every
+    # matched_* field comes from the SAME right row: carrying columns
+    # independently with last(ignorenulls=True) would backfill a NULL
+    # payload field from an OLDER right row while matched_ts came from
+    # the newer one (a struct is non-null even when its fields are null).
+    # Positional field names (__c{i}) sidestep collisions when
+    # right_cols contains right_ts itself.
+    payload = F.struct(
+        F.col(right_ts).alias("__mt"),
+        *[F.col(c).alias(f"__c{i}") for i, c in enumerate(right_cols)],
+    )
     rsel = right.select(
         F.col(on).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(right_ts).alias("__r_ts"),
         (F.col(right_id) if right_id is not None else F.lit(0)).alias("__r_id"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        payload.alias("__r"),
     )
     lsel = left.select(
         "*",
@@ -81,31 +91,23 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__r_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        "*",
-        F.last("__r_ts", ignorenulls=True).over(w).alias("matched_ts"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"matched_{c}")
-            for c in right_cols
-        ],
-    )
+    carried = u.select("*", F.last("__r", ignorenulls=True).over(w).alias("__m"))
     out = carried.where(F.col("__side") == 1)
     if tolerance_us is not None:
+        # Null out the WHOLE matched struct when stale, so an
+        # out-of-tolerance row cannot leak individual payload fields.
         in_tol = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("matched_ts"))
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__mt"))
         ) <= F.lit(tolerance_us)
-        keep = F.when(in_tol, True).otherwise(False)
-        out = out.select(
-            *[c for c in out.columns if not c.startswith("matched_")],
-            *[
-                F.when(keep, F.col(c)).alias(c)
-                for c in out.columns
-                if c.startswith("matched_")
-            ],
-        )
+        out = out.withColumn("__m", F.when(in_tol, F.col("__m")))
+    out = out.select(
+        "*",
+        F.col("__m.__mt").alias("matched_ts"),
+        *[
+            F.col(f"__m.__c{i}").alias(f"matched_{c}")
+            for i, c in enumerate(right_cols)
+        ],
+    )
     if how == "inner":
-        out = out.where(F.col("matched_ts").isNotNull())
-    drop = ["__key", "__ts", "__side", "__r_ts", "__r_id"] + [
-        f"__r_{c}" for c in right_cols
-    ]
-    return out.drop(*drop)
+        out = out.where(F.col("__m").isNotNull())
+    return out.drop("__key", "__ts", "__side", "__r_id", "__r", "__m")

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from semantic_ann_in_data_lake_spark.cache import scoped_persist
 from semantic_ann_in_data_lake_spark.functions.hashing import (
     fast_hash64,
     portable_hash64,
@@ -197,7 +198,7 @@ def minhash_near_dups(
     # shingling+hashing re-executes at every plan site (measured 100×
     # slowdown at sf0.1). At cluster scale this is a checkpointed
     # signature table (write once, reuse across dedup runs).
-    sigs = sigs.persist()
+    sigs = scoped_persist(sigs)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band, hash_portable)
     sh = sigs.select("doc_id", "shingles")
     return (
@@ -330,6 +331,15 @@ def simhash_near_dups(
     tokenize→agg producing them runs once, not once per side (Catalyst
     does not CSE across self-join branches).
     """
+    if max_hamming + 1 > bits:
+        # max_hamming >= bits makes EVERY pair a match (any two codes
+        # differ in <= bits positions) — and divmod would yield
+        # zero-width segments whose val is 0 for all codes, silently
+        # degenerating the equi-join to the full cartesian.
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bits={bits}: every pair matches; "
+            "a near-dup threshold this loose is a cartesian by definition"
+        )
     if not banded:
         a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
         b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
@@ -343,7 +353,7 @@ def simhash_near_dups(
             .where(F.col("hamming") <= max_hamming)
         )
 
-    sim = sim.select("doc_id", "simhash").persist()
+    sim = scoped_persist(sim.select("doc_id", "simhash"))
     segs = _pigeonhole_segments(bits, max_hamming + 1)
     seg_structs = F.array(
         *[
@@ -444,17 +454,15 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     ``pairs``: (id_a, id_b) undirected near-dup edges (e.g. from
     :func:`..dedup.minhash_near_dups`).
     """
-    edges = (
+    edges = scoped_persist(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .persist()
     )
-    labels = (
+    labels = scoped_persist(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("lbl"))
-        .persist()
     )
     total = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
@@ -463,7 +471,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        new_labels = scoped_persist(
             labels.join(neigh, labels.id == neigh.src, "left")
             .select(
                 "id",
@@ -471,7 +479,6 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     "lbl"
                 ),
             )
-            .persist()
         )
         new_total = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels.unpersist()

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from semantic_ann_in_data_lake_spark.annotate.embedder import hash_embedding_expr
+from semantic_ann_in_data_lake_spark.cache import scoped_persist
 from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq
 
 
@@ -85,9 +86,11 @@ def discover_joinable_columns(
     # persist: the embedded catalog feeds BOTH sides of the pair
     # self-join, and Catalyst does not CSE across join branches — without
     # this every table is profiled twice (8 scans for 4 tables, observed)
-    emb = cat.select(
-        "col_key", "table_name", hash_embedding_expr("desc", dim).alias("e")
-    ).persist()
+    emb = scoped_persist(
+        cat.select(
+            "col_key", "table_name", hash_embedding_expr("desc", dim).alias("e")
+        )
+    )
     a = emb.select(
         F.col("col_key").alias("query_col"),
         F.col("table_name").alias("qt"),

@@ -160,8 +160,14 @@ def upsert_latest(
     tiebreak_col: str | None = None,
 ):
     """Batch MERGE/upsert: one row per key — the highest ``version_col``
-    across target ∪ updates (``tiebreak_col`` desc breaks version ties;
-    defaults to the first key).
+    across target ∪ updates. Version ties resolve deterministically:
+    updates beat target (MERGE "WHEN MATCHED UPDATE" semantics), then
+    ``tiebreak_col`` desc when given. A key column is NOT a valid
+    tiebreak (constant within its own partition — would leave ties to
+    partition order), so passing one raises. Duplicate (key, version)
+    rows WITHIN ``updates`` remain ambiguous — pass a genuinely
+    distinguishing ``tiebreak_col`` (ingest ordinal, source file) if
+    your update feed can contain them.
 
     The plain-parquet form of Delta/Iceberg MERGE INTO for
     full-snapshot maintenance: a union plus ONE window over the key
@@ -173,13 +179,20 @@ def upsert_latest(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    tb = tiebreak_col or keys[0]
-    u = target.unionByName(updates)
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(version_col).desc(), F.col(tb).desc()
+    if tiebreak_col in keys:
+        raise ValueError(
+            f"tiebreak_col {tiebreak_col!r} is a key column — constant within "
+            "every key partition, so it cannot break version ties"
+        )
+    u = target.withColumn("__origin", F.lit(0)).unionByName(
+        updates.withColumn("__origin", F.lit(1))
     )
+    order = [F.col(version_col).desc(), F.col("__origin").desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         u.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__origin")
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from semantic_ann_in_data_lake_spark.cache import scoped_persist
 from semantic_ann_in_data_lake_spark.operators.evaluation import (
     _canonical,
     ndcg_at_k,
@@ -91,7 +92,7 @@ def grid_evaluate_discovery(
     # persist: the kNN subtree feeds BOTH the pair-confusion branch and
     # the NDCG branch of the one final plan — without it Catalyst
     # executes the kNN twice (no cross-branch CSE).
-    knn = knn_join(emb, emb, k=k_max, strategy=strategy).persist()
+    knn = scoped_persist(knn_join(emb, emb, k=k_max, strategy=strategy))
     truth = label_truth_pairs(emb)
     sym = symmetric_truth(truth, "id_a", "id_b")
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from semantic_ann_in_data_lake_spark.cache import scoped_persist
 from semantic_ann_in_data_lake_spark.functions.vectors import (
     cosine_sim_sql,
     l2_sq_sql,
@@ -1344,7 +1345,8 @@ def semantic_search_docs(spark, sf_dir):
     emb = d.select(
         F.col("doc_id").alias("vec_id"),
         hash_embedding_expr("text", 8).alias("embedding"),
-    ).persist()  # materialize: Catalyst would otherwise inline the
+    )
+    emb = scoped_persist(emb)  # materialize: Catalyst would otherwise inline the
     # 8-way md5 embedding expression on BOTH sides of the kNN join and
     # re-evaluate it per PAIR (measured 280s of a 363s sf0.1 run)
     return knn_join(emb, emb, k=3, metric="cosine", strategy="exact")

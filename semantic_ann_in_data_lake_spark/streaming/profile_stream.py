@@ -15,6 +15,7 @@ re-deliveries never re-embed (cache-or-compute S9, streamed).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -130,7 +131,10 @@ def incremental_dedup_foreach_batch(docs_stream: DataFrame, sink_path: str,
         try:
             seen = spark.read.parquet(sink_path).select("text_hash").distinct()
             fresh = firsts.join(seen, "text_hash", "left_anti")
-        except Exception:  # first batch: sink does not exist yet
+        except AnalysisException:  # first batch: sink does not exist yet
+            # Only PATH_NOT_FOUND-class errors mean "first batch" —
+            # transient read failures must propagate so the batch
+            # retries instead of silently re-appending duplicates.
             fresh = firsts
         fresh.write.mode("append").parquet(sink_path)
 
@@ -207,12 +211,12 @@ def incremental_neardup_foreach_batch(
                 )
             )
             pairs = in_batch.unionByName(cross).distinct()
-        except Exception:  # first batch: no band history yet
+        except AnalysisException:  # first batch: no band history yet
             pairs = in_batch.distinct()
         try:
             seen_pairs = spark.read.parquet(pairs_path)
             pairs = pairs.join(seen_pairs, ["id_a", "id_b"], "left_anti")
-        except Exception:
+        except AnalysisException:  # first batch: no pairs sink yet
             pass
         pairs.write.mode("append").parquet(pairs_path)
         banded.write.mode("append").parquet(bands_path)

@@ -642,6 +642,63 @@ def test_simhash_banded_equals_bruteforce(spark, sf_dir):
         assert len(bset) > 0 or mh == 2  # fixture sanity
 
 
+def test_simhash_near_dups_degenerate_threshold_raises(spark):
+    """max_hamming >= bits means every pair matches — the banding would
+    silently produce zero-width segments (a full cartesian); must raise."""
+    import pytest
+
+    from semantic_ann_in_data_lake_spark.operators import dedup
+
+    sim = spark.createDataFrame([(1, 5), (2, 9)], ["doc_id", "simhash"])
+    with pytest.raises(ValueError, match="every pair matches"):
+        dedup.simhash_near_dups(sim, max_hamming=32, bits=32)
+    with pytest.raises(ValueError, match="every pair matches"):
+        dedup.simhash_near_dups(sim, max_hamming=40, bits=32, banded=False)
+
+
+def test_upsert_latest_version_tie_updates_win(spark):
+    """On a version tie between target and updates, the UPDATES row wins
+    (MERGE WHEN MATCHED semantics) — deterministically, not by
+    partition order; a key column is rejected as tiebreak."""
+    import pytest
+
+    from semantic_ann_in_data_lake_spark.operators.pairs import upsert_latest
+
+    target = spark.createDataFrame(
+        [(1, 3, "old"), (2, 1, "keep")], ["k", "version", "payload"]
+    )
+    updates = spark.createDataFrame([(1, 3, "new")], ["k", "version", "payload"])
+    out = {r["k"]: r["payload"] for r in upsert_latest(target, updates, ["k"], "version").collect()}
+    assert out == {1: "new", 2: "keep"}
+
+    with pytest.raises(ValueError, match="key column"):
+        upsert_latest(target, updates, ["k"], "version", tiebreak_col="k")
+
+    # explicit tiebreak still ranks above origin within the same side
+    u2 = spark.createDataFrame(
+        [(1, 3, "a"), (1, 3, "z")], ["k", "version", "payload"]
+    )
+    out2 = upsert_latest(target, u2, ["k"], "version", tiebreak_col="payload")
+    assert {r["k"]: r["payload"] for r in out2.collect()}[1] == "z"
+
+
+def test_cache_scope_releases_blocks(spark):
+    """scoped_persist inside cache_scope must unpersist on exit; outside
+    a scope the caller owns the cache."""
+    from semantic_ann_in_data_lake_spark.cache import cache_scope, scoped_persist
+
+    with cache_scope():
+        df = scoped_persist(spark.range(10))
+        assert df.count() == 10
+        assert df.storageLevel.useMemory
+    assert not df.storageLevel.useMemory  # released at scope exit
+
+    outside = scoped_persist(spark.range(5))
+    assert outside.count() == 5
+    assert outside.storageLevel.useMemory
+    outside.unpersist()
+
+
 def test_embedding_near_dups_ann_recall(spark, sf_dir):
     """The ANN scale tier of embedding_near_dups: every emitted pair is
     exact-verified (precision 1.0) and recall vs the O(n^2) baseline
@@ -823,6 +880,65 @@ def test_asof_join_equal_ts_tiebreak(spark):
         left, right, on="user_id", right_cols=("rid",), right_id="rid"
     ).collect()
     assert out[0]["matched_rid"] == 22
+
+
+def test_asof_join_null_payload_not_backfilled(spark):
+    """All matched_* fields must come from the SAME right row: a NULL
+    payload on the matched row stays NULL (pandas merge_asof / DuckDB
+    ASOF semantics) instead of being backfilled from an older right row
+    — the bug carrying columns independently would produce."""
+    from semantic_ann_in_data_lake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01 10:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (21, 7, "older-value", _ts("2024-01-01 09:00:00")),
+            (22, 7, None, _ts("2024-01-01 09:30:00")),  # matched row, NULL val
+        ],
+        ["rid", "user_id", "val", "ts"],
+    )
+    out = asof_join(
+        left, right, on="user_id", right_cols=("rid", "val"), right_id="rid"
+    ).collect()[0]
+    assert out["matched_rid"] == 22
+    assert out["matched_val"] is None  # NOT "older-value"
+
+    # tolerance compounds the old bug: the in-tolerance matched row's
+    # NULL field must not leak a value from an OUT-of-tolerance row
+    tol = asof_join(
+        left,
+        right.where(F.col("rid") != 21).unionByName(
+            spark.createDataFrame(
+                [(20, 7, "stale", _ts("2024-01-01 08:00:00"))],
+                ["rid", "user_id", "val", "ts"],
+            )
+        ),
+        on="user_id",
+        right_cols=("rid", "val"),
+        right_id="rid",
+        tolerance_us=45 * 60 * 1_000_000,
+    ).collect()[0]
+    assert tol["matched_rid"] == 22 and tol["matched_val"] is None
+
+
+def test_asof_join_right_cols_containing_ts(spark):
+    """right_cols may include the right timestamp column itself —
+    positional struct field names avoid the collision."""
+    from semantic_ann_in_data_lake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01 10:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(21, 7, _ts("2024-01-01 09:00:00"))], ["rid", "user_id", "ts"]
+    )
+    out = asof_join(
+        left, right, on="user_id", right_cols=("ts", "rid"), right_id="rid"
+    ).collect()[0]
+    assert out["matched_rid"] == 21
+    assert out["matched_ts"] == _ts("2024-01-01 09:00:00")
 
 
 def test_asof_join_single_shuffle_plan(spark):

@@ -1,0 +1,182 @@
+"""Invariant projections for the approximate tier — the oracle-gateable
+contracts of operators whose full results are approximate by design.
+
+The driver's correctness gate compares a Spark result against a DuckDB
+oracle by row count + schema + value multiset. An ANN result set cannot
+be equality-gated (which pairs surface depends on bucketing), but the
+reference's own ANN contract (``DeepJoin/annIndex.py:21-40``: HNSW
+returns approximate *neighbors* with exact *distances*) is still
+checkable: every returned pair's distance must equal the exact distance
+recomputed independently from the raw vectors, ranks must be consecutive
+and monotone in distance, self-pairs must be excluded, and near-dup
+pairs must genuinely clear the τ threshold.
+
+Each function here returns the VIOLATIONS of those invariants — a
+DataFrame that is empty iff the contract holds — so the oracle is simply
+``SELECT … WHERE FALSE`` with the same schema, and the driver's
+rows+schema+hash gate becomes a real distributed property check (a
+non-empty result fails the row-count compare and surfaces the violating
+rows). Recall floors (how MUCH of the exact answer the approximation
+finds) stay in pytest (`tests/test_operators.py`), where a measured
+threshold belongs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from semantic_ann_in_data_lake_spark.functions.vectors import cosine_sim, l2_sq
+
+#: |reported − round(expected, 6)| above this is a violation. The numpy
+#: paths compute distances via the BLAS expansion ‖q‖²−2q·c+‖c‖² which
+#: sums in a different order than the declarative per-element fold used
+#: for the recomputation, so values within ~1 ulp of a 6-dp rounding
+#: boundary may legitimately round one step apart (knn.py module
+#: docstring); one rounding step of slack keeps the check honest without
+#: gating on float-summation order.
+DIST_TOL = 1.5e-6
+
+
+def knn_invariant_violations(
+    knn: DataFrame,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2_sq",
+    round_dp: int = 6,
+    tol: float = DIST_TOL,
+) -> DataFrame:
+    """Violations of the kNN result contract for ``knn`` (any strategy)
+    over source vectors ``emb``: returns (query_id, cand_id, reported,
+    expected, violation), EMPTY iff the contract holds.
+
+    Checked invariants (`operators/knn.py` return contract):
+    - ``distance`` equals the exact metric recomputed from the raw
+      vectors (within one 6-dp rounding step — see :data:`DIST_TOL`);
+    - no self pairs (``exclude_self=True`` paths);
+    - ``rank`` is consecutive 1..n per query;
+    - ``distance`` is monotone along rank (asc for l2_sq, desc for
+      cosine) — ties must break by ``cand_id`` ascending.
+    """
+    qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv"))
+    cv = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("__cv"))
+    j = knn.join(qv, "query_id").join(cv, "cand_id")
+    if metric == "l2_sq":
+        expected = l2_sq("__qv", "__cv")
+        worse = F.col("reported") < F.col("__prev_d")  # asc order
+    elif metric == "cosine":
+        expected = cosine_sim("__qv", "__cv")
+        worse = F.col("reported") > F.col("__prev_d")  # desc order
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    flagged = j.select(
+        "query_id",
+        "cand_id",
+        F.col("distance").alias("reported"),
+        F.round(expected, round_dp).alias("expected"),
+        "rank",
+        F.lag("rank").over(w).alias("__prev_r"),
+        F.lag("distance").over(w).alias("__prev_d"),
+        F.lag("cand_id").over(w).alias("__prev_c"),
+    )
+    tie_broken_wrong = (F.col("reported") == F.col("__prev_d")) & (
+        F.col("cand_id") < F.col("__prev_c")
+    )
+    violation = (
+        F.when(F.abs(F.col("reported") - F.col("expected")) > tol, "distance")
+        .when(F.col("query_id") == F.col("cand_id"), "self_pair")
+        .when(F.coalesce(F.col("__prev_r"), F.lit(0)) != F.col("rank") - 1, "rank_gap")
+        .when(worse | tie_broken_wrong, "rank_order")
+    )
+    return (
+        flagged.withColumn("violation", violation)
+        .where(F.col("violation").isNotNull())
+        .select("query_id", "cand_id", "reported", "expected", "violation")
+    )
+
+
+def near_dup_invariant_violations(
+    pairs: DataFrame,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.3,
+    round_dp: int = 6,
+    tol: float = DIST_TOL,
+) -> DataFrame:
+    """Violations of the embedding near-dup contract for ``pairs``
+    (id_a, id_b, cosine) from any strategy of
+    :func:`..dedup.embedding_near_dups`: empty iff every emitted pair is
+    canonical (id_a < id_b), genuinely clears τ, and carries the exact
+    cosine recomputed from the raw vectors — i.e. the ANN tier's
+    precision really is 1.0 even though its recall is not.
+    """
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__vb"))
+    j = pairs.join(va, "id_a").join(vb, "id_b")
+    expected = F.round(cosine_sim("__va", "__vb"), round_dp)
+    violation = (
+        F.when(F.col("id_a") >= F.col("id_b"), "not_canonical")
+        .when(F.abs(F.col("cosine") - expected) > tol, "cosine")
+        .when(F.col("cosine") < tau - tol, "below_tau")
+    )
+    return (
+        j.select(
+            "id_a", "id_b", F.col("cosine").alias("reported"),
+            expected.alias("expected"),
+            violation.alias("violation"),
+        )
+        .where(F.col("violation").isNotNull())
+    )
+
+
+def approx_distinct_bound_violations(
+    df: DataFrame,
+    table_name: str,
+    rel_bound: float = 0.15,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Violations of the HLL++ accuracy contract of
+    :func:`..profiler.profile_approx_distinct`: per column, the sketch
+    estimate must lie within ``rel_bound`` of the exact distinct count.
+    Empty iff every column's estimate is in bounds.
+
+    ``rel_bound`` = 3× the sketch's ``rsd`` (a deterministic sketch on a
+    fixed dataset either passes or fails reproducibly — measured max
+    relative error on the test lake is ~0.04 at rsd 0.05). Exact counts
+    ride ONE wide aggregation (Spark plans multi-distinct via expand),
+    so the check is a scan + two aggs regardless of column count.
+    """
+    from semantic_ann_in_data_lake_spark.operators.profiler import (
+        profile_approx_distinct,
+    )
+
+    cols = df.columns
+    exact_wide = df.agg(
+        *[F.countDistinct(F.col(c)).alias(f"{c}__exact") for c in cols]
+    )
+    exact = exact_wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"{c}__exact").alias("exact_n_distinct"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    approx = profile_approx_distinct(df, table_name, rsd)
+    j = approx.join(exact, "column_name")
+    rel_err = F.abs(F.col("approx_n_distinct") - F.col("exact_n_distinct")) / F.greatest(
+        F.col("exact_n_distinct"), F.lit(1)
+    )
+    return j.select(
+        "table_name", "column_name", "approx_n_distinct", "exact_n_distinct",
+        F.round(rel_err, 6).alias("rel_err"),
+    ).where(rel_err > rel_bound)

@@ -717,7 +717,9 @@ def embedding_near_dups_ann(spark, sf_dir):
     from the LSH-bucketed cosine kNN instead of the O(n²) self-join;
     every emitted pair is exact-cosine verified (precision 1.0), recall
     ~0.8 vs the exact tier at default knobs (measured; see
-    test_embedding_near_dups_ann_recall) — rows-only by design."""
+    test_embedding_near_dups_ann_recall) — rows-only by design; the
+    precision-1.0 contract is hash-gated by
+    `embedding_near_dups_ann_distcheck`."""
     return dedup.embedding_near_dups(
         _t(spark, sf_dir, "embeddings"), tau=0.3, strategy="lsh", k=20
     )
@@ -1410,9 +1412,90 @@ def semantic_search_docs(spark, sf_dir):
 @register("knn_lsh_l2", None)
 def knn_lsh_l2(spark, sf_dir):
     """Approximate kNN via BucketedRandomProjectionLSH — rows-only
-    (approximation is judged by the P/R/NDCG harness, not equality)."""
+    (approximation is judged by the P/R/NDCG harness, not equality).
+    The result CONTRACT is hash-gated by `knn_lsh_l2_distcheck`."""
     emb = _t(spark, sf_dir, "embeddings")
     return knn_join(emb, emb, k=5, strategy="lsh")
+
+
+# --- invariant gates for the approximate tier ----------------------------
+# An ANN result set can't be equality-gated (which pairs surface depends
+# on bucketing), but its CONTRACT can (annIndex.py:21-40: approximate
+# neighbors, exact distances): each *_distcheck query returns the
+# violations of that contract — distances must equal an independent
+# exact recomputation, ranks consecutive and monotone, no self pairs,
+# near-dup pairs genuinely over τ. The oracle is the empty relation, so
+# the driver's rows+schema+hash gate becomes a distributed property
+# check; recall floors stay in pytest where measured thresholds belong.
+
+_KNN_CHECK_EMPTY_SQL = """
+    SELECT 0::BIGINT AS query_id, 0::BIGINT AS cand_id,
+           0.0 AS reported, 0.0 AS expected, '' AS violation
+    WHERE FALSE
+"""
+
+
+@register("knn_lsh_l2_distcheck", _KNN_CHECK_EMPTY_SQL)
+def knn_lsh_l2_distcheck(spark, sf_dir):
+    """Contract gate for `knn_lsh_l2`: empty iff every LSH-returned
+    neighbor carries the exact L2² distance and a consistent rank."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return checks.knn_invariant_violations(
+        knn_join(emb, emb, k=5, strategy="lsh"), emb, metric="l2_sq"
+    )
+
+
+@register("knn_ivf_l2_distcheck", _KNN_CHECK_EMPTY_SQL)
+def knn_ivf_l2_distcheck(spark, sf_dir):
+    """Contract gate for `knn_ivf_l2`: empty iff every IVF-returned
+    neighbor carries the exact L2² distance and a consistent rank."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return checks.knn_invariant_violations(
+        knn_join(emb, emb, k=5, strategy="ivf"), emb, metric="l2_sq"
+    )
+
+
+@register(
+    "embedding_near_dups_ann_distcheck",
+    """
+    SELECT 0::BIGINT AS id_a, 0::BIGINT AS id_b,
+           0.0 AS reported, 0.0 AS expected, '' AS violation
+    WHERE FALSE
+    """,
+)
+def embedding_near_dups_ann_distcheck(spark, sf_dir):
+    """Contract gate for `embedding_near_dups_ann`: empty iff every
+    ANN-emitted near-dup pair is canonical, genuinely clears τ=0.3, and
+    carries the exact cosine — precision 1.0, hash-checked."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dups(emb, tau=0.3, strategy="lsh", k=20)
+    return checks.near_dup_invariant_violations(pairs, emb, tau=0.3)
+
+
+@register(
+    "profile_approx_distinct_bounds",
+    """
+    SELECT '' AS table_name, '' AS column_name, 0::BIGINT AS approx_n_distinct,
+           0::BIGINT AS exact_n_distinct, 0.0 AS rel_err
+    WHERE FALSE
+    """,
+)
+def profile_approx_distinct_bounds(spark, sf_dir):
+    """Accuracy gate for `profile_approx_distinct`: empty iff every
+    column's HLL++ estimate lies within 15% (3× rsd) of the exact
+    distinct count — deterministic on a fixed dataset, so the bound
+    either holds reproducibly or fails loudly."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    return checks.approx_distinct_bound_violations(
+        _t(spark, sf_dir, "orders"), "orders"
+    )
 
 
 @register(
@@ -1672,7 +1755,8 @@ def profile_lake_core(spark, sf_dir):
 @register("knn_ivf_l2", None)
 def knn_ivf_l2(spark, sf_dir):
     """Strategy (d): IVF-partitioned approximate kNN — rows-only
-    (recall judged by tests/bench, distances exact-metric where found)."""
+    (recall judged by tests/bench); the distance/rank CONTRACT is
+    hash-gated by `knn_ivf_l2_distcheck`."""
     emb = _t(spark, sf_dir, "embeddings")
     return knn_join(emb, emb, k=5, strategy="ivf")
 
@@ -1900,7 +1984,8 @@ def corrupt3_swap(spark, sf_dir):
 @register("profile_approx_distinct", None)
 def profile_approx_distinct_q(spark, sf_dir):
     """Sketch-based distinct counts (HLL++) — rows-only: sketch
-    implementations differ across engines; accuracy asserted in tests."""
+    implementations differ across engines; the accuracy bound is
+    hash-gated by `profile_approx_distinct_bounds` (3×rsd vs exact)."""
     return profiler.profile_approx_distinct(_t(spark, sf_dir, "orders"), "orders")
 
 

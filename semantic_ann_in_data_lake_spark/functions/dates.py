@@ -38,6 +38,18 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
+
+    Spark 4.1 restricts ``unix_micros()`` to TIMESTAMP_LTZ, but parquet
+    written with ``isAdjustedToUTC=false`` reads as TIMESTAMP_NTZ. The
+    NTZ→LTZ cast interprets the wall-clock in the session timezone —
+    exact and DST-free because the session pins
+    ``spark.sql.session.timeZone=UTC`` (session.py); for LTZ input the
+    cast is a no-op."""
+    return F.unix_micros(_c(col).cast("timestamp"))
+
+
 def parse_date_multi(col: Column | str) -> Column:
     """Best-effort parse of a messy date string → DATE (null if hopeless)."""
     s = F.trim(_c(col))

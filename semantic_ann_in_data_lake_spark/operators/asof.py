@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from semantic_ann_in_data_lake_spark.functions.dates import epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -97,7 +99,7 @@ def asof_join(
         # Null out the WHOLE matched struct when stale, so an
         # out-of-tolerance row cannot leak individual payload fields.
         in_tol = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__mt"))
+            epoch_us(F.col("__ts")) - epoch_us(F.col("__m.__mt"))
         ) <= F.lit(tolerance_us)
         out = out.withColumn("__m", F.when(in_tol, F.col("__m")))
     out = out.select(

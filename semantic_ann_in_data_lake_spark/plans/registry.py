@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from semantic_ann_in_data_lake_spark.cache import scoped_persist
+from semantic_ann_in_data_lake_spark.functions.dates import epoch_us
 from semantic_ann_in_data_lake_spark.functions.vectors import (
     cosine_sim_sql,
     l2_sq_sql,
@@ -2746,7 +2747,7 @@ def asof_join_events(spark, sf_dir):
         "ts",
         F.col("matched_view_event_id").alias("view_event_id"),
         F.col("matched_ts").alias("view_ts"),
-        (F.unix_micros("ts") - F.unix_micros("matched_ts")).alias("gap_us"),
+        (epoch_us("ts") - epoch_us("matched_ts")).alias("gap_us"),
     )
 
 
@@ -3115,6 +3116,384 @@ def q22_idle_customers(spark, sf_dir):
     return idle.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H remainder — q2/q9/q11/q16/q20 shapes (completes the 22).
+#
+# The testdata lake carries no partsupp table, so a deterministic
+# partsupp-equivalent is derived IDENTICALLY on both engines from
+# lineitem's (part, supplier) pairs: ps_supplycost = min unit price ever
+# charged (rounded to 4 dp — exact thereafter), ps_availqty = total
+# quantity ever shipped (integer-valued double, exact). What these five
+# exercise is the DECORRELATION shapes nothing else in the registry
+# covers: q2's correlated scalar-min subquery, q9's multi-way
+# fact/derived-dim profit rollup, q11's scalar-aggregate HAVING, q16's
+# NOT-IN anti-join under count-distinct, q20's nested semi-join chain.
+# ---------------------------------------------------------------------------
+
+_PS_CTE = """ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             round(min(l_extendedprice / l_quantity), 4) AS ps_supplycost,
+             sum(l_quantity) AS ps_availqty
+      FROM lineitem
+      GROUP BY 1, 2
+    )"""
+
+
+def _derived_partsupp(spark, sf_dir):
+    """lineitem → (ps_partkey, ps_suppkey, ps_supplycost, ps_availqty).
+
+    One hash aggregate on (partkey, suppkey); both derived measures are
+    order-independent (min of per-row IEEE divisions; sum of
+    integer-valued quantities), so the relation is bit-identical across
+    engines and partitionings."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
+            .alias("ps_supplycost"),
+            F.sum("l_quantity").alias("ps_availqty"),
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH {_PS_CTE},
+    eligible AS (
+      SELECT ps_partkey, ps_supplycost, s_name, s_acctbal, n_name
+      FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    mn AS (
+      SELECT ps_partkey AS m_partkey, min(ps_supplycost) AS min_cost
+      FROM eligible GROUP BY 1
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           ps_supplycost AS supply_cost
+    FROM eligible
+    JOIN mn ON ps_partkey = m_partkey AND ps_supplycost = min_cost
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_size = 3 AND p_type = 'STANDARD'
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest EUROPE supplier per STANDARD size-3
+    part. The reference pattern is the correlated scalar-min subquery
+    (cost = MIN(cost) over the same part, region-restricted); here it
+    decorrelates to a per-part min aggregate joined back on
+    (part, rounded-exact cost). Supplier×nation×region is tiny →
+    broadcast; eligible→mn are co-keyed on ps_partkey so the join
+    reuses the aggregate's partitioning. Ref: SURVEY §2.3 J-family."""
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = _derived_partsupp(spark, sf_dir).join(
+        F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    mn = eligible.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    parts = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") == 3) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        eligible.join(
+            mn,
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(parts, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost").alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    WITH psq AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(round(min(l_extendedprice / l_quantity) * 10000, 0)
+                  AS BIGINT) AS cost_e4
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT n_name AS nation, year(l_shipdate)::INT AS o_year,
+             CAST(sum((l_extendedprice::DECIMAL(18,2)
+                        * (1 - l_discount::DECIMAL(18,2))) * 10000) AS BIGINT)
+               - sum(cost_e4 * CAST(l_quantity AS BIGINT)) AS profit_e4
+      FROM lineitem
+      JOIN psq ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%gear%'
+      GROUP BY 1, 2
+    )
+    SELECT nation, o_year,
+           (CASE WHEN profit_e4 >= 0
+                 THEN CAST(floor((profit_e4 + 50) / 100) AS BIGINT)
+                 ELSE -CAST(floor((-profit_e4 + 50) / 100) AS BIGINT)
+            END) / 100.0 AS sum_profit
+    FROM j
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit on 'gear' parts by supplier nation and
+    ship year. Every intermediate is EXACT: the derived unit cost is a
+    BIGINT in 1e-4-dollar units (rounding the same IEEE double in both
+    engines), revenue accumulates in DECIMAL scaled to the same units,
+    and the final cents rounding is explicit half-away-from-zero integer
+    arithmetic — a double→DECIMAL(18,4) cast of the cost diverged
+    between engines by one unit in the last place, which a decimal SUM
+    then amplified to visible cents. part filter and supplier×nation
+    broadcast; the data-sized shuffles are the ps aggregate and the
+    (nation, year) rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    psq = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 10000, 0)
+        .cast("bigint")
+        .alias("cost_e4")
+    )
+    sup = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    parts = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    dec2 = lambda col: F.col(col).cast("decimal(18,2)")
+    rev_e4 = (dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))) * F.lit(
+        10000
+    )
+    cost_term = F.col("cost_e4") * F.col("l_quantity").cast("bigint")
+    j = (
+        li.join(parts, li.l_partkey == F.col("p_partkey"))
+        .join(
+            psq,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(rev_e4).cast("bigint") - F.sum(cost_term)
+            ).alias("profit_e4")
+        )
+    )
+    p = F.col("profit_e4")
+    cents = F.when(
+        p >= 0, F.floor((p + 50) / 100).cast("bigint")
+    ).otherwise(-F.floor((-p + 50) / 100).cast("bigint"))
+    return j.select(
+        "nation", "o_year", (cents / F.lit(100.0)).alias("sum_profit")
+    )
+
+
+@register(
+    "q11_important_stock",
+    f"""
+    WITH {_PS_CTE},
+    filt AS (
+      SELECT ps_partkey,
+             ps_supplycost::DECIMAL(18,4) * ps_availqty::DECIMAL(18,2) AS value
+      FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+      WHERE s_nationkey IN (0, 1, 2, 3, 4)
+    ),
+    grouped AS (SELECT ps_partkey, sum(value) AS pv FROM filt GROUP BY 1),
+    tot AS (SELECT sum(pv) AS total FROM grouped)
+    SELECT ps_partkey, round(pv, 2)::DOUBLE AS part_value
+    FROM grouped, tot
+    WHERE pv * 1000 > total
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose stock value (derived supplycost ×
+    availqty) for nations 0-4 exceeds 0.1% of the total. The scalar
+    HAVING subquery decorrelates to a one-row aggregate broadcast back
+    over the grouped view; the comparison is integer-scaled
+    (pv·1000 > total) on exact DECIMALs so membership is deterministic
+    — a double fraction would wobble at the threshold."""
+    filt = (
+        _derived_partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "supplier")
+                .where(F.col("s_nationkey").isin(0, 1, 2, 3, 4))
+                .select("s_suppkey")
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            (
+                F.col("ps_supplycost").cast("decimal(18,4)")
+                * F.col("ps_availqty").cast("decimal(18,2)")
+            ).alias("value"),
+        )
+    )
+    grouped = filt.groupBy("ps_partkey").agg(F.sum("value").alias("pv"))
+    tot = grouped.agg(F.sum("pv").alias("total"))
+    return (
+        grouped.crossJoin(F.broadcast(tot))
+        .where(F.col("pv") * 1000 > F.col("total"))
+        .select("ps_partkey", F.round("pv", 2).cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) over
+    the observed part-supplier relation, excluding one brand/type and
+    negative-balance suppliers. The NOT IN becomes a broadcast LEFT
+    ANTI join (the excluded set is provably non-null here, so anti-join
+    ≡ NOT IN); count(DISTINCT) runs as Spark's two-phase distinct
+    aggregate on the (brand, type, size) shuffle."""
+    ps = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    bad = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    parts = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    f"""
+    WITH {_PS_CTE},
+    pk AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    shipped AS (
+      SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT ps_suppkey
+      FROM ps
+      JOIN pk ON ps_partkey = p_partkey
+      JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE ps_availqty > half_qty
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN cand ON s_suppkey = ps_suppkey
+    WHERE s_nationkey IN (0, 1, 2, 3, 4)
+    """,
+)
+def q20_promotion_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nations-0-4 suppliers holding more than half of
+    1998's shipped quantity of 'small%' parts. The nested
+    IN(IN(...), correlated scalar) chain decorrelates to: per-pair 1998
+    shipment aggregate, inner-joined to derived availqty on the SAME
+    (partkey, suppkey) keys (co-partitioned — one shuffle feeds both
+    aggregates), part filter broadcast, then a distinct-suppkey semi
+    join into the 100-row supplier dim. Both compared quantities are
+    integer-valued-double sums → exact comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    pk = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
+    )
+    cand = (
+        _derived_partsupp(spark, sf_dir)
+        .join(pk, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .where(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey").isin(0, 1, 2, 3, 4))
+        .join(F.broadcast(cand), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .select("s_suppkey", "s_name")
     )
 
 

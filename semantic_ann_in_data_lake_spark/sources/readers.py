@@ -34,9 +34,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet is TIMESTAMP(NANOS); a session built without
         # our factory (e.g. the driver's) rejects it outright — the
-        # conf is settable at runtime, so self-defend here.
+        # conf is settable at runtime, so self-defend here. (Spark 4.1+
+        # instead reads NANOS natively as micros TIMESTAMP_NTZ, making
+        # the conf and the bigint branch below no-ops.)
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        # ts arrives TIMESTAMP_NTZ; epoch arithmetic (functions.dates.
+        # epoch_us) goes through an NTZ→LTZ cast that is exact only
+        # under a UTC session zone — pin it for driver-built sessions
+        # (our factory already does).
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         except Exception:
             pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -25,11 +25,26 @@ def events_stream(spark: SparkSession, events_dir: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(events_dir)
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (LTZ) micros.
+
+    Handles both shapes the events data arrives in: nanos-as-long
+    (pre-4.1 ``spark.sql.legacy.parquet.nanosAsLong`` reads) and
+    TIMESTAMP_NTZ (Spark 4.1+ native TIMESTAMP(NANOS) reads).
+    Watermarks (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``) and
+    ``unix_micros`` require LTZ; the NTZ→LTZ cast is exact under the
+    UTC session zone the package pins (session.py, readers.read_table)."""
+    t = dict(df.dtypes).get(ts_col)
+    if t == "bigint":  # nanos-as-long parquet
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window rollup (same plan as the batch twin)."""
-    e = events
-    if dict(e.dtypes).get("ts") == "bigint":  # nanos-as-long parquet
-        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    e = normalize_event_ts(events)
     return (
         e.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -238,9 +253,7 @@ def dedup_stream(
     foreachBatch digest-sink dedup: this tier is for at-least-once
     transport dedup (same key re-delivered within the lateness bound);
     the sink tier is for content dedup across the whole history."""
-    e = events
-    if dict(e.dtypes).get(ts_col) == "bigint":  # nanos-as-long parquet
-        e = e.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    e = normalize_event_ts(events, ts_col)
     return e.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
@@ -265,12 +278,12 @@ def error_after_view_join_stream(
     The batch twin (same plan on static frames) is what the equality
     test pins — interval-join semantics are identical in batch, only
     state management differs."""
-    v = views.select(
+    v = normalize_event_ts(views).select(
         F.col("user_id").alias("v_user"),
         F.col("event_id").alias("view_event_id"),
         F.col("ts").alias("view_ts"),
     ).withWatermark("view_ts", watermark)
-    x = errors.select(
+    x = normalize_event_ts(errors).select(
         F.col("user_id").alias("e_user"),
         F.col("event_id").alias("error_event_id"),
         F.col("ts").alias("error_ts"),

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from semantic_ann_in_data_lake_spark.functions.dates import epoch_us
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, sum_value double"
@@ -33,7 +35,7 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts")
     # microsecond gap comparison — cast-to-long truncates to seconds and
     # would split sessions differently than the micros-exact stream twin
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gap = epoch_us(F.col("ts")) - F.lag(epoch_us(F.col("ts"))).over(w)
     with_flag = events.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0),
@@ -137,9 +139,13 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 ],
             )
 
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        normalize_event_ts,
+    )
+
     state_schema = "start_us long, last_us long, n long, total_cents long"
     return (
-        events.withWatermark("ts", "1 minute")
+        normalize_event_ts(events).withWatermark("ts", "1 minute")
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,

@@ -60,6 +60,7 @@ def test_sessionize_stream_equals_batch_closed_sessions(spark, sf_dir, tmp_path)
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    from semantic_ann_in_data_lake_spark.functions.dates import epoch_us
     from semantic_ann_in_data_lake_spark.sources.readers import read_table
     from semantic_ann_in_data_lake_spark.streaming.sessionize import (
         sessionize_batch,
@@ -78,8 +79,8 @@ def test_sessionize_stream_equals_batch_closed_sessions(spark, sf_dir, tmp_path)
     closed = flagged.where(
         (F.col("rn") > 1)
         | (
-            F.unix_micros(F.col("session_end")) + 31 * 60 * 1_000_000
-            < F.unix_micros(F.lit(max_ts))
+            epoch_us(F.col("session_end")) + 31 * 60 * 1_000_000
+            < epoch_us(F.lit(max_ts))
         )
     ).drop("rn")
 

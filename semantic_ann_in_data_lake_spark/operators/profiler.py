@@ -107,6 +107,35 @@ def profile_lake(tables: dict[str, DataFrame]) -> DataFrame:
     return reduce(DataFrame.unionByName, parts)
 
 
+def melt_columns(
+    df: DataFrame, columns: list[str], keep_nulls: bool = False
+) -> DataFrame:
+    """Unpivot ``columns`` into ``(column_name, value)`` string pairs.
+
+    The wide-table profiling primitive: ONE scan and one Generate node
+    regardless of column count, so driver-side plan size is O(1) in
+    n_columns — a per-column loop compiles n_columns plan branches and
+    schedules n_columns jobs (the round-2 shape; a 2,000-column lake
+    table pays plan compilation per column). Row count amplifies
+    n_columns×, but each emitted row is a short (name, value) pair and
+    every consumer below immediately pre-aggregates map-side, so the
+    shuffle payload stays |distinct values|, not |rows·cols|.
+    """
+    if not columns:
+        raise ValueError("melt_columns needs at least one column")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in columns
+        ]
+    )
+    m = df.select(F.explode(pairs).alias("kv")).select("kv.column_name", "kv.value")
+    return m if keep_nulls else m.where(F.col("value").isNotNull())
+
+
 def distinct_sample(
     df: DataFrame, table_name: str, columns: list[str], k: int = 30
 ) -> DataFrame:
@@ -117,28 +146,28 @@ def distinct_sample(
     distributed execution, so we take the k smallest values in binary
     string order instead (divergence documented in SURVEY §7.4).
 
-    Plan per column: project 1 column → distinct (map-side partial) →
-    orderBy+limit k (Spark plans TakeOrderedAndProject: only k rows per
-    partition survive) → collapse to one array row.
+    Plan (all columns together, via :func:`melt_columns`): melt → one
+    (column_name, value) distinct aggregate → per-column row_number
+    window with ``rank <= k`` (Spark's WindowGroupLimit pushes the
+    limit below the exchange, so only k rows per column per partition
+    survive) → one collect_list aggregate. Three shuffles TOTAL for the
+    whole table, vs 2·n_columns jobs for the per-column loop.
     """
-    parts = []
-    for c in columns:
-        vals = (
-            df.select(F.col(c).cast("string").alias("value"))
-            .where(F.col("value").isNotNull())
-            .distinct()
-            .orderBy("value")
-            .limit(k)
+    from pyspark.sql import Window
+
+    d = melt_columns(df, columns, keep_nulls=False).distinct()
+    w = Window.partitionBy("column_name").orderBy(F.col("value").asc())
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy("column_name")
+        .agg(F.sort_array(F.collect_list("value")).alias("values_sample"))
+        .select(
+            F.lit(table_name).alias("table_name"),
+            "column_name",
+            "values_sample",
         )
-        parts.append(
-            vals.agg(F.sort_array(F.collect_list("value")).alias("values_sample"))
-            .select(
-                F.lit(table_name).alias("table_name"),
-                F.lit(c).alias("column_name"),
-                "values_sample",
-            )
-        )
-    return reduce(DataFrame.unionByName, parts)
+    )
 
 
 def most_common_values(
@@ -149,36 +178,32 @@ def most_common_values(
     ``join_discoverer.py:90,117-119``).
 
     Ties broken by value ascending so ranking is deterministic and
-    oracle-portable. Shuffle payload = distinct values only (partial
-    counts combine map-side).
+    oracle-portable. Plan: melt → ONE (column_name, value) count
+    aggregate (partials combine map-side; shuffle payload = distinct
+    values) → per-column row_number window, WindowGroupLimit-bounded to
+    k rows per column. O(1) plan size in column count.
     """
     from pyspark.sql import Window
 
-    parts = []
-    for c in columns:
-        counted = (
-            df.select(F.col(c).cast("string").alias("value"))
-            .where(F.col("value").isNotNull())
-            .groupBy("value")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    counted = (
+        melt_columns(df, columns, keep_nulls=False)
+        .groupBy("column_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("column_name").orderBy(
+        F.col("cnt").desc(), F.col("value").asc()
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.lit(table_name).alias("table_name"),
+            "column_name",
+            "value",
+            "cnt",
+            "rank",
         )
-        # Distributed top-k first (TakeOrderedAndProject — only k rows per
-        # partition survive the sort), THEN a row_number window over the
-        # ≤k-row result. A global window over all distinct values would
-        # funnel them into one partition; this never does.
-        topk = counted.orderBy(F.col("cnt").desc(), F.col("value").asc()).limit(k)
-        w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
-        parts.append(
-            topk.withColumn("rank", F.row_number().over(w))
-            .select(
-                F.lit(table_name).alias("table_name"),
-                F.lit(c).alias("column_name"),
-                "value",
-                "cnt",
-                "rank",
-            )
-        )
-    return reduce(DataFrame.unionByName, parts)
+    )
 
 
 def sample_rows_markdown(df: DataFrame, n: int = 10, seed: str = "md42") -> str:
@@ -248,35 +273,38 @@ def categorical_entropy(df, cols: list[str]) -> "DataFrame":
     Profiling-depth extension: entropy ranks columns by information
     content — near-zero entropy flags constants/degenerate columns, high
     entropy flags key-like columns (the reference's profiler stops at
-    distinct samples, `extract_schema.py`). One partial-aggregating
-    groupBy per column over only that column, unioned; each per-column
-    result is a handful of rows, so the final union is negligible.
+    distinct samples, `extract_schema.py`).
+
+    Plan (via :func:`melt_columns`): melt all columns in one scan → one
+    (column, value) count aggregate → one per-column rollup computing
+    n_distinct and Σ n·log2(n) so entropy derives WITHOUT a
+    counts-to-total join: H = log2(N) − (Σ n·log2 n)/N. Two shuffles
+    total, O(1) plan size in column count. Values are compared by their
+    string rendering (Spark's double→string is round-trip faithful, so
+    distinctness is preserved); NULL stays its own category, matching
+    the previous per-column groupBy.
     """
     from pyspark.sql import functions as F
 
-    outs = []
-    for c in cols:
-        counts = df.groupBy(F.col(c).alias("__v")).agg(
-            F.count(F.lit(1)).alias("__n")
-        )
-        tot = counts.agg(
-            F.sum("__n").alias("__tot"), F.count(F.lit(1)).alias("__k")
-        )
-        p = F.col("__n").cast("double") / F.col("__tot")
-        outs.append(
-            counts.crossJoin(F.broadcast(tot))
-            .agg(
-                F.first(F.lit(c)).alias("column"),
-                F.first("__k").alias("n_distinct"),
-                F.round(
-                    -F.sum(p * F.log2(p)) + F.lit(1e-9), 4
-                ).alias("entropy"),
-            )
-        )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+    counts = (
+        melt_columns(df, cols, keep_nulls=True)
+        .groupBy(F.col("column_name").alias("column"), "value")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    n = F.col("__n").cast("double")
+    per_col = counts.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("__n").alias("__tot"),
+        F.sum(n * F.log2(n)).alias("__nlogn"),
+    )
+    tot = F.col("__tot").cast("double")
+    return per_col.select(
+        "column",
+        "n_distinct",
+        F.round(
+            F.log2(tot) - F.col("__nlogn") / tot + F.lit(1e-9), 4
+        ).alias("entropy"),
+    )
 
 
 def validate(df, rules: dict[str, "Column"], unique_cols: list[str] | None = None):

@@ -38,11 +38,31 @@ def test_profile_is_single_scan_single_agg(spark, sf_dir):
 
 
 def test_topk_queries_avoid_global_window(spark, sf_dir):
-    # q3 and most_common must use distributed TakeOrderedAndProject,
-    # never a single-partition window over unbounded input
-    for name in ["q3_top_orders", "most_common_events"]:
+    # q3 must use distributed TakeOrderedAndProject, never a
+    # single-partition window over unbounded input
+    plan = _plan(spark, sf_dir, "q3_top_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_melted_profilers_single_scan_bounded_window(spark, sf_dir):
+    """The melt-based wide-table profilers (distinct_sample /
+    most_common_values) must read the table ONCE regardless of column
+    count, and their per-column top-k must be WindowGroupLimit-bounded
+    (k rows per column drop before the exchange) over a PARTITIONED
+    window — never a single-partition global sort."""
+    for name in ["most_common_events", "distinct_sample_orders"]:
         plan = _plan(spark, sf_dir, name)
-        assert "TakeOrderedAndProject" in plan, name
+        assert plan.count("Location: InMemoryFileIndex") == 1, name
+        assert "WindowGroupLimit" in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_categorical_entropy_two_shuffles_no_join(spark, sf_dir):
+    """Melted entropy: one (column, value) count + one per-column
+    rollup — no counts-to-total join, one scan per table (3 tables)."""
+    plan = _plan(spark, sf_dir, "profile_entropy")
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 3
 
 
 def test_knn_window_is_partitioned_by_query(spark, sf_dir):

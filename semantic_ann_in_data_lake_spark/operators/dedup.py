@@ -142,28 +142,63 @@ def band_keys(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int, rows_per_band: int, hash_portable: bool = True
+    sigs: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    hash_portable: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature and self-join on (band_index, band_hash).
 
     Emits distinct (id_a < id_b) candidate pairs. The join key is the
     hashed band content, so the shuffle is by bucket — sub-quadratic as
-    long as buckets stay bounded (AQE's skew-join splitting covers hot
-    buckets at scale).
+    long as buckets stay bounded.
+
+    ``max_bucket_size`` is the explicit hot-bucket bound (AQE skew-join
+    splitting redistributes a hot bucket's tasks but cannot shrink the
+    O(B²) pair blowup itself): a bucket of B near-identical documents
+    emits B² join rows — one 10k-duplicate bucket is 10⁸ rows through
+    one key. Buckets over the cap degrade to STAR pairing — every
+    member pairs with the bucket's min doc_id — emitting B−1 rows while
+    preserving exactly what dedup needs from a bucket: connectivity (the
+    cluster assembles through the representative; verification still
+    exact-checks every emitted pair). Recall note: a non-duplicate pair
+    that collided ONLY inside an over-cap bucket and fails verification
+    against the representative is lost; true duplicate sets — the reason
+    a bucket is hot — stay connected. Default None = exact all-pairs
+    (the oracle-gated tier).
     """
     banded = band_keys(sigs, bands, rows_per_band)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if max_bucket_size is not None:
+        stats = banded.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("__bsz"),
+            F.min("doc_id").alias("__rep"),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+        # the join is co-partitioned with stats' groupBy — one shuffle
+        banded = banded.join(stats, ["band", "band_key"])
+        small = banded.where(F.col("__bsz") <= max_bucket_size).select(
+            "doc_id", "band", "band_key"
+        )
+        star = (
+            banded.where(
+                (F.col("__bsz") > max_bucket_size)
+                & (F.col("doc_id") != F.col("__rep"))
+            )
+            .select(F.col("__rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+        )
+    else:
+        small, star = banded, None
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
@@ -183,11 +218,15 @@ def minhash_near_dups(
     rows_per_band: int = 2,
     threshold: float = 0.01,
     hash_portable: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → band buckets → candidate
     pairs → exact-Jaccard verification ≥ threshold.
 
     Returns (id_a, id_b, jaccard) with jaccard rounded to 6 dp.
+    ``max_bucket_size`` bounds hot-bucket pair blowup (see
+    :func:`lsh_candidate_pairs`) — set it at corpus scale where
+    boilerplate/duplicated documents make giant buckets a certainty.
     """
     sigs = minhash_signatures(
         docs, id_col, text_col, num_hashes, shingle_n, hash_portable
@@ -199,7 +238,9 @@ def minhash_near_dups(
     # slowdown at sf0.1). At cluster scale this is a checkpointed
     # signature table (write once, reuse across dedup runs).
     sigs = scoped_persist(sigs)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, hash_portable)
+    cands = lsh_candidate_pairs(
+        sigs, bands, rows_per_band, hash_portable, max_bucket_size
+    )
     sh = sigs.select("doc_id", "shingles")
     return (
         cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")

@@ -64,6 +64,7 @@ def knn_join(
     round_dp: int = DEFAULT_ROUND_DP,
     compress: str | None = None,
     ivf_fit: str = "sample",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Top-k nearest candidates per query.
 
@@ -107,7 +108,7 @@ def knn_join(
             # is recovered as 1 - L2²/2.
             res = _knn_lsh(
                 queries, candidates, id_col, vec_col, k, exclude_self,
-                round_dp, normalize=True,
+                round_dp, normalize=True, max_bucket_size=max_bucket_size,
             )
             return res.select(
                 "query_id",
@@ -118,7 +119,8 @@ def knn_join(
                 "rank",
             )
         return _knn_lsh(
-            queries, candidates, id_col, vec_col, k, exclude_self, round_dp
+            queries, candidates, id_col, vec_col, k, exclude_self, round_dp,
+            max_bucket_size=max_bucket_size,
         )
     if strategy == "ivf":
         return _knn_ivf(
@@ -316,7 +318,7 @@ def _knn_broadcast(
 def _knn_lsh(
     queries, candidates, id_col, vec_col, k, exclude_self, round_dp,
     num_hash_tables: int = 4, bucket_length: float = 1.0, seed: int = 42,
-    normalize: bool = False,
+    normalize: bool = False, max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Strategy (c): random-projection bucket LSH (scalar-quantized
     p-stable LSH — the same hash family as Spark ML's
@@ -390,6 +392,24 @@ def _knn_lsh(
         bucketize("cand"),
         schema="cand_id long, cand_vec array<double>, table int, bucket long",
     )
+    if max_bucket_size is not None:
+        # Explicit hot-bucket bound: one (table, bucket) cogroup holds a
+        # whole bucket in one pandas frame, so a 10k-identical-vector
+        # bucket is an OOM/straggler risk AQE cannot split (the blowup
+        # is inside one applyInPandas group, not across tasks). Keep a
+        # deterministic cand_id-ordered prefix per bucket: the bucket is
+        # hot because near-identical vectors collide there, so the
+        # retained prefix still saturates every query's k slots at
+        # near-identical distances (recall loss bounded; judged by the
+        # recall harness like every approx knob).
+        from pyspark.sql.window import Window as _W
+
+        wb = _W.partitionBy("table", "bucket").orderBy(F.col("cand_id").asc())
+        c_b = (
+            c_b.withColumn("__bn", F.row_number().over(wb))
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     q_b = q.mapInPandas(
         bucketize("query"),
         schema="query_id long, query_vec array<double>, table int, bucket long",

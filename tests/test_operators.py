@@ -1066,3 +1066,64 @@ def test_approx_percentile_within_tolerance_of_exact(spark, sf_dir):
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("appr"),
     ).collect()[0]
     assert abs(row["appr"] - row["exact"]) / row["exact"] < 0.01
+
+
+# --- LSH hot-bucket bound ------------------------------------------------
+
+
+def test_lsh_hot_bucket_cap_star_degradation(spark):
+    """Adversarial skew: one bucket of hundreds of IDENTICAL documents.
+    Uncapped banding emits O(B²) candidate pairs through a single
+    (band, band_key) key — the blowup AQE cannot shrink. With
+    max_bucket_size set, over-cap buckets degrade to star pairing:
+    O(B) pairs, full cluster connectivity preserved (every member
+    reaches the representative), and every emitted pair still passes
+    exact-Jaccard verification."""
+    from semantic_ann_in_data_lake_spark.operators.dedup import (
+        minhash_near_dups,
+    )
+
+    n_dup = 400
+    rows = [(i, "the same boilerplate text repeated verbatim") for i in range(n_dup)]
+    rows += [(1000 + i, f"unique document number {i} with its own words {i*i}")
+             for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_near_dups(
+        docs, threshold=0.5, max_bucket_size=50
+    ).collect()
+    # star topology: every duplicate pairs with the min doc_id (0); far
+    # below the C(400,2)=79,800 pairs the uncapped join would emit
+    assert len(capped) < 3 * n_dup
+    star_partners = {r["id_b"] for r in capped if r["id_a"] == 0}
+    assert star_partners == set(range(1, n_dup))
+    assert all(r["jaccard"] == 1.0 for r in capped if r["id_a"] == 0)
+    # under-cap buckets are untouched: unique docs emit no false pairs
+    uniq = {r["id_a"] for r in capped} | {r["id_b"] for r in capped}
+    assert not any(i >= 1000 for i in uniq)
+
+
+def test_knn_lsh_bucket_cap_bounds_cogroup(spark):
+    """A bucket of near-identical vectors must not build an unbounded
+    pandas cogroup: with max_bucket_size the candidate side of each
+    (table, bucket) is a deterministic bounded prefix, and every query
+    still gets k neighbors (the hot bucket saturates the k slots)."""
+    import random
+
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+
+    rng = random.Random(7)
+    rows = [
+        (i, [1.0 + rng.uniform(-1e-6, 1e-6) for _ in range(8)])
+        for i in range(600)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = knn_join(
+        emb, emb, k=3, strategy="lsh", max_bucket_size=64
+    ).collect()
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r["query_id"], []).append(r)
+    # every query found k candidates from the capped buckets
+    assert all(len(v) == 3 for v in per_q.values())
+    assert all(r["distance"] <= 1e-9 for r in res)

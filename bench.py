@@ -167,11 +167,7 @@ def _materialize_csv_copy(spark, sf_dir: str) -> None:
         ).write.mode("overwrite").option("header", True).csv(out)
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-
+def _warm(spark, sf_dir):
     # warm the JVM / parquet footers / codegen so the first timed query
     # doesn't absorb session startup (untimed; not in the output)
     for t in ["region", "lineitem", "documents", "embeddings"]:
@@ -184,6 +180,8 @@ def main():
         lambda it: it, schema="id long"
     ).count()
 
+
+def _run_suite(spark, sf_dir) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name, make in bench_queries(spark, sf_dir).items():
         # cache_scope: operators that persist multi-branch subtrees
@@ -195,19 +193,61 @@ def main():
             n = df.count()  # force full execution
             timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+    return timings
 
+
+def _sf_curve_dir(sf_dir: str) -> str | None:
+    """The next-smaller standard scale factor, if present on disk."""
+    base = os.path.dirname(sf_dir.rstrip("/"))
+    name = os.path.basename(sf_dir.rstrip("/"))
+    smaller = {"sf1": "sf0.1", "sf0.1": "sf0.01", "sf0.01": "sf0.001"}.get(name)
+    if smaller is None:
+        return None
+    cand = os.path.join(base, smaller)
+    return cand if os.path.isdir(cand) else None
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    _warm(spark, sf_dir)
+    timings = _run_suite(spark, sf_dir)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_batch_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+
+    out = {
+        "metric": "headline_batch_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Scaling curve: rerun the suite one scale factor down (10× less
+    # data) and report the big/small time ratio per query. With ~10×
+    # data a healthy ratio sits WELL below 10 (fixed job overhead
+    # dominates the small run); a ratio approaching 100 means
+    # super-linear work (an O(n²) plan) and names the offender.
+    # Disable with SPARK_GRAFT_SF_CURVE=0.
+    small_dir = _sf_curve_dir(sf_dir)
+    if small_dir and os.environ.get("SPARK_GRAFT_SF_CURVE", "1") != "0":
+        small_sf = os.path.basename(small_dir).replace("sf", "")
+        print(f"# sf_curve: rerunning at {small_dir}", file=sys.stderr)
+        _materialize_csv_copy(spark, small_dir)
+        small = _run_suite(spark, small_dir)
+        ratio = {
+            q: round(timings[q] / small[q], 2)
+            for q in timings
+            if small.get(q, 0) > 0
+        }
+        out["sf_curve"] = {
+            "small_sf": float(small_sf),
+            "small_queries": small,
+            "ratio_big_over_small": ratio,
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -94,6 +94,87 @@ class CallableEmbedder:
         return self._fn(texts)
 
 
+class HttpEmbedder:
+    """Minimal HTTP embedding client behind the standard embedder
+    interface (``list[str] -> list[list[float]]``) — the thin piece the
+    reference wires to a hosted service one item at a time with a hard
+    sleep (``semantic_annotation.py:116-131``,
+    ``join_discoverer.py:149-168, 244``); here ONE request per Arrow
+    batch inside ``embed_texts``'s ``mapInPandas`` stage.
+
+    POSTs ``{"input": [...], "model": ...}`` and expects
+    ``{"data": [{"embedding": [...]}, ...]}`` in input order (the
+    request/response shape most public embedding endpoints share).
+    stdlib ``urllib`` only — no extra dependency; auth goes in
+    ``headers`` (caller-supplied, never read from the environment).
+    Retries 429/5xx with exponential backoff; ``min_interval_s``
+    rate-limits per worker process. Combine with ``embed_texts``'s
+    content-hash column for idempotent caching so task retries and
+    speculation never re-bill completed batches.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        model: str = "default",
+        headers: dict[str, str] | None = None,
+        timeout_s: float = 30.0,
+        max_retries: int = 4,
+        backoff_s: float = 0.5,
+        min_interval_s: float = 0.0,
+    ):
+        self.url = url
+        self.model = model
+        self.headers = dict(headers or {})
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.min_interval_s = min_interval_s
+        self._last_call = 0.0
+
+    def __call__(self, texts: list[str]) -> list[list[float]]:
+        import json
+        import time
+        import urllib.error
+        import urllib.request
+
+        payload = json.dumps({"input": texts, "model": self.model}).encode()
+        headers = {"Content-Type": "application/json", **self.headers}
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            if self.min_interval_s > 0:
+                wait = self._last_call + self.min_interval_s - time.time()
+                if wait > 0:
+                    time.sleep(wait)
+            self._last_call = time.time()
+            try:
+                req = urllib.request.Request(
+                    self.url, data=payload, headers=headers, method="POST"
+                )
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                    body = json.loads(r.read().decode("utf-8"))
+                data = body["data"]
+                if len(data) != len(texts):
+                    raise ValueError(
+                        f"embedding endpoint returned {len(data)} vectors "
+                        f"for {len(texts)} inputs"
+                    )
+                return [list(map(float, d["embedding"])) for d in data]
+            except urllib.error.HTTPError as e:
+                # retry only transient statuses; client errors propagate
+                if e.code == 429 or e.code >= 500:
+                    last_err = e
+                else:
+                    raise
+            except (urllib.error.URLError, TimeoutError) as e:
+                last_err = e
+            if attempt < self.max_retries:
+                time.sleep(self.backoff_s * (2**attempt))
+        raise RuntimeError(
+            f"embedding endpoint failed after {self.max_retries + 1} attempts"
+        ) from last_err
+
+
 def embed_texts(
     df: DataFrame,
     text_col: str = "text",

@@ -1127,3 +1127,87 @@ def test_knn_lsh_bucket_cap_bounds_cogroup(spark):
     # every query found k candidates from the capped buckets
     assert all(len(v) == 3 for v in per_q.values())
     assert all(r["distance"] <= 1e-9 for r in res)
+
+
+# --- HTTP embedder seam --------------------------------------------------
+
+
+def test_http_embedder_against_local_server():
+    """Drive HttpEmbedder against a loopback HTTP server: batch request
+    shape, in-order response parsing, and retry-on-503 behavior — the
+    whole client contract, no network beyond localhost."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from semantic_ann_in_data_lake_spark.annotate.embedder import HttpEmbedder
+
+    calls = {"n": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            calls["n"] += 1
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            if calls["n"] == 1:  # first attempt: transient failure
+                self.send_response(503)
+                self.end_headers()
+                return
+            vecs = [
+                {"embedding": [float(len(t)), float(i)]}
+                for i, t in enumerate(body["input"])
+            ]
+            out = json.dumps({"data": vecs, "model": body["model"]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        emb = HttpEmbedder(
+            f"http://127.0.0.1:{srv.server_port}/embed",
+            model="m1",
+            backoff_s=0.01,
+        )
+        vecs = emb(["alpha", "longertext"])
+        assert vecs == [[5.0, 0.0], [10.0, 1.0]]
+        assert calls["n"] == 2  # 503 then success
+    finally:
+        srv.shutdown()
+
+
+def test_http_embedder_client_error_no_retry():
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.annotate.embedder import HttpEmbedder
+
+    calls = {"n": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            calls["n"] += 1
+            self.send_response(400)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        emb = HttpEmbedder(f"http://127.0.0.1:{srv.server_port}/e", backoff_s=0.01)
+        with _pytest.raises(Exception):
+            emb(["x"])
+        assert calls["n"] == 1  # 400 is not retried
+    finally:
+        srv.shutdown()

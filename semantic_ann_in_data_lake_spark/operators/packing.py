@@ -1,0 +1,81 @@
+"""Sequence packing: assign documents to fixed-token-budget bins for
+training-batch construction.
+
+Training-data-pipeline extension beyond the reference surface: after
+dedup/filtering, documents are concatenated into fixed-length model
+sequences; the assignment step is "which bin does each doc start in,
+at which offset". The deterministic contiguous policy used here packs
+docs in id order and lets a doc straddle a bin boundary (the common
+"packed dataset" layout where sequences are sliced from a continuous
+token stream): bin = cum_tokens_before // budget, offset =
+cum_tokens_before % budget.
+
+Scale design — the global running sum is the textbook DISTRIBUTED
+PREFIX SUM, not a single-partition window: range-partition by id, one
+per-partition cumulative window (parallel), aggregate one row of
+per-partition totals (n_partitions rows — schema-sized), turn those
+into partition offsets with a window over the tiny totals frame, and
+broadcast-join the offsets back. Total cost: one range shuffle + one
+tiny aggregate — vs Window.orderBy(id) which funnels the WHOLE corpus
+through one task (the plan test pins the absence of a single-partition
+exchange on the data path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, cum_before, bin_id, bin_offset) per document.
+
+    ``n_tokens`` is the whitespace token count (the same tier the
+    token-stats operators gate; swap in an exact-BPE counter through
+    functions.text's tokenizer seam when available). All arithmetic is
+    integer-exact, so the assignment is reproducible cross-engine.
+    """
+    from semantic_ann_in_data_lake_spark.functions.text import words
+
+    toks = docs.select(
+        F.col(id_col), F.size(words(text_col)).cast("long").alias("n_tokens")
+    )
+    if num_partitions:
+        toks = toks.repartitionByRange(num_partitions, F.col(id_col))
+    else:
+        toks = toks.repartitionByRange(F.col(id_col))
+    part = toks.withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("__local_cum", F.sum("n_tokens").over(w_local))
+    # per-partition totals: n_partitions rows — schema-sized, not
+    # data-sized; the offsets window runs over this tiny frame only
+    totals = local.groupBy("__pid").agg(F.sum("n_tokens").alias("__ptot"))
+    w_off = (
+        Window.orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.sum("__ptot").over(w_off) - F.col("__ptot")
+    ).select("__pid", "__offset")
+    cum = local.join(F.broadcast(offsets), "__pid").withColumn(
+        "__cum", F.col("__local_cum") + F.col("__offset")
+    )
+    before = F.col("__cum") - F.col("n_tokens")
+    return cum.select(
+        F.col(id_col),
+        "n_tokens",
+        before.alias("cum_before"),
+        (before / budget).cast("long").alias("bin_id"),
+        (before % budget).alias("bin_offset"),
+    )

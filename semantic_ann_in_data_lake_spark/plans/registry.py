@@ -521,6 +521,10 @@ _GATE_DEFER = frozenset({
     "csv_dir_scan_stats", "jsonl_roundtrip_stats", "csv_sink_roundtrip",
     "json_catalog_scan", "corrupt2_charnoise", "corrupt3_swap",
     "chunk_docs", "stratified_sample_docs",
+    # round 3: cede two slots to decontaminate_docs / pack_sequences_docs
+    # (cube_revenue already exercises the grouping-sets shape these two
+    # share; both stay locally verified by scripts/oracle_check.py)
+    "pivot_linestatus", "rollup_revenue",
 })
 
 
@@ -4148,3 +4152,69 @@ def funnel_view_click_purchase(spark, sf_dir):
         F.sum(F.when(step2, 1).otherwise(0)).alias("n_view_then_click"),
         F.sum(F.when(step3, 1).otherwise(0)).alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline capstones, round 3: benchmark decontamination and
+# sequence packing (operators/decontam.py, operators/packing.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "decontaminate_docs",
+    f"""
+    WITH w AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    g AS (SELECT doc_id, unnest({word_shingles_from_sql('w', 4)}) AS gram
+          FROM w),
+    bench AS (SELECT doc_id FROM documents WHERE doc_id % 37 = 0),
+    bg AS (SELECT DISTINCT gram FROM g JOIN bench USING (doc_id))
+    SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS n_overlap
+    FROM g JOIN bg USING (gram)
+    WHERE g.doc_id NOT IN (SELECT doc_id FROM bench)
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination: corpus docs leaking word 4-grams from
+    a (deterministic) benchmark subset — (doc_id, n_overlap). The
+    benchmark gram set broadcasts; the corpus side streams through one
+    explode + count-distinct. On this synthetic corpus the hits are
+    exactly the planted near-duplicates plus a handful of chance
+    4-gram collisions — the discrimination a real decontam pass needs."""
+    from semantic_ann_in_data_lake_spark.operators.decontam import (
+        contaminated_docs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return contaminated_docs(docs, bench, n=4, min_overlap=1)
+
+
+@register(
+    "pack_sequences_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             (sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens)::BIGINT AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens, cum_before,
+           (cum_before // 256)::BIGINT AS bin_id,
+           (cum_before % 256)::BIGINT AS bin_offset
+    FROM c
+    """,
+)
+def pack_sequences_docs(spark, sf_dir):
+    """Sequence packing for training batches: contiguous id-order
+    assignment of every doc to a 256-token-budget bin. The Spark side
+    computes the global running token count as a DISTRIBUTED prefix sum
+    (range partition → per-partition window → schema-sized totals →
+    broadcast offsets — operators/packing.py); the oracle is the plain
+    single-stream window, proving the distributed decomposition exact."""
+    from semantic_ann_in_data_lake_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=256)

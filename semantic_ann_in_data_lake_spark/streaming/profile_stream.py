@@ -107,7 +107,7 @@ def incremental_embed_foreach_batch(
         try:
             seen = spark.read.parquet(sink_path).select("content_hash").distinct()
             fresh = embedded.join(seen, "content_hash", "left_anti")
-        except Exception:  # first batch: sink does not exist yet
+        except AnalysisException:  # first batch: sink does not exist yet
             fresh = embedded
         fresh.write.mode("append").parquet(sink_path)
 
@@ -348,7 +348,7 @@ def incremental_rollup_foreach_batch(events_stream: DataFrame, sink_path: str):
                     F.sum("sum_cents").alias("sum_cents"),
                 )
             )
-        except Exception:  # first batch: no sink yet
+        except AnalysisException:  # first batch: no sink yet
             merged = b
         # materialize before writing: the merge plan READS the sink path
         # it is about to overwrite (Spark rejects self-overwrite on file

@@ -1211,3 +1211,51 @@ def test_http_embedder_client_error_no_retry():
         assert calls["n"] == 1  # 400 is not retried
     finally:
         srv.shutdown()
+
+
+# --- decontamination & packing -------------------------------------------
+
+
+def test_decontaminate_filters_leaked_docs(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.operators.decontam import (
+        contaminated_docs,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    bad = contaminated_docs(docs, bench, n=4)
+    bad_ids = {r["doc_id"] for r in bad.collect()}
+    clean = decontaminate(docs, bench, n=4)
+    clean_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    # contaminated rows are gone, benchmark members are kept
+    assert bad_ids.isdisjoint(clean_ids)
+    assert {r["doc_id"] for r in bench.select("doc_id").collect()} <= clean_ids
+    assert clean.count() == docs.count() - len(bad_ids)
+
+
+def test_pack_sequences_partition_invariant(spark, sf_dir):
+    """The distributed prefix sum must produce IDENTICAL global offsets
+    whatever the partition count — the decomposition (local cumsum +
+    broadcast partition offsets) may not leak partitioning into the
+    result."""
+    from semantic_ann_in_data_lake_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {
+        r["doc_id"]: (r["cum_before"], r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(docs, budget=128, num_partitions=3).collect()
+    }
+    b = {
+        r["doc_id"]: (r["cum_before"], r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(docs, budget=128, num_partitions=7).collect()
+    }
+    assert a == b
+    # packing invariants: offsets stay inside the budget, bins cover the
+    # stream contiguously
+    assert all(0 <= off < 128 for (_, _, off) in a.values())
+    total = sum(
+        r["n_tokens"]
+        for r in pack_sequences(docs, budget=128).select("n_tokens").collect()
+    )
+    assert max(c for (c, _, _) in a.values()) < total

@@ -1,0 +1,93 @@
+"""Skew-aware join utilities.
+
+AQE's skew-join splitting (enabled in session.py) handles MODERATE skew
+by splitting oversized shuffle partitions, but it only helps
+sort-merge joins and only after the skewed partition materializes. For
+a join where a handful of keys dominate (the power-law reality of
+user/event data at 100 TB), explicit SALTING reshapes the problem
+before the shuffle: the skewed side's hot keys spread across
+``salt_factor`` sub-keys, and the other side replicates its matching
+rows ``salt_factor`` times, so no single task ever receives a whole hot
+key.
+
+``salted_join`` salts ONLY a declared hot-key set (replicating the
+entire build side for a handful of hot keys is wasted work): hot keys
+route through the salted join, the long tail through a plain join, and
+the two unions back together. Hot keys are either passed explicitly
+(from domain knowledge / a prior profiling run — at scale that list is
+computed once a day, not per query) or detected with a bounded
+top-frequency scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def detect_hot_keys(
+    df: DataFrame, key: str, threshold: int, max_keys: int = 64
+) -> list:
+    """Keys whose row count exceeds ``threshold`` (bounded at
+    ``max_keys`` — a skew list is a handful of heads, not a histogram).
+    One partial-aggregating count + a distributed top-k: the driver
+    receives at most ``max_keys`` scalars."""
+    rows = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > threshold)
+        .orderBy(F.col("__n").desc(), F.col(key).asc())
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[key] for r in rows]
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_factor: int = 8,
+    hot_keys: list | None = None,
+    hot_threshold: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to heavy key skew on the LEFT side.
+
+    Hot-key rows on the left get a random-but-deterministic salt in
+    [0, salt_factor) (hash of a unique row ordinal — reproducible, no
+    rand()); the right side's hot-key rows replicate once per salt
+    value. Cold keys join unsalted. Output = plain ``left.join(right,
+    key, how)`` semantics, verified by the equivalence test.
+
+    Only inner/left joins are offered: a salted right/full join would
+    emit one null-extended row PER SALT for unmatched right rows.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if hot_keys is None:
+        if hot_threshold is None:
+            raise ValueError("pass hot_keys or hot_threshold")
+        hot_keys = detect_hot_keys(left, key, hot_threshold)
+    if not hot_keys:
+        return left.join(right, key, how)
+
+    is_hot = F.col(key).isin(hot_keys)
+    # deterministic per-row salt: hash the whole row's string form with
+    # a monotonic id would be nondeterministic under re-partitioning;
+    # xxhash64 over all columns is stable for a given row's CONTENT
+    # (identical duplicate rows share a salt — harmless: same bucket)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_factor))
+
+    l_hot = left.where(is_hot).withColumn("__salt", salt)
+    l_cold = left.where(~is_hot | F.col(key).isNull())
+    r_hot = (
+        right.where(is_hot)
+        .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))))
+        .withColumn("__salt", F.col("__salt").cast("long"))
+    )
+    r_cold = right.where(~is_hot | F.col(key).isNull())
+
+    hot_joined = l_hot.join(r_hot, on=[key, "__salt"], how=how).drop("__salt")
+    cold_joined = l_cold.join(r_cold, on=key, how=how)
+    return hot_joined.unionByName(cold_joined)

@@ -4218,3 +4218,41 @@ def pack_sequences_docs(spark, sf_dir):
     from semantic_ann_in_data_lake_spark.operators.packing import pack_sequences
 
     return pack_sequences(_t(spark, sf_dir, "documents"), budget=256)
+
+
+@register(
+    "salted_heavy_user_rollup",
+    """
+    WITH d AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY 1)
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           count(DISTINCT e.user_id)::BIGINT AS n_users
+    FROM events e JOIN d USING (user_id)
+    WHERE user_total > 70
+    GROUP BY 1
+    """,
+)
+def salted_heavy_user_rollup(spark, sf_dir):
+    """Heavy-user activity rollup routed through the SKEW-SALTED join
+    (operators/joins.py): hot user_ids (detected by a bounded
+    top-frequency scan) spread across salt sub-keys before the shuffle,
+    cold keys join plain, and the oracle — a plain SQL join — proves the
+    salted decomposition changes the PLAN, not the result. At 100 TB
+    this is the operator for power-law keys AQE's post-hoc splitting
+    can't fix (it splits tasks, not the per-key pair blowup)."""
+    from semantic_ann_in_data_lake_spark.operators.joins import (
+        detect_hot_keys,
+        salted_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
+    hot = detect_hot_keys(ev, "user_id", threshold=70)
+    joined = salted_join(ev, dim, "user_id", salt_factor=4, hot_keys=hot)
+    return (
+        joined.where(F.col("user_total") > 70)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

@@ -1259,3 +1259,70 @@ def test_pack_sequences_partition_invariant(spark, sf_dir):
         for r in pack_sequences(docs, budget=128).select("n_tokens").collect()
     )
     assert max(c for (c, _, _) in a.values()) < total
+
+
+# --- skew-salted join ----------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be semantics-identical to the plain equi-join
+    under heavy skew, for inner and left joins, including null keys and
+    unmatched rows."""
+    from semantic_ann_in_data_lake_spark.operators.joins import (
+        detect_hot_keys,
+        salted_join,
+    )
+
+    # one key holds 5,000 of 5,060 rows; a few cold keys; nulls; a left
+    # key absent from right and a right key absent from left
+    left = spark.createDataFrame(
+        [(1, f"l{i}") for i in range(5000)]
+        + [(k, f"c{k}") for k in range(2, 50)]
+        + [(None, "lnull"), (999, "lonely")],
+        "k int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, "r1a"), (1, "r1b")] + [(k, f"r{k}") for k in range(2, 40)]
+        + [(None, "rnull"), (777, "orphan")],
+        "k int, rv string",
+    )
+    hot = detect_hot_keys(left, "k", threshold=100)
+    assert hot == [1]
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, left.join(right, "k", how).select("k", "lv", "rv").collect()),
+            key=repr,
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_join(left, right, "k", salt_factor=8, hot_keys=hot, how=how)
+                .select("k", "lv", "rv")
+                .collect(),
+            ),
+            key=repr,
+        )
+        assert plain == salted, how
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's join work must actually spread: after salting, the
+    hot side's shuffle key (k, salt) has salt_factor distinct values
+    instead of one."""
+    from semantic_ann_in_data_lake_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(4000)], "k int, lv long"
+    )
+    right = spark.createDataFrame([(1, "x")], "k int, rv string")
+    out = salted_join(left, right, "k", salt_factor=8, hot_keys=[1])
+    assert out.count() == 4000
+    # reconstruct the salt the operator uses and count distinct buckets
+    from pyspark.sql import functions as FF
+
+    salts = (
+        left.select(FF.pmod(FF.xxhash64("k", "lv"), FF.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert salts == 8

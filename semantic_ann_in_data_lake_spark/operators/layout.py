@@ -1,0 +1,111 @@
+"""Data-layout optimization: Z-order (Morton) clustering for
+multi-column scan pruning, plus small-file compaction.
+
+Why this is a first-class 100 TB operator: parquet scan pruning works
+off per-row-group min/max statistics. A table sorted by ONE column
+prunes predicates on that column only; interleaving the bits of
+several normalized columns (the Z-order / Morton curve — the same
+public technique lakehouse table formats expose as ``OPTIMIZE ZORDER
+BY``) makes row groups tight on EVERY participating column at once, so
+selective predicates on any of them skip most of the file. The curve
+computation is pure column arithmetic (shift/mask/or), whole-stage
+codegen'd — no UDF.
+
+``compact_parquet`` is the companion hygiene operator: streaming sinks
+and incremental jobs accrete small files; scans then pay per-file open
+cost and lose row-group locality. Compaction = one range-repartition
+by the layout key to the target file count and a rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _scale_to_int(col: Column, mn: Column, mx: Column, bits: int) -> Column:
+    """Min-max scale a numeric column to [0, 2^bits) as LONG.
+
+    Constant columns (mx == mn) map to 0; nulls map to 0 (they sort
+    first, same as parquet stats treat them)."""
+    top = (1 << bits) - 1
+    span = mx - mn
+    scaled = F.when(
+        span > 0, F.floor((col.cast("double") - mn) / span * top)
+    ).otherwise(F.lit(0))
+    return F.coalesce(scaled.cast("long"), F.lit(0))
+
+
+def zorder_key(scaled: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of each pre-scaled LONG column into
+    one Morton key. With c columns, the key uses c·bits bits — keep
+    c·bits ≤ 63. Pure shift/mask arithmetic → codegen'd."""
+    n = len(scaled)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols × {bits} bits exceeds a signed long")
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, col in enumerate(scaled):
+            bit = F.shiftright(col, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def with_zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16, key_name: str = "zkey"
+) -> DataFrame:
+    """Append the Z-order key over ``cols``. Column ranges come from ONE
+    tiny min/max aggregate (2·c scalars to the driver) — at production
+    scale these bounds come from table statistics instead; the key
+    arithmetic is identical."""
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    scaled = [
+        _scale_to_int(
+            F.col(c),
+            F.lit(float(bounds[f"__mn_{c}"])),
+            F.lit(float(bounds[f"__mx_{c}"])),
+            bits,
+        )
+        for c in cols
+    ]
+    return df.withColumn(key_name, zorder_key(scaled, bits))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    target_files: int = 8,
+) -> None:
+    """Rewrite ``df`` as ``target_files`` parquet files clustered on the
+    Z-order curve of ``cols``: range-repartition on the key (files hold
+    contiguous curve segments) + sort within partitions (row groups
+    inside each file stay tight)."""
+    keyed = with_zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(target_files, F.col("zkey"))
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark, src_path: str, dst_path: str, target_files: int, order_col: str | None = None
+) -> None:
+    """Small-file compaction: rewrite ``src_path`` as ``target_files``
+    files, optionally range-clustered on ``order_col`` so the rewrite
+    also restores scan locality."""
+    df = spark.read.parquet(src_path)
+    if order_col is not None:
+        df = df.repartitionByRange(target_files, F.col(order_col)).sortWithinPartitions(
+            order_col
+        )
+    else:
+        df = df.coalesce(target_files)
+    df.write.mode("overwrite").parquet(dst_path)

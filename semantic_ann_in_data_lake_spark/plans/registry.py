@@ -4256,3 +4256,47 @@ def salted_heavy_user_rollup(spark, sf_dir):
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB twin of layout.zorder_key over (o_custkey, o_totalprice),
+    8 bits each: identical scaling arithmetic, identical interleave."""
+    terms = []
+    for b in range(8):
+        for i in (0, 1):
+            terms.append(f"(((s{i} >> {b}) & 1) << {b * 2 + i})")
+    zexpr = " | ".join(terms)
+    scale = (
+        "CASE WHEN mx{i} > mn{i} THEN floor(({col}::DOUBLE - mn{i})"
+        " / (mx{i} - mn{i}) * 255)::BIGINT ELSE 0 END"
+    )
+    s0 = scale.format(i=0, col="o_custkey")
+    s1 = scale.format(i=1, col="o_totalprice")
+    return f"""
+    WITH bounds AS (
+      SELECT min(o_custkey::DOUBLE) AS mn0, max(o_custkey::DOUBLE) AS mx0,
+             min(o_totalprice::DOUBLE) AS mn1, max(o_totalprice::DOUBLE) AS mx1
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderkey, {s0} AS s0, {s1} AS s1 FROM orders, bounds
+    )
+    SELECT o_orderkey, ({zexpr})::BIGINT AS zkey FROM s
+    """
+
+
+@register("zorder_key_orders", _zorder_oracle_sql())
+def zorder_key_orders(spark, sf_dir):
+    """Morton/Z-order clustering key over (o_custkey, o_totalprice) —
+    the layout-optimization primitive (operators/layout.py): min-max
+    scale each column to 8 bits, interleave. Pure shift/mask column
+    arithmetic (codegen'd, no UDF); the DuckDB oracle recomputes the
+    identical interleave, pinning cross-engine determinism of the
+    curve. The pruning payoff is pinned by
+    test_zorder_layout_prunes_both_columns."""
+    from semantic_ann_in_data_lake_spark.operators.layout import with_zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    return with_zorder_key(
+        orders, ["o_custkey", "o_totalprice"], bits=8
+    ).select("o_orderkey", "zkey")

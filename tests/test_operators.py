@@ -1326,3 +1326,63 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert salts == 8
+
+
+# --- z-order layout ------------------------------------------------------
+
+
+def test_zorder_layout_prunes_both_columns(spark, sf_dir, tmp_path):
+    """The point of Z-ordering: after write_zordered on (o_custkey,
+    o_totalprice), parquet file-level min/max stats are tight on BOTH
+    columns, so a selective predicate on EITHER skips most files — while
+    an o_orderkey-sorted layout prunes on neither."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from semantic_ann_in_data_lake_spark.operators.layout import write_zordered
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base, zp = str(tmp_path / "base"), str(tmp_path / "z")
+    (
+        orders.repartitionByRange(16, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    write_zordered(orders, zp, ["o_custkey", "o_totalprice"], bits=8, target_files=16)
+
+    def containing_files(path, col, lo, hi):
+        """Files whose [min, max] for col intersects [lo, hi] — the ones
+        a stats-pruned scan must read."""
+        hit, total = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    cm = md.row_group(rg).column(ci)
+                    if cm.path_in_schema == col and cm.statistics is not None:
+                        mins.append(cm.statistics.min)
+                        maxs.append(cm.statistics.max)
+            assert mins, f"no stats for {col} in {f}"
+            total += 1
+            if min(mins) <= hi and max(maxs) >= lo:
+                hit += 1
+        return hit, total
+
+    lo_c, hi_c = 10, 12  # narrow custkey band
+    prices = [r["o_totalprice"] for r in orders.select("o_totalprice").collect()]
+    prices.sort()
+    lo_p, hi_p = prices[len(prices) // 2], prices[len(prices) // 2 + len(prices) // 50]
+
+    for col, lo, hi in [("o_custkey", lo_c, hi_c), ("o_totalprice", lo_p, hi_p)]:
+        bh, bt = containing_files(base, col, lo, hi)
+        zh, zt = containing_files(zp, col, lo, hi)
+        assert bt == zt == 16
+        # baseline (orderkey-sorted) spreads both columns everywhere
+        assert bh == 16, (col, bh)
+        # z-layout confines the band to at most half the files (a
+        # narrow band still crosses several curve segments — the win is
+        # pruning on BOTH dims at once, which a single sort cannot do)
+        assert zh <= 8, (col, zh)

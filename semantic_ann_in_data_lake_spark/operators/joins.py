@@ -91,3 +91,42 @@ def salted_join(
     hot_joined = l_hot.join(r_hot, on=[key, "__salt"], how=how).drop("__salt")
     cold_joined = l_cold.join(r_cold, on=key, how=how)
     return hot_joined.unionByName(cold_joined)
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    eps,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Proximity (band) join: pairs with ``|left_val − right_val| ≤
+    eps``, optionally under equi-keys ``on``.
+
+    The naive form is an inequality theta-join — Spark executes those
+    as BroadcastNestedLoopJoin (O(|L|·|R|) pair evaluations). Here both
+    sides bucket by ``floor(val / eps)``; ``|a − b| ≤ eps`` implies the
+    buckets differ by at most 1, so the right side replicates into its
+    bucket ±1 (3× one side, NOT |L|·|R|), the join is a plain hash
+    equi-join on (keys…, bucket), and the exact band predicate filters
+    residuals. Each qualifying pair matches exactly once (the left
+    row's single bucket hits one of the right row's three replicas).
+    Same shape DuckDB's IEJoin and range-interval joins optimize to;
+    timestamps should be pre-converted with functions.dates.epoch_us.
+    """
+    on = list(on or [])
+    lb = left.withColumn(
+        "__band", F.floor(F.col(left_val) / F.lit(eps)).cast("long")
+    )
+    r_band = F.floor(F.col(right_val) / F.lit(eps)).cast("long")
+    rb = (
+        right.withColumn("__d", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("__band", r_band + F.col("__d"))
+        .drop("__d")
+    )
+    return (
+        lb.join(rb, on=on + ["__band"], how="inner")
+        .where(F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(eps))
+        .drop("__band")
+    )

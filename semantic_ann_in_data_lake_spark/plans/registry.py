@@ -4300,3 +4300,46 @@ def zorder_key_orders(spark, sf_dir):
     return with_zorder_key(
         orders, ["o_custkey", "o_totalprice"], bits=8
     ).select("o_orderkey", "zkey")
+
+
+@register(
+    "band_join_view_purchase",
+    """
+    SELECT v.user_id, v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           (epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP))::BIGINT
+             AS gap_us
+    FROM events v JOIN events p ON v.user_id = p.user_id
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      AND abs(epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP))
+            <= 1800000000
+    """,
+)
+def band_join_view_purchase(spark, sf_dir):
+    """Proximity join: same-user (view, purchase) event pairs within
+    ±30 minutes, via the BANDED equi-join (operators/joins.py::
+    band_join — bucket by floor(t/eps), replicate one side ±1 bucket,
+    exact filter) instead of the O(|L|·|R|) nested-loop theta-join the
+    inequality predicate would otherwise plan. Oracle: DuckDB's plain
+    inequality join — same pairs, hash-checked."""
+    from semantic_ann_in_data_lake_spark.operators.joins import band_join
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        epoch_us("ts").alias("__v_us"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        epoch_us("ts").alias("__p_us"),
+    )
+    return band_join(
+        v, p, "__v_us", "__p_us", eps=1_800_000_000, on=["user_id"]
+    ).select(
+        "user_id",
+        "view_event_id",
+        "purchase_event_id",
+        (F.col("__p_us") - F.col("__v_us")).alias("gap_us"),
+    )

@@ -1386,3 +1386,25 @@ def test_zorder_layout_prunes_both_columns(spark, sf_dir, tmp_path):
         # narrow band still crosses several curve segments — the win is
         # pruning on BOTH dims at once, which a single sort cannot do)
         assert zh <= 8, (col, zh)
+
+
+def test_band_join_equals_theta_join_and_hash_plans(spark):
+    from semantic_ann_in_data_lake_spark.operators.joins import band_join
+
+    left = spark.createDataFrame(
+        [(i, float(i * 7 % 100)) for i in range(200)], "lid int, lv double"
+    )
+    right = spark.createDataFrame(
+        [(i, float(i * 13 % 100)) for i in range(200)], "rid int, rv double"
+    )
+    banded = band_join(left, right, "lv", "rv", eps=2.5)
+    theta = left.join(right, F.abs(F.col("lv") - F.col("rv")) <= 2.5)
+    a = sorted(map(tuple, banded.select("lid", "rid").collect()))
+    b = sorted(map(tuple, theta.select("lid", "rid").collect()))
+    assert a == b and len(a) > 0
+    # the banded form must plan as a hash equi-join, not a nested loop
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    theta_plan = theta._jdf.queryExecution().executedPlan().toString()
+    # what we avoided: the inequality form plans as an all-pairs join
+    assert "NestedLoop" in theta_plan or "CartesianProduct" in theta_plan

@@ -50,6 +50,35 @@ DEFAULT_ROUND_DP = 6
 _DEQUANT_CACHE: dict = {}
 
 
+def _estimate_rows(df: DataFrame) -> int | None:
+    """Row count from parquet footers when ``df`` is an unfiltered
+    file scan — zero Spark jobs (footer metadata only); None when the
+    plan is anything richer (a filter would make footer counts an
+    OVER-estimate, which could wrongly pick the ivf tier — fine — or
+    keep broadcast on a smaller-than-estimated side — also fine — but
+    we stay conservative and fall back to count())."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() not in (
+            "LogicalRelation",
+            "LogicalRelationWithTable",
+        ):
+            return None
+        files = df.inputFiles()
+        if not files or not all(f.endswith(".parquet") for f in files):
+            return None
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            total += pq.ParquetFile(
+                f.removeprefix("file://").removeprefix("file:")
+            ).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def _prep(df: DataFrame, id_col: str, vec_col: str, side: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias(f"{side}_id"),
@@ -90,8 +119,11 @@ def knn_join(
         # SURVEY §4.2's optional dispatch: broadcast the candidate index
         # when it fits comfortably in executor memory, else fall back to
         # the partitioned IVF path (both-sides-huge). Cost of the probe:
-        # one count() on parquet metadata + one head() for the dim.
-        n_cand = candidates.count()
+        # parquet FOOTER row counts when the input is a bare scan (no
+        # Spark job at all), else one count(); plus one head() for dim.
+        n_cand = _estimate_rows(candidates)
+        if n_cand is None:
+            n_cand = candidates.count()
         first = candidates.select(vec_col).head(1)
         dim = len(first[0][0]) if first else 0
         approx_bytes = n_cand * dim * 8

@@ -524,7 +524,7 @@ _GATE_DEFER = frozenset({
     # round 3: cede two slots to decontaminate_docs / pack_sequences_docs
     # (cube_revenue already exercises the grouping-sets shape these two
     # share; both stay locally verified by scripts/oracle_check.py)
-    "pivot_linestatus", "rollup_revenue",
+    "pivot_linestatus", "rollup_revenue", "orc_sink_roundtrip",
 })
 
 
@@ -4342,4 +4342,40 @@ def band_join_view_purchase(spark, sf_dir):
         "view_event_id",
         "purchase_event_id",
         (F.col("__p_us") - F.col("__v_us")).alias("gap_us"),
+    )
+
+
+_ORC_RT = "/tmp/sals_gate/orc_rt"
+
+
+@register(
+    "orc_sink_roundtrip",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           sum(o_custkey) AS cust_sum,
+           round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS price_sum
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def orc_sink_roundtrip(spark, sf_dir):
+    """S6/S7 family, ORC tier: orders → ORC sink → read back →
+    aggregate vs the original parquet through the DuckDB oracle. ORC
+    preserves types exactly (unlike the CSV text round-trip), so the
+    DECIMAL money discipline applies unchanged."""
+    from semantic_ann_in_data_lake_spark.sources.writers import write_orc
+
+    write_orc(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_totalprice",
+        ),
+        _ORC_RT,
+    )
+    back = spark.read.orc(_ORC_RT)
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").alias("cust_sum"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("price_sum"),
     )

@@ -75,3 +75,11 @@ def write_layout(
     cols = [F.col(c) for c in (partition_by + (sort_by or []))]
     routed = df.repartitionByRange(num_output_tasks, *cols).sortWithinPartitions(*cols)
     routed.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def write_orc(df, path: str) -> None:
+    """ORC sink — Spark's second built-in columnar format; same
+    overwrite contract as the parquet/CSV sinks. Included so lake
+    tables written by ORC-native engines interop without a converter
+    step; readers are symmetric (``spark.read.orc``)."""
+    df.write.mode("overwrite").orc(path)

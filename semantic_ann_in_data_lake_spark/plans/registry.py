@@ -525,6 +525,12 @@ _GATE_DEFER = frozenset({
     # (cube_revenue already exercises the grouping-sets shape these two
     # share; both stay locally verified by scripts/oracle_check.py)
     "pivot_linestatus", "rollup_revenue", "orc_sink_roundtrip",
+    # round-3 late additions displace three more: the two rows-only
+    # entries (their driver rows are the weak kind regardless — the
+    # hash-gated *_bounds / recall companions stay in-window) and one
+    # conditional-agg TPC-H shape q12 already covers.
+    "profile_approx_distinct", "knn_ivf_kmeans_l2",
+    "q4_late_shipment_priority",
 })
 
 
@@ -4378,4 +4384,48 @@ def orc_sink_roundtrip(spark, sf_dir):
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
         .cast("double")
         .alias("price_sum"),
+    )
+
+
+@register(
+    "bpe_contract_docs",
+    """
+    SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_violations
+    FROM documents
+    """,
+)
+def bpe_contract_docs(spark, sf_dir):
+    """Exact-token tier contract: train the in-repo byte-level BPE on
+    the corpus (functions/bpe.py — distributed word-frequency pass,
+    bounded driver merge loop), encode every document on the workers,
+    and verify per doc that (a) decode(encode(text)) == text and
+    (b) whitespace-words ≤ bpe-tokens ≤ utf8-bytes. Emits (n_docs,
+    n_violations); the oracle pins n_violations = 0 over the same
+    corpus — the BPE algebra itself is not SQL-expressible, its
+    invariants are."""
+    from semantic_ann_in_data_lake_spark.functions.bpe import (
+        BpeTokenizer,
+        train_bpe_from_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_from_df(docs, num_merges=200)
+
+    def check(batches):
+        import pandas as pd
+
+        tok = BpeTokenizer(merges)
+        for pdf in batches:
+            bad = 0
+            for t in pdf["text"].fillna(""):
+                ids = tok.encode(t)
+                if tok.decode(ids) != t:
+                    bad += 1
+                elif not (len(t.split()) <= len(ids) <= len(t.encode())):
+                    bad += 1
+            yield pd.DataFrame({"n": [len(pdf)], "bad": [bad]})
+
+    agg = docs.select("text").mapInPandas(check, schema="n long, bad long")
+    return agg.agg(
+        F.sum("n").alias("n_docs"), F.sum("bad").alias("n_violations")
     )

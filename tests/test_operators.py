@@ -1408,3 +1408,57 @@ def test_band_join_equals_theta_join_and_hash_plans(spark):
     theta_plan = theta._jdf.queryExecution().executedPlan().toString()
     # what we avoided: the inequality form plans as an all-pairs join
     assert "NestedLoop" in theta_plan or "CartesianProduct" in theta_plan
+
+
+# --- byte-level BPE tier -------------------------------------------------
+
+
+def test_bpe_roundtrip_and_compression(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.functions.bpe import (
+        BpeTokenizer,
+        train_bpe_from_df,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe_from_df(docs, num_merges=200)
+    assert len(merges) > 50
+    tok = BpeTokenizer(merges)
+    texts = [r["text"] for r in docs.select("text").limit(50).collect()]
+    for t in texts:
+        ids = tok.encode(t)
+        assert tok.decode(ids) == t  # lossless
+        # subword counts sit between word count and byte count
+        assert len(t.split()) <= len(ids) <= len(t.encode())
+    # merges must actually compress the corpus text
+    total_bytes = sum(len(t.encode()) for t in texts)
+    total_ids = sum(len(tok.encode(t)) for t in texts)
+    assert total_ids < 0.7 * total_bytes
+
+
+def test_bpe_training_deterministic(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.functions.bpe import train_bpe
+
+    freqs = {"spark table": 5, "spark row": 3, "table scan": 4}
+    assert train_bpe(freqs, 50) == train_bpe(dict(reversed(freqs.items())), 50)
+
+
+def test_token_truncate_bpe_tier(spark, sf_dir):
+    """The exact-token seam with the REAL in-repo tokenizer: truncation
+    respects the subword budget and the truncated text is a prefix."""
+    from semantic_ann_in_data_lake_spark.functions.bpe import (
+        BpeTokenizer,
+        train_bpe_from_df,
+    )
+    from semantic_ann_in_data_lake_spark.functions.text import token_truncate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    merges = train_bpe_from_df(docs, num_merges=150)
+    out = token_truncate(
+        docs, max_tokens=16, tokenizer=lambda: BpeTokenizer(merges)
+    ).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(out) == 60
+    for r in out:
+        assert r["n_tokens_kept"] <= 16
+        assert r["n_tokens_kept"] <= r["n_tokens"]
+        assert texts[r["doc_id"]].startswith(r["truncated"])

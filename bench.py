@@ -149,6 +149,12 @@ def bench_queries(spark, sf_dir):
         "q19_disjunctive_revenue": from_registry("q19_disjunctive_revenue"),
         "csv_scan_pricing": csv_scan_pricing,
         "lake_join_discovery": from_registry("lake_join_discovery"),
+        # round-3 operators: leak check, packing, skew/band joins, layout
+        "decontaminate_docs": from_registry("decontaminate_docs"),
+        "pack_sequences_docs": from_registry("pack_sequences_docs"),
+        "band_join_view_purchase": from_registry("band_join_view_purchase"),
+        "salted_heavy_user_rollup": from_registry("salted_heavy_user_rollup"),
+        "zorder_key_orders": from_registry("zorder_key_orders"),
     }
 
 

@@ -142,3 +142,32 @@ class TestAsofJoinProperties:
             for r in want_df.itertuples()
         }
         assert got == want
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8"),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_roundtrip_arbitrary_unicode(texts):
+    """decode(encode(t)) == t for ANY valid-utf8 text, with merges
+    trained on an unrelated tiny corpus — the lossless-byte-level
+    property must not depend on the training data."""
+    from semantic_ann_in_data_lake_spark.functions.bpe import (
+        BpeTokenizer,
+        train_bpe,
+    )
+
+    merges = train_bpe(
+        {"the quick brown": 5, "quick quick": 3, "Σπάρκ δεδομένα": 2}, 64
+    )
+    tok = BpeTokenizer(merges)
+    for t in texts:
+        assert tok.decode(tok.encode(t)) == t

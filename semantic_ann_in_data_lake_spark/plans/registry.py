@@ -531,6 +531,9 @@ _GATE_DEFER = frozenset({
     # conditional-agg TPC-H shape q12 already covers.
     "profile_approx_distinct", "knn_ivf_kmeans_l2",
     "q4_late_shipment_priority",
+    # quality_model_scores displaces the ROWS-frame rolling query
+    # (customer_trailing_revenue keeps the RANGE-frame shape in-window)
+    "customer_order_trends",
 })
 
 
@@ -4429,3 +4432,26 @@ def bpe_contract_docs(spark, sf_dir):
     return agg.agg(
         F.sum("n").alias("n_docs"), F.sum("bad").alias("n_violations")
     )
+
+
+def _quality_model_oracle() -> str:
+    from semantic_ann_in_data_lake_spark.annotate.scoring import (
+        default_weights,
+        score_oracle_sql,
+    )
+
+    proj = score_oracle_sql("text", default_weights(16), bias=0.0)
+    return f"SELECT doc_id, {proj} FROM documents"
+
+
+@register("quality_model_scores", _quality_model_oracle())
+def quality_model_scores(spark, sf_dir):
+    """Learned-quality-model stage (annotate/scoring.py): sigmoid over
+    the hash-embedding feature map with a fixed weight head — the
+    broadcast-weights batch-scoring plumbing of a real classifier,
+    fully JVM-side and hash-checked against the DuckDB twin (logit at
+    6 dp exact; score at 4 dp — exp is the one libm step without a
+    cross-engine correctly-rounded guarantee)."""
+    from semantic_ann_in_data_lake_spark.annotate.scoring import score_documents
+
+    return score_documents(_t(spark, sf_dir, "documents"))

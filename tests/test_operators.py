@@ -1462,3 +1462,18 @@ def test_token_truncate_bpe_tier(spark, sf_dir):
         assert r["n_tokens_kept"] <= 16
         assert r["n_tokens_kept"] <= r["n_tokens"]
         assert texts[r["doc_id"]].startswith(r["truncated"])
+
+
+def test_model_quality_filter_threshold_semantics(spark, sf_dir):
+    import math
+
+    from semantic_ann_in_data_lake_spark.annotate.scoring import (
+        model_quality_filter,
+        score_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = {r["doc_id"]: r["score"] for r in score_documents(docs).collect()}
+    kept = {r["doc_id"] for r in model_quality_filter(docs, 0.5).select("doc_id").collect()}
+    assert kept == {d for d, s in scored.items() if s >= 0.5}
+    assert 0 < len(kept) < len(scored)  # the threshold actually splits

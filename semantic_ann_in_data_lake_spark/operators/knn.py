@@ -99,6 +99,8 @@ def knn_join(
     compress: str | None = None,
     ivf_fit: str = "sample",
     max_bucket_size: int | None = None,
+    nlist: int = 16,
+    nprobe: int = 4,
 ) -> DataFrame:
     """Top-k nearest candidates per query.
 
@@ -162,7 +164,7 @@ def knn_join(
     if strategy == "ivf":
         return _knn_ivf(
             queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp,
-            fit=ivf_fit, compress=compress,
+            nlist=nlist, nprobe=nprobe, fit=ivf_fit, compress=compress,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 

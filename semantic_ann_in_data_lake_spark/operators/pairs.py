@@ -196,3 +196,33 @@ def upsert_latest(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__origin")
     )
+
+
+def cap_per_key(
+    df,
+    key: str,
+    n: int,
+    order_col: str | None = None,
+    descending: bool = False,
+):
+    """Keep at most ``n`` rows per key — the per-domain/per-source cap a
+    corpus-balancing pipeline applies so no single source dominates.
+
+    Deterministic: rows rank by ``order_col`` (default: the key-local
+    natural column must be supplied; ties are impossible when order_col
+    is unique). Plans as row_number over a PARTITIONED window with the
+    rank<=n filter pushed to WindowGroupLimit — per-partition pre-limit
+    before the exchange, no global sort, no skew funnel.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if order_col is None:
+        raise ValueError("cap_per_key needs an explicit order_col")
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(key).orderBy(oc)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -534,6 +534,11 @@ _GATE_DEFER = frozenset({
     # quality_model_scores displaces the ROWS-frame rolling query
     # (customer_trailing_revenue keeps the RANGE-frame shape in-window)
     "customer_order_trends",
+    # cap_docs_per_source / knn_ivf_probeall_l2 displace two whose
+    # families already hold an official row: sliding rollup (hourly
+    # rollup gated r2) and the batch interval join (band_join twin +
+    # stream-equality test cover it)
+    "events_sliding_rollup", "view_error_interval_join",
 })
 
 
@@ -4455,3 +4460,44 @@ def quality_model_scores(spark, sf_dir):
     from semantic_ann_in_data_lake_spark.annotate.scoring import score_documents
 
     return score_documents(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "cap_docs_per_source",
+    """
+    WITH r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS __rn
+      FROM documents
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(doc_id)::BIGINT AS id_sum
+    FROM r WHERE __rn <= 40
+    GROUP BY source
+    """,
+)
+def cap_docs_per_source(spark, sf_dir):
+    """Per-source corpus balancing: keep the first 40 docs per source
+    (pairs.cap_per_key — WindowGroupLimit-bounded partitioned window),
+    then roll up per source; oracle = the same cap in plain SQL."""
+    from semantic_ann_in_data_lake_spark.operators.pairs import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = cap_per_key(docs, key="source", n=40, order_col="doc_id")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@register("knn_ivf_probeall_l2", _KNN_L2_SQL.format(k=5))
+def knn_ivf_probeall_l2(spark, sf_dir):
+    """IVF machinery EXACTNESS witness: with nprobe == nlist every cell
+    is probed, the per-cell local top-k union provably contains the
+    global top-k, and the merge must reproduce the exact answer — so
+    this shares knn_exact_l2's oracle verbatim. Complements the
+    distance distcheck (which pins per-pair arithmetic but not merge
+    completeness); together they bound what the approximate tiers can
+    get wrong to cell selection only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb, k=5, strategy="ivf", nlist=16, nprobe=16)

@@ -94,6 +94,28 @@ def train_bpe_from_df(
     return train_bpe({r["w"]: r["n"] for r in rows}, num_merges)
 
 
+def save_merges(merges: list[tuple[int, int]], path: str) -> None:
+    """Persist a learned merge table as JSON — the tokenizer artifact
+    (train once per corpus snapshot, reuse across every job that
+    budgets tokens; the file is a few KB)."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"version": 1, "merges": [list(p) for p in merges]}, f)
+
+
+def load_merges(path: str) -> list[tuple[int, int]]:
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("version") != 1:
+        raise ValueError(f"unsupported bpe artifact version: {doc.get('version')}")
+    return [tuple(p) for p in doc["merges"]]
+
+
 class BpeTokenizer:
     """encode/decode over a learned merge table — the interface
     ``token_truncate``'s tokenizer seam expects (tiktoken-compatible:

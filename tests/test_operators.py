@@ -1477,3 +1477,19 @@ def test_model_quality_filter_threshold_semantics(spark, sf_dir):
     kept = {r["doc_id"] for r in model_quality_filter(docs, 0.5).select("doc_id").collect()}
     assert kept == {d for d, s in scored.items() if s >= 0.5}
     assert 0 < len(kept) < len(scored)  # the threshold actually splits
+
+
+def test_bpe_artifact_roundtrip(tmp_path):
+    from semantic_ann_in_data_lake_spark.functions.bpe import (
+        BpeTokenizer,
+        load_merges,
+        save_merges,
+        train_bpe,
+    )
+
+    merges = train_bpe({"alpha beta": 4, "beta gamma": 3}, 32)
+    p = str(tmp_path / "tok" / "merges.json")
+    save_merges(merges, p)
+    tok_a, tok_b = BpeTokenizer(merges), BpeTokenizer(load_merges(p))
+    s = "alpha beta gamma delta"
+    assert tok_a.encode(s) == tok_b.encode(s)

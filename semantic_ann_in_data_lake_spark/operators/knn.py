@@ -539,8 +539,13 @@ def _knn_ivf(
         centroids = np.asarray([ctr for ctr in km.clusterCenters()], dtype=np.float64)
     elif fit == "sample":
         # centroids from a bounded sample — the cheap tier: the
-        # driver-side fit stays O(sample·d) regardless of table size
-        sample = c.select("cand_vec").limit(100_000).toPandas()
+        # driver-side fit stays O(sample·d) regardless of table size.
+        # limit() returns rows in partition-completion order, which
+        # varies by session/scheduling — sort the (tiny) collected
+        # sample by id so the seeded centroid pick, and therefore every
+        # approximate IVF result, is reproducible across sessions.
+        sample = c.select("cand_id", "cand_vec").limit(100_000).toPandas()
+        sample = sample.sort_values("cand_id", kind="mergesort")
         mat = np.asarray(list(sample["cand_vec"]), dtype=np.float64)
         rng = np.random.RandomState(seed)
         centroids = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]

@@ -57,7 +57,15 @@ def pack_sequences(
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn("__local_cum", F.sum("n_tokens").over(w_local))
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+
+    # local feeds BOTH the totals aggregate and the final cum join;
+    # Catalyst does not CSE across branches, so without this the scan +
+    # range shuffle + window run twice (observed 2 scans / 2 range
+    # exchanges in the executed plan).
+    local = scoped_persist(
+        part.withColumn("__local_cum", F.sum("n_tokens").over(w_local))
+    )
     # per-partition totals: n_partitions rows — schema-sized, not
     # data-sized; the offsets window runs over this tiny frame only
     totals = local.groupBy("__pid").agg(F.sum("n_tokens").alias("__ptot"))

@@ -36,3 +36,24 @@ def test_sql_over_lake_and_derived_views(spark, sf_dir):
         "SELECT count(*) AS n FROM minhash_signatures WHERE size(minhash) = 16"
     ).collect()[0]
     assert sig["n"] > 0
+
+
+def test_sql_over_round3_views(spark, sf_dir):
+    """Plain SQL composition over the round-3 derived relations: join
+    quality scores onto packing bins and aggregate per bin."""
+    from semantic_ann_in_data_lake_spark.plans.views import (
+        register_derived_views,
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    register_derived_views(spark, sf_dir)
+    rows = spark.sql(
+        """
+        SELECT b.bin_id, count(*) AS n_docs, round(avg(s.score), 4) AS avg_q
+        FROM doc_pack_bins b JOIN doc_quality_scores s USING (doc_id)
+        GROUP BY b.bin_id ORDER BY b.bin_id LIMIT 5
+        """
+    ).collect()
+    assert len(rows) == 5
+    assert all(r["n_docs"] >= 1 and 0.0 <= r["avg_q"] <= 1.0 for r in rows)

@@ -127,3 +127,38 @@ def frame_sample_plan(
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def sample_frames(media: DataFrame, k: int = 4, frame_len: int = 32) -> DataFrame:
+    """Uniform frame sampling from video-like binary payloads: ``k``
+    windows of ``frame_len`` bytes at evenly spaced offsets, per media
+    row — the Spark shape of a video frame-sampler (decode stubbed by
+    policy: the 'frame' is the raw byte window and its digest; a real
+    decoder replaces ONLY the bytes→pixels step inside the same
+    Arrow-batched iterator, schema and partitioning unchanged).
+
+    Payloads shorter than one frame are skipped (no partial frames).
+    Output: (media_id, frame_idx, frame_off, frame_md5).
+    """
+    schema = "media_id long, frame_idx int, frame_off long, frame_md5 string"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_off": [], "frame_md5": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) < frame_len:
+                    continue
+                L = len(payload)
+                for j in range(k):
+                    off = (j * (L - frame_len)) // (k - 1) if k > 1 else 0
+                    chunk = bytes(payload[off : off + frame_len])
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(j)
+                    out["frame_off"].append(off)
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=schema)

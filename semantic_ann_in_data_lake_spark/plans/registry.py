@@ -539,6 +539,8 @@ _GATE_DEFER = frozenset({
     # rollup gated r2) and the batch interval join (band_join twin +
     # stream-equality test cover it)
     "events_sliding_rollup", "view_error_interval_join",
+    # sibling of officially-gated media_features — locally verified
+    "media_frame_samples",
 })
 
 
@@ -4501,3 +4503,33 @@ def knn_ivf_probeall_l2(spark, sf_dir):
     get wrong to cell selection only."""
     emb = _t(spark, sf_dir, "embeddings")
     return knn_join(emb, emb, k=5, strategy="ivf", nlist=16, nprobe=16)
+
+
+@register(
+    "media_frame_samples",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text, length(text)::BIGINT AS L
+      FROM documents WHERE length(text) >= 32
+    ),
+    f AS (SELECT media_id, unnest(range(0, 4)) AS fi, text, L FROM m)
+    SELECT media_id, fi::INT AS frame_idx,
+           ((fi * (L - 32)) // 3)::BIGINT AS frame_off,
+           md5(substr(text, ((fi * (L - 32)) // 3)::INT + 1, 32)) AS frame_md5
+    FROM f
+    """,
+)
+def media_frame_samples(spark, sf_dir):
+    """Video-style frame sampling over binary payloads
+    (operators/multimodal.py::sample_frames): 4 uniformly spaced
+    32-byte windows per payload, digest per frame. The documents
+    fixture is pure ASCII (verified at every sf), so the DuckDB oracle
+    reproduces the byte windows with character substr — the gate pins
+    offset arithmetic, batch shapes, and digest equality end to end."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, k=4, frame_len=32)

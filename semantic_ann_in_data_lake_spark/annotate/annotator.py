@@ -164,3 +164,83 @@ def annotate_tables(
             )
 
     return catalog.mapInPandas(run, schema=schema)
+
+
+class HttpAnnotator:
+    """HTTP completion client behind the annotator interface
+    ``(table_name, columns, sample_md) -> raw reply text`` — the live
+    tier of the reference's LLM annotation call
+    (``semantic_annotation.py:116-131``: one prompt per table, fixed
+    sleep; here one request per table row inside the mapInPandas stage,
+    with the retry-once-on-parse-failure contract layered above by
+    ``annotate_tables``).
+
+    POSTs ``{"prompt": ..., "model": ...}`` and expects ``{"text":
+    "..."}`` — the minimal completion-endpoint shape. stdlib urllib;
+    429/5xx retried with exponential backoff (transport retries are
+    SEPARATE from the parse-retry above); auth via caller-supplied
+    headers, never read from the environment. Prompt layout mirrors the
+    reference: table name + column list + sampled rows as markdown.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        model: str = "default",
+        headers: dict[str, str] | None = None,
+        timeout_s: float = 60.0,
+        max_retries: int = 3,
+        backoff_s: float = 0.5,
+    ):
+        self.url = url
+        self.model = model
+        self.headers = dict(headers or {})
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+
+    def build_prompt(
+        self, table_name: str, columns: list[str], sample_md: str
+    ) -> str:
+        cols = ", ".join(columns)
+        return (
+            f"Propose clean snake_case names for table '{table_name}' "
+            f"with columns [{cols}].\nSample rows:\n{sample_md}\n"
+            "Reply with ONE json object: table_name, table_title, "
+            "table_description, columns (original -> clean)."
+        )
+
+    def __call__(
+        self, table_name: str, columns: list[str], sample_md: str
+    ) -> str:
+        import time
+        import urllib.error
+        import urllib.request
+
+        payload = json.dumps(
+            {
+                "prompt": self.build_prompt(table_name, columns, sample_md),
+                "model": self.model,
+            }
+        ).encode()
+        headers = {"Content-Type": "application/json", **self.headers}
+        last: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                req = urllib.request.Request(
+                    self.url, data=payload, headers=headers, method="POST"
+                )
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                    return json.loads(r.read().decode("utf-8"))["text"]
+            except urllib.error.HTTPError as e:
+                if e.code == 429 or e.code >= 500:
+                    last = e
+                else:
+                    raise
+            except (urllib.error.URLError, TimeoutError) as e:
+                last = e
+            if attempt < self.max_retries:
+                time.sleep(self.backoff_s * (2**attempt))
+        raise RuntimeError(
+            f"annotation endpoint failed after {self.max_retries + 1} attempts"
+        ) from last

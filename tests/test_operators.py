@@ -1493,3 +1493,62 @@ def test_bpe_artifact_roundtrip(tmp_path):
     tok_a, tok_b = BpeTokenizer(merges), BpeTokenizer(load_merges(p))
     s = "alpha beta gamma delta"
     assert tok_a.encode(s) == tok_b.encode(s)
+
+
+def test_http_annotator_end_to_end(spark):
+    """annotate_tables driven by HttpAnnotator against a loopback
+    completion server whose reply wraps JSON in markdown fences — the
+    full live-annotation path: prompt build, transport retry, fence
+    extraction, validation."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from semantic_ann_in_data_lake_spark.annotate.annotator import (
+        HttpAnnotator,
+        annotate_tables,
+    )
+
+    calls = {"n": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            calls["n"] += 1
+            body = _json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            if calls["n"] == 1:
+                self.send_response(503); self.end_headers(); return
+            # parse the column list back out of the prompt
+            cols = body["prompt"].split("[", 1)[1].split("]", 1)[0].split(", ")
+            reply = {
+                "text": "Sure!\n```json\n" + _json.dumps({
+                    "table_name": "t1",
+                    "table_title": "T One",
+                    "table_description": "desc",
+                    "columns": {c: c.lower().replace(" ", "_") for c in cols},
+                }) + "\n```"
+            }
+            out = _json.dumps(reply).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cat = spark.createDataFrame(
+            [("t1", ["Col A", "Col B"], "| a | b |")],
+            "table_name string, columns array<string>, sample_markdown string",
+        )
+        ann = HttpAnnotator(
+            f"http://127.0.0.1:{srv.server_port}/v1", backoff_s=0.01
+        )
+        rows = annotate_tables(cat, annotator=ann).collect()
+        assert len(rows) == 1 and rows[0]["ok"]
+        assert rows[0]["columns"] == {"Col A": "col_a", "Col B": "col_b"}
+        assert calls["n"] == 2  # transport 503 retried
+    finally:
+        srv.shutdown()

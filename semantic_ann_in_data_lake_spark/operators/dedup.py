@@ -500,10 +500,20 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
-    labels = scoped_persist(
+    # Each round's labels are localCheckpoint'ed (eager): persisting
+    # alone keeps the BLOCKS but the logical plan still nests every
+    # prior round — by round 20 the unrolled tree holds >1,300 scan
+    # nodes (observed via scripts/plan_report.py), and the driver pays
+    # optimizer time over it on every downstream use, with a full
+    # recompute cascade if blocks evict. Checkpointing truncates the
+    # lineage so the returned plan is one shallow read per round. On a
+    # real cluster prefer reliable checkpoints (setCheckpointDir) —
+    # localCheckpoint blocks are executor-local and non-replicated.
+    labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
     )
     total = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
@@ -512,7 +522,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = scoped_persist(
+        new_labels = (
             labels.join(neigh, labels.id == neigh.src, "left")
             .select(
                 "id",
@@ -520,9 +530,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     "lbl"
                 ),
             )
+            .localCheckpoint(eager=True)
         )
         new_total = new_labels.agg(F.sum("lbl")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_total == total:
             break

@@ -1552,3 +1552,27 @@ def test_http_annotator_end_to_end(spark):
         assert calls["n"] == 2  # transport 503 retried
     finally:
         srv.shutdown()
+
+
+def test_compact_parquet_and_zorder_preserve_rows(spark, sf_dir, tmp_path):
+    import glob
+
+    from semantic_ann_in_data_lake_spark.operators.layout import (
+        compact_parquet,
+        write_zordered,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    frag = str(tmp_path / "frag")
+    orders.repartition(37).write.mode("overwrite").parquet(frag)  # small files
+    assert len(glob.glob(f"{frag}/*.parquet")) == 37
+
+    dst = str(tmp_path / "compact")
+    compact_parquet(spark, frag, dst, target_files=4, order_col="o_orderkey")
+    assert len(glob.glob(f"{dst}/*.parquet")) == 4
+    want = sorted(map(tuple, orders.collect()))
+    assert sorted(map(tuple, spark.read.parquet(dst).collect())) == want
+
+    zp = str(tmp_path / "zrows")
+    write_zordered(orders, zp, ["o_custkey", "o_totalprice"], target_files=4)
+    assert sorted(map(tuple, spark.read.parquet(zp).collect())) == want

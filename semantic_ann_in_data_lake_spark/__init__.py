@@ -42,4 +42,4 @@ Layout
                          extension, not parity.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

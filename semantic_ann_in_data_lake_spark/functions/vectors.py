@@ -83,3 +83,39 @@ def norm_sql(a: str) -> str:
 
 def cosine_sim_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)}) / (({norm_sql(a)}) * ({norm_sql(b)}) + 1e-12)"
+
+
+def centroid_per_key(
+    df, key_col: str, vec_col: str, round_dp: int = 6
+):
+    """Mean-pool vectors per key → (key, n_vectors, centroid) — the
+    per-domain/cluster centroid builder (routing tables, domain
+    signatures, IVF seed refresh).
+
+    Exactness discipline: per-dimension sums accumulate in DECIMAL
+    (parallel double summation is order-nondeterministic), divide once
+    as double, round. Shape: posexplode → ONE (key, dim) aggregate →
+    re-assemble the array with an ordered collect — shuffle payload is
+    |keys|·dim partial sums, never |rows|·dim."""
+    from pyspark.sql import functions as F
+
+    e = df.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    agg = e.groupBy("key", "pos").agg(
+        F.sum(F.col("val").cast("double").cast("decimal(28,10)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    comp = F.round(F.col("s").cast("double") / F.col("n"), round_dp)
+    return (
+        agg.select("key", "pos", comp.alias("c"), "n")
+        .groupBy("key")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("centroid"),
+        )
+    )

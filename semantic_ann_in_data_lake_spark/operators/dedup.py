@@ -539,3 +539,63 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         total = new_total
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def lsh_cross_pairs(
+    sigs_ref: DataFrame, sigs_new: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Cross-corpus LSH candidates: (ref doc, new doc) pairs colliding
+    in any band — the batch form of dedup-against-an-existing-corpus
+    (ingest a new shard, drop what the lake already holds). Same banded
+    bucket join as the self-join path, no id ordering constraint (the
+    sides are distinct corpora); the streaming twin is
+    ``incremental_neardup_foreach_batch``'s band-sink join."""
+    a = band_keys(sigs_ref, bands, rows_per_band).withColumnRenamed(
+        "doc_id", "id_a"
+    )
+    b = band_keys(sigs_new, bands, rows_per_band).withColumnRenamed(
+        "doc_id", "id_b"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def cross_corpus_near_dups(
+    docs_ref: DataFrame,
+    docs_new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.01,
+    hash_portable: bool = True,
+) -> DataFrame:
+    """New-corpus docs near-duplicating reference-corpus docs:
+    (id_a=ref, id_b=new, jaccard ≥ threshold), exact-verified like the
+    self-join pipeline."""
+    sigs_ref = scoped_persist(
+        minhash_signatures(docs_ref, id_col, text_col, num_hashes, shingle_n,
+                           hash_portable)
+    )
+    sigs_new = scoped_persist(
+        minhash_signatures(docs_new, id_col, text_col, num_hashes, shingle_n,
+                           hash_portable)
+    )
+    cands = lsh_cross_pairs(sigs_ref, sigs_new, bands, rows_per_band)
+    sh_a = sigs_ref.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sigs_new.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -541,6 +541,10 @@ _GATE_DEFER = frozenset({
     "events_sliding_rollup", "view_error_interval_join",
     # sibling of officially-gated media_features — locally verified
     "media_frame_samples",
+    # centroid_per_source / cross_corpus_near_dups displace two whose
+    # families hold official rows (profile_percentiles covers value
+    # distributions; annotate_columns_rule covers JSON extraction)
+    "histogram_totalprice", "event_props_json_stats",
 })
 
 
@@ -4533,3 +4537,97 @@ def media_frame_samples(spark, sf_dir):
 
     media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
     return sample_frames(media, k=4, frame_len=32)
+
+
+@register(
+    "centroid_per_source",
+    """
+    WITH e AS (
+      SELECT d.source AS key, g.i AS pos, em.embedding[g.i + 1] AS val
+      FROM embeddings em
+      JOIN documents d ON em.vec_id = d.doc_id
+      CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g
+      WHERE g.i < len(em.embedding)
+    ),
+    a AS (
+      SELECT key, pos, sum(val::DOUBLE::DECIMAL(28,10)) AS s, count(*) AS n
+      FROM e GROUP BY 1, 2
+    ),
+    c AS (SELECT key, pos, round(s::DOUBLE / n, 6) AS c, n FROM a)
+    SELECT key, max(n)::BIGINT AS n_vectors, list(c ORDER BY pos) AS centroid
+    FROM c GROUP BY key
+    """,
+)
+def centroid_per_source(spark, sf_dir):
+    """Per-domain embedding centroids (functions.vectors.
+    centroid_per_key): mean-pool every source's vectors with
+    DECIMAL-exact per-dimension sums — the routing-table / domain-
+    signature builder (and an IVF seed refresh). Shuffle payload is
+    |keys|·dim partial sums; the oracle re-derives the same pooling
+    with a single-stream window-free plan."""
+    from semantic_ann_in_data_lake_spark.functions.vectors import (
+        centroid_per_key,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    joined = emb.join(F.broadcast(docs), "vec_id").select(
+        F.col("source"), F.col("embedding")
+    )
+    return centroid_per_key(joined, "source", "embedding").withColumnRenamed(
+        "key", "key"
+    )
+
+
+def _minhash_lsh_cross_sql(bands: int = 8, r: int = 2, threshold: float = 0.01) -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"minhash[{b * r + 1}]::VARCHAR || '|' || minhash[{b * r + 2}]::VARCHAR AS band_key, sh "
+        f"FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_W_CTE}, {_SH_CTE},
+    sigs AS (
+      SELECT doc_id, sh,
+             {_minhash_sig_inner(16)} AS minhash
+      FROM s WHERE len(sh) > 0
+    ),
+    banded AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / greatest(len(sa.sh) + len(sb.sh)
+                              - len(list_intersect(sa.sh, sb.sh)), 1), 6) AS jaccard
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+    )
+    SELECT * FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@register("cross_corpus_near_dups", _minhash_lsh_cross_sql(8, 2, 0.01))
+def cross_corpus_near_dups_q(spark, sf_dir):
+    """Dedup-against-the-lake: new-shard docs (doc_id % 3 != 0)
+    near-duplicating reference docs (doc_id % 3 == 0) via the
+    cross-corpus banded join (operators/dedup.py::cross_corpus_near_dups)
+    — the ingest-time batch twin of the streaming band-sink dedup. Same
+    MinHash/verification algebra as the self-join gate, no id-ordering
+    constraint."""
+    from semantic_ann_in_data_lake_spark.operators.dedup import (
+        cross_corpus_near_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    return cross_corpus_near_dups(ref, new)

@@ -1576,3 +1576,33 @@ def test_compact_parquet_and_zorder_preserve_rows(spark, sf_dir, tmp_path):
     zp = str(tmp_path / "zrows")
     write_zordered(orders, zp, ["o_custkey", "o_totalprice"], target_files=4)
     assert sorted(map(tuple, spark.read.parquet(zp).collect())) == want
+
+
+def test_cross_corpus_pairs_subset_of_self_join(spark, sf_dir):
+    """Every cross-corpus near-dup pair must also be found by the
+    self-join pipeline over the union corpus (same banding, same
+    verification) — the cross variant is a partition of it."""
+    from pyspark.sql import functions as FF
+
+    from semantic_ann_in_data_lake_spark.operators.dedup import (
+        cross_corpus_near_dups,
+        minhash_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.where(FF.col("doc_id") % 3 == 0)
+    new = docs.where(FF.col("doc_id") % 3 != 0)
+    cross = {
+        (r["id_a"], r["id_b"])
+        for r in cross_corpus_near_dups(ref, new).collect()
+    }
+    full = minhash_near_dups(docs).collect()
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full} | {
+        (r["id_b"], r["id_a"]) for r in full
+    }
+    assert cross and cross <= full_pairs
+    # and the cross set is exactly the ref->new slice of the full set
+    expect = {
+        (a, b) for (a, b) in full_pairs if a % 3 == 0 and b % 3 != 0
+    }
+    assert cross == expect

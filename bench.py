@@ -155,6 +155,8 @@ def bench_queries(spark, sf_dir):
         "band_join_view_purchase": from_registry("band_join_view_purchase"),
         "salted_heavy_user_rollup": from_registry("salted_heavy_user_rollup"),
         "zorder_key_orders": from_registry("zorder_key_orders"),
+        "cross_corpus_near_dups": from_registry("cross_corpus_near_dups"),
+        "centroid_per_source": from_registry("centroid_per_source"),
     }
 
 

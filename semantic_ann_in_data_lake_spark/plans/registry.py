@@ -545,6 +545,9 @@ _GATE_DEFER = frozenset({
     # families hold official rows (profile_percentiles covers value
     # distributions; annotate_columns_rule covers JSON extraction)
     "histogram_totalprice", "event_props_json_stats",
+    # lsh_recall_report displaces the cluster-assign step that
+    # dedup_keep_canonical already exercises end-to-end
+    "dedup_cluster_assign",
 })
 
 
@@ -4631,3 +4634,73 @@ def cross_corpus_near_dups_q(spark, sf_dir):
     ref = docs.where(F.col("doc_id") % 3 == 0)
     new = docs.where(F.col("doc_id") % 3 != 0)
     return cross_corpus_near_dups(ref, new)
+
+
+@register(
+    "lsh_recall_report",
+    f"""
+    WITH {_W_CTE}, {_SH_CTE},
+    sigs AS (
+      SELECT doc_id, sh, {_minhash_sig_inner(16)} AS minhash
+      FROM s WHERE len(sh) > 0
+    ),
+    exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / greatest(len(a.sh) + len(b.sh)
+                             - len(list_intersect(a.sh, b.sh)), 1), 6) >= 0.02
+    ),
+    banded AS ({" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"minhash[{b * 2 + 1}]::VARCHAR || '|' || minhash[{b * 2 + 2}]::VARCHAR"
+        f" AS band_key FROM sigs" for b in range(8))}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    hit AS (SELECT * FROM exact INTERSECT SELECT * FROM cand)
+    SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+           (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+           (SELECT count(*) FROM hit)::BIGINT AS n_found,
+           (1000 * (SELECT count(*) FROM hit)
+              // greatest((SELECT count(*) FROM exact), 1))::BIGINT
+             AS recall_x1000
+    """,
+)
+def lsh_recall_report(spark, sf_dir):
+    """Official measurement of the LSH approximation: exact ≥0.02
+    Jaccard pairs vs banded candidates, their intersection, and recall
+    in integer permille — every number SQL-expressible (the oracle
+    replicates banding), so the approximation ERROR itself is
+    hash-gated, not just asserted by tests. The exact side is the
+    bounded O(n²) baseline — this is a gate/audit query, not a
+    production path."""
+    from semantic_ann_in_data_lake_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = scoped_persist(D.minhash_signatures(docs))
+    exact = scoped_persist(
+        D.ngram_jaccard_pairs(docs, threshold=0.02).select("id_a", "id_b")
+    )
+    cand = scoped_persist(D.lsh_candidate_pairs(sigs, bands=8, rows_per_band=2))
+    hit = exact.join(cand, ["id_a", "id_b"])
+    # one lazy plan: three 1-row aggregates cross-joined (semi_anti_parts
+    # pattern) — the driver runs a single action, no operator-side collect
+    na = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nf = hit.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        na.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_found",
+            F.floor(
+                (F.lit(1000) * F.col("n_found"))
+                / F.greatest(F.col("n_exact"), F.lit(1))
+            ).cast("long").alias("recall_x1000"),
+        )
+    )

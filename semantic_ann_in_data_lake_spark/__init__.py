@@ -27,13 +27,28 @@ Layout
 - ``operators.textstats`` language-ID, quality scoring, token counting,
                          fingerprinting, TF-IDF/BM25, repetition filter,
                          PII scrubbing.
-- ``operators.multimodal`` binary-column (image/audio) plumbing with
-                         stubbed decoders.
+- ``operators.multimodal`` binary-column (image/audio/video) plumbing
+                         with stubbed decoders + uniform frame sampling.
+- ``operators.joins``    hot-key-targeted salted join (with detection)
+                         and the banded |a−b| ≤ eps proximity join.
+- ``operators.decontam`` benchmark-leak detection/filtering (n-gram
+                         overlap vs an evaluation set).
+- ``operators.packing``  token-budget sequence packing via a
+                         distributed prefix sum.
+- ``operators.layout``   Z-order (Morton) clustering writes + parquet
+                         small-file compaction.
 - ``functions``          reusable column expressions: portable hashes,
-                         vector math, date normalization, serialization.
+                         vector math (incl. per-key centroids), date
+                         normalization, serialization.
+- ``functions.bpe``      corpus-trained byte-level BPE (train / encode /
+                         decode / artifacts) behind the token seam.
 - ``annotate``           LLM-annotation stage plumbing with deterministic
-                         local fallbacks; corruption + synonym operators.
-- ``functions.skew``     salted joins + two-stage skew aggregation.
+                         local fallbacks + HTTP embedder/annotator
+                         clients; model quality scoring; corruption +
+                         synonym operators.
+- ``functions.skew``     blanket salted join + two-stage skew
+                         aggregation (see operators.joins for the
+                         hot-key tier).
 - ``streaming``          Structured Streaming extensions: watermarked
                          rollups (tumbling/sliding), stateful
                          sessionization, stream-stream interval join,

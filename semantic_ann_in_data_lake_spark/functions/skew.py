@@ -6,9 +6,14 @@ remains necessary when (a) AQE is off/unavailable, (b) the skew is in
 an AGGREGATION rather than a join, or (c) one key dominates so hard
 that even split partitions overwhelm a task.
 
-``salted_join`` replicates the small side per salt and scatters the big
-side's hot keys across ``n_salts`` partitions; results are row-identical
-to the plain join (proven by test).
+``salted_join`` here is the BLANKET tier: every big-side row gets a
+salt and the whole small side replicates ``n_salts``× — right when the
+small side is tiny and skew is pervasive. For power-law skew where a
+handful of keys dominate, use ``operators.joins.salted_join`` instead:
+it detects (or takes) a hot-key list and salts ONLY those keys, so the
+build side replicates just its hot rows; ``operators.joins.band_join``
+covers the related |a−b| ≤ eps proximity-join shape. Results of all
+tiers are row-identical to the plain join (proven by tests).
 
 ``two_stage_agg`` pre-aggregates per (key, salt) before the final
 per-key combine — the manual form of partial aggregation for aggregates

@@ -10,10 +10,14 @@ before the shuffle: the skewed side's hot keys spread across
 rows ``salt_factor`` times, so no single task ever receives a whole hot
 key.
 
-``salted_join`` salts ONLY a declared hot-key set (replicating the
-entire build side for a handful of hot keys is wasted work): hot keys
-route through the salted join, the long tail through a plain join, and
-the two unions back together. Hot keys are either passed explicitly
+``salted_join`` here salts ONLY a declared hot-key set (replicating
+the entire build side for a handful of hot keys is wasted work): hot
+keys route through the salted join, the long tail through a plain
+join, and the two unions back together. The blanket-salting tier —
+every key salted, whole build side replicated — lives in
+``functions.skew`` (right when the build side is tiny and skew is
+pervasive); ``functions.skew.two_stage_agg`` covers skewed
+AGGREGATIONS rather than joins. Hot keys are either passed explicitly
 (from domain knowledge / a prior profiling run — at scale that list is
 computed once a day, not per query) or detected with a bounded
 top-frequency scan.

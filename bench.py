@@ -255,7 +255,52 @@ def main():
             "ratio_big_over_small": ratio,
         }
 
-    print(json.dumps(out))
+    # Second decade of the scaling curve (sf0.1 → sf1), opt-in so the
+    # driver's per-round bench stays fast: set SPARK_GRAFT_SF1_DIR to a
+    # fixture made by scripts/make_sf1.py. Results go to a committed
+    # SCALING_sf1.json, not the stdout line.
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR")
+    if sf1_dir and os.path.isdir(sf1_dir):
+        print(f"# sf1 up-curve: running at {sf1_dir}", file=sys.stderr)
+        _materialize_csv_copy(spark, sf1_dir)
+        big = _run_suite(spark, sf1_dir)
+        up_ratio = {
+            q: round(big[q] / timings[q], 2)
+            for q in big
+            if timings.get(q, 0) > 0
+        }
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALING_sf1.json"), "w") as f:
+            json.dump(
+                {
+                    "big_sf": 1.0,
+                    "small_sf": out["sf"],
+                    "big_queries": big,
+                    "small_queries": timings,
+                    "ratio_big_over_small": up_ratio,
+                },
+                f, indent=1, sort_keys=True,
+            )
+
+    # The driver captures only the last ~2 KB of stdout; r3's full JSON
+    # (queries + sf_curve) outgrew that and the official record lost its
+    # headline ("parsed": null). Emit a compact final line (≤1.5 KB) and
+    # write the complete payload to a committed file instead.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    compact = {k: v for k, v in out.items() if k != "sf_curve"}
+    compact["detail_file"] = "BENCH_DETAIL.json"
+    compact["n_queries"] = len(timings)
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line.encode()) > 1500 and compact["queries"]:
+        # Drop the fastest queries first; the slow ones are the story.
+        fastest = min(compact["queries"], key=compact["queries"].get)
+        del compact["queries"][fastest]
+        compact["queries_omitted"] = len(timings) - len(compact["queries"])
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

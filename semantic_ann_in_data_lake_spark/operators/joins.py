@@ -77,13 +77,24 @@ def salted_join(
         return left.join(right, key, how)
 
     is_hot = F.col(key).isin(hot_keys)
-    # deterministic per-row salt: hash the whole row's string form with
-    # a monotonic id would be nondeterministic under re-partitioning;
-    # xxhash64 over all columns is stable for a given row's CONTENT
-    # (identical duplicate rows share a salt — harmless: same bucket)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_factor))
+    # Per-row salt = hash(content, per-row ordinal). Content-only
+    # hashing would send every copy of an identical duplicate row — the
+    # boilerplate-heavy hot-key reality salting exists for — into ONE
+    # bucket, re-creating the skew. Mixing monotonically_increasing_id
+    # scatters identical rows too; the salted side is persisted so a
+    # shuffle retry replays the same assignment instead of recomputing
+    # a different one. (Salt choice never affects the OUTPUT rows —
+    # the right side replicates into every salt value — only their
+    # physical distribution across reducers.)
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
 
-    l_hot = left.where(is_hot).withColumn("__salt", salt)
+    salt = F.pmod(
+        F.xxhash64(
+            F.monotonically_increasing_id(), *[F.col(c) for c in left.columns]
+        ),
+        F.lit(salt_factor),
+    )
+    l_hot = scoped_persist(left.where(is_hot).withColumn("__salt", salt))
     l_cold = left.where(~is_hot | F.col(key).isNull())
     r_hot = (
         right.where(is_hot)
@@ -119,6 +130,15 @@ def band_join(
     Same shape DuckDB's IEJoin and range-interval joins optimize to;
     timestamps should be pre-converted with functions.dates.epoch_us.
     """
+    try:
+        eps_ok = float(eps) > 0
+    except (TypeError, ValueError):
+        eps_ok = False
+    if not eps_ok:
+        # eps=0 would divide by zero in the bucket expr (null bands →
+        # silently zero rows); negative eps breaks the bucket ±1
+        # containment proof. Fail loudly instead.
+        raise ValueError(f"band_join requires eps > 0, got {eps!r}")
     on = list(on or [])
     lb = left.withColumn(
         "__band", F.floor(F.col(left_val) / F.lit(eps)).cast("long")

@@ -50,6 +50,18 @@ DEFAULT_ROUND_DP = 6
 _DEQUANT_CACHE: dict = {}
 
 
+def _broadcast_byte_budget() -> int:
+    """Hard cap on the broadcast candidate-matrix size (bytes).
+
+    Tunable per deployment via ``SPARK_GRAFT_KNN_BCAST_BUDGET_MB``; the
+    512 MiB default leaves a multi-GiB executor comfortable (the
+    broadcast lives once per executor, plus one dequantized float64
+    rebuild per python worker process for int8 payloads)."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_KNN_BCAST_BUDGET_MB", "512")) << 20
+
+
 def _estimate_rows(df: DataFrame) -> int | None:
     """Row count from parquet footers when ``df`` is an unfiltered
     file scan — zero Spark jobs (footer metadata only); None when the
@@ -291,10 +303,44 @@ def _knn_broadcast(
     summation order (see the module docstring's rounding-boundary
     caveat; ``compress="int8"`` trades near-exactness for an 8× smaller
     broadcast — see :func:`knn_join`).
+
+    Memory guard: the candidate matrix must fit in driver AND executor
+    memory. The auto-dispatcher's row estimate already routes oversized
+    inputs to IVF, but an EXPLICIT strategy="broadcast" call used to
+    trust the caller blindly — now the estimated matrix bytes are
+    checked against a hard budget (``SPARK_GRAFT_KNN_BCAST_BUDGET_MB``,
+    default 512) and oversized inputs degrade to the probe-all IVF path
+    (same exact semantics, partitioned shuffle instead of a broadcast)
+    with a logged warning.
     """
     import numpy as np
 
     spark = queries.sparkSession
+    n_cand = _estimate_rows(candidates)
+    if n_cand is None:
+        n_cand = candidates.count()
+    first = candidates.select(vec_col).head(1)
+    dim = len(first[0][0]) if first and first[0][0] is not None else 0
+    per_elem = 1 if compress == "int8" else 8
+    est_bytes = n_cand * dim * per_elem + n_cand * 16
+    budget = _broadcast_byte_budget()
+    if est_bytes > budget:
+        import warnings
+
+        nlist = int(min(4096, max(16, 4 * (est_bytes / max(budget, 1)))))
+        warnings.warn(
+            f"knn_join(strategy='broadcast'): estimated candidate matrix "
+            f"{est_bytes >> 20} MiB exceeds the {budget >> 20} MiB broadcast "
+            f"budget; degrading to the exact probe-all IVF path "
+            f"(nlist={nlist}). Raise SPARK_GRAFT_KNN_BCAST_BUDGET_MB to "
+            f"override.",
+            stacklevel=3,
+        )
+        return _knn_ivf(
+            queries, candidates, id_col, vec_col, k, metric, exclude_self,
+            round_dp, nlist=nlist, nprobe=nlist, fit="sample",
+            compress=compress,
+        )
     if compress == "int8":
         qrows = quantize_embeddings(candidates, id_col, vec_col).toPandas()
         cand_ids = qrows["vec_id"].to_numpy(dtype=np.int64)
@@ -343,14 +389,21 @@ def _knn_broadcast(
             # so the rebuilt float64 matrix is cached module-side. The
             # cache holds a single entry — a worker scores one index at
             # a time; a new broadcast evicts the previous rebuild.
-            key = getattr(bc, "_path", None) or id(bc)
-            cached = _DEQUANT_CACHE.get(key)
-            if cached is None:
-                qi8, sc = data
-                cached = qi8.astype(np.float64) * sc[:, None]
-                _DEQUANT_CACHE.clear()
-                _DEQUANT_CACHE[key] = cached
-            mat = cached
+            # No id(bc) fallback: id() values are recycled after GC, so
+            # a reused worker could serve a stale matrix belonging to a
+            # DIFFERENT broadcast index — if there is no stable _path,
+            # skip the cache and dequantize per task instead.
+            qi8, sc = data
+            key = getattr(bc, "_path", None)
+            if key is None:
+                mat = qi8.astype(np.float64) * sc[:, None]
+            else:
+                cached = _DEQUANT_CACHE.get(key)
+                if cached is None:
+                    cached = qi8.astype(np.float64) * sc[:, None]
+                    _DEQUANT_CACHE.clear()
+                    _DEQUANT_CACHE[key] = cached
+                mat = cached
         else:
             mat = data
         for pdf in batches:

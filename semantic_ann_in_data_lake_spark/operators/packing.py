@@ -80,10 +80,13 @@ def pack_sequences(
         "__cum", F.col("__local_cum") + F.col("__offset")
     )
     before = F.col("__cum") - F.col("n_tokens")
-    return cum.select(
+    # `div` keeps the division in LONG arithmetic end to end; a double
+    # division rounds above 2^53 cumulative tokens and would diverge
+    # from the oracle's integer // at extreme scale.
+    return cum.withColumn("cum_before", before).select(
         F.col(id_col),
         "n_tokens",
-        before.alias("cum_before"),
-        (before / budget).cast("long").alias("bin_id"),
-        (before % budget).alias("bin_offset"),
+        "cum_before",
+        F.expr(f"cum_before div {int(budget)}L").alias("bin_id"),
+        (F.col("cum_before") % budget).alias("bin_offset"),
     )

@@ -157,16 +157,25 @@ def distinct_sample(
 
     d = melt_columns(df, columns, keep_nulls=False).distinct()
     w = Window.partitionBy("column_name").orderBy(F.col("value").asc())
-    return (
+    grouped = (
         d.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .groupBy("column_name")
         .agg(F.sort_array(F.collect_list("value")).alias("values_sample"))
-        .select(
-            F.lit(table_name).alias("table_name"),
-            "column_name",
-            "values_sample",
-        )
+    )
+    # An entirely-null column yields NO group above (nulls are melted
+    # away) but must still appear with an empty sample — profile
+    # consumers enumerate columns. Left-join against the static column
+    # list (tiny, broadcast) instead of relying on group presence.
+    cols_df = df.sparkSession.createDataFrame(
+        [(c,) for c in columns], "column_name string"
+    )
+    return cols_df.join(F.broadcast(grouped), "column_name", "left").select(
+        F.lit(table_name).alias("table_name"),
+        "column_name",
+        F.coalesce("values_sample", F.array().cast("array<string>")).alias(
+            "values_sample"
+        ),
     )
 
 

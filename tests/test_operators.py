@@ -29,6 +29,71 @@ def test_knn_lsh_is_subset_quality(spark, sf_dir):
     assert all(r["rank"] <= 3 and r["query_id"] != r["cand_id"] for r in rows)
 
 
+def test_knn_auto_dispatch_tier_boundaries(spark, sf_dir, monkeypatch):
+    """Pin WHICH strategy auto picks at each tier boundary (VERDICT r3
+    task 9): candidate matrices at/under the 256 MiB broadcast line go
+    broadcast, over it go IVF; when footer counts are unavailable the
+    dispatcher must fall back to count() and still route correctly."""
+    from semantic_ann_in_data_lake_spark.operators import knn as knn_mod
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(10)
+    dim = len(emb.select("embedding").head()[0])
+    picked = {}
+    monkeypatch.setattr(
+        knn_mod, "_knn_broadcast",
+        lambda *a, **k: picked.setdefault("strategy", "broadcast"),
+    )
+    monkeypatch.setattr(
+        knn_mod, "_knn_ivf",
+        lambda *a, **k: picked.setdefault("strategy", "ivf"),
+    )
+    boundary_rows = (256 << 20) // (dim * 8)
+
+    for est, expect in [
+        (boundary_rows, "broadcast"),      # exactly at the line: fits
+        (boundary_rows + 1, "ivf"),        # one row over: partitioned
+        (1000, "broadcast"),               # comfortably small
+    ]:
+        picked.clear()
+        monkeypatch.setattr(knn_mod, "_estimate_rows", lambda df, e=est: e)
+        knn_mod.knn_join(emb, emb, k=3, strategy="auto")
+        assert picked["strategy"] == expect, (est, picked)
+
+    # Footer estimate unavailable (filtered scan) → count() fallback;
+    # 10 rows is far under the line, so broadcast.
+    picked.clear()
+    monkeypatch.setattr(knn_mod, "_estimate_rows", lambda df: None)
+    knn_mod.knn_join(emb, emb, k=3, strategy="auto")
+    assert picked["strategy"] == "broadcast"
+
+
+def test_knn_broadcast_guard_degrades_to_ivf(spark, sf_dir, monkeypatch):
+    """An EXPLICIT strategy='broadcast' call whose candidate matrix
+    exceeds the byte budget must not OOM the executors: it degrades to
+    the probe-all IVF path (exact, partitioned) with a warning."""
+    from semantic_ann_in_data_lake_spark.operators import knn as knn_mod
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
+    called = {}
+    real_ivf = knn_mod._knn_ivf
+
+    def spy_ivf(*a, **kw):
+        called["nlist"] = kw.get("nlist")
+        called["nprobe"] = kw.get("nprobe")
+        return real_ivf(*a, **kw)
+
+    monkeypatch.setattr(knn_mod, "_knn_ivf", spy_ivf)
+    monkeypatch.setenv("SPARK_GRAFT_KNN_BCAST_BUDGET_MB", "0")
+    with pytest.warns(UserWarning, match="broadcast budget"):
+        out = knn_join(emb, emb, k=4, strategy="broadcast").collect()
+    # Degraded probe-all IVF is still EXACT: probe every cell.
+    assert called["nlist"] == called["nprobe"]
+    monkeypatch.delenv("SPARK_GRAFT_KNN_BCAST_BUDGET_MB")
+    exact = knn_join(emb, emb, k=4, strategy="exact").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, exact))
+
+
 def test_threshold_join_sqrt_semantics(spark, sf_dir):
     from semantic_ann_in_data_lake_spark.operators.knn import knn_join, threshold_join
 
@@ -268,6 +333,26 @@ def test_profile_null_accounting(spark):
     r = profile(df, "t").collect()[0]
     assert r["n_nulls"] == 1 and r["num_values"] == 2
     assert r["min_length"] == 1 and r["max_length"] == 2
+
+
+def test_distinct_sample_keeps_all_null_columns(spark):
+    """A fully-null column must still emit a row (empty sample): the
+    melt drops its values, so group presence alone would silently skip
+    it — profile consumers enumerate columns (ADVICE r3)."""
+    from semantic_ann_in_data_lake_spark.operators.profiler import (
+        distinct_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("x", None), ("y", None)], "a string, b string"
+    )
+    rows = {
+        r["column_name"]: r
+        for r in distinct_sample(df, "t", ["a", "b"], k=5).collect()
+    }
+    assert sorted(rows) == ["a", "b"]
+    assert rows["a"]["values_sample"] == ["x", "y"]
+    assert rows["b"]["values_sample"] == []
 
 
 # --- multimodal plumbing -------------------------------------------------
@@ -1317,15 +1402,36 @@ def test_salted_join_spreads_hot_key(spark):
     right = spark.createDataFrame([(1, "x")], "k int, rv string")
     out = salted_join(left, right, "k", salt_factor=8, hot_keys=[1])
     assert out.count() == 4000
-    # reconstruct the salt the operator uses and count distinct buckets
+
+
+def test_salted_join_spreads_identical_duplicate_rows(spark):
+    """The worst skew case salting targets: a hot key whose rows are
+    fully IDENTICAL (boilerplate duplicates). A content-only salt hash
+    would put all of them in one bucket and defeat the operator — the
+    per-row-ordinal mix must scatter them across salt buckets."""
     from pyspark.sql import functions as FF
 
+    from semantic_ann_in_data_lake_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "same") for _ in range(4000)], "k int, lv string"
+    ).repartition(8)
+    right = spark.createDataFrame([(1, "x")], "k int, rv string")
+    out = salted_join(left, right, "k", salt_factor=8, hot_keys=[1])
+    assert out.count() == 4000
+    # Reconstruct the operator's salt on the same input: identical rows
+    # must land in (nearly) all salt_factor buckets, not one.
     salts = (
-        left.select(FF.pmod(FF.xxhash64("k", "lv"), FF.lit(8)).alias("s"))
+        left.select(
+            FF.pmod(
+                FF.xxhash64(FF.monotonically_increasing_id(), "k", "lv"),
+                FF.lit(8),
+            ).alias("s")
+        )
         .distinct()
         .count()
     )
-    assert salts == 8
+    assert salts >= 7
 
 
 # --- z-order layout ------------------------------------------------------

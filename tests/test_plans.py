@@ -158,6 +158,16 @@ def test_simhash_near_dups_banded_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cross_corpus_near_dups_banded_no_cartesian(spark, sf_dir):
+    """Cross-corpus dedup must stay a banded LSH equi-join between the
+    two corpora (sub-quadratic): never a cartesian / nested-loop over
+    all (new, reference) document pairs, and the only joins present
+    keyed on the band bucket (VERDICT r3 task 10)."""
+    plan = _plan(spark, sf_dir, "cross_corpus_near_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_grid_eval_single_knn_reuse(spark, sf_dir):
     """The 12-cell grid must reuse ONE persisted kNN (InMemoryRelation
     appears; no second crossJoin distance computation per cell)."""

@@ -1,0 +1,782 @@
+"""kNN, embeddings, ANN contract checks, discovery pipelines (J6, V1-V9).
+
+Split from the single-file registry (round 4); the hub
+`plans.registry` imports this module for its registration side
+effects and re-exports every query function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semantic_ann_in_data_lake_spark.cache import scoped_persist
+from semantic_ann_in_data_lake_spark.plans.registry import register, _t
+
+from semantic_ann_in_data_lake_spark.functions.vectors import (
+    cosine_sim_sql, l2_sq_sql,
+)
+from semantic_ann_in_data_lake_spark.operators.evaluation import (
+    symmetric_truth,
+)
+from semantic_ann_in_data_lake_spark.operators.knn import knn_join, threshold_join
+from semantic_ann_in_data_lake_spark.annotate.embedder import (
+    hash_embedding_expr, hash_embedding_sql,
+)
+from semantic_ann_in_data_lake_spark.annotate.annotator import (
+    annotate_tables, snake_case_sql,
+)
+from semantic_ann_in_data_lake_spark.functions.serialize import embed_prompt
+from semantic_ann_in_data_lake_spark.operators import dedup, profiler
+from semantic_ann_in_data_lake_spark.plans import pipeline
+from semantic_ann_in_data_lake_spark.plans.q_profile import _PROFILE_TYPES, _profile_oracle
+
+
+# ---------------------------------------------------------------------------
+# kNN similarity join (reference J6/V7-V9) + threshold + full evaluation
+# ---------------------------------------------------------------------------
+
+_KNN_L2_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({l2_sq_sql('q.v', 'c.v')}, 6) AS distance
+      FROM e q, e c WHERE q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY distance ASC, cand_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, cand_id, distance, rnk::INT AS rank
+    FROM ranked WHERE rnk <= {{k}}
+"""
+
+
+@register("knn_exact_l2", _KNN_L2_SQL.format(k=5))
+def knn_exact_l2(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb, k=5, strategy="exact")
+
+
+@register("knn_broadcast_l2", _KNN_L2_SQL.format(k=5))
+def knn_broadcast_l2(spark, sf_dir):
+    """Strategy (b) must agree bit-for-bit with strategy (a) on exact
+    metrics — same oracle as knn_exact_l2 proves it."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb, k=5, strategy="broadcast")
+
+
+@register(
+    "knn_topk_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({cosine_sim_sql('q.v', 'c.v')}, 6) AS distance
+      FROM e q, e c WHERE q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY distance DESC, cand_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, cand_id, distance, rnk::INT AS rank
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def knn_topk_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb, k=10, metric="cosine", strategy="exact")
+
+
+_TAU = 1.3
+
+
+@register(
+    "ann_threshold_join",
+    _KNN_L2_SQL.format(k=25) + f" AND sqrt(distance) <= {_TAU}",
+)
+def ann_threshold_join(spark, sf_dir):
+    """P7: joinable pairs = kNN(k=25) where sqrt(L2²) ≤ τ
+    (`join_discoverer.py:303-325`)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return threshold_join(knn_join(emb, emb, k=25, strategy="exact"), _TAU)
+
+
+_EVAL_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({l2_sq_sql('q.v', 'c.v')}, 6) AS distance
+      FROM e q, e c WHERE q.vec_id <> c.vec_id
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY distance ASC, cand_id ASC) AS rnk
+        FROM pairs) WHERE rnk <= {{k}}
+    ),
+    joinable AS (SELECT * FROM knn WHERE sqrt(distance) <= {{tau}}),
+    disc AS (
+      SELECT DISTINCT least(query_id::VARCHAR, cand_id::VARCHAR) AS lo,
+                      greatest(query_id::VARCHAR, cand_id::VARCHAR) AS hi
+      FROM joinable
+    ),
+    truth AS (
+      SELECT DISTINCT least(a.vec_id::VARCHAR, b.vec_id::VARCHAR) AS lo,
+                      greatest(a.vec_id::VARCHAR, b.vec_id::VARCHAR) AS hi
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    conf AS (
+      SELECT
+        count(*) FILTER (WHERE d.lo IS NOT NULL AND t.lo IS NOT NULL) AS tp,
+        count(*) FILTER (WHERE d.lo IS NOT NULL AND t.lo IS NULL) AS fp,
+        count(*) FILTER (WHERE d.lo IS NULL AND t.lo IS NOT NULL) AS fn
+      FROM disc d FULL OUTER JOIN truth t USING (lo, hi)
+    ),
+    sym AS (
+      SELECT a.vec_id AS tq, b.vec_id AS tc
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT k.query_id, k.rnk,
+             CASE WHEN s.tq IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM knn k LEFT JOIN sym s ON k.query_id = s.tq AND k.cand_id = s.tc
+    ),
+    dcg AS (
+      SELECT query_id, sum(rel / log2(rnk + 1)) AS dcg
+      FROM scored GROUP BY query_id
+    ),
+    nrel AS (SELECT tq AS query_id, count(*) AS n_rel FROM sym GROUP BY tq),
+    ndcg AS (
+      SELECT round(avg(CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
+        d.dcg / list_sum(list_transform(
+          range(1, least({{k}}, n.n_rel) + 1), i -> 1.0 / log2(i + 1)))
+        ELSE 0.0 END), 4) AS ndcg_at_k
+      FROM dcg d LEFT JOIN nrel n USING (query_id)
+    )
+    SELECT {{k}} AS k, round(({{tau}})::DOUBLE, 2) AS tau, tp, fp, fn,
+           round(tp / (tp + fp + 1e-8), 4) AS precision,
+           round(tp / (tp + fn + 1e-8), 4) AS recall,
+           round(2 * (tp / (tp + fp + 1e-8)) * (tp / (tp + fn + 1e-8))
+                 / ((tp / (tp + fp + 1e-8)) + (tp / (tp + fn + 1e-8)) + 1e-8),
+                 4) AS f1,
+           ndcg_at_k
+    FROM conf, ndcg
+"""
+
+
+@register("semlink_eval", _EVAL_SQL.format(k=10, tau=_TAU))
+def semlink_eval(spark, sf_dir):
+    """Flagship: the full discover+evaluate pipeline (reference §3.3)."""
+    return pipeline.evaluate_discovery(spark, sf_dir, k=10, tau=_TAU, strategy="exact")
+
+
+_GRID_KS_SQL = ", ".join(str(k) for k in pipeline.GRID_KS)
+
+
+_GRID_TAUS_SQL = ", ".join(str(t) for t in pipeline.GRID_TAUS)
+
+
+_GRID_EVAL_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({l2_sq_sql('q.v', 'c.v')}, 6) AS distance
+      FROM e q, e c WHERE q.vec_id <> c.vec_id
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY distance ASC, cand_id ASC) AS rnk
+        FROM pairs) WHERE rnk <= {max(pipeline.GRID_KS)}
+    ),
+    grid AS (
+      SELECT kk.k, tt.tau
+      FROM (SELECT unnest([{_GRID_KS_SQL}]) AS k) kk
+      CROSS JOIN (SELECT unnest([{_GRID_TAUS_SQL}]) AS tau) tt
+    ),
+    canon AS (
+      SELECT least(query_id::VARCHAR, cand_id::VARCHAR) AS lo,
+             greatest(query_id::VARCHAR, cand_id::VARCHAR) AS hi,
+             min(rnk) AS min_rnk, min(distance) AS dist
+      FROM knn GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT DISTINCT least(a.vec_id::VARCHAR, b.vec_id::VARCHAR) AS lo,
+                      greatest(a.vec_id::VARCHAR, b.vec_id::VARCHAR) AS hi,
+                      1 AS is_true
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    flags AS (
+      SELECT c.min_rnk, c.dist, t.is_true
+      FROM canon c FULL OUTER JOIN truth t USING (lo, hi)
+    ),
+    conf AS (
+      SELECT g.k, g.tau,
+        count(*) FILTER (WHERE coalesce(f.min_rnk <= g.k AND sqrt(f.dist) <= g.tau, FALSE)
+                         AND f.is_true IS NOT NULL) AS tp,
+        count(*) FILTER (WHERE coalesce(f.min_rnk <= g.k AND sqrt(f.dist) <= g.tau, FALSE)
+                         AND f.is_true IS NULL) AS fp,
+        count(*) FILTER (WHERE NOT coalesce(f.min_rnk <= g.k AND sqrt(f.dist) <= g.tau, FALSE)
+                         AND f.is_true IS NOT NULL) AS fn
+      FROM flags f CROSS JOIN grid g GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT a.vec_id AS tq, b.vec_id AS tc
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT k.query_id, k.rnk,
+             CASE WHEN s.tq IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM knn k LEFT JOIN sym s ON k.query_id = s.tq AND k.cand_id = s.tc
+    ),
+    klist AS (SELECT unnest([{_GRID_KS_SQL}]) AS k),
+    dcgk AS (
+      SELECT klist.k, s.query_id, sum(s.rel / log2(s.rnk + 1)) AS dcg
+      FROM scored s CROSS JOIN klist WHERE s.rnk <= klist.k GROUP BY 1, 2
+    ),
+    nrel AS (SELECT tq AS query_id, count(*) AS n_rel FROM sym GROUP BY tq),
+    ndcgk AS (
+      SELECT d.k, round(avg(CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
+        d.dcg / list_sum(list_transform(
+          range(1, least(d.k, n.n_rel) + 1), i -> 1.0 / log2(i + 1)))
+        ELSE 0.0 END), 4) AS ndcg_at_k
+      FROM dcgk d LEFT JOIN nrel n USING (query_id) GROUP BY d.k
+    )
+    SELECT c.k, round(c.tau, 2) AS tau, tp, fp, fn,
+           round(tp / (tp + fp + 1e-8), 4) AS precision,
+           round(tp / (tp + fn + 1e-8), 4) AS recall,
+           round(2 * (tp / (tp + fp + 1e-8)) * (tp / (tp + fn + 1e-8))
+                 / ((tp / (tp + fp + 1e-8)) + (tp / (tp + fn + 1e-8)) + 1e-8),
+                 4) AS f1,
+           ndcg_at_k
+    FROM conf c JOIN ndcgk USING (k)
+"""
+
+
+@register("grid_eval_discovery", _GRID_EVAL_SQL)
+def grid_eval_discovery(spark, sf_dir):
+    """The reference's headline entry loop (`join_discoverer.py:485-517`,
+    grid `SemLink/config.py:26-27`): 12 (k, τ) cells → one row each —
+    kNN computed ONCE at k_max, every cell a conditional slice."""
+    return pipeline.grid_evaluate_discovery(spark, sf_dir, strategy="exact")
+
+
+@register(
+    "embedding_dup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({cosine_sim_sql('a.v', 'b.v')}, 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({cosine_sim_sql('a.v', 'b.v')}, 6) >= 0.3
+    """,
+)
+def embedding_dup_pairs(spark, sf_dir):
+    return dedup.embedding_near_dups(_t(spark, sf_dir, "embeddings"), tau=0.3)
+
+
+@register("embedding_near_dups_ann", None)
+def embedding_near_dups_ann(spark, sf_dir):
+    """The 100 TB tier of embedding near-dup detection: candidate pairs
+    from the LSH-bucketed cosine kNN instead of the O(n²) self-join;
+    every emitted pair is exact-cosine verified (precision 1.0), recall
+    ~0.8 vs the exact tier at default knobs (measured; see
+    test_embedding_near_dups_ann_recall) — rows-only by design; the
+    precision-1.0 contract is hash-gated by
+    `embedding_near_dups_ann_distcheck`."""
+    return dedup.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), tau=0.3, strategy="lsh", k=20
+    )
+
+
+@register(
+    "hash_embeddings",
+    f"""
+    SELECT doc_id,
+           array_to_string(
+             list_transform({hash_embedding_sql('text', 8)},
+                            x -> round((x + 1.0) * 100000.0)::BIGINT::VARCHAR),
+             '|') AS embedding
+    FROM documents
+    """,
+)
+def hash_embeddings(spark, sf_dir):
+    """V4 deterministic tier: feature-hash embedding as a pure column
+    expression — the no-model stand-in that makes the embed→index→
+    search pipeline oracle-checkable end to end.
+
+    Gated output stringifies the vector via the exact integer
+    round-trip (component = k/1e5 - 1, so round((x+1)*1e5) recovers k
+    bit-exactly in both engines) — double→VARCHAR formatting differs
+    across engines, integer formatting does not; and the driver's
+    canonicalizer cannot hash list cells."""
+    d = _t(spark, sf_dir, "documents")
+    emb = d.select("doc_id", hash_embedding_expr("text", 8).alias("embedding"))
+    return emb.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.round((x + F.lit(1.0)) * F.lit(100000.0))
+                .cast("long")
+                .cast("string"),
+            ),
+            "|",
+        ).alias("embedding"),
+    )
+
+
+@register(
+    "catalog_join_pipeline",
+    f"""
+    WITH prof AS ({_profile_oracle('customer')}),
+    ann AS (
+      SELECT 'customer' AS a_table, column_name AS a_column,
+             {snake_case_sql('column_name')} AS annotated_name
+      FROM (SELECT unnest([{', '.join(f"'{c}'" for c, _ in _PROFILE_TYPES['customer'])}]) AS column_name)
+    )
+    SELECT p.table_name, p.column_name, p.col_type, p.num_values,
+           coalesce(a.annotated_name, p.column_name) AS semantic_name,
+           'Table customer with 5 columns.' AS table_description
+    FROM prof p LEFT JOIN ann a
+      ON p.table_name = 'customer' AND p.column_name = a.a_column
+    """,
+)
+def catalog_join_pipeline(spark, sf_dir):
+    """J4/J5: merge LLM-ish annotations onto profile stats — the
+    catalog⋈annotations left join + per-column map lookup
+    (`data_loader.py:181-206`, with the first-column-only `break` bug
+    at `:175` fixed, not ported)."""
+    cust = _t(spark, sf_dir, "customer")
+    prof = profiler.profile(cust, "customer")
+    catalog = spark.createDataFrame(
+        [("customer", cust.columns, "")],
+        "table_name string, columns array<string>, sample_markdown string",
+    )
+    ann = annotate_tables(catalog).select(
+        F.col("table_name").alias("a_table"),
+        F.col("table_description"),
+        F.explode("columns").alias("a_column", "annotated_name"),
+    )
+    return prof.join(
+        F.broadcast(ann),
+        (prof.table_name == ann.a_table) & (prof.column_name == ann.a_column),
+        "left",
+    ).select(
+        "table_name",
+        "column_name",
+        "col_type",
+        "num_values",
+        F.coalesce(F.col("annotated_name"), F.col("column_name")).alias("semantic_name"),
+        F.coalesce(F.col("table_description"), F.lit("")).alias("table_description"),
+    )
+
+
+@register(
+    "embed_prompt_customer",
+    f"""
+    WITH prof AS ({_profile_oracle('customer')}),
+    samples AS (
+      {' UNION ALL '.join(
+        f"SELECT '{c}' AS s_column, "
+        f"(SELECT list_slice(list_sort(list(DISTINCT {c}::VARCHAR)), 1, 5) "
+        f" FROM customer WHERE {c} IS NOT NULL) AS values_sample"
+        for c, _ in _PROFILE_TYPES['customer']
+      )}
+    )
+    SELECT p.table_name, p.column_name,
+           'Column: ' || p.column_name || chr(10) ||
+           'Table: ' || p.table_name || chr(10) ||
+           'Type: ' || p.col_type || chr(10) ||
+           'Values count: ' || p.num_values::VARCHAR || chr(10) ||
+           'Examples: ' || array_to_string(s.values_sample, ', ') AS prompt
+    FROM prof p JOIN samples s ON p.column_name = s.s_column
+    """,
+)
+def embed_prompt_customer(spark, sf_dir):
+    """V2: the SemLink embed-prompt builder over real profiles
+    (`join_discoverer.py:64-127`)."""
+    cust = _t(spark, sf_dir, "customer")
+    prof = profiler.profile(cust, "customer")
+    samples = profiler.distinct_sample(cust, "customer", cust.columns, 5)
+    joined = prof.join(samples, ["table_name", "column_name"])
+    return joined.select(
+        "table_name",
+        "column_name",
+        embed_prompt(
+            F.col("table_name"),
+            F.col("column_name"),
+            F.col("col_type"),
+            F.col("num_values"),
+            F.col("values_sample"),
+        ).alias("prompt"),
+    )
+
+
+_DOC_SEARCH_SQL = f"""
+    WITH emb AS (
+      SELECT doc_id, {hash_embedding_sql('text', 8)} AS v FROM documents
+    ),
+    pairs AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+             round({cosine_sim_sql('q.v', 'c.v')}, 6) AS distance
+      FROM emb q, emb c WHERE q.doc_id <> c.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY distance DESC, cand_id ASC) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, cand_id, distance, rnk::INT AS rank
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("semantic_search_docs", _DOC_SEARCH_SQL)
+def semantic_search_docs(spark, sf_dir):
+    """End-to-end embed→index→search on raw documents: deterministic
+    hash embeddings + cosine top-3 — the full SemLink lifecycle with
+    no model dependency, oracle-checked."""
+    d = _t(spark, sf_dir, "documents")
+    emb = d.select(
+        F.col("doc_id").alias("vec_id"),
+        hash_embedding_expr("text", 8).alias("embedding"),
+    )
+    emb = scoped_persist(emb)  # materialize: Catalyst would otherwise inline the
+    # 8-way md5 embedding expression on BOTH sides of the kNN join and
+    # re-evaluate it per PAIR (measured 280s of a 363s sf0.1 run)
+    return knn_join(emb, emb, k=3, metric="cosine", strategy="exact")
+
+
+# --- rows-only tier: approximate / stubbed / driver-loop operators -------
+
+
+@register("knn_lsh_l2", None)
+def knn_lsh_l2(spark, sf_dir):
+    """Approximate kNN via BucketedRandomProjectionLSH — rows-only
+    (approximation is judged by the P/R/NDCG harness, not equality).
+    The result CONTRACT is hash-gated by `knn_lsh_l2_distcheck`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb, k=5, strategy="lsh")
+
+
+# --- invariant gates for the approximate tier ----------------------------
+# An ANN result set can't be equality-gated (which pairs surface depends
+# on bucketing), but its CONTRACT can (annIndex.py:21-40: approximate
+# neighbors, exact distances): each *_distcheck query returns the
+# violations of that contract — distances must equal an independent
+# exact recomputation, ranks consecutive and monotone, no self pairs,
+# near-dup pairs genuinely over τ. The oracle is the empty relation, so
+# the driver's rows+schema+hash gate becomes a distributed property
+# check; recall floors stay in pytest where measured thresholds belong.
+
+_KNN_CHECK_EMPTY_SQL = """
+    SELECT 0::BIGINT AS query_id, 0::BIGINT AS cand_id,
+           0.0 AS reported, 0.0 AS expected, '' AS violation
+    WHERE FALSE
+"""
+
+
+@register("knn_lsh_l2_distcheck", _KNN_CHECK_EMPTY_SQL)
+def knn_lsh_l2_distcheck(spark, sf_dir):
+    """Contract gate for `knn_lsh_l2`: empty iff every LSH-returned
+    neighbor carries the exact L2² distance and a consistent rank."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return checks.knn_invariant_violations(
+        knn_join(emb, emb, k=5, strategy="lsh"), emb, metric="l2_sq"
+    )
+
+
+@register("knn_ivf_l2_distcheck", _KNN_CHECK_EMPTY_SQL)
+def knn_ivf_l2_distcheck(spark, sf_dir):
+    """Contract gate for `knn_ivf_l2`: empty iff every IVF-returned
+    neighbor carries the exact L2² distance and a consistent rank."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return checks.knn_invariant_violations(
+        knn_join(emb, emb, k=5, strategy="ivf"), emb, metric="l2_sq"
+    )
+
+
+@register(
+    "embedding_near_dups_ann_distcheck",
+    """
+    SELECT 0::BIGINT AS id_a, 0::BIGINT AS id_b,
+           0.0 AS reported, 0.0 AS expected, '' AS violation
+    WHERE FALSE
+    """,
+)
+def embedding_near_dups_ann_distcheck(spark, sf_dir):
+    """Contract gate for `embedding_near_dups_ann`: empty iff every
+    ANN-emitted near-dup pair is canonical, genuinely clears τ=0.3, and
+    carries the exact cosine — precision 1.0, hash-checked."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dups(emb, tau=0.3, strategy="lsh", k=20)
+    return checks.near_dup_invariant_violations(pairs, emb, tau=0.3)
+
+
+@register("knn_ivf_l2", None)
+def knn_ivf_l2(spark, sf_dir):
+    """Strategy (d): IVF-partitioned approximate kNN — rows-only
+    (recall judged by tests/bench); the distance/rank CONTRACT is
+    hash-gated by `knn_ivf_l2_distcheck`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb, k=5, strategy="ivf")
+
+
+_DEEPJOIN_EVAL_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({l2_sq_sql('q.v', 'c.v')}, 6) AS distance
+      FROM e q, e c WHERE q.vec_id <> c.vec_id
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY distance ASC, cand_id ASC) AS rnk
+        FROM pairs) WHERE rnk <= 5
+    ),
+    sym AS (
+      SELECT a.vec_id AS tq, b.vec_id AS tc
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    per_q AS (
+      SELECT k.query_id,
+             count(*) FILTER (WHERE s.tc IS NOT NULL) AS tp,
+             count(*) FILTER (WHERE s.tc IS NULL) AS fp
+      FROM knn k LEFT JOIN sym s ON k.query_id = s.tq AND k.cand_id = s.tc
+      GROUP BY k.query_id
+    ),
+    nrel AS (SELECT tq AS query_id, count(*) AS n_rel FROM sym GROUP BY tq),
+    acc AS (
+      SELECT sum(p.tp) AS tp, sum(p.fp) AS fp,
+             sum(greatest(coalesce(n.n_rel, 0) - p.tp, 0)) AS fn
+      FROM per_q p LEFT JOIN nrel n USING (query_id)
+    )
+    SELECT 5 AS k, tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
+           round(tp / (tp + fp + 1e-8), 4) AS micro_precision,
+           round(tp / (tp + fn + 1e-8), 4) AS micro_recall,
+           round(2 * (tp / (tp + fp + 1e-8)) * (tp / (tp + fn + 1e-8))
+                 / ((tp / (tp + fp + 1e-8)) + (tp / (tp + fn + 1e-8)) + 1e-8),
+                 4) AS micro_f1
+    FROM acc
+"""
+
+
+@register("deepjoin_eval", _DEEPJOIN_EVAL_SQL)
+def deepjoin_eval(spark, sf_dir):
+    """DeepJoin-style MICRO metrics (`search_query.py:69-117`): per-query
+    TP/FP against each query's own relevant set, accumulated then
+    combined — distinct from the SemLink canonical-pair variant
+    (`semlink_eval`), which scores unordered pair sets globally."""
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = knn_join(emb, emb, k=5, strategy="exact")
+    truth = pipeline.label_truth_pairs(emb)
+    sym = symmetric_truth(truth, "id_a", "id_b").select(
+        F.col("t_query").cast("long").alias("tq"),
+        F.col("t_cand").cast("long").alias("tc"),
+    )
+    per_q = (
+        knn.join(
+            sym,
+            (knn.query_id == sym.tq) & (knn.cand_id == sym.tc),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("tc").isNotNull(), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(F.col("tc").isNull(), 1).otherwise(0)).alias("fp"),
+        )
+    )
+    nrel = sym.groupBy("tq").agg(F.count(F.lit(1)).alias("n_rel"))
+    acc = (
+        per_q.join(nrel, per_q.query_id == nrel.tq, "left")
+        .na.fill({"n_rel": 0})
+        .agg(
+            F.sum("tp").alias("tp"),
+            F.sum("fp").alias("fp"),
+            F.sum(F.greatest(F.col("n_rel") - F.col("tp"), F.lit(0))).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    eps = F.lit(1e-8)
+    prec = tp / (tp + fp + eps)
+    rec = tp / (tp + fn + eps)
+    return acc.select(
+        F.lit(5).alias("k"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(prec, 4).alias("micro_precision"),
+        F.round(rec, 4).alias("micro_recall"),
+        F.round(2 * prec * rec / (prec + rec + eps), 4).alias("micro_f1"),
+    )
+
+
+@register(
+    "quantize_embeddings_int8",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx
+          FROM e)
+    SELECT vec_id, mx / 127.0 AS scale,
+           array_to_string(
+             list_transform(v, x -> (CASE WHEN mx = 0 THEN 0
+               ELSE (sign(x) * floor(abs(x) / (mx / 127.0) + 0.5))::INT
+             END)::VARCHAR), '|') AS qvec
+    FROM m
+    """,
+)
+def quantize_embeddings_int8(spark, sf_dir):
+    """Int8 symmetric quantization of the vector index (8× smaller
+    broadcast); scale doubles and all 64 lanes value-hash-gated.
+    qvec serialized to a '|'-joined string for the driver's pandas
+    canonicalizer (lists are unsortable/unhashable there); the
+    operator (knn.quantize_embeddings) keeps the typed array."""
+    from semantic_ann_in_data_lake_spark.operators.knn import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), "|"
+        ).alias("qvec"),
+    )
+
+
+@register("knn_ivf_kmeans_l2", None)
+def knn_ivf_kmeans_l2(spark, sf_dir):
+    """Strategy (d) with distributed centroid training (Spark ML
+    k-means||) instead of the driver-side sample fit — rows-only like
+    the other approximate tiers; recall pinned by tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb, k=5, strategy="ivf", ivf_fit="kmeans_ml")
+
+
+def _lake_discovery_sql(tables: dict[str, list[str]], dim: int = 16, k: int = 3) -> str:
+    from semantic_ann_in_data_lake_spark.annotate.embedder import hash_embedding_sql
+    from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq_sql
+
+    col_rows = []
+    for t, cols in tables.items():
+        for c in cols:
+            col_rows.append(
+                f"SELECT '{t}.{c}' AS col_key, '{t}' AS table_name, "
+                f"'{t}.{c} n=' || (SELECT count(*) FROM {t})::VARCHAR "
+                f"|| ' distinct=' || (SELECT count(DISTINCT {c}) FROM {t})::VARCHAR "
+                f"|| ' nulls=' || (SELECT sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) "
+                f"FROM {t})::VARCHAR AS \"desc\""
+            )
+    cat = " UNION ALL ".join(col_rows)
+    return f"""
+    WITH cat AS ({cat}),
+    emb AS (SELECT col_key, table_name, {hash_embedding_sql('"desc"', dim)} AS e
+            FROM cat),
+    pairs AS (
+      SELECT a.col_key AS query_col, b.col_key AS cand_col,
+             round({l2_sq_sql('a.e', 'b.e')}, 6) AS distance
+      FROM emb a JOIN emb b ON a.table_name <> b.table_name
+    )
+    SELECT query_col, cand_col, distance, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_col
+                                   ORDER BY distance, cand_col) AS rank
+      FROM pairs
+    ) WHERE rank <= {k}
+    """
+
+
+_DISCOVERY_TABLES = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+}
+
+
+@register("lake_join_discovery", _lake_discovery_sql(_DISCOVERY_TABLES))
+def lake_join_discovery(spark, sf_dir):
+    """The reference's headline scenario over the ACTUAL lake: profile
+    every column of four tables (one wide agg per table), serialize each
+    column description, hash-embed it, and rank top-3 cross-table
+    candidate join columns per column by embedding L2. Fully hash-gated
+    end to end — profiling counts, serialization bytes, embedding
+    components, distances, and ranking all reproduce in the oracle."""
+    from semantic_ann_in_data_lake_spark.operators.discovery import (
+        discover_joinable_columns,
+    )
+
+    return discover_joinable_columns(spark, sf_dir, list(_DISCOVERY_TABLES))
+
+
+@register("knn_ivf_probeall_l2", _KNN_L2_SQL.format(k=5))
+def knn_ivf_probeall_l2(spark, sf_dir):
+    """IVF machinery EXACTNESS witness: with nprobe == nlist every cell
+    is probed, the per-cell local top-k union provably contains the
+    global top-k, and the merge must reproduce the exact answer — so
+    this shares knn_exact_l2's oracle verbatim. Complements the
+    distance distcheck (which pins per-pair arithmetic but not merge
+    completeness); together they bound what the approximate tiers can
+    get wrong to cell selection only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb, k=5, strategy="ivf", nlist=16, nprobe=16)
+
+
+@register(
+    "centroid_per_source",
+    """
+    WITH e AS (
+      SELECT d.source AS key, g.i AS pos, em.embedding[g.i + 1] AS val
+      FROM embeddings em
+      JOIN documents d ON em.vec_id = d.doc_id
+      CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g
+      WHERE g.i < len(em.embedding)
+    ),
+    a AS (
+      SELECT key, pos, sum(val::DOUBLE::DECIMAL(28,10)) AS s, count(*) AS n
+      FROM e GROUP BY 1, 2
+    ),
+    c AS (SELECT key, pos, round(s::DOUBLE / n, 6) AS c, n FROM a)
+    SELECT key, max(n)::BIGINT AS n_vectors,
+           array_to_string(list(printf('%.6f', c) ORDER BY pos), '|') AS centroid
+    FROM c GROUP BY key
+    """,
+)
+def centroid_per_source(spark, sf_dir):
+    """Per-domain embedding centroids (functions.vectors.
+    centroid_per_key): mean-pool every source's vectors with
+    DECIMAL-exact per-dimension sums — the routing-table / domain-
+    signature builder (and an IVF seed refresh). Shuffle payload is
+    |keys|·dim partial sums; the oracle re-derives the same pooling
+    with a single-stream window-free plan."""
+    from semantic_ann_in_data_lake_spark.functions.vectors import (
+        centroid_per_key,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    joined = emb.join(F.broadcast(docs), "vec_id").select(
+        F.col("source"), F.col("embedding")
+    )
+    cents = centroid_per_key(joined, "source", "embedding")
+    # Serialize the centroid array ('%.6f'-formatted, '|'-joined) for
+    # the driver's pandas canonicalizer; centroid_per_key itself keeps
+    # the typed array<double> API.
+    return cents.select(
+        "key",
+        "n_vectors",
+        F.array_join(
+            F.transform("centroid", lambda x: F.format_string("%.6f", x)), "|"
+        ).alias("centroid"),
+    )

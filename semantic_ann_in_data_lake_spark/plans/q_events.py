@@ -1,0 +1,314 @@
+"""Event-time queries: sessions, rollups, as-of, funnels, retention.
+
+Split from the single-file registry (round 4); the hub
+`plans.registry` imports this module for its registration side
+effects and re-exports every query function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semantic_ann_in_data_lake_spark.plans.registry import register, _t
+
+from semantic_ann_in_data_lake_spark.functions.dates import epoch_us
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window rollup — the batch twin of the Structured
+    Streaming incremental profile (streaming/ is the extension
+    surface; same plan runs under readStream + watermark)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH e AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+    ), g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+      ) AS session_id
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-and-island sessionization (30-min inactivity gap) — the
+    batch twin of the applyInPandasWithState streaming sessionizer,
+    oracle-gated so the session semantics themselves are pinned."""
+    from semantic_ann_in_data_lake_spark.streaming.sessionize import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH f AS (SELECT user_id, min(date_trunc('day', ts::TIMESTAMP))::DATE AS cohort
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP)::DATE AS day
+          FROM events)
+    SELECT f.cohort, date_diff('day', f.cohort, a.day)::INT AS day_offset,
+           count(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted on each later active day. Two shuffles (per-user min, then
+    the distinct day set) + an equi-join on user_id — the cohort table
+    is user-sized, so at lake scale this co-partitions on user_id and
+    never widens beyond (user, day)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    active = e.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort", F.datediff("day", "cohort").cast("int").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "asof_join_events",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts::TIMESTAMP AS ts
+      FROM events WHERE event_type = 'error'
+    ),
+    r AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, max(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           r.view_event_id,
+           r.ts AS view_ts,
+           (epoch_us(l.ts) - epoch_us(r.ts))::BIGINT AS gap_us
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of enrichment: each 'error' event joined to the latest
+    at-or-before 'view' event of the same user (union-tag / single
+    shuffle-sort / carry-forward — operators/asof.py), gated against
+    DuckDB's native ASOF LEFT JOIN. The right side is pre-deduped to
+    max(event_id) per (user_id, ts) so equal-timestamp ties are
+    deterministic in both engines."""
+    from semantic_ann_in_data_lake_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    res = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=("view_event_id",),
+        right_id="view_event_id",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("matched_view_event_id").alias("view_event_id"),
+        F.col("matched_ts").alias("view_ts"),
+        (epoch_us("ts") - epoch_us("matched_ts")).alias("gap_us"),
+    )
+
+
+@register(
+    "view_error_interval_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_event_id, v.ts::TIMESTAMP AS view_ts,
+           e.event_id AS error_event_id, e.ts::TIMESTAMP AS error_ts
+    FROM events v JOIN events e
+      ON v.user_id = e.user_id
+     AND e.ts > v.ts AND e.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view' AND e.event_type = 'error'
+    """,
+)
+def view_error_interval_join(spark, sf_dir):
+    """Interval (range) join: every error within 10 minutes after a view
+    by the same user — the BATCH twin of the stream-stream join
+    (streaming/profile_stream.error_after_view_join_stream runs the
+    SAME plan under watermarked state; the equality test pins the two).
+    Equi-key on user_id carries the shuffle; the time interval is a
+    residual predicate — no cartesian."""
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        error_after_view_join_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view")
+    errors = ev.where(F.col("event_type") == "error")
+    return error_after_view_join_stream(views, errors)
+
+
+@register(
+    "events_sliding_rollup",
+    """
+    WITH offs AS (SELECT unnest([0, 1]) AS off),
+    e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events)
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - off * INTERVAL '30 minutes'
+             AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS sum_value
+    FROM e CROSS JOIN offs
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_rollup(spark, sf_dir):
+    """Sliding-window rollup: 1-hour windows every 30 minutes (each
+    event lands in exactly window/slide = 2 buckets). Spark's
+    F.window(slide) explodes the same two assignments internally; the
+    oracle makes the expansion explicit with an offset cross join.
+    Same plan runs streamed under a watermark (hourly_rollup_stream
+    generalizes; window state is bounded by watermark horizon ×
+    bucket cardinality)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(t_view)::BIGINT AS n_view,
+           sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)::BIGINT
+             AS n_view_then_click,
+           sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+                    THEN 1 ELSE 0 END)::BIGINT AS n_full_funnel
+    FROM f
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel: users who viewed, then clicked AFTER the first
+    view, then purchased AFTER that first click — the classic
+    sequence-constrained conversion count. One conditional-min
+    aggregation per user (map-side partial) + one global roll-up; no
+    joins, no per-step scans."""
+    e = _t(spark, sf_dir, "events")
+    m = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    f = e.groupBy("user_id").agg(
+        m("view").alias("t_view"),
+        m("click").alias("t_click"),
+        m("purchase").alias("t_purchase"),
+    )
+    step2 = F.col("t_click") > F.col("t_view")
+    step3 = step2 & (F.col("t_purchase") > F.col("t_click"))
+    return f.agg(
+        F.count("t_view").alias("n_view"),
+        F.sum(F.when(step2, 1).otherwise(0)).alias("n_view_then_click"),
+        F.sum(F.when(step3, 1).otherwise(0)).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "band_join_view_purchase",
+    """
+    SELECT v.user_id, v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           (epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP))::BIGINT
+             AS gap_us
+    FROM events v JOIN events p ON v.user_id = p.user_id
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      AND abs(epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP))
+            <= 1800000000
+    """,
+)
+def band_join_view_purchase(spark, sf_dir):
+    """Proximity join: same-user (view, purchase) event pairs within
+    ±30 minutes, via the BANDED equi-join (operators/joins.py::
+    band_join — bucket by floor(t/eps), replicate one side ±1 bucket,
+    exact filter) instead of the O(|L|·|R|) nested-loop theta-join the
+    inequality predicate would otherwise plan. Oracle: DuckDB's plain
+    inequality join — same pairs, hash-checked."""
+    from semantic_ann_in_data_lake_spark.operators.joins import band_join
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        epoch_us("ts").alias("__v_us"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        epoch_us("ts").alias("__p_us"),
+    )
+    return band_join(
+        v, p, "__v_us", "__p_us", eps=1_800_000_000, on=["user_id"]
+    ).select(
+        "user_id",
+        "view_event_id",
+        "purchase_event_id",
+        (F.col("__p_us") - F.col("__v_us")).alias("gap_us"),
+    )

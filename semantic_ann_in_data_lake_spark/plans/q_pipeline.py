@@ -1,0 +1,678 @@
+"""Annotation, corruption, sampling, serialization, source/sink gates.
+
+Split from the single-file registry (round 4); the hub
+`plans.registry` imports this module for its registration side
+effects and re-exports every query function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from semantic_ann_in_data_lake_spark.plans.registry import register, _t
+
+from semantic_ann_in_data_lake_spark.annotate.annotator import (
+    annotate_tables, snake_case_sql,
+)
+from semantic_ann_in_data_lake_spark.annotate.corruption import (
+    corrupt_charnoise, corrupt_positional, corrupt_swap,
+)
+from semantic_ann_in_data_lake_spark.functions.hashing import portable_hash_expr
+from semantic_ann_in_data_lake_spark.functions.dates import (
+    normalize_date, normalize_date_sql,
+)
+from semantic_ann_in_data_lake_spark.functions.serialize import (
+    column_to_text, column_to_text_sql,
+)
+from semantic_ann_in_data_lake_spark.operators import pairs as pairs_ops
+from semantic_ann_in_data_lake_spark.operators import profiler
+from semantic_ann_in_data_lake_spark.plans.q_profile import _PROFILE_TYPES
+
+
+# ---------------------------------------------------------------------------
+# Date normalization (F7), serialization (V1), corruption (C1), splits (W6),
+# hash embeddings (V4 deterministic tier), streaming rollup (batch twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_normalize_orders",
+    f"""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 4
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+               WHEN 2 THEN strftime(o_orderdate, '%Y%m%d')
+               ELSE year(o_orderdate)::VARCHAR || '-Q' || quarter(o_orderdate)::VARCHAR
+             END AS raw_date
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey, raw_date,
+           {normalize_date_sql('raw_date')} AS normalized
+    FROM raw
+    """,
+)
+def date_normalize_orders(spark, sf_dir):
+    """F7: multi-format date normalization round-trip — strings in 4
+    formats (incl. the reference's quarter form) → 'dd MMMM yyyy'."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    raw = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format("o_orderdate", "dd/MM/yyyy"))
+        .when(F.col("o_orderkey") % 4 == 2, F.date_format("o_orderdate", "yyyyMMdd"))
+        .otherwise(
+            F.concat(
+                F.year("o_orderdate").cast("string"),
+                F.lit("-Q"),
+                F.quarter("o_orderdate").cast("string"),
+            )
+        )
+    )
+    d = o.select("o_orderkey", raw.alias("raw_date"))
+    return d.select(
+        "o_orderkey", "raw_date", normalize_date("raw_date").alias("normalized")
+    )
+
+
+_CUSTOMER_COLS = [c for c, _ in _PROFILE_TYPES["customer"]]
+
+
+@register(
+    "column_to_text_customer",
+    " UNION ALL ".join(
+        f"""
+        SELECT 'customer' AS table_name, '{c}' AS column_name,
+               {column_to_text_sql(
+                   f"'{c}'",
+                   f"count({c})",
+                   f"coalesce(min(length({c}::VARCHAR)), 0)::INT",
+                   f"coalesce(max(length({c}::VARCHAR)), 0)::INT",
+                   f"coalesce(round(avg(length({c}::VARCHAR)), 2), 0.0)",
+                   f"(SELECT list_slice(list_sort(list(DISTINCT {c}::VARCHAR)), 1, 5)"
+                   f" FROM customer WHERE {c} IS NOT NULL)",
+                   title="'customer'",
+               )} AS serialized
+        FROM customer"""
+        for c in _CUSTOMER_COLS
+    ),
+)
+def column_to_text_customer(spark, sf_dir):
+    """V1: serialize each customer column profile to the DeepJoin
+    sentence form (`repositoryLoader.py:139-180`)."""
+    cust = _t(spark, sf_dir, "customer")
+    prof = profiler.profile(cust, "customer")
+    samples = profiler.distinct_sample(cust, "customer", _CUSTOMER_COLS, 5)
+    joined = prof.join(samples, ["table_name", "column_name"])
+    return joined.select(
+        "table_name",
+        "column_name",
+        column_to_text(
+            F.col("column_name"),
+            F.col("num_values"),
+            F.col("min_length"),
+            F.col("max_length"),
+            F.col("avg_length"),
+            F.col("values_sample"),
+            title=F.col("table_name"),
+        ).alias("serialized"),
+    )
+
+
+@register(
+    "corrupt1_positional",
+    f"""
+    WITH cols AS (
+      SELECT unnest([{', '.join(f"'{c}'" for c in _CUSTOMER_COLS)}]) AS column_name
+    ), ranked AS (
+      SELECT column_name,
+             row_number() OVER (
+               ORDER BY ('0x' || substr(md5('c1' || column_name), 1, 15))::BIGINT
+             ) AS rnk
+      FROM cols
+    )
+    SELECT 'customer' AS table_name, column_name,
+           'attribiute_' || (rnk - 1)::VARCHAR AS new_name
+    FROM ranked
+    """,
+)
+def corrupt1_positional(spark, sf_dir):
+    """C1: hash-permuted positional rename (typo 'attribiute' is
+    reference behavior, `corruption.py:29`)."""
+    return corrupt_positional(spark, "customer", _CUSTOMER_COLS, seed="c1")
+
+
+@register(
+    "train_test_split_pairs",
+    """
+    WITH pairs AS (
+      SELECT a.s_nationkey AS family, a.s_suppkey AS id_a, b.s_suppkey AS id_b
+      FROM supplier a JOIN supplier b
+        ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    )
+    SELECT family, id_a, id_b,
+           CASE WHEN ('0x' || substr(md5('split42' || id_a::VARCHAR || '|' || id_b::VARCHAR), 1, 15))::BIGINT % 1000 < 800
+                THEN 'train' ELSE 'test' END AS split
+    FROM pairs
+    """,
+)
+def train_test_split_pairs(spark, sf_dir):
+    """W6: deterministic content-hash 80/20 split (distributed
+    replacement for the positional split, `pairsBuilder.py:131-145`)."""
+    s = _t(spark, sf_dir, "supplier")
+    p = pairs_ops.positive_pairs(s, "s_nationkey", "s_suppkey")
+    return pairs_ops.train_test_split(p, ["id_a", "id_b"], 0.8, seed="split42")
+
+
+#: deliberately messy header fixture for the annotation stage (the sf
+#: tables are already snake_case; cleaning needs something to clean)
+_MESSY_COLS = ["Order Key", "Total-Price", "Cust  Name", "ship_date", "N°Items"]
+
+
+@register(
+    "annotate_columns_rule",
+    f"""
+    WITH cols AS (
+      SELECT unnest([{', '.join(f"'{c}'" for c in _MESSY_COLS)}]) AS column_name
+    )
+    SELECT 'messy_orders' AS table_name, column_name,
+           {snake_case_sql('column_name')} AS annotated_name
+    FROM cols
+    """,
+)
+def annotate_columns_rule(spark, sf_dir):
+    """The mapInPandas annotation stage (retry/validation plumbing
+    included) checked against its pure-SQL semantic: snake_case
+    cleaning of messy headers."""
+    catalog = spark.createDataFrame(
+        [("messy_orders", _MESSY_COLS, "")],
+        "table_name string, columns array<string>, sample_markdown string",
+    )
+    ann = annotate_tables(catalog)
+    return (
+        ann.select("table_name", F.explode("columns").alias("column_name", "annotated_name"))
+    )
+
+
+@register(
+    "media_features",
+    """
+    SELECT doc_id AS media_id, 'image' AS modality,
+           array_to_string(
+             list_transform(range(0, 8),
+               i -> (('0x' || substr(md5(i::VARCHAR || ':' || text), 1, 15))::BIGINT
+                     % 200001)::VARCHAR),
+             '|') AS feature
+    FROM documents
+    """,
+)
+def media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads → mapInPandas feature
+    extraction. The DECODE is the deterministic md5-projection fake
+    (real decode stubbed per environment policy), which makes even this
+    Python-stage operator oracle-gateable: DuckDB reproduces the
+    md5-chunk integers exactly, so the gate pins the full plumbing —
+    binary encode, Arrow batching, float32 array schema — end to end.
+
+    The float32 feature vector is serialized via the integer round-trip
+    (component = k/1e5 - 1; float32 error ≪ 0.5 so round recovers k)
+    because the driver canonicalizer cannot hash list cells."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_features(synthesize_media_from_documents(docs), dim=8)
+    return feats.select(
+        "media_id",
+        "modality",
+        F.array_join(
+            F.transform(
+                "feature",
+                lambda x: F.round(
+                    (x.cast("double") + F.lit(1.0)) * F.lit(100000.0)
+                )
+                .cast("long")
+                .cast("string"),
+            ),
+            "|",
+        ).alias("feature"),
+    )
+
+
+#: expected greedy-canonicalization result, derived BY HAND from the
+#: documented Y2 semantics (first-seen in sorted term order expands
+#: through DEFAULT_SYNONYMS): sorted terms are visited in order, so
+#: "cost" claims "price", "id" claims "identifier"/"key", "label"
+#: claims "name" (before "name" and "title" are visited) — the literal
+#: table is an independently-derived oracle, not an engine echo.
+_SYNONYM_EXPECTED = [
+    ("c_acctbal", "c_acctbal"), ("c_custkey", "c_custkey"),
+    ("c_mktsegment", "c_mktsegment"), ("c_name", "c_name"),
+    ("c_nationkey", "c_nationkey"), ("cost", "cost"), ("id", "id"),
+    ("identifier", "id"), ("label", "label"), ("name", "label"),
+    ("price", "cost"), ("title", "title"),
+]
+
+
+@register(
+    "synonym_canonical_terms",
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}', '{c}')" for t, c in _SYNONYM_EXPECTED)
+    + ") AS v(term, term_canonical)",
+)
+def synonym_canonical_terms(spark, sf_dir):
+    """Y1-Y4: greedy first-seen synonym canonicalization (inherently
+    sequential driver loop over the small distinct-term set) applied to
+    annotated column names. The term set mixes real customer columns
+    with dictionary synonyms so the canonical map actually remaps
+    (identifier→id, name→label, price→cost under sorted first-seen
+    order); gated against the hand-derived literal expectation."""
+    from semantic_ann_in_data_lake_spark.annotate.synonyms import apply_canonical_map
+
+    cust = _t(spark, sf_dir, "customer")
+    extra = ["identifier", "title", "cost", "id", "name", "price", "label"]
+    terms = spark.createDataFrame(
+        [(c,) for c in cust.columns] + [(t,) for t in extra], "term string"
+    )
+    return apply_canonical_map(terms, "term", spark)
+
+
+@register(
+    "deterministic_sample_docs",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {portable_hash_expr("doc_id::VARCHAR", seed="sample42:")} AS hk
+      FROM documents
+    ), top AS (
+      SELECT doc_id, hk FROM h ORDER BY hk, doc_id LIMIT 10
+    )
+    SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id)::INT AS sample_rank
+    FROM top
+    """,
+)
+def deterministic_sample_docs(spark, sf_dir):
+    """W5 engine-portable variant: seeded 'random' sample as hash-order
+    top-n (the reference's pandas seed-42 sample is not reproducible
+    cross-engine; hash order is — divergence per SURVEY §7.4.3)."""
+    from semantic_ann_in_data_lake_spark.functions.hashing import portable_hash64
+
+    d = _t(spark, sf_dir, "documents")
+    hk = portable_hash64(F.col("doc_id").cast("string"), seed="sample42:")
+    top = (
+        d.select("doc_id", hk.alias("hk"))
+        .orderBy("hk", "doc_id")
+        .limit(10)
+    )
+    w = Window.orderBy("hk", "doc_id")
+    return top.withColumn("sample_rank", F.row_number().over(w)).select(
+        "doc_id", "sample_rank"
+    )
+
+
+_CUST_COLS_SQL = ", ".join(f"'{c}'" for c in _CUSTOMER_COLS)
+
+
+@register(
+    "corrupt2_charnoise",
+    f"""
+    WITH cols AS (SELECT unnest([{_CUST_COLS_SQL}]) AS column_name),
+    h AS (
+      SELECT column_name,
+             ('0x' || substr(md5('c2' || column_name), 1, 15))::BIGINT AS hk
+      FROM cols
+    )
+    SELECT 'customer' AS table_name, column_name,
+           CASE WHEN hk % 100 < 65 AND length(column_name) > 1
+                THEN substr(column_name, 1, (hk % length(column_name))::INT)
+                     || substr(column_name, (hk % length(column_name))::INT + 2)
+                ELSE column_name END AS new_name
+    FROM h
+    """,
+)
+def corrupt2_charnoise(spark, sf_dir):
+    """C2: deterministic char-drop noise (65% of hash draws), the
+    nlpaug-free regime (`corruption.py:5-11,31-34`)."""
+    return corrupt_charnoise(spark, "customer", _CUSTOMER_COLS, seed="c2")
+
+
+@register(
+    "corrupt3_swap",
+    f"""
+    WITH cols AS (SELECT unnest([{_CUST_COLS_SQL}]) AS column_name),
+    ranked AS (
+      SELECT column_name,
+             row_number() OVER (
+               ORDER BY ('0x' || substr(md5('c3' || column_name), 1, 15))::BIGINT
+             ) AS rnk
+      FROM cols
+    )
+    SELECT 'customer' AS table_name, a.column_name,
+           b.column_name AS new_name
+    FROM ranked a JOIN ranked b
+      ON (a.rnk % {len(_CUSTOMER_COLS)}) + 1 = b.rnk
+    """,
+)
+def corrupt3_swap(spark, sf_dir):
+    """C3: swapped-name regime — every column takes the next column's
+    name in hash order (`corruption.py:17,35` made deterministic)."""
+    return corrupt_swap(spark, "customer", _CUSTOMER_COLS, seed="c3")
+
+
+# --- source/sink gates: fixtures under /tmp (testdata is read-only) ---
+
+_CSV_FIXTURE = "/tmp/sals_gate/csv_src"
+
+
+_JSONL_RT = "/tmp/sals_gate/jsonl_rt"
+
+
+_CSV_RT = "/tmp/sals_gate/csv_rt"
+
+
+def _gen_csv_fixture(sf_dir: str) -> None:
+    """Deterministically derive a 2-file CSV dir from the sf_dir customer
+    parquet (DuckDB COPY → exact file names, so ``table_name`` derived
+    from ``input_file_name`` is meaningful). Integer/string columns only
+    — float→text formatting is engine-specific."""
+    import os
+
+    import duckdb
+
+    os.makedirs(_CSV_FIXTURE, exist_ok=True)
+    con = duckdb.connect()
+    for name, parity in [("customer_even", 0), ("customer_odd", 1)]:
+        con.execute(
+            f"COPY (SELECT c_custkey, c_name, c_nationkey, c_mktsegment "
+            f"FROM '{sf_dir}/customer.parquet' WHERE c_custkey % 2 = {parity} "
+            f"ORDER BY c_custkey) TO '{_CSV_FIXTURE}/{name}.csv' "
+            f"(HEADER, DELIMITER ',')"
+        )
+    con.close()
+
+
+@register(
+    "csv_dir_scan_stats",
+    f"""
+    SELECT regexp_extract(filename, '([^/]+)\\.csv$', 1) AS table_name,
+           count(*) AS n_rows,
+           sum(c_custkey::BIGINT)::BIGINT AS custkey_sum,
+           sum(length(c_name))::BIGINT AS name_chars
+    FROM read_csv('{_CSV_FIXTURE}/*.csv', header=true, all_varchar=true,
+                  filename=true)
+    GROUP BY 1
+    """,
+)
+def csv_dir_scan_stats(spark, sf_dir):
+    """S1/S2 gate: all-string CSV directory scan with per-file
+    ``table_name`` (reference extract_schema.py:88-99), aggregated per
+    source file. The fixture is regenerated from sf_dir each call, so
+    Spark and the oracle read identical bytes."""
+    from semantic_ann_in_data_lake_spark.sources.readers import read_csv_dir
+
+    _gen_csv_fixture(sf_dir)
+    df = read_csv_dir(spark, _CSV_FIXTURE, all_string=True)
+    return df.groupBy("table_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_custkey").cast("long")).alias("custkey_sum"),
+        F.sum(F.length("c_name")).alias("name_chars"),
+    )
+
+
+@register(
+    "jsonl_roundtrip_stats",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def jsonl_roundtrip_stats(spark, sf_dir):
+    """S5+S6 gate: orders → JSONL sink → JSONL source → aggregate; the
+    oracle aggregates the original parquet, so any round-trip loss
+    (types, row drops, encoding) breaks the hash."""
+    from semantic_ann_in_data_lake_spark.sources.readers import read_jsonl
+    from semantic_ann_in_data_lake_spark.sources.writers import write_json_lines
+
+    write_json_lines(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_orderstatus"
+        ),
+        _JSONL_RT,
+    )
+    back = read_jsonl(
+        spark,
+        _JSONL_RT,
+        "o_orderkey long, o_orderpriority string, o_orderstatus string",
+    )
+    return back.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("key_sum")
+    )
+
+
+@register(
+    "csv_sink_roundtrip",
+    """
+    SELECT p_brand, p_type, count(*) AS n,
+           sum(p_size)::BIGINT AS size_sum, sum(p_partkey)::BIGINT AS key_sum
+    FROM part GROUP BY 1, 2
+    """,
+)
+def csv_sink_roundtrip(spark, sf_dir):
+    """S7 gate: part → header-CSV sink → read back with an explicit
+    schema → aggregate vs the original parquet (int/string columns only
+    — float→text formatting is engine-specific)."""
+    from semantic_ann_in_data_lake_spark.sources.writers import write_csv
+
+    write_csv(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size"),
+        _CSV_RT,
+    )
+    back = (
+        spark.read.option("header", True)
+        .schema("p_partkey long, p_brand string, p_type string, p_size int")
+        .csv(_CSV_RT)
+    )
+    return back.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p_size").alias("size_sum"),
+        F.sum("p_partkey").alias("key_sum"),
+    )
+
+
+_JSON_CATALOG = "/tmp/sals_gate/json_catalog"
+
+
+@register(
+    "json_catalog_scan",
+    f"""
+    SELECT meta.region AS region, count(*) AS n_tables,
+           sum(meta.key)::BIGINT AS key_sum, sum(length(table_name))::BIGINT AS name_chars
+    FROM read_json('{_JSON_CATALOG}/catalog.json')
+    GROUP BY 1
+    """,
+)
+def json_catalog_scan(spark, sf_dir):
+    """S4 gate: multi-line JSON array catalog (the reference's
+    ``{{app}}_csv_schema.json`` shape, extract_schema.py:118-129) with a
+    nested object per entry, read via ``read_json_catalog`` and
+    aggregated by a nested field. Fixture derived from sf_dir nation ⋈
+    region so both engines read identical bytes."""
+    import os
+
+    import duckdb
+
+    from semantic_ann_in_data_lake_spark.sources.readers import read_json_catalog
+
+    os.makedirs(_JSON_CATALOG, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+          SELECT 'NATION_' || n_nationkey AS table_name,
+                 {{'region': r_name, 'key': n_nationkey}} AS meta
+          FROM '{sf_dir}/nation.parquet'
+          JOIN '{sf_dir}/region.parquet' ON n_regionkey = r_regionkey
+          ORDER BY n_nationkey
+        ) TO '{_JSON_CATALOG}/catalog.json' (FORMAT JSON, ARRAY true)"""
+    )
+    con.close()
+    df = read_json_catalog(spark, _JSON_CATALOG + "/catalog.json")
+    return df.groupBy(F.col("meta.region").alias("region")).agg(
+        F.count(F.lit(1)).alias("n_tables"),
+        F.sum("meta.key").alias("key_sum"),
+        F.sum(F.length("table_name")).alias("name_chars"),
+    )
+
+
+@register(
+    "stratified_sample_docs",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             {portable_hash_expr("doc_id::VARCHAR", seed="strat42:")} AS hk
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rnk
+      FROM h
+    )
+    SELECT doc_id, lang, source, rnk::INT AS sample_rank
+    FROM r WHERE rnk <= 5
+    """,
+)
+def stratified_sample_docs(spark, sf_dir):
+    """Per-language quota sample (5 docs/lang) in seeded-hash order —
+    the corpus-balancing primitive; one ranking window, no driver-side
+    stratum enumeration."""
+    from semantic_ann_in_data_lake_spark.operators.pairs import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(d, "lang", 5, "doc_id")
+
+
+def _mix_case_sql(fractions: dict[str, float], m: int = 1_000_000) -> str:
+    from semantic_ann_in_data_lake_spark.functions.hashing import portable_hash_expr
+
+    branches = " ".join(
+        f"WHEN source = '{g}' THEN {int(round(f * m))}"
+        for g, f in sorted(fractions.items())
+    )
+    hk = portable_hash_expr("doc_id::VARCHAR", seed="mix42:")
+    return f"({hk}) % {m} < (CASE {branches} ELSE 0 END)"
+
+
+_MIX_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1, "src4": 0.0}
+
+
+@register(
+    "mix_sample_docs",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_mix_case_sql(_MIX_FRACS)}
+    """,
+)
+def mix_sample_docs(spark, sf_dir):
+    """Pretraining-mix sampling: per-source deterministic Bernoulli keep
+    fractions (1.0 / 0.5 / 0.25 / 0.1 / 0.0 over src0..src4; unlisted
+    sources drop) — a row-local hash filter, no shuffle, no counts."""
+    from semantic_ann_in_data_lake_spark.operators.pairs import mix_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return mix_sample(d, _MIX_FRACS).select("doc_id", "source")
+
+
+_ORC_RT = "/tmp/sals_gate/orc_rt"
+
+
+@register(
+    "orc_sink_roundtrip",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           sum(o_custkey)::BIGINT AS cust_sum,
+           round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS price_sum
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def orc_sink_roundtrip(spark, sf_dir):
+    """S6/S7 family, ORC tier: orders → ORC sink → read back →
+    aggregate vs the original parquet through the DuckDB oracle. ORC
+    preserves types exactly (unlike the CSV text round-trip), so the
+    DECIMAL money discipline applies unchanged."""
+    from semantic_ann_in_data_lake_spark.sources.writers import write_orc
+
+    write_orc(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_totalprice",
+        ),
+        _ORC_RT,
+    )
+    back = spark.read.orc(_ORC_RT)
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").alias("cust_sum"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("price_sum"),
+    )
+
+
+@register(
+    "cap_docs_per_source",
+    """
+    WITH r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS __rn
+      FROM documents
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(doc_id)::BIGINT AS id_sum
+    FROM r WHERE __rn <= 40
+    GROUP BY source
+    """,
+)
+def cap_docs_per_source(spark, sf_dir):
+    """Per-source corpus balancing: keep the first 40 docs per source
+    (pairs.cap_per_key — WindowGroupLimit-bounded partitioned window),
+    then roll up per source; oracle = the same cap in plain SQL."""
+    from semantic_ann_in_data_lake_spark.operators.pairs import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = cap_per_key(docs, key="source", n=40, order_col="doc_id")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@register(
+    "media_frame_samples",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text, length(text)::BIGINT AS L
+      FROM documents WHERE length(text) >= 32
+    ),
+    f AS (SELECT media_id, unnest(range(0, 4)) AS fi, text, L FROM m)
+    SELECT media_id, fi::INT AS frame_idx,
+           ((fi * (L - 32)) // 3)::BIGINT AS frame_off,
+           md5(substr(text, ((fi * (L - 32)) // 3)::INT + 1, 32)) AS frame_md5
+    FROM f
+    """,
+)
+def media_frame_samples(spark, sf_dir):
+    """Video-style frame sampling over binary payloads
+    (operators/multimodal.py::sample_frames): 4 uniformly spaced
+    32-byte windows per payload, digest per frame. The documents
+    fixture is pure ASCII (verified at every sf), so the DuckDB oracle
+    reproduces the byte windows with character substr — the gate pins
+    offset arithmetic, batch shapes, and digest equality end to end."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, k=4, frame_len=32)

@@ -1,0 +1,396 @@
+"""Profiling / statistics / validation queries (SURVEY A1-A12).
+
+Split from the single-file registry (round 4); the hub
+`plans.registry` imports this module for its registration side
+effects and re-exports every query function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantic_ann_in_data_lake_spark.plans.registry import register, _t
+
+from semantic_ann_in_data_lake_spark.operators import profiler
+
+
+# ---------------------------------------------------------------------------
+# Profiling (reference SchemaExtraction — SURVEY §2.4 A1-A5, A11)
+# ---------------------------------------------------------------------------
+
+_PROFILE_TYPES = {
+    "customer": [
+        ("c_custkey", "integer"),
+        ("c_name", "string"),
+        ("c_nationkey", "integer"),
+        ("c_acctbal", "float"),
+        ("c_mktsegment", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "integer"),
+        ("l_partkey", "integer"),
+        ("l_suppkey", "integer"),
+        ("l_linenumber", "integer"),
+        ("l_quantity", "float"),
+        ("l_extendedprice", "float"),
+        ("l_discount", "float"),
+        ("l_tax", "float"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "datetime"),
+    ],
+}
+
+
+def _profile_oracle(table: str) -> str:
+    parts = []
+    for c, reftype in _PROFILE_TYPES[table]:
+        parts.append(
+            f"""
+            SELECT '{table}' AS table_name, '{c}' AS column_name,
+                   '{reftype}' AS col_type,
+                   count(*) AS row_count,
+                   count(*) - count({c}) AS n_nulls,
+                   count({c}) AS num_values,
+                   coalesce(min(length({c}::VARCHAR)), 0)::INT AS min_length,
+                   coalesce(max(length({c}::VARCHAR)), 0)::INT AS max_length,
+                   coalesce(round(avg(length({c}::VARCHAR)), 2), 0.0) AS avg_length
+            FROM {table}"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_customer", _profile_oracle("customer"))
+def profile_customer(spark, sf_dir):
+    return profiler.profile(_t(spark, sf_dir, "customer"), "customer")
+
+
+@register("profile_lineitem", _profile_oracle("lineitem"))
+def profile_lineitem(spark, sf_dir):
+    return profiler.profile(_t(spark, sf_dir, "lineitem"), "lineitem")
+
+
+@register(
+    "distinct_sample_orders",
+    """
+    SELECT 'orders' AS table_name, 'o_orderstatus' AS column_name,
+           array_to_string(
+             list_slice(list_sort(list(DISTINCT o_orderstatus::VARCHAR)), 1, 30),
+             '|') AS values_sample
+    FROM orders WHERE o_orderstatus IS NOT NULL
+    UNION ALL
+    SELECT 'orders', 'o_orderpriority',
+           array_to_string(
+             list_slice(list_sort(list(DISTINCT o_orderpriority::VARCHAR)), 1, 30),
+             '|')
+    FROM orders WHERE o_orderpriority IS NOT NULL
+    """,
+)
+def distinct_sample_orders(spark, sf_dir):
+    # Gated output serializes the sample array: the driver's canonicalizer
+    # hashes sorted rows and cannot hash list cells. The operator itself
+    # (profiler.distinct_sample) keeps the typed array.
+    return profiler.distinct_sample(
+        _t(spark, sf_dir, "orders"), "orders", ["o_orderstatus", "o_orderpriority"], 30
+    ).withColumn("values_sample", F.array_join("values_sample", "|"))
+
+
+@register(
+    "most_common_events",
+    """
+    WITH counted AS (
+      SELECT event_type::VARCHAR AS value, count(*) AS cnt
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    ), ranked AS (
+      SELECT value, cnt,
+             row_number() OVER (ORDER BY cnt DESC, value ASC) AS rnk
+      FROM counted
+    )
+    SELECT 'events' AS table_name, 'event_type' AS column_name,
+           value, cnt, rnk::INT AS rank
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def most_common_events(spark, sf_dir):
+    return profiler.most_common_values(
+        _t(spark, sf_dir, "events"), "events", ["event_type"], 20
+    )
+
+
+_ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@register(
+    "row_counts",
+    " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, count(*) AS row_count FROM {t}"
+        for t in _ALL_TABLES
+    ),
+)
+def row_counts(spark, sf_dir):
+    from functools import reduce
+
+    parts = [
+        _t(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("row_count")
+        )
+        for t in _ALL_TABLES
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+@register(
+    "profile_approx_distinct_bounds",
+    """
+    SELECT '' AS table_name, '' AS column_name, 0::BIGINT AS approx_n_distinct,
+           0::BIGINT AS exact_n_distinct, 0.0 AS rel_err
+    WHERE FALSE
+    """,
+)
+def profile_approx_distinct_bounds(spark, sf_dir):
+    """Accuracy gate for `profile_approx_distinct`: empty iff every
+    column's HLL++ estimate lies within 15% (3× rsd) of the exact
+    distinct count — deterministic on a fixed dataset, so the bound
+    either holds reproducibly or fails loudly."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    return checks.approx_distinct_bound_violations(
+        _t(spark, sf_dir, "orders"), "orders"
+    )
+
+
+_PROFILE_TYPES.update(
+    {
+        "region": [("r_regionkey", "integer"), ("r_name", "string")],
+        "nation": [
+            ("n_nationkey", "integer"),
+            ("n_name", "string"),
+            ("n_regionkey", "integer"),
+        ],
+        "supplier": [
+            ("s_suppkey", "integer"),
+            ("s_name", "string"),
+            ("s_nationkey", "integer"),
+            ("s_acctbal", "float"),
+        ],
+        "part": [
+            ("p_partkey", "integer"),
+            ("p_name", "string"),
+            ("p_brand", "string"),
+            ("p_type", "string"),
+            ("p_size", "integer"),
+            ("p_retailprice", "float"),
+        ],
+        "orders": [
+            ("o_orderkey", "integer"),
+            ("o_custkey", "integer"),
+            ("o_orderstatus", "string"),
+            ("o_totalprice", "float"),
+            ("o_orderdate", "datetime"),
+            ("o_orderpriority", "string"),
+        ],
+        "documents": [
+            ("doc_id", "integer"),
+            ("text", "string"),
+            ("lang", "string"),
+            ("source", "string"),
+            ("n_chars", "integer"),
+        ],
+    }
+)
+
+
+_LAKE_TABLES = ["region", "nation", "supplier", "part", "orders", "documents"]
+
+
+@register(
+    "profile_lake_core",
+    " UNION ALL ".join(_profile_oracle(t) for t in _LAKE_TABLES),
+)
+def profile_lake_core(spark, sf_dir):
+    """Lake-wide catalog build (reference §3.1 entry point): one
+    single-pass profile job per table, plan-level union — customer and
+    lineitem are gated individually; vector/nanos tables are profiled
+    via their scalar columns elsewhere."""
+    tables = {t: _t(spark, sf_dir, t) for t in _LAKE_TABLES}
+    return profiler.profile_lake(tables)
+
+
+@register("profile_approx_distinct", None)
+def profile_approx_distinct_q(spark, sf_dir):
+    """Sketch-based distinct counts (HLL++) — rows-only: sketch
+    implementations differ across engines; the accuracy bound is
+    hash-gated by `profile_approx_distinct_bounds` (3×rsd vs exact)."""
+    return profiler.profile_approx_distinct(_t(spark, sf_dir, "orders"), "orders")
+
+
+@register(
+    "event_props_json_stats",
+    """
+    WITH kx AS (
+      SELECT event_type,
+             try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           count(k) AS n_with_k,
+           sum(k)::BIGINT AS k_sum,
+           min(k) AS k_min,
+           max(k) AS k_max
+    FROM kx GROUP BY 1
+    """,
+)
+def event_props_json_stats(spark, sf_dir):
+    """F9-F11 over a fact table: semi-structured JSON property
+    extraction (`get_json_object`, JVM-side) aggregated per event type —
+    the common clickstream-props pattern; no Python, no parsing UDF."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+@register(
+    "profile_percentiles_lineitem",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25) + 1e-9, 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50) + 1e-9, 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75) + 1e-9, 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def profile_percentiles_lineitem(spark, sf_dir):
+    """Distribution profiling: exact linear-interpolated percentiles per
+    group (Spark `percentile` == DuckDB `quantile_cont` definition; the
+    exact form is the oracle-gateable tier — `approx_percentile`'s
+    t-digest is the scale tier, engine-specific by construction, kept
+    rows-only in profile_approx_distinct's family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = [
+        F.round(
+            F.percentile("l_extendedprice", F.lit(p)) + F.lit(1e-9), 4
+        ).alias(name)
+        for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+    ]
+    return li.groupBy("l_returnflag").agg(*agg)
+
+
+@register(
+    "profile_entropy",
+    """
+    WITH ec AS (SELECT event_type AS v, count(*) AS n FROM events GROUP BY 1),
+    et AS (SELECT sum(n) AS tot, count(*) AS k FROM ec),
+    sc AS (SELECT source AS v, count(*) AS n FROM documents GROUP BY 1),
+    st AS (SELECT sum(n) AS tot, count(*) AS k FROM sc),
+    pc AS (SELECT o_orderpriority AS v, count(*) AS n FROM orders GROUP BY 1),
+    pt AS (SELECT sum(n) AS tot, count(*) AS k FROM pc)
+    SELECT 'event_type' AS "column", k::BIGINT AS n_distinct,
+           round(-sum((n::DOUBLE / tot) * log2(n::DOUBLE / tot)) + 1e-9, 4)
+             AS entropy
+    FROM ec, et GROUP BY k
+    UNION ALL
+    SELECT 'source', k::BIGINT,
+           round(-sum((n::DOUBLE / tot) * log2(n::DOUBLE / tot)) + 1e-9, 4)
+    FROM sc, st GROUP BY k
+    UNION ALL
+    SELECT 'o_orderpriority', k::BIGINT,
+           round(-sum((n::DOUBLE / tot) * log2(n::DOUBLE / tot)) + 1e-9, 4)
+    FROM pc, pt GROUP BY k
+    """,
+)
+def profile_entropy(spark, sf_dir):
+    """Column information-content profiling: Shannon entropy + distinct
+    count for the categorical columns of three tables in one result."""
+    ev = _t(spark, sf_dir, "events").select(F.col("event_type"))
+    docs = _t(spark, sf_dir, "documents").select(F.col("source"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderpriority"))
+    a = profiler.categorical_entropy(ev, ["event_type"])
+    b = profiler.categorical_entropy(docs, ["source"])
+    c = profiler.categorical_entropy(o, ["o_orderpriority"])
+    return a.unionByName(b).unionByName(c)
+
+
+@register(
+    "histogram_totalprice",
+    """
+    SELECT floor(o_totalprice / 50000)::INT AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice)::DECIMAL(18,2), 2)::DOUBLE AS lo,
+           round(max(o_totalprice)::DECIMAL(18,2), 2)::DOUBLE AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark, sf_dir):
+    """Fixed-width histogram of order totals: bucket index + count +
+    actual [lo, hi] per bucket — one partial-aggregating groupBy, the
+    profiling primitive behind range-skew diagnostics."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice").cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("lo"),
+        F.round(F.max("o_totalprice").cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("hi"),
+    )
+
+
+@register(
+    "validate_orders",
+    """
+    WITH base AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN NOT (o_totalprice > 0)
+                      OR o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_price,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_cust,
+             sum(CASE WHEN NOT (o_orderdate >= '1990-01-01'::TIMESTAMP
+                                AND o_orderdate < '2010-01-01'::TIMESTAMP)
+                      OR o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_date
+      FROM orders
+    ),
+    uq AS (
+      SELECT sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS viol,
+             sum(c)::BIGINT AS n
+      FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+    )
+    SELECT 'price_positive' AS rule, n AS n_rows, v_price AS n_violations,
+           v_price = 0 AS pass FROM base
+    UNION ALL
+    SELECT 'custkey_not_null', n, v_cust, v_cust = 0 FROM base
+    UNION ALL
+    SELECT 'orderdate_in_range', n, v_date, v_date = 0 FROM base
+    UNION ALL
+    SELECT 'unique(o_orderkey)', n, viol, viol = 0 FROM uq
+    """,
+)
+def validate_orders(spark, sf_dir):
+    """Expectation checks over orders: positivity, non-null key, date
+    range (single shared aggregation) + o_orderkey uniqueness (one
+    distinct-count agg) — the data-quality report a pipeline runs
+    before publishing a table."""
+    o = _t(spark, sf_dir, "orders")
+    return profiler.validate(
+        o,
+        rules={
+            "price_positive": F.col("o_totalprice") > 0,
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "orderdate_in_range": (
+                F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp")
+            )
+            & (F.col("o_orderdate") < F.lit("2010-01-01").cast("timestamp")),
+        },
+        unique_cols=["o_orderkey"],
+    )

@@ -1,0 +1,342 @@
+"""Window / grouping-set / layout / upsert relational shapes.
+
+Split from the single-file registry (round 4); the hub
+`plans.registry` imports this module for its registration side
+effects and re-exports every query function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from semantic_ann_in_data_lake_spark.plans.registry import register, _t
+
+
+
+@register(
+    "window_topk_orders",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk::INT AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def window_topk_orders(spark, sf_dir):
+    """W2 generic form: per-group top-k via ranking window."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@register(
+    "pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O'
+                     THEN l_quantity::DECIMAL(18,2) ELSE 0 END), 2)::DOUBLE AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F'
+                     THEN l_quantity::DECIMAL(18,2) ELSE 0 END), 2)::DOUBLE AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_linestatus(spark, sf_dir):
+    """Pivot: wide per-category aggregates (groupBy().pivot())."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_quantity").cast("decimal(18,2)")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(dec), 2).cast("double"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP: hierarchical subtotals (flag, flag+status, grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@register(
+    "customer_order_trends",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS order_seq,
+           round(o_totalprice::DECIMAL(18,2), 2)::DOUBLE AS price,
+           round(lag(o_totalprice::DECIMAL(18,2)) OVER w, 2)::DOUBLE AS prev_price,
+           round(sum(o_totalprice::DECIMAL(18,2)) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE
+             AS running_total,
+           round((avg(o_totalprice::DECIMAL(18,2)) OVER
+                 (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::DOUBLE + 1e-9, 2)
+             AS moving_avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_order_trends(spark, sf_dir):
+    """Per-customer order-sequence analytics: sequence number, previous
+    price (lag), running total, 3-order moving average — the rolling
+    window family over a properly partitioned window (shuffle by
+    customer only; no global sort). Money stays DECIMAL through every
+    frame; only the divided moving average crosses to double (with the
+    rounding bias)."""
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wavg = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(dec, 2).cast("double").alias("price"),
+        F.round(F.lag(dec).over(w), 2).cast("double").alias("prev_price"),
+        F.round(F.sum(dec).over(wrun), 2).cast("double").alias("running_total"),
+        F.round(F.avg(dec).over(wavg).cast("double") + F.lit(1e-9), 2).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+@register(
+    "cube_revenue",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           grouping(l_returnflag)::INT AS g_flag,
+           grouping(l_linestatus)::INT AS g_status,
+           count(*) AS n,
+           round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark, sf_dir):
+    """CUBE grouping sets over (returnflag, linestatus) with GROUPING()
+    provenance flags — all four aggregation levels in one pass (Spark
+    Expand + single partial-agg shuffle, not four scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "upsert_orders_latest",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice::DECIMAL(18,2) * 1.1, 2)::DOUBLE AS o_totalprice,
+             o_orderdate, o_orderpriority, 2 AS version
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    uni AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice::DECIMAL(18,2), 2)::DOUBLE AS o_totalprice,
+             o_orderdate, o_orderpriority, 1 AS version
+      FROM orders
+      UNION ALL SELECT * FROM updates
+    )
+    SELECT o_orderkey,
+           round(o_totalprice::DECIMAL(18,2), 2)::DOUBLE AS o_totalprice,
+           version
+    FROM uni
+    QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC, o_orderkey DESC) = 1
+    """,
+)
+def upsert_orders_latest(spark, sf_dir):
+    """Batch MERGE semantics: a deterministic update set (every 7th
+    order re-priced at +10%, version 2) upserted over the base snapshot
+    (version 1) — latest version wins per key via one key-partitioned
+    window; the updated keys must surface version 2 and the new price."""
+    from semantic_ann_in_data_lake_spark.operators.pairs import upsert_latest
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round(dec("o_totalprice"), 2).cast("double").alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority", F.lit(1).alias("version"),
+    )
+    updates = base.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice",
+        F.round(dec("o_totalprice") * F.lit(1.1), 2).cast("double"),
+    ).withColumn("version", F.lit(2))
+    merged = upsert_latest(base, updates, keys=["o_orderkey"], version_col="version")
+    return merged.select(
+        "o_orderkey",
+        F.round(dec("o_totalprice"), 2).cast("double").alias("o_totalprice"),
+        "version",
+    )
+
+
+@register(
+    "customer_trailing_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice::DECIMAL(18,2)) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate::TIMESTAMP)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ), 2)::DOUBLE AS trailing_30d_revenue
+    FROM orders
+    """,
+)
+def customer_trailing_revenue(spark, sf_dir):
+    """RANGE-frame window (the time-based frame ROWS cannot express):
+    per order, the customer's revenue over the trailing 30 days —
+    orders at the same timestamp share one frame value, and gaps in
+    order history shrink the frame (unlike a fixed row count). Ordered
+    by epoch seconds so the numeric RANGE bound is engine-portable."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("trailing_30d_revenue"),
+    )
+
+
+@register(
+    "salted_heavy_user_rollup",
+    """
+    WITH d AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY 1)
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           count(DISTINCT e.user_id)::BIGINT AS n_users
+    FROM events e JOIN d USING (user_id)
+    WHERE user_total > 70
+    GROUP BY 1
+    """,
+)
+def salted_heavy_user_rollup(spark, sf_dir):
+    """Heavy-user activity rollup routed through the SKEW-SALTED join
+    (operators/joins.py): hot user_ids (detected by a bounded
+    top-frequency scan) spread across salt sub-keys before the shuffle,
+    cold keys join plain, and the oracle — a plain SQL join — proves the
+    salted decomposition changes the PLAN, not the result. At 100 TB
+    this is the operator for power-law keys AQE's post-hoc splitting
+    can't fix (it splits tasks, not the per-key pair blowup)."""
+    from semantic_ann_in_data_lake_spark.operators.joins import (
+        detect_hot_keys,
+        salted_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
+    hot = detect_hot_keys(ev, "user_id", threshold=70)
+    joined = salted_join(ev, dim, "user_id", salt_factor=4, hot_keys=hot)
+    return (
+        joined.where(F.col("user_total") > 70)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB twin of layout.zorder_key over (o_custkey, o_totalprice),
+    8 bits each: identical scaling arithmetic, identical interleave."""
+    terms = []
+    for b in range(8):
+        for i in (0, 1):
+            terms.append(f"(((s{i} >> {b}) & 1) << {b * 2 + i})")
+    zexpr = " | ".join(terms)
+    scale = (
+        "CASE WHEN mx{i} > mn{i} THEN floor(({col}::DOUBLE - mn{i})"
+        " / (mx{i} - mn{i}) * 255)::BIGINT ELSE 0 END"
+    )
+    s0 = scale.format(i=0, col="o_custkey")
+    s1 = scale.format(i=1, col="o_totalprice")
+    return f"""
+    WITH bounds AS (
+      SELECT min(o_custkey::DOUBLE) AS mn0, max(o_custkey::DOUBLE) AS mx0,
+             min(o_totalprice::DOUBLE) AS mn1, max(o_totalprice::DOUBLE) AS mx1
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderkey, {s0} AS s0, {s1} AS s1 FROM orders, bounds
+    )
+    SELECT o_orderkey, ({zexpr})::BIGINT AS zkey FROM s
+    """
+
+
+@register("zorder_key_orders", _zorder_oracle_sql())
+def zorder_key_orders(spark, sf_dir):
+    """Morton/Z-order clustering key over (o_custkey, o_totalprice) —
+    the layout-optimization primitive (operators/layout.py): min-max
+    scale each column to 8 bits, interleave. Pure shift/mask column
+    arithmetic (codegen'd, no UDF); the DuckDB oracle recomputes the
+    identical interleave, pinning cross-engine determinism of the
+    curve. The pruning payoff is pinned by
+    test_zorder_layout_prunes_both_columns."""
+    from semantic_ann_in_data_lake_spark.operators.layout import with_zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    return with_zorder_key(
+        orders, ["o_custkey", "o_totalprice"], bits=8
+    ).select("o_orderkey", "zkey")

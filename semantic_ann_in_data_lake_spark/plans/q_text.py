@@ -1,0 +1,460 @@
+"""Text analysis: token stats, quality, TF-IDF/BM25, PII, packing, BPE.
+
+Split from the single-file registry (round 4); the hub
+`plans.registry` imports this module for its registration side
+effects and re-exports every query function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semantic_ann_in_data_lake_spark.plans.registry import register, _t
+
+from semantic_ann_in_data_lake_spark.functions.hashing import portable_hash_expr
+from semantic_ann_in_data_lake_spark.functions.text import (
+    normalize_sentence_sql, word_shingles_from_sql,
+)
+from semantic_ann_in_data_lake_spark.operators import textstats
+from semantic_ann_in_data_lake_spark.plans.qshared import _TOKS, _W_CTE
+
+
+# ---------------------------------------------------------------------------
+# Text analysis suite
+# ---------------------------------------------------------------------------
+
+_STOP_IN = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, length(text)::INT AS n_chars,
+             {_TOKS} AS toks, {normalize_sentence_sql('text')} AS norm
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_chars,
+             len(toks)::INT AS n_tokens,
+             len(list_distinct(toks))::INT AS n_distinct_tokens,
+             greatest(len(toks), 1) AS safe_tok,
+             greatest(length(norm), 1) AS safe_chr,
+             len(list_filter(toks, tk -> tk IN ({_STOP_IN}))) AS stop_hits,
+             length(norm) AS norm_len,
+             length(norm) - length(regexp_replace(norm, '[.,!?;:]', '', 'g')) AS punct_chars,
+             length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS digit_chars
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+           round((norm_len - n_tokens + 1)::DOUBLE / safe_tok + 1e-9, 4) AS avg_token_len,
+           round(stop_hits::DOUBLE / safe_tok + 1e-9, 4) AS stopword_ratio,
+           round(punct_chars::DOUBLE / safe_chr + 1e-9, 4) AS punct_ratio,
+           round(digit_chars::DOUBLE / safe_chr + 1e-9, 4) AS digit_ratio,
+           round(n_distinct_tokens::DOUBLE / safe_tok + 1e-9, 4) AS type_token_ratio,
+           round(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+                 + 0.3 * round(n_distinct_tokens::DOUBLE / safe_tok + 1e-9, 4)
+                 + 0.3 * round(stop_hits::DOUBLE / safe_tok + 1e-9, 4) + 1e-9, 4) AS quality_score
+    FROM m
+    """,
+)
+def doc_token_stats(spark, sf_dir):
+    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    score_cols = ", ".join(
+        f"len(list_filter(toks, tk -> tk IN ({', '.join(chr(39) + w + chr(39) for w in ws)}))) AS s_{lang}"
+        for lang, ws in textstats.LANG_MARKERS.items()
+    )
+    langs = list(textstats.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, greatest(len(toks), 1) AS n_tokens, {score_cols} FROM t)
+    SELECT doc_id, {pred} AS lang_pred,
+           round({best}::DOUBLE / n_tokens + 1e-9, 4) AS lang_score
+    FROM s
+    """
+
+
+@register("lang_id", _lang_id_sql())
+def lang_id(spark, sf_dir):
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH wn AS (SELECT doc_id, {normalize_sentence_sql('text')} AS norm,
+                       {_TOKS} AS w FROM documents),
+    s AS (SELECT doc_id, norm,
+                 {word_shingles_from_sql('w', 3)} AS sh FROM wn)
+    SELECT doc_id, md5(norm) AS fp_md5,
+           list_min(list_transform(sh, s -> {portable_hash_expr('s', seed='fp:')}))
+               AS fp_minshingle
+    FROM s
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_truncate_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks)::INT AS n_tokens,
+           least(len(toks), 32)::INT AS n_tokens_kept,
+           array_to_string(list_slice(toks, 1, 32), ' ') AS truncated
+    FROM t
+    """,
+)
+def token_truncate_docs(spark, sf_dir):
+    """V3: token-budget truncation via :func:`functions.text.token_truncate`
+    (whitespace tier; the exact-BPE tokenizer seam on the same function
+    is unit-tested with a fake tokenizer — `join_discoverer.py:34-62`)."""
+    from semantic_ann_in_data_lake_spark.functions.text import token_truncate
+
+    return token_truncate(
+        _t(spark, sf_dir, "documents"), "text", ("doc_id",), max_tokens=32
+    )
+
+
+
+
+@register(
+    "chunk_docs",
+    f"""
+    WITH {_W_CTE},
+    c AS (SELECT doc_id, w, unnest(range(0, len(w), 8)) AS cid
+          FROM w WHERE len(w) > 0)
+    SELECT doc_id, (cid / 8)::INT AS chunk_id, cid::INT AS start_pos,
+           len(list_slice(w, cid + 1, cid + 16))::INT AS n_tokens,
+           array_to_string(list_slice(w, cid + 1, cid + 16), ' ') AS chunk_text
+    FROM c
+    """,
+)
+def chunk_docs(spark, sf_dir):
+    """Sliding-window token chunking (window 16, stride 8): the
+    pre-training corpus prep step. Chunks start at every stride while
+    tokens remain; trailing chunks may be partial."""
+    from semantic_ann_in_data_lake_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), window=16, stride=8)
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * ln((n_docs + 1.0) / (df + 1.0)) + 1e-9, 4) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rnk::INT AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF: per-doc top-5 terms (two-level agg + broadcast
+    corpus size + ranking window); ln bit-parity guarded by the
+    textstats round-bias discipline."""
+    return textstats.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "bm25_top_terms",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    corpus AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT avg(dl) FROM dl) AS avgdl),
+    scored AS (
+      SELECT doc_id, term, tf, df, dl,
+             round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + 1e-9, 4) AS score
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, dl, score, rnk::INT AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def bm25_top_terms(spark, sf_dir):
+    """Okapi BM25 per-doc top-5 terms (k1=1.2, b=0.75): tf-idf breadth
+    plus doc-length normalization — the standard retrieval scorer over
+    a corpus, all portable arithmetic."""
+    return textstats.bm25_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "doc_repetition_stats",
+    f"""
+    WITH {_W_CTE},
+    s AS (
+      SELECT doc_id, len(w)::INT AS n_tokens,
+             greatest(len(w) - 2, 0)::INT AS n_ngrams,
+             len({word_shingles_from_sql('w', 3)})::INT AS n_distinct_ngrams
+      FROM w
+    )
+    SELECT doc_id, n_tokens, n_ngrams, n_distinct_ngrams,
+           round((CASE WHEN n_ngrams = 0 THEN 0.0
+                  ELSE (n_ngrams - n_distinct_ngrams)::DOUBLE / n_ngrams END)
+                 + 1e-9, 4) AS dup_ngram_fraction
+    FROM s
+    """,
+)
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-style duplicate-n-gram repetition filter over documents —
+    row-local column expressions, no shuffle (textstats.repetition_stats)."""
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _pii_augmented(spark, sf_dir):
+    """Deterministic PII-ish fixture: splice synthetic emails/URLs/phones
+    into document text keyed on doc_id (same construction in the oracle
+    CTE) — the raw corpus has none, so the scrub gate would otherwise
+    count only zeros."""
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), sid, F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit(" see https://site.example/p/"), sid, F.lit("?u=a@b.co")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", aug.alias("text"))
+
+
+_PII_AUG_SQL = """
+    aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                ELSE '' END
+             || CASE WHEN doc_id % 3 = 1
+                THEN ' see https://site.example/p/' || doc_id::VARCHAR || '?u=a@b.co'
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                ELSE '' END
+             AS text
+      FROM documents
+    )
+"""
+
+
+@register(
+    "pii_scrub_docs",
+    f"""
+    WITH {_PII_AUG_SQL}
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{textstats.PII_PATTERNS["email"]}', '[EMAIL]', 'g'),
+             '{textstats.PII_PATTERNS["url"]}', '[URL]', 'g'),
+             '{textstats.PII_PATTERNS["phone"]}', '[PHONE]', 'g') AS clean_text,
+           len(regexp_extract_all(text, '{textstats.PII_PATTERNS["email"]}'))::INT AS n_emails,
+           len(regexp_extract_all(text, '{textstats.PII_PATTERNS["url"]}'))::INT AS n_urls,
+           len(regexp_extract_all(text, '{textstats.PII_PATTERNS["phone"]}'))::INT AS n_phones
+    FROM aug
+    """,
+)
+def pii_scrub_docs(spark, sf_dir):
+    """PII scrub pass (emails → [EMAIL], URLs → [URL], phones → [PHONE])
+    with per-doc match counts, over the deterministic PII fixture.
+    Email-before-URL replacement order is part of the pinned semantics
+    (an email inside a URL query string is masked by the email pass
+    first; the URL pass then swallows the placeholder)."""
+    return textstats.pii_scrub(_pii_augmented(spark, sf_dir))
+
+
+@register(
+    "quality_filter_docs",
+    f"""
+    WITH {_W_CTE},
+    s AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             greatest(len(w) - 2, 0) AS n_ngrams,
+             len({word_shingles_from_sql('w', 3)}) AS n_distinct_ngrams,
+             len(list_filter(w, tk -> tk IN ({_STOP_IN}))) AS stop_hits
+      FROM w
+    )
+    SELECT doc_id FROM s
+    WHERE n_tokens BETWEEN 20 AND 200
+      AND round(stop_hits::DOUBLE / greatest(n_tokens, 1) + 1e-9, 4) >= 0.05
+      AND round((CASE WHEN n_ngrams = 0 THEN 0.0
+                 ELSE (n_ngrams - n_distinct_ngrams)::DOUBLE / n_ngrams END)
+                + 1e-9, 4) <= 0.2
+    """,
+)
+def quality_filter_docs(spark, sf_dir):
+    """Composed quality gate (the Gopher-rule pipeline): token-count
+    band AND stopword-ratio floor AND duplicate-n-gram ceiling — the
+    standard keep/drop decision a pretraining ingest applies per
+    document. Composed as ONE projection over a single staged words
+    array (not a join of token_stats ⋈ repetition_stats — that shape
+    costs a shuffle for what is a row-local predicate): the whole
+    filter runs inside whole-stage codegen on the scan."""
+    from semantic_ann_in_data_lake_spark.functions.text import (
+        word_shingles_from,
+        words,
+    )
+    from semantic_ann_in_data_lake_spark.operators.textstats import (
+        STOPWORDS,
+        _count_in,
+        _r4,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(F.col("doc_id"), words("text").alias("__w")).select(
+        "doc_id",
+        F.size("__w").alias("n_tokens"),
+        F.greatest(F.size("__w") - F.lit(2), F.lit(0)).alias("n_ngrams"),
+        F.size(word_shingles_from(F.col("__w"), 3)).alias("n_distinct_ngrams"),
+        _count_in(F.col("__w"), STOPWORDS).alias("stop_hits"),
+    )
+    stop_ratio = _r4(
+        F.col("stop_hits").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
+    )
+    dup_frac = _r4(
+        F.when(F.col("n_ngrams") == 0, F.lit(0.0)).otherwise(
+            (F.col("n_ngrams") - F.col("n_distinct_ngrams")).cast("double")
+            / F.col("n_ngrams")
+        )
+    )
+    return staged.where(
+        F.col("n_tokens").between(20, 200)
+        & (stop_ratio >= 0.05)
+        & (dup_frac <= 0.2)
+    ).select("doc_id")
+
+
+@register(
+    "pack_sequences_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             (sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens)::BIGINT AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens, cum_before,
+           (cum_before // 256)::BIGINT AS bin_id,
+           (cum_before % 256)::BIGINT AS bin_offset
+    FROM c
+    """,
+)
+def pack_sequences_docs(spark, sf_dir):
+    """Sequence packing for training batches: contiguous id-order
+    assignment of every doc to a 256-token-budget bin. The Spark side
+    computes the global running token count as a DISTRIBUTED prefix sum
+    (range partition → per-partition window → schema-sized totals →
+    broadcast offsets — operators/packing.py); the oracle is the plain
+    single-stream window, proving the distributed decomposition exact."""
+    from semantic_ann_in_data_lake_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=256)
+
+
+@register(
+    "bpe_contract_docs",
+    """
+    SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_violations
+    FROM documents
+    """,
+)
+def bpe_contract_docs(spark, sf_dir):
+    """Exact-token tier contract: train the in-repo byte-level BPE on
+    the corpus (functions/bpe.py — distributed word-frequency pass,
+    bounded driver merge loop), encode every document on the workers,
+    and verify per doc that (a) decode(encode(text)) == text and
+    (b) whitespace-words ≤ bpe-tokens ≤ utf8-bytes. Emits (n_docs,
+    n_violations); the oracle pins n_violations = 0 over the same
+    corpus — the BPE algebra itself is not SQL-expressible, its
+    invariants are."""
+    from semantic_ann_in_data_lake_spark.functions.bpe import (
+        BpeTokenizer,
+        train_bpe_from_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_from_df(docs, num_merges=200)
+
+    def check(batches):
+        import pandas as pd
+
+        tok = BpeTokenizer(merges)
+        for pdf in batches:
+            bad = 0
+            for t in pdf["text"].fillna(""):
+                ids = tok.encode(t)
+                if tok.decode(ids) != t:
+                    bad += 1
+                elif not (len(t.split()) <= len(ids) <= len(t.encode())):
+                    bad += 1
+            yield pd.DataFrame({"n": [len(pdf)], "bad": [bad]})
+
+    agg = docs.select("text").mapInPandas(check, schema="n long, bad long")
+    return agg.agg(
+        F.sum("n").alias("n_docs"), F.sum("bad").alias("n_violations")
+    )
+
+
+def _quality_model_oracle() -> str:
+    from semantic_ann_in_data_lake_spark.annotate.scoring import (
+        default_weights,
+        score_oracle_sql,
+    )
+
+    proj = score_oracle_sql("text", default_weights(16), bias=0.0)
+    return f"SELECT doc_id, {proj} FROM documents"
+
+
+@register("quality_model_scores", _quality_model_oracle())
+def quality_model_scores(spark, sf_dir):
+    """Learned-quality-model stage (annotate/scoring.py): sigmoid over
+    the hash-embedding feature map with a fixed weight head — the
+    broadcast-weights batch-scoring plumbing of a real classifier,
+    fully JVM-side and hash-checked against the DuckDB twin (logit at
+    6 dp exact; score at 4 dp — exp is the one libm step without a
+    cross-engine correctly-rounded guarantee)."""
+    from semantic_ann_in_data_lake_spark.annotate.scoring import score_documents
+
+    return score_documents(_t(spark, sf_dir, "documents"))

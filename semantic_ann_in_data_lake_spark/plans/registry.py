@@ -21,25 +21,9 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-from semantic_ann_in_data_lake_spark.cache import scoped_persist
-from semantic_ann_in_data_lake_spark.functions.dates import epoch_us
-from semantic_ann_in_data_lake_spark.functions.vectors import (
-    cosine_sim_sql,
-    l2_sq_sql,
-)
-from semantic_ann_in_data_lake_spark.operators import profiler
-from semantic_ann_in_data_lake_spark.operators.evaluation import (
-    ndcg_at_k,
-    pair_metrics_df,
-    symmetric_truth,
-)
-from semantic_ann_in_data_lake_spark.operators.knn import knn_join, threshold_join
-from semantic_ann_in_data_lake_spark.plans import pipeline
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
 
 #: name -> (spark_fn, oracle_sql_or_None)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
@@ -57,430 +41,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from semantic_ann_in_data_lake_spark.sources.readers import read_table
 
     return read_table(spark, sf_dir, name)
-
-
-# ---------------------------------------------------------------------------
-# Profiling (reference SchemaExtraction — SURVEY §2.4 A1-A5, A11)
-# ---------------------------------------------------------------------------
-
-_PROFILE_TYPES = {
-    "customer": [
-        ("c_custkey", "integer"),
-        ("c_name", "string"),
-        ("c_nationkey", "integer"),
-        ("c_acctbal", "float"),
-        ("c_mktsegment", "string"),
-    ],
-    "lineitem": [
-        ("l_orderkey", "integer"),
-        ("l_partkey", "integer"),
-        ("l_suppkey", "integer"),
-        ("l_linenumber", "integer"),
-        ("l_quantity", "float"),
-        ("l_extendedprice", "float"),
-        ("l_discount", "float"),
-        ("l_tax", "float"),
-        ("l_returnflag", "string"),
-        ("l_linestatus", "string"),
-        ("l_shipdate", "datetime"),
-    ],
-}
-
-
-def _profile_oracle(table: str) -> str:
-    parts = []
-    for c, reftype in _PROFILE_TYPES[table]:
-        parts.append(
-            f"""
-            SELECT '{table}' AS table_name, '{c}' AS column_name,
-                   '{reftype}' AS col_type,
-                   count(*) AS row_count,
-                   count(*) - count({c}) AS n_nulls,
-                   count({c}) AS num_values,
-                   coalesce(min(length({c}::VARCHAR)), 0)::INT AS min_length,
-                   coalesce(max(length({c}::VARCHAR)), 0)::INT AS max_length,
-                   coalesce(round(avg(length({c}::VARCHAR)), 2), 0.0) AS avg_length
-            FROM {table}"""
-        )
-    return " UNION ALL ".join(parts)
-
-
-@register("profile_customer", _profile_oracle("customer"))
-def profile_customer(spark, sf_dir):
-    return profiler.profile(_t(spark, sf_dir, "customer"), "customer")
-
-
-@register("profile_lineitem", _profile_oracle("lineitem"))
-def profile_lineitem(spark, sf_dir):
-    return profiler.profile(_t(spark, sf_dir, "lineitem"), "lineitem")
-
-
-@register(
-    "distinct_sample_orders",
-    """
-    SELECT 'orders' AS table_name, 'o_orderstatus' AS column_name,
-           array_to_string(
-             list_slice(list_sort(list(DISTINCT o_orderstatus::VARCHAR)), 1, 30),
-             '|') AS values_sample
-    FROM orders WHERE o_orderstatus IS NOT NULL
-    UNION ALL
-    SELECT 'orders', 'o_orderpriority',
-           array_to_string(
-             list_slice(list_sort(list(DISTINCT o_orderpriority::VARCHAR)), 1, 30),
-             '|')
-    FROM orders WHERE o_orderpriority IS NOT NULL
-    """,
-)
-def distinct_sample_orders(spark, sf_dir):
-    # Gated output serializes the sample array: the driver's canonicalizer
-    # hashes sorted rows and cannot hash list cells. The operator itself
-    # (profiler.distinct_sample) keeps the typed array.
-    return profiler.distinct_sample(
-        _t(spark, sf_dir, "orders"), "orders", ["o_orderstatus", "o_orderpriority"], 30
-    ).withColumn("values_sample", F.array_join("values_sample", "|"))
-
-
-@register(
-    "most_common_events",
-    """
-    WITH counted AS (
-      SELECT event_type::VARCHAR AS value, count(*) AS cnt
-      FROM events WHERE event_type IS NOT NULL GROUP BY 1
-    ), ranked AS (
-      SELECT value, cnt,
-             row_number() OVER (ORDER BY cnt DESC, value ASC) AS rnk
-      FROM counted
-    )
-    SELECT 'events' AS table_name, 'event_type' AS column_name,
-           value, cnt, rnk::INT AS rank
-    FROM ranked WHERE rnk <= 20
-    """,
-)
-def most_common_events(spark, sf_dir):
-    return profiler.most_common_values(
-        _t(spark, sf_dir, "events"), "events", ["event_type"], 20
-    )
-
-
-_ALL_TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-@register(
-    "row_counts",
-    " UNION ALL ".join(
-        f"SELECT '{t}' AS table_name, count(*) AS row_count FROM {t}"
-        for t in _ALL_TABLES
-    ),
-)
-def row_counts(spark, sf_dir):
-    from functools import reduce
-
-    parts = [
-        _t(spark, sf_dir, t).agg(
-            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("row_count")
-        )
-        for t in _ALL_TABLES
-    ]
-    return reduce(DataFrame.unionByName, parts)
-
-
-# ---------------------------------------------------------------------------
-# Relational aggregation / windows over the TPC-H-ish tables
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q1_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS sum_qty,
-           round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS sum_base_price,
-           round(sum(l_extendedprice::DECIMAL(18,2)
-                     * (1 - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS sum_disc_price,
-           round(sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*), 2) AS avg_qty,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def q1_pricing_summary(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
-            F.round(
-                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2
-            ).cast("double").alias("sum_disc_price"),
-            F.round(
-                F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)), 2
-            ).alias("avg_qty"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-@register(
-    "window_topk_orders",
-    """
-    WITH ranked AS (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (
-               PARTITION BY o_custkey
-               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
-      FROM orders
-    )
-    SELECT o_custkey, o_orderkey, o_totalprice, rnk::INT AS rank
-    FROM ranked WHERE rnk <= 3
-    """,
-)
-def window_topk_orders(spark, sf_dir):
-    """W2 generic form: per-group top-k via ranking window."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return (
-        o.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
-    )
-
-
-# ---------------------------------------------------------------------------
-# kNN similarity join (reference J6/V7-V9) + threshold + full evaluation
-# ---------------------------------------------------------------------------
-
-_KNN_L2_SQL = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    pairs AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             round({l2_sq_sql('q.v', 'c.v')}, 6) AS distance
-      FROM e q, e c WHERE q.vec_id <> c.vec_id
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY distance ASC, cand_id ASC) AS rnk
-      FROM pairs
-    )
-    SELECT query_id, cand_id, distance, rnk::INT AS rank
-    FROM ranked WHERE rnk <= {{k}}
-"""
-
-
-@register("knn_exact_l2", _KNN_L2_SQL.format(k=5))
-def knn_exact_l2(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    return knn_join(emb, emb, k=5, strategy="exact")
-
-
-@register("knn_broadcast_l2", _KNN_L2_SQL.format(k=5))
-def knn_broadcast_l2(spark, sf_dir):
-    """Strategy (b) must agree bit-for-bit with strategy (a) on exact
-    metrics — same oracle as knn_exact_l2 proves it."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return knn_join(emb, emb, k=5, strategy="broadcast")
-
-
-@register(
-    "knn_topk_cosine",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    pairs AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             round({cosine_sim_sql('q.v', 'c.v')}, 6) AS distance
-      FROM e q, e c WHERE q.vec_id <> c.vec_id
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY distance DESC, cand_id ASC) AS rnk
-      FROM pairs
-    )
-    SELECT query_id, cand_id, distance, rnk::INT AS rank
-    FROM ranked WHERE rnk <= 10
-    """,
-)
-def knn_topk_cosine(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    return knn_join(emb, emb, k=10, metric="cosine", strategy="exact")
-
-
-_TAU = 1.3
-
-
-@register(
-    "ann_threshold_join",
-    _KNN_L2_SQL.format(k=25) + f" AND sqrt(distance) <= {_TAU}",
-)
-def ann_threshold_join(spark, sf_dir):
-    """P7: joinable pairs = kNN(k=25) where sqrt(L2²) ≤ τ
-    (`join_discoverer.py:303-325`)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return threshold_join(knn_join(emb, emb, k=25, strategy="exact"), _TAU)
-
-
-_EVAL_SQL = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-    pairs AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             round({l2_sq_sql('q.v', 'c.v')}, 6) AS distance
-      FROM e q, e c WHERE q.vec_id <> c.vec_id
-    ),
-    knn AS (
-      SELECT * FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY distance ASC, cand_id ASC) AS rnk
-        FROM pairs) WHERE rnk <= {{k}}
-    ),
-    joinable AS (SELECT * FROM knn WHERE sqrt(distance) <= {{tau}}),
-    disc AS (
-      SELECT DISTINCT least(query_id::VARCHAR, cand_id::VARCHAR) AS lo,
-                      greatest(query_id::VARCHAR, cand_id::VARCHAR) AS hi
-      FROM joinable
-    ),
-    truth AS (
-      SELECT DISTINCT least(a.vec_id::VARCHAR, b.vec_id::VARCHAR) AS lo,
-                      greatest(a.vec_id::VARCHAR, b.vec_id::VARCHAR) AS hi
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    ),
-    conf AS (
-      SELECT
-        count(*) FILTER (WHERE d.lo IS NOT NULL AND t.lo IS NOT NULL) AS tp,
-        count(*) FILTER (WHERE d.lo IS NOT NULL AND t.lo IS NULL) AS fp,
-        count(*) FILTER (WHERE d.lo IS NULL AND t.lo IS NOT NULL) AS fn
-      FROM disc d FULL OUTER JOIN truth t USING (lo, hi)
-    ),
-    sym AS (
-      SELECT a.vec_id AS tq, b.vec_id AS tc
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
-    ),
-    scored AS (
-      SELECT k.query_id, k.rnk,
-             CASE WHEN s.tq IS NOT NULL THEN 1 ELSE 0 END AS rel
-      FROM knn k LEFT JOIN sym s ON k.query_id = s.tq AND k.cand_id = s.tc
-    ),
-    dcg AS (
-      SELECT query_id, sum(rel / log2(rnk + 1)) AS dcg
-      FROM scored GROUP BY query_id
-    ),
-    nrel AS (SELECT tq AS query_id, count(*) AS n_rel FROM sym GROUP BY tq),
-    ndcg AS (
-      SELECT round(avg(CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
-        d.dcg / list_sum(list_transform(
-          range(1, least({{k}}, n.n_rel) + 1), i -> 1.0 / log2(i + 1)))
-        ELSE 0.0 END), 4) AS ndcg_at_k
-      FROM dcg d LEFT JOIN nrel n USING (query_id)
-    )
-    SELECT {{k}} AS k, round(({{tau}})::DOUBLE, 2) AS tau, tp, fp, fn,
-           round(tp / (tp + fp + 1e-8), 4) AS precision,
-           round(tp / (tp + fn + 1e-8), 4) AS recall,
-           round(2 * (tp / (tp + fp + 1e-8)) * (tp / (tp + fn + 1e-8))
-                 / ((tp / (tp + fp + 1e-8)) + (tp / (tp + fn + 1e-8)) + 1e-8),
-                 4) AS f1,
-           ndcg_at_k
-    FROM conf, ndcg
-"""
-
-
-@register("semlink_eval", _EVAL_SQL.format(k=10, tau=_TAU))
-def semlink_eval(spark, sf_dir):
-    """Flagship: the full discover+evaluate pipeline (reference §3.3)."""
-    return pipeline.evaluate_discovery(spark, sf_dir, k=10, tau=_TAU, strategy="exact")
-
-
-_GRID_KS_SQL = ", ".join(str(k) for k in pipeline.GRID_KS)
-_GRID_TAUS_SQL = ", ".join(str(t) for t in pipeline.GRID_TAUS)
-
-_GRID_EVAL_SQL = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-    pairs AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             round({l2_sq_sql('q.v', 'c.v')}, 6) AS distance
-      FROM e q, e c WHERE q.vec_id <> c.vec_id
-    ),
-    knn AS (
-      SELECT * FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY distance ASC, cand_id ASC) AS rnk
-        FROM pairs) WHERE rnk <= {max(pipeline.GRID_KS)}
-    ),
-    grid AS (
-      SELECT kk.k, tt.tau
-      FROM (SELECT unnest([{_GRID_KS_SQL}]) AS k) kk
-      CROSS JOIN (SELECT unnest([{_GRID_TAUS_SQL}]) AS tau) tt
-    ),
-    canon AS (
-      SELECT least(query_id::VARCHAR, cand_id::VARCHAR) AS lo,
-             greatest(query_id::VARCHAR, cand_id::VARCHAR) AS hi,
-             min(rnk) AS min_rnk, min(distance) AS dist
-      FROM knn GROUP BY 1, 2
-    ),
-    truth AS (
-      SELECT DISTINCT least(a.vec_id::VARCHAR, b.vec_id::VARCHAR) AS lo,
-                      greatest(a.vec_id::VARCHAR, b.vec_id::VARCHAR) AS hi,
-                      1 AS is_true
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    ),
-    flags AS (
-      SELECT c.min_rnk, c.dist, t.is_true
-      FROM canon c FULL OUTER JOIN truth t USING (lo, hi)
-    ),
-    conf AS (
-      SELECT g.k, g.tau,
-        count(*) FILTER (WHERE coalesce(f.min_rnk <= g.k AND sqrt(f.dist) <= g.tau, FALSE)
-                         AND f.is_true IS NOT NULL) AS tp,
-        count(*) FILTER (WHERE coalesce(f.min_rnk <= g.k AND sqrt(f.dist) <= g.tau, FALSE)
-                         AND f.is_true IS NULL) AS fp,
-        count(*) FILTER (WHERE NOT coalesce(f.min_rnk <= g.k AND sqrt(f.dist) <= g.tau, FALSE)
-                         AND f.is_true IS NOT NULL) AS fn
-      FROM flags f CROSS JOIN grid g GROUP BY 1, 2
-    ),
-    sym AS (
-      SELECT a.vec_id AS tq, b.vec_id AS tc
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
-    ),
-    scored AS (
-      SELECT k.query_id, k.rnk,
-             CASE WHEN s.tq IS NOT NULL THEN 1 ELSE 0 END AS rel
-      FROM knn k LEFT JOIN sym s ON k.query_id = s.tq AND k.cand_id = s.tc
-    ),
-    klist AS (SELECT unnest([{_GRID_KS_SQL}]) AS k),
-    dcgk AS (
-      SELECT klist.k, s.query_id, sum(s.rel / log2(s.rnk + 1)) AS dcg
-      FROM scored s CROSS JOIN klist WHERE s.rnk <= klist.k GROUP BY 1, 2
-    ),
-    nrel AS (SELECT tq AS query_id, count(*) AS n_rel FROM sym GROUP BY tq),
-    ndcgk AS (
-      SELECT d.k, round(avg(CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
-        d.dcg / list_sum(list_transform(
-          range(1, least(d.k, n.n_rel) + 1), i -> 1.0 / log2(i + 1)))
-        ELSE 0.0 END), 4) AS ndcg_at_k
-      FROM dcgk d LEFT JOIN nrel n USING (query_id) GROUP BY d.k
-    )
-    SELECT c.k, round(c.tau, 2) AS tau, tp, fp, fn,
-           round(tp / (tp + fp + 1e-8), 4) AS precision,
-           round(tp / (tp + fn + 1e-8), 4) AS recall,
-           round(2 * (tp / (tp + fp + 1e-8)) * (tp / (tp + fn + 1e-8))
-                 / ((tp / (tp + fp + 1e-8)) + (tp / (tp + fn + 1e-8)) + 1e-8),
-                 4) AS f1,
-           ndcg_at_k
-    FROM conf c JOIN ndcgk USING (k)
-"""
-
-
-@register("grid_eval_discovery", _GRID_EVAL_SQL)
-def grid_eval_discovery(spark, sf_dir):
-    """The reference's headline entry loop (`join_discoverer.py:485-517`,
-    grid `SemLink/config.py:26-27`): 12 (k, τ) cells → one row each —
-    kNN computed ONCE at k_max, every cell a conditional slice."""
-    return pipeline.grid_evaluate_discovery(spark, sf_dir, strategy="exact")
 
 
 #: Names that already have an official row in the driver's
@@ -531,6 +91,7 @@ _GATED_PRIOR_ROUNDS = frozenset({
     "cross_corpus_near_dups", "lsh_recall_report",
 })
 
+
 #: Names whose LAST official driver row is red or stale — floated to the
 #: front of the gate window right after the never-gated group so round 4
 #: replaces those rows with green ones: the four r3 reds (HUGEINT casts
@@ -573,4157 +134,18 @@ def oracle_sql() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
-# Deduplication suite (training-data pipeline extensions — first-class)
+# Domain modules (split from this file in round 4). Importing them runs
+# their @register decorators, populating REGISTRY; the star re-exports
+# keep `registry.<query_fn>` references (tests, bench, docs) working.
+# Import order is irrelevant to the driver gate: _gate_ordered decides
+# the gate-window priority, not dict insertion.
 # ---------------------------------------------------------------------------
 
-from semantic_ann_in_data_lake_spark.functions.hashing import (  # noqa: E402
-    portable_hash_expr,
-)
-from semantic_ann_in_data_lake_spark.functions.text import (  # noqa: E402
-    normalize_sentence_sql,
-    word_shingles_from_sql,
-    words_sql,
-)
-from semantic_ann_in_data_lake_spark.operators import dedup, textstats  # noqa: E402
-
-_TOKS = words_sql("text")
-#: staged CTE: words once per row, then shingles from the bound column
-#: (inline shingles-over-words re-splits the text per position — same
-#: O(len²) blowup as the Spark side; see text.word_shingles_from)
-_W_CTE = f"w AS (SELECT doc_id, {_TOKS} AS w FROM documents)"
-_SH_CTE = (
-    f"s AS (SELECT doc_id, {word_shingles_from_sql('w', 3)} AS sh FROM w)"
-)
-
-
-@register(
-    "dedup_exact",
-    """
-    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
-           count(*) AS n_copies
-    FROM documents GROUP BY md5(text)
-    """,
-)
-def dedup_exact(spark, sf_dir):
-    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
-
-
-def _minhash_sig_sql(n_hashes: int = 16) -> str:
-    sig = ", ".join(
-        f"list_min(list_transform(sh, s -> {portable_hash_expr('s', seed=f'{i}:')}))"
-        for i in range(n_hashes)
-    )
-    return f"""
-    WITH {_W_CTE}, {_SH_CTE}
-    SELECT doc_id,
-           array_to_string(sh, '|') AS shingles,
-           array_to_string(list_transform([{sig}], x -> x::VARCHAR), '|')
-               AS minhash
-    FROM s WHERE len(sh) > 0
-    """
-
-
-@register("minhash_signatures", _minhash_sig_sql(16))
-def minhash_signatures(spark, sf_dir):
-    # Arrays serialized for the driver's row-hash canonicalizer; the
-    # operator (dedup.minhash_signatures) keeps the typed arrays.
-    sigs = dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
-    return sigs.select(
-        "doc_id",
-        F.array_join("shingles", "|").alias("shingles"),
-        F.array_join(F.transform("minhash", lambda x: x.cast("string")), "|")
-        .alias("minhash"),
-    )
-
-
-def _minhash_lsh_sql(bands: int = 8, r: int = 2, threshold: float = 0.01) -> str:
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"minhash[{b * r + 1}]::VARCHAR || '|' || minhash[{b * r + 2}]::VARCHAR AS band_key, sh "
-        f"FROM sigs"
-        for b in range(bands)
-    )
-    return f"""
-    WITH {_W_CTE}, {_SH_CTE},
-    sigs AS (
-      SELECT doc_id, sh,
-             {_minhash_sig_inner(16)} AS minhash
-      FROM s WHERE len(sh) > 0
-    ),
-    banded AS ({band_selects}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ),
-    verified AS (
-      SELECT c.id_a, c.id_b,
-             round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                   / greatest(len(sa.sh) + len(sb.sh)
-                              - len(list_intersect(sa.sh, sb.sh)), 1), 6) AS jaccard
-      FROM cand c
-      JOIN sigs sa ON sa.doc_id = c.id_a
-      JOIN sigs sb ON sb.doc_id = c.id_b
-    )
-    SELECT * FROM verified WHERE jaccard >= {threshold}
-    """
-
-
-def _minhash_sig_inner(n_hashes: int) -> str:
-    sig = ", ".join(
-        f"list_min(list_transform(sh, s -> {portable_hash_expr('s', seed=f'{i}:')}))"
-        for i in range(n_hashes)
-    )
-    return f"[{sig}]"
-
-
-@register("minhash_lsh_pairs", _minhash_lsh_sql(8, 2, 0.01))
-def minhash_lsh_pairs(spark, sf_dir):
-    return dedup.minhash_near_dups(
-        _t(spark, sf_dir, "documents"),
-        num_hashes=16, bands=8, rows_per_band=2, threshold=0.01,
-    )
-
-
-@register(
-    "ngram_jaccard_pairs",
-    f"""
-    WITH {_W_CTE}, {_SH_CTE},
-    nz AS (SELECT * FROM s WHERE len(sh) > 0),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / greatest(len(a.sh) + len(b.sh)
-                              - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
-      FROM nz a JOIN nz b ON a.doc_id < b.doc_id
-    )
-    SELECT * FROM pairs WHERE jaccard >= 0.02
-    """,
-)
-def ngram_jaccard_pairs(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.02)
-
-
-def _simhash_sql(bits: int = 32) -> str:
-    code_terms = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(hs, "
-        f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
-        f"THEN {2 ** b}::BIGINT ELSE 0::BIGINT END)"
-        for b in range(bits)
-    )
-    return f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    h AS (
-      SELECT doc_id, len(toks) AS n_tokens,
-             list_transform(toks, tk -> {portable_hash_expr('tk')}) AS hs
-      FROM t WHERE len(toks) > 0
-    )
-    SELECT doc_id, n_tokens, {code_terms} AS simhash FROM h
-    """
-
-
-@register("simhash_codes", _simhash_sql(32))
-def simhash_codes(spark, sf_dir):
-    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=32)
-
-
-@register(
-    "embedding_dup_pairs",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({cosine_sim_sql('a.v', 'b.v')}, 6) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round({cosine_sim_sql('a.v', 'b.v')}, 6) >= 0.3
-    """,
-)
-def embedding_dup_pairs(spark, sf_dir):
-    return dedup.embedding_near_dups(_t(spark, sf_dir, "embeddings"), tau=0.3)
-
-
-@register("embedding_near_dups_ann", None)
-def embedding_near_dups_ann(spark, sf_dir):
-    """The 100 TB tier of embedding near-dup detection: candidate pairs
-    from the LSH-bucketed cosine kNN instead of the O(n²) self-join;
-    every emitted pair is exact-cosine verified (precision 1.0), recall
-    ~0.8 vs the exact tier at default knobs (measured; see
-    test_embedding_near_dups_ann_recall) — rows-only by design; the
-    precision-1.0 contract is hash-gated by
-    `embedding_near_dups_ann_distcheck`."""
-    return dedup.embedding_near_dups(
-        _t(spark, sf_dir, "embeddings"), tau=0.3, strategy="lsh", k=20
-    )
-
-
-# ---------------------------------------------------------------------------
-# Text analysis suite
-# ---------------------------------------------------------------------------
-
-_STOP_IN = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
-
-
-@register(
-    "doc_token_stats",
-    f"""
-    WITH t AS (
-      SELECT doc_id, length(text)::INT AS n_chars,
-             {_TOKS} AS toks, {normalize_sentence_sql('text')} AS norm
-      FROM documents
-    ), m AS (
-      SELECT doc_id, n_chars,
-             len(toks)::INT AS n_tokens,
-             len(list_distinct(toks))::INT AS n_distinct_tokens,
-             greatest(len(toks), 1) AS safe_tok,
-             greatest(length(norm), 1) AS safe_chr,
-             len(list_filter(toks, tk -> tk IN ({_STOP_IN}))) AS stop_hits,
-             length(norm) AS norm_len,
-             length(norm) - length(regexp_replace(norm, '[.,!?;:]', '', 'g')) AS punct_chars,
-             length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS digit_chars
-      FROM t
-    )
-    SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
-           round((norm_len - n_tokens + 1)::DOUBLE / safe_tok + 1e-9, 4) AS avg_token_len,
-           round(stop_hits::DOUBLE / safe_tok + 1e-9, 4) AS stopword_ratio,
-           round(punct_chars::DOUBLE / safe_chr + 1e-9, 4) AS punct_ratio,
-           round(digit_chars::DOUBLE / safe_chr + 1e-9, 4) AS digit_ratio,
-           round(n_distinct_tokens::DOUBLE / safe_tok + 1e-9, 4) AS type_token_ratio,
-           round(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
-                 + 0.3 * round(n_distinct_tokens::DOUBLE / safe_tok + 1e-9, 4)
-                 + 0.3 * round(stop_hits::DOUBLE / safe_tok + 1e-9, 4) + 1e-9, 4) AS quality_score
-    FROM m
-    """,
-)
-def doc_token_stats(spark, sf_dir):
-    return textstats.token_stats(_t(spark, sf_dir, "documents"))
-
-
-def _lang_id_sql() -> str:
-    score_cols = ", ".join(
-        f"len(list_filter(toks, tk -> tk IN ({', '.join(chr(39) + w + chr(39) for w in ws)}))) AS s_{lang}"
-        for lang, ws in textstats.LANG_MARKERS.items()
-    )
-    langs = list(textstats.LANG_MARKERS)
-    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
-    pred = "CASE " + " ".join(
-        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'" for lang in langs
-    ) + " ELSE 'und' END"
-    return f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    s AS (SELECT doc_id, greatest(len(toks), 1) AS n_tokens, {score_cols} FROM t)
-    SELECT doc_id, {pred} AS lang_pred,
-           round({best}::DOUBLE / n_tokens + 1e-9, 4) AS lang_score
-    FROM s
-    """
-
-
-@register("lang_id", _lang_id_sql())
-def lang_id(spark, sf_dir):
-    return textstats.lang_id(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "doc_fingerprints",
-    f"""
-    WITH wn AS (SELECT doc_id, {normalize_sentence_sql('text')} AS norm,
-                       {_TOKS} AS w FROM documents),
-    s AS (SELECT doc_id, norm,
-                 {word_shingles_from_sql('w', 3)} AS sh FROM wn)
-    SELECT doc_id, md5(norm) AS fp_md5,
-           list_min(list_transform(sh, s -> {portable_hash_expr('s', seed='fp:')}))
-               AS fp_minshingle
-    FROM s
-    """,
-)
-def doc_fingerprints(spark, sf_dir):
-    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
-
-
-# ---------------------------------------------------------------------------
-# Join coverage (reference J1/J2/J7/J9/J10) + TPC-H-style bench queries
-# ---------------------------------------------------------------------------
-
-from semantic_ann_in_data_lake_spark.annotate.corruption import (  # noqa: E402
-    corrupt_positional,
-)
-from semantic_ann_in_data_lake_spark.annotate.embedder import (  # noqa: E402
-    hash_embedding_expr,
-    hash_embedding_sql,
-)
-from semantic_ann_in_data_lake_spark.functions.dates import (  # noqa: E402
-    normalize_date,
-    normalize_date_sql,
-)
-from semantic_ann_in_data_lake_spark.functions.serialize import (  # noqa: E402
-    column_to_text,
-    column_to_text_sql,
-)
-from semantic_ann_in_data_lake_spark.operators import pairs as pairs_ops  # noqa: E402
-
-
-@register(
-    "j1_lookup_join",
-    """
-    SELECT l_orderkey, l_partkey, p_name, p_brand
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_orderkey % 50 = 0
-    """,
-)
-def j1_lookup_join(spark, sf_dir):
-    """J1: attach dimension attributes via broadcast hash lookup — the
-    reference's dict-probe join (`repositoryLoader.py:56-72`)."""
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
-    p = _t(spark, sf_dir, "part")
-    return li.join(
-        F.broadcast(p), li.l_partkey == p.p_partkey
-    ).select("l_orderkey", "l_partkey", "p_name", "p_brand")
-
-
-@register(
-    "j2_left_default",
-    """
-    SELECT o_orderkey, o_custkey,
-           coalesce(c_mktsegment, '') AS segment
-    FROM orders LEFT JOIN (
-      SELECT * FROM customer WHERE c_acctbal > 5000
-    ) c ON o_custkey = c_custkey
-    WHERE o_orderkey % 20 = 0
-    """,
-)
-def j2_left_default(spark, sf_dir):
-    """J2: left lookup with ''-default for misses
-    (`repositoryLoader.py:113-118,129-132`)."""
-    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
-    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
-        "o_orderkey",
-        "o_custkey",
-        F.coalesce(F.col("c_mktsegment"), F.lit("")).alias("segment"),
-    )
-
-
-@register(
-    "j7_supplier_pairs",
-    """
-    SELECT a.s_nationkey AS family, a.s_suppkey AS id_a, b.s_suppkey AS id_b
-    FROM supplier a JOIN supplier b
-      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
-    """,
-)
-def j7_supplier_pairs(spark, sf_dir):
-    """J7: all i<j combos within a family group (`pairsBuilder.py:85-92`)."""
-    s = _t(spark, sf_dir, "supplier")
-    return pairs_ops.positive_pairs(s, "s_nationkey", "s_suppkey")
-
-
-@register(
-    "semi_anti_parts",
-    """
-    SELECT
-      (SELECT count(*) FROM part WHERE EXISTS
-        (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)) AS n_ordered,
-      (SELECT count(*) FROM part WHERE NOT EXISTS
-        (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)) AS n_never_ordered
-    """,
-)
-def semi_anti_parts(spark, sf_dir):
-    """J9: semi/anti-join cardinalities (the TP/FP/FN mechanics of
-    `search_query.py:80-87` on relational data) — ONE lazy plan: left
-    join onto the distinct key set + conditional agg, replacing the two
-    eager .count() actions (each a full lineitem scan)."""
-    p = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
-    return (
-        p.join(li, p.p_partkey == li.l_partkey, "left")
-        .agg(
-            F.sum(F.when(F.col("l_partkey").isNotNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_ordered"),
-            F.sum(F.when(F.col("l_partkey").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_never_ordered"),
-        )
-    )
-
-
-@register(
-    "j10_symmetric_neighbors",
-    """
-    WITH pairs AS (
-      SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
-      FROM supplier a JOIN supplier b
-        ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
-    ), sym AS (
-      SELECT id_a AS sid, id_b AS nb FROM pairs
-      UNION ALL
-      SELECT id_b, id_a FROM pairs
-    )
-    SELECT sid AS s_suppkey,
-           array_to_string(
-             list_transform(list_sort(list(DISTINCT nb)), x -> x::VARCHAR),
-             '|') AS neighbors
-    FROM sym GROUP BY sid
-    """,
-)
-def j10_symmetric_neighbors(spark, sf_dir):
-    """J10: symmetric closure of GT pairs + neighbor sets
-    (`join_discoverer.py:392-397`). Neighbor arrays serialized for the
-    driver's row-hash canonicalizer."""
-    s = _t(spark, sf_dir, "supplier")
-    p = pairs_ops.positive_pairs(s, "s_nationkey", "s_suppkey")
-    sym = p.select(F.col("id_a").alias("sid"), F.col("id_b").alias("nb")).union(
-        p.select(F.col("id_b").alias("sid"), F.col("id_a").alias("nb"))
-    )
-    return sym.groupBy("sid").agg(
-        F.sort_array(F.collect_set("nb")).alias("neighbors")
-    ).select(
-        F.col("sid").alias("s_suppkey"),
-        F.array_join(
-            F.transform("neighbors", lambda x: x.cast("string")), "|"
-        ).alias("neighbors"),
-    )
-
-
-@register(
-    "q3_top_orders",
-    """
-    WITH rev AS (
-      SELECT o_orderkey, o_orderdate,
-             round(sum(l_extendedprice::DECIMAL(18,2)
-                       * (1 - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue
-      FROM customer JOIN orders ON c_custkey = o_custkey
-                    JOIN lineitem ON l_orderkey = o_orderkey
-      WHERE c_mktsegment = 'BUILDING'
-        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-        AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
-      GROUP BY o_orderkey, o_orderdate
-    ), ranked AS (
-      SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS rnk
-      FROM rev
-    )
-    SELECT o_orderkey, o_orderdate, revenue, rnk::INT AS rank
-    FROM ranked WHERE rnk <= 10
-    """,
-)
-def q3_top_orders(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
-    )
-    li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
-    )
-    dec = lambda col: F.col(col).cast("decimal(18,2)")
-    rev = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
-            .cast("double")
-            .alias("revenue")
-        )
-    )
-    # Distributed top-10 first (TakeOrderedAndProject), then rank the 10
-    # survivors — a global row_number window would funnel every grouped
-    # row into one partition (WindowExec warns exactly this).
-    top = rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "o_orderkey", "o_orderdate", "revenue", "rank"
-    )
-
-
-@register(
-    "q5_local_supplier",
-    """
-    SELECT n_name,
-           round(sum(l_extendedprice::DECIMAL(18,2)
-                     * (1 - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue
-    FROM region JOIN nation ON n_regionkey = r_regionkey
-                JOIN customer ON c_nationkey = n_nationkey
-                JOIN orders ON o_custkey = c_custkey
-                JOIN lineitem ON l_orderkey = o_orderkey
-                JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
-    WHERE r_name = 'ASIA'
-    GROUP BY n_name
-    """,
-)
-def q5_local_supplier(spark, sf_dir):
-    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    n = _t(spark, sf_dir, "nation")
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    dec = lambda col: F.col(col).cast("decimal(18,2)")
-    return (
-        r.join(n, n.n_regionkey == r.r_regionkey)
-        .join(c, c.c_nationkey == n.n_nationkey)
-        .join(o, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
-        .groupBy("n_name")
-        .agg(
-            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
-            .cast("double")
-            .alias("revenue")
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Date normalization (F7), serialization (V1), corruption (C1), splits (W6),
-# hash embeddings (V4 deterministic tier), streaming rollup (batch twin)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "date_normalize_orders",
-    f"""
-    WITH raw AS (
-      SELECT o_orderkey,
-             CASE o_orderkey % 4
-               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
-               WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
-               WHEN 2 THEN strftime(o_orderdate, '%Y%m%d')
-               ELSE year(o_orderdate)::VARCHAR || '-Q' || quarter(o_orderdate)::VARCHAR
-             END AS raw_date
-      FROM orders WHERE o_orderkey % 10 = 0
-    )
-    SELECT o_orderkey, raw_date,
-           {normalize_date_sql('raw_date')} AS normalized
-    FROM raw
-    """,
-)
-def date_normalize_orders(spark, sf_dir):
-    """F7: multi-format date normalization round-trip — strings in 4
-    formats (incl. the reference's quarter form) → 'dd MMMM yyyy'."""
-    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
-    raw = (
-        F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
-        .when(F.col("o_orderkey") % 4 == 1, F.date_format("o_orderdate", "dd/MM/yyyy"))
-        .when(F.col("o_orderkey") % 4 == 2, F.date_format("o_orderdate", "yyyyMMdd"))
-        .otherwise(
-            F.concat(
-                F.year("o_orderdate").cast("string"),
-                F.lit("-Q"),
-                F.quarter("o_orderdate").cast("string"),
-            )
-        )
-    )
-    d = o.select("o_orderkey", raw.alias("raw_date"))
-    return d.select(
-        "o_orderkey", "raw_date", normalize_date("raw_date").alias("normalized")
-    )
-
-
-_CUSTOMER_COLS = [c for c, _ in _PROFILE_TYPES["customer"]]
-
-
-@register(
-    "column_to_text_customer",
-    " UNION ALL ".join(
-        f"""
-        SELECT 'customer' AS table_name, '{c}' AS column_name,
-               {column_to_text_sql(
-                   f"'{c}'",
-                   f"count({c})",
-                   f"coalesce(min(length({c}::VARCHAR)), 0)::INT",
-                   f"coalesce(max(length({c}::VARCHAR)), 0)::INT",
-                   f"coalesce(round(avg(length({c}::VARCHAR)), 2), 0.0)",
-                   f"(SELECT list_slice(list_sort(list(DISTINCT {c}::VARCHAR)), 1, 5)"
-                   f" FROM customer WHERE {c} IS NOT NULL)",
-                   title="'customer'",
-               )} AS serialized
-        FROM customer"""
-        for c in _CUSTOMER_COLS
-    ),
-)
-def column_to_text_customer(spark, sf_dir):
-    """V1: serialize each customer column profile to the DeepJoin
-    sentence form (`repositoryLoader.py:139-180`)."""
-    cust = _t(spark, sf_dir, "customer")
-    prof = profiler.profile(cust, "customer")
-    samples = profiler.distinct_sample(cust, "customer", _CUSTOMER_COLS, 5)
-    joined = prof.join(samples, ["table_name", "column_name"])
-    return joined.select(
-        "table_name",
-        "column_name",
-        column_to_text(
-            F.col("column_name"),
-            F.col("num_values"),
-            F.col("min_length"),
-            F.col("max_length"),
-            F.col("avg_length"),
-            F.col("values_sample"),
-            title=F.col("table_name"),
-        ).alias("serialized"),
-    )
-
-
-@register(
-    "corrupt1_positional",
-    f"""
-    WITH cols AS (
-      SELECT unnest([{', '.join(f"'{c}'" for c in _CUSTOMER_COLS)}]) AS column_name
-    ), ranked AS (
-      SELECT column_name,
-             row_number() OVER (
-               ORDER BY ('0x' || substr(md5('c1' || column_name), 1, 15))::BIGINT
-             ) AS rnk
-      FROM cols
-    )
-    SELECT 'customer' AS table_name, column_name,
-           'attribiute_' || (rnk - 1)::VARCHAR AS new_name
-    FROM ranked
-    """,
-)
-def corrupt1_positional(spark, sf_dir):
-    """C1: hash-permuted positional rename (typo 'attribiute' is
-    reference behavior, `corruption.py:29`)."""
-    return corrupt_positional(spark, "customer", _CUSTOMER_COLS, seed="c1")
-
-
-@register(
-    "train_test_split_pairs",
-    """
-    WITH pairs AS (
-      SELECT a.s_nationkey AS family, a.s_suppkey AS id_a, b.s_suppkey AS id_b
-      FROM supplier a JOIN supplier b
-        ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
-    )
-    SELECT family, id_a, id_b,
-           CASE WHEN ('0x' || substr(md5('split42' || id_a::VARCHAR || '|' || id_b::VARCHAR), 1, 15))::BIGINT % 1000 < 800
-                THEN 'train' ELSE 'test' END AS split
-    FROM pairs
-    """,
-)
-def train_test_split_pairs(spark, sf_dir):
-    """W6: deterministic content-hash 80/20 split (distributed
-    replacement for the positional split, `pairsBuilder.py:131-145`)."""
-    s = _t(spark, sf_dir, "supplier")
-    p = pairs_ops.positive_pairs(s, "s_nationkey", "s_suppkey")
-    return pairs_ops.train_test_split(p, ["id_a", "id_b"], 0.8, seed="split42")
-
-
-@register(
-    "hash_embeddings",
-    f"""
-    SELECT doc_id,
-           array_to_string(
-             list_transform({hash_embedding_sql('text', 8)},
-                            x -> round((x + 1.0) * 100000.0)::BIGINT::VARCHAR),
-             '|') AS embedding
-    FROM documents
-    """,
-)
-def hash_embeddings(spark, sf_dir):
-    """V4 deterministic tier: feature-hash embedding as a pure column
-    expression — the no-model stand-in that makes the embed→index→
-    search pipeline oracle-checkable end to end.
-
-    Gated output stringifies the vector via the exact integer
-    round-trip (component = k/1e5 - 1, so round((x+1)*1e5) recovers k
-    bit-exactly in both engines) — double→VARCHAR formatting differs
-    across engines, integer formatting does not; and the driver's
-    canonicalizer cannot hash list cells."""
-    d = _t(spark, sf_dir, "documents")
-    emb = d.select("doc_id", hash_embedding_expr("text", 8).alias("embedding"))
-    return emb.select(
-        "doc_id",
-        F.array_join(
-            F.transform(
-                "embedding",
-                lambda x: F.round((x + F.lit(1.0)) * F.lit(100000.0))
-                .cast("long")
-                .cast("string"),
-            ),
-            "|",
-        ).alias("embedding"),
-    )
-
-
-@register(
-    "events_hourly_rollup",
-    """
-    SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def events_hourly_rollup(spark, sf_dir):
-    """Tumbling-window rollup — the batch twin of the Structured
-    Streaming incremental profile (streaming/ is the extension
-    surface; same plan runs under readStream + watermark)."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Catalog merge (J4/J5), annotation stage, embed prompt (V2), full document
-# semantic search, and rows-only entries for the approximate/stub tiers
-# ---------------------------------------------------------------------------
-
-from semantic_ann_in_data_lake_spark.annotate.annotator import (  # noqa: E402
-    annotate_tables,
-    snake_case_sql,
-)
-from semantic_ann_in_data_lake_spark.functions.serialize import (  # noqa: E402
-    embed_prompt,
-)
-
-#: deliberately messy header fixture for the annotation stage (the sf
-#: tables are already snake_case; cleaning needs something to clean)
-_MESSY_COLS = ["Order Key", "Total-Price", "Cust  Name", "ship_date", "N°Items"]
-
-
-@register(
-    "annotate_columns_rule",
-    f"""
-    WITH cols AS (
-      SELECT unnest([{', '.join(f"'{c}'" for c in _MESSY_COLS)}]) AS column_name
-    )
-    SELECT 'messy_orders' AS table_name, column_name,
-           {snake_case_sql('column_name')} AS annotated_name
-    FROM cols
-    """,
-)
-def annotate_columns_rule(spark, sf_dir):
-    """The mapInPandas annotation stage (retry/validation plumbing
-    included) checked against its pure-SQL semantic: snake_case
-    cleaning of messy headers."""
-    catalog = spark.createDataFrame(
-        [("messy_orders", _MESSY_COLS, "")],
-        "table_name string, columns array<string>, sample_markdown string",
-    )
-    ann = annotate_tables(catalog)
-    return (
-        ann.select("table_name", F.explode("columns").alias("column_name", "annotated_name"))
-    )
-
-
-@register(
-    "catalog_join_pipeline",
-    f"""
-    WITH prof AS ({_profile_oracle('customer')}),
-    ann AS (
-      SELECT 'customer' AS a_table, column_name AS a_column,
-             {snake_case_sql('column_name')} AS annotated_name
-      FROM (SELECT unnest([{', '.join(f"'{c}'" for c, _ in _PROFILE_TYPES['customer'])}]) AS column_name)
-    )
-    SELECT p.table_name, p.column_name, p.col_type, p.num_values,
-           coalesce(a.annotated_name, p.column_name) AS semantic_name,
-           'Table customer with 5 columns.' AS table_description
-    FROM prof p LEFT JOIN ann a
-      ON p.table_name = 'customer' AND p.column_name = a.a_column
-    """,
-)
-def catalog_join_pipeline(spark, sf_dir):
-    """J4/J5: merge LLM-ish annotations onto profile stats — the
-    catalog⋈annotations left join + per-column map lookup
-    (`data_loader.py:181-206`, with the first-column-only `break` bug
-    at `:175` fixed, not ported)."""
-    cust = _t(spark, sf_dir, "customer")
-    prof = profiler.profile(cust, "customer")
-    catalog = spark.createDataFrame(
-        [("customer", cust.columns, "")],
-        "table_name string, columns array<string>, sample_markdown string",
-    )
-    ann = annotate_tables(catalog).select(
-        F.col("table_name").alias("a_table"),
-        F.col("table_description"),
-        F.explode("columns").alias("a_column", "annotated_name"),
-    )
-    return prof.join(
-        F.broadcast(ann),
-        (prof.table_name == ann.a_table) & (prof.column_name == ann.a_column),
-        "left",
-    ).select(
-        "table_name",
-        "column_name",
-        "col_type",
-        "num_values",
-        F.coalesce(F.col("annotated_name"), F.col("column_name")).alias("semantic_name"),
-        F.coalesce(F.col("table_description"), F.lit("")).alias("table_description"),
-    )
-
-
-@register(
-    "embed_prompt_customer",
-    f"""
-    WITH prof AS ({_profile_oracle('customer')}),
-    samples AS (
-      {' UNION ALL '.join(
-        f"SELECT '{c}' AS s_column, "
-        f"(SELECT list_slice(list_sort(list(DISTINCT {c}::VARCHAR)), 1, 5) "
-        f" FROM customer WHERE {c} IS NOT NULL) AS values_sample"
-        for c, _ in _PROFILE_TYPES['customer']
-      )}
-    )
-    SELECT p.table_name, p.column_name,
-           'Column: ' || p.column_name || chr(10) ||
-           'Table: ' || p.table_name || chr(10) ||
-           'Type: ' || p.col_type || chr(10) ||
-           'Values count: ' || p.num_values::VARCHAR || chr(10) ||
-           'Examples: ' || array_to_string(s.values_sample, ', ') AS prompt
-    FROM prof p JOIN samples s ON p.column_name = s.s_column
-    """,
-)
-def embed_prompt_customer(spark, sf_dir):
-    """V2: the SemLink embed-prompt builder over real profiles
-    (`join_discoverer.py:64-127`)."""
-    cust = _t(spark, sf_dir, "customer")
-    prof = profiler.profile(cust, "customer")
-    samples = profiler.distinct_sample(cust, "customer", cust.columns, 5)
-    joined = prof.join(samples, ["table_name", "column_name"])
-    return joined.select(
-        "table_name",
-        "column_name",
-        embed_prompt(
-            F.col("table_name"),
-            F.col("column_name"),
-            F.col("col_type"),
-            F.col("num_values"),
-            F.col("values_sample"),
-        ).alias("prompt"),
-    )
-
-
-_DOC_SEARCH_SQL = f"""
-    WITH emb AS (
-      SELECT doc_id, {hash_embedding_sql('text', 8)} AS v FROM documents
-    ),
-    pairs AS (
-      SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
-             round({cosine_sim_sql('q.v', 'c.v')}, 6) AS distance
-      FROM emb q, emb c WHERE q.doc_id <> c.doc_id
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY distance DESC, cand_id ASC) AS rnk
-      FROM pairs
-    )
-    SELECT query_id, cand_id, distance, rnk::INT AS rank
-    FROM ranked WHERE rnk <= 3
-"""
-
-
-@register("semantic_search_docs", _DOC_SEARCH_SQL)
-def semantic_search_docs(spark, sf_dir):
-    """End-to-end embed→index→search on raw documents: deterministic
-    hash embeddings + cosine top-3 — the full SemLink lifecycle with
-    no model dependency, oracle-checked."""
-    d = _t(spark, sf_dir, "documents")
-    emb = d.select(
-        F.col("doc_id").alias("vec_id"),
-        hash_embedding_expr("text", 8).alias("embedding"),
-    )
-    emb = scoped_persist(emb)  # materialize: Catalyst would otherwise inline the
-    # 8-way md5 embedding expression on BOTH sides of the kNN join and
-    # re-evaluate it per PAIR (measured 280s of a 363s sf0.1 run)
-    return knn_join(emb, emb, k=3, metric="cosine", strategy="exact")
-
-
-# --- rows-only tier: approximate / stubbed / driver-loop operators -------
-
-
-@register("knn_lsh_l2", None)
-def knn_lsh_l2(spark, sf_dir):
-    """Approximate kNN via BucketedRandomProjectionLSH — rows-only
-    (approximation is judged by the P/R/NDCG harness, not equality).
-    The result CONTRACT is hash-gated by `knn_lsh_l2_distcheck`."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return knn_join(emb, emb, k=5, strategy="lsh")
-
-
-# --- invariant gates for the approximate tier ----------------------------
-# An ANN result set can't be equality-gated (which pairs surface depends
-# on bucketing), but its CONTRACT can (annIndex.py:21-40: approximate
-# neighbors, exact distances): each *_distcheck query returns the
-# violations of that contract — distances must equal an independent
-# exact recomputation, ranks consecutive and monotone, no self pairs,
-# near-dup pairs genuinely over τ. The oracle is the empty relation, so
-# the driver's rows+schema+hash gate becomes a distributed property
-# check; recall floors stay in pytest where measured thresholds belong.
-
-_KNN_CHECK_EMPTY_SQL = """
-    SELECT 0::BIGINT AS query_id, 0::BIGINT AS cand_id,
-           0.0 AS reported, 0.0 AS expected, '' AS violation
-    WHERE FALSE
-"""
-
-
-@register("knn_lsh_l2_distcheck", _KNN_CHECK_EMPTY_SQL)
-def knn_lsh_l2_distcheck(spark, sf_dir):
-    """Contract gate for `knn_lsh_l2`: empty iff every LSH-returned
-    neighbor carries the exact L2² distance and a consistent rank."""
-    from semantic_ann_in_data_lake_spark.operators import checks
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return checks.knn_invariant_violations(
-        knn_join(emb, emb, k=5, strategy="lsh"), emb, metric="l2_sq"
-    )
-
-
-@register("knn_ivf_l2_distcheck", _KNN_CHECK_EMPTY_SQL)
-def knn_ivf_l2_distcheck(spark, sf_dir):
-    """Contract gate for `knn_ivf_l2`: empty iff every IVF-returned
-    neighbor carries the exact L2² distance and a consistent rank."""
-    from semantic_ann_in_data_lake_spark.operators import checks
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return checks.knn_invariant_violations(
-        knn_join(emb, emb, k=5, strategy="ivf"), emb, metric="l2_sq"
-    )
-
-
-@register(
-    "embedding_near_dups_ann_distcheck",
-    """
-    SELECT 0::BIGINT AS id_a, 0::BIGINT AS id_b,
-           0.0 AS reported, 0.0 AS expected, '' AS violation
-    WHERE FALSE
-    """,
-)
-def embedding_near_dups_ann_distcheck(spark, sf_dir):
-    """Contract gate for `embedding_near_dups_ann`: empty iff every
-    ANN-emitted near-dup pair is canonical, genuinely clears τ=0.3, and
-    carries the exact cosine — precision 1.0, hash-checked."""
-    from semantic_ann_in_data_lake_spark.operators import checks
-
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = dedup.embedding_near_dups(emb, tau=0.3, strategy="lsh", k=20)
-    return checks.near_dup_invariant_violations(pairs, emb, tau=0.3)
-
-
-@register(
-    "profile_approx_distinct_bounds",
-    """
-    SELECT '' AS table_name, '' AS column_name, 0::BIGINT AS approx_n_distinct,
-           0::BIGINT AS exact_n_distinct, 0.0 AS rel_err
-    WHERE FALSE
-    """,
-)
-def profile_approx_distinct_bounds(spark, sf_dir):
-    """Accuracy gate for `profile_approx_distinct`: empty iff every
-    column's HLL++ estimate lies within 15% (3× rsd) of the exact
-    distinct count — deterministic on a fixed dataset, so the bound
-    either holds reproducibly or fails loudly."""
-    from semantic_ann_in_data_lake_spark.operators import checks
-
-    return checks.approx_distinct_bound_violations(
-        _t(spark, sf_dir, "orders"), "orders"
-    )
-
-
-@register(
-    "media_features",
-    """
-    SELECT doc_id AS media_id, 'image' AS modality,
-           array_to_string(
-             list_transform(range(0, 8),
-               i -> (('0x' || substr(md5(i::VARCHAR || ':' || text), 1, 15))::BIGINT
-                     % 200001)::VARCHAR),
-             '|') AS feature
-    FROM documents
-    """,
-)
-def media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payloads → mapInPandas feature
-    extraction. The DECODE is the deterministic md5-projection fake
-    (real decode stubbed per environment policy), which makes even this
-    Python-stage operator oracle-gateable: DuckDB reproduces the
-    md5-chunk integers exactly, so the gate pins the full plumbing —
-    binary encode, Arrow batching, float32 array schema — end to end.
-
-    The float32 feature vector is serialized via the integer round-trip
-    (component = k/1e5 - 1; float32 error ≪ 0.5 so round recovers k)
-    because the driver canonicalizer cannot hash list cells."""
-    from semantic_ann_in_data_lake_spark.operators.multimodal import (
-        extract_features,
-        synthesize_media_from_documents,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    feats = extract_features(synthesize_media_from_documents(docs), dim=8)
-    return feats.select(
-        "media_id",
-        "modality",
-        F.array_join(
-            F.transform(
-                "feature",
-                lambda x: F.round(
-                    (x.cast("double") + F.lit(1.0)) * F.lit(100000.0)
-                )
-                .cast("long")
-                .cast("string"),
-            ),
-            "|",
-        ).alias("feature"),
-    )
-
-
-#: expected greedy-canonicalization result, derived BY HAND from the
-#: documented Y2 semantics (first-seen in sorted term order expands
-#: through DEFAULT_SYNONYMS): sorted terms are visited in order, so
-#: "cost" claims "price", "id" claims "identifier"/"key", "label"
-#: claims "name" (before "name" and "title" are visited) — the literal
-#: table is an independently-derived oracle, not an engine echo.
-_SYNONYM_EXPECTED = [
-    ("c_acctbal", "c_acctbal"), ("c_custkey", "c_custkey"),
-    ("c_mktsegment", "c_mktsegment"), ("c_name", "c_name"),
-    ("c_nationkey", "c_nationkey"), ("cost", "cost"), ("id", "id"),
-    ("identifier", "id"), ("label", "label"), ("name", "label"),
-    ("price", "cost"), ("title", "title"),
-]
-
-
-@register(
-    "synonym_canonical_terms",
-    "SELECT * FROM (VALUES "
-    + ", ".join(f"('{t}', '{c}')" for t, c in _SYNONYM_EXPECTED)
-    + ") AS v(term, term_canonical)",
-)
-def synonym_canonical_terms(spark, sf_dir):
-    """Y1-Y4: greedy first-seen synonym canonicalization (inherently
-    sequential driver loop over the small distinct-term set) applied to
-    annotated column names. The term set mixes real customer columns
-    with dictionary synonyms so the canonical map actually remaps
-    (identifier→id, name→label, price→cost under sorted first-seen
-    order); gated against the hand-derived literal expectation."""
-    from semantic_ann_in_data_lake_spark.annotate.synonyms import apply_canonical_map
-
-    cust = _t(spark, sf_dir, "customer")
-    extra = ["identifier", "title", "cost", "id", "name", "price", "label"]
-    terms = spark.createDataFrame(
-        [(c,) for c in cust.columns] + [(t,) for t in extra], "term string"
-    )
-    return apply_canonical_map(terms, "term", spark)
-
-
-# ---------------------------------------------------------------------------
-# Final coverage batch: q6, SimHash near-dups, V3 truncation, deterministic
-# sample (W5 engine-portable variant), lake-wide profile
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q6_forecast_revenue",
-    """
-    SELECT round(sum(l_extendedprice::DECIMAL(18,2)
-                     * l_discount::DECIMAL(18,2)), 2)::DOUBLE AS revenue,
-           count(*) AS n_items
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount BETWEEN 0.03 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def q6_forecast_revenue(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
-    return (
-        li.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_discount") >= 0.03)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.round(F.sum(dec("l_extendedprice") * dec("l_discount")), 2)
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-@register(
-    "simhash_near_dup_pairs",
-    f"""
-    WITH codes AS ({_simhash_sql(32).strip()})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-    FROM codes a JOIN codes b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-    """,
-)
-def simhash_near_dup_pairs(spark, sf_dir):
-    """SimHash near-duplicates: Hamming ≤ 2 on 32-bit codes (shared-
-    vocab corpus: median pairwise Hamming is 10, ≤2 isolates the
-    truly-similar tail)."""
-    sim = dedup.simhash(_t(spark, sf_dir, "documents"), bits=32)
-    pairs = dedup.simhash_near_dups(sim, max_hamming=2)
-    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
-
-
-@register(
-    "token_truncate_docs",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    SELECT doc_id,
-           len(toks)::INT AS n_tokens,
-           least(len(toks), 32)::INT AS n_tokens_kept,
-           array_to_string(list_slice(toks, 1, 32), ' ') AS truncated
-    FROM t
-    """,
-)
-def token_truncate_docs(spark, sf_dir):
-    """V3: token-budget truncation via :func:`functions.text.token_truncate`
-    (whitespace tier; the exact-BPE tokenizer seam on the same function
-    is unit-tested with a fake tokenizer — `join_discoverer.py:34-62`)."""
-    from semantic_ann_in_data_lake_spark.functions.text import token_truncate
-
-    return token_truncate(
-        _t(spark, sf_dir, "documents"), "text", ("doc_id",), max_tokens=32
-    )
-
-
-@register(
-    "deterministic_sample_docs",
-    f"""
-    WITH h AS (
-      SELECT doc_id,
-             {portable_hash_expr("doc_id::VARCHAR", seed="sample42:")} AS hk
-      FROM documents
-    ), top AS (
-      SELECT doc_id, hk FROM h ORDER BY hk, doc_id LIMIT 10
-    )
-    SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id)::INT AS sample_rank
-    FROM top
-    """,
-)
-def deterministic_sample_docs(spark, sf_dir):
-    """W5 engine-portable variant: seeded 'random' sample as hash-order
-    top-n (the reference's pandas seed-42 sample is not reproducible
-    cross-engine; hash order is — divergence per SURVEY §7.4.3)."""
-    from semantic_ann_in_data_lake_spark.functions.hashing import portable_hash64
-
-    d = _t(spark, sf_dir, "documents")
-    hk = portable_hash64(F.col("doc_id").cast("string"), seed="sample42:")
-    top = (
-        d.select("doc_id", hk.alias("hk"))
-        .orderBy("hk", "doc_id")
-        .limit(10)
-    )
-    w = Window.orderBy("hk", "doc_id")
-    return top.withColumn("sample_rank", F.row_number().over(w)).select(
-        "doc_id", "sample_rank"
-    )
-
-
-_PROFILE_TYPES.update(
-    {
-        "region": [("r_regionkey", "integer"), ("r_name", "string")],
-        "nation": [
-            ("n_nationkey", "integer"),
-            ("n_name", "string"),
-            ("n_regionkey", "integer"),
-        ],
-        "supplier": [
-            ("s_suppkey", "integer"),
-            ("s_name", "string"),
-            ("s_nationkey", "integer"),
-            ("s_acctbal", "float"),
-        ],
-        "part": [
-            ("p_partkey", "integer"),
-            ("p_name", "string"),
-            ("p_brand", "string"),
-            ("p_type", "string"),
-            ("p_size", "integer"),
-            ("p_retailprice", "float"),
-        ],
-        "orders": [
-            ("o_orderkey", "integer"),
-            ("o_custkey", "integer"),
-            ("o_orderstatus", "string"),
-            ("o_totalprice", "float"),
-            ("o_orderdate", "datetime"),
-            ("o_orderpriority", "string"),
-        ],
-        "documents": [
-            ("doc_id", "integer"),
-            ("text", "string"),
-            ("lang", "string"),
-            ("source", "string"),
-            ("n_chars", "integer"),
-        ],
-    }
-)
-
-_LAKE_TABLES = ["region", "nation", "supplier", "part", "orders", "documents"]
-
-
-@register(
-    "profile_lake_core",
-    " UNION ALL ".join(_profile_oracle(t) for t in _LAKE_TABLES),
-)
-def profile_lake_core(spark, sf_dir):
-    """Lake-wide catalog build (reference §3.1 entry point): one
-    single-pass profile job per table, plan-level union — customer and
-    lineitem are gated individually; vector/nanos tables are profiled
-    via their scalar columns elsewhere."""
-    tables = {t: _t(spark, sf_dir, t) for t in _LAKE_TABLES}
-    return profiler.profile_lake(tables)
-
-
-@register("knn_ivf_l2", None)
-def knn_ivf_l2(spark, sf_dir):
-    """Strategy (d): IVF-partitioned approximate kNN — rows-only
-    (recall judged by tests/bench); the distance/rank CONTRACT is
-    hash-gated by `knn_ivf_l2_distcheck`."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return knn_join(emb, emb, k=5, strategy="ivf")
-
-
-@register(
-    "sessionize_events",
-    """
-    WITH e AS (
-      SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
-    ), g AS (
-      SELECT user_id, ts, value,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                          > 30 * 60 * 1000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ), s AS (
-      SELECT *, sum(new_session) OVER (
-        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
-      ) AS session_id
-      FROM g
-    )
-    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-           count(*) AS n_events,
-           round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS sum_value
-    FROM s GROUP BY user_id, session_id
-    """,
-)
-def sessionize_events(spark, sf_dir):
-    """Gap-and-island sessionization (30-min inactivity gap) — the
-    batch twin of the applyInPandasWithState streaming sessionizer,
-    oracle-gated so the session semantics themselves are pinned."""
-    from semantic_ann_in_data_lake_spark.streaming.sessionize import sessionize_batch
-
-    return sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30)
-
-
-@register(
-    "q18_large_volume_customers",
-    """
-    WITH big AS (
-      SELECT l_orderkey, round(sum(l_quantity::DECIMAL(18,2)), 2) AS total_qty
-      FROM lineitem GROUP BY l_orderkey
-      HAVING sum(l_quantity::DECIMAL(18,2)) > 150
-    )
-    SELECT c_custkey, c_name, o_orderkey,
-           total_qty::DOUBLE AS total_qty,
-           round(o_totalprice::DECIMAL(18,2), 2)::DOUBLE AS o_totalprice
-    FROM big JOIN orders ON o_orderkey = l_orderkey
-             JOIN customer ON c_custkey = o_custkey
-    """,
-)
-def q18_large_volume_customers(spark, sf_dir):
-    """q18 shape: aggregate-then-semi-join a HAVING subquery onto its
-    dimensions — the agg side is the big shuffle, dims broadcast."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    dec = lambda col: F.col(col).cast("decimal(18,2)")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.round(F.sum(dec("l_quantity")), 2).alias("total_qty_dec"))
-        .where(F.col("total_qty_dec") > 150)
-    )
-    return (
-        big.join(o, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
-        .select(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            F.col("total_qty_dec").cast("double").alias("total_qty"),
-            F.round(dec("o_totalprice"), 2).cast("double").alias("o_totalprice"),
-        )
-    )
-
-
-_DEEPJOIN_EVAL_SQL = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-    pairs AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             round({l2_sq_sql('q.v', 'c.v')}, 6) AS distance
-      FROM e q, e c WHERE q.vec_id <> c.vec_id
-    ),
-    knn AS (
-      SELECT * FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY distance ASC, cand_id ASC) AS rnk
-        FROM pairs) WHERE rnk <= 5
-    ),
-    sym AS (
-      SELECT a.vec_id AS tq, b.vec_id AS tc
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
-    ),
-    per_q AS (
-      SELECT k.query_id,
-             count(*) FILTER (WHERE s.tc IS NOT NULL) AS tp,
-             count(*) FILTER (WHERE s.tc IS NULL) AS fp
-      FROM knn k LEFT JOIN sym s ON k.query_id = s.tq AND k.cand_id = s.tc
-      GROUP BY k.query_id
-    ),
-    nrel AS (SELECT tq AS query_id, count(*) AS n_rel FROM sym GROUP BY tq),
-    acc AS (
-      SELECT sum(p.tp) AS tp, sum(p.fp) AS fp,
-             sum(greatest(coalesce(n.n_rel, 0) - p.tp, 0)) AS fn
-      FROM per_q p LEFT JOIN nrel n USING (query_id)
-    )
-    SELECT 5 AS k, tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
-           round(tp / (tp + fp + 1e-8), 4) AS micro_precision,
-           round(tp / (tp + fn + 1e-8), 4) AS micro_recall,
-           round(2 * (tp / (tp + fp + 1e-8)) * (tp / (tp + fn + 1e-8))
-                 / ((tp / (tp + fp + 1e-8)) + (tp / (tp + fn + 1e-8)) + 1e-8),
-                 4) AS micro_f1
-    FROM acc
-"""
-
-
-@register("deepjoin_eval", _DEEPJOIN_EVAL_SQL)
-def deepjoin_eval(spark, sf_dir):
-    """DeepJoin-style MICRO metrics (`search_query.py:69-117`): per-query
-    TP/FP against each query's own relevant set, accumulated then
-    combined — distinct from the SemLink canonical-pair variant
-    (`semlink_eval`), which scores unordered pair sets globally."""
-    emb = _t(spark, sf_dir, "embeddings")
-    knn = knn_join(emb, emb, k=5, strategy="exact")
-    truth = pipeline.label_truth_pairs(emb)
-    sym = symmetric_truth(truth, "id_a", "id_b").select(
-        F.col("t_query").cast("long").alias("tq"),
-        F.col("t_cand").cast("long").alias("tc"),
-    )
-    per_q = (
-        knn.join(
-            sym,
-            (knn.query_id == sym.tq) & (knn.cand_id == sym.tc),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(
-            F.sum(F.when(F.col("tc").isNotNull(), 1).otherwise(0)).alias("tp"),
-            F.sum(F.when(F.col("tc").isNull(), 1).otherwise(0)).alias("fp"),
-        )
-    )
-    nrel = sym.groupBy("tq").agg(F.count(F.lit(1)).alias("n_rel"))
-    acc = (
-        per_q.join(nrel, per_q.query_id == nrel.tq, "left")
-        .na.fill({"n_rel": 0})
-        .agg(
-            F.sum("tp").alias("tp"),
-            F.sum("fp").alias("fp"),
-            F.sum(F.greatest(F.col("n_rel") - F.col("tp"), F.lit(0))).alias("fn"),
-        )
-    )
-    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
-    eps = F.lit(1e-8)
-    prec = tp / (tp + fp + eps)
-    rec = tp / (tp + fn + eps)
-    return acc.select(
-        F.lit(5).alias("k"),
-        tp.cast("long").alias("tp"),
-        fp.cast("long").alias("fp"),
-        fn.cast("long").alias("fn"),
-        F.round(prec, 4).alias("micro_precision"),
-        F.round(rec, 4).alias("micro_recall"),
-        F.round(2 * prec * rec / (prec + rec + eps), 4).alias("micro_f1"),
-    )
-
-
-# C2/C3 corruption regimes, gated (SQL mirrors of the hash-keyed
-# deterministic variants; C1 gated earlier as corrupt1_positional)
-
-from semantic_ann_in_data_lake_spark.annotate.corruption import (  # noqa: E402
-    corrupt_charnoise,
-    corrupt_swap,
-)
-
-_CUST_COLS_SQL = ", ".join(f"'{c}'" for c in _CUSTOMER_COLS)
-
-
-@register(
-    "corrupt2_charnoise",
-    f"""
-    WITH cols AS (SELECT unnest([{_CUST_COLS_SQL}]) AS column_name),
-    h AS (
-      SELECT column_name,
-             ('0x' || substr(md5('c2' || column_name), 1, 15))::BIGINT AS hk
-      FROM cols
-    )
-    SELECT 'customer' AS table_name, column_name,
-           CASE WHEN hk % 100 < 65 AND length(column_name) > 1
-                THEN substr(column_name, 1, (hk % length(column_name))::INT)
-                     || substr(column_name, (hk % length(column_name))::INT + 2)
-                ELSE column_name END AS new_name
-    FROM h
-    """,
-)
-def corrupt2_charnoise(spark, sf_dir):
-    """C2: deterministic char-drop noise (65% of hash draws), the
-    nlpaug-free regime (`corruption.py:5-11,31-34`)."""
-    return corrupt_charnoise(spark, "customer", _CUSTOMER_COLS, seed="c2")
-
-
-@register(
-    "corrupt3_swap",
-    f"""
-    WITH cols AS (SELECT unnest([{_CUST_COLS_SQL}]) AS column_name),
-    ranked AS (
-      SELECT column_name,
-             row_number() OVER (
-               ORDER BY ('0x' || substr(md5('c3' || column_name), 1, 15))::BIGINT
-             ) AS rnk
-      FROM cols
-    )
-    SELECT 'customer' AS table_name, a.column_name,
-           b.column_name AS new_name
-    FROM ranked a JOIN ranked b
-      ON (a.rnk % {len(_CUSTOMER_COLS)}) + 1 = b.rnk
-    """,
-)
-def corrupt3_swap(spark, sf_dir):
-    """C3: swapped-name regime — every column takes the next column's
-    name in hash order (`corruption.py:17,35` made deterministic)."""
-    return corrupt_swap(spark, "customer", _CUSTOMER_COLS, seed="c3")
-
-
-@register("profile_approx_distinct", None)
-def profile_approx_distinct_q(spark, sf_dir):
-    """Sketch-based distinct counts (HLL++) — rows-only: sketch
-    implementations differ across engines; the accuracy bound is
-    hash-gated by `profile_approx_distinct_bounds` (3×rsd vs exact)."""
-    return profiler.profile_approx_distinct(_t(spark, sf_dir, "orders"), "orders")
-
-
-# Final relational shapes: q12-style conditional counts, pivot, rollup
-
-
-@register(
-    "q12_priority_shipping",
-    """
-    SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
-    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY l_returnflag
-    """,
-)
-def q12_priority_shipping(spark, sf_dir):
-    """q12 shape: conditional aggregation over a fact⋈dim join."""
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-    )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
-
-
-@register(
-    "pivot_linestatus",
-    """
-    SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'O'
-                     THEN l_quantity::DECIMAL(18,2) ELSE 0 END), 2)::DOUBLE AS qty_O,
-           round(sum(CASE WHEN l_linestatus = 'F'
-                     THEN l_quantity::DECIMAL(18,2) ELSE 0 END), 2)::DOUBLE AS qty_F
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def pivot_linestatus(spark, sf_dir):
-    """Pivot: wide per-category aggregates (groupBy().pivot())."""
-    li = _t(spark, sf_dir, "lineitem")
-    dec = F.col("l_quantity").cast("decimal(18,2)")
-    pivoted = (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum(dec), 2).cast("double"))
-    )
-    return pivoted.select(
-        "l_returnflag",
-        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
-        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
-    )
-
-
-@register(
-    "rollup_revenue",
-    """
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS revenue,
-           count(*) AS n_items
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def rollup_revenue(spark, sf_dir):
-    """ROLLUP: hierarchical subtotals (flag, flag+status, grand total)."""
-    li = _t(spark, sf_dir, "lineitem")
-    dec = F.col("l_extendedprice").cast("decimal(18,2)")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum(dec), 2).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .select(
-            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
-            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
-            "revenue",
-            "n_items",
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# q4/q14 relational shapes + source/sink gates (SURVEY §2.1 S1/S2/S5/S6/S7)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q4_late_shipment_priority",
-    """
-    SELECT o_orderpriority, count(*) AS order_count
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_orderkey = o_orderkey
-                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-    GROUP BY o_orderpriority
-    """,
-)
-def q4_late_shipment_priority(spark, sf_dir):
-    """q4 shape: correlated-predicate EXISTS (left-semi with a join
-    condition referencing both sides; testdata lacks commit/receipt
-    dates so 'late' = shipped >60 days after order)."""
-    o = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    cond = (o.o_orderkey == li.l_orderkey) & (
-        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
-    )
-    return (
-        o.join(li, cond, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-@register(
-    "q14_economy_revenue_ratio",
-    """
-    WITH j AS (
-      SELECT p_type,
-             l_extendedprice::DECIMAL(18,2)
-               * (1 - l_discount::DECIMAL(18,2)) AS rev
-      FROM lineitem JOIN part ON l_partkey = p_partkey
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'
-    )
-    SELECT round(100.0 * (round(sum(CASE WHEN p_type = 'ECONOMY' THEN rev END), 2)::DOUBLE)
-                 / (round(sum(rev), 2)::DOUBLE) + 1e-9, 4) AS economy_pct,
-           round(sum(rev), 2)::DOUBLE AS total_rev
-    FROM j
-    """,
-)
-def q14_economy_revenue_ratio(spark, sf_dir):
-    """q14 shape: conditional revenue ratio. Both operands are exact
-    rounded decimals cast to double, so the quotient is bit-identical
-    across engines; +1e-9 bias before the final round (registry
-    docstring / textstats.ROUND_BIAS)."""
-    li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-03-01 00:00:00").cast("timestamp"))
-    )
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
-    )
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
-        "p_type", rev.alias("rev")
-    )
-    econ = F.round(F.sum(F.when(F.col("p_type") == "ECONOMY", F.col("rev"))), 2).cast(
-        "double"
-    )
-    total = F.round(F.sum("rev"), 2).cast("double")
-    return j.agg(
-        F.round(F.lit(100.0) * econ / total + F.lit(1e-9), 4).alias("economy_pct"),
-        total.alias("total_rev"),
-    )
-
-
-# --- source/sink gates: fixtures under /tmp (testdata is read-only) ---
-
-_CSV_FIXTURE = "/tmp/sals_gate/csv_src"
-_JSONL_RT = "/tmp/sals_gate/jsonl_rt"
-_CSV_RT = "/tmp/sals_gate/csv_rt"
-
-
-def _gen_csv_fixture(sf_dir: str) -> None:
-    """Deterministically derive a 2-file CSV dir from the sf_dir customer
-    parquet (DuckDB COPY → exact file names, so ``table_name`` derived
-    from ``input_file_name`` is meaningful). Integer/string columns only
-    — float→text formatting is engine-specific."""
-    import os
-
-    import duckdb
-
-    os.makedirs(_CSV_FIXTURE, exist_ok=True)
-    con = duckdb.connect()
-    for name, parity in [("customer_even", 0), ("customer_odd", 1)]:
-        con.execute(
-            f"COPY (SELECT c_custkey, c_name, c_nationkey, c_mktsegment "
-            f"FROM '{sf_dir}/customer.parquet' WHERE c_custkey % 2 = {parity} "
-            f"ORDER BY c_custkey) TO '{_CSV_FIXTURE}/{name}.csv' "
-            f"(HEADER, DELIMITER ',')"
-        )
-    con.close()
-
-
-@register(
-    "csv_dir_scan_stats",
-    f"""
-    SELECT regexp_extract(filename, '([^/]+)\\.csv$', 1) AS table_name,
-           count(*) AS n_rows,
-           sum(c_custkey::BIGINT)::BIGINT AS custkey_sum,
-           sum(length(c_name))::BIGINT AS name_chars
-    FROM read_csv('{_CSV_FIXTURE}/*.csv', header=true, all_varchar=true,
-                  filename=true)
-    GROUP BY 1
-    """,
-)
-def csv_dir_scan_stats(spark, sf_dir):
-    """S1/S2 gate: all-string CSV directory scan with per-file
-    ``table_name`` (reference extract_schema.py:88-99), aggregated per
-    source file. The fixture is regenerated from sf_dir each call, so
-    Spark and the oracle read identical bytes."""
-    from semantic_ann_in_data_lake_spark.sources.readers import read_csv_dir
-
-    _gen_csv_fixture(sf_dir)
-    df = read_csv_dir(spark, _CSV_FIXTURE, all_string=True)
-    return df.groupBy("table_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("c_custkey").cast("long")).alias("custkey_sum"),
-        F.sum(F.length("c_name")).alias("name_chars"),
-    )
-
-
-@register(
-    "jsonl_roundtrip_stats",
-    """
-    SELECT o_orderpriority, o_orderstatus,
-           count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum
-    FROM orders GROUP BY 1, 2
-    """,
-)
-def jsonl_roundtrip_stats(spark, sf_dir):
-    """S5+S6 gate: orders → JSONL sink → JSONL source → aggregate; the
-    oracle aggregates the original parquet, so any round-trip loss
-    (types, row drops, encoding) breaks the hash."""
-    from semantic_ann_in_data_lake_spark.sources.readers import read_jsonl
-    from semantic_ann_in_data_lake_spark.sources.writers import write_json_lines
-
-    write_json_lines(
-        _t(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderpriority", "o_orderstatus"
-        ),
-        _JSONL_RT,
-    )
-    back = read_jsonl(
-        spark,
-        _JSONL_RT,
-        "o_orderkey long, o_orderpriority string, o_orderstatus string",
-    )
-    return back.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("key_sum")
-    )
-
-
-@register(
-    "csv_sink_roundtrip",
-    """
-    SELECT p_brand, p_type, count(*) AS n,
-           sum(p_size)::BIGINT AS size_sum, sum(p_partkey)::BIGINT AS key_sum
-    FROM part GROUP BY 1, 2
-    """,
-)
-def csv_sink_roundtrip(spark, sf_dir):
-    """S7 gate: part → header-CSV sink → read back with an explicit
-    schema → aggregate vs the original parquet (int/string columns only
-    — float→text formatting is engine-specific)."""
-    from semantic_ann_in_data_lake_spark.sources.writers import write_csv
-
-    write_csv(
-        _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size"),
-        _CSV_RT,
-    )
-    back = (
-        spark.read.option("header", True)
-        .schema("p_partkey long, p_brand string, p_type string, p_size int")
-        .csv(_CSV_RT)
-    )
-    return back.groupBy("p_brand", "p_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("p_size").alias("size_sum"),
-        F.sum("p_partkey").alias("key_sum"),
-    )
-
-
-@register(
-    "q10_returned_revenue",
-    """
-    WITH rev AS (
-      SELECT c_custkey, c_name, n_name,
-             round(sum(l_extendedprice::DECIMAL(18,2)
-                       * (1 - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue
-      FROM customer JOIN orders ON c_custkey = o_custkey
-                    JOIN lineitem ON l_orderkey = o_orderkey
-                    JOIN nation ON c_nationkey = n_nationkey
-      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
-        AND l_returnflag = 'R'
-      GROUP BY c_custkey, c_name, n_name
-    )
-    SELECT c_custkey, c_name, n_name, revenue
-    FROM rev ORDER BY revenue DESC, c_custkey ASC LIMIT 20
-    """,
-)
-def q10_returned_revenue(spark, sf_dir):
-    """q10 shape: returned-item revenue per customer, top-20. Fact-fact
-    join shuffles on orderkey; nation is broadcast; top-k is distributed
-    TakeOrderedAndProject (no global window). Ties broken by c_custkey
-    so the cut line is deterministic cross-engine."""
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
-    o = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    dec = lambda col: F.col(col).cast("decimal(18,2)")
-    rev = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
-            .cast("double")
-            .alias("revenue")
-        )
-    )
-    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
-
-
-_JSON_CATALOG = "/tmp/sals_gate/json_catalog"
-
-
-@register(
-    "json_catalog_scan",
-    f"""
-    SELECT meta.region AS region, count(*) AS n_tables,
-           sum(meta.key)::BIGINT AS key_sum, sum(length(table_name))::BIGINT AS name_chars
-    FROM read_json('{_JSON_CATALOG}/catalog.json')
-    GROUP BY 1
-    """,
-)
-def json_catalog_scan(spark, sf_dir):
-    """S4 gate: multi-line JSON array catalog (the reference's
-    ``{{app}}_csv_schema.json`` shape, extract_schema.py:118-129) with a
-    nested object per entry, read via ``read_json_catalog`` and
-    aggregated by a nested field. Fixture derived from sf_dir nation ⋈
-    region so both engines read identical bytes."""
-    import os
-
-    import duckdb
-
-    from semantic_ann_in_data_lake_spark.sources.readers import read_json_catalog
-
-    os.makedirs(_JSON_CATALOG, exist_ok=True)
-    con = duckdb.connect()
-    con.execute(
-        f"""COPY (
-          SELECT 'NATION_' || n_nationkey AS table_name,
-                 {{'region': r_name, 'key': n_nationkey}} AS meta
-          FROM '{sf_dir}/nation.parquet'
-          JOIN '{sf_dir}/region.parquet' ON n_regionkey = r_regionkey
-          ORDER BY n_nationkey
-        ) TO '{_JSON_CATALOG}/catalog.json' (FORMAT JSON, ARRAY true)"""
-    )
-    con.close()
-    df = read_json_catalog(spark, _JSON_CATALOG + "/catalog.json")
-    return df.groupBy(F.col("meta.region").alias("region")).agg(
-        F.count(F.lit(1)).alias("n_tables"),
-        F.sum("meta.key").alias("key_sum"),
-        F.sum(F.length("table_name")).alias("name_chars"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# training-pipeline breadth: chunking + dedup clustering
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "chunk_docs",
-    f"""
-    WITH {_W_CTE},
-    c AS (SELECT doc_id, w, unnest(range(0, len(w), 8)) AS cid
-          FROM w WHERE len(w) > 0)
-    SELECT doc_id, (cid / 8)::INT AS chunk_id, cid::INT AS start_pos,
-           len(list_slice(w, cid + 1, cid + 16))::INT AS n_tokens,
-           array_to_string(list_slice(w, cid + 1, cid + 16), ' ') AS chunk_text
-    FROM c
-    """,
-)
-def chunk_docs(spark, sf_dir):
-    """Sliding-window token chunking (window 16, stride 8): the
-    pre-training corpus prep step. Chunks start at every stride while
-    tokens remain; trailing chunks may be partial."""
-    from semantic_ann_in_data_lake_spark.operators.chunking import chunk_documents
-
-    return chunk_documents(_t(spark, sf_dir, "documents"), window=16, stride=8)
-
-
-@register(
-    "dedup_cluster_assign",
-    f"""
-    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_minhash_lsh_sql(8, 2, 0.01)}) t),
-    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-    nodes AS (SELECT DISTINCT s AS id FROM edges),
-    reach(id, lbl) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.d
-    )
-    SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
-    """,
-)
-def dedup_cluster_assign(spark, sf_dir):
-    """Connected components over MinHash-LSH near-dup pairs →
-    (doc_id, cluster_id = min reachable doc_id): the canonical-doc
-    assignment a dedup pipeline keeps. Spark side is distributed
-    min-label propagation; the oracle is a DuckDB recursive CTE over
-    the SAME pair set — full value-hash gate on an iterative graph
-    algorithm."""
-    pairs = dedup.minhash_near_dups(
-        _t(spark, sf_dir, "documents"),
-        num_hashes=16, bands=8, rows_per_band=2, threshold=0.01,
-    )
-    return dedup.dedup_clusters(pairs)
-
-
-@register(
-    "tfidf_top_terms",
-    f"""
-    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-    scored AS (
-      SELECT doc_id, term, tf, df,
-             round(tf * ln((n_docs + 1.0) / (df + 1.0)) + 1e-9, 4) AS score
-      FROM tf JOIN dfreq USING (term) CROSS JOIN n
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
-      FROM scored
-    )
-    SELECT doc_id, term, tf, df, score, rnk::INT AS rank
-    FROM ranked WHERE rnk <= 5
-    """,
-)
-def tfidf_top_terms(spark, sf_dir):
-    """Corpus TF-IDF: per-doc top-5 terms (two-level agg + broadcast
-    corpus size + ranking window); ln bit-parity guarded by the
-    textstats round-bias discipline."""
-    return textstats.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
-
-
-@register(
-    "stratified_sample_docs",
-    f"""
-    WITH h AS (
-      SELECT doc_id, lang, source,
-             {portable_hash_expr("doc_id::VARCHAR", seed="strat42:")} AS hk
-      FROM documents
-    ), r AS (
-      SELECT doc_id, lang, source,
-             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rnk
-      FROM h
-    )
-    SELECT doc_id, lang, source, rnk::INT AS sample_rank
-    FROM r WHERE rnk <= 5
-    """,
-)
-def stratified_sample_docs(spark, sf_dir):
-    """Per-language quota sample (5 docs/lang) in seeded-hash order —
-    the corpus-balancing primitive; one ranking window, no driver-side
-    stratum enumeration."""
-    from semantic_ann_in_data_lake_spark.operators.pairs import stratified_sample
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    return stratified_sample(d, "lang", 5, "doc_id")
-
-
-@register(
-    "quantize_embeddings_int8",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    m AS (SELECT vec_id, v,
-                 list_max(list_transform(v, x -> abs(x))) AS mx
-          FROM e)
-    SELECT vec_id, mx / 127.0 AS scale,
-           array_to_string(
-             list_transform(v, x -> (CASE WHEN mx = 0 THEN 0
-               ELSE (sign(x) * floor(abs(x) / (mx / 127.0) + 0.5))::INT
-             END)::VARCHAR), '|') AS qvec
-    FROM m
-    """,
-)
-def quantize_embeddings_int8(spark, sf_dir):
-    """Int8 symmetric quantization of the vector index (8× smaller
-    broadcast); scale doubles and all 64 lanes value-hash-gated.
-    qvec serialized to a '|'-joined string for the driver's pandas
-    canonicalizer (lists are unsortable/unhashable there); the
-    operator (knn.quantize_embeddings) keeps the typed array."""
-    from semantic_ann_in_data_lake_spark.operators.knn import quantize_embeddings
-
-    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
-    return q.select(
-        "vec_id",
-        "scale",
-        F.array_join(
-            F.transform("qvec", lambda x: x.cast("string")), "|"
-        ).alias("qvec"),
-    )
-
-
-@register(
-    "bm25_top_terms",
-    f"""
-    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
-    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
-    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-    corpus AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-                      (SELECT avg(dl) FROM dl) AS avgdl),
-    scored AS (
-      SELECT doc_id, term, tf, df, dl,
-             round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                   + 1e-9, 4) AS score
-      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
-      FROM scored
-    )
-    SELECT doc_id, term, tf, df, dl, score, rnk::INT AS rank
-    FROM ranked WHERE rnk <= 5
-    """,
-)
-def bm25_top_terms(spark, sf_dir):
-    """Okapi BM25 per-doc top-5 terms (k1=1.2, b=0.75): tf-idf breadth
-    plus doc-length normalization — the standard retrieval scorer over
-    a corpus, all portable arithmetic."""
-    return textstats.bm25_top_terms(_t(spark, sf_dir, "documents"), k=5)
-
-
-@register(
-    "user_retention_cohorts",
-    """
-    WITH f AS (SELECT user_id, min(date_trunc('day', ts::TIMESTAMP))::DATE AS cohort
-               FROM events GROUP BY 1),
-    a AS (SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP)::DATE AS day
-          FROM events)
-    SELECT f.cohort, date_diff('day', f.cohort, a.day)::INT AS day_offset,
-           count(*) AS n_users
-    FROM a JOIN f USING (user_id)
-    GROUP BY 1, 2
-    """,
-)
-def user_retention_cohorts(spark, sf_dir):
-    """Cohort retention matrix: users grouped by first-activity day,
-    counted on each later active day. Two shuffles (per-user min, then
-    the distinct day set) + an equi-join on user_id — the cohort table
-    is user-sized, so at lake scale this co-partitions on user_id and
-    never widens beyond (user, day)."""
-    e = _t(spark, sf_dir, "events").select(
-        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    )
-    first = e.groupBy("user_id").agg(F.min("day").alias("cohort"))
-    active = e.distinct()
-    return (
-        active.join(first, "user_id")
-        .groupBy("cohort", F.datediff("day", "cohort").cast("int").alias("day_offset"))
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-
-
-@register(
-    "event_props_json_stats",
-    """
-    WITH kx AS (
-      SELECT event_type,
-             try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k
-      FROM events
-    )
-    SELECT event_type,
-           count(k) AS n_with_k,
-           sum(k)::BIGINT AS k_sum,
-           min(k) AS k_min,
-           max(k) AS k_max
-    FROM kx GROUP BY 1
-    """,
-)
-def event_props_json_stats(spark, sf_dir):
-    """F9-F11 over a fact table: semi-structured JSON property
-    extraction (`get_json_object`, JVM-side) aggregated per event type —
-    the common clickstream-props pattern; no Python, no parsing UDF."""
-    e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return e.groupBy("event_type").agg(
-        F.count(k).alias("n_with_k"),
-        F.sum(k).alias("k_sum"),
-        F.min(k).alias("k_min"),
-        F.max(k).alias("k_max"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Training-data pipeline extensions, round 2: within-doc repetition filter,
-# PII scrubbing, as-of event enrichment
-# ---------------------------------------------------------------------------
-
-from semantic_ann_in_data_lake_spark.functions.text import (  # noqa: E402
-    word_shingles_from_sql,
-)
-
-
-@register(
-    "doc_repetition_stats",
-    f"""
-    WITH {_W_CTE},
-    s AS (
-      SELECT doc_id, len(w)::INT AS n_tokens,
-             greatest(len(w) - 2, 0)::INT AS n_ngrams,
-             len({word_shingles_from_sql('w', 3)})::INT AS n_distinct_ngrams
-      FROM w
-    )
-    SELECT doc_id, n_tokens, n_ngrams, n_distinct_ngrams,
-           round((CASE WHEN n_ngrams = 0 THEN 0.0
-                  ELSE (n_ngrams - n_distinct_ngrams)::DOUBLE / n_ngrams END)
-                 + 1e-9, 4) AS dup_ngram_fraction
-    FROM s
-    """,
-)
-def doc_repetition_stats(spark, sf_dir):
-    """Gopher-style duplicate-n-gram repetition filter over documents —
-    row-local column expressions, no shuffle (textstats.repetition_stats)."""
-    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
-
-
-def _pii_augmented(spark, sf_dir):
-    """Deterministic PII-ish fixture: splice synthetic emails/URLs/phones
-    into document text keyed on doc_id (same construction in the oracle
-    CTE) — the raw corpus has none, so the scrub gate would otherwise
-    count only zeros."""
-    d = _t(spark, sf_dir, "documents")
-    sid = F.col("doc_id").cast("string")
-    aug = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(F.lit(" contact user"), sid, F.lit("@example.com")),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 3 == 1,
-            F.concat(F.lit(" see https://site.example/p/"), sid, F.lit("?u=a@b.co")),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(
-                F.lit(" call 555-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            ),
-        ).otherwise(F.lit("")),
-    )
-    return d.select("doc_id", aug.alias("text"))
-
-
-_PII_AUG_SQL = """
-    aug AS (
-      SELECT doc_id,
-             text
-             || CASE WHEN doc_id % 3 = 0
-                THEN ' contact user' || doc_id::VARCHAR || '@example.com'
-                ELSE '' END
-             || CASE WHEN doc_id % 3 = 1
-                THEN ' see https://site.example/p/' || doc_id::VARCHAR || '?u=a@b.co'
-                ELSE '' END
-             || CASE WHEN doc_id % 5 = 0
-                THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
-                ELSE '' END
-             AS text
-      FROM documents
-    )
-"""
-
-
-@register(
-    "pii_scrub_docs",
-    f"""
-    WITH {_PII_AUG_SQL}
-    SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(text,
-             '{textstats.PII_PATTERNS["email"]}', '[EMAIL]', 'g'),
-             '{textstats.PII_PATTERNS["url"]}', '[URL]', 'g'),
-             '{textstats.PII_PATTERNS["phone"]}', '[PHONE]', 'g') AS clean_text,
-           len(regexp_extract_all(text, '{textstats.PII_PATTERNS["email"]}'))::INT AS n_emails,
-           len(regexp_extract_all(text, '{textstats.PII_PATTERNS["url"]}'))::INT AS n_urls,
-           len(regexp_extract_all(text, '{textstats.PII_PATTERNS["phone"]}'))::INT AS n_phones
-    FROM aug
-    """,
-)
-def pii_scrub_docs(spark, sf_dir):
-    """PII scrub pass (emails → [EMAIL], URLs → [URL], phones → [PHONE])
-    with per-doc match counts, over the deterministic PII fixture.
-    Email-before-URL replacement order is part of the pinned semantics
-    (an email inside a URL query string is masked by the email pass
-    first; the URL pass then swallows the placeholder)."""
-    return textstats.pii_scrub(_pii_augmented(spark, sf_dir))
-
-
-@register(
-    "asof_join_events",
-    """
-    WITH l AS (
-      SELECT event_id, user_id, ts::TIMESTAMP AS ts
-      FROM events WHERE event_type = 'error'
-    ),
-    r AS (
-      SELECT user_id, ts::TIMESTAMP AS ts, max(event_id) AS view_event_id
-      FROM events WHERE event_type = 'view'
-      GROUP BY user_id, ts
-    )
-    SELECT l.event_id, l.user_id, l.ts,
-           r.view_event_id,
-           r.ts AS view_ts,
-           (epoch_us(l.ts) - epoch_us(r.ts))::BIGINT AS gap_us
-    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-    """,
-)
-def asof_join_events(spark, sf_dir):
-    """As-of enrichment: each 'error' event joined to the latest
-    at-or-before 'view' event of the same user (union-tag / single
-    shuffle-sort / carry-forward — operators/asof.py), gated against
-    DuckDB's native ASOF LEFT JOIN. The right side is pre-deduped to
-    max(event_id) per (user_id, ts) so equal-timestamp ties are
-    deterministic in both engines."""
-    from semantic_ann_in_data_lake_spark.operators.asof import asof_join
-
-    ev = _t(spark, sf_dir, "events")
-    left = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
-    right = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("view_event_id"))
-    )
-    res = asof_join(
-        left,
-        right,
-        on="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        right_cols=("view_event_id",),
-        right_id="view_event_id",
-    )
-    return res.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.col("matched_view_event_id").alias("view_event_id"),
-        F.col("matched_ts").alias("view_ts"),
-        (epoch_us("ts") - epoch_us("matched_ts")).alias("gap_us"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# TPC-H-shape breadth, round 2: q7/q8/q13/q15/q17/q19/q22 adapted to the
-# testdata schema (no partsupp/receiptdate/comment/phone columns; predicate
-# constants chosen to select non-trivial subsets at every sf)
-# ---------------------------------------------------------------------------
-
-_DEC = "::DECIMAL(18,2)"
-
-
-@register(
-    "q7_nation_volume",
-    f"""
-    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           year(l_shipdate) AS l_year,
-           round(sum(l_extendedprice{_DEC} * (1 - l_discount{_DEC})), 2)::DOUBLE
-             AS revenue
-    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
-                  JOIN orders ON o_orderkey = l_orderkey
-                  JOIN customer ON c_custkey = o_custkey
-                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
-                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-      AND l_shipdate >= '1996-01-01'::TIMESTAMP
-      AND l_shipdate < '1998-01-01'::TIMESTAMP
-    GROUP BY 1, 2, 3
-    """,
-)
-def q7_nation_volume(spark, sf_dir):
-    """TPC-H Q7 shape: bilateral trade volume between a nation pair by
-    ship year. Both nation joins broadcast (25 rows); the fact-side
-    joins shuffle on their keys with AQE; the nation-name disjunction is
-    applied post-join where Catalyst can still prune fact columns."""
-    s = _t(spark, sf_dir, "supplier")
-    li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
-    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
-    dec = lambda col: F.col(col).cast("decimal(18,2)")
-    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
-        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
-    )
-    return (
-        s.join(li, s.s_suppkey == li.l_suppkey)
-        .join(o, o.o_orderkey == li.l_orderkey)
-        .join(c, c.c_custkey == o.o_custkey)
-        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
-        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
-        .where(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(
-            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
-            .cast("double")
-            .alias("revenue")
-        )
-    )
-
-
-@register(
-    "q8_market_share",
-    f"""
-    WITH flat AS (
-      SELECT year(o_orderdate) AS o_year,
-             l_extendedprice{_DEC} * (1 - l_discount{_DEC}) AS volume,
-             n2.n_name AS supp_nation
-      FROM part JOIN lineitem ON p_partkey = l_partkey
-                JOIN supplier ON s_suppkey = l_suppkey
-                JOIN orders ON l_orderkey = o_orderkey
-                JOIN customer ON o_custkey = c_custkey
-                JOIN nation n1 ON c_nationkey = n1.n_nationkey
-                JOIN region ON n1.n_regionkey = r_regionkey
-                JOIN nation n2 ON s_nationkey = n2.n_nationkey
-      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
-    )
-    SELECT o_year,
-           round(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                                ELSE 0{_DEC} END), 2)::DOUBLE
-                 / round(sum(volume), 2)::DOUBLE + 1e-9, 4) AS mkt_share
-    FROM flat GROUP BY o_year
-    """,
-)
-def q8_market_share(spark, sf_dir):
-    """TPC-H Q8 shape: NATION_3's share of PROMO-part revenue into ASIA
-    customers per order year. Numerator and denominator accumulate in
-    DECIMAL (exact, order-independent), are rounded, and only then meet
-    double division — the cross-engine float discipline for ratios."""
-    p = F.broadcast(
-        _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")))
-    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")))
-    r = F.broadcast(
-        _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
-    )
-    dec = lambda col: F.col(col).cast("decimal(18,2)")
-    vol = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-    flat = (
-        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
-        .join(r, F.col("n1_rkey") == F.col("r_regionkey"))
-        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
-        .select(
-            F.year("o_orderdate").alias("o_year"),
-            vol.alias("volume"),
-            F.col("supp_nation"),
-        )
-    )
-    zero = F.lit(0).cast("decimal(18,2)")
-    return flat.groupBy("o_year").agg(
-        F.round(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)),
-                2,
-            ).cast("double")
-            / F.round(F.sum("volume"), 2).cast("double")
-            + F.lit(1e-9),
-            4,
-        ).alias("mkt_share")
-    )
-
-
-@register(
-    "q13_order_distribution",
-    """
-    WITH c_orders AS (
-      SELECT c_custkey, count(o_orderkey) AS c_count
-      FROM customer LEFT OUTER JOIN orders
-        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-      GROUP BY c_custkey
-    )
-    SELECT c_count, count(*) AS custdist
-    FROM c_orders GROUP BY c_count
-    """,
-)
-def q13_order_distribution(spark, sf_dir):
-    """TPC-H Q13 shape: distribution of per-customer order counts with
-    a filtered LEFT OUTER join (the filter lives in the join condition,
-    so zero-order customers survive into the c_count = 0 bucket)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    per_cust = (
-        c.join(
-            o,
-            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
-            "left_outer",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-
-
-@register(
-    "q15_top_supplier",
-    f"""
-    WITH revenue AS (
-      SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice{_DEC} * (1 - l_discount{_DEC})), 2)::DOUBLE
-               AS total_revenue
-      FROM lineitem
-      WHERE l_shipdate >= '1996-01-01'::TIMESTAMP
-        AND l_shipdate < '1996-04-01'::TIMESTAMP
-      GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name, total_revenue
-    FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-    """,
-)
-def q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 shape: supplier(s) with max quarterly revenue. The
-    scalar max is a one-row aggregate broadcast back over the revenue
-    view (no global sort); equality on a rounded exact-decimal value is
-    engine-portable."""
-    li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-    )
-    dec = lambda col: F.col(col).cast("decimal(18,2)")
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
-        .cast("double")
-        .alias("total_revenue")
-    )
-    mx = revenue.agg(F.max("total_revenue").alias("__max_rev"))
-    s = _t(spark, sf_dir, "supplier")
-    return (
-        s.join(revenue, s.s_suppkey == revenue.supplier_no)
-        .crossJoin(F.broadcast(mx))
-        .where(F.col("total_revenue") == F.col("__max_rev"))
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
-
-
-@register(
-    "q17_small_quantity_revenue",
-    f"""
-    WITH pk AS (
-      SELECT p_partkey FROM part WHERE p_brand = 'Brand#5' AND p_size <= 10
-    ),
-    th AS (
-      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
-      FROM lineitem JOIN pk ON l_partkey = p_partkey
-      GROUP BY l_partkey
-    )
-    SELECT round(sum(l_extendedprice{_DEC})::DOUBLE / 7.0 + 1e-9, 2) AS avg_yearly
-    FROM lineitem JOIN th ON lineitem.l_partkey = th.l_partkey
-    WHERE l_quantity < qty_thresh
-    """,
-)
-def q17_small_quantity_revenue(spark, sf_dir):
-    """TPC-H Q17 shape: revenue lost to small-quantity orders of
-    Brand#5 small parts. The correlated AVG subquery becomes a per-part
-    aggregate joined back to the fact; l_quantity is integer-valued so
-    the double average is an exact-sum / count — order-independent on
-    both engines."""
-    pk = F.broadcast(
-        _t(spark, sf_dir, "part")
-        .where((F.col("p_brand") == "Brand#5") & (F.col("p_size") <= 10))
-        .select("p_partkey")
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    flt = li.join(pk, li.l_partkey == F.col("p_partkey")).select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    th = flt.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
-    )
-    dec = lambda col: F.col(col).cast("decimal(18,2)")
-    return (
-        flt.join(th, flt.l_partkey == th.t_partkey)
-        .where(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(
-            F.round(
-                F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0) + F.lit(1e-9),
-                2,
-            ).alias("avg_yearly")
-        )
-    )
-
-
-@register(
-    "q19_disjunctive_revenue",
-    f"""
-    SELECT round(sum(l_extendedprice{_DEC} * (1 - l_discount{_DEC})), 2)::DOUBLE
-             AS revenue
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-           AND l_quantity BETWEEN 1 AND 11)
-       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-           AND l_quantity BETWEEN 10 AND 20)
-       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
-           AND l_quantity BETWEEN 20 AND 30)
-    """,
-)
-def q19_disjunctive_revenue(spark, sf_dir):
-    """TPC-H Q19 shape: disjunctive mixed part/lineitem predicates.
-    The part side pre-filters to the union of brand/size branches (the
-    pushdown-able part of the disjunction) and broadcasts; the residual
-    cross-table disjunction evaluates post-join in codegen."""
-    p = F.broadcast(
-        _t(spark, sf_dir, "part")
-        .where(
-            ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
-            | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
-            | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15))
-        )
-        .select("p_partkey", "p_brand", "p_size")
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    cond = (
-        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
-         & F.col("l_quantity").between(1, 11))
-        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
-           & F.col("l_quantity").between(10, 20))
-        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
-           & F.col("l_quantity").between(20, 30))
-    )
-    dec = lambda col: F.col(col).cast("decimal(18,2)")
-    return (
-        li.join(p, li.l_partkey == F.col("p_partkey"))
-        .where(cond)
-        .agg(
-            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
-            .cast("double")
-            .alias("revenue")
-        )
-    )
-
-
-@register(
-    "q22_idle_customers",
-    f"""
-    WITH pool AS (
-      SELECT c_custkey, c_nationkey, c_acctbal{_DEC} AS bal
-      FROM customer
-      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
-    ),
-    stats AS (
-      SELECT sum(bal) AS bal_sum, count(*) AS bal_cnt
-      FROM pool WHERE bal > 0
-    ),
-    eligible AS (
-      SELECT c_custkey, c_nationkey, bal
-      FROM pool, stats
-      WHERE bal * bal_cnt > bal_sum
-    )
-    SELECT c_nationkey, count(*) AS numcust,
-           round(sum(bal), 2)::DOUBLE AS totacctbal
-    FROM eligible
-    WHERE NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey
-                        AND o_orderdate >= '2000-01-01'::TIMESTAMP)
-    GROUP BY c_nationkey
-    """,
-)
-def q22_idle_customers(spark, sf_dir):
-    """TPC-H Q22 shape: customers above the average positive balance of
-    a nation pool who never ordered. The avg threshold is evaluated as
-    the exact integer-scaled comparison bal·count > sum over DECIMALs —
-    a double average of cents is order-dependent under parallel
-    summation and would make row membership nondeterministic. The
-    no-recent-orders predicate (nothing since 2000-01-01 — at testdata
-    scale every customer has SOME order, so the unwindowed Q22 predicate
-    selects nothing) is a LEFT ANTI join against the filtered orders."""
-    nations = [1, 3, 5, 7, 9, 11, 13]
-    pool = (
-        _t(spark, sf_dir, "customer")
-        .where(F.col("c_nationkey").isin(nations))
-        .select(
-            "c_custkey",
-            "c_nationkey",
-            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
-        )
-    )
-    stats = pool.where(F.col("bal") > 0).agg(
-        F.sum("bal").alias("bal_sum"), F.count(F.lit(1)).alias("bal_cnt")
-    )
-    eligible = pool.crossJoin(F.broadcast(stats)).where(
-        F.col("bal") * F.col("bal_cnt") > F.col("bal_sum")
-    )
-    o = (
-        _t(spark, sf_dir, "orders")
-        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
-        .select("o_custkey")
-    )
-    idle = eligible.join(o, eligible.c_custkey == o.o_custkey, "left_anti")
-    return idle.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("numcust"),
-        F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# TPC-H remainder — q2/q9/q11/q16/q20 shapes (completes the 22).
-#
-# The testdata lake carries no partsupp table, so a deterministic
-# partsupp-equivalent is derived IDENTICALLY on both engines from
-# lineitem's (part, supplier) pairs: ps_supplycost = min unit price ever
-# charged (rounded to 4 dp — exact thereafter), ps_availqty = total
-# quantity ever shipped (integer-valued double, exact). What these five
-# exercise is the DECORRELATION shapes nothing else in the registry
-# covers: q2's correlated scalar-min subquery, q9's multi-way
-# fact/derived-dim profit rollup, q11's scalar-aggregate HAVING, q16's
-# NOT-IN anti-join under count-distinct, q20's nested semi-join chain.
-# ---------------------------------------------------------------------------
-
-_PS_CTE = """ps AS (
-      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-             round(min(l_extendedprice / l_quantity), 4) AS ps_supplycost,
-             sum(l_quantity) AS ps_availqty
-      FROM lineitem
-      GROUP BY 1, 2
-    )"""
-
-
-def _derived_partsupp(spark, sf_dir):
-    """lineitem → (ps_partkey, ps_suppkey, ps_supplycost, ps_availqty).
-
-    One hash aggregate on (partkey, suppkey); both derived measures are
-    order-independent (min of per-row IEEE divisions; sum of
-    integer-valued quantities), so the relation is bit-identical across
-    engines and partitionings."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-        )
-        .agg(
-            F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
-            .alias("ps_supplycost"),
-            F.sum("l_quantity").alias("ps_availqty"),
-        )
-    )
-
-
-@register(
-    "q2_min_cost_supplier",
-    f"""
-    WITH {_PS_CTE},
-    eligible AS (
-      SELECT ps_partkey, ps_supplycost, s_name, s_acctbal, n_name
-      FROM ps
-      JOIN supplier ON s_suppkey = ps_suppkey
-      JOIN nation ON n_nationkey = s_nationkey
-      JOIN region ON r_regionkey = n_regionkey
-      WHERE r_name = 'EUROPE'
-    ),
-    mn AS (
-      SELECT ps_partkey AS m_partkey, min(ps_supplycost) AS min_cost
-      FROM eligible GROUP BY 1
-    )
-    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-           ps_supplycost AS supply_cost
-    FROM eligible
-    JOIN mn ON ps_partkey = m_partkey AND ps_supplycost = min_cost
-    JOIN part ON p_partkey = ps_partkey
-    WHERE p_size = 3 AND p_type = 'STANDARD'
-    """,
-)
-def q2_min_cost_supplier(spark, sf_dir):
-    """TPC-H Q2 shape: cheapest EUROPE supplier per STANDARD size-3
-    part. The reference pattern is the correlated scalar-min subquery
-    (cost = MIN(cost) over the same part, region-restricted); here it
-    decorrelates to a per-part min aggregate joined back on
-    (part, rounded-exact cost). Supplier×nation×region is tiny →
-    broadcast; eligible→mn are co-keyed on ps_partkey so the join
-    reuses the aggregate's partitioning. Ref: SURVEY §2.3 J-family."""
-    sup = (
-        _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(_t(spark, sf_dir, "nation")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .join(
-            F.broadcast(
-                _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-            ),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    eligible = _derived_partsupp(spark, sf_dir).join(
-        F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey")
-    )
-    mn = eligible.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
-    parts = F.broadcast(
-        _t(spark, sf_dir, "part")
-        .where((F.col("p_size") == 3) & (F.col("p_type") == "STANDARD"))
-        .select("p_partkey", "p_name")
-    )
-    return (
-        eligible.join(
-            mn,
-            (F.col("ps_partkey") == F.col("m_partkey"))
-            & (F.col("ps_supplycost") == F.col("min_cost")),
-        )
-        .join(parts, F.col("ps_partkey") == F.col("p_partkey"))
-        .select(
-            "s_acctbal",
-            "s_name",
-            "n_name",
-            "p_partkey",
-            "p_name",
-            F.col("ps_supplycost").alias("supply_cost"),
-        )
-    )
-
-
-@register(
-    "q9_product_profit",
-    """
-    WITH psq AS (
-      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-             CAST(round(min(l_extendedprice / l_quantity) * 10000, 0)
-                  AS BIGINT) AS cost_e4
-      FROM lineitem
-      GROUP BY 1, 2
-    ),
-    j AS (
-      SELECT n_name AS nation, year(l_shipdate)::INT AS o_year,
-             CAST(sum((l_extendedprice::DECIMAL(18,2)
-                        * (1 - l_discount::DECIMAL(18,2))) * 10000) AS BIGINT)
-               - sum(cost_e4 * CAST(l_quantity AS BIGINT)) AS profit_e4
-      FROM lineitem
-      JOIN psq ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN nation ON n_nationkey = s_nationkey
-      JOIN part ON p_partkey = l_partkey
-      WHERE p_name LIKE '%gear%'
-      GROUP BY 1, 2
-    )
-    SELECT nation, o_year,
-           (CASE WHEN profit_e4 >= 0
-                 THEN CAST(floor((profit_e4 + 50) / 100) AS BIGINT)
-                 ELSE -CAST(floor((-profit_e4 + 50) / 100) AS BIGINT)
-            END) / 100.0 AS sum_profit
-    FROM j
-    """,
-)
-def q9_product_profit(spark, sf_dir):
-    """TPC-H Q9 shape: profit on 'gear' parts by supplier nation and
-    ship year. Every intermediate is EXACT: the derived unit cost is a
-    BIGINT in 1e-4-dollar units (rounding the same IEEE double in both
-    engines), revenue accumulates in DECIMAL scaled to the same units,
-    and the final cents rounding is explicit half-away-from-zero integer
-    arithmetic — a double→DECIMAL(18,4) cast of the cost diverged
-    between engines by one unit in the last place, which a decimal SUM
-    then amplified to visible cents. part filter and supplier×nation
-    broadcast; the data-sized shuffles are the ps aggregate and the
-    (nation, year) rollup."""
-    li = _t(spark, sf_dir, "lineitem")
-    psq = li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 10000, 0)
-        .cast("bigint")
-        .alias("cost_e4")
-    )
-    sup = F.broadcast(
-        _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(_t(spark, sf_dir, "nation")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "n_name")
-    )
-    parts = F.broadcast(
-        _t(spark, sf_dir, "part")
-        .where(F.col("p_name").like("%gear%"))
-        .select("p_partkey")
-    )
-    dec2 = lambda col: F.col(col).cast("decimal(18,2)")
-    rev_e4 = (dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))) * F.lit(
-        10000
-    )
-    cost_term = F.col("cost_e4") * F.col("l_quantity").cast("bigint")
-    j = (
-        li.join(parts, li.l_partkey == F.col("p_partkey"))
-        .join(
-            psq,
-            (F.col("l_partkey") == F.col("ps_partkey"))
-            & (F.col("l_suppkey") == F.col("ps_suppkey")),
-        )
-        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("l_shipdate").cast("int").alias("o_year"),
-        )
-        .agg(
-            (
-                F.sum(rev_e4).cast("bigint") - F.sum(cost_term)
-            ).alias("profit_e4")
-        )
-    )
-    p = F.col("profit_e4")
-    cents = F.when(
-        p >= 0, F.floor((p + 50) / 100).cast("bigint")
-    ).otherwise(-F.floor((-p + 50) / 100).cast("bigint"))
-    return j.select(
-        "nation", "o_year", (cents / F.lit(100.0)).alias("sum_profit")
-    )
-
-
-@register(
-    "q11_important_stock",
-    f"""
-    WITH {_PS_CTE},
-    filt AS (
-      SELECT ps_partkey,
-             ps_supplycost::DECIMAL(18,4) * ps_availqty::DECIMAL(18,2) AS value
-      FROM ps JOIN supplier ON s_suppkey = ps_suppkey
-      WHERE s_nationkey IN (0, 1, 2, 3, 4)
-    ),
-    grouped AS (SELECT ps_partkey, sum(value) AS pv FROM filt GROUP BY 1),
-    tot AS (SELECT sum(pv) AS total FROM grouped)
-    SELECT ps_partkey, round(pv, 2)::DOUBLE AS part_value
-    FROM grouped, tot
-    WHERE pv * 1000 > total
-    """,
-)
-def q11_important_stock(spark, sf_dir):
-    """TPC-H Q11 shape: parts whose stock value (derived supplycost ×
-    availqty) for nations 0-4 exceeds 0.1% of the total. The scalar
-    HAVING subquery decorrelates to a one-row aggregate broadcast back
-    over the grouped view; the comparison is integer-scaled
-    (pv·1000 > total) on exact DECIMALs so membership is deterministic
-    — a double fraction would wobble at the threshold."""
-    filt = (
-        _derived_partsupp(spark, sf_dir)
-        .join(
-            F.broadcast(
-                _t(spark, sf_dir, "supplier")
-                .where(F.col("s_nationkey").isin(0, 1, 2, 3, 4))
-                .select("s_suppkey")
-            ),
-            F.col("ps_suppkey") == F.col("s_suppkey"),
-        )
-        .select(
-            "ps_partkey",
-            (
-                F.col("ps_supplycost").cast("decimal(18,4)")
-                * F.col("ps_availqty").cast("decimal(18,2)")
-            ).alias("value"),
-        )
-    )
-    grouped = filt.groupBy("ps_partkey").agg(F.sum("value").alias("pv"))
-    tot = grouped.agg(F.sum("pv").alias("total"))
-    return (
-        grouped.crossJoin(F.broadcast(tot))
-        .where(F.col("pv") * 1000 > F.col("total"))
-        .select("ps_partkey", F.round("pv", 2).cast("double").alias("part_value"))
-    )
-
-
-@register(
-    "q16_supplier_part_count",
-    """
-    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
-    SELECT p_brand, p_type, p_size,
-           count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
-    FROM ps JOIN part ON p_partkey = l_partkey
-    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
-      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-    GROUP BY 1, 2, 3
-    """,
-)
-def q16_supplier_part_count(spark, sf_dir):
-    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) over
-    the observed part-supplier relation, excluding one brand/type and
-    negative-balance suppliers. The NOT IN becomes a broadcast LEFT
-    ANTI join (the excluded set is provably non-null here, so anti-join
-    ≡ NOT IN); count(DISTINCT) runs as Spark's two-phase distinct
-    aggregate on the (brand, type, size) shuffle."""
-    ps = (
-        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    )
-    bad = F.broadcast(
-        _t(spark, sf_dir, "supplier")
-        .where(F.col("s_acctbal") < 0)
-        .select("s_suppkey")
-    )
-    parts = F.broadcast(
-        _t(spark, sf_dir, "part")
-        .where(
-            (F.col("p_brand") != "Brand#5")
-            & (F.col("p_type") != "PROMO")
-            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
-        )
-        .select("p_partkey", "p_brand", "p_type", "p_size")
-    )
-    return (
-        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-@register(
-    "q20_promotion_suppliers",
-    f"""
-    WITH {_PS_CTE},
-    pk AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
-    shipped AS (
-      SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
-        AND l_shipdate < TIMESTAMP '1999-01-01'
-      GROUP BY 1, 2
-    ),
-    cand AS (
-      SELECT DISTINCT ps_suppkey
-      FROM ps
-      JOIN pk ON ps_partkey = p_partkey
-      JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
-      WHERE ps_availqty > half_qty
-    )
-    SELECT s_suppkey, s_name
-    FROM supplier JOIN cand ON s_suppkey = ps_suppkey
-    WHERE s_nationkey IN (0, 1, 2, 3, 4)
-    """,
-)
-def q20_promotion_suppliers(spark, sf_dir):
-    """TPC-H Q20 shape: nations-0-4 suppliers holding more than half of
-    1998's shipped quantity of 'small%' parts. The nested
-    IN(IN(...), correlated scalar) chain decorrelates to: per-pair 1998
-    shipment aggregate, inner-joined to derived availqty on the SAME
-    (partkey, suppkey) keys (co-partitioned — one shuffle feeds both
-    aggregates), part filter broadcast, then a distinct-suppkey semi
-    join into the 100-row supplier dim. Both compared quantities are
-    integer-valued-double sums → exact comparison."""
-    li = _t(spark, sf_dir, "lineitem")
-    pk = F.broadcast(
-        _t(spark, sf_dir, "part")
-        .where(F.col("p_name").like("small%"))
-        .select("p_partkey")
-    )
-    shipped = (
-        li.where(
-            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
-    )
-    cand = (
-        _derived_partsupp(spark, sf_dir)
-        .join(pk, F.col("ps_partkey") == F.col("p_partkey"))
-        .join(
-            shipped,
-            (F.col("l_partkey") == F.col("ps_partkey"))
-            & (F.col("l_suppkey") == F.col("ps_suppkey")),
-        )
-        .where(F.col("ps_availqty") > F.col("half_qty"))
-        .select("ps_suppkey")
-        .distinct()
-    )
-    return (
-        _t(spark, sf_dir, "supplier")
-        .where(F.col("s_nationkey").isin(0, 1, 2, 3, 4))
-        .join(F.broadcast(cand), F.col("s_suppkey") == F.col("ps_suppkey"))
-        .select("s_suppkey", "s_name")
-    )
-
-
-@register("knn_ivf_kmeans_l2", None)
-def knn_ivf_kmeans_l2(spark, sf_dir):
-    """Strategy (d) with distributed centroid training (Spark ML
-    k-means||) instead of the driver-side sample fit — rows-only like
-    the other approximate tiers; recall pinned by tests."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return knn_join(emb, emb, k=5, strategy="ivf", ivf_fit="kmeans_ml")
-
-
-def _mix_case_sql(fractions: dict[str, float], m: int = 1_000_000) -> str:
-    from semantic_ann_in_data_lake_spark.functions.hashing import portable_hash_expr
-
-    branches = " ".join(
-        f"WHEN source = '{g}' THEN {int(round(f * m))}"
-        for g, f in sorted(fractions.items())
-    )
-    hk = portable_hash_expr("doc_id::VARCHAR", seed="mix42:")
-    return f"({hk}) % {m} < (CASE {branches} ELSE 0 END)"
-
-
-_MIX_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1, "src4": 0.0}
-
-
-@register(
-    "mix_sample_docs",
-    f"""
-    SELECT doc_id, source FROM documents
-    WHERE {_mix_case_sql(_MIX_FRACS)}
-    """,
-)
-def mix_sample_docs(spark, sf_dir):
-    """Pretraining-mix sampling: per-source deterministic Bernoulli keep
-    fractions (1.0 / 0.5 / 0.25 / 0.1 / 0.0 over src0..src4; unlisted
-    sources drop) — a row-local hash filter, no shuffle, no counts."""
-    from semantic_ann_in_data_lake_spark.operators.pairs import mix_sample
-
-    d = _t(spark, sf_dir, "documents")
-    return mix_sample(d, _MIX_FRACS).select("doc_id", "source")
-
-
-@register(
-    "profile_percentiles_lineitem",
-    """
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.25) + 1e-9, 4) AS p25,
-           round(quantile_cont(l_extendedprice, 0.50) + 1e-9, 4) AS p50,
-           round(quantile_cont(l_extendedprice, 0.75) + 1e-9, 4) AS p75,
-           round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 4) AS p95
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def profile_percentiles_lineitem(spark, sf_dir):
-    """Distribution profiling: exact linear-interpolated percentiles per
-    group (Spark `percentile` == DuckDB `quantile_cont` definition; the
-    exact form is the oracle-gateable tier — `approx_percentile`'s
-    t-digest is the scale tier, engine-specific by construction, kept
-    rows-only in profile_approx_distinct's family)."""
-    li = _t(spark, sf_dir, "lineitem")
-    agg = [
-        F.round(
-            F.percentile("l_extendedprice", F.lit(p)) + F.lit(1e-9), 4
-        ).alias(name)
-        for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
-    ]
-    return li.groupBy("l_returnflag").agg(*agg)
-
-
-@register(
-    "quality_filter_docs",
-    f"""
-    WITH {_W_CTE},
-    s AS (
-      SELECT doc_id, len(w) AS n_tokens,
-             greatest(len(w) - 2, 0) AS n_ngrams,
-             len({word_shingles_from_sql('w', 3)}) AS n_distinct_ngrams,
-             len(list_filter(w, tk -> tk IN ({_STOP_IN}))) AS stop_hits
-      FROM w
-    )
-    SELECT doc_id FROM s
-    WHERE n_tokens BETWEEN 20 AND 200
-      AND round(stop_hits::DOUBLE / greatest(n_tokens, 1) + 1e-9, 4) >= 0.05
-      AND round((CASE WHEN n_ngrams = 0 THEN 0.0
-                 ELSE (n_ngrams - n_distinct_ngrams)::DOUBLE / n_ngrams END)
-                + 1e-9, 4) <= 0.2
-    """,
-)
-def quality_filter_docs(spark, sf_dir):
-    """Composed quality gate (the Gopher-rule pipeline): token-count
-    band AND stopword-ratio floor AND duplicate-n-gram ceiling — the
-    standard keep/drop decision a pretraining ingest applies per
-    document. Composed as ONE projection over a single staged words
-    array (not a join of token_stats ⋈ repetition_stats — that shape
-    costs a shuffle for what is a row-local predicate): the whole
-    filter runs inside whole-stage codegen on the scan."""
-    from semantic_ann_in_data_lake_spark.functions.text import (
-        word_shingles_from,
-        words,
-    )
-    from semantic_ann_in_data_lake_spark.operators.textstats import (
-        STOPWORDS,
-        _count_in,
-        _r4,
-    )
-
-    d = _t(spark, sf_dir, "documents")
-    staged = d.select(F.col("doc_id"), words("text").alias("__w")).select(
-        "doc_id",
-        F.size("__w").alias("n_tokens"),
-        F.greatest(F.size("__w") - F.lit(2), F.lit(0)).alias("n_ngrams"),
-        F.size(word_shingles_from(F.col("__w"), 3)).alias("n_distinct_ngrams"),
-        _count_in(F.col("__w"), STOPWORDS).alias("stop_hits"),
-    )
-    stop_ratio = _r4(
-        F.col("stop_hits").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
-    )
-    dup_frac = _r4(
-        F.when(F.col("n_ngrams") == 0, F.lit(0.0)).otherwise(
-            (F.col("n_ngrams") - F.col("n_distinct_ngrams")).cast("double")
-            / F.col("n_ngrams")
-        )
-    )
-    return staged.where(
-        F.col("n_tokens").between(20, 200)
-        & (stop_ratio >= 0.05)
-        & (dup_frac <= 0.2)
-    ).select("doc_id")
-
-
-@register(
-    "customer_order_trends",
-    """
-    SELECT o_custkey, o_orderkey,
-           row_number() OVER w AS order_seq,
-           round(o_totalprice::DECIMAL(18,2), 2)::DOUBLE AS price,
-           round(lag(o_totalprice::DECIMAL(18,2)) OVER w, 2)::DOUBLE AS prev_price,
-           round(sum(o_totalprice::DECIMAL(18,2)) OVER
-                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE
-             AS running_total,
-           round((avg(o_totalprice::DECIMAL(18,2)) OVER
-                 (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::DOUBLE + 1e-9, 2)
-             AS moving_avg3
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-)
-def customer_order_trends(spark, sf_dir):
-    """Per-customer order-sequence analytics: sequence number, previous
-    price (lag), running total, 3-order moving average — the rolling
-    window family over a properly partitioned window (shuffle by
-    customer only; no global sort). Money stays DECIMAL through every
-    frame; only the divided moving average crosses to double (with the
-    rounding bias)."""
-    o = _t(spark, sf_dir, "orders")
-    dec = F.col("o_totalprice").cast("decimal(18,2)")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wavg = w.rowsBetween(-2, Window.currentRow)
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.row_number().over(w).alias("order_seq"),
-        F.round(dec, 2).cast("double").alias("price"),
-        F.round(F.lag(dec).over(w), 2).cast("double").alias("prev_price"),
-        F.round(F.sum(dec).over(wrun), 2).cast("double").alias("running_total"),
-        F.round(F.avg(dec).over(wavg).cast("double") + F.lit(1e-9), 2).alias(
-            "moving_avg3"
-        ),
-    )
-
-
-@register(
-    "view_error_interval_join",
-    """
-    SELECT v.user_id,
-           v.event_id AS view_event_id, v.ts::TIMESTAMP AS view_ts,
-           e.event_id AS error_event_id, e.ts::TIMESTAMP AS error_ts
-    FROM events v JOIN events e
-      ON v.user_id = e.user_id
-     AND e.ts > v.ts AND e.ts <= v.ts + INTERVAL 10 MINUTE
-    WHERE v.event_type = 'view' AND e.event_type = 'error'
-    """,
-)
-def view_error_interval_join(spark, sf_dir):
-    """Interval (range) join: every error within 10 minutes after a view
-    by the same user — the BATCH twin of the stream-stream join
-    (streaming/profile_stream.error_after_view_join_stream runs the
-    SAME plan under watermarked state; the equality test pins the two).
-    Equi-key on user_id carries the shuffle; the time interval is a
-    residual predicate — no cartesian."""
-    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
-        error_after_view_join_stream,
-    )
-
-    ev = _t(spark, sf_dir, "events")
-    views = ev.where(F.col("event_type") == "view")
-    errors = ev.where(F.col("event_type") == "error")
-    return error_after_view_join_stream(views, errors)
-
-
-@register(
-    "events_sliding_rollup",
-    """
-    WITH offs AS (SELECT unnest([0, 1]) AS off),
-    e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events)
-    SELECT time_bucket(INTERVAL '30 minutes', ts) - off * INTERVAL '30 minutes'
-             AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS sum_value
-    FROM e CROSS JOIN offs
-    GROUP BY 1, 2
-    """,
-)
-def events_sliding_rollup(spark, sf_dir):
-    """Sliding-window rollup: 1-hour windows every 30 minutes (each
-    event lands in exactly window/slide = 2 buckets). Spark's
-    F.window(slide) explodes the same two assignments internally; the
-    oracle makes the expansion explicit with an offset cross join.
-    Same plan runs streamed under a watermark (hourly_rollup_stream
-    generalizes; window state is bounded by watermark horizon ×
-    bucket cardinality)."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy(
-            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
-
-
-@register(
-    "cube_revenue",
-    """
-    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
-           coalesce(l_linestatus, '<all>') AS linestatus,
-           grouping(l_returnflag)::INT AS g_flag,
-           grouping(l_linestatus)::INT AS g_status,
-           count(*) AS n,
-           round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS revenue
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def cube_revenue(spark, sf_dir):
-    """CUBE grouping sets over (returnflag, linestatus) with GROUPING()
-    provenance flags — all four aggregation levels in one pass (Spark
-    Expand + single partial-agg shuffle, not four scans)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.grouping("l_returnflag").cast("int").alias("g_flag"),
-            F.grouping("l_linestatus").cast("int").alias("g_status"),
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("revenue"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
-            "g_flag",
-            "g_status",
-            "n",
-            "revenue",
-        )
-    )
-
-
-@register(
-    "profile_entropy",
-    """
-    WITH ec AS (SELECT event_type AS v, count(*) AS n FROM events GROUP BY 1),
-    et AS (SELECT sum(n) AS tot, count(*) AS k FROM ec),
-    sc AS (SELECT source AS v, count(*) AS n FROM documents GROUP BY 1),
-    st AS (SELECT sum(n) AS tot, count(*) AS k FROM sc),
-    pc AS (SELECT o_orderpriority AS v, count(*) AS n FROM orders GROUP BY 1),
-    pt AS (SELECT sum(n) AS tot, count(*) AS k FROM pc)
-    SELECT 'event_type' AS "column", k::BIGINT AS n_distinct,
-           round(-sum((n::DOUBLE / tot) * log2(n::DOUBLE / tot)) + 1e-9, 4)
-             AS entropy
-    FROM ec, et GROUP BY k
-    UNION ALL
-    SELECT 'source', k::BIGINT,
-           round(-sum((n::DOUBLE / tot) * log2(n::DOUBLE / tot)) + 1e-9, 4)
-    FROM sc, st GROUP BY k
-    UNION ALL
-    SELECT 'o_orderpriority', k::BIGINT,
-           round(-sum((n::DOUBLE / tot) * log2(n::DOUBLE / tot)) + 1e-9, 4)
-    FROM pc, pt GROUP BY k
-    """,
-)
-def profile_entropy(spark, sf_dir):
-    """Column information-content profiling: Shannon entropy + distinct
-    count for the categorical columns of three tables in one result."""
-    ev = _t(spark, sf_dir, "events").select(F.col("event_type"))
-    docs = _t(spark, sf_dir, "documents").select(F.col("source"))
-    o = _t(spark, sf_dir, "orders").select(F.col("o_orderpriority"))
-    a = profiler.categorical_entropy(ev, ["event_type"])
-    b = profiler.categorical_entropy(docs, ["source"])
-    c = profiler.categorical_entropy(o, ["o_orderpriority"])
-    return a.unionByName(b).unionByName(c)
-
-
-@register(
-    "histogram_totalprice",
-    """
-    SELECT floor(o_totalprice / 50000)::INT AS bucket,
-           count(*) AS n,
-           round(min(o_totalprice)::DECIMAL(18,2), 2)::DOUBLE AS lo,
-           round(max(o_totalprice)::DECIMAL(18,2), 2)::DOUBLE AS hi
-    FROM orders GROUP BY 1
-    """,
-)
-def histogram_totalprice(spark, sf_dir):
-    """Fixed-width histogram of order totals: bucket index + count +
-    actual [lo, hi] per bucket — one partial-aggregating groupBy, the
-    profiling primitive behind range-skew diagnostics."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy(
-        F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.min("o_totalprice").cast("decimal(18,2)"), 2)
-        .cast("double")
-        .alias("lo"),
-        F.round(F.max("o_totalprice").cast("decimal(18,2)"), 2)
-        .cast("double")
-        .alias("hi"),
-    )
-
-
-@register(
-    "validate_orders",
-    """
-    WITH base AS (
-      SELECT count(*) AS n,
-             sum(CASE WHEN NOT (o_totalprice > 0)
-                      OR o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_price,
-             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_cust,
-             sum(CASE WHEN NOT (o_orderdate >= '1990-01-01'::TIMESTAMP
-                                AND o_orderdate < '2010-01-01'::TIMESTAMP)
-                      OR o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_date
-      FROM orders
-    ),
-    uq AS (
-      SELECT sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS viol,
-             sum(c)::BIGINT AS n
-      FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
-    )
-    SELECT 'price_positive' AS rule, n AS n_rows, v_price AS n_violations,
-           v_price = 0 AS pass FROM base
-    UNION ALL
-    SELECT 'custkey_not_null', n, v_cust, v_cust = 0 FROM base
-    UNION ALL
-    SELECT 'orderdate_in_range', n, v_date, v_date = 0 FROM base
-    UNION ALL
-    SELECT 'unique(o_orderkey)', n, viol, viol = 0 FROM uq
-    """,
-)
-def validate_orders(spark, sf_dir):
-    """Expectation checks over orders: positivity, non-null key, date
-    range (single shared aggregation) + o_orderkey uniqueness (one
-    distinct-count agg) — the data-quality report a pipeline runs
-    before publishing a table."""
-    o = _t(spark, sf_dir, "orders")
-    return profiler.validate(
-        o,
-        rules={
-            "price_positive": F.col("o_totalprice") > 0,
-            "custkey_not_null": F.col("o_custkey").isNotNull(),
-            "orderdate_in_range": (
-                F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp")
-            )
-            & (F.col("o_orderdate") < F.lit("2010-01-01").cast("timestamp")),
-        },
-        unique_cols=["o_orderkey"],
-    )
-
-
-@register(
-    "upsert_orders_latest",
-    """
-    WITH updates AS (
-      SELECT o_orderkey, o_custkey, o_orderstatus,
-             round(o_totalprice::DECIMAL(18,2) * 1.1, 2)::DOUBLE AS o_totalprice,
-             o_orderdate, o_orderpriority, 2 AS version
-      FROM orders WHERE o_orderkey % 7 = 0
-    ),
-    uni AS (
-      SELECT o_orderkey, o_custkey, o_orderstatus,
-             round(o_totalprice::DECIMAL(18,2), 2)::DOUBLE AS o_totalprice,
-             o_orderdate, o_orderpriority, 1 AS version
-      FROM orders
-      UNION ALL SELECT * FROM updates
-    )
-    SELECT o_orderkey,
-           round(o_totalprice::DECIMAL(18,2), 2)::DOUBLE AS o_totalprice,
-           version
-    FROM uni
-    QUALIFY row_number() OVER (PARTITION BY o_orderkey
-                               ORDER BY version DESC, o_orderkey DESC) = 1
-    """,
-)
-def upsert_orders_latest(spark, sf_dir):
-    """Batch MERGE semantics: a deterministic update set (every 7th
-    order re-priced at +10%, version 2) upserted over the base snapshot
-    (version 1) — latest version wins per key via one key-partitioned
-    window; the updated keys must surface version 2 and the new price."""
-    from semantic_ann_in_data_lake_spark.operators.pairs import upsert_latest
-
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
-    base = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus",
-        F.round(dec("o_totalprice"), 2).cast("double").alias("o_totalprice"),
-        "o_orderdate", "o_orderpriority", F.lit(1).alias("version"),
-    )
-    updates = base.where(F.col("o_orderkey") % 7 == 0).withColumn(
-        "o_totalprice",
-        F.round(dec("o_totalprice") * F.lit(1.1), 2).cast("double"),
-    ).withColumn("version", F.lit(2))
-    merged = upsert_latest(base, updates, keys=["o_orderkey"], version_col="version")
-    return merged.select(
-        "o_orderkey",
-        F.round(dec("o_totalprice"), 2).cast("double").alias("o_totalprice"),
-        "version",
-    )
-
-
-@register(
-    "q21_waiting_supplier",
-    """
-    SELECT l1.l_suppkey, count(*) AS numwait
-    FROM lineitem l1 JOIN orders ON o_orderkey = l1.l_orderkey
-    WHERE o_orderstatus = 'F'
-      AND EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate > l1.l_shipdate)
-    GROUP BY l1.l_suppkey
-    """,
-)
-def q21_waiting_supplier(spark, sf_dir):
-    """TPC-H Q21 shape (no receiptdate in testdata — 'kept the order
-    waiting' becomes 'shipped last'): per supplier, finished orders
-    where at least one OTHER supplier participated (correlated EXISTS →
-    LEFT SEMI join) and no other supplier shipped later (correlated
-    NOT EXISTS → LEFT ANTI join). Both decorrelate onto the l_orderkey
-    shuffle key, so the three lineitem scans co-partition."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
-        "o_orderkey"
-    )
-    l1 = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    )
-    l3 = li.select(
-        F.col("l_orderkey").alias("o3"),
-        F.col("l_suppkey").alias("s3"),
-        F.col("l_shipdate").alias("ship3"),
-    )
-    stage = l1.join(
-        l2,
-        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
-        "left_semi",
-    ).join(
-        l3,
-        (F.col("l_orderkey") == F.col("o3"))
-        & (F.col("l_suppkey") != F.col("s3"))
-        & (F.col("ship3") > F.col("l_shipdate")),
-        "left_anti",
-    )
-    return stage.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
-
-
-@register(
-    "dedup_keep_canonical",
-    f"""
-    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_minhash_lsh_sql(8, 2, 0.01)}) t),
-    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-    nodes AS (SELECT DISTINCT s AS id FROM edges),
-    reach(id, lbl) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.d
-    ),
-    assign AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-    SELECT doc_id FROM documents
-    WHERE doc_id NOT IN (SELECT id FROM assign WHERE id <> cluster_id)
-    """,
-)
-def dedup_keep_canonical(spark, sf_dir):
-    """The end-to-end corpus-dedup deliverable: MinHash-LSH near-dup
-    pairs → connected components → drop every non-canonical cluster
-    member → the kept doc_id set (singletons pass through untouched via
-    a LEFT ANTI join against the dropped set). This is the composition
-    a pretraining ingest actually ships; every stage is the gated
-    operator it reuses."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_dups(
-        docs, num_hashes=16, bands=8, rows_per_band=2, threshold=0.01
-    )
-    clusters = dedup.dedup_clusters(pairs)
-    dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    return docs.select("doc_id").join(dropped, "doc_id", "left_anti")
-
-
-def _lake_discovery_sql(tables: dict[str, list[str]], dim: int = 16, k: int = 3) -> str:
-    from semantic_ann_in_data_lake_spark.annotate.embedder import hash_embedding_sql
-    from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq_sql
-
-    col_rows = []
-    for t, cols in tables.items():
-        for c in cols:
-            col_rows.append(
-                f"SELECT '{t}.{c}' AS col_key, '{t}' AS table_name, "
-                f"'{t}.{c} n=' || (SELECT count(*) FROM {t})::VARCHAR "
-                f"|| ' distinct=' || (SELECT count(DISTINCT {c}) FROM {t})::VARCHAR "
-                f"|| ' nulls=' || (SELECT sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) "
-                f"FROM {t})::VARCHAR AS \"desc\""
-            )
-    cat = " UNION ALL ".join(col_rows)
-    return f"""
-    WITH cat AS ({cat}),
-    emb AS (SELECT col_key, table_name, {hash_embedding_sql('"desc"', dim)} AS e
-            FROM cat),
-    pairs AS (
-      SELECT a.col_key AS query_col, b.col_key AS cand_col,
-             round({l2_sq_sql('a.e', 'b.e')}, 6) AS distance
-      FROM emb a JOIN emb b ON a.table_name <> b.table_name
-    )
-    SELECT query_col, cand_col, distance, rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_col
-                                   ORDER BY distance, cand_col) AS rank
-      FROM pairs
-    ) WHERE rank <= {k}
-    """
-
-
-_DISCOVERY_TABLES = {
-    "region": ["r_regionkey", "r_name"],
-    "nation": ["n_nationkey", "n_name", "n_regionkey"],
-    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
-    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
-}
-
-
-@register("lake_join_discovery", _lake_discovery_sql(_DISCOVERY_TABLES))
-def lake_join_discovery(spark, sf_dir):
-    """The reference's headline scenario over the ACTUAL lake: profile
-    every column of four tables (one wide agg per table), serialize each
-    column description, hash-embed it, and rank top-3 cross-table
-    candidate join columns per column by embedding L2. Fully hash-gated
-    end to end — profiling counts, serialization bytes, embedding
-    components, distances, and ranking all reproduce in the oracle."""
-    from semantic_ann_in_data_lake_spark.operators.discovery import (
-        discover_joinable_columns,
-    )
-
-    return discover_joinable_columns(spark, sf_dir, list(_DISCOVERY_TABLES))
-
-
-@register(
-    "customer_trailing_revenue",
-    """
-    SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice::DECIMAL(18,2)) OVER (
-             PARTITION BY o_custkey ORDER BY epoch(o_orderdate::TIMESTAMP)
-             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
-           ), 2)::DOUBLE AS trailing_30d_revenue
-    FROM orders
-    """,
-)
-def customer_trailing_revenue(spark, sf_dir):
-    """RANGE-frame window (the time-based frame ROWS cannot express):
-    per order, the customer's revenue over the trailing 30 days —
-    orders at the same timestamp share one frame value, and gaps in
-    order history shrink the frame (unlike a fixed row count). Ordered
-    by epoch seconds so the numeric RANGE bound is engine-portable."""
-    o = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
-        .rangeBetween(-30 * 86400, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
-        .cast("double")
-        .alias("trailing_30d_revenue"),
-    )
-
-
-@register(
-    "funnel_view_click_purchase",
-    """
-    WITH f AS (
-      SELECT user_id,
-             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-      FROM events GROUP BY user_id
-    )
-    SELECT count(t_view)::BIGINT AS n_view,
-           sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)::BIGINT
-             AS n_view_then_click,
-           sum(CASE WHEN t_click > t_view AND t_purchase > t_click
-                    THEN 1 ELSE 0 END)::BIGINT AS n_full_funnel
-    FROM f
-    """,
-)
-def funnel_view_click_purchase(spark, sf_dir):
-    """Ordered funnel: users who viewed, then clicked AFTER the first
-    view, then purchased AFTER that first click — the classic
-    sequence-constrained conversion count. One conditional-min
-    aggregation per user (map-side partial) + one global roll-up; no
-    joins, no per-step scans."""
-    e = _t(spark, sf_dir, "events")
-    m = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
-    f = e.groupBy("user_id").agg(
-        m("view").alias("t_view"),
-        m("click").alias("t_click"),
-        m("purchase").alias("t_purchase"),
-    )
-    step2 = F.col("t_click") > F.col("t_view")
-    step3 = step2 & (F.col("t_purchase") > F.col("t_click"))
-    return f.agg(
-        F.count("t_view").alias("n_view"),
-        F.sum(F.when(step2, 1).otherwise(0)).alias("n_view_then_click"),
-        F.sum(F.when(step3, 1).otherwise(0)).alias("n_full_funnel"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Training-pipeline capstones, round 3: benchmark decontamination and
-# sequence packing (operators/decontam.py, operators/packing.py)
-# ---------------------------------------------------------------------------
-
-@register(
-    "decontaminate_docs",
-    f"""
-    WITH w AS (SELECT doc_id, {_TOKS} AS w FROM documents),
-    g AS (SELECT doc_id, unnest({word_shingles_from_sql('w', 4)}) AS gram
-          FROM w),
-    bench AS (SELECT doc_id FROM documents WHERE doc_id % 37 = 0),
-    bg AS (SELECT DISTINCT gram FROM g JOIN bench USING (doc_id))
-    SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS n_overlap
-    FROM g JOIN bg USING (gram)
-    WHERE g.doc_id NOT IN (SELECT doc_id FROM bench)
-    GROUP BY g.doc_id
-    """,
-)
-def decontaminate_docs(spark, sf_dir):
-    """Benchmark decontamination: corpus docs leaking word 4-grams from
-    a (deterministic) benchmark subset — (doc_id, n_overlap). The
-    benchmark gram set broadcasts; the corpus side streams through one
-    explode + count-distinct. On this synthetic corpus the hits are
-    exactly the planted near-duplicates plus a handful of chance
-    4-gram collisions — the discrimination a real decontam pass needs."""
-    from semantic_ann_in_data_lake_spark.operators.decontam import (
-        contaminated_docs,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    bench = docs.where(F.col("doc_id") % 37 == 0)
-    return contaminated_docs(docs, bench, n=4, min_overlap=1)
-
-
-@register(
-    "pack_sequences_docs",
-    f"""
-    WITH t AS (
-      SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents
-    ),
-    c AS (
-      SELECT doc_id, n_tokens,
-             (sum(n_tokens) OVER (ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              - n_tokens)::BIGINT AS cum_before
-      FROM t
-    )
-    SELECT doc_id, n_tokens, cum_before,
-           (cum_before // 256)::BIGINT AS bin_id,
-           (cum_before % 256)::BIGINT AS bin_offset
-    FROM c
-    """,
-)
-def pack_sequences_docs(spark, sf_dir):
-    """Sequence packing for training batches: contiguous id-order
-    assignment of every doc to a 256-token-budget bin. The Spark side
-    computes the global running token count as a DISTRIBUTED prefix sum
-    (range partition → per-partition window → schema-sized totals →
-    broadcast offsets — operators/packing.py); the oracle is the plain
-    single-stream window, proving the distributed decomposition exact."""
-    from semantic_ann_in_data_lake_spark.operators.packing import pack_sequences
-
-    return pack_sequences(_t(spark, sf_dir, "documents"), budget=256)
-
-
-@register(
-    "salted_heavy_user_rollup",
-    """
-    WITH d AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY 1)
-    SELECT event_type, count(*)::BIGINT AS n_events,
-           count(DISTINCT e.user_id)::BIGINT AS n_users
-    FROM events e JOIN d USING (user_id)
-    WHERE user_total > 70
-    GROUP BY 1
-    """,
-)
-def salted_heavy_user_rollup(spark, sf_dir):
-    """Heavy-user activity rollup routed through the SKEW-SALTED join
-    (operators/joins.py): hot user_ids (detected by a bounded
-    top-frequency scan) spread across salt sub-keys before the shuffle,
-    cold keys join plain, and the oracle — a plain SQL join — proves the
-    salted decomposition changes the PLAN, not the result. At 100 TB
-    this is the operator for power-law keys AQE's post-hoc splitting
-    can't fix (it splits tasks, not the per-key pair blowup)."""
-    from semantic_ann_in_data_lake_spark.operators.joins import (
-        detect_hot_keys,
-        salted_join,
-    )
-
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
-    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
-    hot = detect_hot_keys(ev, "user_id", threshold=70)
-    joined = salted_join(ev, dim, "user_id", salt_factor=4, hot_keys=hot)
-    return (
-        joined.where(F.col("user_total") > 70)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct("user_id").alias("n_users"),
-        )
-    )
-
-
-def _zorder_oracle_sql() -> str:
-    """DuckDB twin of layout.zorder_key over (o_custkey, o_totalprice),
-    8 bits each: identical scaling arithmetic, identical interleave."""
-    terms = []
-    for b in range(8):
-        for i in (0, 1):
-            terms.append(f"(((s{i} >> {b}) & 1) << {b * 2 + i})")
-    zexpr = " | ".join(terms)
-    scale = (
-        "CASE WHEN mx{i} > mn{i} THEN floor(({col}::DOUBLE - mn{i})"
-        " / (mx{i} - mn{i}) * 255)::BIGINT ELSE 0 END"
-    )
-    s0 = scale.format(i=0, col="o_custkey")
-    s1 = scale.format(i=1, col="o_totalprice")
-    return f"""
-    WITH bounds AS (
-      SELECT min(o_custkey::DOUBLE) AS mn0, max(o_custkey::DOUBLE) AS mx0,
-             min(o_totalprice::DOUBLE) AS mn1, max(o_totalprice::DOUBLE) AS mx1
-      FROM orders
-    ),
-    s AS (
-      SELECT o_orderkey, {s0} AS s0, {s1} AS s1 FROM orders, bounds
-    )
-    SELECT o_orderkey, ({zexpr})::BIGINT AS zkey FROM s
-    """
-
-
-@register("zorder_key_orders", _zorder_oracle_sql())
-def zorder_key_orders(spark, sf_dir):
-    """Morton/Z-order clustering key over (o_custkey, o_totalprice) —
-    the layout-optimization primitive (operators/layout.py): min-max
-    scale each column to 8 bits, interleave. Pure shift/mask column
-    arithmetic (codegen'd, no UDF); the DuckDB oracle recomputes the
-    identical interleave, pinning cross-engine determinism of the
-    curve. The pruning payoff is pinned by
-    test_zorder_layout_prunes_both_columns."""
-    from semantic_ann_in_data_lake_spark.operators.layout import with_zorder_key
-
-    orders = _t(spark, sf_dir, "orders")
-    return with_zorder_key(
-        orders, ["o_custkey", "o_totalprice"], bits=8
-    ).select("o_orderkey", "zkey")
-
-
-@register(
-    "band_join_view_purchase",
-    """
-    SELECT v.user_id, v.event_id AS view_event_id,
-           p.event_id AS purchase_event_id,
-           (epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP))::BIGINT
-             AS gap_us
-    FROM events v JOIN events p ON v.user_id = p.user_id
-    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
-      AND abs(epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP))
-            <= 1800000000
-    """,
-)
-def band_join_view_purchase(spark, sf_dir):
-    """Proximity join: same-user (view, purchase) event pairs within
-    ±30 minutes, via the BANDED equi-join (operators/joins.py::
-    band_join — bucket by floor(t/eps), replicate one side ±1 bucket,
-    exact filter) instead of the O(|L|·|R|) nested-loop theta-join the
-    inequality predicate would otherwise plan. Oracle: DuckDB's plain
-    inequality join — same pairs, hash-checked."""
-    from semantic_ann_in_data_lake_spark.operators.joins import band_join
-
-    ev = _t(spark, sf_dir, "events")
-    v = ev.where(F.col("event_type") == "view").select(
-        "user_id",
-        F.col("event_id").alias("view_event_id"),
-        epoch_us("ts").alias("__v_us"),
-    )
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("purchase_event_id"),
-        epoch_us("ts").alias("__p_us"),
-    )
-    return band_join(
-        v, p, "__v_us", "__p_us", eps=1_800_000_000, on=["user_id"]
-    ).select(
-        "user_id",
-        "view_event_id",
-        "purchase_event_id",
-        (F.col("__p_us") - F.col("__v_us")).alias("gap_us"),
-    )
-
-
-_ORC_RT = "/tmp/sals_gate/orc_rt"
-
-
-@register(
-    "orc_sink_roundtrip",
-    """
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           sum(o_custkey)::BIGINT AS cust_sum,
-           round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS price_sum
-    FROM orders GROUP BY 1, 2
-    """,
-)
-def orc_sink_roundtrip(spark, sf_dir):
-    """S6/S7 family, ORC tier: orders → ORC sink → read back →
-    aggregate vs the original parquet through the DuckDB oracle. ORC
-    preserves types exactly (unlike the CSV text round-trip), so the
-    DECIMAL money discipline applies unchanged."""
-    from semantic_ann_in_data_lake_spark.sources.writers import write_orc
-
-    write_orc(
-        _t(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_orderstatus",
-            "o_orderpriority", "o_totalprice",
-        ),
-        _ORC_RT,
-    )
-    back = spark.read.orc(_ORC_RT)
-    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("o_custkey").alias("cust_sum"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("price_sum"),
-    )
-
-
-@register(
-    "bpe_contract_docs",
-    """
-    SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_violations
-    FROM documents
-    """,
-)
-def bpe_contract_docs(spark, sf_dir):
-    """Exact-token tier contract: train the in-repo byte-level BPE on
-    the corpus (functions/bpe.py — distributed word-frequency pass,
-    bounded driver merge loop), encode every document on the workers,
-    and verify per doc that (a) decode(encode(text)) == text and
-    (b) whitespace-words ≤ bpe-tokens ≤ utf8-bytes. Emits (n_docs,
-    n_violations); the oracle pins n_violations = 0 over the same
-    corpus — the BPE algebra itself is not SQL-expressible, its
-    invariants are."""
-    from semantic_ann_in_data_lake_spark.functions.bpe import (
-        BpeTokenizer,
-        train_bpe_from_df,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    merges = train_bpe_from_df(docs, num_merges=200)
-
-    def check(batches):
-        import pandas as pd
-
-        tok = BpeTokenizer(merges)
-        for pdf in batches:
-            bad = 0
-            for t in pdf["text"].fillna(""):
-                ids = tok.encode(t)
-                if tok.decode(ids) != t:
-                    bad += 1
-                elif not (len(t.split()) <= len(ids) <= len(t.encode())):
-                    bad += 1
-            yield pd.DataFrame({"n": [len(pdf)], "bad": [bad]})
-
-    agg = docs.select("text").mapInPandas(check, schema="n long, bad long")
-    return agg.agg(
-        F.sum("n").alias("n_docs"), F.sum("bad").alias("n_violations")
-    )
-
-
-def _quality_model_oracle() -> str:
-    from semantic_ann_in_data_lake_spark.annotate.scoring import (
-        default_weights,
-        score_oracle_sql,
-    )
-
-    proj = score_oracle_sql("text", default_weights(16), bias=0.0)
-    return f"SELECT doc_id, {proj} FROM documents"
-
-
-@register("quality_model_scores", _quality_model_oracle())
-def quality_model_scores(spark, sf_dir):
-    """Learned-quality-model stage (annotate/scoring.py): sigmoid over
-    the hash-embedding feature map with a fixed weight head — the
-    broadcast-weights batch-scoring plumbing of a real classifier,
-    fully JVM-side and hash-checked against the DuckDB twin (logit at
-    6 dp exact; score at 4 dp — exp is the one libm step without a
-    cross-engine correctly-rounded guarantee)."""
-    from semantic_ann_in_data_lake_spark.annotate.scoring import score_documents
-
-    return score_documents(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "cap_docs_per_source",
-    """
-    WITH r AS (
-      SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id)
-               AS __rn
-      FROM documents
-    )
-    SELECT source, count(*)::BIGINT AS n_docs,
-           sum(doc_id)::BIGINT AS id_sum
-    FROM r WHERE __rn <= 40
-    GROUP BY source
-    """,
-)
-def cap_docs_per_source(spark, sf_dir):
-    """Per-source corpus balancing: keep the first 40 docs per source
-    (pairs.cap_per_key — WindowGroupLimit-bounded partitioned window),
-    then roll up per source; oracle = the same cap in plain SQL."""
-    from semantic_ann_in_data_lake_spark.operators.pairs import cap_per_key
-
-    docs = _t(spark, sf_dir, "documents")
-    capped = cap_per_key(docs, key="source", n=40, order_col="doc_id")
-    return capped.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("doc_id").alias("id_sum"),
-    )
-
-
-@register("knn_ivf_probeall_l2", _KNN_L2_SQL.format(k=5))
-def knn_ivf_probeall_l2(spark, sf_dir):
-    """IVF machinery EXACTNESS witness: with nprobe == nlist every cell
-    is probed, the per-cell local top-k union provably contains the
-    global top-k, and the merge must reproduce the exact answer — so
-    this shares knn_exact_l2's oracle verbatim. Complements the
-    distance distcheck (which pins per-pair arithmetic but not merge
-    completeness); together they bound what the approximate tiers can
-    get wrong to cell selection only."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return knn_join(emb, emb, k=5, strategy="ivf", nlist=16, nprobe=16)
-
-
-@register(
-    "media_frame_samples",
-    """
-    WITH m AS (
-      SELECT doc_id AS media_id, text, length(text)::BIGINT AS L
-      FROM documents WHERE length(text) >= 32
-    ),
-    f AS (SELECT media_id, unnest(range(0, 4)) AS fi, text, L FROM m)
-    SELECT media_id, fi::INT AS frame_idx,
-           ((fi * (L - 32)) // 3)::BIGINT AS frame_off,
-           md5(substr(text, ((fi * (L - 32)) // 3)::INT + 1, 32)) AS frame_md5
-    FROM f
-    """,
-)
-def media_frame_samples(spark, sf_dir):
-    """Video-style frame sampling over binary payloads
-    (operators/multimodal.py::sample_frames): 4 uniformly spaced
-    32-byte windows per payload, digest per frame. The documents
-    fixture is pure ASCII (verified at every sf), so the DuckDB oracle
-    reproduces the byte windows with character substr — the gate pins
-    offset arithmetic, batch shapes, and digest equality end to end."""
-    from semantic_ann_in_data_lake_spark.operators.multimodal import (
-        sample_frames,
-        synthesize_media_from_documents,
-    )
-
-    media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
-    return sample_frames(media, k=4, frame_len=32)
-
-
-@register(
-    "centroid_per_source",
-    """
-    WITH e AS (
-      SELECT d.source AS key, g.i AS pos, em.embedding[g.i + 1] AS val
-      FROM embeddings em
-      JOIN documents d ON em.vec_id = d.doc_id
-      CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g
-      WHERE g.i < len(em.embedding)
-    ),
-    a AS (
-      SELECT key, pos, sum(val::DOUBLE::DECIMAL(28,10)) AS s, count(*) AS n
-      FROM e GROUP BY 1, 2
-    ),
-    c AS (SELECT key, pos, round(s::DOUBLE / n, 6) AS c, n FROM a)
-    SELECT key, max(n)::BIGINT AS n_vectors,
-           array_to_string(list(printf('%.6f', c) ORDER BY pos), '|') AS centroid
-    FROM c GROUP BY key
-    """,
-)
-def centroid_per_source(spark, sf_dir):
-    """Per-domain embedding centroids (functions.vectors.
-    centroid_per_key): mean-pool every source's vectors with
-    DECIMAL-exact per-dimension sums — the routing-table / domain-
-    signature builder (and an IVF seed refresh). Shuffle payload is
-    |keys|·dim partial sums; the oracle re-derives the same pooling
-    with a single-stream window-free plan."""
-    from semantic_ann_in_data_lake_spark.functions.vectors import (
-        centroid_per_key,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("vec_id"), "source"
-    )
-    joined = emb.join(F.broadcast(docs), "vec_id").select(
-        F.col("source"), F.col("embedding")
-    )
-    cents = centroid_per_key(joined, "source", "embedding")
-    # Serialize the centroid array ('%.6f'-formatted, '|'-joined) for
-    # the driver's pandas canonicalizer; centroid_per_key itself keeps
-    # the typed array<double> API.
-    return cents.select(
-        "key",
-        "n_vectors",
-        F.array_join(
-            F.transform("centroid", lambda x: F.format_string("%.6f", x)), "|"
-        ).alias("centroid"),
-    )
-
-
-def _minhash_lsh_cross_sql(bands: int = 8, r: int = 2, threshold: float = 0.01) -> str:
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"minhash[{b * r + 1}]::VARCHAR || '|' || minhash[{b * r + 2}]::VARCHAR AS band_key, sh "
-        f"FROM sigs"
-        for b in range(bands)
-    )
-    return f"""
-    WITH {_W_CTE}, {_SH_CTE},
-    sigs AS (
-      SELECT doc_id, sh,
-             {_minhash_sig_inner(16)} AS minhash
-      FROM s WHERE len(sh) > 0
-    ),
-    banded AS ({band_selects}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
-    ),
-    verified AS (
-      SELECT c.id_a, c.id_b,
-             round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                   / greatest(len(sa.sh) + len(sb.sh)
-                              - len(list_intersect(sa.sh, sb.sh)), 1), 6) AS jaccard
-      FROM cand c
-      JOIN sigs sa ON sa.doc_id = c.id_a
-      JOIN sigs sb ON sb.doc_id = c.id_b
-    )
-    SELECT * FROM verified WHERE jaccard >= {threshold}
-    """
-
-
-@register("cross_corpus_near_dups", _minhash_lsh_cross_sql(8, 2, 0.01))
-def cross_corpus_near_dups_q(spark, sf_dir):
-    """Dedup-against-the-lake: new-shard docs (doc_id % 3 != 0)
-    near-duplicating reference docs (doc_id % 3 == 0) via the
-    cross-corpus banded join (operators/dedup.py::cross_corpus_near_dups)
-    — the ingest-time batch twin of the streaming band-sink dedup. Same
-    MinHash/verification algebra as the self-join gate, no id-ordering
-    constraint."""
-    from semantic_ann_in_data_lake_spark.operators.dedup import (
-        cross_corpus_near_dups,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    ref = docs.where(F.col("doc_id") % 3 == 0)
-    new = docs.where(F.col("doc_id") % 3 != 0)
-    return cross_corpus_near_dups(ref, new)
-
-
-@register(
-    "lsh_recall_report",
-    f"""
-    WITH {_W_CTE}, {_SH_CTE},
-    sigs AS (
-      SELECT doc_id, sh, {_minhash_sig_inner(16)} AS minhash
-      FROM s WHERE len(sh) > 0
-    ),
-    exact AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-      WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                  / greatest(len(a.sh) + len(b.sh)
-                             - len(list_intersect(a.sh, b.sh)), 1), 6) >= 0.02
-    ),
-    banded AS ({" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"minhash[{b * 2 + 1}]::VARCHAR || '|' || minhash[{b * 2 + 2}]::VARCHAR"
-        f" AS band_key FROM sigs" for b in range(8))}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ),
-    hit AS (SELECT * FROM exact INTERSECT SELECT * FROM cand)
-    SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
-           (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
-           (SELECT count(*) FROM hit)::BIGINT AS n_found,
-           (1000 * (SELECT count(*) FROM hit)
-              // greatest((SELECT count(*) FROM exact), 1))::BIGINT
-             AS recall_x1000
-    """,
-)
-def lsh_recall_report(spark, sf_dir):
-    """Official measurement of the LSH approximation: exact ≥0.02
-    Jaccard pairs vs banded candidates, their intersection, and recall
-    in integer permille — every number SQL-expressible (the oracle
-    replicates banding), so the approximation ERROR itself is
-    hash-gated, not just asserted by tests. The exact side is the
-    bounded O(n²) baseline — this is a gate/audit query, not a
-    production path."""
-    from semantic_ann_in_data_lake_spark.operators import dedup as D
-
-    docs = _t(spark, sf_dir, "documents")
-    sigs = scoped_persist(D.minhash_signatures(docs))
-    exact = scoped_persist(
-        D.ngram_jaccard_pairs(docs, threshold=0.02).select("id_a", "id_b")
-    )
-    cand = scoped_persist(D.lsh_candidate_pairs(sigs, bands=8, rows_per_band=2))
-    hit = exact.join(cand, ["id_a", "id_b"])
-    # one lazy plan: three 1-row aggregates cross-joined (semi_anti_parts
-    # pattern) — the driver runs a single action, no operator-side collect
-    na = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    nf = hit.agg(F.count(F.lit(1)).alias("n_found"))
-    return (
-        na.crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(nf))
-        .select(
-            "n_exact",
-            "n_candidates",
-            "n_found",
-            F.floor(
-                (F.lit(1000) * F.col("n_found"))
-                / F.greatest(F.col("n_exact"), F.lit(1))
-            ).cast("long").alias("recall_x1000"),
-        )
-    )
+from semantic_ann_in_data_lake_spark.plans.q_profile import *  # noqa: E402,F401,F403
+from semantic_ann_in_data_lake_spark.plans.q_tpch import *  # noqa: E402,F401,F403
+from semantic_ann_in_data_lake_spark.plans.q_relational import *  # noqa: E402,F401,F403
+from semantic_ann_in_data_lake_spark.plans.q_ann import *  # noqa: E402,F401,F403
+from semantic_ann_in_data_lake_spark.plans.q_dedup import *  # noqa: E402,F401,F403
+from semantic_ann_in_data_lake_spark.plans.q_text import *  # noqa: E402,F401,F403
+from semantic_ann_in_data_lake_spark.plans.q_pipeline import *  # noqa: E402,F401,F403
+from semantic_ann_in_data_lake_spark.plans.q_events import *  # noqa: E402,F401,F403

@@ -45,8 +45,14 @@ def bench_queries(spark, sf_dir):
         return knn_join(emb, emb, k=10, strategy="broadcast")
 
     def knn_lsh():
+        # Production posture: hot-bucket cap on. Duplicate-heavy corpora
+        # (the sf1 fixture is 10x copies — deliberately the worst case)
+        # collapse near-identical vectors into the same buckets, and an
+        # uncapped bucket's per-cogroup BLAS grows quadratically in the
+        # duplication factor (measured: ratio 22-74 at sf0.1->sf1
+        # uncapped vs ~linear capped; SCALING_sf1.json + PERF.md).
         emb = read_table(spark, sf_dir, "embeddings")
-        return knn_join(emb, emb, k=10, strategy="lsh")
+        return knn_join(emb, emb, k=10, strategy="lsh", max_bucket_size=1000)
 
     def knn_ivf():
         emb = read_table(spark, sf_dir, "embeddings")
@@ -78,6 +84,30 @@ def bench_queries(spark, sf_dir):
             )
         )
         return knn_join(emb, emb, k=3, metric="cosine", strategy="broadcast")
+
+    def doc_search_lsh():
+        # The SCALE path for the same workload as doc_search_broadcast:
+        # the broadcast tier scores |Q|x|C| pairs (quadratic by design —
+        # it is the exactness baseline the ANN tiers are judged against;
+        # its sf-curve ratio ~n² is expected, see SCALING_sf1.json),
+        # while the LSH tier buckets first and scales near-linearly.
+        from pyspark.sql import functions as FF
+
+        from semantic_ann_in_data_lake_spark.annotate.embedder import (
+            hash_embedding_expr,
+        )
+
+        d = read_table(spark, sf_dir, "documents")
+        emb = scoped_persist(
+            d.select(
+                FF.col("doc_id").alias("vec_id"),
+                hash_embedding_expr("text", 8).alias("embedding"),
+            )
+        )
+        return knn_join(
+            emb, emb, k=3, metric="cosine", strategy="lsh",
+            max_bucket_size=1000,
+        )
 
     def chunk_docs_bench():
         from semantic_ann_in_data_lake_spark.operators.chunking import (
@@ -132,6 +162,7 @@ def bench_queries(spark, sf_dir):
         "q18_large_volume": from_registry("q18_large_volume_customers"),
         "profile_lake_core": from_registry("profile_lake_core"),
         "semantic_search_docs_bcast": doc_search_broadcast,
+        "semantic_search_docs_lsh": doc_search_lsh,
         "sessionize_events": from_registry("sessionize_events"),
         "knn_broadcast_k10": knn_broadcast,
         "knn_lsh_k10": knn_lsh,

@@ -135,13 +135,34 @@ def knn_join(
         # the partitioned IVF path (both-sides-huge). Cost of the probe:
         # parquet FOOTER row counts when the input is a bare scan (no
         # Spark job at all), else one count(); plus one head() for dim.
+        #
+        # TWO ceilings, not one: memory (the candidate matrix must fit
+        # an executor) AND compute (brute-force scoring is |Q|·|C| —
+        # 4M dim-8 vectors fit the 256 MiB broadcast line yet cost
+        # 1.6e13 pair ops; the sf1 curve measured the quadratic tier at
+        # ~n² wall-clock, SCALING_sf1.json). Past the pair budget
+        # (SPARK_GRAFT_KNN_PAIR_BUDGET, default 1e10 ≈ minutes of BLAS
+        # on one box, amortized across executors) auto prefers the
+        # sub-quadratic IVF path even when memory would allow broadcast.
+        import os
+
         n_cand = _estimate_rows(candidates)
         if n_cand is None:
             n_cand = candidates.count()
+        n_query = n_cand
+        if queries is not candidates:
+            n_query = _estimate_rows(queries)
+            if n_query is None:
+                n_query = queries.count()
         first = candidates.select(vec_col).head(1)
         dim = len(first[0][0]) if first else 0
         approx_bytes = n_cand * dim * 8
-        strategy = "broadcast" if approx_bytes <= 256 << 20 else "ivf"
+        pair_budget = float(
+            os.environ.get("SPARK_GRAFT_KNN_PAIR_BUDGET", "1e10")
+        )
+        fits_mem = approx_bytes <= 256 << 20
+        fits_compute = n_query * n_cand <= pair_budget
+        strategy = "broadcast" if (fits_mem and fits_compute) else "ivf"
     if strategy == "exact":
         return _knn_exact(
             queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp

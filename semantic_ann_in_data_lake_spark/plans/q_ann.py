@@ -531,6 +531,22 @@ def knn_ivf_l2(spark, sf_dir):
     return knn_join(emb, emb, k=5, strategy="ivf")
 
 
+@register("knn_ivf_kmeans_l2_distcheck", _KNN_CHECK_EMPTY_SQL)
+def knn_ivf_kmeans_l2_distcheck(spark, sf_dir):
+    """Contract gate for `knn_ivf_kmeans_l2` (the Spark-ML k-means||
+    centroid-fit tier): empty iff every returned neighbor carries the
+    exact L2² distance and a consistent rank — closes the last ANN tier
+    that had only a rows-only driver row."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return checks.knn_invariant_violations(
+        knn_join(emb, emb, k=5, strategy="ivf", ivf_fit="kmeans_ml"),
+        emb,
+        metric="l2_sq",
+    )
+
+
 _DEEPJOIN_EVAL_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
     pairs AS (

@@ -49,6 +49,9 @@ def test_knn_auto_dispatch_tier_boundaries(spark, sf_dir, monkeypatch):
     )
     boundary_rows = (256 << 20) // (dim * 8)
 
+    # Memory boundary in isolation: park the pair budget out of the way
+    # (self-joining boundary_rows vectors exceeds 1e10 pairs by itself).
+    monkeypatch.setenv("SPARK_GRAFT_KNN_PAIR_BUDGET", "1e30")
     for est, expect in [
         (boundary_rows, "broadcast"),      # exactly at the line: fits
         (boundary_rows + 1, "ivf"),        # one row over: partitioned
@@ -58,6 +61,7 @@ def test_knn_auto_dispatch_tier_boundaries(spark, sf_dir, monkeypatch):
         monkeypatch.setattr(knn_mod, "_estimate_rows", lambda df, e=est: e)
         knn_mod.knn_join(emb, emb, k=3, strategy="auto")
         assert picked["strategy"] == expect, (est, picked)
+    monkeypatch.delenv("SPARK_GRAFT_KNN_PAIR_BUDGET")
 
     # Footer estimate unavailable (filtered scan) → count() fallback;
     # 10 rows is far under the line, so broadcast.
@@ -65,6 +69,17 @@ def test_knn_auto_dispatch_tier_boundaries(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(knn_mod, "_estimate_rows", lambda df: None)
     knn_mod.knn_join(emb, emb, k=3, strategy="auto")
     assert picked["strategy"] == "broadcast"
+
+    # Compute ceiling: a candidate set that FITS the memory line can
+    # still be pair-count-quadratic (|Q|·|C| > pair budget) — auto must
+    # prefer IVF there. 400k self-join rows = 1.6e11 pairs > the 1e10
+    # default budget, while 400k dim-`dim` vectors stay under 256 MiB.
+    n = 400_000
+    assert n * dim * 8 <= 256 << 20 and n * n > 1e10
+    picked.clear()
+    monkeypatch.setattr(knn_mod, "_estimate_rows", lambda df: n)
+    knn_mod.knn_join(emb, emb, k=3, strategy="auto")
+    assert picked["strategy"] == "ivf"
 
 
 def test_knn_broadcast_guard_degrades_to_ivf(spark, sf_dir, monkeypatch):

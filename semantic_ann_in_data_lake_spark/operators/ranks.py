@@ -1,0 +1,108 @@
+"""Distributed global ranking + equi-depth histogram.
+
+``Window.orderBy(...)`` with no partition key funnels the whole table
+through ONE task — the classic Spark scale trap. These operators
+compute exact global row numbers with the same distributed-prefix-sum
+shape as ``operators/packing.py``: range-partition on the sort key,
+one per-partition window (parallel), a partition-count-sized totals
+frame, and a broadcast offsets join. One range shuffle total; nothing
+data-sized ever passes through a single task.
+
+Extension beyond the reference surface (its profiling is per-column
+min/max/avg, ``ProfileDataLake/extract_schema.py:61-77``): equi-depth
+histograms are the quantile-accurate profile a cost-based layer needs
+for range-skew diagnostics at lake scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from semantic_ann_in_data_lake_spark.cache import scoped_persist
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row number by ``order_cols`` (ties broken by
+    the full key tuple — pass a unique last key for determinism),
+    without a single-partition window.
+
+    Cost: one range shuffle + one tiny (n_partitions-row) aggregate.
+    """
+    keys = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *keys)
+        if num_partitions
+        else df.repartitionByRange(*keys)
+    )
+    part = ranged.withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*[k.asc() for k in keys])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # feeds both the totals aggregate and the final join — persist so
+    # the scan + range exchange run once (Catalyst has no cross-branch
+    # CSE; same note as packing.py)
+    local = scoped_persist(
+        part.withColumn("__local_rn", F.count(F.lit(1)).over(w_local))
+    )
+    totals = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__ptot"))
+    w_off = (
+        Window.orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.sum("__ptot").over(w_off) - F.col("__ptot")
+    ).select("__pid", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__local_rn") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local_rn", "__offset")
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    buckets: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact equi-depth histogram: ``buckets`` quantile buckets of
+    ``value_col`` with per-bucket count and [lo, hi] bounds.
+
+    Bucket assignment is ``(rn - 1) * buckets div n`` over the exact
+    global row number — integer arithmetic end to end, so the split is
+    reproducible cross-engine (unlike ntile, whose remainder placement
+    is engine-defined). The count column is ~n/buckets by construction;
+    lo/hi expose the actual value range per depth slice.
+    """
+    ranked = global_row_number(
+        df.select(value_col, tie_col), [value_col, tie_col],
+        num_partitions=num_partitions,
+    )
+    n_total = ranked.groupBy().agg(F.max("rn").alias("__n"))
+    return (
+        ranked.join(F.broadcast(n_total))
+        .withColumn(
+            "bucket",
+            F.expr(f"(rn - 1L) * {int(buckets)}L div __n").cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(value_col).cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("lo"),
+            F.round(F.max(value_col).cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("hi"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""Exact set-similarity self-join with prefix filtering (AllPairs /
+PPJoin family): all document pairs whose token-set Jaccard ≥ τ,
+WITHOUT the all-pairs cross product.
+
+Extension beyond the reference surface (its near-dup tooling is
+embedding-side); complements the repo's MinHash-LSH tier: LSH is
+approximate (recall < 1 by construction), this operator is EXACT —
+prefix filtering only prunes pairs that provably cannot reach τ.
+
+The classic result (Chaudhuri et al. SSJoin / Bayardo et al. AllPairs):
+order each set's tokens by ascending global document frequency; if
+|A ∩ B| ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉ (required for Jaccard ≥ τ), then A and B
+must share at least one token among each one's first
+p = |S| − ⌈τ·|S|⌉ + 1 tokens. So the candidate set is the equi-join of
+the PREFIX inverted index only — rare-first ordering makes those
+postings lists short.
+
+Scale design (100 TB):
+
+- document frequency = one groupBy on token; prefix rank = one window
+  partitioned BY DOCUMENT (well-distributed key, never global).
+- candidate generation joins the prefix index with itself on token:
+  shuffle keyed by token, posting lists bounded because prefixes hold
+  each set's RAREST tokens.
+- verification joins the bounded candidate pairs back to the full
+  (sorted-array) token sets and computes exact overlap JVM-side
+  (``array_intersect``) — cost linear in candidates, and candidates
+  are a superset of the answer only by the filter's slack.
+- Everything is DataFrame algebra; the oracle is the brute-force
+  all-pairs twin, so the prefix filter's EXACTNESS is hash-checked.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from semantic_ann_in_data_lake_spark.cache import scoped_persist
+from semantic_ann_in_data_lake_spark.functions.text import words
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with token-set Jaccard ≥ threshold,
+    via prefix-filtered candidate generation + exact verification.
+
+    Returns ``(id_a, id_b, jaccard)`` with jaccard rounded to 6 dp.
+    Empty token sets never pair (Jaccard undefined → excluded), and
+    identical sets pair at 1.0.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    toks = scoped_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_sort(F.array_distinct(words(text_col))).alias("toks"),
+        )
+        .withColumn("sz", F.size("toks"))
+        .where(F.col("sz") > 0)
+    )
+
+    flat = toks.select("doc_id", "sz", F.explode("toks").alias("tok"))
+    df_freq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    # rare-first order within each document; rank window partitions by
+    # doc_id (never a global window)
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("tok").asc()
+    )
+    # prefix length p = sz - ceil(tau*sz) + 1
+    prefix = (
+        flat.join(df_freq, "tok")
+        .withColumn("r", F.row_number().over(w_doc))
+        .where(
+            F.col("r")
+            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+        )
+        .select("tok", "doc_id", "sz")
+    )
+
+    a = prefix.select(
+        F.col("tok"), F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")
+    )
+    b = prefix.select(
+        F.col("tok"), F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    # size filter: Jaccard >= tau requires tau*|A| <= |B| <= |A|/tau
+    cands = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("sz_b") * F.lit(threshold) <= F.col("sz_a"))
+        .where(F.col("sz_a") * F.lit(threshold) <= F.col("sz_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def required_overlap(size_a: int, size_b: int, threshold: float) -> int:
+    """⌈τ/(1+τ)·(|A|+|B|)⌉ — the overlap bound behind the filter
+    (exposed for tests)."""
+    return math.ceil(threshold / (1.0 + threshold) * (size_a + size_b))

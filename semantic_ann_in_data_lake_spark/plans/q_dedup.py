@@ -383,3 +383,34 @@ def lsh_recall_report(spark, sf_dir):
             ).cast("long").alias("recall_x1000"),
         )
     )
+
+
+@register(
+    "jaccard_prefix_join",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_sort(list_distinct({_TOKS})) AS toks FROM documents
+    ),
+    nz AS (SELECT * FROM t WHERE len(toks) > 0),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                   / (len(a.toks) + len(b.toks)
+                      - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+      FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    )
+    SELECT * FROM pairs WHERE jaccard >= 0.5
+    """,
+)
+def jaccard_prefix_join(spark, sf_dir):
+    """EXACT token-set similarity self-join at τ=0.5 via AllPairs/
+    PPJoin prefix filtering (operators/setjoin.py) — the oracle is the
+    brute-force all-pairs twin, so the gate hash-checks that prefix
+    pruning loses nothing. The Spark plan never forms the cross
+    product: candidates come from the rare-token prefix inverted
+    index only."""
+    from semantic_ann_in_data_lake_spark.operators.setjoin import (
+        jaccard_prefix_join as _jpj,
+    )
+
+    return _jpj(_t(spark, sf_dir, "documents"), threshold=0.5)

@@ -394,3 +394,35 @@ def validate_orders(spark, sf_dir):
         },
         unique_cols=["o_orderkey"],
     )
+
+
+@register(
+    "equidepth_histogram_totalprice",
+    """
+    WITH r AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER () AS n_total
+      FROM orders
+    )
+    SELECT ((rn - 1) * 8 // n_total)::INT AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice)::DECIMAL(18,2), 2)::DOUBLE AS lo,
+           round(max(o_totalprice)::DECIMAL(18,2), 2)::DOUBLE AS hi
+    FROM r GROUP BY 1
+    """,
+)
+def equidepth_histogram_totalprice(spark, sf_dir):
+    """Exact 8-bucket equi-depth histogram of order totals
+    (operators/ranks.py): quantile-accurate range profile via the
+    distributed prefix-sum global row number — one range shuffle, no
+    single-partition window on the data path (the oracle's
+    row_number() OVER () is exactly the plan shape this operator
+    exists to avoid at scale)."""
+    from semantic_ann_in_data_lake_spark.operators.ranks import (
+        equidepth_histogram,
+    )
+
+    return equidepth_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", buckets=8
+    )

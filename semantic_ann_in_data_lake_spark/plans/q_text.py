@@ -458,3 +458,49 @@ def quality_model_scores(spark, sf_dir):
     from semantic_ann_in_data_lake_spark.annotate.scoring import score_documents
 
     return score_documents(_t(spark, sf_dir, "documents"))
+
+
+def _dup_span_oracle(n: int = 5) -> str:
+    grams = (
+        f"list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice(w, i, i + {n - 1}), ' '))"
+    )
+    return f"""
+    WITH {_W_CTE},
+    g AS (
+      SELECT doc_id, {portable_hash_expr('gram')} AS gh
+      FROM (SELECT doc_id, unnest({grams}) AS gram FROM w)
+    ),
+    shared AS (
+      SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g)
+      GROUP BY gh HAVING count(*) > 1
+    ),
+    agg AS (
+      SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+             sum(CASE WHEN s.gh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
+      FROM g LEFT JOIN shared s ON g.gh = s.gh
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+           coalesce(a.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+           round(CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0.0
+                      ELSE a.n_dup_grams::DOUBLE / a.n_grams END + 1e-9,
+                 4) AS dup_fraction
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+@register("dup_span_fraction", _dup_span_oracle())
+def dup_span_fraction(spark, sf_dir):
+    """Exact duplicated-span detection (operators/spans.py): the
+    fraction of each document's positional 5-gram spans that occur
+    verbatim in at least one other document — the per-document
+    boilerplate signal exact-substring training-data dedup is built
+    on. Grams are 64-bit-hashed before the explode leaves the scan, so
+    the corpus-wide shuffle carries (BIGINT, doc_id) only."""
+    from semantic_ann_in_data_lake_spark.operators.spans import (
+        duplicated_span_stats,
+    )
+
+    return duplicated_span_stats(_t(spark, sf_dir, "documents"), n=5)

@@ -1727,3 +1727,194 @@ def test_cross_corpus_pairs_subset_of_self_join(spark, sf_dir):
         (a, b) for (a, b) in full_pairs if a % 3 == 0 and b % 3 != 0
     }
     assert cross == expect
+
+
+# ---------------------------------------------------------------------------
+# round 4: spans / ranks / setjoin
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_span_stats_hand_case(spark):
+    """Two docs sharing one verbatim 3-gram span; a third unrelated doc
+    and a too-short doc. Exact expected fractions."""
+    from semantic_ann_in_data_lake_spark.operators.spans import (
+        duplicated_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),     # grams: abc gbd -> "alpha beta gamma","beta gamma delta"
+            (2, "alpha beta gamma epsilon"),   # shares "alpha beta gamma"
+            (3, "zeta eta theta iota"),        # no shared grams
+            (4, "solo"),                       # < n words -> 0 grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_fraction"])
+        for r in duplicated_span_stats(docs, n=3).collect()
+    }
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (2, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)  # short doc still present
+
+
+def test_duplicated_span_self_repetition_counts_multiplicity(spark):
+    """A doc repeating ITS OWN span shares it with no other doc ->
+    not duplicated; but if another doc has it, every occurrence
+    counts toward the numerator."""
+    from semantic_ann_in_data_lake_spark.operators.spans import (
+        duplicated_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z q x y z"),  # "x y z" at positions 1 and 5
+            (2, "x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"]) for r in
+        duplicated_span_stats(docs, n=3).collect()
+    }
+    # doc1 grams: "x y z","y z q","z q x","q x y","x y z" -> 5 grams, 2 dup
+    assert out[1] == (5, 2)
+    assert out[2] == (1, 1)
+
+
+def test_global_row_number_matches_single_partition_window(spark, sf_dir):
+    """Distributed prefix-sum rank == the textbook global window rank,
+    at two partition counts (partitioning must not leak)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from semantic_ann_in_data_lake_spark.operators.ranks import (
+        global_row_number,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    expected = {
+        r["o_orderkey"]: r["rn"]
+        for r in orders.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy("o_totalprice", "o_orderkey")
+            ),
+        ).collect()
+    }
+    for np in (3, 7):
+        got = {
+            r["o_orderkey"]: r["rn"]
+            for r in global_row_number(
+                orders, ["o_totalprice", "o_orderkey"], num_partitions=np
+            ).collect()
+        }
+        assert got == expected
+
+
+def test_global_row_number_no_single_partition_exchange(spark, sf_dir):
+    """The data path must not contain a SinglePartition exchange — that
+    is the whole point of the operator. (The offsets frame is
+    partition-count-sized; its tiny window is fine.)"""
+    from semantic_ann_in_data_lake_spark.operators.ranks import (
+        equidepth_histogram,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = equidepth_histogram(
+        orders, "o_totalprice", "o_orderkey", buckets=8
+    )._jdf.queryExecution().executedPlan().toString()
+    # the only SinglePartition exchange allowed is over the
+    # n_partitions-row totals/offsets frames, which sit below a
+    # WindowExec over __pid / a broadcast; the orders scan itself must
+    # feed a range partitioning, not a single partition
+    assert "rangepartitioning(o_totalprice" in plan.lower()
+
+
+def test_equidepth_histogram_depths(spark, sf_dir):
+    """Bucket sizes differ by at most 1 from n/buckets' floor/ceil and
+    bucket ranges are disjoint and ordered."""
+    from semantic_ann_in_data_lake_spark.operators.ranks import (
+        equidepth_histogram,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    rows = sorted(
+        equidepth_histogram(orders, "o_totalprice", "o_orderkey", buckets=8)
+        .collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(range(8))
+    assert sum(r["n"] for r in rows) == n
+    assert all(abs(r["n"] - n / 8) <= 1 for r in rows)
+    for lo_r, hi_r in zip(rows, rows[1:]):
+        assert lo_r["hi"] <= hi_r["lo"]
+
+
+def test_jaccard_prefix_join_equals_bruteforce(spark, sf_dir):
+    """Prefix filtering is EXACT: same pairs as the all-pairs join at
+    several thresholds (including tau=1.0 — exact-duplicate sets)."""
+    from pyspark.sql import functions as F
+    from semantic_ann_in_data_lake_spark.functions.text import words
+    from semantic_ann_in_data_lake_spark.operators.setjoin import (
+        jaccard_prefix_join,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.array_sort(F.array_distinct(words("text"))).alias("toks"),
+        )
+        .where(F.size("toks") > 0)
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("j", F.round(inter / union, 6))
+    )
+    for tau in (0.5, 0.8, 1.0):
+        expected = {
+            (r["id_a"], r["id_b"], r["j"])
+            for r in brute.where(F.col("j") >= tau).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_prefix_join(docs, threshold=tau).collect()
+        }
+        assert got == expected, f"tau={tau}"
+
+
+def test_jaccard_prefix_join_validates_threshold(spark):
+    import pytest as _pytest
+    from semantic_ann_in_data_lake_spark.operators.setjoin import (
+        jaccard_prefix_join,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError):
+            jaccard_prefix_join(docs, threshold=bad)
+
+
+def test_jaccard_prefix_join_no_cartesian(spark, sf_dir):
+    """The executed plan must not contain a cartesian/nested-loop
+    product — candidates come from the token equi-join only."""
+    from semantic_ann_in_data_lake_spark.operators.setjoin import (
+        jaccard_prefix_join,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        jaccard_prefix_join(docs, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert "cartesianproduct" not in plan
+    assert "broadcastnestedloop" not in plan

@@ -1,0 +1,118 @@
+"""Time-series regularization: per-key resampling onto a fixed grid
+with gap-fill by linear interpolation.
+
+Extension beyond the reference surface (its event handling is
+row-level annotation): feature pipelines over event streams need
+evenly-spaced series (model inputs, rollup joins), and the raw lake
+has gaps. This operator buckets events to a fixed interval, builds
+each key's [min, max] grid with ``sequence()`` (codegen, no UDF), and
+fills missing buckets by linear interpolation between the nearest
+observed neighbors (endpoints extend flat).
+
+Scale design:
+
+- One keyed aggregation (bucket means, DECIMAL-exact), one per-key
+  min/max, and two per-key windows — every shuffle and window
+  partitions by the series key, never globally.
+- The nearest-observed-neighbor lookup is the portable
+  ``max(struct(bucket, value))`` running-window trick: struct order
+  compares the leading timestamp, so the running max IS the latest
+  observed (bucket, value) pair — no IGNORE NULLS dependence, same
+  semantics in Spark and DuckDB (the oracle uses ``max(row(...))``).
+- Grid density is bounded by span/interval per key; the explode is
+  linear in output size, which is the floor for a gap-fill operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from semantic_ann_in_data_lake_spark.functions.dates import epoch_us
+
+#: see textstats.ROUND_BIAS
+_ROUND_BIAS = 1e-9
+
+
+def resample_interpolate(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    interval: str = "1 hour",
+) -> DataFrame:
+    """Per-key fixed-interval series with linear gap-fill.
+
+    Returns ``(key, bucket, value, is_observed)``: one row per key per
+    interval step from the key's first to last observed bucket.
+    Observed buckets carry the DECIMAL-exact bucket mean (4 dp);
+    gaps are linearly interpolated between the nearest observed
+    neighbors; leading/trailing positions (none here by construction,
+    since the grid starts/ends on observed buckets) extend flat.
+    """
+    unit = interval.split()[-1]
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    observed = (
+        events.select(F.col(key_col).alias("key"), bucket, F.col(value_col).alias("v"))
+        .groupBy("key", "bucket")
+        .agg(
+            # mean via exact-decimal sum then DOUBLE division: decimal
+            # division scale rules differ between engines (Spark caps
+            # the result scale at precision 38, DuckDB at its own), so
+            # a repeating quotient could round differently at 4 dp.
+            # double/long division is one IEEE op — identical everywhere.
+            F.round(
+                F.round(F.sum(F.col("v").cast("decimal(18,2)")), 2)
+                .cast("double")
+                / F.count(F.lit(1))
+                + F.lit(_ROUND_BIAS),
+                4,
+            ).alias("v")
+        )
+    )
+    grid = (
+        observed.groupBy("key")
+        .agg(F.min("bucket").alias("h0"), F.max("bucket").alias("h1"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("h0", "h1", F.expr(f"interval {interval}"))
+            ).alias("bucket"),
+        )
+    )
+    j = grid.join(observed, ["key", "bucket"], "left")
+
+    w_prev = (
+        Window.partitionBy("key")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("key")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_pair = F.when(F.col("v").isNotNull(), F.struct("bucket", "v"))
+    filled = (
+        j.withColumn("prev", F.max(obs_pair).over(w_prev))
+        .withColumn("next", F.min(obs_pair).over(w_next))
+    )
+    t = epoch_us("bucket").cast("double")
+    pt = epoch_us(F.col("prev.bucket")).cast("double")
+    nt = epoch_us(F.col("next.bucket")).cast("double")
+    interp = F.col("prev.v") + (F.col("next.v") - F.col("prev.v")) * (
+        (t - pt) / (nt - pt)
+    )
+    value = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev").isNull(), F.col("next.v"))
+        .when(F.col("next").isNull(), F.col("prev.v"))
+        .otherwise(interp)
+    )
+    return filled.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        F.round(value + F.lit(_ROUND_BIAS), 4).alias("value"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )

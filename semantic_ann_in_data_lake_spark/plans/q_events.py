@@ -312,3 +312,55 @@ def band_join_view_purchase(spark, sf_dir):
         "purchase_event_id",
         (F.col("__p_us") - F.col("__v_us")).alias("gap_us"),
     )
+
+
+@register(
+    "resample_interpolate_user_value",
+    """
+    WITH b AS (
+      SELECT user_id AS key, date_trunc('hour', ts::TIMESTAMP) AS bucket,
+             round(round(sum(value::DECIMAL(18,2)), 2)::DOUBLE / count(*)
+                   + 1e-9, 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT key, min(bucket) AS h0, max(bucket) AS h1 FROM b GROUP BY 1),
+    grid AS (
+      SELECT key, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS bucket
+      FROM span
+    ),
+    j AS (
+      SELECT g.key, g.bucket, b.v
+      FROM grid g LEFT JOIN b ON g.key = b.key AND g.bucket = b.bucket
+    ),
+    f AS (
+      SELECT *,
+        max(CASE WHEN v IS NOT NULL THEN {'b': bucket, 'v': v} END)
+          OVER (PARTITION BY key ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS prev,
+        min(CASE WHEN v IS NOT NULL THEN {'b': bucket, 'v': v} END)
+          OVER (PARTITION BY key ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next
+      FROM j
+    )
+    SELECT key AS user_id, bucket,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN prev IS NULL THEN next.v
+                      WHEN next IS NULL THEN prev.v
+                      ELSE prev.v + (next.v - prev.v)
+                           * ((epoch_us(bucket) - epoch_us(prev.b))::DOUBLE
+                              / (epoch_us(next.b) - epoch_us(prev.b)))
+                      END + 1e-9, 4) AS value,
+           v IS NOT NULL AS is_observed
+    FROM f
+    """,
+)
+def resample_interpolate_user_value(spark, sf_dir):
+    """Per-user hourly series with linear gap-fill
+    (operators/timeseries.py): fixed-interval grid via sequence(),
+    nearest-observed neighbors via the portable max/min(struct)
+    running-window trick, interpolation in one IEEE expression — all
+    windows partition by user, never globally."""
+    from semantic_ann_in_data_lake_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    return resample_interpolate(_t(spark, sf_dir, "events"))

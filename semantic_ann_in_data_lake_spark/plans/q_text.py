@@ -504,3 +504,45 @@ def dup_span_fraction(spark, sf_dir):
     )
 
     return duplicated_span_stats(_t(spark, sf_dir, "documents"), n=5)
+
+
+@register(
+    "bigram_lm_scores",
+    f"""
+    WITH {_W_CTE},
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM w
+    ),
+    bgw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg),
+    uni AS (SELECT unnest(w) AS tok FROM w),
+    c1 AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY tok),
+    c2 AS (SELECT bg, count(*) AS c2 FROM bgw GROUP BY bg),
+    v AS (SELECT count(DISTINCT tok) AS vsize FROM uni),
+    scored AS (
+      SELECT b.doc_id,
+             count(*)::BIGINT AS n_bigrams,
+             sum(round(log10((c2.c2 + 1)::DOUBLE / (c1.c1 + v.vsize))
+                       + 1e-9, 6)::DECIMAL(18,6)) AS logp_sum
+      FROM bgw b JOIN c2 ON b.bg = c2.bg JOIN c1 ON b.w1 = c1.tok CROSS JOIN v
+      GROUP BY b.doc_id
+    )
+    SELECT w.doc_id,
+           coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+           round(CASE WHEN s.n_bigrams IS NULL THEN 0.0
+                      ELSE s.logp_sum::DOUBLE / s.n_bigrams END + 1e-9,
+                 4) AS lm_score
+    FROM w LEFT JOIN scored s ON w.doc_id = s.doc_id
+    """,
+)
+def bigram_lm_scores(spark, sf_dir):
+    """KenLM-style perplexity-proxy quality signal (operators/lm.py):
+    mean add-one-smoothed bigram log-probability under the corpus's
+    own bigram statistics. Per-document totals accumulate in
+    DECIMAL(18,6) after a 6-dp round of each bigram's log10, so the
+    parallel sum is bit-identical across partitionings and engines."""
+    from semantic_ann_in_data_lake_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))

@@ -1918,3 +1918,73 @@ def test_jaccard_prefix_join_no_cartesian(spark, sf_dir):
     )
     assert "cartesianproduct" not in plan
     assert "broadcastnestedloop" not in plan
+
+
+def test_resample_interpolate_hand_case(spark):
+    """User with observations at hours 0 and 3 (value 1.0 -> 4.0):
+    hours 1 and 2 are linearly interpolated; flags mark observations;
+    the grid starts/ends on observed buckets."""
+    import datetime as dt
+
+    from semantic_ann_in_data_lake_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 1.0),  # same bucket -> mean 1.0
+        (1, base + dt.timedelta(hours=3), 4.0),
+        (2, base, 7.0),  # single observation -> single-row grid
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {
+        (r["user_id"], r["bucket"].hour): (r["value"], r["is_observed"])
+        for r in resample_interpolate(events).collect()
+    }
+    assert out[(1, 0)] == (1.0, True)
+    assert out[(1, 1)] == (2.0, False)
+    assert out[(1, 2)] == (3.0, False)
+    assert out[(1, 3)] == (4.0, True)
+    assert out[(2, 0)] == (7.0, True)
+    assert len(out) == 5
+
+
+def test_bigram_lm_scores_hand_case(spark):
+    """Tiny corpus where every probability is computable by hand:
+    docs 'a b', 'a b', 'a c', plus a 1-token doc."""
+    import math
+
+    from semantic_ann_in_data_lake_spark.operators.lm import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    # unigrams: a:3 b:2 c:1 solo:1 -> V=4
+    # bigram counts: "a b":2, "a c":1
+    # P(b|a) = (2+1)/(3+4) = 3/7 ; P(c|a) = (1+1)/(3+4) = 2/7
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in bigram_lm_scores(docs).collect()
+    }
+    lp = lambda p: round(round(math.log10(p) + 1e-9, 6) + 1e-9, 4)
+    assert out[1] == (1, lp(3 / 7))
+    assert out[2] == (1, lp(3 / 7))
+    assert out[3] == (1, lp(2 / 7))
+    assert out[4] == (0, 0.0)  # sub-bigram doc still present
+
+
+def test_bigram_lm_scores_ranks_typical_above_rare(spark):
+    """A document made of corpus-frequent bigrams must outscore one
+    made of unique bigrams — the filtering property the operator
+    exists for."""
+    from semantic_ann_in_data_lake_spark.operators.lm import bigram_lm_scores
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(10)] + [(99, "zyx wvu tsr qpo nml kji")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lm_score"] for r in bigram_lm_scores(docs).collect()}
+    assert out[0] > out[99]

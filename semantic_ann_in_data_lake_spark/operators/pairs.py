@@ -226,3 +226,89 @@ def cap_per_key(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    k: int,
+    seed: str = "wsample:",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis–
+    Spirakis A-ES): rank every row by ``-ln(u)/w`` where ``u`` is a
+    per-row uniform derived from the PORTABLE hash of its id, keep the
+    k smallest. Inclusion probability scales with weight; the "random"
+    stream is the hash, so the sample is reproducible cross-engine and
+    insensitive to partitioning (same discipline as
+    ``train_test_split`` / ``deterministic_sample``).
+
+    The A-ES key is rounded to 6 dp (with the repo's rounding bias) and
+    tie-broken by id before the top-k, so the one libm step (ln) cannot
+    leave engine-dependent orderings. Executes as TakeOrderedAndProject
+    — a distributed per-partition top-k plus a k-row driver merge; no
+    global sort materializes.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    P = 1_000_000_007
+    h = portable_hash64(F.col(id_col).cast("string"), seed=seed)
+    # u in (0, 1]: +1 keeps ln defined at the modulus' zero residue
+    u = ((F.pmod(h, F.lit(P)) + 1) / F.lit(float(P + 1))).cast("double")
+    w = F.col(weight_col).cast("double")
+    key = F.round(-F.log(u) / w + F.lit(1e-9), 6)
+    return (
+        df.where(w > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def scd2_history(
+    events: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an event log:
+    collapse each key's consecutive runs of the same state into
+    versioned validity intervals ``(key, state, valid_from, valid_to,
+    version, n_events)``; the current version has ``valid_to = NULL``.
+
+    The lakehouse CDC primitive ``upsert_latest`` discards history for;
+    this keeps it. Two windows and one aggregation, all partitioned by
+    the key — shuffle cost is one exchange on ``key_col`` end to end
+    (the run-length encoding is the gaps-and-islands trick, same shape
+    as the sessionizer)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    marked = events.select(
+        key_col, state_col, ts_col, tiebreak_col
+    ).withColumn(
+        "__chg",
+        F.when(
+            F.lag(state_col).over(w).isNull()
+            | (F.lag(state_col).over(w) != F.col(state_col)),
+            1,
+        ).otherwise(0),
+    )
+    versioned = marked.withColumn(
+        "version",
+        F.sum("__chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+    runs = versioned.groupBy(key_col, "version").agg(
+        F.first(state_col).alias("state"),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_v = Window.partitionBy(key_col).orderBy(F.col("version").asc())
+    return runs.withColumn(
+        "valid_to", F.lead("valid_from").over(w_v)
+    ).select(key_col, "state", "valid_from", "valid_to", "version", "n_events")

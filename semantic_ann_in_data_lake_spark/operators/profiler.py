@@ -370,3 +370,67 @@ def validate(df, rules: dict[str, "Column"], unique_cols: list[str] | None = Non
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], round_dp: int = 4
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns, ONE pass.
+
+    All second-order moments (sum x, sum x², sum x·y for every pair)
+    come from a single wide aggregation — one shuffle of one row per
+    partition, however many columns; the r formula then runs on the
+    driver-free 1-row frame. Moments accumulate in DECIMAL (exact,
+    associative), so the result is partition-order-independent; only
+    the final normalization crosses to double.
+
+    Returns ``(col_x, col_y, n, corr)`` for the strict upper triangle,
+    corr rounded to ``round_dp`` (NULL when either side is constant).
+    """
+    # DECIMAL(12,2) inputs: the product of two (12,2)s is (25,4) — under
+    # the 38-digit cap in BOTH engines, so products and sums stay EXACT.
+    # Wider inputs would make Spark cap the product type and round its
+    # values where DuckDB errors or keeps more digits — engine drift.
+    # (12,2) covers values < 10^10 at cent precision — every TPC-H
+    # measure; pass wider data through a pre-scale if needed.
+    dec = "decimal(12,2)"
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"__s_{c}"))
+        aggs.append(
+            F.sum(F.col(c).cast(dec) * F.col(c).cast(dec)).alias(f"__ss_{c}")
+        )
+    for i, cx in enumerate(cols):
+        for cy in cols[i + 1:]:
+            aggs.append(
+                F.sum(F.col(cx).cast(dec) * F.col(cy).cast(dec)).alias(
+                    f"__sp_{cx}_{cy}"
+                )
+            )
+    m = df.agg(*aggs)
+
+    # one explode over a struct array, NOT a union of per-pair selects:
+    # Catalyst does not CSE across union branches, so a union would
+    # re-run the wide aggregation once per pair
+    n = F.col("__n").cast("double")
+    pair_structs = []
+    for i, cx in enumerate(cols):
+        for cy in cols[i + 1:]:
+            sx = F.col(f"__s_{cx}").cast("double")
+            sy = F.col(f"__s_{cy}").cast("double")
+            sxx = F.col(f"__ss_{cx}").cast("double")
+            syy = F.col(f"__ss_{cy}").cast("double")
+            sxy = F.col(f"__sp_{cx}_{cy}").cast("double")
+            den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            r = F.when(
+                den > 0, F.round((n * sxy - sx * sy) / den + F.lit(1e-9), round_dp)
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(cx).alias("col_x"),
+                    F.lit(cy).alias("col_y"),
+                    F.col("__n").alias("n"),
+                    r.alias("corr"),
+                )
+            )
+    return m.select(F.explode(F.array(*pair_structs)).alias("p")).select("p.*")

@@ -364,3 +364,44 @@ def resample_interpolate_user_value(spark, sf_dir):
     )
 
     return resample_interpolate(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id FROM events
+    ), g AS (
+      SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), v AS (
+      SELECT *, sum(chg) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      )::INT AS version
+      FROM g
+    ), runs AS (
+      SELECT user_id, version, min(event_type) AS state,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM v GROUP BY user_id, version
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to,
+           version, n_events
+    FROM runs
+    """,
+)
+def scd2_user_state(spark, sf_dir):
+    """SCD type-2 state history from the event log (operators/pairs.py
+    scd2_history): each user's consecutive runs of one event_type
+    become versioned validity intervals with an open-ended current row
+    — the history-preserving complement of upsert_latest. One exchange
+    on user_id end to end (gaps-and-islands, same shape as the
+    sessionizer)."""
+    from semantic_ann_in_data_lake_spark.operators.pairs import scd2_history
+
+    return scd2_history(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", "ts", "event_id"
+    )

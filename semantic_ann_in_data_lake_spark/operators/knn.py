@@ -337,17 +337,31 @@ def _knn_broadcast(
     import numpy as np
 
     spark = queries.sparkSession
-    n_cand = _estimate_rows(candidates)
-    if n_cand is None:
-        n_cand = candidates.count()
     first = candidates.select(vec_col).head(1)
     dim = len(first[0][0]) if first and first[0][0] is not None else 0
     per_elem = 1 if compress == "int8" else 8
+    n_cand = _estimate_rows(candidates)
+    if n_cand is None:
+        # derived frame — no parquet footer to read. A full count()
+        # here costs an entire extra scan of the candidate lineage per
+        # call (measured on the doc-embedding bench queries); all the
+        # guard needs is "more rows than the budget allows?", which a
+        # LIMIT probe answers with bounded work: scan until budget+1
+        # rows are produced, then stop.
+        budget_rows = _broadcast_byte_budget() // max(dim * per_elem + 16, 1)
+        probe = candidates.select(F.lit(1)).limit(budget_rows + 1).count()
+        n_cand = probe  # == budget_rows + 1 iff over budget
     est_bytes = n_cand * dim * per_elem + n_cand * 16
     budget = _broadcast_byte_budget()
     if est_bytes > budget:
         import warnings
 
+        if _estimate_rows(candidates) is None:
+            # the LIMIT probe only proved "over budget" — get the true
+            # row count for nlist sizing (we are about to run a far
+            # bigger IVF job; one count is noise next to it)
+            n_cand = candidates.count()
+            est_bytes = n_cand * dim * per_elem + n_cand * 16
         nlist = int(min(4096, max(16, 4 * (est_bytes / max(budget, 1)))))
         warnings.warn(
             f"knn_join(strategy='broadcast'): estimated candidate matrix "

@@ -106,3 +106,75 @@ def equidepth_histogram(
             .alias("hi"),
         )
     )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT winsorized mean: clamp ``value_col`` to its [lower_q,
+    upper_q] quantiles (value at global rank ⌈q·n⌉ — the exact
+    definition, not an approx-percentile sketch) and average the
+    clamped values.
+
+    Returns one row ``(n, lo, hi, winsorized_mean, raw_mean)``. The
+    quantile lookup reuses the distributed prefix-sum rank — one range
+    shuffle; the two bound rows broadcast into the clamp expression.
+    Means accumulate in DECIMAL then divide in double (engine-portable
+    discipline; 4 dp)."""
+    if not (0.0 <= lower_q < upper_q <= 1.0):
+        raise ValueError(f"need 0 <= lower_q < upper_q <= 1, got {lower_q}, {upper_q}")
+    ranked = scoped_persist(
+        global_row_number(
+            df.select(value_col, tie_col), [value_col, tie_col],
+            num_partitions=num_partitions,
+        )
+    )
+    n_total = ranked.groupBy().agg(F.max("rn").alias("__n"))
+    bounds = (
+        ranked.join(F.broadcast(n_total))
+        .where(
+            (F.col("rn") == F.ceil(F.col("__n") * F.lit(lower_q)))
+            | (F.col("rn") == F.ceil(F.col("__n") * F.lit(upper_q)))
+        )
+        .groupBy()
+        .agg(
+            F.min(value_col).alias("__lo"),
+            F.max(value_col).alias("__hi"),
+        )
+    )
+    v = F.col(value_col).cast("decimal(18,2)")
+    clamped = F.least(
+        F.greatest(v, F.col("__lo").cast("decimal(18,2)")),
+        F.col("__hi").cast("decimal(18,2)"),
+    )
+    return (
+        ranked.join(F.broadcast(bounds))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("__lo").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("lo"),
+            F.round(F.max("__hi").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("hi"),
+            F.round(F.sum(clamped), 2).cast("double").alias("__wsum"),
+            F.round(F.sum(v), 2).cast("double").alias("__rsum"),
+        )
+        .select(
+            "n",
+            "lo",
+            "hi",
+            F.round(F.col("__wsum") / F.col("n") + F.lit(1e-9), 4).alias(
+                "winsorized_mean"
+            ),
+            F.round(F.col("__rsum") / F.col("n") + F.lit(1e-9), 4).alias(
+                "raw_mean"
+            ),
+        )
+    )

@@ -414,3 +414,62 @@ def jaccard_prefix_join(spark, sf_dir):
     )
 
     return _jpj(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_ED_HASH = portable_hash_expr("p_name", seed="ed:")
+
+
+@register(
+    "fuzzy_join_part_names",
+    f"""
+    WITH base AS (
+      SELECT p_partkey, p_name FROM part WHERE p_partkey < 500
+    ),
+    noisy AS (
+      SELECT p_partkey + 1000000 AS cid,
+             substring(p_name, 1, pos - 1) || substring(p_name, pos + 1) AS cname
+      FROM (
+        SELECT p_partkey, p_name,
+               ((({_ED_HASH}) % length(p_name) + length(p_name))
+                % length(p_name) + 1)::INT AS pos
+        FROM base
+      )
+    )
+    SELECT b.p_partkey AS id_l, n.cid AS id_r,
+           levenshtein(b.p_name, n.cname)::INT AS dist
+    FROM base b JOIN noisy n
+      ON levenshtein(b.p_name, n.cname) <= 2
+    """,
+)
+def fuzzy_join_part_names(spark, sf_dir):
+    """EXACT edit-distance join at d≤2 (operators/editjoin.py,
+    PassJoin segment blocking): part names against deterministically
+    char-dropped variants — the entity-resolution shape for noisy
+    ingest. The oracle is the brute-force levenshtein cross join, so
+    the gate hash-checks that pigeonhole blocking loses nothing."""
+    from semantic_ann_in_data_lake_spark.functions.hashing import (
+        portable_hash64,
+    )
+    from semantic_ann_in_data_lake_spark.operators.editjoin import (
+        edit_distance_join,
+    )
+
+    base = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 500)
+        .select("p_partkey", "p_name")
+    )
+    pos = (
+        F.pmod(portable_hash64(F.col("p_name"), seed="ed:"), F.length("p_name"))
+        + 1
+    ).cast("int")
+    noisy = base.withColumn("__pos", pos).select(
+        (F.col("p_partkey") + 1_000_000).alias("cid"),
+        F.expr(
+            "substring(p_name, 1, __pos - 1) || substring(p_name, __pos + 1)"
+        ).alias("cname"),
+    )
+    out = edit_distance_join(
+        base, noisy, "p_partkey", "p_name", "cid", "cname", max_dist=2
+    )
+    return out.select("id_l", "id_r", F.col("dist").cast("int").alias("dist"))

@@ -405,3 +405,62 @@ def scd2_user_state(spark, sf_dir):
     return scd2_history(
         _t(spark, sf_dir, "events"), "user_id", "event_type", "ts", "event_id"
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id FROM events
+    ),
+    p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM e
+    ),
+    c AS (
+      SELECT from_type, to_type, count(*) AS n_pairs
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_pairs,
+           round(n_pairs::DOUBLE
+                 / (sum(n_pairs) OVER (PARTITION BY from_type))::DOUBLE
+                 + 1e-9, 4) AS prob
+    FROM c
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next event type | current) with counts — the
+    behavioral-analytics complement of the funnel operator. One
+    user-partitioned window for the pairing, one groupBy, one
+    unordered window over the (tiny) from_type partition for row
+    normalization."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    w_norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(w_norm).cast("double")
+            + F.lit(1e-9),
+            4,
+        ).alias("prob"),
+    )

@@ -483,3 +483,42 @@ def profile_correlations_lineitem(spark, sf_dir):
         _t(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount"],
     )
+
+
+@register(
+    "winsorized_stats_totalprice",
+    """
+    WITH r AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER () AS n_total
+      FROM orders
+    ),
+    b AS (
+      SELECT min(o_totalprice) AS blo, max(o_totalprice) AS bhi
+      FROM r WHERE rn = ceil(n_total * 0.05) OR rn = ceil(n_total * 0.95)
+    )
+    SELECT count(*)::BIGINT AS n,
+           round(min(blo)::DECIMAL(18,2), 2)::DOUBLE AS lo,
+           round(max(bhi)::DECIMAL(18,2), 2)::DOUBLE AS hi,
+           round(round(sum(least(greatest(o_totalprice::DECIMAL(18,2),
+                                          blo::DECIMAL(18,2)),
+                                 bhi::DECIMAL(18,2))), 2)::DOUBLE
+                 / count(*) + 1e-9, 4) AS winsorized_mean,
+           round(round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE
+                 / count(*) + 1e-9, 4) AS raw_mean
+    FROM r CROSS JOIN b
+    """,
+)
+def winsorized_stats_totalprice(spark, sf_dir):
+    """EXACT 5/95-winsorized mean of order totals (operators/ranks.py
+    winsorized_mean): quantile bounds from the distributed prefix-sum
+    rank (value at global rank ceil(q*n), not an approx sketch), clamp
+    + DECIMAL-exact means — the outlier-robust profile statistic."""
+    from semantic_ann_in_data_lake_spark.operators.ranks import (
+        winsorized_mean,
+    )
+
+    return winsorized_mean(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey"
+    )

@@ -2072,3 +2072,138 @@ def test_correlation_matrix_hand_and_numpy(spark, sf_dir):
         for jj, cy in enumerate(cols):
             if jj > i:
                 assert abs(got[(cx, cy)] - cm[i, jj]) < 1e-3
+
+
+def test_edit_distance_join_equals_bruteforce(spark, sf_dir):
+    """Segment blocking is EXACT: same pairs as the levenshtein cross
+    join, at d=1 and d=2, on real part names vs noisy variants."""
+    from pyspark.sql import functions as F
+    from semantic_ann_in_data_lake_spark.operators.editjoin import (
+        edit_distance_join,
+    )
+
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_partkey", "p_name")
+        .limit(150)
+    )
+    # noisy variants: drop one char at a hash-picked position
+    from semantic_ann_in_data_lake_spark.functions.hashing import (
+        portable_hash64,
+    )
+
+    pos = (
+        F.pmod(portable_hash64(F.col("p_name"), seed="ed:"), F.length("p_name"))
+        + 1
+    ).cast("int")
+    corr = (
+        parts.withColumn("__pos", pos)
+        .select(
+            (F.col("p_partkey") + 1_000_000).alias("cid"),
+            F.expr(
+                "concat(substring(p_name, 1, __pos - 1), substring(p_name, __pos + 1))"
+            ).alias("cname"),
+        )
+    )
+    for d in (1, 2):
+        got = {
+            (r["id_l"], r["id_r"], r["dist"])
+            for r in edit_distance_join(
+                parts, corr, "p_partkey", "p_name", "cid", "cname", max_dist=d
+            ).collect()
+        }
+        brute = {
+            (r["p_partkey"], r["cid"], r["d"])
+            for r in parts.crossJoin(corr)
+            .withColumn("d", F.levenshtein("p_name", "cname"))
+            .where(F.col("d") <= d)
+            .collect()
+        }
+        assert got == brute, f"d={d}"
+        assert len(got) >= 150  # every original matches its variant
+
+
+def test_edit_distance_join_hand_cases(spark):
+    from semantic_ann_in_data_lake_spark.operators.editjoin import (
+        edit_distance_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "abc"), (3, "x"), (4, "")],
+        ["lid", "ls"],
+    )
+    right = spark.createDataFrame(
+        [(10, "sitten"), (11, "kitte"), (12, "abcd"), (13, "zzzz"), (14, "xy")],
+        ["rid", "rs"],
+    )
+    got = {
+        (r["id_l"], r["id_r"]): r["dist"]
+        for r in edit_distance_join(
+            left, right, "lid", "ls", "rid", "rs", max_dist=2
+        ).collect()
+    }
+    assert got[(1, 10)] == 1  # substitution
+    assert got[(1, 11)] == 1  # deletion
+    assert got[(2, 12)] == 1  # insertion
+    assert got[(3, 14)] == 1  # short strings cross length tiers
+    assert (2, 13) not in got
+    assert all(l != 4 for (l, _) in got)  # empty string never pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        edit_distance_join(left, right, "lid", "ls", "rid", "rs", max_dist=0)
+
+
+def test_edit_distance_join_no_cartesian(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.operators.editjoin import (
+        edit_distance_join,
+    )
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_name"
+    )
+    plan = (
+        edit_distance_join(
+            parts, parts, "p_partkey", "p_name", "p_partkey", "p_name"
+        )
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert "cartesianproduct" not in plan
+    assert "broadcastnestedloop" not in plan
+
+
+def test_winsorized_mean_hand_case(spark):
+    from semantic_ann_in_data_lake_spark.operators.ranks import winsorized_mean
+
+    # values 1..100 with one giant outlier at id 101
+    rows = [(i, float(i)) for i in range(1, 101)] + [(101, 100000.0)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    r = winsorized_mean(df, "v", "id", lower_q=0.1, upper_q=0.9).collect()[0]
+    # n=101: lo = value at rank ceil(10.1)=11 -> 11.0; hi at rank 91 -> 91.0
+    assert r["n"] == 101
+    assert r["lo"] == 11.0
+    assert r["hi"] == 91.0
+    # the outlier clamps to 91: winsorized mean must sit near the middle
+    assert 45.0 < r["winsorized_mean"] < 60.0
+    assert r["raw_mean"] > 1000.0  # unclamped mean is outlier-dominated
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winsorized_mean(df, "v", "id", lower_q=0.9, upper_q=0.1)
+
+
+def test_event_transition_matrix_rows_normalize(spark, sf_dir):
+    from collections import defaultdict
+
+    from semantic_ann_in_data_lake_spark.plans.registry import (
+        event_transition_matrix,
+    )
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    by_from = defaultdict(float)
+    for r in rows:
+        assert 0.0 <= r["prob"] <= 1.0
+        by_from[r["from_type"]] += r["prob"]
+    # each from_type's outgoing probabilities sum to ~1
+    for tot in by_from.values():
+        assert abs(tot - 1.0) < 0.01

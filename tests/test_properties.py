@@ -171,3 +171,91 @@ def test_bpe_roundtrip_arbitrary_unicode(texts):
     tok = BpeTokenizer(merges)
     for t in texts:
         assert tok.decode(tok.encode(t)) == t
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=10),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([1, 2]),
+)
+def test_edit_distance_join_matches_bruteforce_random(shared_spark, strs, d):
+    """PassJoin segment blocking equals the brute-force levenshtein
+    cross join on arbitrary short strings (worst case for segment
+    degeneracy: tiny alphabets, empty segments, len <= d)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.editjoin import (
+        edit_distance_join,
+    )
+
+    left = shared_spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], ["lid", "ls"]
+    )
+    right = shared_spark.createDataFrame(
+        [(i + 1000, s) for i, s in enumerate(strs)], ["rid", "rs"]
+    )
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in edit_distance_join(
+            left, right, "lid", "ls", "rid", "rs", max_dist=d
+        ).collect()
+    }
+    brute = {
+        (r["lid"], r["rid"])
+        for r in left.crossJoin(right)
+        .where(
+            (F.length("ls") > 0)
+            & (F.length("rs") > 0)
+            & (F.levenshtein("ls", "rs") <= d)
+        )
+        .collect()
+    }
+    assert got == brute
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="xy z", min_size=0, max_size=30),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0.3, 0.6, 1.0]),
+)
+def test_jaccard_prefix_join_matches_bruteforce_random(shared_spark, texts, tau):
+    """Prefix filtering equals brute-force all-pairs token-set Jaccard
+    on arbitrary text (tiny vocab -> maximal token-frequency ties)."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.functions.text import words
+    from semantic_ann_in_data_lake_spark.operators.setjoin import (
+        jaccard_prefix_join,
+    )
+
+    docs = shared_spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    toks = docs.select(
+        "doc_id", F.array_sort(F.array_distinct(words("text"))).alias("tk")
+    ).where(F.size("tk") > 0)
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(F.round(inter / union, 6) >= tau)
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_join(docs, threshold=tau).collect()
+    }
+    assert got == brute

@@ -188,6 +188,20 @@ def bench_queries(spark, sf_dir):
         "zorder_key_orders": from_registry("zorder_key_orders"),
         "cross_corpus_near_dups": from_registry("cross_corpus_near_dups"),
         "centroid_per_source": from_registry("centroid_per_source"),
+        # round-4 operators. The two similarity JOINS are benched via
+        # their bounded registry shapes only: on this deliberately
+        # duplicate-heavy corpus a low-τ/d self-join's TRUE answer is
+        # ~10⁶-10⁷ pairs (output-bound, not algorithm-bound — measured
+        # 964k exact pairs at τ=0.9 even after exact-dedup); production
+        # runs dedup_exact first and high τ/d — see PERF.md.
+        "dup_span_fraction": from_registry("dup_span_fraction"),
+        "bigram_lm_scores": from_registry("bigram_lm_scores"),
+        "resample_interpolate": from_registry("resample_interpolate_user_value"),
+        "fuzzy_join_part_names": from_registry("fuzzy_join_part_names"),
+        "equidepth_histogram": from_registry("equidepth_histogram_totalprice"),
+        "winsorized_stats": from_registry("winsorized_stats_totalprice"),
+        "scd2_user_state": from_registry("scd2_user_state"),
+        "event_transition_matrix": from_registry("event_transition_matrix"),
     }
 
 

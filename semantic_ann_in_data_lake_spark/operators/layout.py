@@ -109,3 +109,41 @@ def compact_parquet(
     else:
         df = df.coalesce(target_files)
     df.write.mode("overwrite").parquet(dst_path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Persist ``df`` as a BUCKETED parquet table (hash-partitioned
+    into ``num_buckets`` files per partition by ``bucket_cols``,
+    optionally sorted within buckets) and return the re-read table.
+
+    Why first-class at 100 TB: two tables bucketed the same way
+    (same columns, same bucket count) join and aggregate WITHOUT a
+    shuffle — the scan itself reports the hash partitioning to
+    Catalyst, so the exchange that dominates every big fact-fact join
+    simply disappears from the plan (the plan test pins this). This is
+    Spark's native form of the co-located join; the bucket write is a
+    one-time cost amortized over every subsequent join/agg on the key
+    (cf. the reference persisting its FAISS index once and querying it
+    many times, ``join_discoverer.py:268-287`` — same
+    write-once/reuse-many discipline applied to relational layout).
+
+    Bucketed tables live in the session warehouse (metastore-backed) —
+    ``table_name`` is overwritten.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+    return spark.table(table_name)

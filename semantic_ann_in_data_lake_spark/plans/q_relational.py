@@ -340,3 +340,43 @@ def zorder_key_orders(spark, sf_dir):
     return with_zorder_key(
         orders, ["o_custkey", "o_totalprice"], bits=8
     ).select("o_orderkey", "zkey")
+
+
+@register(
+    "bucketed_join_spend",
+    """
+    SELECT c_custkey,
+           count(o_orderkey) AS n_orders,
+           round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS spend
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def bucketed_join_spend(spark, sf_dir):
+    """Co-located fact join via BUCKETED tables (operators/layout.py
+    write_bucketed): both sides bucketed on the customer key at the
+    same count, so the join AND the per-customer aggregation run with
+    zero shuffle exchanges (plan-pinned in tests) — Spark's native
+    answer to 'repartition once, join forever'. The gate checks the
+    bucketed roundtrip preserves the join result exactly."""
+    from semantic_ann_in_data_lake_spark.operators.layout import (
+        write_bucketed,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    bo = write_bucketed(o, "sals_orders_bucketed", ["o_custkey"], 8)
+    bc = write_bucketed(c, "sals_customer_bucketed", ["c_custkey"], 8)
+    return (
+        bc.hint("merge")
+        .join(bo, bc["c_custkey"] == bo["o_custkey"])
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("spend"),
+        )
+    )

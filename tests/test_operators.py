@@ -2207,3 +2207,41 @@ def test_event_transition_matrix_rows_normalize(spark, sf_dir):
     # each from_type's outgoing probabilities sum to ~1
     for tot in by_from.values():
         assert abs(tot - 1.0) < 0.01
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Two tables bucketed on the join key at the same bucket count
+    must sort-merge-join with NO shuffle exchange — the co-located
+    join that makes fact-fact joins survive 100 TB."""
+    from pyspark.sql import functions as F
+    from semantic_ann_in_data_lake_spark.operators.layout import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    bo = write_bucketed(orders, "t_orders_b", ["o_custkey"], 8)
+    bc = write_bucketed(cust, "t_cust_b", ["c_custkey"], 8)
+    joined = bo.hint("merge").join(
+        bc, bo["o_custkey"] == bc["c_custkey"]
+    ).groupBy("c_name").agg(F.count(F.lit(1)).alias("n"))
+    plan = joined._jdf.queryExecution().executedPlan().toString().lower()
+    assert "shuffleexchange" not in plan  # neither join nor groupBy shuffles
+    # same result as the plain (shuffling) join
+    plain = (
+        orders.hint("merge")
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # groupBy directly on the bucket column is also exchange-free
+    agg = bo.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+    aplan = agg._jdf.queryExecution().executedPlan().toString().lower()
+    assert "shuffleexchange" not in aplan
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_cust_b")

@@ -138,6 +138,21 @@ def write_bucketed(
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # with the default in-memory catalog, a previous PROCESS's table
+    # survives only as its warehouse directory — the DROP above can't
+    # see it and the write then fails LOCATION_ALREADY_EXISTS. Clear
+    # the orphaned location. (A persistent metastore deployment never
+    # hits this branch: the catalog knows the table and DROP removes
+    # the location.)
+    if not spark.catalog.tableExists(table_name):
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        orphan = os.path.join(wh, table_name.lower())
+        if wh and os.path.isdir(orphan):
+            shutil.rmtree(orphan)
     w = (
         df.write.mode("overwrite")
         .format("parquet")

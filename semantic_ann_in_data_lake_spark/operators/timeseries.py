@@ -116,3 +116,49 @@ def resample_interpolate(
         F.round(value + F.lit(_ROUND_BIAS), 4).alias("value"),
         F.col("v").isNotNull().alias("is_observed"),
     )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key z-score anomaly detection: rows whose value deviates
+    from THEIR OWN key's mean by more than ``z_threshold`` sample
+    standard deviations.
+
+    Two-pass shape, both passes keyed by ``key_col`` (one co-partitioned
+    shuffle pair, AQE-coalescible): per-key moments from exact
+    DECIMAL(12,2) sums (partition-order-proof), then a join back and a
+    row-local z expression. Keys with fewer than 2 rows or zero
+    variance emit nothing. Returns ``(key, id, value, z)`` with z at
+    4 dp.
+    """
+    dec = F.col(value_col).cast("decimal(12,2)")
+    stats = (
+        events.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(dec).alias("__s"),
+            F.sum(dec * dec).alias("__ss"),
+        )
+        .where(F.col("__n") >= 2)
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    stats = stats.select(
+        key_col,
+        (s / n).alias("__mean"),
+        F.sqrt((n * ss - s * s) / (n * (n - 1))).alias("__std"),
+    ).where(F.col("__std") > 0)
+    z = (F.col(value_col).cast("double") - F.col("__mean")) / F.col("__std")
+    return (
+        events.select(key_col, id_col, value_col)
+        .join(stats, key_col)
+        .withColumn("z", F.round(z + F.lit(_ROUND_BIAS), 4))
+        .where(F.abs("z") > z_threshold)
+        .select(key_col, id_col, value_col, "z")
+    )

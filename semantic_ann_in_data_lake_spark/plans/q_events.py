@@ -464,3 +464,39 @@ def event_transition_matrix(spark, sf_dir):
             4,
         ).alias("prob"),
     )
+
+
+@register(
+    "value_outliers_per_user",
+    """
+    WITH m AS (
+      SELECT user_id, count(*) AS n,
+             sum(value::DECIMAL(12,2)) AS s,
+             sum(value::DECIMAL(12,2) * value::DECIMAL(12,2)) AS ss
+      FROM events GROUP BY user_id HAVING count(*) >= 2
+    ),
+    st AS (
+      SELECT user_id,
+             s::DOUBLE / n::DOUBLE AS mean,
+             sqrt((n::DOUBLE * ss::DOUBLE - s::DOUBLE * s::DOUBLE)
+                  / (n::DOUBLE * (n::DOUBLE - 1))) AS std
+      FROM m
+    )
+    SELECT e.user_id, e.event_id, e.value,
+           round((e.value::DOUBLE - st.mean) / st.std + 1e-9, 4) AS z
+    FROM events e JOIN st ON e.user_id = st.user_id
+    WHERE st.std > 0
+      AND abs(round((e.value::DOUBLE - st.mean) / st.std + 1e-9, 4)) > 3.0
+    """,
+)
+def value_outliers_per_user(spark, sf_dir):
+    """Per-user z-score anomalies (operators/timeseries.py
+    zscore_outliers): values beyond 3 sample standard deviations of
+    their own user's history — the data-quality outlier gate. Moments
+    in exact DECIMAL, both passes keyed by user (co-partitioned
+    shuffle pair)."""
+    from semantic_ann_in_data_lake_spark.operators.timeseries import (
+        zscore_outliers,
+    )
+
+    return zscore_outliers(_t(spark, sf_dir, "events"))

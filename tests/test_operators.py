@@ -2245,3 +2245,20 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     assert "shuffleexchange" not in aplan
     spark.sql("DROP TABLE IF EXISTS t_orders_b")
     spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_zscore_outliers_hand_case(spark):
+    from semantic_ann_in_data_lake_spark.operators.timeseries import (
+        zscore_outliers,
+    )
+
+    rows = (
+        [(1, i, 10.0) for i in range(20)]
+        + [(1, 99, 500.0)]        # blatant outlier for user 1
+        + [(2, 200, 5.0), (2, 201, 5.0)]  # zero variance -> excluded
+        + [(3, 300, 1.0)]         # n < 2 -> excluded
+    )
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "value"])
+    out = zscore_outliers(df).collect()
+    assert [(r["user_id"], r["event_id"]) for r in out] == [(1, 99)]
+    assert out[0]["z"] > 4.0

@@ -199,6 +199,19 @@ def knn_join(
             queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp,
             nlist=nlist, nprobe=nprobe, fit=ivf_fit, compress=compress,
         )
+    if strategy == "pq":
+        # product-quantization / ADC tier (operators/pq.py): m uint8
+        # codes per vector in the broadcast instead of dim float64 —
+        # the memory end-game past int8. l2_sq only (ADC estimates
+        # squared L2 directly).
+        if metric != "l2_sq":
+            raise ValueError("strategy='pq' supports metric='l2_sq' only")
+        from semantic_ann_in_data_lake_spark.operators.pq import knn_pq
+
+        return knn_pq(
+            queries, candidates, id_col, vec_col, k=k,
+            exclude_self=exclude_self, round_dp=round_dp,
+        )
     raise ValueError(f"unknown strategy {strategy!r}")
 
 

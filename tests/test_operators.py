@@ -2262,3 +2262,52 @@ def test_zscore_outliers_hand_case(spark):
     out = zscore_outliers(df).collect()
     assert [(r["user_id"], r["event_id"]) for r in out] == [(1, 99)]
     assert out[0]["z"] > 4.0
+
+
+def test_knn_pq_recall_and_contract(spark, sf_dir):
+    """PQ/ADC tier: deterministic output contract and recall@10 vs the
+    exact tier above the documented floor on the adversarial
+    (uniform-random) embeddings."""
+    from collections import defaultdict
+
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pq1 = knn_join(emb, emb, k=10, strategy="pq").collect()
+    pq2 = knn_join(emb, emb, k=10, strategy="pq").collect()
+    assert sorted(map(tuple, pq1)) == sorted(map(tuple, pq2))  # deterministic
+    exact = knn_join(emb, emb, k=10, strategy="broadcast").collect()
+    g, p = defaultdict(set), defaultdict(set)
+    for r in exact:
+        g[r["query_id"]].add(r["cand_id"])
+    for r in pq1:
+        p[r["query_id"]].add(r["cand_id"])
+    hits = sum(len(g[q] & p[q]) for q in g)
+    tot = sum(len(v) for v in g.values())
+    assert hits / tot >= 0.7
+    # contract: rank 1..k per query, distances non-negative and sorted
+    by_q = defaultdict(list)
+    for r in pq1:
+        by_q[r["query_id"]].append((r["rank"], r["distance"]))
+    for rows in by_q.values():
+        rows.sort()
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+        ds = [d for _, d in rows]
+        assert ds == sorted(ds) and ds[0] >= 0.0
+
+
+def test_pq_rejects_bad_shapes(spark, sf_dir):
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+    from semantic_ann_in_data_lake_spark.operators.pq import (
+        train_pq_codebooks,
+    )
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError):
+        train_pq_codebooks(emb, m=7)  # 64 % 7 != 0
+    with _pytest.raises(ValueError):
+        knn_join(emb, emb, strategy="pq", metric="cosine")

@@ -352,3 +352,45 @@ def test_incremental_rollup_equals_batch(spark, sf_dir, tmp_path):
         for r in events_hourly_rollup(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_scd2_stream_equals_batch_closed_runs(spark, sf_dir, tmp_path):
+    """Streaming SCD2 changelog: closed intervals emitted by the
+    stateful stream equal the batch operator's valid_to-IS-NOT-NULL
+    rows for single-delivery input (the open run stays in state)."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.pairs import scd2_history
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+    from semantic_ann_in_data_lake_spark.streaming.scd2_stream import (
+        scd2_changelog_stream,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    closed = scd2_history(
+        events, "user_id", "event_type", "ts", "event_id"
+    ).where(F.col("valid_to").isNotNull())
+
+    events_dir = _stage_dir(f"{sf_dir}/events.parquet", tmp_path, "scd2_in")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_src = spark.readStream.schema(raw_schema).parquet(events_dir)
+    if dict(stream_src.dtypes).get("ts") == "bigint":
+        stream_src = stream_src.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    out = scd2_changelog_stream(stream_src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd2_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "scd2_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("scd2_test").collect()
+    want = closed.select(
+        "user_id", "state", "valid_from", "valid_to", "version", "n_events"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0

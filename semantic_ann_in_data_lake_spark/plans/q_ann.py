@@ -810,3 +810,17 @@ def knn_pq_l2(spark, sf_dir):
     the memory end-game past the int8 tier."""
     emb = _t(spark, sf_dir, "embeddings")
     return knn_join(emb, emb, k=5, strategy="pq")
+
+
+@register("knn_ivf_pq_l2", None)
+def knn_ivf_pq_l2(spark, sf_dir):
+    """IVF-PQ combined tier (operators/pq.py knn_ivf_pq) — rows-only:
+    the both-sides-huge cell shuffle carrying m uint8 codes per vector
+    instead of dim float64 (32x narrower at defaults). Recall floor,
+    determinism, and the compounding model (cell-miss x ADC error) are
+    test-pinned; per the correctness model, genuinely approximate
+    tiers gate rows-only."""
+    from semantic_ann_in_data_lake_spark.operators.pq import knn_ivf_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_ivf_pq(emb, emb, k=5, nlist=16, nprobe=8)

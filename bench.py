@@ -58,6 +58,16 @@ def bench_queries(spark, sf_dir):
         emb = read_table(spark, sf_dir, "embeddings")
         return knn_join(emb, emb, k=10, strategy="ivf")
 
+    def knn_pq_bench():
+        emb = read_table(spark, sf_dir, "embeddings")
+        return knn_join(emb, emb, k=10, strategy="pq")
+
+    def knn_ivf_pq_bench():
+        from semantic_ann_in_data_lake_spark.operators.pq import knn_ivf_pq
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        return knn_ivf_pq(emb, emb, k=10, nlist=16, nprobe=8)
+
     def minhash_fast():
         docs = read_table(spark, sf_dir, "documents")
         return dedup.minhash_near_dups(
@@ -202,6 +212,8 @@ def bench_queries(spark, sf_dir):
         "winsorized_stats": from_registry("winsorized_stats_totalprice"),
         "scd2_user_state": from_registry("scd2_user_state"),
         "event_transition_matrix": from_registry("event_transition_matrix"),
+        "knn_pq_k10": knn_pq_bench,
+        "knn_ivf_pq_k10": knn_ivf_pq_bench,
     }
 
 

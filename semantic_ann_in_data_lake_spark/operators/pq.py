@@ -79,8 +79,17 @@ def train_pq_codebooks(
         sub = mat[:, j * dsub:(j + 1) * dsub]
         k_eff = min(ksub, len(sub))
         cents = sub[rng.choice(len(sub), size=k_eff, replace=False)]
+        sub_sq = (sub * sub).sum(axis=1)[:, None]
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # BLAS expansion |x|²-2x·c+|c|²: O(n·ksub) memory — the
+            # (n, ksub, dsub) broadcast form allocates ~800 MB per
+            # iteration at the 100k sample (measured; dominated the
+            # tier's bench time)
+            d2 = (
+                sub_sq
+                - 2.0 * (sub @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
             assign = d2.argmin(axis=1)
             for c in range(k_eff):
                 members = sub[assign == c]
@@ -185,23 +194,41 @@ def knn_pq(
                 continue
             qmat = np.asarray(list(pdf["query_vec"]), dtype=np.float64)
             qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            # ADC lookup tables for the WHOLE batch at once: per
+            # subspace, |q_sub|² - 2 q_sub·c + |c|² → (nq, m·ksub);
+            # then distances for all (query, candidate) pairs are one
+            # fancy-indexed gather + sum — no per-query Python loop in
+            # the LUT build (measured ~2× on the bench tier).
+            lut = np.empty((len(qmat), mm * kk), dtype=np.float64)
+            for j in range(mm):
+                q_sub = qmat[:, j * dsub:(j + 1) * dsub]
+                lut[:, j * kk:(j + 1) * kk] = (
+                    (q_sub * q_sub).sum(axis=1)[:, None]
+                    - 2.0 * (q_sub @ bks[j].T)
+                    + (bks[j] * bks[j]).sum(axis=1)[None, :]
+                )
             rows = []
-            for qi in range(len(qmat)):
-                # ADC lookup table: exact sub-distances query↔codewords
-                lut = np.empty((mm, kk), dtype=np.float64)
-                for j in range(mm):
-                    diff = bks[j] - qmat[qi, j * dsub:(j + 1) * dsub][None, :]
-                    lut[j] = (diff * diff).sum(axis=1)
-                dist = lut.ravel()[flat_codes].sum(axis=1)
+            # 256-query blocks bound the (block, n_cand) gather at
+            # ~2 MB per 1k candidates — batch-vectorized without an
+            # O(nq·nc) allocation spike
+            for lo in range(0, len(qmat), 256):
+                hi = min(lo + 256, len(qmat))
+                dist = lut[lo:hi, flat_codes].sum(axis=2)
                 if exclude_self:
-                    dist = np.where(cids == qids[qi], np.inf, dist)
+                    dist[qids[lo:hi, None] == cids[None, :]] = np.inf
                 dr = np.round(dist, round_dp)
-                take = min(k, (dr < np.inf).sum())
-                idx = np.argsort(dr, kind="stable")[:take]
-                for r, j in enumerate(idx, start=1):
-                    rows.append(
-                        (int(qids[qi]), int(cids[j]), float(dr[j]), r)
-                    )
+                for qi in range(hi - lo):
+                    take = min(k, int((dr[qi] < np.inf).sum()))
+                    idx = np.argsort(dr[qi], kind="stable")[:take]
+                    for r, j in enumerate(idx, start=1):
+                        rows.append(
+                            (
+                                int(qids[lo + qi]),
+                                int(cids[j]),
+                                float(dr[qi, j]),
+                                r,
+                            )
+                        )
             yield pd.DataFrame(
                 rows, columns=["query_id", "cand_id", "distance", "rank"]
             )
@@ -335,20 +362,30 @@ def knn_ivf_pq(
         flat_codes = codes + (np.arange(mm) * kk)[None, :]
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)
         qmat = np.asarray(list(qpdf["query_vec"]), dtype=np.float64)
+        # batch LUT build (see knn_pq.topk): (nq, m·ksub) in one BLAS
+        # pass per subspace, then a blocked gather over the cell
+        lut = np.empty((len(qmat), mm * kk), dtype=np.float64)
+        for j in range(mm):
+            q_sub = qmat[:, j * dsub:(j + 1) * dsub]
+            lut[:, j * kk:(j + 1) * kk] = (
+                (q_sub * q_sub).sum(axis=1)[:, None]
+                - 2.0 * (q_sub @ books_[j].T)
+                + (books_[j] * books_[j]).sum(axis=1)[None, :]
+            )
         rows = []
-        for qi in range(len(qmat)):
-            lut = np.empty((mm, kk), dtype=np.float64)
-            for j in range(mm):
-                diff = books_[j] - qmat[qi, j * dsub:(j + 1) * dsub][None, :]
-                lut[j] = (diff * diff).sum(axis=1)
-            dist = lut.ravel()[flat_codes].sum(axis=1)
+        for lo in range(0, len(qmat), 256):
+            hi = min(lo + 256, len(qmat))
+            dist = lut[lo:hi, flat_codes].sum(axis=2)
             if exclude_self:
-                dist = np.where(cids == qids[qi], np.inf, dist)
+                dist[qids[lo:hi, None] == cids[None, :]] = np.inf
             dr = np.round(dist, round_dp)
-            take = min(k, int((dr < np.inf).sum()))
-            idx = np.argsort(dr, kind="stable")[:take]
-            for j in idx:
-                rows.append((int(qids[qi]), int(cids[j]), float(dr[j])))
+            for qi in range(hi - lo):
+                take = min(k, int((dr[qi] < np.inf).sum()))
+                idx = np.argsort(dr[qi], kind="stable")[:take]
+                for j in idx:
+                    rows.append(
+                        (int(qids[lo + qi]), int(cids[j]), float(dr[qi, j]))
+                    )
         return pd.DataFrame(rows, columns=cols)
 
     scored = (
@@ -359,3 +396,55 @@ def knn_ivf_pq(
         )
     )
     return _ranked_topk(scored, k, "l2_sq")
+
+
+def build_pq_index(
+    candidates: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    ksub: int = 256,
+    seed: int = 42,
+) -> None:
+    """Persist a PQ index as TWO parquet artifacts under ``path``:
+    ``codes/`` (vec_id, codes) — the data-sized but 32×-narrower part —
+    and ``codebooks/`` (subspace, codeword, center) — the tiny
+    trainable part. The write-once/reuse-many form of the S8 index
+    story (``knn.py::build_vector_index``) for the compressed tier: a
+    nightly encode job writes it; every downstream search loads codes
+    without touching raw vectors."""
+    import numpy as np
+
+    spark = candidates.sparkSession
+    books = train_pq_codebooks(
+        candidates, id_col, vec_col, m=m, ksub=ksub, seed=seed
+    )
+    pq_encode(candidates, books, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    rows = [
+        (int(j), int(c), [float(x) for x in books[j, c]])
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, codeword int, center array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_pq_index(spark, path: str):
+    """Load a persisted PQ index → (codes DataFrame, codebooks ndarray).
+    Validates shapes; the codebooks frame is tiny (m·ksub rows)."""
+    import numpy as np
+
+    codes = spark.read.parquet(f"{path}/codes")
+    assert {"vec_id", "codes"} <= set(codes.columns), codes.columns
+    bk = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["subspace"] for r in bk) + 1
+    ksub = max(r["codeword"] for r in bk) + 1
+    dsub = len(bk[0]["center"])
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for r in bk:
+        books[r["subspace"], r["codeword"]] = r["center"]
+    return codes, books

@@ -2336,3 +2336,32 @@ def test_knn_ivf_pq_recall_and_determinism(spark, sf_dir):
     hits = sum(len(g[q] & p[q]) for q in g)
     tot = sum(len(v) for v in g.values())
     assert hits / tot >= 0.5
+
+
+def test_pq_index_roundtrip(spark, sf_dir, tmp_path):
+    """build_pq_index -> load_pq_index reproduces the in-memory
+    codebooks and codes exactly (the index is the deterministic
+    function of data + seed)."""
+    import numpy as np
+
+    from semantic_ann_in_data_lake_spark.operators.pq import (
+        build_pq_index,
+        load_pq_index,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pqidx")
+    build_pq_index(emb, path, m=8, ksub=16)
+    codes_df, books = load_pq_index(spark, path)
+    want_books = train_pq_codebooks(emb, m=8, ksub=16)
+    assert books.shape == want_books.shape
+    assert np.allclose(books, want_books)
+    want_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, want_books).collect()
+    }
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in codes_df.collect()}
+    assert got_codes == want_codes

@@ -522,3 +522,60 @@ def winsorized_stats_totalprice(spark, sf_dir):
     return winsorized_mean(
         _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey"
     )
+
+
+@register(
+    "brand_price_quartiles",
+    """
+    WITH r AS (
+      SELECT p_brand, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice, p_partkey) AS rn,
+             count(*) OVER (PARTITION BY p_brand) AS n
+      FROM part
+    )
+    SELECT p_brand, max(n)::BIGINT AS n,
+           round(max(CASE WHEN rn = ceil(n * 0.25) THEN p_retailprice END)
+                 ::DECIMAL(18,2), 2)::DOUBLE AS q1,
+           round(max(CASE WHEN rn = ceil(n * 0.50) THEN p_retailprice END)
+                 ::DECIMAL(18,2), 2)::DOUBLE AS q2,
+           round(max(CASE WHEN rn = ceil(n * 0.75) THEN p_retailprice END)
+                 ::DECIMAL(18,2), 2)::DOUBLE AS q3
+    FROM r GROUP BY p_brand
+    """,
+)
+def brand_price_quartiles(spark, sf_dir):
+    """EXACT per-group quartiles (value at within-group rank ⌈q·n⌉):
+    one window partitioned BY BRAND — per-group percentiles never need
+    the global-rank machinery, the partition key spreads the sort —
+    then a conditional-pick aggregation. The grouped complement of
+    winsorized_stats' global quantiles; no approx-percentile sketch."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_retailprice")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    wn = Window.partitionBy("p_brand")
+    r = p.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+
+    def pick(q):
+        return (
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("rn") == F.ceil(F.col("n") * F.lit(q)),
+                        F.col("p_retailprice"),
+                    )
+                ).cast("decimal(18,2)"),
+                2,
+            )
+            .cast("double")
+        )
+
+    return r.groupBy("p_brand").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(0.25).alias("q1"),
+        pick(0.50).alias("q2"),
+        pick(0.75).alias("q3"),
+    )

@@ -2365,3 +2365,55 @@ def test_pq_index_roundtrip(spark, sf_dir, tmp_path):
     }
     got_codes = {r["vec_id"]: list(r["codes"]) for r in codes_df.collect()}
     assert got_codes == want_codes
+
+
+def test_round4_ops_empty_and_degenerate_inputs(spark):
+    """Every round-4 operator must return an empty (or total) result
+    with the right schema on empty input — not throw."""
+    import datetime as dt
+
+    from semantic_ann_in_data_lake_spark.operators.editjoin import (
+        edit_distance_join,
+    )
+    from semantic_ann_in_data_lake_spark.operators.lm import bigram_lm_scores
+    from semantic_ann_in_data_lake_spark.operators.pairs import (
+        scd2_history,
+        weighted_sample,
+    )
+    from semantic_ann_in_data_lake_spark.operators.ranks import (
+        equidepth_histogram,
+        global_row_number,
+    )
+    from semantic_ann_in_data_lake_spark.operators.setjoin import (
+        jaccard_prefix_join,
+    )
+    from semantic_ann_in_data_lake_spark.operators.spans import (
+        duplicated_span_stats,
+    )
+    from semantic_ann_in_data_lake_spark.operators.timeseries import (
+        resample_interpolate,
+        zscore_outliers,
+    )
+
+    docs0 = spark.createDataFrame([], "doc_id long, text string")
+    ev0 = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp, value double,"
+        " event_type string"
+    )
+    num0 = spark.createDataFrame([], "id long, v double")
+
+    assert duplicated_span_stats(docs0).count() == 0
+    assert jaccard_prefix_join(docs0).count() == 0
+    assert bigram_lm_scores(docs0).count() == 0
+    assert weighted_sample(num0, "id", "v", k=5).count() == 0
+    assert scd2_history(ev0, "user_id", "event_type", "ts", "event_id").count() == 0
+    assert resample_interpolate(ev0).count() == 0
+    assert zscore_outliers(ev0).count() == 0
+    assert global_row_number(num0, ["v", "id"]).count() == 0
+    assert equidepth_histogram(num0, "v", "id").count() == 0
+    assert edit_distance_join(
+        docs0, docs0, "doc_id", "text", "doc_id", "text"
+    ).count() == 0
+    # single-row degenerate: rank=1, histogram 1 bucket row, no pairs
+    one = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    assert global_row_number(one, ["v", "id"]).collect()[0]["rn"] == 1

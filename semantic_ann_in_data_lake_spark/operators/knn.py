@@ -162,7 +162,16 @@ def knn_join(
         )
         fits_mem = approx_bytes <= 256 << 20
         fits_compute = n_query * n_cand <= pair_budget
-        strategy = "broadcast" if (fits_mem and fits_compute) else "ivf"
+        if fits_mem and fits_compute:
+            # pass the probe results down: _knn_broadcast would
+            # otherwise re-run head(1) + a count/LIMIT-probe job to
+            # re-derive what the dispatcher just measured
+            return _knn_broadcast(
+                queries, candidates, id_col, vec_col, k, metric,
+                exclude_self, round_dp, compress,
+                known_n_cand=n_cand, known_dim=dim,
+            )
+        strategy = "ivf"
     if strategy == "exact":
         return _knn_exact(
             queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp
@@ -327,7 +336,7 @@ def _np_topk_rows(qids, qmat, cids, cmat, k, metric, exclude_self, round_dp,
 
 def _knn_broadcast(
     queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp,
-    compress=None,
+    compress=None, known_n_cand=None, known_dim=None,
 ) -> DataFrame:
     """Strategy (b): the candidate matrix rides a broadcast variable; each
     query partition computes a BLAS distance matrix + argpartition top-k.
@@ -350,10 +359,13 @@ def _knn_broadcast(
     import numpy as np
 
     spark = queries.sparkSession
-    first = candidates.select(vec_col).head(1)
-    dim = len(first[0][0]) if first and first[0][0] is not None else 0
+    if known_dim is not None:
+        dim = known_dim
+    else:
+        first = candidates.select(vec_col).head(1)
+        dim = len(first[0][0]) if first and first[0][0] is not None else 0
     per_elem = 1 if compress == "int8" else 8
-    n_cand = _estimate_rows(candidates)
+    n_cand = known_n_cand if known_n_cand is not None else _estimate_rows(candidates)
     if n_cand is None:
         # derived frame — no parquet footer to read. A full count()
         # here costs an entire extra scan of the candidate lineage per
@@ -369,7 +381,7 @@ def _knn_broadcast(
     if est_bytes > budget:
         import warnings
 
-        if _estimate_rows(candidates) is None:
+        if known_n_cand is None and _estimate_rows(candidates) is None:
             # the LIMIT probe only proved "over budget" — get the true
             # row count for nlist sizing (we are about to run a far
             # bigger IVF job; one count is noise next to it)

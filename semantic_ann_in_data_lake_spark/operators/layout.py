@@ -137,14 +137,20 @@ def write_bucketed(
     ``table_name`` is overwritten.
     """
     spark = df.sparkSession
+    # record BEFORE dropping: after DROP TABLE the exists-check is
+    # vacuously false and the cleanup below would run unconditionally —
+    # including deleting a location a persistent metastore just
+    # released correctly
+    known = spark.catalog.tableExists(table_name)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     # with the default in-memory catalog, a previous PROCESS's table
     # survives only as its warehouse directory — the DROP above can't
     # see it and the write then fails LOCATION_ALREADY_EXISTS. Clear
-    # the orphaned location. (A persistent metastore deployment never
-    # hits this branch: the catalog knows the table and DROP removes
-    # the location.)
-    if not spark.catalog.tableExists(table_name):
+    # the orphaned location; only for unqualified names (a qualified
+    # 'db.tbl' lives at warehouse/db.db/tbl, which this simple mapping
+    # would miss — and a persistent-metastore deployment handles it
+    # through the catalog anyway).
+    if not known and "." not in table_name:
         import os
         import shutil
         from urllib.parse import urlparse

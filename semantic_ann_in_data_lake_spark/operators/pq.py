@@ -69,6 +69,15 @@ def train_pq_codebooks(
         .sort_values("cand_id", kind="mergesort")
     )
     mat = np.asarray(list(sample["cand_vec"]), dtype=np.float64)
+    return _books_from_mat(mat, m, ksub, seed, iters)
+
+
+def _books_from_mat(mat, m: int, ksub: int, seed: int, iters: int = 10):
+    """Codebooks from an in-memory sample matrix (shared by
+    train_pq_codebooks and knn_ivf_pq, which reuses ONE collected
+    sample for both the coarse quantizer and the codebooks)."""
+    import numpy as np
+
     dim = mat.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
@@ -188,7 +197,8 @@ def knn_pq(
         cids, cds, bks = bc.value
         mm, kk, dsub = bks.shape
         # flatten codes once per worker: dist row = lut.flat[off + code]
-        flat_codes = cds + (np.arange(mm) * kk)[None, :]
+        # per-subspace code columns for the accumulating gather below
+        code_cols = [cds[:, j] + j * kk for j in range(mm)]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -213,7 +223,16 @@ def knn_pq(
             # O(nq·nc) allocation spike
             for lo in range(0, len(qmat), 256):
                 hi = min(lo + 256, len(qmat))
-                dist = lut[lo:hi, flat_codes].sum(axis=2)
+                # accumulate per subspace: peak memory is ONE
+                # (block, n_cand) array — the fused fancy gather
+                # lut[block, flat_codes] materializes (block, n_cand, m),
+                # m× larger, which at broadcast-tier candidate counts
+                # OOMs the python worker before the broadcast budget
+                # ever binds
+                blk = lut[lo:hi]
+                dist = blk[:, code_cols[0]].copy()
+                for j in range(1, mm):
+                    dist += blk[:, code_cols[j]]
                 if exclude_self:
                     dist[qids[lo:hi, None] == cids[None, :]] = np.inf
                 dr = np.round(dist, round_dp)
@@ -274,23 +293,30 @@ def knn_ivf_pq(
     spark = queries.sparkSession
     c = _prep(candidates, id_col, vec_col, "cand")
 
-    # coarse centroids + codebooks from ONE collected sample
+    # coarse centroids + codebooks from ONE collected sample (a second
+    # limit().toPandas() would double the driver collection), Lloyd in
+    # the BLAS |x|²-2x·c+|c|² form — the (n, nlist, dim) broadcast
+    # difference allocates ~800 MB/iteration at the 100k sample (the
+    # exact cost _books_from_mat's comment documents)
     sample = (
         c.limit(100_000).toPandas().sort_values("cand_id", kind="mergesort")
     )
     mat = np.asarray(list(sample["cand_vec"]), dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+    mat_sq = (mat * mat).sum(axis=1)[:, None]
     for _ in range(10):
-        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = (
+            mat_sq
+            - 2.0 * (mat @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
         assign = d2.argmin(axis=1)
         for j in range(len(cents)):
             members = mat[assign == j]
             if len(members):
                 cents[j] = members.mean(axis=0)
-    books = train_pq_codebooks(
-        candidates, id_col, vec_col, m=m, ksub=ksub, seed=seed
-    )
+    books = _books_from_mat(mat, m, ksub, seed)
     bc = spark.sparkContext.broadcast((cents, np.asarray(books)))
 
     def encode_and_cell(batches):
@@ -359,7 +385,7 @@ def knn_ivf_pq(
         codes = np.asarray(list(cpdf["codes"]), dtype=np.int64)
         order = np.argsort(cids)
         cids, codes = cids[order], codes[order]
-        flat_codes = codes + (np.arange(mm) * kk)[None, :]
+        code_cols = [codes[:, j] + j * kk for j in range(mm)]
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)
         qmat = np.asarray(list(qpdf["query_vec"]), dtype=np.float64)
         # batch LUT build (see knn_pq.topk): (nq, m·ksub) in one BLAS
@@ -375,7 +401,10 @@ def knn_ivf_pq(
         rows = []
         for lo in range(0, len(qmat), 256):
             hi = min(lo + 256, len(qmat))
-            dist = lut[lo:hi, flat_codes].sum(axis=2)
+            blk = lut[lo:hi]
+            dist = blk[:, code_cols[0]].copy()  # see knn_pq: (block, n_cand) peak
+            for j in range(1, mm):
+                dist += blk[:, code_cols[j]]
             if exclude_self:
                 dist[qids[lo:hi, None] == cids[None, :]] = np.inf
             dr = np.round(dist, round_dp)

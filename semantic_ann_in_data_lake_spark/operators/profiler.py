@@ -394,6 +394,10 @@ def correlation_matrix(
     # (12,2) covers values < 10^10 at cent precision — every TPC-H
     # measure; pass wider data through a pre-scale if needed.
     dec = "decimal(12,2)"
+    # listwise-complete rows only: F.sum skips NULLs per column, so a
+    # count over ALL rows would mix moment supports (sx over 100 rows,
+    # sxy over 50) and return correlations outside [-1, 1]
+    df = df.na.drop(subset=cols)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).cast(dec)).alias(f"__s_{c}"))

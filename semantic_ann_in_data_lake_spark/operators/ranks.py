@@ -135,11 +135,22 @@ def winsorized_mean(
         )
     )
     n_total = ranked.groupBy().agg(F.max("rn").alias("__n"))
+    # quantile rank = max(ceil(n·q − 1e-9), 1): the floor keeps
+    # lower_q=0 anchored at rank 1 (ceil(0)=0 matches no row — the
+    # bounds frame would then hold only the upper value and every row
+    # would clamp to it), and the 1e-9 bias keeps an exact-integer n·q
+    # from ceiling one rank high when the double product lands an ulp
+    # above (25·0.28 → 7.000000000000001).
+    def _qrank(q: float):
+        return F.greatest(
+            F.ceil(F.col("__n") * F.lit(q) - F.lit(1e-9)), F.lit(1)
+        )
+
     bounds = (
         ranked.join(F.broadcast(n_total))
         .where(
-            (F.col("rn") == F.ceil(F.col("__n") * F.lit(lower_q)))
-            | (F.col("rn") == F.ceil(F.col("__n") * F.lit(upper_q)))
+            (F.col("rn") == _qrank(lower_q))
+            | (F.col("rn") == _qrank(upper_q))
         )
         .groupBy()
         .agg(

@@ -75,13 +75,20 @@ def jaccard_prefix_join(
     w_doc = Window.partitionBy("doc_id").orderBy(
         F.col("df").asc(), F.col("tok").asc()
     )
-    # prefix length p = sz - ceil(tau*sz) + 1
+    # prefix length p = sz - ceil(tau*sz) + 1. The ceil runs on a
+    # DOUBLE product: sz*tau can land one ulp ABOVE the exact integer
+    # (25*0.28 = 7.000000000000001 → ceil 8, exact 7), which would
+    # SHORTEN the prefix and silently drop qualifying pairs. The 1e-9
+    # bias errs toward a LONGER prefix — more candidates, never fewer;
+    # the exact verify below keeps the output identical.
     prefix = (
         flat.join(df_freq, "tok")
         .withColumn("r", F.row_number().over(w_doc))
         .where(
             F.col("r")
-            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+            <= F.col("sz")
+            - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9))
+            + 1
         )
         .select("tok", "doc_id", "sz")
     )
@@ -93,11 +100,15 @@ def jaccard_prefix_join(
         F.col("tok"), F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")
     )
     # size filter: Jaccard >= tau requires tau*|A| <= |B| <= |A|/tau
+    # size filter: Jaccard >= tau requires tau*|A| <= |B| <= |A|/tau.
+    # Same float-boundary hazard as the prefix ceil (|A|=7, |B|=25,
+    # tau=0.28: 25*0.28 > 7 in doubles though exactly equal) — relax by
+    # 1e-9 so borderline pairs stay candidates; exact verify decides.
     cands = (
         a.join(b, "tok")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.col("sz_b") * F.lit(threshold) <= F.col("sz_a"))
-        .where(F.col("sz_a") * F.lit(threshold) <= F.col("sz_b"))
+        .where(F.col("sz_b") * F.lit(threshold) - F.lit(1e-9) <= F.col("sz_a"))
+        .where(F.col("sz_a") * F.lit(threshold) - F.lit(1e-9) <= F.col("sz_b"))
         .select("id_a", "id_b")
         .distinct()
     )

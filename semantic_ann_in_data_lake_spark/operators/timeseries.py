@@ -51,8 +51,29 @@ def resample_interpolate(
     neighbors; leading/trailing positions (none here by construction,
     since the grid starts/ends on observed buckets) extend flat.
     """
-    unit = interval.split()[-1]
-    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    # epoch-floor bucketing, NOT date_trunc: date_trunc ignores the
+    # interval COUNT ("2 hour" grids would skip odd-hour observations)
+    # and rejects plural unit spellings outright ("15 minutes" →
+    # all-null buckets → silently empty output). Flooring epoch
+    # microseconds to the full step handles any "N unit" and equals
+    # date_trunc for the 1-unit case under the UTC session zone.
+    parts = interval.split()
+    if len(parts) != 2 or not parts[0].isdigit() or int(parts[0]) < 1:
+        raise ValueError(f"interval must be '<count> <unit>', got {interval!r}")
+    unit_us = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+        "week": 7 * 86_400_000_000,
+    }.get(parts[1].rstrip("s"))
+    if unit_us is None:
+        raise ValueError(f"unsupported interval unit {parts[1]!r}")
+    step = int(parts[0]) * unit_us
+    e = epoch_us(F.col(ts_col))
+    # e − pmod(e, step) is the floored multiple of step (pmod stays
+    # non-negative, so pre-epoch timestamps floor correctly too)
+    bucket = F.timestamp_micros(e - F.pmod(e, F.lit(step))).alias("bucket")
     observed = (
         events.select(F.col(key_col).alias("key"), bucket, F.col(value_col).alias("v"))
         .groupBy("key", "bucket")
@@ -140,7 +161,11 @@ def zscore_outliers(
     stats = (
         events.groupBy(key_col)
         .agg(
-            F.count(F.lit(1)).alias("__n"),
+            # count(dec), not count(*): NULL values (and values past
+            # DECIMAL(12,2), which cast to NULL under ANSI-off) vanish
+            # from the sums — counting them would deflate the mean and
+            # corrupt every z-score for the key
+            F.count(dec).alias("__n"),
             F.sum(dec).alias("__s"),
             F.sum(dec * dec).alias("__ss"),
         )

@@ -470,10 +470,10 @@ def event_transition_matrix(spark, sf_dir):
     "value_outliers_per_user",
     """
     WITH m AS (
-      SELECT user_id, count(*) AS n,
+      SELECT user_id, count(value) AS n,
              sum(value::DECIMAL(12,2)) AS s,
              sum(value::DECIMAL(12,2) * value::DECIMAL(12,2)) AS ss
-      FROM events GROUP BY user_id HAVING count(*) >= 2
+      FROM events GROUP BY user_id HAVING count(value) >= 2
     ),
     st AS (
       SELECT user_id,

@@ -443,6 +443,8 @@ def equidepth_histogram_totalprice(spark, sf_dir):
              sum(l_quantity::DECIMAL(12,2) * l_discount::DECIMAL(12,2)) AS sp_qd,
              sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(12,2)) AS sp_pd
       FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL
     ),
     p AS (
       SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
@@ -496,7 +498,8 @@ def profile_correlations_lineitem(spark, sf_dir):
     ),
     b AS (
       SELECT min(o_totalprice) AS blo, max(o_totalprice) AS bhi
-      FROM r WHERE rn = ceil(n_total * 0.05) OR rn = ceil(n_total * 0.95)
+      FROM r WHERE rn = greatest(ceil(n_total * 0.05 - 1e-9), 1)
+         OR rn = greatest(ceil(n_total * 0.95 - 1e-9), 1)
     )
     SELECT count(*)::BIGINT AS n,
            round(min(blo)::DECIMAL(18,2), 2)::DOUBLE AS lo,
@@ -535,11 +538,11 @@ def winsorized_stats_totalprice(spark, sf_dir):
       FROM part
     )
     SELECT p_brand, max(n)::BIGINT AS n,
-           round(max(CASE WHEN rn = ceil(n * 0.25) THEN p_retailprice END)
+           round(max(CASE WHEN rn = greatest(ceil(n * 0.25 - 1e-9), 1) THEN p_retailprice END)
                  ::DECIMAL(18,2), 2)::DOUBLE AS q1,
-           round(max(CASE WHEN rn = ceil(n * 0.50) THEN p_retailprice END)
+           round(max(CASE WHEN rn = greatest(ceil(n * 0.50 - 1e-9), 1) THEN p_retailprice END)
                  ::DECIMAL(18,2), 2)::DOUBLE AS q2,
-           round(max(CASE WHEN rn = ceil(n * 0.75) THEN p_retailprice END)
+           round(max(CASE WHEN rn = greatest(ceil(n * 0.75 - 1e-9), 1) THEN p_retailprice END)
                  ::DECIMAL(18,2), 2)::DOUBLE AS q3
     FROM r GROUP BY p_brand
     """,
@@ -564,7 +567,11 @@ def brand_price_quartiles(spark, sf_dir):
             F.round(
                 F.max(
                     F.when(
-                        F.col("rn") == F.ceil(F.col("n") * F.lit(q)),
+                        F.col("rn")
+                        == F.greatest(
+                            F.ceil(F.col("n") * F.lit(q) - F.lit(1e-9)),
+                            F.lit(1),
+                        ),
                         F.col("p_retailprice"),
                     )
                 ).cast("decimal(18,2)"),

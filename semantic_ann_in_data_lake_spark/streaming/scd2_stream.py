@@ -51,10 +51,20 @@ def scd2_changelog_stream(events: DataFrame) -> DataFrame:
                 evs.append((int(r.ts.value // 1000), int(r.event_id), r.event_type))
         evs.sort()
         if state.exists:
-            cur, version, from_us, n = state.get
+            cur, version, from_us, n, last_us = state.get
         else:
-            cur, version, from_us, n = None, 0, None, 0
+            cur, version, from_us, n, last_us = None, 0, None, 0, -1
         for ts_us, _eid, etype in evs:
+            if ts_us < last_us:
+                # cross-batch late arrival: folding it in arrival order
+                # would emit an INVERTED interval (valid_to before
+                # valid_from) and permanently desync version numbers
+                # from the batch operator. Contract: state transitions
+                # fold in event-time order per delivery; events older
+                # than the last folded timestamp are dropped (the batch
+                # job over the full log is the reconciliation path).
+                continue
+            last_us = ts_us
             if cur is None:
                 cur, version, from_us, n = etype, 1, ts_us, 1
             elif etype == cur:
@@ -63,7 +73,7 @@ def scd2_changelog_stream(events: DataFrame) -> DataFrame:
                 rows.append((user_id, cur, from_us, ts_us, version, n))
                 cur, version, from_us, n = etype, version + 1, ts_us, 1
         if cur is not None:
-            state.update((cur, version, from_us, n))
+            state.update((cur, version, from_us, n, last_us))
         if rows:
             yield pd.DataFrame(
                 [
@@ -87,7 +97,7 @@ def scd2_changelog_stream(events: DataFrame) -> DataFrame:
         normalize_event_ts,
     )
 
-    state_schema = "cur string, version int, from_us long, n long"
+    state_schema = "cur string, version int, from_us long, n long, last_us long"
     return (
         normalize_event_ts(events)
         .withWatermark("ts", "1 minute")

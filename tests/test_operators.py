@@ -2417,3 +2417,107 @@ def test_round4_ops_empty_and_degenerate_inputs(spark):
     # single-row degenerate: rank=1, histogram 1 bucket row, no pairs
     one = spark.createDataFrame([(1, 5.0)], "id long, v double")
     assert global_row_number(one, ["v", "id"]).collect()[0]["rn"] == 1
+
+
+def test_jaccard_prefix_join_float_boundary_pair(spark):
+    """tau=0.28, |A|=7, |B|=25, A subset of B: Jaccard is EXACTLY 0.28 but
+    25*0.28 = 7.000000000000001 in doubles — both the prefix ceil and
+    the size filter must not prune the qualifying pair (regression for
+    the float-boundary bug)."""
+    from semantic_ann_in_data_lake_spark.operators.setjoin import (
+        jaccard_prefix_join,
+    )
+
+    toks_b = [f"w{i:02d}" for i in range(25)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks_b[:7])), (2, " ".join(toks_b))],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_prefix_join(docs, threshold=0.28).collect()
+    }
+    assert got.get((1, 2)) == 0.28
+
+
+def test_winsorized_mean_lower_q_zero(spark):
+    """lower_q=0 anchors at rank 1 (the minimum) — regression for the
+    ceil(0)=0 no-row collapse that clamped everything to the upper
+    bound."""
+    from semantic_ann_in_data_lake_spark.operators.ranks import winsorized_mean
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], ["id", "v"]
+    )
+    r = winsorized_mean(df, "v", "id", lower_q=0.0, upper_q=0.9).collect()[0]
+    assert r["lo"] == 1.0  # min, not the upper bound
+    assert r["hi"] == 9.0
+    assert r["winsorized_mean"] < r["hi"]
+
+
+def test_resample_interpolate_multi_unit_interval(spark):
+    """'15 minutes' buckets correctly (regression: date_trunc can't
+    express it — buckets were all NULL and the output silently empty);
+    bad intervals raise."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    events = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=5), 1.0),   # bucket 00:00
+            (1, base + dt.timedelta(minutes=50), 5.0),  # bucket 00:45
+        ],
+        ["user_id", "ts", "value"],
+    )
+    out = {
+        r["bucket"].minute: (r["value"], r["is_observed"])
+        for r in resample_interpolate(events, interval="15 minutes").collect()
+    }
+    assert out[0] == (1.0, True)
+    assert out[45] == (5.0, True)
+    assert out[15][1] is False and 1.0 < out[15][0] < 5.0  # interpolated
+    assert len(out) == 4
+    for bad in ("hour", "0 hour", "2 fortnights"):
+        with _pytest.raises(ValueError):
+            resample_interpolate(events, interval=bad)
+
+
+def test_correlation_matrix_null_rows_listwise(spark):
+    """NULLs in either column drop the whole row (listwise-complete
+    moments) — regression for mixed-support correlations outside
+    [-1, 1]."""
+    from semantic_ann_in_data_lake_spark.operators.profiler import (
+        correlation_matrix,
+    )
+
+    rows = [(float(x), 2.0 * x) for x in range(1, 11)] + [
+        (100.0, None),
+        (None, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = correlation_matrix(df, ["x", "y"]).collect()[0]
+    assert out["n"] == 10  # null rows excluded from the count too
+    assert out["corr"] == 1.0
+
+
+def test_zscore_outliers_ignores_null_values(spark):
+    """NULL values must not deflate the mean (count matches the summed
+    support)."""
+    from semantic_ann_in_data_lake_spark.operators.timeseries import (
+        zscore_outliers,
+    )
+
+    rows = [(1, i, 10.0) for i in range(10)] + [
+        (1, 90, None),
+        (1, 91, None),
+        (1, 99, 500.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    out = zscore_outliers(df).collect()
+    assert [(r["user_id"], r["event_id"]) for r in out] == [(1, 99)]

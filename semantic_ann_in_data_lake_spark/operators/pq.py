@@ -282,10 +282,10 @@ def knn_ivf_pq(
 
     Coarse quantizer: nlist centroids from the same bounded id-sorted
     seeded sample as the IVF tier; queries probe nprobe cells; per-cell
-    scoring is ADC over the cell's codes with a per-query lookup table;
-    the merge carries ≤ nprobe·k rows per query. Raw-vector PQ (no
-    residual encoding) — one codebook serves every cell; residual PQ is
-    a codebook-per-cell refinement on the same plumbing.
+    scoring is ADC over the cell's codes with a per-query,
+    per-probed-cell lookup table; the merge carries ≤ nprobe·k rows per
+    query. Codebooks quantize RESIDUALS (x − centroid) — the FAISS
+    IVF-PQ formulation; one shared residual codebook serves every cell.
     """
     import numpy as np
     import pandas as pd
@@ -316,7 +316,16 @@ def knn_ivf_pq(
             members = mat[assign == j]
             if len(members):
                 cents[j] = members.mean(axis=0)
-    books = _books_from_mat(mat, m, ksub, seed)
+    # RESIDUAL codebooks (FAISS IVF-PQ): quantize x − centroid(cell),
+    # not x. Residuals are centered and much smaller in norm than raw
+    # vectors, so the same ksub codewords spend their resolution on the
+    # within-cell geometry — ||q−x|| = ||q′−x′|| exactly when both
+    # subtract the same centroid, so ADC on residuals estimates the
+    # true distance with strictly less quantization error.
+    d2 = (
+        mat_sq - 2.0 * (mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+    )
+    books = _books_from_mat(mat - cents[d2.argmin(axis=1)], m, ksub, seed)
     bc = spark.sparkContext.broadcast((cents, np.asarray(books)))
 
     def encode_and_cell(batches):
@@ -332,6 +341,7 @@ def knn_ivf_pq(
                 + (cents_ * cents_).sum(axis=1)[None, :]
             )
             cell = d2.argmin(axis=1).astype("int32")
+            vecs = vecs - cents_[cell]  # residual encoding (see above)
             codes = np.empty((len(vecs), mm), dtype=np.int64)
             for j in range(mm):
                 sub = vecs[:, j * dsub:(j + 1) * dsub]
@@ -375,11 +385,11 @@ def knn_ivf_pq(
         schema="query_id long, query_vec array<double>, cells array<int>",
     ).select("query_id", "query_vec", F.explode("cells").alias("cell"))
 
-    def score_cell(qpdf, cpdf):
+    def score_cell(key, qpdf, cpdf):
         cols = ["query_id", "cand_id", "distance"]
         if len(qpdf) == 0 or len(cpdf) == 0:
             return pd.DataFrame(columns=cols)
-        _cents, books_ = bc.value
+        cents_, books_ = bc.value
         mm, kk, dsub = books_.shape
         cids = cpdf["cand_id"].to_numpy(dtype=np.int64)
         codes = np.asarray(list(cpdf["codes"]), dtype=np.int64)
@@ -388,6 +398,9 @@ def knn_ivf_pq(
         code_cols = [codes[:, j] + j * kk for j in range(mm)]
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)
         qmat = np.asarray(list(qpdf["query_vec"]), dtype=np.float64)
+        # the query also moves to THIS cell's residual frame — the
+        # cogroup key is the cell id
+        qmat = qmat - cents_[int(key[0])][None, :]
         # batch LUT build (see knn_pq.topk): (nq, m·ksub) in one BLAS
         # pass per subspace, then a blocked gather over the cell
         lut = np.empty((len(qmat), mm * kk), dtype=np.float64)

@@ -171,7 +171,20 @@ def knn_join(
                 exclude_self, round_dp, compress,
                 known_n_cand=n_cand, known_dim=dim,
             )
-        strategy = "ivf"
+        # middle rung of the ladder: compute fits but the float64
+        # matrix doesn't — the PQ index is 8·dim/m× smaller (32× at
+        # defaults), so the same pair budget often still broadcasts.
+        # ADC distances are approximate; past BOTH budgets → IVF.
+        pq_bytes = n_cand * (16 + 16)  # m=16 codes + id/overhead
+        if (
+            fits_compute
+            and not fits_mem
+            and metric == "l2_sq"
+            and pq_bytes <= 256 << 20
+        ):
+            strategy = "pq"
+        else:
+            strategy = "ivf"
     if strategy == "exact":
         return _knn_exact(
             queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp

@@ -824,3 +824,15 @@ def knn_ivf_pq_l2(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return knn_ivf_pq(emb, emb, k=5, nlist=16, nprobe=8)
+
+
+@register("knn_auto_l2", _KNN_L2_SQL.format(k=5))
+def knn_auto_l2(spark, sf_dir):
+    """strategy='auto' HASH-GATED: at gate scale the dispatcher's
+    footer probe routes to the exact broadcast tier, so the auto
+    path's OUTPUT — not just its tier choice (pinned separately by
+    the boundary unit tests) — must match the brute-force oracle
+    verbatim. Guards the whole decision seam: estimate → budget
+    checks → tier handoff → result contract."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb, k=5, strategy="auto")

@@ -500,3 +500,58 @@ def value_outliers_per_user(spark, sf_dir):
     )
 
     return zscore_outliers(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "resample_interpolate_15m",
+    """
+    WITH b AS (
+      SELECT user_id AS key,
+             make_timestamp(epoch_us(ts::TIMESTAMP)
+                            - epoch_us(ts::TIMESTAMP) % 900000000) AS bucket,
+             round(round(sum(value::DECIMAL(18,2)), 2)::DOUBLE / count(*)
+                   + 1e-9, 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT key, min(bucket) AS h0, max(bucket) AS h1 FROM b GROUP BY 1),
+    grid AS (
+      SELECT key, unnest(generate_series(h0, h1, INTERVAL '15 minutes')) AS bucket
+      FROM span
+    ),
+    j AS (
+      SELECT g.key, g.bucket, b.v
+      FROM grid g LEFT JOIN b ON g.key = b.key AND g.bucket = b.bucket
+    ),
+    f AS (
+      SELECT *,
+        max(CASE WHEN v IS NOT NULL THEN {'b': bucket, 'v': v} END)
+          OVER (PARTITION BY key ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS prev,
+        min(CASE WHEN v IS NOT NULL THEN {'b': bucket, 'v': v} END)
+          OVER (PARTITION BY key ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next
+      FROM j
+    )
+    SELECT key AS user_id, bucket,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN prev IS NULL THEN next.v
+                      WHEN next IS NULL THEN prev.v
+                      ELSE prev.v + (next.v - prev.v)
+                           * ((epoch_us(bucket) - epoch_us(prev.b))::DOUBLE
+                              / (epoch_us(next.b) - epoch_us(prev.b)))
+                      END + 1e-9, 4) AS value,
+           v IS NOT NULL AS is_observed
+    FROM f
+    """,
+)
+def resample_interpolate_15m(spark, sf_dir):
+    """Multi-unit interval twin of resample_interpolate_user_value
+    (regression surface for the date_trunc bug the round-4 review
+    caught): 15-minute epoch-floor buckets, hash-checked cross-engine
+    — the oracle floors epoch microseconds exactly like the operator."""
+    from semantic_ann_in_data_lake_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    return resample_interpolate(
+        _t(spark, sf_dir, "events"), interval="15 minutes"
+    )

@@ -47,14 +47,22 @@ def test_knn_auto_dispatch_tier_boundaries(spark, sf_dir, monkeypatch):
         knn_mod, "_knn_ivf",
         lambda *a, **k: picked.setdefault("strategy", "ivf"),
     )
+    from semantic_ann_in_data_lake_spark.operators import pq as pq_mod
+
+    monkeypatch.setattr(
+        pq_mod, "knn_pq",
+        lambda *a, **k: picked.setdefault("strategy", "pq"),
+    )
     boundary_rows = (256 << 20) // (dim * 8)
+    pq_boundary_rows = (256 << 20) // 32  # m=16 codes + id/overhead
 
     # Memory boundary in isolation: park the pair budget out of the way
     # (self-joining boundary_rows vectors exceeds 1e10 pairs by itself).
     monkeypatch.setenv("SPARK_GRAFT_KNN_PAIR_BUDGET", "1e30")
     for est, expect in [
         (boundary_rows, "broadcast"),      # exactly at the line: fits
-        (boundary_rows + 1, "ivf"),        # one row over: partitioned
+        (boundary_rows + 1, "pq"),         # float64 over, codes fit: PQ
+        (pq_boundary_rows + 1, "ivf"),     # even the codes don't fit
         (1000, "broadcast"),               # comfortably small
     ]:
         picked.clear()

@@ -473,3 +473,39 @@ def fuzzy_join_part_names(spark, sf_dir):
         base, noisy, "p_partkey", "p_name", "cid", "cname", max_dist=2
     )
     return out.select("id_l", "id_r", F.col("dist").cast("int").alias("dist"))
+
+
+@register(
+    "dedup_then_jaccard_join",
+    f"""
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ),
+    t AS (
+      SELECT doc_id, list_sort(list_distinct({_TOKS})) AS toks FROM reps
+    ),
+    nz AS (SELECT * FROM t WHERE len(toks) > 0),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                   / (len(a.toks) + len(b.toks)
+                      - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+      FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    )
+    SELECT * FROM pairs WHERE jaccard >= 0.9
+    """,
+)
+def dedup_then_jaccard_join(spark, sf_dir):
+    """The PRODUCTION posture for exact similarity self-joins on
+    duplicate-heavy corpora (PERF.md round-4): collapse exact-duplicate
+    texts to min-id representatives FIRST, then prefix-join the
+    representatives at high τ — the all-pairs-within-a-duplicate-group
+    quadratic never materializes. Composition of dedup_exact's groupBy
+    and jaccard_prefix_join, hash-gated end to end."""
+    from semantic_ann_in_data_lake_spark.operators.setjoin import (
+        jaccard_prefix_join,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    reps = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return jaccard_prefix_join(reps.select("doc_id", "text"), threshold=0.9)

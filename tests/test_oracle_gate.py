@@ -35,5 +35,5 @@ def test_every_query_has_oracle_or_is_documented():
     missing = [n for n, (_, sql) in registry.REGISTRY.items() if sql is None]
     # rows-only entries must be the genuinely non-SQL-expressible ops:
     # approximate LSH, stubbed media decode, sequential synonym loop
-    allowed = ("lsh", "ivf", "stream", "media", "synonym", "approx", "_ann")
+    allowed = ("lsh", "ivf", "stream", "media", "synonym", "approx", "_ann", "_pq")
     assert all(any(tag in n for tag in allowed) for n in missing), missing

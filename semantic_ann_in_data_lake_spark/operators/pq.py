@@ -175,7 +175,33 @@ def knn_pq(
     """
     import numpy as np
 
+    from semantic_ann_in_data_lake_spark.operators.knn import (
+        _broadcast_byte_budget,
+        _estimate_rows,
+    )
+
     spark = queries.sparkSession
+    # the coded index is collected to the driver before broadcasting —
+    # same discipline as _knn_broadcast's guard: estimate the code
+    # bytes first and degrade to the cell-sharded IVF-PQ path instead
+    # of OOMing the driver (codes are m ints + id ≈ m+16 bytes/row
+    # once packed; the pandas interchange is wider, so the budget
+    # check uses the broadcast-side size it protects)
+    n_cand = _estimate_rows(candidates)
+    if n_cand is not None and n_cand * (m + 16) > _broadcast_byte_budget():
+        import warnings
+
+        warnings.warn(
+            f"knn_pq: ~{n_cand} candidates exceed the broadcast budget "
+            "even PQ-coded; degrading to knn_ivf_pq (cell-sharded).",
+            stacklevel=2,
+        )
+        return knn_ivf_pq(
+            queries, candidates, id_col, vec_col, k=k,
+            nlist=max(16, int(n_cand ** 0.5 // 64)), nprobe=8, m=m,
+            ksub=ksub, exclude_self=exclude_self, round_dp=round_dp,
+            seed=seed,
+        )
     books = train_pq_codebooks(
         candidates, id_col, vec_col, m=m, ksub=ksub, seed=seed
     )

@@ -106,9 +106,10 @@ _GATE_RED_RETRY = frozenset({
 
 
 def _gate_ordered(names) -> list[str]:
-    """Round-4 gate window: all 21 never-gated names first (they fit in
-    one 50-draw now — cumulative driver coverage reaches 123/123), then
-    the red-retry group, then everything already green."""
+    """Gate window: never-driver-gated names first (round 4 added ~20
+    new operators, so the fresh group plus the red-retry group fills
+    most of the 50-draw; remaining slots re-sample already-green
+    names), then the red-retry group, then everything already green."""
     fresh = [
         n for n in names
         if n not in _GATED_PRIOR_ROUNDS and n not in _GATE_RED_RETRY

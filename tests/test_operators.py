@@ -2529,3 +2529,26 @@ def test_zscore_outliers_ignores_null_values(spark):
     df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
     out = zscore_outliers(df).collect()
     assert [(r["user_id"], r["event_id"]) for r in out] == [(1, 99)]
+
+
+def test_knn_pq_degrades_to_ivf_pq_over_budget(spark, sf_dir, monkeypatch):
+    """knn_pq collects the coded index to the driver — past the
+    broadcast budget it must route to the cell-sharded IVF-PQ path
+    instead of attempting the collect."""
+    import warnings
+
+    from semantic_ann_in_data_lake_spark.operators import pq as pq_mod
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    called = {}
+    monkeypatch.setattr(
+        pq_mod, "knn_ivf_pq", lambda *a, **k: called.setdefault("ivf_pq", k)
+    )
+    import semantic_ann_in_data_lake_spark.operators.knn as knn_mod
+
+    monkeypatch.setattr(knn_mod, "_estimate_rows", lambda df: 10**9)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pq_mod.knn_pq(emb, emb, k=5)
+    assert "ivf_pq" in called

@@ -555,3 +555,42 @@ def resample_interpolate_15m(spark, sf_dir):
     return resample_interpolate(
         _t(spark, sf_dir, "events"), interval="15 minutes"
     )
+
+
+@register(
+    "trailing_7d_active_users",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP)::DATE AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT days.day,
+           count(DISTINCT d.user_id) AS active_users_7d
+    FROM days JOIN d
+      ON d.day BETWEEN days.day - INTERVAL 6 DAY AND days.day
+    GROUP BY days.day
+    """,
+)
+def trailing_7d_active_users(spark, sf_dir):
+    """Sliding-window DISTINCT count (trailing 7-day active users):
+    unlike the sliding SUM family (events_sliding_rollup), distinct
+    cannot be window-framed — the standard exact shape is the
+    (user, day) dedup followed by a bounded date-range self-join
+    (each row fans out to ≤ 7 days) and a per-day count-distinct.
+    Shuffles are keyed by day; the fan-out factor is the window
+    length, not data size."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    d = e.distinct()
+    days = d.select("day").distinct().withColumnRenamed("day", "anchor")
+    return (
+        days.join(
+            d,
+            (F.col("day") >= F.date_sub(F.col("anchor"), 6))
+            & (F.col("day") <= F.col("anchor")),
+        )
+        .groupBy(F.col("anchor").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )

@@ -546,3 +546,41 @@ def bigram_lm_scores(spark, sf_dir):
     from semantic_ann_in_data_lake_spark.operators.lm import bigram_lm_scores
 
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_source_matrix",
+    """
+    SELECT lang,
+           sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS src0,
+           sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS src1,
+           sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)::BIGINT AS src2,
+           sum(CASE WHEN source NOT IN ('src0','src1','src2')
+                    THEN 1 ELSE 0 END)::BIGINT AS other,
+           count(*) AS total
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_source_matrix(spark, sf_dir):
+    """Corpus composition matrix (language × source counts) — the
+    mixing report a training-data pipeline publishes per snapshot.
+    Fixed source columns + an 'other' bucket keep the schema stable
+    when new sources appear (a dynamic pivot would change schema
+    under the consumer); one partial-aggregating groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    cols = [
+        F.sum(F.when(F.col("source") == s, 1).otherwise(0))
+        .cast("long")
+        .alias(s)
+        for s in ("src0", "src1", "src2")
+    ]
+    other = (
+        F.sum(
+            F.when(~F.col("source").isin("src0", "src1", "src2"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("other")
+    )
+    return d.groupBy("lang").agg(
+        *cols, other, F.count(F.lit(1)).alias("total")
+    )

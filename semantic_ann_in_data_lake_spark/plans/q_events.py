@@ -584,13 +584,20 @@ def trailing_7d_active_users(spark, sf_dir):
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
     )
     d = e.distinct()
-    days = d.select("day").distinct().withColumnRenamed("day", "anchor")
+    # each (user, day) feeds the 7 anchors day..day+6 via an explode —
+    # an EQUI-join shape (no nested-loop range join): fan-out is the
+    # window length, the anchor join against the observed-day list is
+    # a broadcast equi-join (calendar-bounded side), and the final
+    # count-distinct shuffles by anchor day only
+    fan = d.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("anchor"),
+    )
+    days = d.select(F.col("day").alias("anchor")).distinct()
     return (
-        days.join(
-            d,
-            (F.col("day") >= F.date_sub(F.col("anchor"), 6))
-            & (F.col("day") <= F.col("anchor")),
-        )
+        fan.join(F.broadcast(days), "anchor")
         .groupBy(F.col("anchor").alias("day"))
         .agg(F.countDistinct("user_id").alias("active_users_7d"))
     )

@@ -114,3 +114,99 @@ def discover_joinable_columns(
         .where(F.col("rank") <= k)
         .select("query_col", "cand_col", "distance", "rank")
     )
+
+
+def value_overlap_discovery(
+    col_values: DataFrame,
+    threshold: float = 0.5,
+    max_value_df: int = 10_000,
+) -> DataFrame:
+    """Containment-based joinable-column discovery (the JOSIE /
+    SilkMoth formulation): columns A, B are join candidates when
+    containment |values(A) ∩ values(B)| / |values(A)| ≥ threshold.
+
+    The VALUE-side complement of the semantic (embedding) discovery
+    above — FK→PK edges score containment 1.0 regardless of how the
+    columns are named, which is exactly the case name-based and
+    embedding-based discovery can miss.
+
+    ``col_values`` has one row per (table_name, column_name, value),
+    values pre-cast to string. Returns
+    ``(query_table, query_column, cand_table, cand_column,
+    n_query_distinct, n_overlap, containment)`` for cross-table pairs
+    clearing the threshold, containment rounded to 6 dp.
+
+    Scale design (100 TB):
+
+    - One distinct pass builds the posting table; column sizes are one
+      groupBy on (table, column) — both AQE-coalescible equi-shuffles.
+    - The candidate join is the posting-list self-join keyed by VALUE.
+      Its only blowup is ubiquitous values ('0', 'true', '') whose
+      posting lists approach the lake's column count; ``max_value_df``
+      caps the per-value fan-out by dropping values present in more
+      than that many columns BEFORE the join (the standard stopword
+      cut in set-overlap discovery; with the default cap nothing is
+      dropped at test scale). Dropped values can only LOWER measured
+      containment, never invent a pair — precision is preserved.
+    - Overlap counting is a groupBy on the 4-part column-pair key;
+      nothing is ever quadratic in rows, only in columns SHARING a
+      value (the quantity the cap bounds).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_value_df < 2:
+        raise ValueError(f"max_value_df must be >= 2, got {max_value_df}")
+
+    vals = scoped_persist(
+        col_values.where(F.col("value").isNotNull())
+        .select("table_name", "column_name", "value")
+        .distinct()
+    )
+    sizes = vals.groupBy("table_name", "column_name").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    capped = (
+        vals.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("vdf"))
+        .where(F.col("vdf") <= max_value_df)
+        .select("value")
+    )
+    posts = vals.join(capped, "value")
+    a = posts.select(
+        "value",
+        F.col("table_name").alias("query_table"),
+        F.col("column_name").alias("query_column"),
+    )
+    b = posts.select(
+        "value",
+        F.col("table_name").alias("cand_table"),
+        F.col("column_name").alias("cand_column"),
+    )
+    overlap = (
+        a.join(b, "value")
+        .where(F.col("query_table") != F.col("cand_table"))
+        .groupBy("query_table", "query_column", "cand_table", "cand_column")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(
+            sizes.withColumnsRenamed(
+                {"table_name": "query_table", "column_name": "query_column"}
+            ),
+            ["query_table", "query_column"],
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_overlap") / F.col("n_distinct"), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "query_table",
+            "query_column",
+            "cand_table",
+            "cand_column",
+            F.col("n_distinct").alias("n_query_distinct"),
+            "n_overlap",
+            "containment",
+        )
+    )

@@ -707,3 +707,86 @@ def weighted_sample_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample(d, "doc_id", "n_chars", k=25)
+
+
+# ---------------------------------------------------------------------------
+# Value-overlap (containment) join discovery — the JOSIE-style value-side
+# complement of lake_join_discovery's embedding-side ranking.
+# ---------------------------------------------------------------------------
+
+#: (table, column) posting sources for containment discovery: the
+#: lake's key-ish columns, values cast to string. FK→PK edges
+#: (c_nationkey→n_nationkey, o_custkey→c_custkey, …) surface at
+#: containment 1.0 no matter what the columns are called.
+_OVERLAP_COLS = [
+    ("nation", "n_nationkey"),
+    ("nation", "n_regionkey"),
+    ("region", "r_regionkey"),
+    ("customer", "c_custkey"),
+    ("customer", "c_nationkey"),
+    ("customer", "c_mktsegment"),
+    ("supplier", "s_suppkey"),
+    ("supplier", "s_nationkey"),
+    ("orders", "o_custkey"),
+    ("orders", "o_orderpriority"),
+    ("part", "p_brand"),
+    ("part", "p_type"),
+]
+
+
+def _overlap_oracle(threshold: float = 0.5) -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+        f"{c}::VARCHAR AS value FROM {t} WHERE {c} IS NOT NULL"
+        for t, c in _OVERLAP_COLS
+    )
+    return f"""
+    WITH cv AS ({selects}),
+    vals AS (SELECT DISTINCT table_name, column_name, value FROM cv),
+    sizes AS (
+      SELECT table_name, column_name, count(*)::BIGINT AS n_distinct
+      FROM vals GROUP BY 1, 2
+    ),
+    overlap AS (
+      SELECT a.table_name AS query_table, a.column_name AS query_column,
+             b.table_name AS cand_table, b.column_name AS cand_column,
+             count(*)::BIGINT AS n_overlap
+      FROM vals a JOIN vals b ON a.value = b.value
+                 AND a.table_name <> b.table_name
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT o.query_table, o.query_column, o.cand_table, o.cand_column,
+           s.n_distinct AS n_query_distinct, o.n_overlap,
+           round(o.n_overlap::DOUBLE / s.n_distinct, 6) AS containment
+    FROM overlap o
+    JOIN sizes s ON s.table_name = o.query_table
+                AND s.column_name = o.query_column
+    WHERE round(o.n_overlap::DOUBLE / s.n_distinct, 6) >= {threshold}
+    """
+
+
+@register("value_overlap_join_discovery", _overlap_oracle())
+def value_overlap_join_discovery(spark, sf_dir):
+    """Containment-based joinable-column discovery
+    (operators/discovery.py::value_overlap_discovery): cross-table
+    column pairs whose distinct-value containment ≥ 0.5 over the
+    lake's key columns — the value-side complement of the semantic
+    discovery scenario (FK→PK edges surface at 1.0 regardless of
+    naming). Posting-list self-join keyed by value with a
+    per-value fan-out cap; never all-pairs."""
+    from semantic_ann_in_data_lake_spark.operators.discovery import (
+        value_overlap_discovery,
+    )
+
+    parts = [
+        _t(spark, sf_dir, t).select(
+            F.lit(t).alias("table_name"),
+            F.lit(c).alias("column_name"),
+            F.col(c).cast("string").alias("value"),
+        )
+        for t, c in _OVERLAP_COLS
+    ]
+    cv = parts[0]
+    for p in parts[1:]:
+        cv = cv.unionByName(p)
+    return value_overlap_discovery(cv, threshold=0.5)

@@ -584,3 +584,60 @@ def lang_source_matrix(spark, sf_dir):
     return d.groupBy("lang").agg(
         *cols, other, F.count(F.lit(1)).alias("total")
     )
+
+
+def _segment_dedup_oracle(seg: int = 5, min_docs: int = 2) -> str:
+    from semantic_ann_in_data_lake_spark.functions.hashing import (
+        portable_hash_expr,
+    )
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, ((len(w) + {seg - 1}) // {seg}) + 1),
+                    i -> struct_pack(pos := i,
+                                     s := array_to_string(
+                                       list_slice(w, (i-1)*{seg}+1, (i-1)*{seg}+{seg}), ' ')))) AS u
+      FROM t
+    ),
+    g AS (SELECT doc_id, u.pos AS pos, u.s AS s, {portable_hash_expr('u.s')} AS gh FROM seg),
+    shared AS (
+      SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g)
+      GROUP BY gh HAVING count(*) >= {min_docs}
+    ),
+    agg AS (
+      SELECT g.doc_id,
+             count(*)::BIGINT AS n_segments,
+             sum(CASE WHEN sh.gh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+             string_agg(CASE WHEN sh.gh IS NULL THEN g.s END, ' ' ORDER BY g.pos) AS text_clean
+      FROM g LEFT JOIN shared sh ON g.gh = sh.gh
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_segments, 0)::BIGINT AS n_segments,
+           coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+           coalesce(a.text_clean, '') AS text_clean
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+@register("segment_dedup_rewrite", _segment_dedup_oracle())
+def segment_dedup_rewrite(spark, sf_dir):
+    """Corpus-wide boilerplate REMOVAL (operators/boilerplate.py): the
+    CCNet/RefinedWeb rewrite step — segments shared by >= 2 distinct
+    documents are deleted from every document and the survivors are
+    re-joined in position order. The rewrite twin of
+    `dup_span_fraction` (which only measures); shuffles carry
+    (BIGINT hash, doc_id), the shared-segment table is bounded by the
+    threshold, reassembly is one per-doc groupBy."""
+    from semantic_ann_in_data_lake_spark.operators.boilerplate import (
+        remove_shared_segments,
+    )
+
+    return remove_shared_segments(
+        _t(spark, sf_dir, "documents"), seg_words=5, min_docs=2
+    )

@@ -2552,3 +2552,93 @@ def test_knn_pq_degrades_to_ivf_pq_over_budget(spark, sf_dir, monkeypatch):
         warnings.simplefilter("ignore")
         pq_mod.knn_pq(emb, emb, k=5)
     assert "ivf_pq" in called
+
+
+def test_remove_shared_segments_hand_case(spark):
+    from semantic_ann_in_data_lake_spark.operators.boilerplate import (
+        remove_shared_segments,
+    )
+
+    boiler = "all rights reserved see terms"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta epsi {boiler}"),
+            (2, f"{boiler} unique two words here tail"),
+            (3, boiler),                       # all segments shared -> ''
+            (4, "totally unique text here"),   # untouched (partial seg)
+            (5, ""),                           # empty doc -> 0/0/''
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_shared_segments(docs, seg_words=5, min_docs=2).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["n_segments"] == 2 and out[1]["n_removed"] == 1
+    assert out[1]["text_clean"] == "alpha beta gamma delta epsi"
+    # doc 2's boilerplate sits at position 1; survivors keep order
+    assert out[2]["text_clean"] == "unique two words here tail"
+    assert out[3]["n_removed"] == out[3]["n_segments"] == 1
+    assert out[3]["text_clean"] == ""
+    assert out[4]["n_removed"] == 0
+    assert out[4]["text_clean"] == "totally unique text here"
+    assert out[5]["n_segments"] == 0 and out[5]["text_clean"] == ""
+
+
+def test_remove_shared_segments_validates_params(spark):
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators.boilerplate import (
+        remove_shared_segments,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        remove_shared_segments(docs, seg_words=0)
+    with _pytest.raises(ValueError):
+        remove_shared_segments(docs, min_docs=1)
+
+
+def test_value_overlap_discovery_hand_case(spark):
+    from semantic_ann_in_data_lake_spark.operators.discovery import (
+        value_overlap_discovery,
+    )
+
+    rows = (
+        # dim.pk = {1,2,3}; fact.fk = {1,2,2,3,9} -> containment
+        # fact.fk->dim.pk = 3/4 = 0.75; dim.pk->fact.fk = 3/3 = 1.0
+        [("dim", "pk", str(v)) for v in (1, 2, 3)]
+        + [("fact", "fk", str(v)) for v in (1, 2, 2, 3, 9)]
+        + [("other", "x", v) for v in ("a", "b")]
+    )
+    df = spark.createDataFrame(rows, ["table_name", "column_name", "value"])
+    out = {
+        (r["query_table"], r["query_column"], r["cand_table"], r["cand_column"]):
+            r for r in value_overlap_discovery(df, threshold=0.5).collect()
+    }
+    fwd = out[("fact", "fk", "dim", "pk")]
+    assert fwd["n_query_distinct"] == 4 and fwd["n_overlap"] == 3
+    assert abs(fwd["containment"] - 0.75) < 1e-9
+    rev = out[("dim", "pk", "fact", "fk")]
+    assert rev["containment"] == 1.0
+    assert ("other", "x", "dim", "pk") not in out
+
+
+def test_value_overlap_discovery_cap_drops_hot_values(spark):
+    from semantic_ann_in_data_lake_spark.operators.discovery import (
+        value_overlap_discovery,
+    )
+
+    # 'hot' appears in 3 columns; with max_value_df=2 it must not
+    # generate any candidate pairs, so no pair reaches threshold 0.1
+    rows = [(t, "c", "hot") for t in ("t1", "t2", "t3")]
+    df = spark.createDataFrame(rows, ["table_name", "column_name", "value"])
+    assert value_overlap_discovery(df, threshold=0.1, max_value_df=2).count() == 0
+    assert value_overlap_discovery(df, threshold=0.1).count() == 6
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        value_overlap_discovery(df, threshold=0.0)
+    with _pytest.raises(ValueError):
+        value_overlap_discovery(df, max_value_df=1)

@@ -601,3 +601,60 @@ def trailing_7d_active_users(spark, sf_dir):
         .groupBy(F.col("anchor").alias("day"))
         .agg(F.countDistinct("user_id").alias("active_users_7d"))
     )
+
+
+def _cms_oracle(k: int = 20, depth: int = 3, width: int = 512) -> str:
+    from semantic_ann_in_data_lake_spark.functions.hashing import (
+        portable_hash_expr,
+    )
+
+    cells = " UNION ALL ".join(
+        f"SELECT {d} AS depth, "
+        f"{portable_hash_expr('key', seed=f'cms{d}:')} % {width} AS bucket, key "
+        f"FROM keys"
+        for d in range(depth)
+    )
+    return f"""
+    WITH ev AS (
+      SELECT user_id::VARCHAR AS key FROM events WHERE user_id IS NOT NULL
+    ),
+    keys AS (SELECT key FROM ev),
+    cells AS ({cells}),
+    sketch AS (
+      SELECT depth, bucket, count(*)::BIGINT AS cnt
+      FROM cells GROUP BY depth, bucket
+    ),
+    truth AS (SELECT key, count(*)::BIGINT AS true_count FROM ev GROUP BY key),
+    probes AS (
+      SELECT t.key, t.true_count, c.depth, c.bucket
+      FROM truth t, (SELECT DISTINCT depth, bucket, key FROM cells) c
+      WHERE c.key = t.key
+    ),
+    est AS (
+      SELECT p.key, p.true_count, min(s.cnt)::BIGINT AS est_count
+      FROM probes p JOIN sketch s
+        ON s.depth = p.depth AND s.bucket = p.bucket
+      GROUP BY p.key, p.true_count
+    )
+    SELECT key, est_count, true_count,
+           (est_count - true_count)::BIGINT AS overestimate
+    FROM est
+    ORDER BY est_count DESC, key ASC
+    LIMIT {k}
+    """
+
+
+@register("cms_heavy_hitters_events", _cms_oracle())
+def cms_heavy_hitters_events(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/sketches.py): top-20
+    users by CMS-estimated event count with the exact count and the
+    one-sided error (est ≥ true, hash-verified) alongside. The sketch
+    is d×w integers regardless of key cardinality — map-side partial
+    aggregation means the shuffle carries at most the sketch per input
+    partition; estimation probes candidates against the broadcast
+    sketch."""
+    from semantic_ann_in_data_lake_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    return cms_heavy_hitters(_t(spark, sf_dir, "events"), "user_id", k=20)

@@ -790,3 +790,81 @@ def value_overlap_join_discovery(spark, sf_dir):
     for p in parts[1:]:
         cv = cv.unionByName(p)
     return value_overlap_discovery(cv, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture allocation (the multinomial sampling weights
+# used to mix training sources: p_s ∝ tokens_s^alpha, alpha = 0.5)
+# ---------------------------------------------------------------------------
+
+
+def _temperature_mix_oracle(budget: int = 10_000_000) -> str:
+    from semantic_ann_in_data_lake_spark.functions.text import words_sql
+
+    return f"""
+    WITH per_source AS (
+      SELECT source,
+             count(*)::BIGINT AS n_docs,
+             sum(len({words_sql('text')}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, round(sqrt(n_tokens::DOUBLE), 6)::DECIMAL(18,6) AS wgt
+      FROM per_source
+    ),
+    tot AS (SELECT sum(wgt) AS total FROM w)
+    SELECT w.source, w.n_docs, w.n_tokens,
+           round(w.wgt::DOUBLE / tot.total::DOUBLE, 6) AS share,
+           floor(round(w.wgt::DOUBLE / tot.total::DOUBLE, 6)::DECIMAL(18,6)
+                 * {budget})::BIGINT AS alloc_tokens
+    FROM w, tot
+    """
+
+
+@register("temperature_mix_allocation", _temperature_mix_oracle())
+def temperature_mix_allocation(spark, sf_dir):
+    """Temperature-based source mixing weights (α = 0.5): the
+    allocation step of multi-source training-data assembly —
+    p_s ∝ tokens_s^α flattens the source distribution so small
+    sources are not drowned out. One partial-aggregating groupBy for
+    the per-source token totals; the weight normalization runs over
+    the (tiny) per-source table with DECIMAL accumulation so the
+    cross-source sum is order-independent and the driver's hash gate
+    holds. α is sqrt (correctly-rounded in both engines); a general
+    pow(x, α) tier would document the one-ulp caveat instead."""
+    from semantic_ann_in_data_lake_spark.functions.text import words
+
+    budget = 10_000_000
+    per_source = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(words("text"))).cast("long").alias("n_tokens"),
+        )
+    )
+    w = per_source.withColumn(
+        "wgt",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast(
+            "decimal(18,6)"
+        ),
+    )
+    tot = w.agg(F.sum("wgt").alias("total"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share",
+            F.round(
+                F.col("wgt").cast("double") / F.col("total").cast("double"), 6
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "share",
+            F.floor(F.col("share").cast("decimal(18,6)") * budget)
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+    )

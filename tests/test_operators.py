@@ -2642,3 +2642,59 @@ def test_value_overlap_discovery_cap_drops_hot_values(spark):
         value_overlap_discovery(df, threshold=0.0)
     with _pytest.raises(ValueError):
         value_overlap_discovery(df, max_value_df=1)
+
+
+def test_cms_heavy_hitters_exact_when_wide(spark):
+    from semantic_ann_in_data_lake_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5 + [(None,)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = cms_heavy_hitters(df, "k", k=2, depth=3, width=4096).collect()
+    # wide sketch, 3 keys -> collision-free: estimates exact, top-2
+    assert [(r["key"], r["est_count"], r["true_count"]) for r in out] == [
+        ("a", 50, 50),
+        ("b", 30, 30),
+    ]
+    assert all(r["overestimate"] == 0 for r in out)
+
+
+def test_cms_one_sided_error_under_collisions(spark):
+    from semantic_ann_in_data_lake_spark.operators.sketches import (
+        cms_heavy_hitters, cms_sketch,
+    )
+
+    rows = [(str(i % 37),) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k"])
+    # width 8 << 37 keys: collisions guaranteed; CMS must NEVER
+    # underestimate, and the sketch stays <= depth*width cells
+    out = cms_heavy_hitters(df, "k", k=37, depth=3, width=8).collect()
+    assert len(out) == 37
+    assert all(r["overestimate"] >= 0 for r in out)
+    assert cms_sketch(df, "k", depth=3, width=8).count() <= 24
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cms_sketch(df, "k", depth=0)
+    with _pytest.raises(ValueError):
+        cms_sketch(df, "k", width=1)
+
+
+def test_temperature_mix_allocation_shares(spark):
+    from semantic_ann_in_data_lake_spark.plans import registry
+
+    out = registry.REGISTRY["temperature_mix_allocation"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) >= 2
+    total_share = sum(r["share"] for r in out)
+    assert abs(total_share - 1.0) < 1e-3
+    for r in out:
+        assert 0 < r["share"] < 1
+        assert r["alloc_tokens"] == int(r["share"] * 10_000_000 + 1e-6)
+    # α=0.5 flattens: the biggest source's share is below its raw
+    # token share
+    toks = {r["source"]: r["n_tokens"] for r in out}
+    big = max(out, key=lambda r: r["n_tokens"])
+    assert big["share"] < big["n_tokens"] / sum(toks.values())

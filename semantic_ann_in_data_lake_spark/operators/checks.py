@@ -180,3 +180,60 @@ def approx_distinct_bound_violations(
         "table_name", "column_name", "approx_n_distinct", "exact_n_distinct",
         F.round(rel_err, 6).alias("rel_err"),
     ).where(rel_err > rel_bound)
+
+
+def approx_percentile_bound_violations(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Violations of `approx_percentile`'s RANK-ERROR contract.
+
+    Spark's quantile sketch (Greenwald-Khanna variant) guarantees the
+    returned value's exact rank is within ``n / accuracy`` of the
+    target rank ``q·n``. The check recomputes each estimate's exact
+    rank (count of values ≤ estimate — one conditional aggregation,
+    no sort) and emits a row per quantile whose rank error exceeds the
+    bound (+1 slack for rank-definition boundaries). Empty iff the
+    sketch honors its contract; deterministic on a fixed dataset.
+
+    100-TB posture: this is the EXACT-verification harness you run at
+    test scale to trust the sketch; production runs only the sketch —
+    a single pass of bounded state per partition vs the full
+    range-shuffle an exact quantile needs.
+    """
+    vals = df.where(F.col(value_col).isNotNull())
+    est_row = vals.agg(
+        F.percentile_approx(
+            F.col(value_col), F.array(*[F.lit(q) for q in quantiles]), accuracy
+        ).alias("est"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    est = est_row.select(
+        F.posexplode("est").alias("qi", "estimate"), "n"
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in quantiles]), F.col("qi") + 1
+        ).alias("q"),
+        "estimate",
+        "n",
+    )
+    ranked = est.join(
+        vals.select(F.col(value_col).alias("__v")),
+        F.col("__v") <= F.col("estimate"),
+        "left",
+    ).groupBy("q", "estimate", "n").agg(
+        F.count("__v").alias("exact_rank")
+    )
+    bound = F.col("n") / F.lit(accuracy) + F.lit(1)
+    target = F.col("q") * F.col("n")
+    return ranked.where(
+        F.abs(F.col("exact_rank") - target) > bound
+    ).select(
+        F.col("q").cast("double").alias("q"),
+        F.col("estimate").cast("double").alias("estimate"),
+        F.col("exact_rank").cast("long").alias("exact_rank"),
+        F.round(target, 2).alias("target_rank"),
+        F.lit("rank_error_exceeds_bound").alias("violation"),
+    )

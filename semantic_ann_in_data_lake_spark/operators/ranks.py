@@ -189,3 +189,64 @@ def winsorized_mean(
             ),
         )
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    topk: int = 5,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists — the
+    standard way hybrid retrieval merges a lexical ranking (BM25 /
+    Jaccard) with a semantic one (embedding similarity):
+    ``score = Σ_lists 1 / (k_const + rank)`` (Cormack et al.'s RRF,
+    k=60 the conventional constant).
+
+    Inputs carry ``(query_col, cand_col, rank_col)``; a candidate
+    absent from one list contributes 0 for it (full-outer semantics).
+    Returns ``(query, cand, rank_a, rank_b, rrf_score, rank)`` with
+    the fused rank per query, ``rrf_score`` rounded to 6 dp and ties
+    broken by candidate id — deterministic across engines and
+    partitionings.
+
+    Scale: one equi-shuffle on (query, cand) for the fusion join, one
+    per-QUERY ranking window (never global). The upstream lists are
+    top-N bounded, so the fused table is at most 2N per query.
+    """
+    a = ranked_a.select(
+        F.col(query_col).alias("__q"),
+        F.col(cand_col).alias("__c"),
+        F.col(rank_col).alias("rank_a"),
+    )
+    b = ranked_b.select(
+        F.col(query_col).alias("__q"),
+        F.col(cand_col).alias("__c"),
+        F.col(rank_col).alias("rank_b"),
+    )
+    fused = a.join(b, ["__q", "__c"], "full_outer").withColumn(
+        "rrf_score",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k_const) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k_const) + F.col("rank_b")), F.lit(0.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("__q").orderBy(
+        F.col("rrf_score").desc(), F.col("__c").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__c").alias(cand_col),
+            "rank_a",
+            "rank_b",
+            "rrf_score",
+            "rank",
+        )
+    )

@@ -836,3 +836,118 @@ def knn_auto_l2(spark, sf_dir):
     checks → tier handoff → result contract."""
     emb = _t(spark, sf_dir, "embeddings")
     return knn_join(emb, emb, k=5, strategy="auto")
+
+
+def _hybrid_rrf_oracle() -> str:
+    from semantic_ann_in_data_lake_spark.functions.text import words_sql
+
+    toks = f"list_sort(list_distinct({words_sql('text')}))"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {toks} AS toks, {hash_embedding_sql('text', 8)} AS v
+      FROM documents
+    ),
+    q AS (SELECT doc_id AS query_id, toks AS qt, v AS qv FROM base WHERE doc_id < 5),
+    c AS (SELECT doc_id AS cand_id, toks AS ct, v AS cv FROM base WHERE doc_id >= 5),
+    pairs AS (
+      SELECT query_id, cand_id,
+             round(len(list_intersect(qt, ct))::DOUBLE
+                   / (len(qt) + len(ct) - len(list_intersect(qt, ct))), 6) AS jac,
+             round({cosine_sim_sql('qv', 'cv')}, 6) AS cos
+      FROM q, c
+    ),
+    lex AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY jac DESC, cand_id ASC) AS rank_a
+      FROM pairs
+    ),
+    sem AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id ASC) AS rank_b
+      FROM pairs
+    ),
+    fused AS (
+      SELECT l.query_id, l.cand_id, l.rank_a, s.rank_b,
+             round(1.0 / (60 + l.rank_a) + 1.0 / (60 + s.rank_b), 6) AS rrf_score
+      FROM lex l JOIN sem s
+        ON s.query_id = l.query_id AND s.cand_id = l.cand_id
+    )
+    SELECT query_id, cand_id, rank_a, rank_b, rrf_score, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, cand_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= 5
+    """
+
+
+@register("hybrid_search_rrf", _hybrid_rrf_oracle())
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval (operators/ranks.py::rrf_fuse): token-Jaccard
+    lexical ranking fused with hash-embedding cosine ranking by
+    reciprocal-rank fusion (k=60), top-5 per query. The exact-SQL
+    oracle tier ranks all candidates per query; the 100-TB plan swaps
+    each leg for its bounded sibling already in the repo (prefix-
+    filtered set join for lexical, ANN tiers for semantic) and fuses
+    their top-N lists — rrf_fuse's cost is list-size, not corpus-size,
+    either way."""
+    from semantic_ann_in_data_lake_spark.functions.text import words
+    from semantic_ann_in_data_lake_spark.functions.vectors import cosine_sim
+    from semantic_ann_in_data_lake_spark.operators.ranks import rrf_fuse
+    from pyspark.sql.window import Window as _Win
+
+    base = scoped_persist(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.array_sort(F.array_distinct(words("text"))).alias("toks"),
+            hash_embedding_expr("text", 8).alias("v"),
+        )
+    )
+    q = base.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("toks").alias("qt"),
+        F.col("v").alias("qv"),
+    )
+    c = base.where(F.col("doc_id") >= 5).select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("toks").alias("ct"),
+        F.col("v").alias("cv"),
+    )
+    inter = F.size(F.array_intersect("qt", "ct"))
+    pairs = scoped_persist(
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                inter / (F.size("qt") + F.size("ct") - inter), 6
+            ).alias("jac"),
+            F.round(cosine_sim("qv", "cv"), 6).alias("cos"),
+        )
+    )
+    lex = pairs.select(
+        "query_id",
+        "cand_id",
+        F.row_number()
+        .over(
+            _Win.partitionBy("query_id").orderBy(
+                F.col("jac").desc(), F.col("cand_id").asc()
+            )
+        )
+        .alias("rank"),
+    )
+    sem = pairs.select(
+        "query_id",
+        "cand_id",
+        F.row_number()
+        .over(
+            _Win.partitionBy("query_id").orderBy(
+                F.col("cos").desc(), F.col("cand_id").asc()
+            )
+        )
+        .alias("rank"),
+    )
+    return rrf_fuse(lex, sem, topk=5)

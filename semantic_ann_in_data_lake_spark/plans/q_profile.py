@@ -586,3 +586,25 @@ def brand_price_quartiles(spark, sf_dir):
         pick(0.50).alias("q2"),
         pick(0.75).alias("q3"),
     )
+
+
+@register(
+    "approx_percentile_bounds",
+    """
+    SELECT 0.0 AS q, 0.0 AS estimate, 0::BIGINT AS exact_rank,
+           0.0 AS target_rank, '' AS violation
+    WHERE FALSE
+    """,
+)
+def approx_percentile_bounds(spark, sf_dir):
+    """Accuracy gate for the quantile sketch the 100-TB profile tier
+    uses in place of exact percentiles: empty iff every
+    approx_percentile estimate's exact rank sits within the sketch's
+    n/accuracy rank-error contract on l_extendedprice. The exact-rank
+    recheck is one conditional aggregation against the 4-row broadcast
+    estimate table — no global sort."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    return checks.approx_percentile_bound_violations(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )

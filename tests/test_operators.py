@@ -2698,3 +2698,51 @@ def test_temperature_mix_allocation_shares(spark):
     toks = {r["source"]: r["n_tokens"] for r in out}
     big = max(out, key=lambda r: r["n_tokens"])
     assert big["share"] < big["n_tokens"] / sum(toks.values())
+
+
+def test_rrf_fuse_hand_case(spark):
+    from semantic_ann_in_data_lake_spark.operators.ranks import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2), (1, "z", 3)],
+        ["query_id", "cand_id", "rank"],
+    )
+    b = spark.createDataFrame(
+        [(1, "y", 1), (1, "x", 2), (1, "w", 3)],
+        ["query_id", "cand_id", "rank"],
+    )
+    out = rrf_fuse(a, b, topk=4).collect()
+    by = {r["cand_id"]: r for r in out}
+    # x: 1/61 + 1/62; y: 1/62 + 1/61 -> tie, broken by cand id: x first
+    assert by["x"]["rrf_score"] == by["y"]["rrf_score"]
+    assert by["x"]["rank"] == 1 and by["y"]["rank"] == 2
+    # z only in list a (rank 3), w only in list b (rank 3): same
+    # one-sided score, tie broken by id
+    assert by["z"]["rank_b"] is None and by["w"]["rank_a"] is None
+    assert by["w"]["rrf_score"] == by["z"]["rrf_score"]
+    assert by["w"]["rank"] == 3 and by["z"]["rank"] == 4
+
+
+def test_approx_percentile_bounds_catches_bad_sketch(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.operators.checks import (
+        approx_percentile_bound_violations,
+    )
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    # honest accuracy: no violations
+    assert approx_percentile_bound_violations(
+        li, "l_extendedprice", accuracy=1000
+    ).count() == 0
+    # absurdly tight claimed bound (accuracy >> what the sketch was
+    # built with cannot hold on a non-degenerate column): the checker
+    # must be ABLE to fire — run the same estimates against a claimed
+    # n/1e9 bound by checking a low-accuracy sketch under accuracy=1e9
+    from pyspark.sql import functions as F
+    est_loose = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10).alias("e")
+    ).collect()[0]["e"]
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e")
+    ).collect()[0]["e"]
+    assert est_loose != exact  # sketch at accuracy 10 is genuinely off

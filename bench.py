@@ -214,6 +214,12 @@ def bench_queries(spark, sf_dir):
         "event_transition_matrix": from_registry("event_transition_matrix"),
         "knn_pq_k10": knn_pq_bench,
         "knn_ivf_pq_k10": knn_ivf_pq_bench,
+        # round-4 continuation: boilerplate rewrite, containment
+        # discovery, sketches, hybrid retrieval
+        "segment_dedup_rewrite": from_registry("segment_dedup_rewrite"),
+        "value_overlap_discovery": from_registry("value_overlap_join_discovery"),
+        "cms_heavy_hitters": from_registry("cms_heavy_hitters_events"),
+        "hybrid_search_rrf": from_registry("hybrid_search_rrf"),
     }
 
 

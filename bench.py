@@ -365,14 +365,19 @@ def main():
         json.dump(out, f, indent=1, sort_keys=True)
 
     compact = {k: v for k, v in out.items() if k != "sf_curve"}
+    # COPY the timings dict: `out["queries"]` aliases `timings`, and the
+    # trim loop below would otherwise shrink both, zeroing the
+    # queries_omitted arithmetic (observed: 3 dropped, "omitted": 0)
+    compact["queries"] = dict(compact["queries"])
     compact["detail_file"] = "BENCH_DETAIL.json"
-    compact["n_queries"] = len(timings)
+    n_total = len(timings)
+    compact["n_queries"] = n_total
     line = json.dumps(compact, separators=(",", ":"))
     while len(line.encode()) > 1500 and compact["queries"]:
         # Drop the fastest queries first; the slow ones are the story.
         fastest = min(compact["queries"], key=compact["queries"].get)
         del compact["queries"][fastest]
-        compact["queries_omitted"] = len(timings) - len(compact["queries"])
+        compact["queries_omitted"] = n_total - len(compact["queries"])
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

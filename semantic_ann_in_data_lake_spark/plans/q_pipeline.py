@@ -868,3 +868,197 @@ def temperature_mix_allocation(spark, sf_dir):
             .alias("alloc_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused join discovery: distribution-sketch (embedding) + value
+# (containment) evidence merged by reciprocal-rank fusion — the
+# capstone over the reference's headline scenario (semlink.py:11-32)
+# with the JOSIE-style leg alongside.
+# ---------------------------------------------------------------------------
+
+_SKETCH_DIM = 16
+
+
+def _fused_discovery_oracle(topk: int = 3) -> str:
+    from semantic_ann_in_data_lake_spark.functions.hashing import (
+        portable_hash_expr,
+    )
+    from semantic_ann_in_data_lake_spark.functions.vectors import (
+        cosine_sim_sql,
+    )
+
+    vals = " UNION ALL ".join(
+        f"SELECT '{t}.{c}' AS col_key, '{t}' AS tname, "
+        f"{c}::VARCHAR AS value FROM {t} WHERE {c} IS NOT NULL"
+        for t, c in _OVERLAP_COLS
+    )
+    dims = ", ".join(
+        f"coalesce(sum(CASE WHEN bucket = {i} THEN sgn END), 0)::DOUBLE"
+        for i in range(_SKETCH_DIM)
+    )
+    return f"""
+    WITH cv AS ({vals}),
+    dvals AS (SELECT DISTINCT col_key, tname, value FROM cv),
+    contrib AS (
+      SELECT col_key, tname,
+             {portable_hash_expr('value', seed='vsk:')} % {_SKETCH_DIM} AS bucket,
+             CASE WHEN {portable_hash_expr('value', seed='vsg:')} % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM dvals
+    ),
+    emb AS (
+      SELECT col_key, tname, [{dims}] AS v
+      FROM contrib GROUP BY col_key, tname
+    ),
+    sem AS (
+      SELECT a.col_key AS query_col, b.col_key AS cand_col,
+             row_number() OVER (
+               PARTITION BY a.col_key
+               ORDER BY round({cosine_sim_sql('a.v', 'b.v')}, 6) DESC,
+                        b.col_key ASC) AS rank_a
+      FROM emb a JOIN emb b ON a.tname <> b.tname
+    ),
+    sizes AS (SELECT col_key, count(*)::BIGINT AS nd FROM dvals GROUP BY 1),
+    ov AS (
+      SELECT a.col_key AS query_col, b.col_key AS cand_col,
+             count(*)::BIGINT AS n_overlap
+      FROM dvals a JOIN dvals b
+        ON a.value = b.value AND a.tname <> b.tname
+      GROUP BY 1, 2
+    ),
+    val AS (
+      SELECT o.query_col, o.cand_col,
+             row_number() OVER (
+               PARTITION BY o.query_col
+               ORDER BY round(o.n_overlap::DOUBLE / s.nd, 6) DESC,
+                        o.cand_col ASC) AS rank_b
+      FROM ov o JOIN sizes s ON s.col_key = o.query_col
+    ),
+    fused AS (
+      SELECT coalesce(s.query_col, v.query_col) AS query_col,
+             coalesce(s.cand_col, v.cand_col) AS cand_col,
+             s.rank_a, v.rank_b,
+             round(coalesce(1.0 / (60 + s.rank_a), 0.0)
+                   + coalesce(1.0 / (60 + v.rank_b), 0.0), 6) AS rrf_score
+      FROM sem s FULL OUTER JOIN val v
+        ON v.query_col = s.query_col AND v.cand_col = s.cand_col
+    )
+    SELECT query_col, cand_col, rank_a, rank_b, rrf_score, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_col
+                                   ORDER BY rrf_score DESC, cand_col ASC) AS rank
+      FROM fused
+    ) WHERE rank <= {topk}
+    """
+
+
+@register("join_discovery_fused", _fused_discovery_oracle())
+def join_discovery_fused(spark, sf_dir):
+    """Fused joinable-column discovery, top-3 per column: an
+    embedding leg (cosine over a 16-dim feature-hash sketch of each
+    column's distinct VALUES — the deterministic sandbox twin of the
+    model embedder; a real model plugs into the same rrf_fuse call
+    through the embedder seam) merged with the containment leg
+    (value_overlap_discovery ranking) by reciprocal-rank fusion.
+    Agreement between independent signals is the production recipe;
+    FK→PK edges win both legs. The sketch is one groupBy over hashed
+    distinct values — fixed-size per column regardless of rows — and
+    the fusion is list-sized work (operators/ranks.py::rrf_fuse)."""
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+    from semantic_ann_in_data_lake_spark.functions.hashing import (
+        portable_hash64,
+    )
+    from semantic_ann_in_data_lake_spark.functions.vectors import cosine_sim
+    from semantic_ann_in_data_lake_spark.operators.discovery import (
+        value_overlap_discovery,
+    )
+    from semantic_ann_in_data_lake_spark.operators.ranks import rrf_fuse
+
+    parts = [
+        _t(spark, sf_dir, t).select(
+            F.lit(t).alias("table_name"),
+            F.lit(f"{t}.{c}").alias("column_name"),
+            F.col(c).cast("string").alias("value"),
+        )
+        for t, c in _OVERLAP_COLS
+    ]
+    cv = parts[0]
+    for p in parts[1:]:
+        cv = cv.unionByName(p)
+    dvals = scoped_persist(
+        cv.where(F.col("value").isNotNull()).distinct()
+    )
+
+    # --- embedding leg: feature-hash sketch of the value set ---------
+    contrib = dvals.select(
+        F.col("column_name").alias("col_key"),
+        F.col("table_name").alias("tname"),
+        F.pmod(portable_hash64("value", seed="vsk:"), F.lit(_SKETCH_DIM))
+        .cast("int")
+        .alias("bucket"),
+        F.when(
+            F.pmod(portable_hash64("value", seed="vsg:"), F.lit(2)) == 0, 1
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    emb = scoped_persist(
+        contrib.groupBy("col_key", "tname").agg(
+            F.array(
+                *[
+                    F.coalesce(
+                        F.sum(F.when(F.col("bucket") == i, F.col("sgn"))),
+                        F.lit(0),
+                    ).cast("double")
+                    for i in range(_SKETCH_DIM)
+                ]
+            ).alias("v")
+        )
+    )
+    a = emb.select(
+        F.col("col_key").alias("query_col"),
+        F.col("tname").alias("qt"),
+        F.col("v").alias("qv"),
+    )
+    b = emb.select(
+        F.col("col_key").alias("cand_col"),
+        F.col("tname").alias("ct"),
+        F.col("v").alias("cv"),
+    )
+    sem = (
+        a.join(b, F.col("qt") != F.col("ct"))
+        .select(
+            "query_col",
+            "cand_col",
+            F.round(cosine_sim("qv", "cv"), 6).alias("cos"),
+        )
+        .select(
+            "query_col",
+            "cand_col",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_col").orderBy(
+                    F.col("cos").desc(), F.col("cand_col").asc()
+                )
+            )
+            .alias("rank"),
+        )
+    )
+
+    # --- value leg: containment ranking over the same universe --------
+    # threshold just above 0: every pair with >=1 shared value ranks;
+    # thresholding is not the value leg's job here
+    ov = value_overlap_discovery(dvals, threshold=1e-9)
+    val = ov.select(
+        F.col("query_column").alias("query_col"),
+        F.col("cand_column").alias("cand_col"),
+        F.row_number()
+        .over(
+            Window.partitionBy("query_column").orderBy(
+                F.col("containment").desc(), F.col("cand_column").asc()
+            )
+        )
+        .alias("rank"),
+    )
+    return rrf_fuse(sem, val, query_col="query_col", cand_col="cand_col", topk=3)

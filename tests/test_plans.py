@@ -233,3 +233,18 @@ def test_lake_discovery_one_agg_per_table(spark, sf_dir):
     # still embeds the parquet scans, so assert the cache reuse itself.
     assert plan.count("InMemoryTableScan") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_join_discovery_fused_finds_fk_edges(spark):
+    from semantic_ann_in_data_lake_spark.plans import registry
+
+    out = registry.REGISTRY["join_discovery_fused"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    top = {r["query_col"]: r["cand_col"] for r in out if r["rank"] == 1}
+    # the canonical FK->PK edges win rank 1 (both legs agree)
+    assert top["customer.c_nationkey"] == "nation.n_nationkey"
+    assert top["customer.c_custkey"] == "orders.o_custkey"
+    assert top["orders.o_custkey"] == "customer.c_custkey"
+    assert top["nation.n_regionkey"] == "region.r_regionkey"
+    assert all(1 <= r["rank"] <= 3 for r in out)

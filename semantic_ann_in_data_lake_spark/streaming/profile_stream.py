@@ -363,3 +363,67 @@ def incremental_rollup_foreach_batch(events_stream: DataFrame, sink_path: str):
         )
 
     return events_stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
+
+
+def incremental_cms_foreach_batch(
+    events_stream: DataFrame,
+    sink_path: str,
+    key_col: str = "user_id",
+    depth: int = 3,
+    width: int = 512,
+):
+    """foreachBatch streaming count-min sketch (the streamed form of
+    ``sketches.cms_sketch``): each micro-batch writes its PARTIAL
+    sketch — the per-(depth, bucket) counts of the batch — into a
+    batch-id partition of the sink; the live sketch is the
+    sum-merge of all partitions (CMS cells are counters, so merge is
+    plain addition — the textbook mergeable-summary property).
+
+    Idempotency: the sink is partitioned by batch_id with dynamic
+    partition overwrite, so a re-delivered/retried batch REPLACES its
+    own partition instead of double-counting — exactly-once sketch
+    cells on at-least-once batch delivery. Per-batch state is at most
+    depth×width rows regardless of batch size or key cardinality.
+    """
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        cms_partial_write(
+            batch_df, batch_id, sink_path, key_col, depth=depth, width=width
+        )
+
+    return events_stream.writeStream.foreachBatch(handle).trigger(
+        availableNow=True
+    )
+
+
+def cms_partial_write(
+    batch_df: DataFrame,
+    batch_id: int,
+    sink_path: str,
+    key_col: str,
+    depth: int = 3,
+    width: int = 512,
+) -> None:
+    """One micro-batch's partial-sketch write (the foreachBatch body,
+    public so re-delivery semantics are directly testable): REPLACES
+    the batch's own sink partition via dynamic partition overwrite."""
+    from semantic_ann_in_data_lake_spark.operators.sketches import cms_sketch
+
+    part = cms_sketch(batch_df, key_col, depth=depth, width=width)
+    (
+        part.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(sink_path)
+    )
+
+
+def merged_cms_sketch(spark: SparkSession, sink_path: str) -> DataFrame:
+    """Sum-merge the partial sketches into the current global CMS
+    table ``(depth, bucket, cnt)`` — identical to the batch
+    ``cms_sketch`` over all data the stream has absorbed."""
+    return (
+        spark.read.parquet(sink_path)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -394,3 +394,75 @@ def test_scd2_stream_equals_batch_closed_runs(spark, sf_dir, tmp_path):
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) > 0
+
+
+def test_streaming_cms_merges_to_batch_sketch(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.sketches import cms_sketch
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        events_stream,
+        incremental_cms_foreach_batch,
+        merged_cms_sketch,
+    )
+
+    sink = str(tmp_path / "cms_sink")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_schema = src.schema
+    # stage TWO input files so availableNow + maxFilesPerTrigger=1
+    # yields two partial sketches — the sum-merge path, not the
+    # single-partial trivial case
+    events_dir = str(tmp_path / "cms_in")
+    src.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        events_dir
+    )
+    src.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    # bound the batch size so availableNow produces MULTIPLE batches —
+    # the merge path, not the single-partial trivial case
+    stream = spark.readStream.schema(raw_schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(events_dir)
+    q = incremental_cms_foreach_batch(stream, sink, key_col="user_id")
+    q.start().awaitTermination()
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(batch, "user_id").collect()
+    }
+    got = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in merged_cms_sketch(spark, sink).collect()
+    }
+    assert got == want
+
+    # re-delivery idempotency: a retried batch re-invokes the same
+    # foreachBatch body with the SAME batch_id — the partial sketch
+    # must REPLACE its partition, not append. Re-deliver batch 0 with
+    # half the data doubled to prove overwrite (append would inflate)
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        cms_partial_write,
+    )
+
+    half = src.where(F.col("event_id") % 2 == 0)
+    cms_partial_write(half, 0, sink, "user_id")
+    cms_partial_write(half, 0, sink, "user_id")  # retry of the retry
+    # partition 0 now holds exactly one partial sketch of `half`;
+    # merged = half + (whichever half batch 1 held). Re-writing batch 0
+    # with its ORIGINAL content restores the full-data sketch.
+    batch0_files = spark.read.parquet(sink).where(
+        F.col("batch_id") == 0
+    ).count()
+    assert batch0_files <= 3 * 512  # one partial, not stacked appends
+    # restore batch 0's true content (the stream wrote files in id
+    # order: batch 0 was one of the two halves)
+    for bid, pred in ((0, F.col("event_id") % 2 == 0),
+                      (1, F.col("event_id") % 2 == 1)):
+        cms_partial_write(src.where(pred), bid, sink, "user_id")
+    got2 = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in merged_cms_sketch(spark, sink).collect()
+    }
+    assert got2 == want

@@ -509,3 +509,56 @@ def dedup_then_jaccard_join(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     reps = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     return jaccard_prefix_join(reps.select("doc_id", "text"), threshold=0.9)
+
+
+@register(
+    "dedup_keep_longest",
+    f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_minhash_lsh_sql(8, 2, 0.01)}) t),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.d
+    ),
+    assign AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    ranked AS (
+      SELECT a.id, a.cluster_id,
+             row_number() OVER (
+               PARTITION BY a.cluster_id
+               ORDER BY d.n_chars DESC, a.id ASC) AS rn
+      FROM assign a JOIN documents d ON d.doc_id = a.id
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)
+    """,
+)
+def dedup_keep_longest(spark, sf_dir):
+    """Quality-aware dedup canonicalization: within each near-dup
+    cluster keep the LONGEST member (ties → lowest id) instead of the
+    lowest id — the policy real ingest pipelines prefer, since
+    duplicates often differ by truncation. Same LSH pairs + connected
+    components as `dedup_keep_canonical`; the winner pick is one
+    ranking window partitioned by cluster_id (clusters are small by
+    construction), singletons pass through via LEFT ANTI."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(
+        docs, num_hashes=16, bands=8, rows_per_band=2, threshold=0.01
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    from pyspark.sql.window import Window as _Win
+
+    ranked = clusters.join(
+        docs.select(F.col("doc_id"), "n_chars"), "doc_id"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            _Win.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    dropped = ranked.where(F.col("rn") > 1).select("doc_id")
+    return docs.select("doc_id").join(dropped, "doc_id", "left_anti")

@@ -641,3 +641,52 @@ def segment_dedup_rewrite(spark, sf_dir):
     return remove_shared_segments(
         _t(spark, sf_dir, "documents"), seg_words=5, min_docs=2
     )
+
+
+def _ngram_topk_oracle(n: int = 3, k: int = 20) -> str:
+    grams = (
+        f"list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice(w, i, i + {n - 1}), ' '))"
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, lang, {_TOKS} AS w FROM documents),
+    g AS (SELECT lang, unnest({grams}) AS gram FROM w),
+    c AS (SELECT lang, gram, count(*)::BIGINT AS n FROM g GROUP BY 1, 2)
+    SELECT lang, gram, n, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, gram ASC) AS rank
+      FROM c
+    ) WHERE rank <= {k}
+    """
+
+
+@register("ngram_topk_corpus", _ngram_topk_oracle())
+def ngram_topk_corpus(spark, sf_dir):
+    """Corpus-level n-gram statistics: top-20 word trigrams per
+    language — the frequency table tokenizer training, contamination
+    screening and boilerplate discovery all start from. Positional
+    trigrams generate inside codegen (operators/spans.py); ONE
+    two-level aggregation (partial map-side combine on (lang, gram))
+    then a per-lang ranking window — never a global window."""
+    from pyspark.sql.window import Window as _Win
+
+    from semantic_ann_in_data_lake_spark.functions.text import words
+    from semantic_ann_in_data_lake_spark.operators.spans import (
+        positional_ngrams,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    # materialize the words array BEFORE the per-position slices —
+    # passing the split expression itself into positional_ngrams would
+    # re-tokenize the text once per position (see word_shingles_from)
+    g = d.select("lang", words("text").alias("__w")).select(
+        "lang",
+        F.explode(positional_ngrams(F.col("__w"), 3)).alias("gram"),
+    )
+    c = g.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = _Win.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram").asc())
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("lang", "gram", "n", "rank")
+    )

@@ -248,3 +248,38 @@ def test_join_discovery_fused_finds_fk_edges(spark):
     assert top["orders.o_custkey"] == "customer.c_custkey"
     assert top["nation.n_regionkey"] == "region.r_regionkey"
     assert all(1 <= r["rank"] <= 3 for r in out)
+
+
+def test_round4b_ops_no_cartesian(spark, sf_dir):
+    """The continuation-session operators must stay equi-join shaped:
+    posting-list / hash joins everywhere, no cartesian products. (The
+    one BroadcastNestedLoopJoin allowed is approx_percentile_bounds'
+    4-row estimate-vs-values rank recheck, which is the intended
+    broadcast theta-join.)"""
+    for name in (
+        "segment_dedup_rewrite",
+        "value_overlap_join_discovery",
+        "cms_heavy_hitters_events",
+        "temperature_mix_allocation",
+        "join_discovery_fused",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_segment_dedup_rewrite_hashes_before_explode_shuffle(spark, sf_dir):
+    """The corpus-frequency shuffle must carry the 64-bit segment hash,
+    not segment strings: the partial_count aggregate keys on `gh`."""
+    plan = _plan(spark, sf_dir, "segment_dedup_rewrite")
+    assert "CartesianProduct" not in plan
+    # reassembly is exactly one per-doc aggregation plus the
+    # distinct+count pass over (gh, doc_id): 3 hash aggregates wide
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_cms_probe_is_broadcast(spark, sf_dir):
+    """The sketch side of the estimate join must broadcast (d×w rows);
+    the candidate probe never shuffles the sketch."""
+    plan = _plan(spark, sf_dir, "cms_heavy_hitters_events")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -106,10 +106,12 @@ _GATE_RED_RETRY = frozenset({
 
 
 def _gate_ordered(names) -> list[str]:
-    """Gate window: never-driver-gated names first (round 4 added ~20
-    new operators, so the fresh group plus the red-retry group fills
-    most of the 50-draw; remaining slots re-sample already-green
-    names), then the red-retry group, then everything already green."""
+    """Gate window: the red-retry group FIRST (replacing a red official
+    row with a green one outranks everything — VERDICT r3 task 1),
+    then never-driver-gated names (round 4 added enough new operators
+    that retry + fresh slightly overfills the 50-draw; the overflow is
+    fresh names, whose missing row costs less than a standing red),
+    then everything already green."""
     fresh = [
         n for n in names
         if n not in _GATED_PRIOR_ROUNDS and n not in _GATE_RED_RETRY
@@ -119,7 +121,7 @@ def _gate_ordered(names) -> list[str]:
         n for n in names
         if n in _GATED_PRIOR_ROUNDS and n not in _GATE_RED_RETRY
     ]
-    return fresh + retry + seen
+    return retry + fresh + seen
 
 
 def queries() -> dict[str, QueryFn]:

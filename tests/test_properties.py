@@ -259,3 +259,60 @@ def test_jaccard_prefix_join_matches_bruteforce_random(shared_spark, texts, tau)
         for r in jaccard_prefix_join(docs, threshold=tau).collect()
     }
     assert got == brute
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="xy z", min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_remove_shared_segments_identity_when_nothing_shared(
+    shared_spark, texts, seg
+):
+    """With min_docs above the corpus size nothing can be shared: the
+    rewrite must be the identity on whitespace-normalized text, and
+    n_removed must be 0 — for ANY text and segment width."""
+    from semantic_ann_in_data_lake_spark.operators.boilerplate import (
+        remove_shared_segments,
+    )
+
+    docs = shared_spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = remove_shared_segments(
+        docs, seg_words=seg, min_docs=len(texts) + 1
+    ).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        toks = [x for x in texts[r["doc_id"]].split(" ") if x]
+        assert r["n_removed"] == 0
+        assert r["text_clean"] == " ".join(toks)
+        import math
+        assert r["n_segments"] == math.ceil(len(toks) / seg)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.sampled_from(["p", "q", "r", "s"]), min_size=1, max_size=80),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=2, max_value=16),
+)
+def test_cms_never_underestimates_random(shared_spark, keys, depth, width):
+    """est >= true for every key under arbitrary collision pressure."""
+    from collections import Counter
+
+    from semantic_ann_in_data_lake_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    df = shared_spark.createDataFrame([(k,) for k in keys], ["k"])
+    out = cms_heavy_hitters(df, "k", k=10, depth=depth, width=width).collect()
+    truth = Counter(keys)
+    assert {r["key"] for r in out} == set(truth)
+    for r in out:
+        assert r["true_count"] == truth[r["key"]]
+        assert r["est_count"] >= r["true_count"]

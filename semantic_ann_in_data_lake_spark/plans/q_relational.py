@@ -380,3 +380,48 @@ def bucketed_join_spend(spark, sf_dir):
             .alias("spend"),
         )
     )
+
+
+@register(
+    "bloom_prune_join_orders",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+    GROUP BY o_orderpriority
+    """,
+)
+def bloom_prune_join_orders(spark, sf_dir):
+    """Runtime row-level filtering: the selective customer dim builds a
+    Bloom filter (operators/bloomjoin.py) that drops non-matching
+    orders rows IN THE SCAN STAGE — before the join shuffle — via
+    broadcast word-table lookups; the exact join then removes Bloom
+    false positives, so the result is identical to the plain join (the
+    oracle IS the plain join). At 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the ~2% that
+    can match. Plan-pinned: probe joins broadcast, no fact exchange
+    before the probe."""
+    from semantic_ann_in_data_lake_spark.operators.bloomjoin import (
+        bloom_prune_join,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return (
+        bloom_prune_join(o, c, "o_custkey", expected_keys=1 << 12)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("spend"),
+        )
+    )

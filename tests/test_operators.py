@@ -2746,3 +2746,90 @@ def test_approx_percentile_bounds_catches_bad_sketch(spark, sf_dir):
         F.expr("percentile(l_extendedprice, 0.5)").alias("e")
     ).collect()[0]["e"]
     assert est_loose != exact  # sketch at accuracy 10 is genuinely off
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (operators/bloomjoin.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prune_join_equals_plain_join(spark):
+    from semantic_ann_in_data_lake_spark.operators.bloomjoin import (
+        bloom_prune_join,
+    )
+    import pyspark.sql.functions as F
+
+    fact = spark.range(0, 20000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 100).select(
+        (F.col("id") * 13).alias("k"), (F.col("id") + 1).alias("d")
+    )
+    got = sorted(
+        map(tuple, bloom_prune_join(fact, dim, "k", expected_keys=128).collect())
+    )
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    assert got == want and len(got) > 0
+
+
+def test_bloom_probe_never_false_negative_and_prunes(spark):
+    """Every true-matching fact row survives the probe (build and probe
+    share hash seeds — structural, but pinned); and on a selective dim
+    the probe must actually drop the vast majority of non-matchers."""
+    from semantic_ann_in_data_lake_spark.operators.bloomjoin import (
+        bloom_bits_for, bloom_build, bloom_probe,
+    )
+    import pyspark.sql.functions as F
+
+    fact = spark.range(0, 50000).select(
+        F.concat(F.lit("u"), (F.col("id") % 5000).cast("string")).alias("k")
+    )
+    dim = spark.range(0, 50).select(
+        F.concat(F.lit("u"), (F.col("id") * 101).cast("string")).alias("k")
+    )
+    bits = bloom_bits_for(64)
+    bloom = bloom_build(dim, "k", bits)
+    survivors = bloom_probe(fact, "k", bloom, bits)
+    true_rows = fact.join(dim.distinct(), "k").count()
+    n_surv = survivors.count()
+    assert n_surv >= true_rows  # no false negatives, ever
+    # all true keys present in the survivor key set
+    missing = (
+        fact.join(dim.distinct(), "k")
+        .select("k")
+        .distinct()
+        .join(survivors.select("k").distinct(), "k", "left_anti")
+        .count()
+    )
+    assert missing == 0
+    # selectivity: 50/5000 keys match -> survivors should be a small
+    # fraction of the fact (fp rate ~0.05% at 16 bits/key, k=5)
+    assert n_surv < fact.count() * 0.05
+
+
+def test_bloom_build_bounded_and_null_safe(spark):
+    from semantic_ann_in_data_lake_spark.operators.bloomjoin import (
+        bloom_build, bloom_probe,
+    )
+
+    dim = spark.createDataFrame(
+        [("a",), (None,), ("b",)], ["k"]
+    )
+    bloom = bloom_build(dim, "k", 1024, num_hashes=4)
+    rows = bloom.collect()
+    assert len(rows) <= 1024 // 64
+    fact = spark.createDataFrame([("a",), (None,), ("zzz",)], ["k"])
+    surv = [r["k"] for r in bloom_probe(fact, "k", bloom, 1024, 4).collect()]
+    assert "a" in surv and None not in surv  # NULL keys never survive
+
+
+def test_bloom_build_validates_params(spark):
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators.bloomjoin import bloom_build
+
+    dim = spark.createDataFrame([("a",)], ["k"])
+    with _pytest.raises(ValueError):
+        bloom_build(dim, "k", 1000)  # not a power of two
+    with _pytest.raises(ValueError):
+        bloom_build(dim, "k", 1024, num_hashes=0)

@@ -283,3 +283,14 @@ def test_cms_probe_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cms_heavy_hitters_events")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_joins_broadcast_no_fact_shuffle_join(spark, sf_dir):
+    """Every probe lookup and the final exact join must be broadcast
+    hash joins — the fact side reaches its aggregation without a
+    single join-induced shuffle; that is the entire point of the
+    operator at 100 TB."""
+    plan = _plan(spark, sf_dir, "bloom_prune_join_orders")
+    assert plan.count("BroadcastHashJoin") >= 6  # 5 probes + exact join
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -951,3 +951,65 @@ def hybrid_search_rrf(spark, sf_dir):
         .alias("rank"),
     )
     return rrf_fuse(lex, sem, topk=5)
+
+
+_BITEXT_K = 4
+_BITEXT_TAU = 1.0
+
+
+@register(
+    "bitext_mine_en_de",
+    f"""
+    WITH s AS (SELECT doc_id, {hash_embedding_sql('text', 8)} AS v
+               FROM documents WHERE lang = 'en'),
+         t AS (SELECT doc_id, {hash_embedding_sql('text', 8)} AS v
+               FROM documents WHERE lang = 'de'),
+    p AS (SELECT s.doc_id AS sid, t.doc_id AS tid,
+                 CAST(round(round({cosine_sim_sql('s.v', 't.v')}, 6) * 1e6)
+                      AS BIGINT) AS sim6
+          FROM s CROSS JOIN t),
+    f AS (SELECT sid, tid, sim6,
+                 row_number() OVER (PARTITION BY sid
+                                    ORDER BY sim6 DESC, tid) AS rn
+          FROM p),
+    b AS (SELECT tid, sim6,
+                 row_number() OVER (PARTITION BY tid
+                                    ORDER BY sim6 DESC, sid) AS rn
+          FROM p),
+    fs AS (SELECT sid, sum(sim6) AS ssum, count(*) AS scnt
+           FROM f WHERE rn <= {_BITEXT_K} GROUP BY sid),
+    bs AS (SELECT tid, sum(sim6) AS tsum, count(*) AS tcnt
+           FROM b WHERE rn <= {_BITEXT_K} GROUP BY tid),
+    m AS (SELECT f.sid, f.tid, f.sim6,
+                 round(f.sim6 / ((fs.ssum::DOUBLE / fs.scnt
+                                  + bs.tsum::DOUBLE / bs.tcnt) / 2),
+                       6) AS margin
+          FROM f JOIN fs USING (sid) JOIN bs USING (tid)
+          WHERE f.rn <= {_BITEXT_K}),
+    r AS (SELECT sid, tid, sim6, margin,
+                 row_number() OVER (PARTITION BY sid
+                                    ORDER BY margin DESC, tid) AS rn
+          FROM m)
+    SELECT sid AS src_id, tid AS tgt_id,
+           sim6 / 1000000.0 AS sim, margin
+    FROM r WHERE rn = 1 AND margin >= {_BITEXT_TAU}
+    """,
+)
+def bitext_mine_en_de(spark, sf_dir):
+    """Parallel-corpus mining (operators/bitext.py): en→de document
+    alignment by hash-embedding cosine with the Artetxe–Schwenk ratio
+    margin — a pair survives only if it beats the average of both its
+    own top-k neighborhoods. Integer micro-sim accumulation keeps the
+    margin bit-identical across engines and partitionings. Exact
+    strategy IS the oracle; production swaps strategy='auto' and pays
+    two ANN passes + k-bounded bookkeeping."""
+    from semantic_ann_in_data_lake_spark.operators.bitext import mine_bitext
+
+    d = _t(spark, sf_dir, "documents")
+    emb = lambda lang: d.where(F.col("lang") == lang).select(  # noqa: E731
+        "doc_id", hash_embedding_expr("text", 8).alias("embedding")
+    )
+    return mine_bitext(
+        emb("en"), emb("de"), k=_BITEXT_K, margin_tau=_BITEXT_TAU,
+        strategy="exact",
+    )

@@ -2833,3 +2833,84 @@ def test_bloom_build_validates_params(spark):
         bloom_build(dim, "k", 1000)  # not a power of two
     with _pytest.raises(ValueError):
         bloom_build(dim, "k", 1024, num_hashes=0)
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (operators/bitext.py)
+# ---------------------------------------------------------------------------
+
+
+def _vecs_df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "embedding"])
+
+
+def test_bitext_margin_prefers_standout_over_crowded(spark):
+    """x1's unique match survives with margin > 1; x2's best match sits
+    in a clique of near-duplicates (its whole neighborhood is equally
+    similar), so its margin stays ~1 and the tau filter drops it."""
+    from semantic_ann_in_data_lake_spark.operators.bitext import mine_bitext
+
+    src = _vecs_df(spark, [
+        ("x1", [1.0, 0.0, 0.0, 0.0]),
+        ("x2", [0.0, 1.0, 0.0, 0.0]),
+        # src-side clique: makes the backward neighborhoods of x2's
+        # candidate targets equally crowded (margin needs crowding on
+        # BOTH sides to stay ~1)
+        ("x3", [0.0, 1.0, 0.005, 0.0]),
+        ("x4", [0.0, 1.0, 0.0, 0.005]),
+    ])
+    tgt = _vecs_df(spark, [
+        ("y1", [0.9, 0.1, 0.0, 0.0]),        # unique standout for x1
+        ("y2", [0.0, 1.0, 0.01, 0.0]),       # clique around x2
+        ("y3", [0.0, 1.0, 0.0, 0.01]),
+        ("y4", [0.0, 1.0, 0.01, 0.01]),
+        ("y5", [0.1, 0.0, 1.0, 0.0]),        # background
+    ])
+    out = {
+        r["src_id"]: r
+        for r in mine_bitext(src, tgt, k=3, margin_tau=1.05).collect()
+    }
+    assert "x1" in out and out["x1"]["tgt_id"] == "y1"
+    assert out["x1"]["margin"] >= 1.05
+    assert "x2" not in out  # crowded neighborhood -> margin ~1
+
+
+def test_bitext_exact_equals_broadcast_strategy(spark, sf_dir):
+    """The production ANN tier (broadcast) must reproduce the oracle
+    tier exactly — same top-k, same integer-exact margins."""
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.annotate.embedder import (
+        hash_embedding_expr,
+    )
+    from semantic_ann_in_data_lake_spark.operators.bitext import mine_bitext
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+
+    def emb(lang):
+        return d.where(F.col("lang") == lang).select(
+            "doc_id", hash_embedding_expr("text", 8).alias("embedding")
+        )
+
+    a = sorted(map(tuple, mine_bitext(
+        emb("fr"), emb("es"), k=3, margin_tau=1.0, strategy="exact"
+    ).collect()))
+    b = sorted(map(tuple, mine_bitext(
+        emb("fr"), emb("es"), k=3, margin_tau=1.0, strategy="broadcast"
+    ).collect()))
+    assert a == b and len(a) > 0
+    # at most one row per src document, margins all above tau
+    sids = [r[0] for r in a]
+    assert len(sids) == len(set(sids))
+    assert all(r[3] >= 1.0 for r in a)
+
+
+def test_bitext_validates_k(spark):
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators.bitext import mine_bitext
+
+    df = _vecs_df(spark, [("a", [1.0, 0.0])])
+    with _pytest.raises(ValueError):
+        mine_bitext(df, df, k=0)

@@ -1062,3 +1062,58 @@ def join_discovery_fused(spark, sf_dir):
         .alias("rank"),
     )
     return rrf_fuse(sem, val, query_col="query_col", cand_col="cand_col", topk=3)
+
+
+_DPP_DIR = "/tmp/sals_gate/orders_by_priority"
+
+
+@register(
+    "dpp_partitioned_join_prune",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS spend
+    FROM orders
+    WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+    GROUP BY o_orderpriority
+    """,
+)
+def dpp_partitioned_join_prune(spark, sf_dir):
+    """Dynamic partition pruning, the partition-layout twin of the
+    Bloom row filter (operators/bloomjoin.py): orders land partitioned
+    by priority (the hive-layout sink every lake table uses); a
+    filtered dim joined on the partition column makes Spark inject a
+    runtime subquery into the scan's PartitionFilters, so only the
+    matching DIRECTORIES are ever read — at 100 TB, pruning whole
+    partitions beats filtering rows. Plan-pinned: the scan carries a
+    dynamicpruning expression. Result identical to the static filter,
+    which is the oracle."""
+    import os
+
+    out = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+    marker = os.path.join(_DPP_DIR, "_SUCCESS")
+    if not os.path.exists(marker):
+        out.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+            _DPP_DIR
+        )
+    fact = spark.read.parquet(_DPP_DIR)
+    dim = (
+        fact.select("o_orderpriority")
+        .distinct()
+        .where(
+            F.col("o_orderpriority").startswith("1-")
+            | F.col("o_orderpriority").startswith("2-")
+        )
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("spend"),
+        )
+    )

@@ -294,3 +294,14 @@ def test_bloom_probe_joins_broadcast_no_fact_shuffle_join(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 6  # 5 probes + exact join
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dpp_scan_carries_partition_pruning(spark, sf_dir):
+    """The partitioned fact scan must prune at the DIRECTORY level:
+    both the statically-propagated dim predicate and Spark's runtime
+    dynamicpruning subquery sit in PartitionFilters (not post-scan
+    Filter nodes)."""
+    plan = _plan(spark, sf_dir, "dpp_partitioned_join_prune")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("dynamicpruning" in l for l in pf)
+    assert any("StartsWith" in l for l in pf)

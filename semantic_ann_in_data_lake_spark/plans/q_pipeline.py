@@ -1093,12 +1093,10 @@ def dpp_partitioned_join_prune(spark, sf_dir):
         _t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
     )
-    marker = os.path.join(_DPP_DIR, "_SUCCESS")
-    if not os.path.exists(marker):
-        out.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
-            _DPP_DIR
-        )
-    fact = spark.read.parquet(_DPP_DIR)
+    # dir keyed by sf so a gate at one sf never reuses another's layout
+    dpp_dir = os.path.join(_DPP_DIR, os.path.basename(os.path.normpath(sf_dir)))
+    out.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dpp_dir)
+    fact = spark.read.parquet(dpp_dir)
     dim = (
         fact.select("o_orderpriority")
         .distinct()

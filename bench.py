@@ -157,6 +157,32 @@ def bench_queries(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
 
+    def bitext_bcast():
+        # production posture of bitext_mine_en_de: ANN broadcast tier
+        # for both directional top-k passes (the registry entry's exact
+        # cross-join is the oracle baseline, quadratic by design)
+        from pyspark.sql import functions as FF
+
+        from semantic_ann_in_data_lake_spark.annotate.embedder import (
+            hash_embedding_expr,
+        )
+        from semantic_ann_in_data_lake_spark.operators.bitext import (
+            mine_bitext,
+        )
+
+        d = read_table(spark, sf_dir, "documents")
+
+        def emb(lang):
+            return scoped_persist(
+                d.where(F.col("lang") == lang).select(
+                    "doc_id", hash_embedding_expr("text", 8).alias("embedding")
+                )
+            )
+
+        return mine_bitext(
+            emb("en"), emb("de"), k=4, margin_tau=1.0, strategy="broadcast"
+        )
+
     return {
         "q1_pricing_summary": from_registry("q1_pricing_summary"),
         "q3_top_orders": from_registry("q3_top_orders"),
@@ -220,6 +246,10 @@ def bench_queries(spark, sf_dir):
         "value_overlap_discovery": from_registry("value_overlap_join_discovery"),
         "cms_heavy_hitters": from_registry("cms_heavy_hitters_events"),
         "hybrid_search_rrf": from_registry("hybrid_search_rrf"),
+        # round-4 continuation 2: scan-stage pruning + corpus alignment
+        "bloom_prune_join": from_registry("bloom_prune_join_orders"),
+        "dpp_partitioned_prune": from_registry("dpp_partitioned_join_prune"),
+        "bitext_mine_bcast": bitext_bcast,
     }
 
 

@@ -1,0 +1,114 @@
+"""Distribution-drift scoring between two corpus snapshots.
+
+Training-data pipelines re-ingest continuously; the question "did this
+month's data move?" has a standard scalar answer — the Population
+Stability Index over a fixed binning:
+
+    PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+
+(p = baseline share, q = current share; <0.1 stable, 0.1–0.25 drifting,
+>0.25 shifted — the usual scorecard thresholds). KL divergence is the
+one-sided variant of the same sum; PSI is symmetric and finite under
+smoothing, which is why monitoring uses it.
+
+Spark shape — built so the comparison never co-shuffles the two
+snapshots:
+
+- each side collapses to per-bin COUNTS in one partial-aggregating
+  groupBy (bins are FIXED-width from declared bounds, not quantiles —
+  binning that depends on the data would make the score incomparable
+  across runs, and quantile edges would need their own pass);
+- the two ≤``n_bins``-row count tables full-outer-join on the bin id —
+  a broadcast-sized join regardless of snapshot size — and the PSI sum
+  folds over ≤``n_bins`` rows;
+- Laplace-style smoothing (+½ per bin) keeps empty bins finite and
+  deterministic on both engines.
+
+The per-bin count tables are MERGEABLE summaries (integer adds), so at
+100 TB each day's snapshot keeps its own bin table and any pair of
+days scores in milliseconds — the same property as the CMS sketch
+(operators/sketches.py).
+
+Float discipline: bin counts are exact integers; shares and the ln
+fold are ≤``n_bins`` double terms, rounded at 4 dp with the +1e-9
+nudge — the profile_entropy convention (plans/q_profile.py), gated
+green since round 3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bin_counts(
+    df: DataFrame, col: str, lo: float, width: float, n_bins: int
+) -> DataFrame:
+    """Fixed-width histogram ``(bin, n)``; values outside [lo, lo +
+    n_bins·width) clamp into the edge bins so totals are preserved
+    (drift TO out-of-range values must move the score, not vanish).
+    NULLs are excluded — null-rate drift is a separate check."""
+    if width <= 0 or n_bins < 2:
+        raise ValueError("width must be > 0 and n_bins >= 2")
+    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")
+    clamped = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(clamped.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def psi_from_counts(
+    base: DataFrame, curr: DataFrame, n_bins: int, round_dp: int = 4
+) -> DataFrame:
+    """One-row ``(base_n, curr_n, psi)`` from two bin-count tables."""
+    j = (
+        base.withColumnRenamed("n", "bn")
+        .join(curr.withColumnRenamed("n", "cn"), "bin", "full_outer")
+        .select(
+            F.coalesce("bn", F.lit(0)).alias("bn"),
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+    )
+    tot = j.agg(
+        F.sum("bn").alias("bt"), F.sum("cn").alias("ct"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    # smoothing denominator uses the FIXED bin count, so a bin empty on
+    # both sides (absent from the join) contributes exactly 0 and the
+    # result is independent of which empty bins happen to materialize
+    p = (F.col("bn") + F.lit(0.5)) / (F.col("bt") + F.lit(0.5) * n_bins)
+    q = (F.col("cn") + F.lit(0.5)) / (F.col("ct") + F.lit(0.5) * n_bins)
+    zero = (F.col("bn") == 0) & (F.col("cn") == 0)
+    contrib = F.when(zero, F.lit(0.0)).otherwise((p - q) * F.log(p / q))
+    return (
+        j.join(F.broadcast(tot))
+        .agg(
+            F.first("bt").alias("base_n"),
+            F.first("ct").alias("curr_n"),
+            F.round(F.sum(contrib) + F.lit(1e-9), round_dp).alias("psi"),
+        )
+    )
+
+
+def psi_drift(
+    base: DataFrame,
+    curr: DataFrame,
+    col: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+    label: str | None = None,
+) -> DataFrame:
+    """PSI of ``col`` between two snapshots: ``(column, base_n, curr_n,
+    psi)`` — one row."""
+    out = psi_from_counts(
+        bin_counts(base, col, lo, width, n_bins),
+        bin_counts(curr, col, lo, width, n_bins),
+        n_bins,
+    )
+    return out.select(
+        F.lit(label or col).alias("column"), "base_n", "curr_n", "psi"
+    )

@@ -608,3 +608,70 @@ def approx_percentile_bounds(spark, sf_dir):
     return checks.approx_percentile_bound_violations(
         _t(spark, sf_dir, "lineitem"), "l_extendedprice"
     )
+
+
+def _psi_oracle(tbl, col, datecol, pivot, width, n_bins):
+    sm = 0.5 * n_bins
+    return f"""
+    bb_{col} AS (
+      SELECT least(greatest(floor({col} / {width}), 0), {n_bins - 1})::INT AS bin,
+             count(*) AS bn
+      FROM {tbl}
+      WHERE {datecol} < TIMESTAMP '{pivot}' AND {col} IS NOT NULL
+      GROUP BY 1),
+    cc_{col} AS (
+      SELECT least(greatest(floor({col} / {width}), 0), {n_bins - 1})::INT AS bin,
+             count(*) AS cn
+      FROM {tbl}
+      WHERE {datecol} >= TIMESTAMP '{pivot}' AND {col} IS NOT NULL
+      GROUP BY 1),
+    j_{col} AS (
+      SELECT coalesce(bn, 0) AS bn, coalesce(cn, 0) AS cn
+      FROM bb_{col} FULL OUTER JOIN cc_{col} USING (bin)),
+    t_{col} AS (SELECT sum(bn) AS bt, sum(cn) AS ct FROM j_{col}),
+    psi_{col} AS (
+      SELECT '{col}' AS "column", bt::BIGINT AS base_n, ct::BIGINT AS curr_n,
+             round(sum(CASE WHEN bn = 0 AND cn = 0 THEN 0.0 ELSE
+               ((bn + 0.5) / (bt + {sm}) - (cn + 0.5) / (ct + {sm}))
+               * ln(((bn + 0.5) / (bt + {sm})) / ((cn + 0.5) / (ct + {sm})))
+             END) + 1e-9, 4) AS psi
+      FROM j_{col}, t_{col} GROUP BY bt, ct)
+    """
+
+
+@register(
+    "psi_drift_snapshots",
+    f"""
+    WITH {_psi_oracle('orders', 'o_totalprice', 'o_orderdate',
+                      '1998-01-01 00:00:00', 50000, 10)},
+    {_psi_oracle('lineitem', 'l_extendedprice', 'l_shipdate',
+                 '1998-01-01 00:00:00', 10000, 11)}
+    SELECT * FROM psi_o_totalprice
+    UNION ALL
+    SELECT * FROM psi_l_extendedprice
+    """,
+)
+def psi_drift_snapshots(spark, sf_dir):
+    """Distribution-drift scoring (operators/drift.py): PSI of order
+    value and line price between the pre/post-1998 halves of the lake.
+    Each snapshot collapses to a fixed-width bin-count table in one
+    partial-aggregating pass; the score is a ≤n_bins-row fold — the
+    two snapshots are never co-shuffled, and the bin tables are
+    mergeable integer summaries a 100-TB deployment keeps per
+    ingestion day."""
+    from semantic_ann_in_data_lake_spark.operators.drift import psi_drift
+
+    pivot = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = psi_drift(
+        o.where(F.col("o_orderdate") < pivot),
+        o.where(F.col("o_orderdate") >= pivot),
+        "o_totalprice", lo=0.0, width=50000.0, n_bins=10,
+    )
+    b = psi_drift(
+        li.where(F.col("l_shipdate") < pivot),
+        li.where(F.col("l_shipdate") >= pivot),
+        "l_extendedprice", lo=0.0, width=10000.0, n_bins=11,
+    )
+    return a.unionByName(b)

@@ -2914,3 +2914,55 @@ def test_bitext_validates_k(spark):
     df = _vecs_df(spark, [("a", [1.0, 0.0])])
     with _pytest.raises(ValueError):
         mine_bitext(df, df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# PSI drift scoring (operators/drift.py)
+# ---------------------------------------------------------------------------
+
+
+def test_psi_zero_for_identical_and_large_for_shifted(spark):
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.drift import psi_drift
+
+    base = spark.range(0, 2000).select((F.col("id") % 100).cast("double").alias("x"))
+    same = psi_drift(base, base, "x", lo=0.0, width=10.0, n_bins=10).collect()[0]
+    assert same["psi"] == 0.0 and same["base_n"] == same["curr_n"] == 2000
+    shifted = spark.range(0, 2000).select(
+        ((F.col("id") % 100) + 60).cast("double").alias("x")
+    )
+    moved = psi_drift(base, shifted, "x", lo=0.0, width=10.0, n_bins=10).collect()[0]
+    assert moved["psi"] > 0.25  # "shifted" on the scorecard
+
+
+def test_psi_bins_clamp_and_merge(spark):
+    """Out-of-range values land in edge bins (totals preserved), and
+    bin tables are mergeable: counts(a ∪ b) == counts(a) + counts(b)."""
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.drift import bin_counts
+
+    a = spark.createDataFrame([(-50.0,), (5.0,), (95.0,), (500.0,), (None,)], ["x"])
+    rows = {r["bin"]: r["n"] for r in bin_counts(a, "x", 0.0, 10.0, 10).collect()}
+    assert rows[0] == 2 and rows[9] == 2  # clamped edges; NULL dropped
+    assert sum(rows.values()) == 4
+    b = spark.range(0, 1000).select((F.col("id") % 77).cast("double").alias("x"))
+    u = a.unionByName(b)
+    cu = {r["bin"]: r["n"] for r in bin_counts(u, "x", 0.0, 10.0, 10).collect()}
+    ca = {r["bin"]: r["n"] for r in bin_counts(a, "x", 0.0, 10.0, 10).collect()}
+    cb = {r["bin"]: r["n"] for r in bin_counts(b, "x", 0.0, 10.0, 10).collect()}
+    merged = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
+    assert cu == merged
+
+
+def test_psi_validates_params(spark):
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators.drift import bin_counts
+
+    df = spark.createDataFrame([(1.0,)], ["x"])
+    with _pytest.raises(ValueError):
+        bin_counts(df, "x", 0.0, 0.0, 10)
+    with _pytest.raises(ValueError):
+        bin_counts(df, "x", 0.0, 1.0, 1)

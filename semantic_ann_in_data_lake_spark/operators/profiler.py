@@ -438,3 +438,86 @@ def correlation_matrix(
                 )
             )
     return m.select(F.explode(F.array(*pair_structs)).alias("p")).select("p.*")
+
+
+def profile_partial(df: DataFrame, table_name: str) -> DataFrame:
+    """The MERGEABLE form of :func:`profile`: same single-pass wide
+    aggregation, but lengths are kept as an exact integer SUM instead
+    of a finalized average — so partials from disjoint corpus slices
+    (ingestion days, federated stores) combine by integer adds and
+    min/max, without rescanning. At 100 TB the profile becomes an
+    incremental artifact: each new slice contributes one partial, the
+    catalog row is a ≤|columns|-row merge.
+
+    Schema: ``(table_name, column_name, col_type, row_count,
+    num_values, min_length, max_length, len_sum)``; all-null slices
+    carry NULL min/max and 0 len_sum (finalization coalesces exactly
+    like :func:`profile`).
+    """
+    cols = df.columns
+    aggs = [F.count(F.lit(1)).alias("__row_count")]
+    for c in cols:
+        s = F.length(F.col(c).cast("string"))
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__num_values"),
+            F.min(s).alias(f"{c}__min_length"),
+            F.max(s).alias(f"{c}__max_length"),
+            F.sum(s.cast("long")).alias(f"{c}__len_sum"),
+        ]
+    wide = df.agg(*aggs)
+    dtypes = dict(df.dtypes)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.lit(infer_col_type(dtypes[c])).alias("col_type"),
+            F.col("__row_count").alias("row_count"),
+            F.col(f"{c}__num_values").alias("num_values"),
+            F.col(f"{c}__min_length").alias("min_length"),
+            F.col(f"{c}__max_length").alias("max_length"),
+            F.coalesce(F.col(f"{c}__len_sum"), F.lit(0)).alias("len_sum"),
+        )
+        for c in cols
+    ]
+    return (
+        wide.select(F.explode(F.array(*per_col)).alias("p"))
+        .select(F.lit(table_name).alias("table_name"), "p.*")
+    )
+
+
+def merge_profile_partials(*parts: DataFrame) -> DataFrame:
+    """Combine :func:`profile_partial` outputs into the finalized
+    :func:`profile` schema. Counts and length-sums add, min/max fold —
+    exact regardless of how the corpus was sliced; the only float op is
+    the single final avg division, identical to the one :func:`profile`
+    performs (``F.avg`` on longs is sum/count in double). The merge
+    shuffles |columns|-sized tables only."""
+    if not parts:
+        raise ValueError("need at least one partial")
+    u = reduce(DataFrame.unionByName, parts)
+    m = u.groupBy("table_name", "column_name", "col_type").agg(
+        F.sum("row_count").alias("row_count"),
+        F.sum("num_values").alias("num_values"),
+        F.min("min_length").alias("min_length"),
+        F.max("max_length").alias("max_length"),
+        F.sum("len_sum").alias("len_sum"),
+    )
+    return m.select(
+        "table_name",
+        "column_name",
+        "col_type",
+        "row_count",
+        (F.col("row_count") - F.col("num_values")).alias("n_nulls"),
+        "num_values",
+        F.coalesce(F.col("min_length"), F.lit(0)).alias("min_length"),
+        F.coalesce(F.col("max_length"), F.lit(0)).alias("max_length"),
+        F.coalesce(
+            F.round(
+                F.try_divide(
+                    F.col("len_sum").cast("double"),
+                    F.col("num_values").cast("double"),
+                ),
+                2,
+            ),
+            F.lit(0.0),
+        ).alias("avg_length"),
+    )

@@ -675,3 +675,20 @@ def psi_drift_snapshots(spark, sf_dir):
         "l_extendedprice", lo=0.0, width=10000.0, n_bins=11,
     )
     return a.unionByName(b)
+
+
+@register("profile_merge_partials", _profile_oracle("customer"))
+def profile_merge_partials(spark, sf_dir):
+    """Incremental profiling: the customer table sliced in two (as two
+    ingestion days would arrive), each slice profiled into a MERGEABLE
+    partial (exact integer length-sums instead of finalized averages),
+    then combined without rescanning — merge(partial(a), partial(b)) ≡
+    profile(a ∪ b), gated against the direct-profile oracle. At 100 TB
+    the catalog updates per-slice instead of re-profiling the lake."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_custkey") % 2 == 0)
+    b = c.where(F.col("c_custkey") % 2 == 1)
+    return profiler.merge_profile_partials(
+        profiler.profile_partial(a, "customer"),
+        profiler.profile_partial(b, "customer"),
+    )

@@ -2966,3 +2966,44 @@ def test_psi_validates_params(spark):
         bin_counts(df, "x", 0.0, 0.0, 10)
     with _pytest.raises(ValueError):
         bin_counts(df, "x", 0.0, 1.0, 1)
+
+
+def test_profile_partials_merge_equals_direct_profile(spark, sf_dir):
+    """merge(partial(slices)) ≡ profile(whole), including all-null and
+    empty-slice edges."""
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators import profiler
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    slices = [
+        d.where(F.crc32(F.col("doc_id").cast("string")) % 3 == i)
+        for i in range(3)
+    ]
+    merged = profiler.merge_profile_partials(
+        *[profiler.profile_partial(s, "documents") for s in slices]
+    )
+    direct = profiler.profile(d, "documents")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # all-null + empty-slice edges: schema-stable, zero-coalesced
+    e = spark.createDataFrame([(None,), (None,)], "x string")
+    empty = e.where(F.lit(False))
+    out = profiler.merge_profile_partials(
+        profiler.profile_partial(e, "t"), profiler.profile_partial(empty, "t")
+    ).collect()[0]
+    assert (out["row_count"], out["n_nulls"], out["num_values"]) == (2, 2, 0)
+    assert (out["min_length"], out["max_length"], out["avg_length"]) == (0, 0, 0.0)
+
+
+def test_merge_profile_partials_requires_input():
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators.profiler import (
+        merge_profile_partials,
+    )
+
+    with _pytest.raises(ValueError):
+        merge_profile_partials()

@@ -187,3 +187,61 @@ def zscore_outliers(
         .where(F.abs("z") > z_threshold)
         .select(key_col, id_col, value_col, "z")
     )
+
+
+def ewma_truncated(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window: int = 32,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (α = 0.5),
+    truncated to the last ``window`` observations:
+
+        y_t = Σ_{j=0..window-1} 0.5^(j+1) · x_{t−j}
+
+    the bounded-memory form of the recursive ``y_t = 0.5·x_t +
+    0.5·y_{t−1}`` — truncation error ≤ 0.5^window · max|x| (2^-32 at
+    the default window: far below the 6-dp output rounding for any
+    sane value scale).
+
+    Why α is FIXED at 0.5: every weight is then an exact power of two,
+    so each term ``x · 0.5^k`` is an exact IEEE scaling and the only
+    rounding anywhere is the final sum — which folds SEQUENTIALLY in
+    frame order on both engines (``F.aggregate`` / ``list_sum``),
+    making the result bit-identical cross-engine and
+    partition-invariant. An arbitrary α would put an engine-specific
+    ``pow`` rounding inside every term; a slower/faster decay is a
+    different ``window``, not a different α, at this exactness tier.
+
+    Scale shape: one window per key (ROWS frame of ``window`` values —
+    bounded state), zero joins, zero Python. The per-row frame list is
+    ≤``window`` doubles inside codegen.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-(window - 1), 0)
+    )
+    lst = F.collect_list(F.col(value_col).cast("double")).over(w)
+    out = events.withColumn("__l", lst)
+    n = F.size(F.col("__l"))
+    # element i (0-based, oldest first) gets weight 0.5^(n-i): the
+    # newest (i = n-1) carries α = 0.5
+    terms = F.transform(
+        F.col("__l"),
+        lambda x, i: x * F.pow(F.lit(0.5), (n - i).cast("double")),
+    )
+    y = F.round(
+        F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), round_dp
+    )
+    return (
+        out.withColumn("ewma", y)
+        .withColumn("n_in_window", n)
+        .drop("__l")
+    )

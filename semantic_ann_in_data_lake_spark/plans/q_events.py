@@ -658,3 +658,50 @@ def cms_heavy_hitters_events(spark, sf_dir):
     )
 
     return cms_heavy_hitters(_t(spark, sf_dir, "events"), "user_id", k=20)
+
+
+@register(
+    "ewma_user_value",
+    """
+    WITH l AS (
+      SELECT user_id, event_id, value,
+             list(value::DOUBLE) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS lv,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rdesc,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events)
+    SELECT user_id, n_events, len(lv) AS n_in_window,
+           round(list_sum(list_transform(range(1, len(lv) + 1),
+                 i -> lv[i] * pow(0.5, (len(lv) - i + 1)::DOUBLE))), 6) AS ewma
+    FROM l WHERE rdesc = 1
+    """,
+)
+def ewma_user_value(spark, sf_dir):
+    """Per-user decayed engagement score: truncated EWMA (α=0.5, last
+    32 events) of the event value, reported at each user's latest
+    event (operators/timeseries.py::ewma_truncated). Every weight is
+    an exact power of two and the sum folds sequentially in frame
+    order on both engines — bit-identical, partition-invariant. One
+    keyed window, bounded frame state, no Python."""
+    from pyspark.sql.window import Window as _Win
+
+    from semantic_ann_in_data_lake_spark.operators.timeseries import (
+        ewma_truncated,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    scored = ewma_truncated(
+        e, "user_id", "ts", "value", "event_id", window=32
+    )
+    wd = _Win.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wu = _Win.partitionBy("user_id")
+    return (
+        scored.withColumn("__rd", F.row_number().over(wd))
+        .withColumn("n_events", F.count(F.lit(1)).over(wu))
+        .where(F.col("__rd") == 1)
+        .select("user_id", "n_events", "n_in_window", "ewma")
+    )

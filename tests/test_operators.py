@@ -3007,3 +3007,72 @@ def test_merge_profile_partials_requires_input():
 
     with _pytest.raises(ValueError):
         merge_profile_partials()
+
+
+# ---------------------------------------------------------------------------
+# Truncated EWMA (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_recursive_definition(spark):
+    from datetime import datetime
+
+    from semantic_ann_in_data_lake_spark.operators.timeseries import (
+        ewma_truncated,
+    )
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.25, 2.5, 6.0, 5.375]
+    rows = [
+        (f"e{i}", datetime(2024, 1, 1, 0, i), "u1", v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    out = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_truncated(df, "user_id", "ts", "value", "event_id",
+                                window=32).collect()
+    }
+    y = 0.0
+    for i, v in enumerate(vals):
+        y = 0.5 * v + 0.5 * y  # recursive form; window=32 >> len: no truncation
+        # operator output is rounded at 6 dp (HALF_UP)
+        assert abs(out[f"e{i}"] - y) <= 5.1e-7, (i, out[f"e{i}"], y)
+
+
+def test_ewma_truncation_and_partition_invariance(spark):
+    from semantic_ann_in_data_lake_spark.operators.timeseries import (
+        ewma_truncated,
+    )
+    import pyspark.sql.functions as F
+    from datetime import datetime, timedelta
+
+    rows = [
+        (f"e{i:03d}", datetime(2024, 1, 1) + timedelta(minutes=i),
+         f"u{i % 3}", float((i * 7) % 11))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    a = sorted(map(tuple, ewma_truncated(df, window=8).collect()))
+    b = sorted(map(tuple, ewma_truncated(df.repartition(17), window=8).collect()))
+    assert a == b  # bit-identical under any partitioning
+    # window=8 truncates: weights beyond 8 steps are dropped entirely
+    full = {t[0]: t for t in sorted(
+        map(tuple, ewma_truncated(df, window=300).collect()))}
+    trunc = {t[0]: t for t in a}
+    some_id = "e299"
+    assert trunc[some_id] != full[some_id]
+
+
+def test_ewma_validates_window(spark):
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators.timeseries import (
+        ewma_truncated,
+    )
+
+    df = spark.createDataFrame(
+        [("e1", "2024-01-01", "u", 1.0)],
+        ["event_id", "ts", "user_id", "value"],
+    )
+    with _pytest.raises(ValueError):
+        ewma_truncated(df, window=0)

@@ -237,3 +237,33 @@ def approx_percentile_bound_violations(
         F.round(target, 2).alias("target_rank"),
         F.lit("rank_error_exceeds_bound").alias("violation"),
     )
+
+
+def fd_violations(
+    df: DataFrame, determinant: list[str], dependent: list[str]
+) -> DataFrame:
+    """Functional-dependency check: determinant groups that map to MORE
+    than one distinct dependent combination — empty iff ``determinant →
+    dependent`` holds. The catalog-quality primitive behind key
+    discovery and denormalization validation (is this column really a
+    key? does this lookup table contradict itself?).
+
+    One partial-aggregating groupBy on the determinant; the dependent
+    combination is counted as a STRUCT so all-NULL and partial-NULL
+    variants are distinct values rather than silently ignored (bare
+    count-distinct drops NULLs — a dependency violated only via NULL
+    would pass unchecked).
+
+    Returns ``(determinant..., n_variants)``, n_variants > 1.
+    """
+    if not determinant or not dependent:
+        raise ValueError("determinant and dependent must be non-empty")
+    return (
+        df.groupBy(*determinant)
+        .agg(
+            F.countDistinct(F.struct(*[F.col(c) for c in dependent])).alias(
+                "n_variants"
+            )
+        )
+        .where(F.col("n_variants") > 1)
+    )

@@ -425,3 +425,43 @@ def bloom_prune_join_orders(spark, sf_dir):
             .alias("spend"),
         )
     )
+
+
+@register(
+    "fd_check_lake",
+    """
+    SELECT 'events.user_id->event_type' AS fd, user_id::VARCHAR AS det,
+           count(DISTINCT row(event_type))::BIGINT AS n_variants
+    FROM events GROUP BY 2
+    HAVING count(DISTINCT row(event_type)) > 1
+    UNION ALL
+    SELECT 'orders.o_orderkey->o_custkey', o_orderkey::VARCHAR,
+           count(DISTINCT row(o_custkey))::BIGINT
+    FROM orders GROUP BY 2
+    HAVING count(DISTINCT row(o_custkey)) > 1
+    """,
+)
+def fd_check_lake(spark, sf_dir):
+    """Functional-dependency audit (operators/checks.py::fd_violations):
+    the order-key → customer dependency must HOLD (contributes zero
+    rows — a distributed property check in the checks.py style), while
+    user → event-type is expected to fail per user; the violating keys
+    and their variant counts are the gated artifact. One groupBy per
+    FD, struct-counted so NULL variants are never silently dropped."""
+    from semantic_ann_in_data_lake_spark.operators.checks import fd_violations
+
+    ev = fd_violations(
+        _t(spark, sf_dir, "events"), ["user_id"], ["event_type"]
+    ).select(
+        F.lit("events.user_id->event_type").alias("fd"),
+        F.col("user_id").cast("string").alias("det"),
+        "n_variants",
+    )
+    ok = fd_violations(
+        _t(spark, sf_dir, "orders"), ["o_orderkey"], ["o_custkey"]
+    ).select(
+        F.lit("orders.o_orderkey->o_custkey").alias("fd"),
+        F.col("o_orderkey").cast("string").alias("det"),
+        "n_variants",
+    )
+    return ev.unionByName(ok)

@@ -3076,3 +3076,26 @@ def test_ewma_validates_window(spark):
     )
     with _pytest.raises(ValueError):
         ewma_truncated(df, window=0)
+
+
+def test_fd_violations_detects_and_passes(spark):
+    from semantic_ann_in_data_lake_spark.operators.checks import fd_violations
+
+    df = spark.createDataFrame(
+        [
+            ("k1", "a", 1), ("k1", "a", 2),          # dep (a) stable -> ok
+            ("k2", "a", 1), ("k2", "b", 1),          # violated
+            ("k3", None, 1), ("k3", "c", 1),         # NULL variant counts
+            ("k4", None, 1), ("k4", None, 2),        # all-NULL stable -> ok
+        ],
+        ["k", "dep", "other"],
+    )
+    out = {r["k"]: r["n_variants"]
+           for r in fd_violations(df, ["k"], ["dep"]).collect()}
+    assert out == {"k2": 2, "k3": 2}
+    # multi-column determinant: (k1,a)->other and (k4,NULL)->other vary
+    assert fd_violations(df, ["k", "dep"], ["other"]).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fd_violations(df, [], ["dep"])

@@ -119,3 +119,67 @@ def centroid_per_key(
             ).alias("centroid"),
         )
     )
+
+
+def centroid_outliers(
+    df,
+    key_col: str,
+    vec_col: str,
+    id_col: str = "vec_id",
+    z_tau: float = 2.0,
+    round_dp: int = 6,
+):
+    """Embedding-quality audit: vectors whose distance to their group's
+    centroid is a z-score outlier — the standard screen for corrupted
+    embeddings, mislabeled sources, and drift clusters before vectors
+    enter an index or training mix.
+
+    Returns ``(key, id, dist, z)`` for rows with ``z ≥ z_tau``.
+
+    Float discipline (the part that makes a z-score oracle-gateable):
+    distances are 6-dp-rounded then scaled to exact integer
+    micro-distances, so the per-key moment sums are order-independent
+    integers (the squared sum in DECIMAL — it exceeds int64 once
+    n·d6² passes ~9e18, i.e. at real corpus scale); the z expression
+    is a fixed tree of double ops over those exact sums. Variance is
+    floored at 1e-12 so constant groups yield z = 0 instead of a
+    division error.
+
+    Scale shape: centroids via :func:`centroid_per_key` (shuffle =
+    |keys|·dim), one broadcast join of the tiny centroid table, one
+    per-key moment aggregation, one broadcast join back. No window, no
+    Python, nothing quadratic.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    cents = centroid_per_key(df, key_col, vec_col, round_dp=round_dp)
+    d = df.join(
+        F.broadcast(cents.select(F.col("key").alias(key_col), "centroid")),
+        key_col,
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        F.round(F.sqrt(l2_sq(vec_col, "centroid")), round_dp).alias("dist"),
+    )
+    d6 = d.withColumn(
+        "__d6", F.round(F.col("dist") * 1e6).cast("long")
+    )
+    st = d6.groupBy("key").agg(
+        F.sum("__d6").alias("__s"),
+        F.sum(
+            F.col("__d6").cast("decimal(18,0)")
+            * F.col("__d6").cast("decimal(18,0)")
+        ).alias("__q"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    m = F.col("__s").cast("double") / F.col("__n")
+    var = F.col("__q").cast("double") / F.col("__n") - m * m
+    z = F.round(
+        (F.col("__d6") - m) / F.sqrt(F.greatest(var, F.lit(1e-12))), 4
+    )
+    return (
+        d6.join(F.broadcast(st), "key")
+        .withColumn("z", z)
+        .where(F.col("z") >= F.lit(z_tau))
+        .select("key", "id", "dist", "z")
+    )

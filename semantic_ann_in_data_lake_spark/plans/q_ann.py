@@ -1013,3 +1013,56 @@ def bitext_mine_en_de(spark, sf_dir):
         emb("en"), emb("de"), k=_BITEXT_K, margin_tau=_BITEXT_TAU,
         strategy="exact",
     )
+
+
+@register(
+    "embedding_outliers_per_source",
+    f"""
+    WITH e AS (
+      SELECT d.source AS key, em.vec_id, em.embedding
+      FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id),
+    x AS (
+      SELECT key, g.i AS pos, embedding[g.i + 1] AS val
+      FROM e CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g
+      WHERE g.i < len(embedding)),
+    a AS (SELECT key, pos, sum(val::DOUBLE::DECIMAL(28,10)) AS s,
+                 count(*) AS n
+          FROM x GROUP BY 1, 2),
+    ct AS (SELECT key, list(round(s::DOUBLE / n, 6) ORDER BY pos) AS centroid
+           FROM a GROUP BY key),
+    dd AS (SELECT e.key, e.vec_id,
+                  round(sqrt({l2_sq_sql('e.embedding', 'ct.centroid')}), 6)
+                    AS dist
+           FROM e JOIN ct USING (key)),
+    d6 AS (SELECT key, vec_id, dist,
+                  CAST(round(dist * 1e6) AS BIGINT) AS d6 FROM dd),
+    st AS (SELECT key, sum(d6)::BIGINT AS s,
+                  sum(d6 * d6)::DECIMAL(38,0) AS q, count(*) AS n
+           FROM d6 GROUP BY key),
+    zz AS (SELECT d6.key, vec_id AS id, dist,
+                  round((d6 - s::DOUBLE / n)
+                        / sqrt(greatest(q::DOUBLE / n
+                               - (s::DOUBLE / n) * (s::DOUBLE / n), 1e-12)),
+                        4) AS z
+           FROM d6 JOIN st USING (key))
+    SELECT key, id, dist, z FROM zz WHERE z >= 2.0
+    """,
+)
+def embedding_outliers_per_source(spark, sf_dir):
+    """Embedding-quality audit (functions/vectors.py::
+    centroid_outliers): vectors whose distance to their source's
+    centroid is a z >= 2 outlier — the pre-index screen for corrupted
+    embeddings and mislabeled sources. Integer micro-distance moment
+    sums (squared sum in DECIMAL) make the z-score bit-identical
+    cross-engine; centroids, moments, and the final tag are all
+    broadcast-sized joins around |keys|-row aggregates."""
+    from semantic_ann_in_data_lake_spark.functions.vectors import (
+        centroid_outliers,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    joined = emb.join(F.broadcast(docs), "vec_id")
+    return centroid_outliers(joined, "source", "embedding", "vec_id", z_tau=2.0)

@@ -3099,3 +3099,23 @@ def test_fd_violations_detects_and_passes(spark):
 
     with _pytest.raises(ValueError):
         fd_violations(df, [], ["dep"])
+
+
+def test_centroid_outliers_flags_planted_outlier(spark):
+    """A clique of near-identical vectors plus one far vector: only the
+    far one crosses z>=2; a constant group (zero variance) yields no
+    division error and no outliers."""
+    from semantic_ann_in_data_lake_spark.functions.vectors import (
+        centroid_outliers,
+    )
+
+    clique = [(f"v{i}", "a", [1.0 + 0.001 * i, 0.0]) for i in range(10)]
+    planted = [("vx", "a", [9.0, 9.0])]
+    constant = [(f"c{i}", "b", [2.0, 2.0]) for i in range(5)]
+    df = spark.createDataFrame(
+        clique + planted + constant, ["vec_id", "key", "embedding"]
+    )
+    out = centroid_outliers(df, "key", "embedding", "vec_id", z_tau=2.0)
+    rows = out.collect()
+    assert [r["id"] for r in rows] == ["vx"]
+    assert rows[0]["z"] >= 2.0 and rows[0]["key"] == "a"

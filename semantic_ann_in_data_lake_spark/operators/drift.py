@@ -64,6 +64,8 @@ def psi_from_counts(
     base: DataFrame, curr: DataFrame, n_bins: int, round_dp: int = 4
 ) -> DataFrame:
     """One-row ``(base_n, curr_n, psi)`` from two bin-count tables."""
+    from pyspark.sql.window import Window
+
     j = (
         base.withColumnRenamed("n", "bn")
         .join(curr.withColumnRenamed("n", "cn"), "bin", "full_outer")
@@ -72,9 +74,16 @@ def psi_from_counts(
             F.coalesce("cn", F.lit(0)).alias("cn"),
         )
     )
-    tot = j.agg(
-        F.sum("bn").alias("bt"), F.sum("cn").alias("ct"),
-        F.count(F.lit(1)).alias("k"),
+    # totals via a GLOBAL window over the ≤n_bins-row bin table (a
+    # single-partition exchange of ≤n_bins rows — metadata-sized), not
+    # a separate aggregate + join: Catalyst does not share the
+    # aggregation subtree across a self-join, so the join form scans
+    # each SNAPSHOT twice (observed in the plan audit)
+    wall = Window.partitionBy()
+    jt = j.select(
+        "bn", "cn",
+        F.sum("bn").over(wall).alias("bt"),
+        F.sum("cn").over(wall).alias("ct"),
     )
     # smoothing denominator uses the FIXED bin count, so a bin empty on
     # both sides (absent from the join) contributes exactly 0 and the
@@ -83,13 +92,10 @@ def psi_from_counts(
     q = (F.col("cn") + F.lit(0.5)) / (F.col("ct") + F.lit(0.5) * n_bins)
     zero = (F.col("bn") == 0) & (F.col("cn") == 0)
     contrib = F.when(zero, F.lit(0.0)).otherwise((p - q) * F.log(p / q))
-    return (
-        j.join(F.broadcast(tot))
-        .agg(
-            F.first("bt").alias("base_n"),
-            F.first("ct").alias("curr_n"),
-            F.round(F.sum(contrib) + F.lit(1e-9), round_dp).alias("psi"),
-        )
+    return jt.agg(
+        F.first("bt").alias("base_n"),
+        F.first("ct").alias("curr_n"),
+        F.round(F.sum(contrib) + F.lit(1e-9), round_dp).alias("psi"),
     )
 
 

@@ -305,3 +305,14 @@ def test_dpp_scan_carries_partition_pruning(spark, sf_dir):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and any("dynamicpruning" in l for l in pf)
     assert any("StartsWith" in l for l in pf)
+
+
+def test_psi_scans_each_snapshot_once(spark, sf_dir):
+    """PSI totals come from a global window over the ≤n_bins-row bin
+    table, not an aggregate+join that would duplicate the snapshot
+    scans (2 columns × 2 snapshots = exactly 4 scans)."""
+    plan = _plan(spark, sf_dir, "psi_drift_snapshots")
+    # formatted mode mentions each scan node twice (tree + details):
+    # 2 columns × 2 snapshots × 2 mentions; the agg+join form doubled it
+    assert plan.count("Scan parquet") == 8
+    assert "CartesianProduct" not in plan

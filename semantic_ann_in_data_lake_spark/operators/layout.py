@@ -168,3 +168,64 @@ def write_bucketed(
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
     return spark.table(table_name)
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "",
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic training-shard assignment: ``shard_id =
+    hash(id) mod n_shards``. Content-addressed (re-runs and retries
+    land every document in the same shard — the idempotence a resumable
+    export needs) and key-uniform (no range skew from sorted ids).
+    ``salt`` re-deals the assignment without touching the data —
+    epoch-level reshuffling for training. ``portable=False`` swaps the
+    md5 tier for xxhash64 (the at-scale default; portable exists so the
+    assignment itself is oracle-checkable)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from semantic_ann_in_data_lake_spark.functions.hashing import (
+        fast_hash64, portable_hash64,
+    )
+
+    key = F.col(id_col).cast("string")
+    h = (
+        portable_hash64(key, seed=f"shard{salt}:")
+        if portable
+        else fast_hash64(F.concat(F.lit(f"shard{salt}:"), key))
+    )
+    return df.withColumn("shard_id", F.pmod(h, F.lit(n_shards)).cast("int"))
+
+
+def shard_manifest(
+    shards: DataFrame, token_count_col: str | None = None
+) -> DataFrame:
+    """Per-shard manifest ``(shard_id, n_docs[, token_sum])`` — the
+    sidecar a training loader reads to plan epochs without listing
+    files. One partial-aggregating groupBy over ``n_shards`` groups."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if token_count_col is not None:
+        aggs.append(
+            F.sum(F.col(token_count_col).cast("long")).alias("token_sum")
+        )
+    return shards.groupBy("shard_id").agg(*aggs)
+
+
+def write_shards(
+    shards: DataFrame, path: str, n_shards: int, fmt: str = "parquet"
+) -> None:
+    """Materialize shards as one directory per ``shard_id``: a
+    repartition ON the shard column co-locates each shard into a
+    single task, so the hive layout writes exactly one file per shard
+    (the fixed-cardinality layout training loaders want), and the
+    partition column makes per-shard reads directory-pruned."""
+    (
+        shards.repartition(n_shards, F.col("shard_id"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .format(fmt)
+        .save(path)
+    )

@@ -690,3 +690,37 @@ def ngram_topk_corpus(spark, sf_dir):
         .where(F.col("rank") <= 20)
         .select("lang", "gram", "n", "rank")
     )
+
+
+@register(
+    "shard_manifest_docs",
+    f"""
+    WITH s AS (
+      SELECT ({portable_hash_expr('doc_id::VARCHAR', seed='shard:')} % 16)::INT
+               AS shard_id,
+             len({_TOKS}) AS n_tokens
+      FROM documents)
+    SELECT shard_id, count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS token_sum
+    FROM s GROUP BY shard_id
+    """,
+)
+def shard_manifest_docs(spark, sf_dir):
+    """Training-shard export planning (operators/layout.py): documents
+    deal into 16 content-addressed shards (hash of doc_id — idempotent
+    across re-runs and retries, salt-redealable per epoch), manifested
+    as per-shard doc and token counts — the sidecar a training loader
+    reads to plan epochs. One groupBy over n_shards groups;
+    write_shards materializes the same assignment one-file-per-shard,
+    directory-pruned."""
+    from semantic_ann_in_data_lake_spark.functions.text import words
+    from semantic_ann_in_data_lake_spark.operators.layout import (
+        assign_shards, shard_manifest,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words("text")).alias("n_tokens")
+    )
+    return shard_manifest(
+        assign_shards(d, "doc_id", 16, portable=True), "n_tokens"
+    )

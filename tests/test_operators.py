@@ -3119,3 +3119,44 @@ def test_centroid_outliers_flags_planted_outlier(spark):
     rows = out.collect()
     assert [r["id"] for r in rows] == ["vx"]
     assert rows[0]["z"] >= 2.0 and rows[0]["key"] == "a"
+
+
+def test_shard_assignment_deterministic_salted_balanced(spark, tmp_path):
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.layout import (
+        assign_shards, shard_manifest, write_shards,
+    )
+
+    df = spark.range(0, 4000).select(F.col("id").cast("string").alias("doc_id"))
+    a = assign_shards(df, "doc_id", 8)
+    b = assign_shards(df.repartition(13), "doc_id", 8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # salt re-deals without touching the data
+    c = assign_shards(df, "doc_id", 8, salt="epoch1")
+    moved = a.withColumnRenamed("shard_id", "s1").join(
+        c.withColumnRenamed("shard_id", "s2"), "doc_id"
+    ).where("s1 != s2").count()
+    assert moved > 1000
+    # hash balance: no shard off by more than 3x the uniform share
+    m = {r["shard_id"]: r["n_docs"] for r in shard_manifest(a).collect()}
+    assert len(m) == 8 and max(m.values()) < 3 * (4000 // 8)
+    # fast tier is also deterministic
+    f1 = assign_shards(df, "doc_id", 8, portable=False)
+    f2 = assign_shards(df.repartition(7), "doc_id", 8, portable=False)
+    assert sorted(map(tuple, f1.collect())) == sorted(map(tuple, f2.collect()))
+    # one directory per shard on disk, directory-pruned layout
+    out = str(tmp_path / "shards")
+    write_shards(a, out, 8)
+    dirs = sorted(_glob.glob(out + "/shard_id=*"))
+    assert len(dirs) == 8
+    parts = _glob.glob(dirs[0] + "/*.parquet")
+    assert len(parts) == 1  # co-located: one file per shard
+    back = spark.read.parquet(out)
+    assert back.count() == 4000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        assign_shards(df, "doc_id", 0)

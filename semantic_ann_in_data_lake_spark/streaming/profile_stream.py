@@ -427,3 +427,68 @@ def merged_cms_sketch(spark: SparkSession, sink_path: str) -> DataFrame:
         .groupBy("depth", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def incremental_bins_foreach_batch(
+    events_stream: DataFrame,
+    sink_path: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    width: float = 10.0,
+    n_bins: int = 20,
+):
+    """foreachBatch streaming histogram — the streamed half of PSI
+    drift monitoring (``operators.drift``): each micro-batch writes its
+    PARTIAL fixed-width bin counts into a batch-id partition; the live
+    histogram is the sum-merge (bin counts are counters — the same
+    mergeable-summary contract as the CMS above). Scoring drift is
+    then ``drift.psi_from_counts(baseline_bins, merged_bins)`` — a
+    ≤n_bins-row computation against a baseline bin table that never
+    re-reads either corpus.
+
+    Idempotency: dynamic partition overwrite by batch_id — a retried
+    batch replaces its own partial instead of double-counting.
+    Per-batch state: ≤``n_bins`` rows regardless of batch size.
+    """
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bins_partial_write(
+            batch_df, batch_id, sink_path, value_col, lo, width, n_bins
+        )
+
+    return events_stream.writeStream.foreachBatch(handle).trigger(
+        availableNow=True
+    )
+
+
+def bins_partial_write(
+    batch_df: DataFrame,
+    batch_id: int,
+    sink_path: str,
+    value_col: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+) -> None:
+    """One micro-batch's partial histogram write (public so
+    re-delivery semantics are directly testable)."""
+    from semantic_ann_in_data_lake_spark.operators.drift import bin_counts
+
+    part = bin_counts(batch_df, value_col, lo, width, n_bins)
+    (
+        part.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(sink_path)
+    )
+
+
+def merged_bin_counts(spark: SparkSession, sink_path: str) -> DataFrame:
+    """Sum-merge the partial histograms into the stream's current
+    ``(bin, n)`` table — identical to batch ``drift.bin_counts`` over
+    all absorbed data."""
+    return (
+        spark.read.parquet(sink_path)
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+    )

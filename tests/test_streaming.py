@@ -466,3 +466,51 @@ def test_streaming_cms_merges_to_batch_sketch(spark, sf_dir, tmp_path):
         for r in merged_cms_sketch(spark, sink).collect()
     }
     assert got2 == want
+
+
+def test_streaming_bins_merge_to_batch_and_score_psi(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.drift import (
+        bin_counts, psi_from_counts,
+    )
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        bins_partial_write,
+        incremental_bins_foreach_batch,
+        merged_bin_counts,
+    )
+
+    sink = str(tmp_path / "bins_sink")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events_dir = str(tmp_path / "bins_in")
+    src.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(events_dir)
+    src.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    stream = spark.readStream.schema(src.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(events_dir)
+    q = incremental_bins_foreach_batch(
+        stream, sink, "value", lo=0.0, width=10.0, n_bins=20
+    )
+    q.start().awaitTermination()
+
+    want = sorted(
+        map(tuple, bin_counts(src, "value", 0.0, 10.0, 20).collect())
+    )
+    got = sorted(map(tuple, merged_bin_counts(spark, sink).collect()))
+    assert got == want
+
+    # drift score of stream-vs-baseline equals the batch twin's score
+    baseline = bin_counts(
+        src.where(F.col("event_type") == "view"), "value", 0.0, 10.0, 20
+    )
+    s_psi = psi_from_counts(baseline, merged_bin_counts(spark, sink), 20)
+    b_psi = psi_from_counts(baseline, bin_counts(src, "value", 0.0, 10.0, 20), 20)
+    assert s_psi.collect() == b_psi.collect()
+
+    # re-delivered batch REPLACES its partition (no double count)
+    half = src.where(F.col("event_id") % 2 == 0)
+    bins_partial_write(half, 0, sink, "value", 0.0, 10.0, 20)
+    again = sorted(map(tuple, merged_bin_counts(spark, sink).collect()))
+    assert again == want

@@ -93,9 +93,12 @@ def psi_from_counts(
     zero = (F.col("bn") == 0) & (F.col("cn") == 0)
     contrib = F.when(zero, F.lit(0.0)).otherwise((p - q) * F.log(p / q))
     return jt.agg(
-        F.first("bt").alias("base_n"),
-        F.first("ct").alias("curr_n"),
-        F.round(F.sum(contrib) + F.lit(1e-9), round_dp).alias("psi"),
+        F.coalesce(F.first("bt"), F.lit(0)).alias("base_n"),
+        F.coalesce(F.first("ct"), F.lit(0)).alias("curr_n"),
+        # empty-vs-empty scores 0.0, not NULL (sum over zero rows)
+        F.coalesce(
+            F.round(F.sum(contrib) + F.lit(1e-9), round_dp), F.lit(0.0)
+        ).alias("psi"),
     )
 
 

@@ -3160,3 +3160,17 @@ def test_shard_assignment_deterministic_salted_balanced(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         assign_shards(df, "doc_id", 0)
+
+
+def test_psi_empty_inputs_score_zero(spark):
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.drift import psi_drift
+
+    empty = spark.createDataFrame([], "x double")
+    out = psi_drift(empty, empty, "x", 0.0, 10.0, 10).collect()[0]
+    assert (out["base_n"], out["curr_n"], out["psi"]) == (0, 0, 0.0)
+    # one-sided empty still scores (everything moved)
+    base = spark.range(0, 100).select((F.col("id") % 50).cast("double").alias("x"))
+    one = psi_drift(base, empty, "x", 0.0, 10.0, 10).collect()[0]
+    assert one["curr_n"] == 0 and one["psi"] is not None

@@ -134,7 +134,7 @@ def bloom_prune_join(
     on: str,
     num_bits: int | None = None,
     num_hashes: int = 5,
-    expected_keys: int = 1 << 16,
+    expected_keys: int | None = None,
 ) -> DataFrame:
     """``fact ⋈ dim`` with a Bloom pre-filter on the fact scan.
 
@@ -142,7 +142,22 @@ def bloom_prune_join(
     Bloom false positives); the plan shuffles only surviving fact rows.
     The built filter is cached via the broadcast in each probe join —
     one build job regardless of ``num_hashes``.
+
+    Sizing: explicit ``num_bits`` wins; else ``expected_keys`` (a
+    caller-known cardinality); else the dim's size is measured — from
+    parquet footers when it's a bare scan (zero Spark jobs), else one
+    ``count()`` on the dim, which is small by the operator's premise
+    (an oversized dim defeats Bloom pruning regardless of sizing).
     """
+    if num_bits is None and expected_keys is None:
+        from semantic_ann_in_data_lake_spark.operators.knn import (
+            _estimate_rows,
+        )
+
+        expected_keys = _estimate_rows(dim)
+        if expected_keys is None:
+            expected_keys = dim.count()
+        expected_keys = max(1, expected_keys)
     bits = num_bits if num_bits is not None else bloom_bits_for(expected_keys)
     bloom = bloom_build(dim, on, bits, num_hashes)
     pruned = bloom_probe(fact, on, bloom, bits, num_hashes)

@@ -3174,3 +3174,23 @@ def test_psi_empty_inputs_score_zero(spark):
     base = spark.range(0, 100).select((F.col("id") % 50).cast("double").alias("x"))
     one = psi_drift(base, empty, "x", 0.0, 10.0, 10).collect()[0]
     assert one["curr_n"] == 0 and one["psi"] is not None
+
+
+def test_bloom_prune_join_auto_sizes_from_dim(spark):
+    """With no sizing hints, the filter sizes itself from the measured
+    dim cardinality and the composition stays exact."""
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.bloomjoin import (
+        bloom_prune_join,
+    )
+
+    fact = spark.range(0, 30000).select(
+        (F.col("id") % 2001).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 64).select(
+        (F.col("id") * 31).alias("k"), F.col("id").alias("d")
+    )
+    got = sorted(map(tuple, bloom_prune_join(fact, dim, "k").collect()))
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    assert got == want and len(got) > 0

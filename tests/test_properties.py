@@ -316,3 +316,51 @@ def test_cms_never_underestimates_random(shared_spark, keys, depth, width):
     for r in out:
         assert r["true_count"] == truth[r["key"]]
         assert r["est_count"] >= r["true_count"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(min_size=0, max_size=20), min_size=1, max_size=12, unique=True
+    ),
+    st.lists(st.text(min_size=0, max_size=20), min_size=1, max_size=30),
+)
+def test_bloom_probe_no_false_negatives_arbitrary_unicode(
+    shared_spark, dim_keys, fact_keys
+):
+    """For ANY key sets (arbitrary unicode, empty strings, overlaps),
+    every fact key present in the dim survives the probe — the
+    invariant that makes bloom_prune_join result-identical."""
+    from semantic_ann_in_data_lake_spark.operators.bloomjoin import (
+        bloom_build, bloom_probe,
+    )
+
+    dim = shared_spark.createDataFrame([(k,) for k in dim_keys], "k string")
+    fact = shared_spark.createDataFrame([(k,) for k in fact_keys], "k string")
+    bloom = bloom_build(dim, "k", 1024, num_hashes=4)
+    surv = {r["k"] for r in bloom_probe(fact, "k", bloom, 1024, 4).collect()}
+    must = set(fact_keys) & set(dim_keys)
+    assert must <= surv
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(min_size=0, max_size=20), min_size=1, max_size=25,
+             unique=True),
+    st.integers(min_value=1, max_value=9),
+)
+def test_shard_assignment_total_and_stable(shared_spark, ids, n):
+    """Every id lands in exactly one shard in [0, n); assignment is a
+    pure function of (id, salt) — independent of row order."""
+    from semantic_ann_in_data_lake_spark.operators.layout import assign_shards
+
+    df = shared_spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    a = {r["doc_id"]: r["shard_id"] for r in
+         assign_shards(df, "doc_id", n).collect()}
+    from pyspark.sql import functions as F
+
+    b = {r["doc_id"]: r["shard_id"] for r in
+         assign_shards(df.orderBy(F.col("doc_id").desc()), "doc_id", n)
+         .collect()}
+    assert a == b and set(a) == set(ids)
+    assert all(0 <= s < n for s in a.values())

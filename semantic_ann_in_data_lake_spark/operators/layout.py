@@ -215,16 +215,46 @@ def shard_manifest(
 
 
 def write_shards(
-    shards: DataFrame, path: str, n_shards: int, fmt: str = "parquet"
+    shards: DataFrame,
+    path: str,
+    n_shards: int,
+    fmt: str = "parquet",
+    shuffle_by: str | None = None,
+    shuffle_salt: str = "",
 ) -> None:
     """Materialize shards as one directory per ``shard_id``: a
     repartition ON the shard column co-locates each shard into a
     single task, so the hive layout writes exactly one file per shard
     (the fixed-cardinality layout training loaders want), and the
-    partition column makes per-shard reads directory-pruned."""
+    partition column makes per-shard reads directory-pruned.
+
+    ``shuffle_by``: id column to SHUFFLE each shard's row order by —
+    sortWithinPartitions on a salted hash gives the
+    shuffled-but-reproducible intra-shard order sequential training
+    readers need (same salt → same order on every re-export; new salt
+    → fresh order). Sorting is per-task, no extra exchange."""
+    out = shards.repartition(n_shards, F.col("shard_id"))
+    if shuffle_by is not None:
+        from semantic_ann_in_data_lake_spark.functions.hashing import (
+            fast_hash64,
+        )
+
+        # leading shard_id: the partitioned writer REQUIRES rows sorted
+        # by the partition column and would otherwise insert its own
+        # (non-stable) sort, destroying the shuffle order; with the
+        # partition column as sort prefix the writer reuses this
+        # ordering as-is
+        out = out.sortWithinPartitions(
+            F.col("shard_id"),
+            fast_hash64(
+                F.concat(
+                    F.lit(f"order{shuffle_salt}:"),
+                    F.col(shuffle_by).cast("string"),
+                )
+            ),
+        )
     (
-        shards.repartition(n_shards, F.col("shard_id"))
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .partitionBy("shard_id")
         .format(fmt)
         .save(path)

@@ -3194,3 +3194,33 @@ def test_bloom_prune_join_auto_sizes_from_dim(spark):
     got = sorted(map(tuple, bloom_prune_join(fact, dim, "k").collect()))
     want = sorted(map(tuple, fact.join(dim, "k").collect()))
     assert got == want and len(got) > 0
+
+
+def test_write_shards_shuffled_order_reproducible(spark, tmp_path):
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.layout import (
+        assign_shards, write_shards,
+    )
+
+    df = spark.range(0, 1000).select(F.col("id").cast("string").alias("doc_id"))
+    a = assign_shards(df, "doc_id", 4)
+
+    def read_order(path):
+        # one file per shard: file row order IS the training order
+        f = sorted(_glob.glob(path + "/shard_id=0/*.parquet"))[0]
+        import pyarrow.parquet as pq
+
+        return pq.read_table(f).column("doc_id").to_pylist()
+
+    p1, p2, p3 = (str(tmp_path / n) for n in ("s1", "s2", "s3"))
+    write_shards(a, p1, 4, shuffle_by="doc_id")
+    write_shards(a, p2, 4, shuffle_by="doc_id")
+    write_shards(a, p3, 4, shuffle_by="doc_id", shuffle_salt="ep1")
+    o1, o2, o3 = read_order(p1), read_order(p2), read_order(p3)
+    assert o1 == o2                      # same salt -> same order
+    assert sorted(o1) == sorted(o3)      # same membership...
+    assert o1 != o3                      # ...different epoch order
+    assert o1 != sorted(o1)              # actually shuffled

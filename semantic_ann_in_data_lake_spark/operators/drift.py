@@ -121,3 +121,65 @@ def psi_drift(
     return out.select(
         F.lit(label or col).alias("column"), "base_n", "curr_n", "psi"
     )
+
+
+def quantiles_from_bins(
+    bins: DataFrame,
+    lo: float,
+    width: float,
+    qs: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Approximate quantiles from a fixed-width bin-count table —
+    error ≤ one bin width, DETERMINISTIC (unlike ``percentile_approx``,
+    whose sketch depends on merge order), and mergeable by
+    construction: at 100 TB each slice keeps its histogram
+    (:func:`bin_counts` — integer adds to merge) and any quantile of
+    any slice union is a ≤n_bins-row computation, no data re-read.
+
+    Per quantile q: target rank ``ceil(q·N)``; the answer bin is the
+    first with cumulative count ≥ target; the estimate interpolates
+    linearly inside it. All ranks are exact integers; the only float
+    ops are the final fixed-shape interpolation — cross-engine safe.
+
+    Returns ``(q, n_total, est)`` — one row per requested quantile.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0 < q <= 1 for q in qs):
+        raise ValueError("quantiles must be in (0, 1]")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy().orderBy("bin")
+    wall = Window.partitionBy()
+    c = bins.select(
+        "bin",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(wall).alias("total"),
+    )
+    qdf = c.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    # per (q, bin): the first bin whose cum covers the target rank
+    tgt = F.ceil(F.col("q") * F.col("total")).cast("long")
+    hit = (
+        c.join(F.broadcast(qdf))
+        .withColumn("__tgt", tgt)
+        .where(F.col("cum") >= F.col("__tgt"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy(F.col("bin").asc())
+            ),
+        )
+        .where(F.col("__rn") == 1)
+    )
+    frac = (
+        F.col("__tgt") - (F.col("cum") - F.col("n"))
+    ).cast("double") / F.col("n").cast("double")
+    est = F.round(
+        F.lit(float(lo))
+        + (F.col("bin").cast("double") + frac) * F.lit(float(width)),
+        6,
+    )
+    return hit.select(
+        "q", F.col("total").alias("n_total"), est.alias("est")
+    )

@@ -692,3 +692,41 @@ def profile_merge_partials(spark, sf_dir):
         profiler.profile_partial(a, "customer"),
         profiler.profile_partial(b, "customer"),
     )
+
+
+@register(
+    "quantiles_from_bins_totalprice",
+    """
+    WITH b AS (
+      SELECT least(greatest(floor(o_totalprice / 5000), 0), 99)::INT AS bin,
+             count(*) AS n
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+    c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum,
+                 sum(n) OVER () AS total
+          FROM b),
+    qq AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q),
+    h AS (SELECT q, bin, n, cum, total, ceil(q * total)::BIGINT AS tgt,
+                 row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+          FROM c CROSS JOIN qq
+          WHERE cum >= ceil(q * total)::BIGINT)
+    SELECT q, total::BIGINT AS n_total,
+           round(0.0 + (bin::DOUBLE + (tgt - (cum - n))::DOUBLE / n::DOUBLE)
+                 * 5000.0, 6) AS est
+    FROM h WHERE rn = 1
+    """,
+)
+def quantiles_from_bins_totalprice(spark, sf_dir):
+    """Mergeable approximate quantiles (operators/drift.py::
+    quantiles_from_bins): order-value quartiles + p95 read off the
+    fixed-width histogram — error ≤ one bin width, DETERMINISTIC
+    (percentile_approx's sketch is merge-order-dependent), and
+    incremental: slices keep integer bin tables, any union's quantiles
+    are a ≤n_bins-row computation with no data re-read."""
+    from semantic_ann_in_data_lake_spark.operators.drift import (
+        bin_counts, quantiles_from_bins,
+    )
+
+    b = bin_counts(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 0.0, 5000.0, 100
+    )
+    return quantiles_from_bins(b, 0.0, 5000.0, (0.25, 0.5, 0.75, 0.95))

@@ -3224,3 +3224,46 @@ def test_write_shards_shuffled_order_reproducible(spark, tmp_path):
     assert sorted(o1) == sorted(o3)      # same membership...
     assert o1 != o3                      # ...different epoch order
     assert o1 != sorted(o1)              # actually shuffled
+
+
+def test_quantiles_from_bins_error_bound_and_merge(spark, sf_dir):
+    """Histogram quantiles stay within one bin width of the EXACT
+    quantile, and quantiles of merged slice-histograms equal quantiles
+    of the whole corpus's histogram."""
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.drift import (
+        bin_counts, quantiles_from_bins,
+    )
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    width = 5000.0
+    b = bin_counts(o, "o_totalprice", 0.0, width, 100)
+    got = {r["q"]: r["est"]
+           for r in quantiles_from_bins(b, 0.0, width, (0.25, 0.5, 0.9)).collect()}
+    exact = o.selectExpr(
+        "percentile(o_totalprice, array(0.25, 0.5, 0.9)) AS p"
+    ).collect()[0]["p"]
+    for q, ex in zip((0.25, 0.5, 0.9), exact):
+        assert abs(got[q] - ex) <= width, (q, got[q], ex)
+    # mergeability end-to-end: slice histograms -> integer-add merge
+    slices = [o.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    from functools import reduce
+
+    merged = (
+        reduce(lambda a, c: a.unionByName(c),
+               [bin_counts(s, "o_totalprice", 0.0, width, 100) for s in slices])
+        .groupBy("bin").agg(F.sum("n").alias("n"))
+    )
+    got2 = sorted(map(tuple,
+                  quantiles_from_bins(merged, 0.0, width, (0.25, 0.5, 0.9)).collect()))
+    got1 = sorted(map(tuple,
+                  quantiles_from_bins(b, 0.0, width, (0.25, 0.5, 0.9)).collect()))
+    assert got1 == got2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantiles_from_bins(b, 0.0, width, ())
+    with _pytest.raises(ValueError):
+        quantiles_from_bins(b, 0.0, width, (0.0,))

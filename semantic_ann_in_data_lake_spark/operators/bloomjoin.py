@@ -113,17 +113,19 @@ def bloom_probe(
     lookup. No shuffle of ``fact``, no Python boundary.
     """
     out = fact
+    # reserved-prefix internals so a fact table with its own "word" /
+    # "word_idx" column never collides with the filter table's columns
+    probe_side = bloom.select(
+        F.col("word_idx").alias("__widx"), F.col("word").alias("__bword")
+    )
     for i in range(num_hashes):
         pos = F.pmod(F.xxhash64(F.col(key), F.lit(_SEED_BASE + i)), F.lit(num_bits))
         out = (
             out.withColumn("__pos", pos)
             .withColumn("__widx", F.expr("__pos div 64").cast("int"))
-            .join(
-                F.broadcast(bloom.withColumnRenamed("word_idx", "__widx")),
-                "__widx",
-            )
-            .where(F.expr("(word >> cast(__pos % 64 as int)) & 1 = 1"))
-            .drop("__pos", "__widx", "word")
+            .join(F.broadcast(probe_side), "__widx")
+            .where(F.expr("(__bword >> cast(__pos % 64 as int)) & 1 = 1"))
+            .drop("__pos", "__widx", "__bword")
         )
     return out
 

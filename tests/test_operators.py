@@ -3267,3 +3267,23 @@ def test_quantiles_from_bins_error_bound_and_merge(spark, sf_dir):
         quantiles_from_bins(b, 0.0, width, ())
     with _pytest.raises(ValueError):
         quantiles_from_bins(b, 0.0, width, (0.0,))
+
+
+def test_bloom_prune_join_with_colliding_column_names(spark):
+    """A fact table carrying its own 'word' / 'word_idx' columns must
+    not collide with the filter's internals."""
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.bloomjoin import (
+        bloom_prune_join,
+    )
+
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 100).alias("k"),
+        F.lit("the").alias("word"),
+        F.lit(7).alias("word_idx"),
+    )
+    dim = spark.range(0, 10).select((F.col("id") * 11).alias("k"))
+    got = sorted(map(tuple, bloom_prune_join(fact, dim, "k").collect()))
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    assert got == want and len(got) > 0

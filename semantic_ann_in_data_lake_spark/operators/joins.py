@@ -154,3 +154,62 @@ def band_join(
         .where(F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(eps))
         .drop("__band")
     )
+
+
+def join_size_estimate(
+    left: DataFrame, right: DataFrame, on: str
+) -> DataFrame:
+    """Pre-flight equi-join planning: EXACT output size and skew
+    profile of ``left ⋈ right`` WITHOUT running the join — the numbers
+    that decide broadcast vs shuffle vs salting before a 100-TB
+    shuffle is committed.
+
+    Both sides collapse to per-key counts (partial-aggregating
+    groupBys, shuffle = |distinct keys|); the count tables join and
+    fold to one row:
+
+    ``(matched_keys, join_rows, max_key_fanout, top_key)`` — join_rows
+    is Σ cL·cR (the exact inner-join cardinality), max_key_fanout the
+    largest single-key contribution (the skew headline: one task's
+    minimum work in a plain shuffle join), top_key the key that causes
+    it (the input ``detect_hot_keys``/``salted_join`` wants).
+
+    Products accumulate in DECIMAL: two power-law sides can overflow
+    int64 (1e10 × 1e9 rows on one hot key).
+    """
+    lc = left.groupBy(F.col(on).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__cl")
+    )
+    rc = right.groupBy(F.col(on).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__cr")
+    )
+    per_key = lc.join(rc, "__k").select(
+        "__k",
+        (
+            F.col("__cl").cast("decimal(38,0)")
+            * F.col("__cr").cast("decimal(38,0)")
+        ).alias("__rows"),
+    )
+    # argmax via max(struct): struct comparison is lexicographic on
+    # (rows, key-string), so ties break on the key — deterministic in
+    # BOTH engines, where a bare max_by/arg_max would be tie-arbitrary
+    top = F.max(
+        F.struct(
+            F.col("__rows").alias("r"), F.col("__k").cast("string").alias("k")
+        )
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("matched_keys"),
+        F.coalesce(F.sum("__rows"), F.lit(0)).cast("decimal(38,0)").alias(
+            "join_rows"
+        ),
+        F.coalesce(F.max("__rows"), F.lit(0)).cast("decimal(38,0)").alias(
+            "max_key_fanout"
+        ),
+        top.alias("__top"),
+    ).select(
+        "matched_keys",
+        "join_rows",
+        "max_key_fanout",
+        F.col("__top.k").alias("top_key"),
+    )

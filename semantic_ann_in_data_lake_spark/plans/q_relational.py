@@ -465,3 +465,53 @@ def fd_check_lake(spark, sf_dir):
         "n_variants",
     )
     return ev.unionByName(ok)
+
+
+@register(
+    "join_size_orders_lineitem",
+    """
+    WITH lc AS (SELECT o_orderkey AS k, count(*) AS cl
+                FROM orders GROUP BY 1),
+    rc AS (SELECT l_orderkey AS k, count(*) AS cr
+           FROM lineitem GROUP BY 1),
+    p AS (SELECT k, cl::DECIMAL(38,0) * cr::DECIMAL(38,0) AS nrows
+          FROM lc JOIN rc USING (k)),
+    t AS (SELECT count(*) AS matched_keys,
+                 coalesce(sum(nrows), 0)::DECIMAL(38,0) AS join_rows,
+                 coalesce(max(nrows), 0)::DECIMAL(38,0) AS max_key_fanout,
+                 max({'r': nrows, 'k': k::VARCHAR}) AS top
+          FROM p)
+    SELECT matched_keys, join_rows::VARCHAR AS join_rows,
+           max_key_fanout::VARCHAR AS max_key_fanout, top.k AS top_key
+    FROM t
+    """,
+)
+def join_size_orders_lineitem(spark, sf_dir):
+    """Pre-flight join planning (operators/joins.py::
+    join_size_estimate): exact orders⋈lineitem output cardinality and
+    skew profile from per-key count tables alone — the broadcast/
+    shuffle/salt decision input, computed at |distinct keys| cost
+    instead of |join output|. DECIMAL products (power-law keys
+    overflow int64); argmax via max(struct) so the top-key tie-break
+    is deterministic cross-engine."""
+    from semantic_ann_in_data_lake_spark.operators.joins import (
+        join_size_estimate,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    est = join_size_estimate(o, li, "orderkey")
+    # gated projection: DECIMAL counts as exact digit strings (pandas
+    # canonicalizes Spark DECIMAL as object vs DuckDB's float — the
+    # array-serialization lesson from round 3 applied to decimals);
+    # the operator API keeps the typed DECIMAL columns
+    return est.select(
+        "matched_keys",
+        F.col("join_rows").cast("string").alias("join_rows"),
+        F.col("max_key_fanout").cast("string").alias("max_key_fanout"),
+        "top_key",
+    )

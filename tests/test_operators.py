@@ -3287,3 +3287,33 @@ def test_bloom_prune_join_with_colliding_column_names(spark):
     got = sorted(map(tuple, bloom_prune_join(fact, dim, "k").collect()))
     want = sorted(map(tuple, fact.join(dim, "k").collect()))
     assert got == want and len(got) > 0
+
+
+def test_join_size_estimate_exact_vs_real_join(spark):
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.joins import (
+        join_size_estimate,
+    )
+
+    left = spark.range(0, 1000).select((F.col("id") % 60).alias("k"))
+    # hot key 7: 500 extra rows on one side
+    left = left.unionByName(
+        spark.range(0, 500).select(F.lit(7).cast("long").alias("k"))
+    )
+    right = spark.range(0, 300).select((F.col("id") % 90).alias("k"))
+    est = join_size_estimate(left, right, "k").collect()[0]
+    real = left.join(right, "k").count()
+    assert int(est["join_rows"]) == real
+    assert est["top_key"] == "7"
+    # hot-key fanout: (1000/60 rounded + 500) left rows x right rows of key 7
+    l7 = left.where("k = 7").count()
+    r7 = right.where("k = 7").count()
+    assert int(est["max_key_fanout"]) == l7 * r7
+    assert est["matched_keys"] == 60
+    # disjoint sides -> zero row, zero fanout, NULL top key
+    empty = join_size_estimate(
+        left, spark.range(0, 5).select((F.col("id") + 1000).alias("k")), "k"
+    ).collect()[0]
+    assert (empty["matched_keys"], int(empty["join_rows"])) == (0, 0)
+    assert empty["top_key"] is None

@@ -105,17 +105,42 @@ _GATE_RED_RETRY = frozenset({
 })
 
 
+#: Never-driver-gated names that have waited SINCE ROUND 3 (VERDICT r3
+#: "What's missing" item 1) — they outrank round-4 debuts within the
+#: fresh group: an operator two rounds without an official row costs
+#: more than one that just landed.
+_GATE_OLDEST_FRESH = frozenset({
+    "corrupt2_charnoise", "corrupt3_swap", "pivot_linestatus",
+    "rollup_revenue", "q4_late_shipment_priority", "csv_dir_scan_stats",
+    "jsonl_roundtrip_stats", "csv_sink_roundtrip", "json_catalog_scan",
+    "chunk_docs", "dedup_cluster_assign", "stratified_sample_docs",
+    "event_props_json_stats", "customer_order_trends",
+    "view_error_interval_join", "events_sliding_rollup",
+    "histogram_totalprice", "orc_sink_roundtrip", "media_frame_samples",
+})
+
+
 def _gate_ordered(names) -> list[str]:
     """Gate window: the red-retry group FIRST (replacing a red official
     row with a green one outranks everything — VERDICT r3 task 1),
-    then never-driver-gated names (round 4 added enough new operators
-    that retry + fresh slightly overfills the 50-draw; the overflow is
-    fresh names, whose missing row costs less than a standing red),
-    then everything already green."""
-    fresh = [
-        n for n in names
-        if n not in _GATED_PRIOR_ROUNDS and n not in _GATE_RED_RETRY
-    ]
+    then never-driver-gated names, then everything already green.
+    Round 4 added enough operators that retry + fresh overfills the
+    50-draw, so WITHIN fresh: names waiting since round 3 first, then
+    hash-gated debuts, then rows-only debuts (a rows-only row is the
+    weakest evidence — it costs least to defer)."""
+    def fresh_rank(n: str) -> tuple:
+        return (
+            0 if n in _GATE_OLDEST_FRESH else 1,
+            0 if REGISTRY[n][1] is not None else 2,
+        )
+
+    fresh = sorted(
+        (
+            n for n in names
+            if n not in _GATED_PRIOR_ROUNDS and n not in _GATE_RED_RETRY
+        ),
+        key=lambda n: (fresh_rank(n), list(names).index(n)),
+    )
     retry = [n for n in names if n in _GATE_RED_RETRY]
     seen = [
         n for n in names

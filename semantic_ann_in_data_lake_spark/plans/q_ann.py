@@ -1066,3 +1066,46 @@ def embedding_outliers_per_source(spark, sf_dir):
     )
     joined = emb.join(F.broadcast(docs), "vec_id")
     return centroid_outliers(joined, "source", "embedding", "vec_id", z_tau=2.0)
+
+
+@register(
+    "hard_negatives_embeddings",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+    p AS (SELECT q.vec_id AS qa, q.label AS la, c.vec_id AS qb,
+                 c.label AS lb,
+                 round({cosine_sim_sql('q.v', 'c.v')}, 6) AS sim
+          FROM e q CROSS JOIN e c WHERE q.vec_id <> c.vec_id),
+    k AS (SELECT qa, qb, la, lb, sim,
+                 row_number() OVER (PARTITION BY qa
+                                    ORDER BY sim DESC, qb) AS rn
+          FROM p),
+    neg AS (SELECT qa, qb, sim,
+                   row_number() OVER (PARTITION BY qa
+                                      ORDER BY sim DESC, qb) AS neg_rank
+            FROM k WHERE rn <= 13 AND la <> lb)
+    SELECT qa AS anchor_id, qb AS neg_id, sim AS distance, neg_rank
+    FROM neg WHERE neg_rank <= 3
+    """,
+)
+def hard_negatives_embeddings(spark, sf_dir):
+    """Hard-negative mining for contrastive training
+    (operators/negatives.py): each vector's 3 nearest OTHER-LABEL
+    neighbors — the near-miss examples a contrastive loss learns most
+    from (ANCE posture). Positives = same-label pairs; ANN horizon
+    k_neg+slack=13 absorbs positives removed by the anti-join. Exact
+    tier is the oracle; production swaps the knn strategy ladder."""
+    from semantic_ann_in_data_lake_spark.operators.negatives import (
+        hard_negative_mine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    positives = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.expr("a.label = b.label AND a.vec_id < b.vec_id"))
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+    )
+    return hard_negative_mine(
+        emb, positives, "vec_id", "embedding", k_neg=3, slack=10,
+        metric="cosine", strategy="exact",
+    )

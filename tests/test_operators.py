@@ -3317,3 +3317,65 @@ def test_join_size_estimate_exact_vs_real_join(spark):
     ).collect()[0]
     assert (empty["matched_keys"], int(empty["join_rows"])) == (0, 0)
     assert empty["top_key"] is None
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling (operators/negatives.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_exclude_positives_and_rank_correctly(spark):
+    from semantic_ann_in_data_lake_spark.operators.negatives import (
+        hard_negative_mine,
+    )
+
+    # anchor a: nearest are p (positive) then n1 then n2
+    emb = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("p", [0.99, 0.14]),
+            ("n1", [0.9, 0.43]),
+            ("n2", [0.5, 0.86]),
+            ("far", [-1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    pos = spark.createDataFrame([("a", "p")], ["a_id", "b_id"])
+    out = hard_negative_mine(emb, pos, k_neg=2, slack=2).collect()
+    mine = {r["neg_rank"]: r["neg_id"] for r in out if r["anchor_id"] == "a"}
+    assert mine == {1: "n1", 2: "n2"}  # p excluded, self excluded
+    # symmetry: p's negatives exclude a
+    p_negs = [r["neg_id"] for r in out if r["anchor_id"] == "p"]
+    assert "a" not in p_negs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hard_negative_mine(emb, pos, k_neg=0)
+
+
+def test_random_negatives_deterministic_and_disjoint_from_positives(spark):
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.negatives import (
+        random_negatives,
+    )
+
+    ids = spark.range(0, 60).select(F.concat(F.lit("v"), F.col("id")).alias("vec_id"))
+    pos = spark.createDataFrame(
+        [(f"v{i}", f"v{i+1}") for i in range(0, 40, 2)], ["a", "b"]
+    )
+    a = sorted(map(tuple, random_negatives(ids, ids, pos, k_neg=4).collect()))
+    b = sorted(map(tuple,
+        random_negatives(ids.repartition(7), ids, pos, k_neg=4).collect()))
+    assert a == b and len(a) == 60 * 4
+    pset = {(r["a"], r["b"]) for r in pos.collect()}
+    pset |= {(y, x) for x, y in pset}
+    assert all((r[0], r[1]) not in pset and r[0] != r[1] for r in a)
+    # different seed -> different draw; same membership universe
+    c = sorted(map(tuple,
+        random_negatives(ids, ids, pos, k_neg=4, seed="s2").collect()))
+    assert a != c
+    # thinned pool stays valid and deterministic
+    d = random_negatives(ids, ids, pos, k_neg=2, pool_fraction=0.5)
+    d1 = sorted(map(tuple, d.collect()))
+    assert all((r[0], r[1]) not in pset for r in d1)

@@ -183,6 +183,32 @@ def bench_queries(spark, sf_dir):
             emb("en"), emb("de"), k=4, margin_tau=1.0, strategy="broadcast"
         )
 
+    def hard_negatives_bcast():
+        # production tier of hard_negatives_embeddings: broadcast ANN
+        # instead of the exact cross join
+        from pyspark.sql import functions as FF
+
+        from semantic_ann_in_data_lake_spark.operators.negatives import (
+            hard_negative_mine,
+        )
+
+        emb = scoped_persist(read_table(spark, sf_dir, "embeddings"))
+        positives = (
+            emb.alias("a")
+            .join(
+                emb.alias("b"),
+                FF.expr("a.label = b.label AND a.vec_id < b.vec_id"),
+            )
+            .select(
+                FF.col("a.vec_id").alias("a_id"),
+                FF.col("b.vec_id").alias("b_id"),
+            )
+        )
+        return hard_negative_mine(
+            emb, positives, "vec_id", "embedding", k_neg=3, slack=10,
+            metric="cosine", strategy="broadcast",
+        )
+
     return {
         "q1_pricing_summary": from_registry("q1_pricing_summary"),
         "q3_top_orders": from_registry("q3_top_orders"),
@@ -250,6 +276,10 @@ def bench_queries(spark, sf_dir):
         "bloom_prune_join": from_registry("bloom_prune_join_orders"),
         "dpp_partitioned_prune": from_registry("dpp_partitioned_join_prune"),
         "bitext_mine_bcast": bitext_bcast,
+        "psi_drift_snapshots": from_registry("psi_drift_snapshots"),
+        "ewma_user_value": from_registry("ewma_user_value"),
+        "join_size_estimate": from_registry("join_size_orders_lineitem"),
+        "hard_negatives_bcast": hard_negatives_bcast,
     }
 
 

@@ -621,6 +621,56 @@ def _knn_lsh(
     return _ranked_topk(scored, k, "l2_sq")
 
 
+def fit_ivf_centroids(
+    c: DataFrame, nlist: int = 16, seed: int = 42, fit: str = "sample"
+):
+    """Fit the nlist IVF centroids over a prepped ``(cand_id,
+    cand_vec)`` frame; returns a float64 numpy matrix (small,
+    broadcastable). Shared by the per-run IVF strategy and the
+    persistent index (operators/ivf_index.py).
+
+    ``fit="kmeans_ml"``: distributed k-means|| — every candidate row
+    participates, executors hold only their partitions; preferred at
+    100 TB when the sample tier isn't representative (many fine cells,
+    drifting data). ``fit="sample"``: driver-side Lloyd over a bounded
+    sample — O(sample·d) regardless of table size; the collected
+    sample is sorted by id so the seeded pick (and every approximate
+    IVF result) is reproducible across sessions (limit() returns rows
+    in partition-completion order otherwise)."""
+    import numpy as np
+
+    if fit == "kmeans_ml":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = c.select(
+            array_to_vector(F.col("cand_vec").cast("array<double>")).alias("features")
+        )
+        km = KMeans(
+            k=nlist, seed=seed, maxIter=10, initMode="k-means||"
+        ).fit(train)
+        return np.asarray(
+            [ctr for ctr in km.clusterCenters()], dtype=np.float64
+        )
+    if fit == "sample":
+        sample = c.select("cand_id", "cand_vec").limit(100_000).toPandas()
+        sample = sample.sort_values("cand_id", kind="mergesort")
+        mat = np.asarray(list(sample["cand_vec"]), dtype=np.float64)
+        rng = np.random.RandomState(seed)
+        centroids = mat[
+            rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)
+        ]
+        for _ in range(10):  # Lloyd iterations, driver-side on the sample
+            d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(centroids)):
+                members = mat[assign == j]
+                if len(members):
+                    centroids[j] = members.mean(axis=0)
+        return centroids
+    raise ValueError(f"unknown ivf fit {fit!r}")
+
+
 def _knn_ivf(
     queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp,
     nlist: int = 16, nprobe: int = 4, seed: int = 42, fit: str = "sample",
@@ -646,44 +696,7 @@ def _knn_ivf(
 
     spark = queries.sparkSession
     c = _prep(candidates, id_col, vec_col, "cand")
-    if fit == "kmeans_ml":
-        # Distributed centroid training (Spark ML k-means||): every
-        # candidate row participates, executors hold only their
-        # partitions — the fit itself scales with the cluster instead of
-        # with the driver's sample budget. Preferred at 100 TB when the
-        # sketch-on-a-sample tier isn't representative (many fine
-        # cells, drifting data).
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        train = c.select(
-            array_to_vector(F.col("cand_vec").cast("array<double>")).alias("features")
-        )
-        km = KMeans(
-            k=nlist, seed=seed, maxIter=10, initMode="k-means||"
-        ).fit(train)
-        centroids = np.asarray([ctr for ctr in km.clusterCenters()], dtype=np.float64)
-    elif fit == "sample":
-        # centroids from a bounded sample — the cheap tier: the
-        # driver-side fit stays O(sample·d) regardless of table size.
-        # limit() returns rows in partition-completion order, which
-        # varies by session/scheduling — sort the (tiny) collected
-        # sample by id so the seeded centroid pick, and therefore every
-        # approximate IVF result, is reproducible across sessions.
-        sample = c.select("cand_id", "cand_vec").limit(100_000).toPandas()
-        sample = sample.sort_values("cand_id", kind="mergesort")
-        mat = np.asarray(list(sample["cand_vec"]), dtype=np.float64)
-        rng = np.random.RandomState(seed)
-        centroids = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
-        for _ in range(10):  # Lloyd iterations, driver-side on the sample
-            d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(len(centroids)):
-                members = mat[assign == j]
-                if len(members):
-                    centroids[j] = members.mean(axis=0)
-    else:
-        raise ValueError(f"unknown ivf fit {fit!r}")
+    centroids = fit_ivf_centroids(c, nlist=nlist, seed=seed, fit=fit)
     bc = spark.sparkContext.broadcast(centroids)
 
     def assign_cells(n_cells: int):

@@ -1109,3 +1109,36 @@ def hard_negatives_embeddings(spark, sf_dir):
         emb, positives, "vec_id", "embedding", k_neg=3, slack=10,
         metric="cosine", strategy="exact",
     )
+
+
+@register(
+    "ivf_index_build_refresh_check",
+    """
+    SELECT 0::BIGINT AS vec_id, 0::INT AS stored_cell, 0::INT AS want_cell
+    WHERE FALSE
+    """,
+)
+def ivf_index_build_refresh_check(spark, sf_dir):
+    """Persistent IVF index lifecycle (operators/ivf_index.py): build
+    over the first 80% of vectors, refresh-append the remaining 20%
+    under the STORED centroids (no refit, no touch of existing cells),
+    then emit every stored assignment that is not the argmin cell —
+    empty iff the incremental path equals a from-scratch assignment.
+    The checks.py posture: a distributed property as a WHERE FALSE
+    oracle."""
+    import os
+
+    from semantic_ann_in_data_lake_spark.operators.ivf_index import (
+        build_ivf_index, index_assignment_violations, refresh_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        "/tmp/sals_gate/ivf_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    base = emb.where(F.crc32(F.col("vec_id").cast("string")) % 5 != 0)
+    delta = emb.where(F.crc32(F.col("vec_id").cast("string")) % 5 == 0)
+    build_ivf_index(base, path, nlist=8)
+    refresh_ivf_index(spark, path, delta)
+    return index_assignment_violations(spark, path)

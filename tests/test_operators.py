@@ -3379,3 +3379,76 @@ def test_random_negatives_deterministic_and_disjoint_from_positives(spark):
     d = random_negatives(ids, ids, pos, k_neg=2, pool_fraction=0.5)
     d1 = sorted(map(tuple, d.collect()))
     assert all((r[0], r[1]) not in pset for r in d1)
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index (operators/ivf_index.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_index_refresh_equals_rebuild_and_probeall_exact(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.ivf_index import (
+        build_ivf_index, index_assignment_violations, refresh_ivf_index,
+        search_ivf_index,
+    )
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    p_inc = str(tmp_path / "inc")
+    p_full = str(tmp_path / "full")
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    delta = emb.where(F.col("vec_id") % 4 == 0)
+    build_ivf_index(base, p_inc, nlist=8)
+    refresh_ivf_index(spark, p_inc, delta)
+    # incremental == rebuild with the SAME centroids: rebuild reuses
+    # base's fit (same seed + same base sample), so cells must agree
+    build_ivf_index(base, p_full, nlist=8)
+    refresh_ivf_index(spark, p_full, emb.where(F.col("vec_id") % 4 == 0))
+    a = sorted(map(tuple, spark.read.parquet(p_inc + "/cells")
+                .select("vec_id", "cell").collect()))
+    b = sorted(map(tuple, spark.read.parquet(p_full + "/cells")
+                .select("vec_id", "cell").collect()))
+    assert a == b and len(a) == emb.count()
+    # standing invariant: no mis-assignments after refresh
+    assert index_assignment_violations(spark, p_inc).count() == 0
+    # probe-all search == exact knn (same ranking convention)
+    got = sorted(map(tuple, search_ivf_index(
+        spark, p_inc, emb.limit(40), k=5, nprobe=8).collect()))
+    want = sorted(map(tuple, knn_join(
+        emb.limit(40), emb, k=5, strategy="exact").collect()))
+    assert got == want
+    # partial probe: bounded recall loss. The fixture's hash embeddings
+    # are near-uniform (worst case for IVF — little cluster structure),
+    # so half the cells still finds ~0.4 of exact top-5; clustered real
+    # embeddings sit far higher. The floor pins "probing works at all"
+    # without overfitting the fixture.
+    part = set(map(tuple, search_ivf_index(
+        spark, p_inc, emb.limit(40), k=5, nprobe=4).collect()))
+    overlap = len(part & set(map(tuple, want))) / len(want)
+    assert overlap >= 0.3, overlap
+
+
+def test_ivf_index_detects_planted_misassignment(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.ivf_index import (
+        build_ivf_index, index_assignment_violations,
+    )
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(100)
+    path = str(tmp_path / "ix")
+    build_ivf_index(emb, path, nlist=4)
+    cells = spark.read.parquet(path + "/cells")
+    # plant one row in a wrong cell (new id so the good copy survives)
+    bad = cells.limit(1).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        "embedding",
+        ((F.col("cell") + 1) % 4).alias("cell"),
+    )
+    bad.write.mode("append").partitionBy("cell").parquet(path + "/cells")
+    v = index_assignment_violations(spark, path).collect()
+    assert len(v) == 1 and v[0]["vec_id"] >= 10_000_000

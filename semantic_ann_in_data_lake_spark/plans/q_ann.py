@@ -1142,3 +1142,35 @@ def ivf_index_build_refresh_check(spark, sf_dir):
     build_ivf_index(base, path, nlist=8)
     refresh_ivf_index(spark, path, delta)
     return index_assignment_violations(spark, path)
+
+
+@register("ivf_index_search_distcheck", _KNN_CHECK_EMPTY_SQL)
+def ivf_index_search_distcheck(spark, sf_dir):
+    """Contract gate for the PERSISTED index's search path
+    (operators/ivf_index.py::search_ivf_index): empty iff every
+    neighbor served from the on-disk cells carries the exact L2²
+    distance and a consistent rank — the reference's own ANN contract
+    (annIndex.py:21-40: approximate neighbors, exact distances)
+    holding across build → refresh → reload."""
+    import os
+
+    from semantic_ann_in_data_lake_spark.operators import checks
+    from semantic_ann_in_data_lake_spark.operators.ivf_index import (
+        search_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # reuse the artifact ivf_index_build_refresh_check materializes;
+    # (re)build if this query runs first or standalone
+    path = os.path.join(
+        "/tmp/sals_gate/ivf_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if not os.path.exists(os.path.join(path, "cells")):
+        from semantic_ann_in_data_lake_spark.operators.ivf_index import (
+            build_ivf_index,
+        )
+
+        build_ivf_index(emb, path, nlist=8)
+    res = search_ivf_index(spark, path, emb, k=5, nprobe=4)
+    return checks.knn_invariant_violations(res, emb, metric="l2_sq")

@@ -514,3 +514,62 @@ def test_streaming_bins_merge_to_batch_and_score_psi(spark, sf_dir, tmp_path):
     bins_partial_write(half, 0, sink, "value", 0.0, 10.0, 20)
     again = sorted(map(tuple, merged_bin_counts(spark, sink).collect()))
     assert again == want
+
+
+def test_ewma_stream_equals_batch_fold(spark, sf_dir, tmp_path):
+    """Stream (recursive, stateful) ≡ batch (windowed fold) at every
+    event — bit-exact because halving is an exact scaling (module
+    docstring); batch window set beyond the longest per-key series so
+    truncation never differs."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.timeseries import (
+        ewma_truncated,
+    )
+    from semantic_ann_in_data_lake_spark.streaming.ewma_stream import (
+        ewma_stream,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # split by TIME (not id parity): the stream's cross-batch contract
+    # drops events older than a key's last folded timestamp, so batch
+    # boundaries must respect event time for stream == batch to hold
+    from semantic_ann_in_data_lake_spark.functions.dates import epoch_us
+
+    pivot_us = src.select(
+        F.percentile(epoch_us("ts"), F.lit(0.5)).alias("p")
+    ).collect()[0]["p"]
+    events_dir = str(tmp_path / "ewma_in")
+    early = src.where(epoch_us("ts") <= F.lit(int(pivot_us)))
+    late = src.where(epoch_us("ts") > F.lit(int(pivot_us)))
+    early.coalesce(1).write.parquet(events_dir)
+    late.coalesce(1).write.mode("append").parquet(events_dir)
+
+    stream = spark.readStream.schema(src.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(events_dir)
+    sink = str(tmp_path / "ewma_out")
+    (
+        ewma_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", sink + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        r["event_id"]: (r["ewma"], r["n"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    batch = ewma_truncated(
+        read_table(spark, sf_dir, "events"), window=1_000_000
+    )
+    want = {r["event_id"]: r["ewma"] for r in batch.collect()}
+    assert len(got) == len(want)
+    mismatches = [
+        (k, got[k][0], want[k]) for k in want if got[k][0] != want[k]
+    ]
+    assert mismatches == []

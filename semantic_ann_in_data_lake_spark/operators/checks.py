@@ -267,3 +267,40 @@ def fd_violations(
         )
         .where(F.col("n_variants") > 1)
     )
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, key: str, compare: list[str] | None = None
+) -> DataFrame:
+    """Keyed snapshot diff: ``(key, change)`` with change ∈ {added,
+    removed, changed} — the ingestion audit between two versions of a
+    table (what did yesterday's load actually do?).
+
+    Rows compare by a 64-bit content hash over ``compare`` (default:
+    all non-key columns, in a SORTED order so column order differences
+    between snapshots don't read as changes). Unchanged rows are
+    dropped in the join, so the output is |delta|-sized; the only
+    shuffle is the key equi-join of (key, hash) projections — never
+    the full rows.
+    """
+    if compare is None:
+        compare = sorted(c for c in new.columns if c != key)
+        old_compare = sorted(c for c in old.columns if c != key)
+        if old_compare != compare:
+            raise ValueError(
+                f"snapshots disagree on columns: {old_compare} vs {compare}"
+            )
+    h = F.xxhash64(*[F.col(c) for c in compare])
+    o = old.select(F.col(key).alias("key"), h.alias("__oh"))
+    n = new.select(F.col(key).alias("key"), h.alias("__nh"))
+    j = o.join(n, "key", "full_outer")
+    change = (
+        F.when(F.col("__oh").isNull(), "added")
+        .when(F.col("__nh").isNull(), "removed")
+        .when(F.col("__oh") != F.col("__nh"), "changed")
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select("key", "change")
+    )

@@ -515,3 +515,59 @@ def join_size_orders_lineitem(spark, sf_dir):
         F.col("max_key_fanout").cast("string").alias("max_key_fanout"),
         "top_key",
     )
+
+
+@register(
+    "table_diff_orders",
+    """
+    WITH oldt AS (
+      SELECT o_orderkey AS k, o_orderpriority AS p, o_totalprice AS t
+      FROM orders),
+    newt AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 89 = 0 THEN 'X-MUTATED'
+                  ELSE o_orderpriority END AS p,
+             o_totalprice AS t
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0),
+    j AS (SELECT coalesce(o.k, n.k) AS key,
+                 CASE WHEN o.k IS NULL THEN 'added'
+                      WHEN n.k IS NULL THEN 'removed'
+                      WHEN o.p IS DISTINCT FROM n.p
+                           OR o.t IS DISTINCT FROM n.t THEN 'changed'
+                 END AS change
+          FROM oldt o FULL OUTER JOIN newt n ON o.k = n.k)
+    SELECT key, change FROM j WHERE change IS NOT NULL
+    """,
+)
+def table_diff_orders(spark, sf_dir):
+    """Keyed snapshot diff (operators/checks.py::table_diff): the
+    ingestion audit between two table versions — added / removed /
+    changed keys from (key, content-hash) projections, |delta|-sized
+    output, full rows never shuffle. The synthetic 'new' snapshot
+    removes every 97th order, mutates every 89th priority, and appends
+    every 101st under a shifted key; the oracle derives the same
+    classification by direct column comparison (the hash is the
+    implementation, not the contract — collisions at 2^-64)."""
+    from semantic_ann_in_data_lake_spark.operators.checks import table_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_totalprice").alias("t"),
+    )
+    new = (
+        o.where(F.col("k") % 97 != 0)
+        .withColumn(
+            "p",
+            F.when(F.col("k") % 89 == 0, "X-MUTATED").otherwise(F.col("p")),
+        )
+        .unionByName(
+            o.where(F.col("k") % 101 == 0).withColumn(
+                "k", F.col("k") + F.lit(10_000_000)
+            )
+        )
+    )
+    return table_diff(o, new, "k")

@@ -3452,3 +3452,26 @@ def test_ivf_index_detects_planted_misassignment(spark, sf_dir, tmp_path):
     bad.write.mode("append").partitionBy("cell").parquet(path + "/cells")
     v = index_assignment_violations(spark, path).collect()
     assert len(v) == 1 and v[0]["vec_id"] >= 10_000_000
+
+
+def test_table_diff_classifies_and_validates(spark):
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.checks import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        ["k", "v", "w"],
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 99), (4, "d", 40), (5, "e", 50)],
+        ["k", "v", "w"],
+    )
+    got = {r["key"]: r["change"] for r in table_diff(old, new, "k").collect()}
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+    # identical snapshots -> empty diff (column order irrelevant)
+    assert table_diff(old, old.select("w", "k", "v"), "k").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table_diff(old, new.withColumnRenamed("w", "x"), "k")

@@ -312,3 +312,60 @@ def scd2_history(
     return runs.withColumn(
         "valid_to", F.lead("valid_from").over(w_v)
     ).select(key_col, "state", "valid_from", "valid_to", "version", "n_events")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    train_buckets: int = 8,
+    valid_buckets: int = 1,
+    n_buckets: int = 10,
+    seed: str = "",
+) -> DataFrame:
+    """Train/valid/test split that can NEVER leak near-duplicates
+    across splits: the split is a pure function of the DEDUP CLUSTER,
+    so every member of a near-dup cluster lands in the same split — a
+    per-document split contaminates eval whenever train and test hold
+    two copies of the same boilerplate (the standard web-corpus
+    failure; cf. deduplication-improves-LMs, Lee et al. 2022).
+
+    ``clusters`` is ``(doc_id, cluster_id)`` from
+    ``dedup.dedup_clusters`` (docs with no near-dup edge are absent
+    there and form singleton clusters of themselves). Split =
+    bucketed portable hash of the EFFECTIVE cluster id — deterministic
+    across runs and partitionings, re-dealable via ``seed``.
+
+    Returns docs + ``(cluster_id, split)``. Cost: one left join
+    against the cluster table (|near-dup docs|-sized, usually a small
+    fraction of the corpus) and a hash — no extra shuffle beyond the
+    join.
+    """
+    if not (0 < train_buckets and 0 <= valid_buckets
+            and train_buckets + valid_buckets < n_buckets):
+        raise ValueError("buckets must satisfy train + valid < total")
+    from semantic_ann_in_data_lake_spark.functions.hashing import (
+        portable_hash64,
+    )
+
+    c = clusters.select(
+        F.col(clusters.columns[0]).alias(id_col),
+        F.col(clusters.columns[1]).alias("cluster_id"),
+    )
+    # plain keyed join — the cluster table is |near-dup docs|-sized,
+    # often broadcastable but not guaranteed; AQE picks the strategy
+    out = docs.join(c, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    b = F.pmod(
+        portable_hash64(
+            F.col("cluster_id").cast("string"), seed=f"split{seed}:"
+        ),
+        F.lit(n_buckets),
+    )
+    split = (
+        F.when(b < train_buckets, "train")
+        .when(b < train_buckets + valid_buckets, "valid")
+        .otherwise("test")
+    )
+    return out.withColumn("split", split)

@@ -562,3 +562,52 @@ def dedup_keep_longest(spark, sf_dir):
     )
     dropped = ranked.where(F.col("rn") > 1).select("doc_id")
     return docs.select("doc_id").join(dropped, "doc_id", "left_anti")
+
+
+@register(
+    "leakage_safe_split_docs",
+    f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_minhash_lsh_sql(8, 2, 0.01)}) t),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.d
+    ),
+    assign AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    eff AS (
+      SELECT d.doc_id, coalesce(a.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN assign a ON d.doc_id = a.id),
+    b AS (
+      SELECT doc_id, cluster_id,
+             {portable_hash_expr('cluster_id::VARCHAR', seed='split:')} % 10
+               AS bucket
+      FROM eff)
+    SELECT doc_id, cluster_id,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket < 9 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def leakage_safe_split_docs(spark, sf_dir):
+    """Leakage-safe corpus split (operators/pairs.py::
+    leakage_safe_split): 80/10/10 by hashed NEAR-DUP CLUSTER, so two
+    copies of the same boilerplate can never straddle train and test
+    (Lee et al. 2022's eval-contamination failure). Clusters from the
+    gated MinHash-LSH connected components; singletons split by their
+    own id. Deterministic, seed-redealable; oracle replays the full
+    cluster + hash pipeline."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup.minhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16, bands=8, rows_per_band=2, threshold=0.01,
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    from semantic_ann_in_data_lake_spark.operators.pairs import (
+        leakage_safe_split,
+    )
+
+    return leakage_safe_split(docs, clusters)

@@ -3475,3 +3475,44 @@ def test_table_diff_classifies_and_validates(spark):
 
     with _pytest.raises(ValueError):
         table_diff(old, new.withColumnRenamed("w", "x"), "k")
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators import dedup
+    from semantic_ann_in_data_lake_spark.operators.pairs import (
+        leakage_safe_split,
+    )
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(
+        docs, num_hashes=16, bands=8, rows_per_band=2, threshold=0.01
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    out = leakage_safe_split(docs.select("doc_id"), clusters)
+    # the invariant: one split per cluster, everywhere
+    spans = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert spans == 0
+    # every doc assigned; deterministic under repartition; seed re-deals
+    assert out.count() == docs.count()
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, leakage_safe_split(
+        docs.select("doc_id").repartition(11), clusters).collect()))
+    assert a == b
+    c = sorted(map(tuple, leakage_safe_split(
+        docs.select("doc_id"), clusters, seed="v2").collect()))
+    assert a != c
+    # rough proportions: train is the large split
+    frac = out.where("split = 'train'").count() / out.count()
+    assert 0.6 < frac < 0.95
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, clusters, train_buckets=9, valid_buckets=1)

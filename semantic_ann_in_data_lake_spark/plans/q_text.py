@@ -724,3 +724,172 @@ def shard_manifest_docs(spark, sf_dir):
     return shard_manifest(
         assign_shards(d, "doc_id", 16, portable=True), "n_tokens"
     )
+
+
+@register(
+    "corpus_datacard",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, text, {_TOKS} AS w FROM documents),
+    s AS (
+      SELECT doc_id, lang, source,
+             len(w) AS nt, length(text) AS nc,
+             {portable_hash_expr('text')} AS h,
+             len(w) BETWEEN 20 AND 200
+               AND round(len(list_filter(w, tk -> tk IN ({_STOP_IN})))::DOUBLE
+                         / greatest(len(w), 1) + 1e-9, 4) >= 0.05
+               AND round((CASE WHEN greatest(len(w) - 2, 0) = 0 THEN 0.0
+                          ELSE (greatest(len(w) - 2, 0)
+                                - len({word_shingles_from_sql('w', 3)}))::DOUBLE
+                               / greatest(len(w) - 2, 0) END) + 1e-9, 4) <= 0.2
+               AS ok
+      FROM base),
+    tot AS (
+      SELECT count(*) AS n, sum(nt) AS toks, sum(nc) AS chars,
+             count(DISTINCT h) AS uniq,
+             sum(CASE WHEN ok THEN 1 ELSE 0 END) AS good
+      FROM s)
+    SELECT 'corpus' AS section, 'all' AS key, 'n_docs' AS metric,
+           n::DOUBLE AS value FROM tot
+    UNION ALL
+    SELECT 'corpus', 'all', 'n_tokens', toks::DOUBLE FROM tot
+    UNION ALL
+    SELECT 'corpus', 'all', 'n_chars', chars::DOUBLE FROM tot
+    UNION ALL
+    SELECT 'dedup', 'all', 'exact_dup_frac',
+           round(1.0 - uniq::DOUBLE / n, 6) FROM tot
+    UNION ALL
+    SELECT 'quality', 'all', 'gopher_pass_rate',
+           round(good::DOUBLE / n, 6) FROM tot
+    UNION ALL
+    SELECT 'lang', lang, 'doc_share',
+           round(count(*)::DOUBLE / (SELECT n FROM tot), 6)
+    FROM s GROUP BY lang
+    UNION ALL
+    SELECT 'source', source, 'token_share',
+           round(sum(nt)::DOUBLE / (SELECT toks FROM tot), 6)
+    FROM s GROUP BY source
+    """,
+)
+def corpus_datacard(spark, sf_dir):
+    """The corpus data card: one composed report a training-data owner
+    reads before a run — corpus totals (docs/tokens/chars), exact-dup
+    fraction, Gopher-gate pass rate, language doc shares, per-source
+    token shares — as (section, key, metric, value) rows. Three scans
+    total: ONE wide conditional aggregation (totals + dedup + quality
+    in the same pass) and two share group-bys; every ratio from exact
+    integer counts, 6-dp rounded."""
+    from pyspark.sql.window import Window as _Win
+
+    from semantic_ann_in_data_lake_spark.functions.hashing import (
+        portable_hash64,
+    )
+    from semantic_ann_in_data_lake_spark.functions.text import (
+        word_shingles_from, words,
+    )
+    from semantic_ann_in_data_lake_spark.operators.textstats import (
+        STOPWORDS, _count_in, _r4,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id", "lang", "source",
+        F.size(words("text")).alias("nt"),
+        F.length("text").alias("nc"),
+        portable_hash64(F.col("text")).alias("h"),
+        words("text").alias("__w"),
+    ).select(
+        "doc_id", "lang", "source", "nt", "nc", "h",
+        (
+            F.col("nt").between(20, 200)
+            & (
+                _r4(
+                    _count_in(F.col("__w"), STOPWORDS).cast("double")
+                    / F.greatest(F.col("nt"), F.lit(1))
+                )
+                >= 0.05
+            )
+            & (
+                _r4(
+                    F.when(
+                        F.greatest(F.col("nt") - 2, F.lit(0)) == 0, F.lit(0.0)
+                    ).otherwise(
+                        (
+                            F.greatest(F.col("nt") - 2, F.lit(0))
+                            - F.size(word_shingles_from(F.col("__w"), 3))
+                        ).cast("double")
+                        / F.greatest(F.col("nt") - 2, F.lit(0))
+                    )
+                )
+                <= 0.2
+            )
+        ).alias("ok"),
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nt").alias("toks"),
+        F.sum("nc").alias("chars"),
+        F.countDistinct("h").alias("uniq"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("good"),
+    )
+    card = tot.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("corpus").alias("section"), F.lit("all").alias("key"),
+                    F.lit("n_docs").alias("metric"),
+                    F.col("n").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("corpus").alias("section"), F.lit("all").alias("key"),
+                    F.lit("n_tokens").alias("metric"),
+                    F.col("toks").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("corpus").alias("section"), F.lit("all").alias("key"),
+                    F.lit("n_chars").alias("metric"),
+                    F.col("chars").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("dedup").alias("section"), F.lit("all").alias("key"),
+                    F.lit("exact_dup_frac").alias("metric"),
+                    F.round(
+                        F.lit(1.0) - F.col("uniq").cast("double") / F.col("n"), 6
+                    ).alias("value"),
+                ),
+                F.struct(
+                    F.lit("quality").alias("section"), F.lit("all").alias("key"),
+                    F.lit("gopher_pass_rate").alias("metric"),
+                    F.round(
+                        F.col("good").cast("double") / F.col("n"), 6
+                    ).alias("value"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    wall = _Win.partitionBy()
+    lang = (
+        s.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.lit("lang").alias("section"),
+            F.col("lang").alias("key"),
+            F.lit("doc_share").alias("metric"),
+            F.round(
+                F.col("c").cast("double") / F.sum("c").over(wall), 6
+            ).alias("value"),
+        )
+    )
+    src = (
+        s.groupBy("source")
+        .agg(F.sum("nt").alias("t"))
+        .select(
+            F.lit("source").alias("section"),
+            F.col("source").alias("key"),
+            F.lit("token_share").alias("metric"),
+            F.round(
+                F.col("t").cast("double") / F.sum("t").over(wall), 6
+            ).alias("value"),
+        )
+    )
+    return card.unionByName(lang).unionByName(src)

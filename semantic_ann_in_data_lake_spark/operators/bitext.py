@@ -85,23 +85,22 @@ def mine_bitext(
     bstats = bwd6.groupBy("tid").agg(
         F.sum("sim6").alias("tsum"), F.count(F.lit(1)).alias("tcnt")
     )
+    # the ratio margin is only meaningful over POSITIVE neighborhood
+    # similarity mass: a zero denominator divides by zero (ANSI: kills
+    # the job) and a negative one inverts the ranking so the FARTHEST
+    # target scores highest — anchors whose neighborhoods are not
+    # net-positive are dropped, not mis-ranked
+    denom = (
+        F.col("ssum").cast("double") / F.col("scnt")
+        + F.col("tsum").cast("double") / F.col("tcnt")
+    ) / 2
     scored = (
         fwd6.join(fstats, "sid")
         .join(bstats, "tid")
-        .withColumn(
-            "margin",
-            F.round(
-                F.col("sim6")
-                / (
-                    (
-                        F.col("ssum").cast("double") / F.col("scnt")
-                        + F.col("tsum").cast("double") / F.col("tcnt")
-                    )
-                    / 2
-                ),
-                6,
-            ),
-        )
+        .withColumn("__den", denom)
+        .where(F.col("__den") > 0)
+        .withColumn("margin", F.round(F.col("sim6") / F.col("__den"), 6))
+        .drop("__den")
     )
     w = Window.partitionBy("sid").orderBy(
         F.col("margin").desc(), F.col("tid").asc()

@@ -21,8 +21,8 @@ This module is that pattern as an explicit, tunable operator:
   side against the word table, all inside the fact's scan stage — no
   fact shuffle, no Python. A fact row survives only if every probed
   bit is set. Absent word → inner join drops the row (an absent word
-  is an all-zero word; this also makes NULL keys vanish, matching
-  inner-equi-join semantics).
+  is an all-zero word); NULL keys are filtered explicitly up front,
+  matching inner-equi-join semantics.
 - ``bloom_prune_join``: probe, then the real join. Bloom false
   positives are eliminated by the exact join, so the composition is
   RESULT-IDENTICAL to ``fact.join(dim, on)`` — which is what lets the
@@ -111,8 +111,12 @@ def bloom_probe(
     hash lookup in the fact scan stage; a row is dropped at the FIRST
     missing/zero bit, so the common case (non-matching row) pays one
     lookup. No shuffle of ``fact``, no Python boundary.
+
+    NULL keys are filtered explicitly (inner-equi-join semantics):
+    relying on xxhash64(NULL)'s fixed bit positions being unset would
+    only be probabilistic — a dense filter can have them all set.
     """
-    out = fact
+    out = fact.where(F.col(key).isNotNull())
     # reserved-prefix internals so a fact table with its own "word" /
     # "word_idx" column never collides with the filter table's columns
     probe_side = bloom.select(
@@ -151,6 +155,16 @@ def bloom_prune_join(
     ``count()`` on the dim, which is small by the operator's premise
     (an oversized dim defeats Bloom pruning regardless of sizing).
     """
+    ftype = dict(fact.dtypes).get(on)
+    dtype = dict(dim.dtypes).get(on)
+    if ftype != dtype:
+        # xxhash64 hashes the RAW typed value while the exact join
+        # would coerce — a type mismatch silently sets no matching
+        # probe bit and every true match is pruned; fail loudly
+        raise ValueError(
+            f"join key dtype mismatch: fact[{on}]={ftype} vs "
+            f"dim[{on}]={dtype} — cast one side before bloom_prune_join"
+        )
     if num_bits is None and expected_keys is None:
         from semantic_ann_in_data_lake_spark.operators.knn import (
             _estimate_rows,

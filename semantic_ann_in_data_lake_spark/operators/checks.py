@@ -282,6 +282,12 @@ def table_diff(
     dropped in the join, so the output is |delta|-sized; the only
     shuffle is the key equi-join of (key, hash) projections — never
     the full rows.
+
+    NULL discipline: the row hash nests a PER-COLUMN hash (NULL → the
+    hash seed constant, position-preserving) — a flat
+    ``xxhash64(c1, c2)`` SKIPS null inputs, so a value MOVING between
+    columns (v=NULL,w='x' → v='x',w=NULL) would hash identically and
+    the audit would report "no change" for a changed row.
     """
     if compare is None:
         compare = sorted(c for c in new.columns if c != key)
@@ -290,7 +296,7 @@ def table_diff(
             raise ValueError(
                 f"snapshots disagree on columns: {old_compare} vs {compare}"
             )
-    h = F.xxhash64(*[F.col(c) for c in compare])
+    h = F.xxhash64(*[F.xxhash64(F.col(c)) for c in compare])
     o = old.select(F.col(key).alias("key"), h.alias("__oh"))
     n = new.select(F.col(key).alias("key"), h.alias("__nh"))
     j = o.join(n, "key", "full_outer")

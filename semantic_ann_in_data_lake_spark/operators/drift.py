@@ -50,8 +50,14 @@ def bin_counts(
     NULLs are excluded — null-rate drift is a separate check."""
     if width <= 0 or n_bins < 2:
         raise ValueError("width must be > 0 and n_bins >= 2")
-    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")
-    clamped = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    # clamp in LONG, cast to int AFTER: casting the raw floor first
+    # overflows int on extreme outliers (ANSI mode: job-killing CAST
+    # error; legacy: negative wraparound that clamps a huge HIGH value
+    # into the LOW edge bin, moving drift the wrong way)
+    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width))
+    clamped = F.least(
+        F.greatest(b, F.lit(0).cast("long")), F.lit(n_bins - 1).cast("long")
+    ).cast("int")
     return (
         df.where(F.col(col).isNotNull())
         .select(clamped.alias("bin"))

@@ -82,12 +82,10 @@ def build_ivf_index(
     seed: int = 42,
     fit: str = "sample",
 ) -> None:
-    c = _prep(emb, id_col, vec_col, "cand").select(
+    prepped = _prep(emb, id_col, vec_col, "cand")
+    cents = fit_ivf_centroids(prepped, nlist=nlist, seed=seed, fit=fit)
+    c = prepped.select(
         F.col("cand_id").alias("vec_id"), F.col("cand_vec").alias("embedding")
-    )
-    cents = fit_ivf_centroids(
-        c.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cand_vec")),
-        nlist=nlist, seed=seed, fit=fit,
     )
     cdf = _centroids_df(emb.sparkSession, cents)
     cdf.write.mode("overwrite").parquet(f"{path}/centroids")

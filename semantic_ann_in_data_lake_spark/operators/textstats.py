@@ -351,3 +351,26 @@ def pii_scrub(
         counts["url"].alias("n_urls"),
         counts["phone"].alias("n_phones"),
     )
+
+
+def gopher_ok_from_stats(
+    n_tokens: Column,
+    n_ngrams: Column,
+    n_distinct_ngrams: Column,
+    stop_hits: Column,
+) -> Column:
+    """The composed Gopher keep-decision over pre-staged per-doc
+    scalars: token-count band AND stopword-ratio floor AND duplicate-
+    3-gram ceiling. Shared by the quality gate and the corpus datacard
+    so the thresholds live in exactly one place (callers stage the
+    scalars from ONE words array first — inlining the array ops here
+    would re-evaluate them per predicate, the Catalyst HOF trap)."""
+    stop_ratio = _r4(
+        stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1))
+    )
+    dup_frac = _r4(
+        F.when(n_ngrams == 0, F.lit(0.0)).otherwise(
+            (n_ngrams - n_distinct_ngrams).cast("double") / n_ngrams
+        )
+    )
+    return n_tokens.between(20, 200) & (stop_ratio >= 0.05) & (dup_frac <= 0.2)

@@ -985,7 +985,9 @@ _BITEXT_TAU = 1.0
                                   + bs.tsum::DOUBLE / bs.tcnt) / 2),
                        6) AS margin
           FROM f JOIN fs USING (sid) JOIN bs USING (tid)
-          WHERE f.rn <= {_BITEXT_K}),
+          WHERE f.rn <= {_BITEXT_K}
+            AND (fs.ssum::DOUBLE / fs.scnt
+                 + bs.tsum::DOUBLE / bs.tcnt) / 2 > 0),
     r AS (SELECT sid, tid, sim6, margin,
                  row_number() OVER (PARTITION BY sid
                                     ORDER BY margin DESC, tid) AS rn
@@ -1159,18 +1161,20 @@ def ivf_index_search_distcheck(spark, sf_dir):
         search_ivf_index,
     )
 
+    from semantic_ann_in_data_lake_spark.operators.ivf_index import (
+        build_ivf_index,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
-    # reuse the artifact ivf_index_build_refresh_check materializes;
-    # (re)build if this query runs first or standalone
+    # own subdir, rebuilt every run: reusing another query's artifact
+    # (or a previous session's, via an exists-check) would verify a
+    # STALE index against fresh vectors — vacuous if the stale ids
+    # drop out of the invariant join, spuriously red otherwise
     path = os.path.join(
         "/tmp/sals_gate/ivf_index",
         os.path.basename(os.path.normpath(sf_dir)),
+        "search",
     )
-    if not os.path.exists(os.path.join(path, "cells")):
-        from semantic_ann_in_data_lake_spark.operators.ivf_index import (
-            build_ivf_index,
-        )
-
-        build_ivf_index(emb, path, nlist=8)
+    build_ivf_index(emb, path, nlist=8)
     res = search_ivf_index(spark, path, emb, k=5, nprobe=4)
     return checks.knn_invariant_violations(res, emb, metric="l2_sq")

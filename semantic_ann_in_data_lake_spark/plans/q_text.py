@@ -346,19 +346,13 @@ def quality_filter_docs(spark, sf_dir):
         F.size(word_shingles_from(F.col("__w"), 3)).alias("n_distinct_ngrams"),
         _count_in(F.col("__w"), STOPWORDS).alias("stop_hits"),
     )
-    stop_ratio = _r4(
-        F.col("stop_hits").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
-    )
-    dup_frac = _r4(
-        F.when(F.col("n_ngrams") == 0, F.lit(0.0)).otherwise(
-            (F.col("n_ngrams") - F.col("n_distinct_ngrams")).cast("double")
-            / F.col("n_ngrams")
-        )
-    )
     return staged.where(
-        F.col("n_tokens").between(20, 200)
-        & (stop_ratio >= 0.05)
-        & (dup_frac <= 0.2)
+        textstats.gopher_ok_from_stats(
+            F.col("n_tokens"),
+            F.col("n_ngrams"),
+            F.col("n_distinct_ngrams"),
+            F.col("stop_hits"),
+        )
     ).select("doc_id")
 
 
@@ -800,29 +794,11 @@ def corpus_datacard(spark, sf_dir):
         words("text").alias("__w"),
     ).select(
         "doc_id", "lang", "source", "nt", "nc", "h",
-        (
-            F.col("nt").between(20, 200)
-            & (
-                _r4(
-                    _count_in(F.col("__w"), STOPWORDS).cast("double")
-                    / F.greatest(F.col("nt"), F.lit(1))
-                )
-                >= 0.05
-            )
-            & (
-                _r4(
-                    F.when(
-                        F.greatest(F.col("nt") - 2, F.lit(0)) == 0, F.lit(0.0)
-                    ).otherwise(
-                        (
-                            F.greatest(F.col("nt") - 2, F.lit(0))
-                            - F.size(word_shingles_from(F.col("__w"), 3))
-                        ).cast("double")
-                        / F.greatest(F.col("nt") - 2, F.lit(0))
-                    )
-                )
-                <= 0.2
-            )
+        textstats.gopher_ok_from_stats(
+            F.col("nt"),
+            F.greatest(F.col("nt") - 2, F.lit(0)),
+            F.size(word_shingles_from(F.col("__w"), 3)),
+            _count_in(F.col("__w"), STOPWORDS),
         ).alias("ok"),
     )
     tot = s.agg(

@@ -134,12 +134,13 @@ def _gate_ordered(names) -> list[str]:
             0 if REGISTRY[n][1] is not None else 2,
         )
 
+    # sorted() is stable: registration order is the free tie-break
     fresh = sorted(
         (
             n for n in names
             if n not in _GATED_PRIOR_ROUNDS and n not in _GATE_RED_RETRY
         ),
-        key=lambda n: (fresh_rank(n), list(names).index(n)),
+        key=fresh_rank,
     )
     retry = [n for n in names if n in _GATE_RED_RETRY]
     seen = [

@@ -58,18 +58,23 @@ def ewma_stream(events: DataFrame, round_dp: int = 6) -> DataFrame:
                 evs.append((int(r.ts.value // 1000), int(r.event_id), float(r.value)))
         evs.sort()
         if state.exists:
-            y, n, last_us = state.get
+            y, n, last_us, last_eid = state.get
         else:
-            y, n, last_us = 0.0, 0, -1
+            y, n, last_us, last_eid = 0.0, 0, -1, -1
         out = []
         for ts_us, eid, x in evs:
-            if ts_us < last_us:
+            # lexicographic (ts, event_id) guard: a bare ts < last
+            # check would fold an equal-timestamp event from a later
+            # batch AFTER an already-folded higher event_id (diverging
+            # from the batch (ts asc, event_id asc) order) and would
+            # double-fold an at-last-timestamp redelivery
+            if (ts_us, eid) <= (last_us, last_eid):
                 continue  # cross-batch late event: see module docstring
-            last_us = ts_us
+            last_us, last_eid = ts_us, eid
             y = 0.5 * x + 0.5 * y
             n += 1
             out.append((user_id, eid, x, round_half_up(y), n))
-        state.update((y, n, last_us))
+        state.update((y, n, last_us, last_eid))
         if out:
             yield pd.DataFrame(
                 out, columns=["user_id", "event_id", "value", "ewma", "n"]
@@ -79,7 +84,7 @@ def ewma_stream(events: DataFrame, round_dp: int = 6) -> DataFrame:
         normalize_event_ts,
     )
 
-    state_schema = "y double, n long, last_us long"
+    state_schema = "y double, n long, last_us long, last_eid long"
     return (
         normalize_event_ts(events)
         .withWatermark("ts", "1 minute")

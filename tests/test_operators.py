@@ -3516,3 +3516,49 @@ def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, clusters, train_buckets=9, valid_buckets=1)
+
+
+def test_bloom_prune_join_rejects_key_dtype_mismatch(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators.bloomjoin import (
+        bloom_prune_join,
+    )
+
+    fact = spark.range(0, 20).select(F.col("id").cast("string").alias("k"))
+    dim = spark.range(0, 10).select((F.col("id") * 2).alias("k"))
+    with _pytest.raises(ValueError, match="dtype mismatch"):
+        bloom_prune_join(fact, dim, "k")
+
+
+def test_table_diff_catches_null_column_shift(spark):
+    from semantic_ann_in_data_lake_spark.operators.checks import table_diff
+
+    old = spark.createDataFrame([(1, None, "x")], "k int, v string, w string")
+    new = spark.createDataFrame([(1, "x", None)], "k int, v string, w string")
+    got = [(r["key"], r["change"]) for r in table_diff(old, new, "k").collect()]
+    assert got == [(1, "changed")]  # flat xxhash64 would report no change
+
+
+def test_bin_counts_survives_extreme_outlier(spark):
+    from semantic_ann_in_data_lake_spark.operators.drift import bin_counts
+
+    df = spark.createDataFrame(
+        [(3.0e10,), (-3.0e10,), (5.0,)], "x double"
+    )
+    rows = {r["bin"]: r["n"] for r in bin_counts(df, "x", 0.0, 10.0, 10).collect()}
+    # extreme high clamps into the TOP bin, extreme low into bin 0 — no
+    # ANSI cast overflow, no wraparound into the wrong edge
+    assert rows == {9: 1, 0: 2}
+
+
+def test_bitext_drops_non_positive_neighborhoods(spark):
+    from semantic_ann_in_data_lake_spark.operators.bitext import mine_bitext
+
+    # tgt vectors all anti-aligned with src: every neighborhood sum is
+    # negative; no pair may be emitted (a mis-ranked anti-translation
+    # would otherwise beat the tau filter via a negative denominator)
+    src = _vecs_df(spark, [("a", [1.0, 0.0]), ("b", [0.9, 0.1])])
+    tgt = _vecs_df(spark, [("x", [-1.0, 0.0]), ("y", [-0.9, -0.1])])
+    assert mine_bitext(src, tgt, k=2, margin_tau=0.0).count() == 0

@@ -47,6 +47,7 @@ def knn_invariant_violations(
     metric: str = "l2_sq",
     round_dp: int = 6,
     tol: float = DIST_TOL,
+    cand_emb: DataFrame | None = None,
 ) -> DataFrame:
     """Violations of the kNN result contract for ``knn`` (any strategy)
     over source vectors ``emb``: returns (query_id, cand_id, reported,
@@ -60,8 +61,11 @@ def knn_invariant_violations(
     - ``distance`` is monotone along rank (asc for l2_sq, desc for
       cosine) — ties must break by ``cand_id`` ascending.
     """
+    # cand_emb: asymmetric contracts — e.g. the PQ/ADC tier, where the
+    # reported distance is exact w.r.t. the RECONSTRUCTED candidate
     qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv"))
-    cv = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("__cv"))
+    cside = cand_emb if cand_emb is not None else emb
+    cv = cside.select(F.col(id_col).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("__cv"))
     j = knn.join(qv, "query_id").join(cv, "cand_id")
     if metric == "l2_sq":
         expected = l2_sq("__qv", "__cv")

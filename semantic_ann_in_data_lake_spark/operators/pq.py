@@ -516,3 +516,43 @@ def load_pq_index(spark, path: str):
     for r in bk:
         books[r["subspace"], r["codeword"]] = r["center"]
     return codes, books
+
+
+def pq_decode(
+    codes: DataFrame, codebooks, id_col: str = "vec_id"
+) -> DataFrame:
+    """Reconstruct the quantized vectors from their codes:
+    ``(vec_id, embedding)`` with ``embedding[j·dsub:(j+1)·dsub] =
+    codebooks[j][codes[j]]``. The decode makes the ADC contract
+    CHECKABLE: an ADC distance is BY DEFINITION the exact L2² between
+    the raw query and this reconstruction, so
+    ``checks.knn_invariant_violations(res, emb, cand_emb=decoded)``
+    turns the approximate tier into an invariant-gated one. One
+    Arrow-batched pass, codebooks broadcast."""
+    import numpy as np
+
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks))
+
+    def run(batches: Iterator):
+        import pandas as pd
+
+        bks = bc.value
+        mm, _, dsub = bks.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cs = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            dec = np.empty((len(cs), mm * dsub), dtype=np.float64)
+            for j in range(mm):
+                dec[:, j * dsub:(j + 1) * dsub] = bks[j][cs[:, j]]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "embedding": [row.tolist() for row in dec],
+                }
+            )
+
+    return codes.mapInPandas(
+        run, schema="vec_id long, embedding array<double>"
+    )

@@ -1178,3 +1178,27 @@ def ivf_index_search_distcheck(spark, sf_dir):
     build_ivf_index(emb, path, nlist=8)
     res = search_ivf_index(spark, path, emb, k=5, nprobe=4)
     return checks.knn_invariant_violations(res, emb, metric="l2_sq")
+
+
+@register("knn_pq_adc_distcheck", _KNN_CHECK_EMPTY_SQL)
+def knn_pq_adc_distcheck(spark, sf_dir):
+    """Contract gate for the PQ/ADC tier (`knn_pq_l2`, previously
+    rows-only): an ADC distance is BY DEFINITION the exact L2² between
+    the raw query and the RECONSTRUCTED candidate, so decoding the
+    codes (pq.pq_decode) turns the approximate tier into an
+    invariant-gated one — empty iff every reported distance matches
+    the decode-side recompute and ranks are consistent. Codebooks and
+    codes re-derive deterministically (seeded, id-sorted sample), so
+    the check replays the exact same quantization."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+    from semantic_ann_in_data_lake_spark.operators.pq import (
+        knn_pq, pq_decode, pq_encode, train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = knn_pq(emb, emb, k=5)
+    books = train_pq_codebooks(emb)
+    decoded = pq_decode(pq_encode(emb, books), books)
+    return checks.knn_invariant_violations(
+        res, emb, metric="l2_sq", cand_emb=decoded
+    )

@@ -3562,3 +3562,33 @@ def test_bitext_drops_non_positive_neighborhoods(spark):
     src = _vecs_df(spark, [("a", [1.0, 0.0]), ("b", [0.9, 0.1])])
     tgt = _vecs_df(spark, [("x", [-1.0, 0.0]), ("y", [-0.9, -0.1])])
     assert mine_bitext(src, tgt, k=2, margin_tau=0.0).count() == 0
+
+
+def test_pq_adc_contract_and_decode(spark, sf_dir):
+    """ADC distances are exact w.r.t. the decoded reconstruction (the
+    gate's invariant), and a corrupted distance IS caught."""
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators import checks
+    from semantic_ann_in_data_lake_spark.operators.pq import (
+        knn_pq, pq_decode, pq_encode, train_pq_codebooks,
+    )
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    res = knn_pq(emb, emb, k=3)
+    books = train_pq_codebooks(emb)
+    decoded = pq_decode(pq_encode(emb, books), books)
+    ok = checks.knn_invariant_violations(res, emb, cand_emb=decoded)
+    assert ok.count() == 0
+    # corrupt one reported distance -> exactly that pair flags
+    bad = res.withColumn(
+        "distance",
+        F.when(
+            (F.col("rank") == 1)
+            & (F.col("query_id") == res.select(F.min("query_id")).collect()[0][0]),
+            F.col("distance") + 0.5,
+        ).otherwise(F.col("distance")),
+    )
+    v = checks.knn_invariant_violations(bad, emb, cand_emb=decoded).collect()
+    assert len(v) >= 1 and any(r["violation"] == "distance" for r in v)

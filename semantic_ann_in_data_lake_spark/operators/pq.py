@@ -287,6 +287,138 @@ def knn_pq(
     )
 
 
+def fit_ivf_pq(
+    c: DataFrame, nlist: int = 16, m: int = 16, ksub: int = 256,
+    seed: int = 42,
+):
+    """Coarse centroids + RESIDUAL codebooks for the IVF-PQ tier, from
+    ONE collected bounded id-sorted seeded sample (a second
+    limit().toPandas() would double the driver collection); Lloyd in
+    the BLAS |x|²-2x·c+|c|² form — the (n, nlist, dim) broadcast
+    difference allocates ~800 MB/iteration at the 100k sample (the
+    exact cost _books_from_mat's comment documents). Deterministic, so
+    the ADC contract check can replay the identical quantization.
+
+    Residual codebooks (FAISS IVF-PQ): quantize x − centroid(cell),
+    not x. Residuals are centered and much smaller in norm than raw
+    vectors, so the same ksub codewords spend their resolution on the
+    within-cell geometry — ||q−x|| = ||q′−x′|| exactly when both
+    subtract the same centroid, so ADC on residuals estimates the
+    true distance with strictly less quantization error."""
+    import numpy as np
+
+    sample = (
+        c.limit(100_000).toPandas().sort_values("cand_id", kind="mergesort")
+    )
+    mat = np.asarray(list(sample["cand_vec"]), dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+    mat_sq = (mat * mat).sum(axis=1)[:, None]
+    for _ in range(10):
+        d2 = (
+            mat_sq
+            - 2.0 * (mat @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        for j in range(len(cents)):
+            members = mat[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    d2 = (
+        mat_sq - 2.0 * (mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+    )
+    books = _books_from_mat(mat - cents[d2.argmin(axis=1)], m, ksub, seed)
+    return cents, books
+
+
+def ivf_pq_encode(
+    candidates: DataFrame, cents, books,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Standalone (cand_id, codes, cell) encoder under a FIXED
+    quantizer — the replayable half of the IVF-PQ contract check (and
+    the nightly-index form of the encode knn_ivf_pq performs
+    inline)."""
+    import numpy as np
+
+    spark = candidates.sparkSession
+    c = _prep(candidates, id_col, vec_col, "cand")
+    bc = spark.sparkContext.broadcast((np.asarray(cents), np.asarray(books)))
+
+    def run(batches: Iterator):
+        import pandas as pd
+
+        cents_, books_ = bc.value
+        mm, _, dsub = books_.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.asarray(list(pdf["cand_vec"]), dtype=np.float64)
+            d2 = (
+                (vecs * vecs).sum(axis=1)[:, None]
+                - 2.0 * (vecs @ cents_.T)
+                + (cents_ * cents_).sum(axis=1)[None, :]
+            )
+            cell = d2.argmin(axis=1).astype("int32")
+            res = vecs - cents_[cell]
+            codes = np.empty((len(vecs), mm), dtype=np.int64)
+            for j in range(mm):
+                sub = res[:, j * dsub:(j + 1) * dsub]
+                sd2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ books_[j].T)
+                    + (books_[j] * books_[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = sd2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "cand_id": pdf["cand_id"].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                    "cell": cell,
+                }
+            )
+
+    return c.mapInPandas(
+        run, schema="cand_id long, codes array<int>, cell int"
+    )
+
+
+def ivf_pq_decode(coded: DataFrame, cents, books) -> DataFrame:
+    """Reconstruction under the IVF-PQ quantizer: ``centroid(cell) +
+    residual_decode(codes)`` — the vector whose exact L2² to the raw
+    query IS the reported residual-frame ADC distance
+    (‖(q−c)−r‖ = ‖q−(c+r)‖), making the tier invariant-checkable."""
+    import numpy as np
+
+    spark = coded.sparkSession
+    bc = spark.sparkContext.broadcast((np.asarray(cents), np.asarray(books)))
+
+    def run(batches: Iterator):
+        import pandas as pd
+
+        cents_, books_ = bc.value
+        mm, _, dsub = books_.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cs = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            dec = np.empty((len(cs), mm * dsub), dtype=np.float64)
+            for j in range(mm):
+                dec[:, j * dsub:(j + 1) * dsub] = books_[j][cs[:, j]]
+            dec += cents_[pdf["cell"].to_numpy(dtype=np.int64)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["cand_id"].to_numpy(dtype=np.int64),
+                    "embedding": [row.tolist() for row in dec],
+                }
+            )
+
+    return coded.mapInPandas(
+        run, schema="vec_id long, embedding array<double>"
+    )
+
+
 def knn_ivf_pq(
     queries: DataFrame,
     candidates: DataFrame,
@@ -319,39 +451,7 @@ def knn_ivf_pq(
     spark = queries.sparkSession
     c = _prep(candidates, id_col, vec_col, "cand")
 
-    # coarse centroids + codebooks from ONE collected sample (a second
-    # limit().toPandas() would double the driver collection), Lloyd in
-    # the BLAS |x|²-2x·c+|c|² form — the (n, nlist, dim) broadcast
-    # difference allocates ~800 MB/iteration at the 100k sample (the
-    # exact cost _books_from_mat's comment documents)
-    sample = (
-        c.limit(100_000).toPandas().sort_values("cand_id", kind="mergesort")
-    )
-    mat = np.asarray(list(sample["cand_vec"]), dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    cents = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
-    mat_sq = (mat * mat).sum(axis=1)[:, None]
-    for _ in range(10):
-        d2 = (
-            mat_sq
-            - 2.0 * (mat @ cents.T)
-            + (cents * cents).sum(axis=1)[None, :]
-        )
-        assign = d2.argmin(axis=1)
-        for j in range(len(cents)):
-            members = mat[assign == j]
-            if len(members):
-                cents[j] = members.mean(axis=0)
-    # RESIDUAL codebooks (FAISS IVF-PQ): quantize x − centroid(cell),
-    # not x. Residuals are centered and much smaller in norm than raw
-    # vectors, so the same ksub codewords spend their resolution on the
-    # within-cell geometry — ||q−x|| = ||q′−x′|| exactly when both
-    # subtract the same centroid, so ADC on residuals estimates the
-    # true distance with strictly less quantization error.
-    d2 = (
-        mat_sq - 2.0 * (mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
-    )
-    books = _books_from_mat(mat - cents[d2.argmin(axis=1)], m, ksub, seed)
+    cents, books = fit_ivf_pq(c, nlist=nlist, m=m, ksub=ksub, seed=seed)
     bc = spark.sparkContext.broadcast((cents, np.asarray(books)))
 
     def encode_and_cell(batches):

@@ -1202,3 +1202,29 @@ def knn_pq_adc_distcheck(spark, sf_dir):
     return checks.knn_invariant_violations(
         res, emb, metric="l2_sq", cand_emb=decoded
     )
+
+
+@register("knn_ivf_pq_adc_distcheck", _KNN_CHECK_EMPTY_SQL)
+def knn_ivf_pq_adc_distcheck(spark, sf_dir):
+    """Contract gate for the IVF-PQ tier (`knn_ivf_pq_l2`, previously
+    rows-only): a residual-frame ADC distance is the exact L2² between
+    the raw query and centroid(cell) + decoded residual
+    (‖(q−c)−r‖ = ‖q−(c+r)‖), so replaying the deterministic quantizer
+    (pq.fit_ivf_pq / ivf_pq_encode / ivf_pq_decode) and recomputing
+    decode-side turns the approximation into an invariant — empty iff
+    every reported distance matches and ranks are consistent."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+    from semantic_ann_in_data_lake_spark.operators.knn import _prep
+    from semantic_ann_in_data_lake_spark.operators.pq import (
+        fit_ivf_pq, ivf_pq_decode, ivf_pq_encode, knn_ivf_pq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = knn_ivf_pq(emb, emb, k=5, nlist=16, nprobe=8)
+    cents, books = fit_ivf_pq(
+        _prep(emb, "vec_id", "embedding", "cand"), nlist=16
+    )
+    decoded = ivf_pq_decode(ivf_pq_encode(emb, cents, books), cents, books)
+    return checks.knn_invariant_violations(
+        res, emb, metric="l2_sq", cand_emb=decoded
+    )

@@ -364,3 +364,31 @@ def test_shard_assignment_total_and_stable(shared_spark, ids, n):
          .collect()}
     assert a == b and set(a) == set(ids)
     assert all(0 <= s < n for s in a.values())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=150), min_size=5, max_size=60
+    ),
+    st.sampled_from([0.1, 0.25, 0.5, 0.9, 1.0]),
+)
+def test_quantiles_from_bins_error_bound_arbitrary(shared_spark, vals, q):
+    """For ANY integer sample and quantile, the histogram estimate is
+    within one bin width of the exact rank statistic (edge clamping
+    included: values outside [lo, lo+n·w) land in edge bins)."""
+    import math
+
+    from semantic_ann_in_data_lake_spark.operators.drift import (
+        bin_counts, quantiles_from_bins,
+    )
+
+    lo, width, n_bins = 0.0, 10.0, 10
+    df = shared_spark.createDataFrame([(float(v),) for v in vals], "x double")
+    b = bin_counts(df, "x", lo, width, n_bins)
+    est = quantiles_from_bins(b, lo, width, (q,)).collect()[0]["est"]
+    srt = sorted(vals)
+    exact = srt[max(0, math.ceil(q * len(srt)) - 1)]
+    # clamp the exact value the way the histogram clamps its bins
+    exact_clamped = min(max(float(exact), lo), lo + n_bins * width)
+    assert abs(est - exact_clamped) <= width + 1e-9, (est, exact_clamped)

@@ -280,6 +280,11 @@ def bench_queries(spark, sf_dir):
         "ewma_user_value": from_registry("ewma_user_value"),
         "join_size_estimate": from_registry("join_size_orders_lineitem"),
         "hard_negatives_bcast": hard_negatives_bcast,
+        # round-4 continuation 3: reports, diffs, leak-safe splits
+        "corpus_datacard": from_registry("corpus_datacard"),
+        "table_diff_orders": from_registry("table_diff_orders"),
+        "leakage_safe_split": from_registry("leakage_safe_split_docs"),
+        "quantiles_from_bins": from_registry("quantiles_from_bins_totalprice"),
     }
 
 

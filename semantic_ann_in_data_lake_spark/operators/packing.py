@@ -90,3 +90,67 @@ def pack_sequences(
         F.expr(f"cum_before div {int(budget)}L").alias("bin_id"),
         (F.col("cum_before") % budget).alias("bin_offset"),
     )
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_bucket: int = 16,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Inference-side counterpart of :func:`pack_sequences`: batched
+    serving pads every sequence in a batch to the batch max, so
+    batching unsorted traffic wastes compute proportional to the
+    length spread. The standard fix buckets by power-of-two token
+    length; this operator reports the bucket layout AND its padding
+    economics so a serving owner can size buckets from data:
+
+    ``(bucket, n_docs, token_sum, padded_sum, padding_waste)`` where
+    ``bucket`` is the po2 capacity each doc pads to (clamped to
+    [min_bucket, max_bucket] — oversize docs would be split upstream),
+    ``padded_sum = n_docs·bucket``, and ``padding_waste = 1 −
+    token_sum/padded_sum`` (the fraction of batch compute spent on
+    pad tokens). One row-local bucket expression + one groupBy over
+    ≤log2(max/min)+1 groups; integer-exact, cross-engine.
+    """
+    if min_bucket < 1 or max_bucket < min_bucket:
+        raise ValueError("need 1 <= min_bucket <= max_bucket")
+    if min_bucket & (min_bucket - 1) or max_bucket & (max_bucket - 1):
+        raise ValueError("buckets must be powers of two")
+    from semantic_ann_in_data_lake_spark.functions.text import words
+
+    toks = docs.select(
+        F.col(id_col), F.size(words(text_col)).cast("long").alias("n_tokens")
+    )
+    # next power of two ≥ n (n ≥ 1): 2^ceil(log2(n)). Safe cross-engine
+    # because log2 is EXACT at powers of two (the only inputs where
+    # ceil sits on a boundary): 2^k is representable and a correctly-
+    # rounded log2 returns exactly k there, in both the JVM and DuckDB
+    po2 = F.expr(
+        "shiftleft(1L, cast(ceil(log2(greatest(n_tokens, 1))) as int))"
+    )
+    bucket = F.least(
+        F.greatest(po2, F.lit(min_bucket).cast("long")),
+        F.lit(max_bucket).cast("long"),
+    )
+    b = toks.withColumn("bucket", bucket)
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("token_sum"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "token_sum",
+            (F.col("n_docs") * F.col("bucket")).alias("padded_sum"),
+            F.round(
+                F.lit(1.0)
+                - F.col("token_sum").cast("double")
+                / (F.col("n_docs") * F.col("bucket")).cast("double"),
+                6,
+            ).alias("padding_waste"),
+        )
+    )

@@ -869,3 +869,36 @@ def corpus_datacard(spark, sf_dir):
         )
     )
     return card.unionByName(lang).unionByName(src)
+
+
+@register(
+    "length_bucket_batches_docs",
+    f"""
+    WITH t AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens
+               FROM documents),
+    b AS (SELECT doc_id, n_tokens,
+                 least(greatest(
+                   (1::BIGINT << ceil(log2(greatest(n_tokens, 1)))::INT),
+                   16), 1024) AS bucket
+          FROM t)
+    SELECT bucket, count(*) AS n_docs, sum(n_tokens)::BIGINT AS token_sum,
+           (count(*) * bucket)::BIGINT AS padded_sum,
+           round(1.0 - sum(n_tokens)::DOUBLE / (count(*) * bucket), 6)
+             AS padding_waste
+    FROM b GROUP BY bucket
+    """,
+)
+def length_bucket_batches_docs(spark, sf_dir):
+    """Inference-serving layout (operators/packing.py::
+    length_bucket_batches): power-of-two length buckets with their
+    padding economics — the data a serving owner sizes batch buckets
+    from (padding_waste = fraction of batch compute spent on pad
+    tokens). Row-local bucketing + one groupBy over ≤log2 spread
+    groups; integer-exact."""
+    from semantic_ann_in_data_lake_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    return length_bucket_batches(
+        _t(spark, sf_dir, "documents"), min_bucket=16, max_bucket=1024
+    )

@@ -3592,3 +3592,33 @@ def test_pq_adc_contract_and_decode(spark, sf_dir):
     )
     v = checks.knn_invariant_violations(bad, emb, cand_emb=decoded).collect()
     assert len(v) >= 1 and any(r["violation"] == "distance" for r in v)
+
+
+def test_length_bucket_batches_semantics(spark):
+    import pyspark.sql.functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "one two three"),              # 3 tokens  -> min bucket 16
+            ("b", " ".join(["w"] * 16)),         # 16 -> exactly 16
+            ("c", " ".join(["w"] * 17)),         # 17 -> 32
+            ("d", " ".join(["w"] * 200)),        # 200 -> 256
+            ("e", " ".join(["w"] * 5000)),       # 5000 -> clamped to 1024
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["bucket"]: r for r in length_bucket_batches(
+        docs, min_bucket=16, max_bucket=1024).collect()}
+    assert set(out) == {16, 32, 256, 1024}
+    assert out[16]["n_docs"] == 2 and out[32]["n_docs"] == 1
+    assert out[1024]["token_sum"] == 5000 and out[1024]["padded_sum"] == 1024
+    # waste sanity: tiny docs in a 16-bucket waste most of it
+    assert out[16]["padding_waste"] > 0.3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        length_bucket_batches(docs, min_bucket=10)  # not a power of two

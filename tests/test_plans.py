@@ -316,3 +316,13 @@ def test_psi_scans_each_snapshot_once(spark, sf_dir):
     # 2 columns × 2 snapshots × 2 mentions; the agg+join form doubled it
     assert plan.count("Scan parquet") == 8
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_datacard_three_scans(spark, sf_dir):
+    """The datacard's scalar sections share ONE wide conditional
+    aggregation; total scans = 3 (scalars + lang shares + source
+    shares), not one per metric."""
+    plan = _plan(spark, sf_dir, "corpus_datacard")
+    # formatted mode mentions each scan node twice (tree + details)
+    assert plan.count("Scan parquet") <= 6
+    assert "CartesianProduct" not in plan

@@ -83,10 +83,17 @@ def remove_shared_segments(
     # raw whitespace tokens (NOT the normalizing words(): a rewrite
     # must preserve the document's own bytes, only deleting segments)
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    segs = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode_outer(_segments(toks, seg_words)).alias("pos", "seg"),
-    ).withColumn("gh", hasher(F.col("seg")))
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+
+    # persisted: segs feeds both the shared-hash aggregate and the
+    # reassembly join — without it the scan + segment + hash run twice
+    # (Catalyst has no cross-branch CSE; same note as discovery.py)
+    segs = scoped_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode_outer(_segments(toks, seg_words)).alias("pos", "seg"),
+        ).withColumn("gh", hasher(F.col("seg")))
+    )
 
     shared = (
         segs.where(F.col("gh").isNotNull())

@@ -195,11 +195,18 @@ def value_overlap_discovery(
             ),
             ["query_table", "query_column"],
         )
+        # threshold compare on the INTEGER counts (overlap >= tau·n):
+        # a 6-dp-rounded ratio drops pairs at non-representable taus
+        # (1/3) and zeroes out small containments past ~2M distinct
+        # values — the rounded column is display only
+        .where(
+            F.col("n_overlap").cast("double")
+            >= F.lit(threshold) * F.col("n_distinct").cast("double")
+        )
         .withColumn(
             "containment",
             F.round(F.col("n_overlap") / F.col("n_distinct"), 6),
         )
-        .where(F.col("containment") >= threshold)
         .select(
             "query_table",
             "query_column",

@@ -35,6 +35,10 @@ def global_row_number(
 
     Cost: one range shuffle + one tiny (n_partitions-row) aggregate.
     """
+    reserved = {"__pid", "__local_rn", "__offset"} & set(df.columns)
+    if reserved:
+        # withColumn would silently REPLACE (then drop) caller columns
+        raise ValueError(f"df carries reserved internal columns: {sorted(reserved)}")
     keys = [F.col(c) for c in order_cols]
     ranged = (
         df.repartitionByRange(num_partitions, *keys)
@@ -84,6 +88,8 @@ def equidepth_histogram(
     is engine-defined). The count column is ~n/buckets by construction;
     lo/hi expose the actual value range per depth slice.
     """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
     ranked = global_row_number(
         df.select(value_col, tie_col), [value_col, tie_col],
         num_partitions=num_partitions,
@@ -128,9 +134,16 @@ def winsorized_mean(
     discipline; 4 dp)."""
     if not (0.0 <= lower_q < upper_q <= 1.0):
         raise ValueError(f"need 0 <= lower_q < upper_q <= 1, got {lower_q}, {upper_q}")
+    # NULL contract: NULL values are EXCLUDED up front. Left in, they
+    # rank first, so the lower-quantile rank can select a NULL row
+    # whose value min() then skips — collapsing lo to hi and clamping
+    # every value to the upper bound; raw_mean would also divide a
+    # null-skipping sum by an all-rows count.
     ranked = scoped_persist(
         global_row_number(
-            df.select(value_col, tie_col), [value_col, tie_col],
+            df.select(value_col, tie_col)
+            .where(F.col(value_col).isNotNull()),
+            [value_col, tie_col],
             num_partitions=num_partitions,
         )
     )

@@ -99,7 +99,6 @@ def jaccard_prefix_join(
     b = prefix.select(
         F.col("tok"), F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")
     )
-    # size filter: Jaccard >= tau requires tau*|A| <= |B| <= |A|/tau
     # size filter: Jaccard >= tau requires tau*|A| <= |B| <= |A|/tau.
     # Same float-boundary hazard as the prefix ceil (|A|=7, |B|=25,
     # tau=0.28: 25*0.28 > 7 in doubles though exactly equal) — relax by
@@ -117,11 +116,21 @@ def jaccard_prefix_join(
     tb = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
+    # threshold compare on the INTEGER counts (inter >= tau·union):
+    # comparing the 6-dp-ROUNDED ratio would drop a pair whose true
+    # Jaccard exactly equals a non-representable tau (1/3) and admit
+    # one a hair below a representable tau (0.4999995 -> 0.5) — the
+    # rounded column is display only
     return (
         cands.join(ta, "id_a")
         .join(tb, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .where(F.col("jaccard") >= threshold)
+        .withColumn("__inter", inter)
+        .withColumn("__union", union)
+        .where(
+            F.col("__inter").cast("double")
+            >= F.lit(threshold) * F.col("__union").cast("double")
+        )
+        .withColumn("jaccard", F.round(F.col("__inter") / F.col("__union"), 6))
         .select("id_a", "id_b", "jaccard")
     )
 

@@ -50,6 +50,21 @@ def _bucket(key: Column, depth: int, width: int, portable: bool) -> Column:
     return F.pmod(h, F.lit(width)).cast("int")
 
 
+def _coords(key: Column, depth: int, width: int, portable: bool) -> Column:
+    """The exploded (depth, bucket) coordinate array — ONE definition
+    shared by the sketch build and the probe so their layouts can never
+    silently diverge (est >= true depends on them agreeing)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                _bucket(key, d, width, portable).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
 def cms_sketch(
     df: DataFrame,
     key_col: str,
@@ -62,15 +77,7 @@ def cms_sketch(
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2; got {depth}×{width}")
     key = F.col(key_col).cast("string")
-    coords = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("depth"),
-                _bucket(key, d, width, portable).alias("bucket"),
-            )
-            for d in range(depth)
-        ]
-    )
+    coords = _coords(key, depth, width, portable)
     return (
         df.where(F.col(key_col).isNotNull())
         .select(F.explode(coords).alias("c"))
@@ -107,17 +114,7 @@ def cms_heavy_hitters(
     probes = truth.select(
         "key",
         "true_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("depth"),
-                        _bucket(F.col("key"), d, width, portable).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("c"),
+        F.explode(_coords(F.col("key"), depth, width, portable)).alias("c"),
     ).select("key", "true_count", F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
 
     est = (

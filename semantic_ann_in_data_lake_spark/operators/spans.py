@@ -73,8 +73,17 @@ def duplicated_span_stats(
     Documents shorter than ``n`` words appear with ``n_grams = 0`` and
     ``dup_fraction = 0.0`` — profile consumers enumerate every doc.
     """
+    if n < 1:
+        # n=0 would make every position an empty-string gram: all docs
+        # "share" one hash and report dup_fraction ~1.0 with no error
+        raise ValueError(f"n must be >= 1, got {n}")
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+
     hasher = portable_hash64 if portable else fast_hash64
-    grams = (
+    # persisted: grams feeds both the shared-hash aggregate and the
+    # per-doc join — Catalyst has no cross-branch CSE, so without the
+    # persist the scan + tokenize + explode + hash run twice
+    grams = scoped_persist(
         docs.select(F.col(id_col).alias("doc_id"), words(text_col).alias("__w"))
         .select("doc_id", F.explode_outer(positional_ngrams(F.col("__w"), n)).alias("gram"))
         .select("doc_id", hasher(F.col("gram")).alias("gh"))

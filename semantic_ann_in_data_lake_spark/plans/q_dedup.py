@@ -394,12 +394,13 @@ def lsh_recall_report(spark, sf_dir):
     nz AS (SELECT * FROM t WHERE len(toks) > 0),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(len(list_intersect(a.toks, b.toks))::DOUBLE
-                   / (len(a.toks) + len(b.toks)
-                      - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+             len(list_intersect(a.toks, b.toks))::BIGINT AS i,
+             (len(a.toks) + len(b.toks)
+              - len(list_intersect(a.toks, b.toks)))::BIGINT AS u
       FROM nz a JOIN nz b ON a.doc_id < b.doc_id
     )
-    SELECT * FROM pairs WHERE jaccard >= 0.5
+    SELECT id_a, id_b, round(i::DOUBLE / u, 6) AS jaccard
+    FROM pairs WHERE i::DOUBLE >= 0.5 * u::DOUBLE
     """,
 )
 def jaccard_prefix_join(spark, sf_dir):
@@ -487,12 +488,13 @@ def fuzzy_join_part_names(spark, sf_dir):
     nz AS (SELECT * FROM t WHERE len(toks) > 0),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(len(list_intersect(a.toks, b.toks))::DOUBLE
-                   / (len(a.toks) + len(b.toks)
-                      - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+             len(list_intersect(a.toks, b.toks))::BIGINT AS i,
+             (len(a.toks) + len(b.toks)
+              - len(list_intersect(a.toks, b.toks)))::BIGINT AS u
       FROM nz a JOIN nz b ON a.doc_id < b.doc_id
     )
-    SELECT * FROM pairs WHERE jaccard >= 0.9
+    SELECT id_a, id_b, round(i::DOUBLE / u, 6) AS jaccard
+    FROM pairs WHERE i::DOUBLE >= 0.9 * u::DOUBLE
     """,
 )
 def dedup_then_jaccard_join(spark, sf_dir):

@@ -3622,3 +3622,71 @@ def test_length_bucket_batches_semantics(spark):
 
     with _pytest.raises(ValueError):
         length_bucket_batches(docs, min_bucket=10)  # not a power of two
+
+
+def test_jaccard_join_exact_at_nonrepresentable_threshold(spark):
+    """A pair whose true Jaccard EQUALS tau=1/3 must survive: the
+    threshold compares integer counts, not the 6-dp-rounded ratio."""
+    from semantic_ann_in_data_lake_spark.operators.setjoin import (
+        jaccard_prefix_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "x y z")], ["doc_id", "text"]
+    )
+    got = [(r["id_a"], r["id_b"]) for r in
+           jaccard_prefix_join(docs, threshold=1 / 3).collect()]
+    assert (1, 2) in got  # J({a,b},{b,c}) = 1/3 exactly
+
+
+def test_value_overlap_exact_at_nonrepresentable_threshold(spark):
+    from semantic_ann_in_data_lake_spark.operators.discovery import (
+        value_overlap_discovery,
+    )
+
+    q = spark.createDataFrame(
+        [("t1", "c1", v) for v in ["a", "b", "c"]],
+        ["table_name", "column_name", "value"],
+    )
+    c = spark.createDataFrame(
+        [("t2", "c2", v) for v in ["c", "z", "w", "u"]],
+        ["table_name", "column_name", "value"],
+    )
+    out = value_overlap_discovery(q.unionByName(c), threshold=1 / 3)
+    rows = [(r["query_table"], r["cand_table"]) for r in out.collect()]
+    assert ("t1", "t2") in rows  # containment 1/3 exactly meets tau
+
+
+def test_winsorized_mean_excludes_nulls(spark):
+    from semantic_ann_in_data_lake_spark.operators.ranks import (
+        winsorized_mean,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1), (10.0, 2), (20.0, 3)], "v double, id int"
+    )
+    out = winsorized_mean(df, "v", "id", 0.05, 0.95).collect()[0]
+    # NULL excluded: n=2, bounds (10, 20), raw mean 15 — a NULL ranked
+    # first used to collapse lo to 20 and clamp everything to it
+    assert out["n"] == 2 and out["lo"] == 10.0 and out["hi"] == 20.0
+    assert out["raw_mean"] == 15.0
+
+
+def test_span_and_bucket_param_validation(spark):
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators.ranks import (
+        equidepth_histogram, global_row_number,
+    )
+    from semantic_ann_in_data_lake_spark.operators.spans import (
+        duplicated_span_stats,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        duplicated_span_stats(docs, n=0)
+    df = spark.createDataFrame([(1.0, 1)], "v double, id int")
+    with _pytest.raises(ValueError):
+        equidepth_histogram(df, "v", "id", buckets=0)
+    with _pytest.raises(ValueError, match="reserved"):
+        global_row_number(df.withColumn("__pid", F.lit(1)), ["v"])

@@ -212,6 +212,19 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
     return inter.cast("double") / F.greatest(union, F.lit(1))
 
 
+def jaccard_meets(sh_a: Column, sh_b: Column, threshold: float) -> Column:
+    """``J(a, b) >= threshold`` decided on the INTEGER set sizes
+    (inter >= tau·union): comparing the 6-dp-ROUNDED ratio drops pairs
+    whose true Jaccard exactly equals a non-representable tau (1/3)
+    and admits pairs a hair below a representable one — the rounded
+    column stays display-only (same fix as setjoin.py)."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(sh_a) + F.size(sh_b) - inter
+    return inter.cast("double") >= F.lit(threshold) * F.greatest(
+        union, F.lit(1)
+    ).cast("double")
+
+
 def minhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -249,12 +262,12 @@ def minhash_near_dups(
     return (
         cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .where(jaccard_meets(F.col("sh_a"), F.col("sh_b"), threshold))
         .select(
             "id_a",
             "id_b",
             F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -285,12 +298,12 @@ def ngram_jaccard_pairs(
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(jaccard_meets(F.col("sh_a"), F.col("sh_b"), threshold))
         .select(
             "id_a",
             "id_b",
             F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -596,10 +609,10 @@ def cross_corpus_near_dups(
     return (
         cands.join(sh_a, "id_a")
         .join(sh_b, "id_b")
+        .where(jaccard_meets(F.col("sh_a"), F.col("sh_b"), threshold))
         .select(
             "id_a",
             "id_b",
             F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
     )

@@ -82,14 +82,15 @@ def _minhash_lsh_sql(bands: int = 8, r: int = 2, threshold: float = 0.01) -> str
     ),
     verified AS (
       SELECT c.id_a, c.id_b,
-             round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                   / greatest(len(sa.sh) + len(sb.sh)
-                              - len(list_intersect(sa.sh, sb.sh)), 1), 6) AS jaccard
+             len(list_intersect(sa.sh, sb.sh))::BIGINT AS i,
+             greatest(len(sa.sh) + len(sb.sh)
+                      - len(list_intersect(sa.sh, sb.sh)), 1)::BIGINT AS u
       FROM cand c
       JOIN sigs sa ON sa.doc_id = c.id_a
       JOIN sigs sb ON sb.doc_id = c.id_b
     )
-    SELECT * FROM verified WHERE jaccard >= {threshold}
+    SELECT id_a, id_b, round(i::DOUBLE / u, 6) AS jaccard
+    FROM verified WHERE i::DOUBLE >= {threshold} * u::DOUBLE
     """
 
 
@@ -116,12 +117,13 @@ def minhash_lsh_pairs(spark, sf_dir):
     nz AS (SELECT * FROM s WHERE len(sh) > 0),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / greatest(len(a.sh) + len(b.sh)
-                              - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+             len(list_intersect(a.sh, b.sh))::BIGINT AS i,
+             greatest(len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh)), 1)::BIGINT AS u
       FROM nz a JOIN nz b ON a.doc_id < b.doc_id
     )
-    SELECT * FROM pairs WHERE jaccard >= 0.02
+    SELECT id_a, id_b, round(i::DOUBLE / u, 6) AS jaccard
+    FROM pairs WHERE i::DOUBLE >= 0.02 * u::DOUBLE
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
@@ -286,14 +288,15 @@ def _minhash_lsh_cross_sql(bands: int = 8, r: int = 2, threshold: float = 0.01) 
     ),
     verified AS (
       SELECT c.id_a, c.id_b,
-             round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                   / greatest(len(sa.sh) + len(sb.sh)
-                              - len(list_intersect(sa.sh, sb.sh)), 1), 6) AS jaccard
+             len(list_intersect(sa.sh, sb.sh))::BIGINT AS i,
+             greatest(len(sa.sh) + len(sb.sh)
+                      - len(list_intersect(sa.sh, sb.sh)), 1)::BIGINT AS u
       FROM cand c
       JOIN sigs sa ON sa.doc_id = c.id_a
       JOIN sigs sb ON sb.doc_id = c.id_b
     )
-    SELECT * FROM verified WHERE jaccard >= {threshold}
+    SELECT id_a, id_b, round(i::DOUBLE / u, 6) AS jaccard
+    FROM verified WHERE i::DOUBLE >= {threshold} * u::DOUBLE
     """
 
 

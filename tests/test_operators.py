@@ -3690,3 +3690,16 @@ def test_span_and_bucket_param_validation(spark):
         equidepth_histogram(df, "v", "id", buckets=0)
     with _pytest.raises(ValueError, match="reserved"):
         global_row_number(df.withColumn("__pid", F.lit(1)), ["v"])
+
+
+def test_minhash_verify_exact_at_nonrepresentable_threshold(spark):
+    """The exact-Jaccard verify behind every LSH pair set decides on
+    integer set sizes: a pair at exactly tau=1/3 survives."""
+    from semantic_ann_in_data_lake_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        # two 2-shingle sets sharing one 3-gram: J = 1/3 exactly
+        [(1, "a b c d"), (2, "z b c d")], ["doc_id", "text"]
+    )
+    out = dedup.ngram_jaccard_pairs(docs, threshold=1 / 3).collect()
+    assert len(out) == 1 and abs(out[0]["jaccard"] - 1 / 3) < 1e-6

@@ -90,8 +90,12 @@ def equidepth_histogram(
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
+    # NULLs excluded: left in, they rank first and consume bucket
+    # depth while staying invisible in lo/hi (min/max skip them)
     ranked = global_row_number(
-        df.select(value_col, tie_col), [value_col, tie_col],
+        df.select(value_col, tie_col)
+        .where(F.col(value_col).isNotNull()),
+        [value_col, tie_col],
         num_partitions=num_partitions,
     )
     n_total = ranked.groupBy().agg(F.max("rn").alias("__n"))

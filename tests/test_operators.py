@@ -3703,3 +3703,16 @@ def test_minhash_verify_exact_at_nonrepresentable_threshold(spark):
     )
     out = dedup.ngram_jaccard_pairs(docs, threshold=1 / 3).collect()
     assert len(out) == 1 and abs(out[0]["jaccard"] - 1 / 3) < 1e-6
+
+
+def test_equidepth_histogram_excludes_nulls(spark):
+    from semantic_ann_in_data_lake_spark.operators.ranks import (
+        equidepth_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 0)] + [(float(i), i) for i in range(1, 9)], "v double, id int"
+    )
+    rows = equidepth_histogram(df, "v", "id", buckets=2).collect()
+    # 8 non-null values -> two buckets of 4; the NULL consumes nothing
+    assert sorted((r["bucket"], r["n"]) for r in rows) == [(0, 4), (1, 4)]

@@ -58,10 +58,23 @@ def with_zorder_key(
     tiny min/max aggregate (2·c scalars to the driver) — at production
     scale these bounds come from table statistics instead; the key
     arithmetic is identical."""
+    # NaN-excluded bounds: Spark orders NaN GREATEST, so one NaN value
+    # would make max() return NaN, the span NaN, and every row of that
+    # dimension silently collapse to bucket 0
+    def _finite(c):
+        col = F.col(c).cast("double")
+        return F.when(~F.isnan(col), col)
+
     bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+        *[F.min(_finite(c)).alias(f"__mn_{c}") for c in cols],
+        *[F.max(_finite(c)).alias(f"__mx_{c}") for c in cols],
     ).collect()[0]
+    for c in cols:
+        if bounds[f"__mn_{c}"] is None:
+            # float(None) below would raise an opaque TypeError
+            raise ValueError(
+                f"z-order column {c!r} has no non-NULL/non-NaN values"
+            )
     scaled = [
         _scale_to_int(
             F.col(c),

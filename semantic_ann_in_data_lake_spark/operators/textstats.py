@@ -90,9 +90,16 @@ def token_stats(
         "n_chars",
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),
-        _r4(
-            (F.length("__norm__") - n_tokens + 1).cast("double") / safe_tok
-        ).alias("avg_token_len"),
+        # 0.0 for token-less docs: the chars-minus-spaces identity
+        # (norm_len - n + 1)/n degenerates to 1/1 = "one-char token"
+        # for a document with NO tokens
+        F.when(n_tokens == 0, F.lit(0.0))
+        .otherwise(
+            _r4(
+                (F.length("__norm__") - n_tokens + 1).cast("double") / safe_tok
+            )
+        )
+        .alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
         _r4(punct_chars.cast("double") / safe_chr).alias("punct_ratio"),
         _r4(digit_chars.cast("double") / safe_chr).alias("digit_ratio"),

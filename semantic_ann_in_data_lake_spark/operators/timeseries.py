@@ -74,8 +74,12 @@ def resample_interpolate(
     # e − pmod(e, step) is the floored multiple of step (pmod stays
     # non-negative, so pre-epoch timestamps floor correctly too)
     bucket = F.timestamp_micros(e - F.pmod(e, F.lit(step))).alias("bucket")
+    # NULL values excluded up front: the decimal sum skips them but a
+    # bare count(*) would not, deflating the bucket mean; an all-NULL
+    # bucket must be a true GAP (interpolated), not an observation
     observed = (
-        events.select(F.col(key_col).alias("key"), bucket, F.col(value_col).alias("v"))
+        events.where(F.col(value_col).isNotNull())
+        .select(F.col(key_col).alias("key"), bucket, F.col(value_col).alias("v"))
         .groupBy("key", "bucket")
         .agg(
             # mean via exact-decimal sum then DOUBLE division: decimal

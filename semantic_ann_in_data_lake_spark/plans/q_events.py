@@ -321,7 +321,7 @@ def band_join_view_purchase(spark, sf_dir):
       SELECT user_id AS key, date_trunc('hour', ts::TIMESTAMP) AS bucket,
              round(round(sum(value::DECIMAL(18,2)), 2)::DOUBLE / count(*)
                    + 1e-9, 4) AS v
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     span AS (SELECT key, min(bucket) AS h0, max(bucket) AS h1 FROM b GROUP BY 1),
     grid AS (
@@ -511,7 +511,7 @@ def value_outliers_per_user(spark, sf_dir):
                             - epoch_us(ts::TIMESTAMP) % 900000000) AS bucket,
              round(round(sum(value::DECIMAL(18,2)), 2)::DOUBLE / count(*)
                    + 1e-9, 4) AS v
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     span AS (SELECT key, min(bucket) AS h0, max(bucket) AS h1 FROM b GROUP BY 1),
     grid AS (

@@ -46,7 +46,9 @@ _STOP_IN = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
       FROM t
     )
     SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
-           round((norm_len - n_tokens + 1)::DOUBLE / safe_tok + 1e-9, 4) AS avg_token_len,
+           CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+             round((norm_len - n_tokens + 1)::DOUBLE / safe_tok + 1e-9, 4)
+           END AS avg_token_len,
            round(stop_hits::DOUBLE / safe_tok + 1e-9, 4) AS stopword_ratio,
            round(punct_chars::DOUBLE / safe_chr + 1e-9, 4) AS punct_ratio,
            round(digit_chars::DOUBLE / safe_chr + 1e-9, 4) AS digit_ratio,

@@ -60,7 +60,9 @@ def ewma_stream(events: DataFrame, round_dp: int = 6) -> DataFrame:
         if state.exists:
             y, n, last_us, last_eid = state.get
         else:
-            y, n, last_us, last_eid = 0.0, 0, -1, -1
+            # None, not a -1 epoch sentinel (pre-epoch events would
+            # read as late and be dropped forever)
+            y, n, last_us, last_eid = 0.0, 0, None, None
         out = []
         for ts_us, eid, x in evs:
             # lexicographic (ts, event_id) guard: a bare ts < last
@@ -68,7 +70,7 @@ def ewma_stream(events: DataFrame, round_dp: int = 6) -> DataFrame:
             # batch AFTER an already-folded higher event_id (diverging
             # from the batch (ts asc, event_id asc) order) and would
             # double-fold an at-last-timestamp redelivery
-            if (ts_us, eid) <= (last_us, last_eid):
+            if last_us is not None and (ts_us, eid) <= (last_us, last_eid):
                 continue  # cross-batch late event: see module docstring
             last_us, last_eid = ts_us, eid
             y = 0.5 * x + 0.5 * y

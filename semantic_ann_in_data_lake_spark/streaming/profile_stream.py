@@ -15,7 +15,6 @@ re-deliveries never re-embed (cache-or-compute S9, streamed).
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -89,6 +88,25 @@ def run_available_now(
     return q
 
 
+def _read_sink_or_none(spark, path: str):
+    """Read a foreachBatch sink, returning None ONLY for the
+    missing-path first-batch case. Any other AnalysisException (e.g.
+    unreadable footers from an interrupted write) PROPAGATES so the
+    batch retries — swallowing it as "first batch" would re-append
+    duplicates in the dedup/embed sinks and, worse, let the rollup's
+    dynamic partition overwrite REPLACE accumulated history with one
+    batch's counts."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
 def incremental_embed_foreach_batch(
     docs_stream: DataFrame,
     sink_path: str,
@@ -103,12 +121,21 @@ def incremental_embed_foreach_batch(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        embedded = embed_texts(batch_df, text_col=text_col, id_cols=(id_col,), dim=dim)
-        try:
-            seen = spark.read.parquet(sink_path).select("content_hash").distinct()
-            fresh = embedded.join(seen, "content_hash", "left_anti")
-        except AnalysisException:  # first batch: sink does not exist yet
-            fresh = embedded
+        # hash + anti-join BEFORE the embedder: filtering the
+        # embed_texts output would run the (billed, for HttpEmbedder)
+        # model call on every re-delivered row and only skip the
+        # append — the JVM md5 matches embed_texts' content_hash
+        # (md5 over the null-coalesced utf-8 text) exactly
+        hashed = batch_df.withColumn(
+            "__ch", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+        )
+        sink = _read_sink_or_none(spark, sink_path)
+        if sink is not None:
+            seen = sink.select(F.col("content_hash").alias("__ch")).distinct()
+            hashed = hashed.join(seen, "__ch", "left_anti")
+        fresh = embed_texts(
+            hashed.drop("__ch"), text_col=text_col, id_cols=(id_col,), dim=dim
+        )
         fresh.write.mode("append").parquet(sink_path)
 
     return (
@@ -143,13 +170,11 @@ def incremental_dedup_foreach_batch(docs_stream: DataFrame, sink_path: str,
             .groupBy("text_hash")
             .agg(F.min(id_col).alias("canonical_id"))
         )
-        try:
-            seen = spark.read.parquet(sink_path).select("text_hash").distinct()
+        sink = _read_sink_or_none(spark, sink_path)
+        if sink is not None:
+            seen = sink.select("text_hash").distinct()
             fresh = firsts.join(seen, "text_hash", "left_anti")
-        except AnalysisException:  # first batch: sink does not exist yet
-            # Only PATH_NOT_FOUND-class errors mean "first batch" —
-            # transient read failures must propagate so the batch
-            # retries instead of silently re-appending duplicates.
+        else:  # first batch: sink does not exist yet
             fresh = firsts
         fresh.write.mode("append").parquet(sink_path)
 
@@ -210,8 +235,8 @@ def incremental_neardup_foreach_batch(
             )
             .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         )
-        try:
-            hist = spark.read.parquet(bands_path)
+        hist = _read_sink_or_none(spark, bands_path)
+        if hist is not None:
             cross = (
                 hist.alias("h")
                 .join(
@@ -226,15 +251,22 @@ def incremental_neardup_foreach_batch(
                 )
             )
             pairs = in_batch.unionByName(cross).distinct()
-        except AnalysisException:  # first batch: no band history yet
+        else:  # first batch: no band history yet
             pairs = in_batch.distinct()
-        try:
-            seen_pairs = spark.read.parquet(pairs_path)
+        seen_pairs = _read_sink_or_none(spark, pairs_path)
+        if seen_pairs is not None:
             pairs = pairs.join(seen_pairs, ["id_a", "id_b"], "left_anti")
-        except AnalysisException:  # first batch: no pairs sink yet
-            pass
         pairs.write.mode("append").parquet(pairs_path)
-        banded.write.mode("append").parquet(bands_path)
+        # band append is retry-guarded like the pairs sink: a
+        # re-executed batch (write succeeded, checkpoint commit lost)
+        # would otherwise append its band rows a second time and every
+        # future bucket join would fan out over the duplicates forever
+        fresh_bands = banded
+        if hist is not None:
+            fresh_bands = banded.join(
+                hist.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+        fresh_bands.write.mode("append").parquet(bands_path)
         banded.unpersist()
 
     return docs_stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
@@ -314,7 +346,14 @@ def incremental_rollup_foreach_batch(events_stream: DataFrame, sink_path: str):
     cost scales with the batch's time locality, not table history.
     Counters are integer cents (exact merge — no float re-aggregation
     drift across arbitrary batch splits); `sum_value` derives at read
-    time as cents/100."""
+    time as cents/100.
+
+    Retry idempotency: each merged row carries ``last_batch`` — the
+    highest batch id folded into its partition. foreachBatch is
+    at-least-once (write can succeed while the checkpoint commit is
+    lost); a re-executed batch sees its own id already recorded in the
+    touched partitions and SKIPS, where a bare read-merge-write would
+    fold the batch in twice and silently inflate the counters."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -337,18 +376,26 @@ def incremental_rollup_foreach_batch(events_stream: DataFrame, sink_path: str):
                 "sum_cents",
             )
         )
+        b = b.withColumn("last_batch", F.lit(batch_id))
         days = [r["day"] for r in b.select("day").distinct().collect()]
-        try:
-            old = spark.read.parquet(sink_path).where(F.col("day").isin(days))
+        sink = _read_sink_or_none(spark, sink_path)
+        if sink is not None:
+            old = sink.where(F.col("day").isin(days))
+            # re-executed batch: its id is already folded into every
+            # partition it touches (the overwrite is one committed
+            # job) — applying again would double-count
+            if old.where(F.col("last_batch") >= batch_id).limit(1).count():
+                return
             merged = (
                 b.unionByName(old)
                 .groupBy("window_start", "day", "event_type")
                 .agg(
                     F.sum("n_events").alias("n_events"),
                     F.sum("sum_cents").alias("sum_cents"),
+                    F.max("last_batch").alias("last_batch"),
                 )
             )
-        except AnalysisException:  # first batch: no sink yet
+        else:  # first batch: no sink yet
             merged = b
         # materialize before writing: the merge plan READS the sink path
         # it is about to overwrite (Spark rejects self-overwrite on file

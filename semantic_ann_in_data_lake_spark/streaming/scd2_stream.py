@@ -53,9 +53,12 @@ def scd2_changelog_stream(events: DataFrame) -> DataFrame:
         if state.exists:
             cur, version, from_us, n, last_us = state.get
         else:
-            cur, version, from_us, n, last_us = None, 0, None, 0, -1
+            # None, not a -1 epoch sentinel: pre-epoch timestamps are
+            # legitimate (ts_us < -1 would read as "late" and a key
+            # whose events are all pre-1970 would never open a run)
+            cur, version, from_us, n, last_us = None, 0, None, 0, None
         for ts_us, _eid, etype in evs:
-            if ts_us < last_us:
+            if last_us is not None and ts_us < last_us:
                 # cross-batch late arrival: folding it in arrival order
                 # would emit an INVERTED interval (valid_to before
                 # valid_from) and permanently desync version numbers

@@ -110,6 +110,14 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 start_us = last_us = None
                 n, cents = 0, 0
             for ts_us, val in events_ts:
+                if last_us is not None and ts_us < last_us:
+                    # cross-batch late arrival: folding it would move
+                    # last_us BACKWARD, mis-measuring the next gap and
+                    # splitting sessions the batch twin keeps whole
+                    # (same contract as the SCD2 changelog / EWMA
+                    # streams; the batch job over the full log is the
+                    # reconciliation path)
+                    continue
                 if last_us is not None and ts_us - last_us > gap_us:
                     rows.append((user_id, start_us, last_us, n, cents / 100.0))
                     start_us, n, cents = None, 0, 0
@@ -117,7 +125,11 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                     start_us = ts_us
                 last_us = ts_us
                 n += 1
-                cents += to_cents(val)
+                # NULL values arrive as NaN: count the event, add 0 —
+                # the batch twin's decimal sum skips NULLs the same way
+                # (Decimal('nan') would otherwise kill the query)
+                if val == val:
+                    cents += to_cents(val)
             if start_us is not None:
                 state.update((start_us, last_us, n, cents))
                 # close the open session once event time passes last+gap

@@ -573,3 +573,81 @@ def test_ewma_stream_equals_batch_fold(spark, sf_dir, tmp_path):
         (k, got[k][0], want[k]) for k in want if got[k][0] != want[k]
     ]
     assert mismatches == []
+
+
+def test_incremental_rollup_retry_does_not_double_count(spark, sf_dir, tmp_path):
+    """A re-executed micro-batch (write committed, checkpoint lost)
+    must be a no-op: the last_batch watermark inside the touched
+    partitions detects the replay."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        incremental_rollup_foreach_batch,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events_dir = str(tmp_path / "rr_in")
+    src.coalesce(1).write.parquet(events_dir)
+    sink = str(tmp_path / "rr_sink")
+    stream = spark.readStream.schema(src.schema).parquet(events_dir)
+    q = incremental_rollup_foreach_batch(stream, sink).option(
+        "checkpointLocation", str(tmp_path / "rr_ckpt")
+    )
+    q.start().awaitTermination()
+    before = sorted(map(tuple,
+        spark.read.parquet(sink)
+        .select("window_start", "event_type", "n_events", "sum_cents")
+        .collect()))
+    # simulate the at-least-once replay: re-run batch 0's handler body
+    # by restarting the stream with a FRESH checkpoint over the same
+    # file (same batch content, same batch_id=0)
+    q2 = incremental_rollup_foreach_batch(
+        spark.readStream.schema(src.schema).parquet(events_dir), sink
+    ).option("checkpointLocation", str(tmp_path / "rr_ckpt2"))
+    q2.start().awaitTermination()
+    after = sorted(map(tuple,
+        spark.read.parquet(sink)
+        .select("window_start", "event_type", "n_events", "sum_cents")
+        .collect()))
+    assert after == before
+
+
+def test_sessionize_stream_ignores_cross_batch_late_event(spark, tmp_path):
+    """A late event older than the state's last timestamp must not
+    move the session clock backward (which would split sessions the
+    batch twin keeps whole)."""
+    from datetime import datetime
+
+    from semantic_ann_in_data_lake_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    rows1 = [("e1", datetime(2024, 1, 1, 12, 0, 0), 7, "view", 1.0, "{}")]
+    rows2 = [
+        # late vs state (11:59:30 < 12:00:00) then a borderline event:
+        # true gap from 12:00 is 29m50s (same session); a backward
+        # clock would measure 30m20s and split
+        ("e2", datetime(2024, 1, 1, 11, 59, 30), 7, "view", 1.0, "{}"),
+        ("e3", datetime(2024, 1, 1, 12, 29, 50), 7, "view", 1.0, "{}"),
+    ]
+    schema = "event_id string, ts timestamp, user_id long, event_type string, value double, props string"
+    src_dir = str(tmp_path / "sl_in")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    out_dir = str(tmp_path / "sl_out")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    closed = spark.read.parquet(out_dir).collect()
+    # no session may CLOSE: e3 continues the open session (the late e2
+    # is dropped, not folded backward)
+    assert closed == []

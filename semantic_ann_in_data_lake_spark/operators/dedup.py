@@ -222,7 +222,7 @@ def jaccard_meets(sh_a: Column, sh_b: Column, threshold: float) -> Column:
     union = F.size(sh_a) + F.size(sh_b) - inter
     return inter.cast("double") >= F.lit(threshold) * F.greatest(
         union, F.lit(1)
-    ).cast("double")
+    ).cast("double") - F.lit(1e-9)
 
 
 def minhash_near_dups(

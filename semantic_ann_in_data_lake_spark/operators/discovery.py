@@ -202,6 +202,7 @@ def value_overlap_discovery(
         .where(
             F.col("n_overlap").cast("double")
             >= F.lit(threshold) * F.col("n_distinct").cast("double")
+            - F.lit(1e-9)
         )
         .withColumn(
             "containment",

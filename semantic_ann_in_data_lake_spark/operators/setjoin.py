@@ -116,11 +116,14 @@ def jaccard_prefix_join(
     tb = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
-    # threshold compare on the INTEGER counts (inter >= tau·union):
-    # comparing the 6-dp-ROUNDED ratio would drop a pair whose true
-    # Jaccard exactly equals a non-representable tau (1/3) and admit
-    # one a hair below a representable tau (0.4999995 -> 0.5) — the
-    # rounded column is display only
+    # threshold compare on the INTEGER counts (inter >= tau·union −
+    # 1e-9): comparing the 6-dp-ROUNDED ratio would drop a pair whose
+    # true Jaccard exactly equals a non-representable tau (1/3) and
+    # admit one a hair below a representable tau (0.4999995 -> 0.5);
+    # the 1e-9 bias (the same discipline as the prefix/size filters)
+    # forgives the OTHER direction — double(0.28) sits a hair ABOVE
+    # the real 7/25, and the unbiased product would exclude an
+    # exactly-qualifying pair. The rounded column is display only.
     return (
         cands.join(ta, "id_a")
         .join(tb, "id_b")
@@ -128,7 +131,7 @@ def jaccard_prefix_join(
         .withColumn("__union", union)
         .where(
             F.col("__inter").cast("double")
-            >= F.lit(threshold) * F.col("__union").cast("double")
+            >= F.lit(threshold) * F.col("__union").cast("double") - F.lit(1e-9)
         )
         .withColumn("jaccard", F.round(F.col("__inter") / F.col("__union"), 6))
         .select("id_a", "id_b", "jaccard")

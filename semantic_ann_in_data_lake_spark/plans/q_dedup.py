@@ -90,7 +90,7 @@ def _minhash_lsh_sql(bands: int = 8, r: int = 2, threshold: float = 0.01) -> str
       JOIN sigs sb ON sb.doc_id = c.id_b
     )
     SELECT id_a, id_b, round(i::DOUBLE / u, 6) AS jaccard
-    FROM verified WHERE i::DOUBLE >= {threshold} * u::DOUBLE
+    FROM verified WHERE i::DOUBLE >= {threshold} * u::DOUBLE - 1e-9
     """
 
 
@@ -123,7 +123,7 @@ def minhash_lsh_pairs(spark, sf_dir):
       FROM nz a JOIN nz b ON a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, round(i::DOUBLE / u, 6) AS jaccard
-    FROM pairs WHERE i::DOUBLE >= 0.02 * u::DOUBLE
+    FROM pairs WHERE i::DOUBLE >= 0.02 * u::DOUBLE - 1e-9
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
@@ -296,7 +296,7 @@ def _minhash_lsh_cross_sql(bands: int = 8, r: int = 2, threshold: float = 0.01) 
       JOIN sigs sb ON sb.doc_id = c.id_b
     )
     SELECT id_a, id_b, round(i::DOUBLE / u, 6) AS jaccard
-    FROM verified WHERE i::DOUBLE >= {threshold} * u::DOUBLE
+    FROM verified WHERE i::DOUBLE >= {threshold} * u::DOUBLE - 1e-9
     """
 
 
@@ -403,7 +403,7 @@ def lsh_recall_report(spark, sf_dir):
       FROM nz a JOIN nz b ON a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, round(i::DOUBLE / u, 6) AS jaccard
-    FROM pairs WHERE i::DOUBLE >= 0.5 * u::DOUBLE
+    FROM pairs WHERE i::DOUBLE >= 0.5 * u::DOUBLE - 1e-9
     """,
 )
 def jaccard_prefix_join(spark, sf_dir):
@@ -497,7 +497,7 @@ def fuzzy_join_part_names(spark, sf_dir):
       FROM nz a JOIN nz b ON a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, round(i::DOUBLE / u, 6) AS jaccard
-    FROM pairs WHERE i::DOUBLE >= 0.9 * u::DOUBLE
+    FROM pairs WHERE i::DOUBLE >= 0.9 * u::DOUBLE - 1e-9
     """,
 )
 def dedup_then_jaccard_join(spark, sf_dir):

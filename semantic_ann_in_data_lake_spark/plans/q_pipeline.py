@@ -761,7 +761,7 @@ def _overlap_oracle(threshold: float = 0.5) -> str:
     FROM overlap o
     JOIN sizes s ON s.table_name = o.query_table
                 AND s.column_name = o.query_column
-    WHERE o.n_overlap::DOUBLE >= {threshold} * s.n_distinct::DOUBLE
+    WHERE o.n_overlap::DOUBLE >= {threshold} * s.n_distinct::DOUBLE - 1e-9
     """
 
 

@@ -93,11 +93,16 @@ def corrupt_swap(
 
 def apply_corruption(df: DataFrame, mapping: DataFrame) -> DataFrame:
     """C4: rename a table's columns from a corruption mapping
-    (collects the small mapping — it is one row per column)."""
+    (collects the small mapping — it is one row per column).
+
+    One SELECT with aliases, NOT sequential withColumnRenamed calls:
+    swap mappings (corrupt_swap's whole point) make intermediate names
+    collide — after alpha→gamma there are two 'gamma' columns and the
+    next rename clobbers BOTH (withColumnRenamed renames every
+    matching attribute), leaving several columns with one name."""
     pairs = {
         r["column_name"]: r["new_name"] for r in mapping.select("column_name", "new_name").collect()
     }
-    out = df
-    for old, new in pairs.items():
-        out = out.withColumnRenamed(old, new)
-    return out
+    return df.select(
+        *[F.col(c).alias(pairs.get(c, c)) for c in df.columns]
+    )

@@ -83,10 +83,19 @@ def apply_canonical_map(
         [(k, v) for k, v in mapping.items()],
         "__syn_term string, __syn_canonical string",
     )
+    # join key must be the SAME normalization the mapping keys use
+    # (_normalize also folds spaces/hyphens to underscores): a bare
+    # lower(trim) never matches a multi-word/hyphenated term and the
+    # coalesce fallback silently degrades canonicalization to identity
+    norm_key = F.replace(
+        F.replace(F.lower(F.trim(F.col(term_col))), F.lit(" "), F.lit("_")),
+        F.lit("-"),
+        F.lit("_"),
+    )
     return (
         df.join(
             F.broadcast(map_df),
-            F.lower(F.trim(F.col(term_col))) == F.col("__syn_term"),
+            norm_key == F.col("__syn_term"),
             "left",
         )
         .withColumn(

@@ -38,10 +38,34 @@ def salted_join(
     The big side gets a random-ish (hash-derived, deterministic) salt;
     the small side is exploded n_salts× so every (key, salt) pair can
     match. Output columns = big ∪ small minus the duplicate key/salt.
+
+    Only big-side-preserving modes are valid: for right/full joins an
+    unmatched SMALL row would surface once per salt replica.
     """
-    big_s = big.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns], F.lit(42)), F.lit(n_salts)).cast("int"),
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, got {how!r}"
+        )
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+
+    # mix a row ordinal into the salt (the joins.py discipline):
+    # content-only hashing sends identical duplicate rows — the
+    # boilerplate-heavy hot-key reality salting targets — to ONE salt
+    # bucket, re-creating the skew; persist so retries replay the same
+    # assignment (salt choice never changes OUTPUT rows, only their
+    # distribution)
+    big_s = scoped_persist(
+        big.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(
+                    F.monotonically_increasing_id(),
+                    *[F.col(c) for c in big.columns],
+                    F.lit(42),
+                ),
+                F.lit(n_salts),
+            ).cast("int"),
+        )
     )
     small_s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -61,10 +85,25 @@ def two_stage_agg(
     ``agg_exprs``, then groupBy(key) with ``combine_exprs`` over the
     partials. Caller supplies the decomposition (sum→sum of sums,
     count→sum of counts, …)."""
-    salted = df.withColumn(
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+
+    # row-ordinal-mixed salt: identical duplicate rows of a hot key
+    # must scatter across salts (see salted_join above). Persisted for
+    # the same reason as salted_join: monotonically_increasing_id is
+    # nondeterministic, and a fetch-failure retry recomputing a
+    # DIFFERENT assignment mid-shuffle could double/miss rows across
+    # partials.
+    salted = scoped_persist(df.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(7)), F.lit(n_salts)).cast("int"),
-    )
+        F.pmod(
+            F.xxhash64(
+                F.monotonically_increasing_id(),
+                *[F.col(c) for c in df.columns],
+                F.lit(7),
+            ),
+            F.lit(n_salts),
+        ).cast("int"),
+    ))
     partial = salted.groupBy(*key_cols, "__salt").agg(
         *[c.alias(name) for name, c in agg_exprs.items()]
     )

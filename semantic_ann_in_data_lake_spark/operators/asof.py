@@ -74,7 +74,11 @@ def asof_join(
         F.col(right_ts).alias("__mt"),
         *[F.col(c).alias(f"__c{i}") for i, c in enumerate(right_cols)],
     )
-    rsel = right.select(
+    # NULL right keys are dropped: the union-tag window partitions by
+    # key, and SQL-equality semantics must not let NULL-key left rows
+    # inherit state from NULL-key right rows (partitionBy groups NULLs
+    # together; an equi-join would never match them)
+    rsel = right.where(F.col(on).isNotNull()).select(
         F.col(on).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),

@@ -59,6 +59,9 @@ def contaminated_docs(
     bench_ids = benchmark.select(F.col(id_col)).distinct()
     bg = _doc_grams(benchmark, id_col, text_col, n).select("gram").distinct()
     if broadcast_benchmark:
+        # the hint FORCES a broadcast (no automatic size fallback) —
+        # callers with an unboundedly large benchmark set pass False
+        # and get the shuffle join
         bg = F.broadcast(bg)
     dg = _doc_grams(docs, id_col, text_col, n).join(
         F.broadcast(bench_ids), on=id_col, how="left_anti"
@@ -86,4 +89,8 @@ def decontaminate(
     bad = contaminated_docs(
         docs, benchmark, id_col, text_col, n, min_overlap
     ).select(id_col)
-    return docs.join(F.broadcast(bad), on=id_col, how="left_anti")
+    # NO broadcast hint: `bad` is CORPUS-bounded (a boilerplate-heavy
+    # web corpus can flag a large fraction of docs), and an explicit
+    # hint FORCES the broadcast regardless of size — let AQE pick
+    # broadcast when the flagged set is actually small
+    return docs.join(bad, on=id_col, how="left_anti")

@@ -36,7 +36,11 @@ def symmetric_truth(gt: DataFrame, q_col: str, c_col: str) -> DataFrame:
 
 
 def _canonical(df: DataFrame, a: str, b: str) -> DataFrame:
-    """Unordered pair key: (least, greatest) of the two string keys."""
+    """Unordered pair key: (least, greatest) of the two string keys.
+    NULL-keyed rows are dropped — least/greatest SKIP nulls, so a pair
+    with one NULL side would collapse to a phantom self-pair (x, x)
+    and pollute the P/R/F1 counts."""
+    df = df.where(F.col(a).isNotNull() & F.col(b).isNotNull())
     return df.select(
         F.least(F.col(a).cast("string"), F.col(b).cast("string")).alias("pair_lo"),
         F.greatest(F.col(a).cast("string"), F.col(b).cast("string")).alias("pair_hi"),

@@ -292,8 +292,12 @@ def scd2_history(
     ).withColumn(
         "__chg",
         F.when(
-            F.lag(state_col).over(w).isNull()
-            | (F.lag(state_col).over(w) != F.col(state_col)),
+            # null-SAFE inequality: lag != col is NULL when either
+            # side is NULL, so a NULL state (and the transitions around
+            # it) would be silently absorbed into the previous run; a
+            # first-row NULL state must still open version 1
+            (F.row_number().over(w) == 1)
+            | ~F.lag(state_col).over(w).eqNullSafe(F.col(state_col)),
             1,
         ).otherwise(0),
     )

@@ -71,13 +71,19 @@ def read_csv_dir(
     all_string: bool = True,
     permissive: bool = True,
 ) -> DataFrame:
-    """S1: scan a directory of CSVs as one DataFrame with a
-    ``table_name`` column derived from the file name.
+    """S1: scan a directory of UNIFORMLY-SCHEMED CSVs as one DataFrame
+    with a ``table_name`` column derived from the file name.
 
     ``all_string=True`` mirrors the reference's ``dtype="string"`` load
     (``semantic_annotation.py:32``); ``permissive`` drops malformed
     lines like the reference skips unreadable files
     (``extract_schema.py:96-99``).
+
+    One glob read = ONE schema: a directory of per-table CSVs with
+    DIFFERENT schemas must go through :func:`read_csv_tables` instead —
+    against a single derived schema, rows of the other tables are
+    malformed and ``permissive`` would silently drop them (or land
+    values under wrong column names when only headers differ).
     """
     reader = (
         spark.read.option("header", True)
@@ -94,6 +100,35 @@ def read_csv_dir(
         F.regexp_extract(F.input_file_name(), r"([^/]+)\.csv$", 1),
     )
 
+
+
+def read_csv_tables(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    all_string: bool = True,
+    permissive: bool = True,
+) -> dict[str, DataFrame]:
+    """S1 for a lake directory of per-table CSVs with DIFFERENT
+    schemas: one independent header/schema inference per file (the
+    reference's per-file loop, ``extract_schema.py:88-99``), returned
+    as ``{table_name: DataFrame}`` — the shape ``profile_lake`` /
+    ``annotate_tables`` consume. Listing happens driver-side (a lake
+    catalog is a bounded file set); each table's scan stays lazy."""
+    import glob as _glob
+    import os as _os
+
+    out: dict[str, DataFrame] = {}
+    for f in sorted(_glob.glob(f"{path.rstrip('/')}/*.csv")):
+        name = _os.path.splitext(_os.path.basename(f))[0]
+        reader = (
+            spark.read.option("header", True)
+            .option("sep", sep)
+            .option("mode", "DROPMALFORMED" if permissive else "FAILFAST")
+            .option("inferSchema", not all_string)
+        )
+        out[name] = reader.csv(f)
+    return out
 
 def read_json_catalog(spark: SparkSession, path: str) -> DataFrame:
     """S4: top-level JSON array of objects (the reference's catalog

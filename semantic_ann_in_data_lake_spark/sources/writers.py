@@ -42,8 +42,14 @@ def checkpoint(
     lineage to the materialized files, so downstream stages never
     re-trigger the upstream computation.
     """
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    # probe through the Hadoop FileSystem, not os.path: a driver-local
+    # exists() is always False for hdfs://, s3a://, etc., so every call
+    # would recompute and rewrite — silently defeating the cache at
+    # exactly the deployment scale the helper targets
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         compute().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 

@@ -3716,3 +3716,98 @@ def test_equidepth_histogram_excludes_nulls(spark):
     rows = equidepth_histogram(df, "v", "id", buckets=2).collect()
     # 8 non-null values -> two buckets of 4; the NULL consumes nothing
     assert sorted((r["bucket"], r["n"]) for r in rows) == [(0, 4), (1, 4)]
+
+
+def test_read_csv_tables_handles_mixed_schemas(spark, tmp_path):
+    """Per-file inference: a directory holding two tables with
+    different column counts loads both fully (a single-glob read would
+    silently DROPMALFORMED one of them away)."""
+    import csv
+
+    from semantic_ann_in_data_lake_spark.sources.readers import (
+        read_csv_tables,
+    )
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    with open(d / "alpha.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["a", "b"])
+        w.writerows([["1", "x"], ["2", "y"]])
+    with open(d / "beta.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["p", "q", "r", "s"])
+        w.writerows([["1", "2", "3", "4"], ["5", "6", "7", "8"]])
+    tables = read_csv_tables(spark, str(d))
+    assert set(tables) == {"alpha", "beta"}
+    assert tables["alpha"].count() == 2 and tables["alpha"].columns == ["a", "b"]
+    assert tables["beta"].count() == 2 and len(tables["beta"].columns) == 4
+
+
+def test_apply_corruption_swap_permutation(spark):
+    """A swap mapping (permutation) must not collide intermediate
+    names — regression for the sequential-rename clobber."""
+    from semantic_ann_in_data_lake_spark.annotate.corruption import (
+        apply_corruption,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], ["alpha", "beta", "gamma"])
+    mapping = spark.createDataFrame(
+        [("alpha", "gamma"), ("beta", "alpha"), ("gamma", "beta")],
+        ["column_name", "new_name"],
+    )
+    out = apply_corruption(df, mapping)
+    assert out.columns == ["gamma", "alpha", "beta"]
+    assert out.collect()[0].asDict() == {"gamma": 1, "alpha": 2, "beta": 3}
+
+
+def test_apply_canonical_map_multiword_terms(spark):
+    """Multi-word/hyphenated terms must canonicalize (the join key
+    uses the same normalization as the mapping keys)."""
+    from semantic_ann_in_data_lake_spark.annotate.synonyms import (
+        apply_canonical_map,
+    )
+
+    df = spark.createDataFrame(
+        [("unit price",), ("unit-price",), ("unit_price",)], ["term"]
+    )
+    out = apply_canonical_map(
+        df, "term", spark, synonyms={"unit_price": ["unit price", "unit-price"]}
+    )
+    canon = {r["term"]: r["term_canonical"] for r in out.collect()}
+    assert len(set(canon.values())) == 1  # all three merge
+
+
+def test_scd2_history_null_states_open_versions(spark):
+    from datetime import datetime
+
+    from semantic_ann_in_data_lake_spark.operators.pairs import scd2_history
+
+    rows = [
+        (1, "A", datetime(2024, 1, 1, 10), "e1"),
+        (1, None, datetime(2024, 1, 1, 11), "e2"),
+        (1, "B", datetime(2024, 1, 1, 12), "e3"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_type", "ts", "event_id"]
+    )
+    hist = scd2_history(df, "user_id", "event_type", "ts", "event_id").collect()
+    assert len(hist) == 3  # A, NULL, B each their own version
+    states = [r["state"] for r in sorted(hist, key=lambda r: r["version"])]
+    assert states == ["A", None, "B"]
+
+
+def test_asof_join_null_keys_never_match(spark):
+    from datetime import datetime
+
+    from semantic_ann_in_data_lake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, datetime(2024, 1, 1, 10))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(None, datetime(2024, 1, 1, 9), "x")],
+        "user_id long, ts timestamp, state string",
+    )
+    out = asof_join(left, right, "user_id", right_cols=("state",)).collect()
+    assert len(out) == 1 and out[0]["matched_state"] is None

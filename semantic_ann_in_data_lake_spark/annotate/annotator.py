@@ -86,8 +86,13 @@ class RuleAnnotator:
 
     def __call__(self, table_name: str, columns: list[str], sample_md: str) -> str:
         def clean(c: str) -> str:
-            c = re.sub(r"[\s\-]+", "_", c.strip().lower())
-            c = re.sub(r"[^a-z0-9_]", "", c)
+            # parity with snake_case/snake_case_sql: Spark trim strips
+            # SPACES only and Java/RE2 \s is ASCII — Python's default
+            # unicode \s (NBSP etc.) and .strip() (all whitespace)
+            # would diverge on messy headers ('price\n' → 'price' here
+            # vs 'price_' in the column expression)
+            c = re.sub(r"[ \t\n\x0b\f\r\-]+", "_", c.strip(" ").lower(), flags=re.ASCII)
+            c = re.sub(r"[^a-z0-9_]", "", c, flags=re.ASCII)
             return re.sub(r"_+", "_", c)
 
         return json.dumps(
@@ -132,7 +137,19 @@ def annotate_tables(
                 parsed, attempts = None, 0
                 while parsed is None and attempts <= max_retries:
                     attempts += 1
-                    raw = ann(r.table_name, cols, getattr(r, "sample_markdown", ""))
+                    # a RAISING annotator (HTTP 4xx, endpoint down past
+                    # its transport retries, 200-with-garbage) must
+                    # count as a failed attempt and fall through to the
+                    # identity mapping — not kill the Spark stage and
+                    # drop EVERY table ('the pipeline never drops a
+                    # table because a model misbehaved')
+                    try:
+                        raw = ann(
+                            r.table_name, cols,
+                            getattr(r, "sample_markdown", ""),
+                        )
+                    except Exception:
+                        continue
                     obj = extract_json_block(raw) if isinstance(raw, str) else None
                     parsed = validate_annotation(obj, cols) if obj else None
                 if parsed is None:
@@ -238,6 +255,11 @@ class HttpAnnotator:
                 else:
                     raise
             except (urllib.error.URLError, TimeoutError) as e:
+                last = e
+            except (json.JSONDecodeError, KeyError, UnicodeDecodeError) as e:
+                # a 200 with a garbage body (proxy error page, partial
+                # read) is as transient as a 503 — retry with backoff
+                # instead of bypassing the loop on the first attempt
                 last = e
             if attempt < self.max_retries:
                 time.sleep(self.backoff_s * (2**attempt))

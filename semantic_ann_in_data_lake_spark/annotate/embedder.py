@@ -57,6 +57,14 @@ class HashEmbedder:
         return out
 
 
+#: worker-process-global HTTP throttle state (see HttpEmbedder):
+#: per-endpoint last-call stamps shared by every task in this worker.
+import threading as _threading
+
+_THROTTLE_LOCK = _threading.Lock()
+_LAST_CALL: dict[str, float] = {}
+
+
 def hash_embedding_expr(text: Column | str, dim: int = 16) -> Column:
     """The HashEmbedder as a JVM column expression (oracle-checkable)."""
     c = F.col(text) if isinstance(text, str) else text
@@ -130,7 +138,6 @@ class HttpEmbedder:
         self.max_retries = max_retries
         self.backoff_s = backoff_s
         self.min_interval_s = min_interval_s
-        self._last_call = 0.0
 
     def __call__(self, texts: list[str]) -> list[list[float]]:
         import json
@@ -143,10 +150,23 @@ class HttpEmbedder:
         last_err: Exception | None = None
         for attempt in range(self.max_retries + 1):
             if self.min_interval_s > 0:
-                wait = self._last_call + self.min_interval_s - time.time()
-                if wait > 0:
-                    time.sleep(wait)
-            self._last_call = time.time()
+                # throttle state is WORKER-global (module dict keyed by
+                # endpoint), not per instance: HttpEmbedder objects are
+                # re-deserialized per TASK, so instance state would
+                # reset every task and concurrent tasks in one worker
+                # would each rate-limit only against themselves. One
+                # lock+stamp per worker process is the real per-worker
+                # floor; total cluster rate is still workers × rate —
+                # size min_interval_s for the worker count.
+                with _THROTTLE_LOCK:
+                    wait = (
+                        _LAST_CALL.get(self.url, 0.0)
+                        + self.min_interval_s
+                        - time.time()
+                    )
+                    if wait > 0:
+                        time.sleep(wait)
+                    _LAST_CALL[self.url] = time.time()
             try:
                 req = urllib.request.Request(
                     self.url, data=payload, headers=headers, method="POST"
@@ -201,7 +221,12 @@ def embed_texts(
                 chunk = pdf.iloc[start : start + batch_size]
                 texts = chunk[text_col].fillna("").tolist()
                 vecs = emb(texts)
-                out = {c: chunk[c].astype(str) for c in id_cols}
+                # null ids must stay NULL: astype(str) renders them as
+                # the literal 'None', forging a phantom join key
+                out = {
+                    c: [None if pd.isna(v) else str(v) for v in chunk[c]]
+                    for c in id_cols
+                }
                 out["content_hash"] = [
                     hashlib.md5(t.encode()).hexdigest() for t in texts
                 ]

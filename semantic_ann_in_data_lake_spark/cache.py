@@ -20,21 +20,37 @@ cached blocks cannot accumulate for the lifetime of the session.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 
-_SCOPES: list[list[DataFrame]] = []
+# thread-LOCAL scope stack: concurrent driver threads (foreachBatch
+# callbacks, parallel bench iterations) each get their own stack — a
+# shared module global would register thread A's persists into thread
+# B's innermost frame and unpersist A's still-in-use blocks when B's
+# scope exits
+_TLS = threading.local()
+
+
+def _scopes() -> list[list[DataFrame]]:
+    stack = getattr(_TLS, "scopes", None)
+    if stack is None:
+        stack = []
+        _TLS.scopes = stack
+    return stack
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """``df.persist()`` that registers with the innermost active
-    :func:`cache_scope` (no-op registration when no scope is active —
-    the caller then owns the cache for the session)."""
+    :func:`cache_scope` of THIS thread (no-op registration when no
+    scope is active — the caller then owns the cache for the
+    session)."""
     df = df.persist()
-    if _SCOPES:
-        _SCOPES[-1].append(df)
+    stack = _scopes()
+    if stack:
+        stack[-1].append(df)
     return df
 
 
@@ -44,11 +60,12 @@ def cache_scope() -> Iterator[list[DataFrame]]:
     exit. Results computed inside remain CORRECT afterwards (Spark
     recomputes from lineage) — only the cached blocks are released."""
     frames: list[DataFrame] = []
-    _SCOPES.append(frames)
+    stack = _scopes()
+    stack.append(frames)
     try:
         yield frames
     finally:
-        _SCOPES.pop()
+        stack.pop()
         for df in frames:
             try:
                 df.unpersist()

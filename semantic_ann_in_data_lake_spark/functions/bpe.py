@@ -20,6 +20,8 @@ the merges table broadcasts, workers encode with a per-worker LRU.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import re
 from typing import Iterable
 
@@ -131,7 +133,7 @@ class BpeTokenizer:
         for a, b in merges:
             table.append(table[a] + table[b])
         self._bytes = table
-        self._cache: dict[str, list[int]] = {}
+        self._cache: OrderedDict = OrderedDict()
 
     def _apply(self, seq: list[int]) -> list[int]:
         ranks = self.ranks
@@ -157,13 +159,22 @@ class BpeTokenizer:
         return seq
 
     def encode(self, text: str) -> list[int]:
+        # true LRU (move-to-end on hit, evict oldest at capacity): an
+        # insert-only capped dict fills with one-off pre-tokens early
+        # (unique ids/URLs) and then re-encodes every FREQUENT token
+        # via the O(n²) merge loop for the rest of the task — the
+        # opposite of what the cache exists for on large corpora
+        cache = self._cache
         out: list[int] = []
         for tok in _PRETOKEN.findall(text or ""):
-            ids = self._cache.get(tok)
+            ids = cache.get(tok)
             if ids is None:
                 ids = self._apply(list(tok.encode("utf-8")))
-                if len(self._cache) < 100_000:
-                    self._cache[tok] = ids
+                if len(cache) >= 100_000:
+                    cache.popitem(last=False)
+                cache[tok] = ids
+            else:
+                cache.move_to_end(tok)
             out.extend(ids)
         return out
 

@@ -45,7 +45,11 @@ def column_to_text(
         F.array_join(values_sample, ", "),
     )
     if title is not None:
-        return F.concat(title, F.lit(". "), base)
+        # NULL-title rows keep the base sentence: concat's any-NULL-in
+        # semantics would null the WHOLE text and the embedder would
+        # index an empty string (same guard as embed_prompt's optional
+        # description)
+        return F.when(title.isNotNull(), F.concat(title, F.lit(". "), base)).otherwise(base)
     return base
 
 
@@ -67,7 +71,10 @@ def column_to_text_sql(
         f" || '): ' || array_to_string({values_sample}, ', ')"
     )
     if title is not None:
-        return f"{title} || '. ' || {base}"
+        return (
+            f"CASE WHEN ({title}) IS NULL THEN {base} "
+            f"ELSE ({title}) || '. ' || {base} END"
+        )
     return base
 
 

@@ -161,16 +161,28 @@ def token_truncate(
     def run(batches):
         import pandas as pd
 
-        enc = tokenizer()  # once per worker, not per row
+        enc = tokenizer()  # once per task (worker reuse amortizes it)
         for pdf in batches:
-            ids = pdf[text_col].map(lambda t: enc.encode(t or ""))
-            kept = ids.map(lambda x: x[:max_tokens])
+            # NULL text propagates NULL stats — the same semantics as
+            # the whitespace tier above (words→NULL), so swapping the
+            # exact-BPE tier in really is zero Spark-side changes;
+            # `t or ''` would silently rewrite NULL rows to (0, 0, '')
+            ids = pdf[text_col].map(
+                lambda t: enc.encode(t) if isinstance(t, str) else None
+            )
+            kept = ids.map(lambda x: None if x is None else x[:max_tokens])
             yield pd.DataFrame(
                 {
                     **{c: pdf[c] for c in id_cols},
-                    "n_tokens": ids.map(len).astype("int32"),
-                    "n_tokens_kept": kept.map(len).astype("int32"),
-                    "truncated": kept.map(enc.decode),
+                    "n_tokens": ids.map(
+                        lambda x: None if x is None else len(x)
+                    ),
+                    "n_tokens_kept": kept.map(
+                        lambda x: None if x is None else len(x)
+                    ),
+                    "truncated": kept.map(
+                        lambda x: None if x is None else enc.decode(x)
+                    ),
                 }
             )
 

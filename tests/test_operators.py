@@ -3811,3 +3811,53 @@ def test_asof_join_null_keys_never_match(spark):
     )
     out = asof_join(left, right, "user_id", right_cols=("state",)).collect()
     assert len(out) == 1 and out[0]["matched_state"] is None
+
+
+def test_cache_scope_thread_local(spark, sf_dir):
+    """Concurrent driver threads must not pop each other's scope
+    frames or unpersist each other's blocks."""
+    import threading
+
+    from semantic_ann_in_data_lake_spark.cache import (
+        cache_scope, scoped_persist,
+    )
+
+    errs = []
+
+    def work(tag):
+        try:
+            with cache_scope() as frames:
+                df = scoped_persist(
+                    spark.range(0, 100).selectExpr(f"id + {tag} as id")
+                )
+                assert df.count() == 100
+                assert len(frames) == 1  # only THIS thread's persist
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert errs == []
+
+
+def test_annotate_tables_survives_raising_annotator(spark):
+    """A raising annotator counts as a failed attempt and falls back to
+    the identity mapping — it must never kill the stage."""
+    from semantic_ann_in_data_lake_spark.annotate.annotator import (
+        annotate_tables,
+    )
+
+    calls = {"n": 0}
+
+    def flaky(table, cols, md):
+        calls["n"] += 1
+        raise RuntimeError("endpoint down")
+
+    catalog = spark.createDataFrame(
+        [("t1", ["A Col", "B"], "")],
+        "table_name string, columns array<string>, sample_markdown string",
+    )
+    out = annotate_tables(catalog, annotator=flaky, max_retries=1).collect()
+    assert len(out) == 1 and out[0]["ok"] is False
+    assert out[0]["columns"] == {"A Col": "A Col", "B": "B"}

@@ -89,34 +89,57 @@ _GATED_PRIOR_ROUNDS = frozenset({
     "zorder_key_orders", "band_join_view_purchase", "bpe_contract_docs",
     "quality_model_scores", "cap_docs_per_source", "knn_ivf_probeall_l2",
     "cross_corpus_near_dups", "lsh_recall_report",
+    # --- round 4 (CORRECTNESS_r04.json, 50/50 green) ---
+    "approx_percentile_bounds", "bitext_mine_en_de",
+    "bloom_prune_join_orders", "brand_price_quartiles",
+    "bucketed_join_spend", "centroid_per_source", "chunk_docs",
+    "corrupt2_charnoise", "corrupt3_swap", "csv_dir_scan_stats",
+    "csv_sink_roundtrip", "customer_order_trends", "dedup_cluster_assign",
+    "dedup_then_jaccard_join", "embedding_outliers_per_source",
+    "equidepth_histogram_totalprice", "event_props_json_stats",
+    "events_sliding_rollup", "fd_check_lake", "fuzzy_join_part_names",
+    "hard_negatives_embeddings", "histogram_totalprice",
+    "hybrid_search_rrf", "ivf_index_build_refresh_check",
+    "ivf_index_search_distcheck", "jaccard_prefix_join",
+    "join_size_orders_lineitem", "json_catalog_scan",
+    "jsonl_roundtrip_stats", "knn_auto_l2", "knn_ivf_kmeans_l2_distcheck",
+    "knn_ivf_pq_adc_distcheck", "knn_pq_adc_distcheck",
+    "media_frame_samples", "orc_sink_roundtrip", "pivot_linestatus",
+    "profile_correlations_lineitem", "profile_merge_partials",
+    "psi_drift_snapshots", "q12_priority_shipping",
+    "q4_late_shipment_priority", "quantiles_from_bins_totalprice",
+    "quantize_embeddings_int8", "rollup_revenue", "stratified_sample_docs",
+    "table_diff_orders", "validate_orders", "view_error_interval_join",
+    "winsorized_stats_totalprice",
 })
 
 
 #: Names whose LAST official driver row is red or stale — floated to the
-#: front of the gate window right after the never-gated group so round 4
-#: replaces those rows with green ones: the four r3 reds (HUGEINT casts
-#: and array serialization fixed this round, see VERDICT r3 "What's
-#: wrong") plus deepjoin_eval, whose r1 red (oracle type bug, fixed in
-#: r2, green locally since) is still the driver's last word on it.
-_GATE_RED_RETRY = frozenset({
-    "q12_priority_shipping", "validate_orders",
-    "quantize_embeddings_int8", "centroid_per_source",
-    "deepjoin_eval",
-})
+#: front of the gate window. Round 4 came back 50/50 green (all five
+#: round-3 retries replaced with green rows), so this set is empty; it
+#: stays as a seam in case a future round produces a red official row.
+_GATE_RED_RETRY: frozenset[str] = frozenset()
 
 
-#: Never-driver-gated names that have waited SINCE ROUND 3 (VERDICT r3
-#: "What's missing" item 1) — they outrank round-4 debuts within the
-#: fresh group: an operator two rounds without an official row costs
-#: more than one that just landed.
+#: Never-driver-gated names that have waited SINCE ROUND 4 (VERDICT r4
+#: "What's missing" item 1 lists exactly these 27) — they outrank
+#: round-5 debuts within the fresh group: an operator multiple rounds
+#: without an official row costs more than one that just landed. All 27
+#: fit inside the 50-name gate window, so round 5 completes cumulative
+#: coverage: every registry entry will have an official driver row.
 _GATE_OLDEST_FRESH = frozenset({
-    "corrupt2_charnoise", "corrupt3_swap", "pivot_linestatus",
-    "rollup_revenue", "q4_late_shipment_priority", "csv_dir_scan_stats",
-    "jsonl_roundtrip_stats", "csv_sink_roundtrip", "json_catalog_scan",
-    "chunk_docs", "dedup_cluster_assign", "stratified_sample_docs",
-    "event_props_json_stats", "customer_order_trends",
-    "view_error_interval_join", "events_sliding_rollup",
-    "histogram_totalprice", "orc_sink_roundtrip", "media_frame_samples",
+    "bigram_lm_scores", "cms_heavy_hitters_events", "corpus_datacard",
+    "dedup_keep_longest", "dpp_partitioned_join_prune",
+    "dup_span_fraction", "event_transition_matrix", "ewma_user_value",
+    "join_discovery_fused", "knn_ivf_kmeans_l2", "knn_ivf_pq_l2",
+    "knn_pq_l2", "lang_source_matrix", "leakage_safe_split_docs",
+    "length_bucket_batches_docs", "ngram_topk_corpus",
+    "profile_approx_distinct", "resample_interpolate_15m",
+    "resample_interpolate_user_value", "scd2_user_state",
+    "segment_dedup_rewrite", "shard_manifest_docs",
+    "temperature_mix_allocation", "trailing_7d_active_users",
+    "value_outliers_per_user", "value_overlap_join_discovery",
+    "weighted_sample_docs",
 })
 
 

@@ -37,3 +37,31 @@ def test_every_query_has_oracle_or_is_documented():
     # approximate LSH, stubbed media decode, sequential synonym loop
     allowed = ("lsh", "ivf", "stream", "media", "synonym", "approx", "_ann", "_pq")
     assert all(any(tag in n for tag in allowed) for n in missing), missing
+
+
+def test_driver_surface_is_fully_oracled():
+    """The driver has no rows-only mode: any None-oracle name it samples
+    becomes a permanent red `no_oracle` row. queries() must therefore
+    expose only oracled entries (VERDICT r5 task 1)."""
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    assert set(qs) == set(oracles)
+    assert all(registry.REGISTRY[n][1] is not None for n in qs)
+    # hidden entries stay runnable through REGISTRY for bench/pytest
+    hidden = set(registry.REGISTRY) - set(qs)
+    assert all(registry.REGISTRY[n][1] is None for n in hidden)
+
+
+def test_gate_window_prefers_stalest_evidence():
+    """queries() ordering: red-retry, then debuts, then green names by
+    ascending round of their last official row — the 50-name driver
+    window re-validates the oldest evidence each round."""
+    order = list(registry.queries())
+    ranks = []
+    for n in order:
+        if n in registry._GATE_RED_RETRY:
+            ranks.append((0, 0))
+        elif n not in registry._GREEN_ROUND:
+            ranks.append((1, 0))
+        else:
+            ranks.append((2, registry._GREEN_ROUND[n]))
+    assert ranks == sorted(ranks)

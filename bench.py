@@ -66,13 +66,26 @@ def bench_queries(spark, sf_dir):
         from semantic_ann_in_data_lake_spark.operators.pq import knn_ivf_pq
 
         emb = read_table(spark, sf_dir, "embeddings")
-        return knn_ivf_pq(emb, emb, k=10, nlist=16, nprobe=8)
+        # nlist derived from the candidate count (≈√n) — the fixed
+        # nlist=16 posture re-approached |Q|·|C| per cell at sf1 (7.4×,
+        # VERDICT r5 item 5)
+        return knn_ivf_pq(emb, emb, k=10, nprobe=8)
 
     def minhash_fast():
+        # Production posture: hot-bucket cap on, like knn_lsh above.
+        # Uncapped, per-bucket exact verification grows quadratically in
+        # duplicate density (the sf1 fixture is 10× copies — worst
+        # case; measured 11.1× sf0.1→sf1 uncapped, VERDICT r5 item 4).
+        # Recall trade: pairs whose every shared band lands in a
+        # >1000-member bucket are skipped; within a capped bucket a
+        # deterministic hash-ordered star sample still links the
+        # duplicate cluster (dedup.py hot-bucket policy), so exact
+        # duplicates remain connected — the cap loses only low-sim
+        # borderline pairs inside mega-clusters.
         docs = read_table(spark, sf_dir, "documents")
         return dedup.minhash_near_dups(
             docs, num_hashes=16, bands=8, rows_per_band=2,
-            threshold=0.01, hash_portable=False,
+            threshold=0.01, hash_portable=False, max_bucket_size=1000,
         )
 
     def simhash_fast():
@@ -437,14 +450,45 @@ def main():
     compact["detail_file"] = "BENCH_DETAIL.json"
     n_total = len(timings)
     compact["n_queries"] = n_total
+    prev_inlined = _prev_round_inlined()
     line = json.dumps(compact, separators=(",", ":"))
     while len(line.encode()) > 1500 and compact["queries"]:
-        # Drop the fastest queries first; the slow ones are the story.
-        fastest = min(compact["queries"], key=compact["queries"].get)
-        del compact["queries"][fastest]
-        compact["queries_omitted"] = n_total - len(compact["queries"])
+        # Rotate the inline set across rounds: drop queries that DID
+        # make the previous official round's inline record first
+        # (fastest within that class), so every suite query appears in
+        # the official BENCH_r{N} record at least once per two
+        # consecutive rounds; the complete payload is always in the
+        # committed BENCH_DETAIL.json.
+        qs = compact["queries"]
+        pool = [q for q in qs if q in prev_inlined] or list(qs)
+        fastest = min(pool, key=qs.get)
+        del qs[fastest]
+        compact["queries_omitted"] = n_total - len(qs)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
+
+
+def _prev_round_inlined() -> frozenset:
+    """Inline query names from the latest official BENCH_r*.json, for
+    the rotation trim above. Empty set when no record exists (first
+    round, or bench run outside the repo)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = path, int(m.group(1))
+    if best is None:
+        return frozenset()
+    try:
+        with open(best) as f:
+            rec = json.load(f)
+        return frozenset((rec.get("parsed") or {}).get("queries", {}))
+    except Exception:
+        return frozenset()
 
 
 if __name__ == "__main__":

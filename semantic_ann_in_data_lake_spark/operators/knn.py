@@ -98,6 +98,22 @@ def _prep(df: DataFrame, id_col: str, vec_col: str, side: str) -> DataFrame:
     )
 
 
+def derive_nlist(
+    candidates: DataFrame, floor: int = 16, cap: int = 4096
+) -> int:
+    """Scale-aware IVF cell count: nlist ≈ √n keeps the per-cell
+    candidate population ≈ √n, so probe work |Q|·nprobe·(n/nlist)
+    grows as n^1.5 overall but each cell stays worker-sized as the
+    corpus grows 100× — a fixed nlist instead re-approaches |Q|·|C|
+    per cell (the sf1 7.4× outlier in SCALING, VERDICT r5 item 5).
+    Row count from parquet footers when free, count() otherwise;
+    capped so the centroid broadcast stays small."""
+    n = _estimate_rows(candidates)
+    if n is None:
+        n = candidates.count()
+    return int(min(cap, max(floor, round(n ** 0.5))))
+
+
 def knn_join(
     queries: DataFrame,
     candidates: DataFrame,
@@ -111,7 +127,7 @@ def knn_join(
     compress: str | None = None,
     ivf_fit: str = "sample",
     max_bucket_size: int | None = None,
-    nlist: int = 16,
+    nlist: int | None = None,
     nprobe: int = 4,
 ) -> DataFrame:
     """Top-k nearest candidates per query.
@@ -217,6 +233,11 @@ def knn_join(
             max_bucket_size=max_bucket_size,
         )
     if strategy == "ivf":
+        if nlist is None:
+            # explicit-tier default mirrors the auto degrade path:
+            # derive cells from the candidate count instead of a fixed
+            # 16 that stops partitioning the corpus at scale
+            nlist = derive_nlist(candidates)
         return _knn_ivf(
             queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp,
             nlist=nlist, nprobe=nprobe, fit=ivf_fit, compress=compress,

@@ -198,7 +198,7 @@ def knn_pq(
         )
         return knn_ivf_pq(
             queries, candidates, id_col, vec_col, k=k,
-            nlist=max(16, int(n_cand ** 0.5 // 64)), nprobe=8, m=m,
+            nlist=min(4096, max(16, round(n_cand ** 0.5))), nprobe=8, m=m,
             ksub=ksub, exclude_self=exclude_self, round_dp=round_dp,
             seed=seed,
         )
@@ -425,7 +425,7 @@ def knn_ivf_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    nlist: int = 16,
+    nlist: int | None = None,
     nprobe: int = 4,
     m: int = 16,
     ksub: int = 256,
@@ -451,6 +451,12 @@ def knn_ivf_pq(
     spark = queries.sparkSession
     c = _prep(candidates, id_col, vec_col, "cand")
 
+    if nlist is None:
+        # mirror knn_join's explicit-IVF default: cells scale ≈ √n so
+        # per-cell ADC work stays bounded as the corpus grows
+        from semantic_ann_in_data_lake_spark.operators.knn import derive_nlist
+
+        nlist = derive_nlist(candidates)
     cents, books = fit_ivf_pq(c, nlist=nlist, m=m, ksub=ksub, seed=seed)
     bc = spark.sparkContext.broadcast((cents, np.asarray(books)))
 

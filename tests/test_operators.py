@@ -3861,3 +3861,70 @@ def test_annotate_tables_survives_raising_annotator(spark):
     out = annotate_tables(catalog, annotator=flaky, max_retries=1).collect()
     assert len(out) == 1 and out[0]["ok"] is False
     assert out[0]["columns"] == {"A Col": "A Col", "B": "B"}
+
+
+def test_derive_nlist_scales_with_candidates(spark, sf_dir):
+    """Explicit IVF tiers derive nlist ≈ √n (clamped to [16, 4096])
+    when the caller doesn't pin one — a fixed nlist stops partitioning
+    the corpus at scale (VERDICT r5 item 5)."""
+    from semantic_ann_in_data_lake_spark.operators.knn import derive_nlist
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    expect = int(min(4096, max(16, round(n ** 0.5))))
+    # footer path: unfiltered parquet scan, zero Spark jobs
+    assert derive_nlist(emb) == expect
+    # count() fallback: a filtered lineage has no usable footer count
+    filtered = emb.where("vec_id % 2 = 0")
+    m = filtered.count()
+    assert derive_nlist(filtered) == int(min(4096, max(16, round(m ** 0.5))))
+    # clamps
+    assert derive_nlist(emb.limit(4)) == 16
+
+
+def test_knn_ivf_pq_derives_nlist(spark, sf_dir, monkeypatch):
+    """knn_ivf_pq(nlist=None) must fit √n̂ cells, mirroring knn_join's
+    explicit-IVF default."""
+    from semantic_ann_in_data_lake_spark.operators import pq as pq_mod
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    seen = {}
+    real_fit = pq_mod.fit_ivf_pq
+
+    def spy_fit(c, nlist, **kw):
+        seen["nlist"] = nlist
+        return real_fit(c, nlist=nlist, **kw)
+
+    monkeypatch.setattr(pq_mod, "fit_ivf_pq", spy_fit)
+    from semantic_ann_in_data_lake_spark.operators import knn as knn_mod
+
+    monkeypatch.setattr(knn_mod, "_estimate_rows", lambda df: 10_000)
+    pq_mod.knn_ivf_pq(emb, emb, k=3, nprobe=2).count()
+    assert seen["nlist"] == 100  # √10000
+
+
+def test_skew_safe_term_join_equivalence(spark, sf_dir):
+    """The stopword-head broadcast split must emit exactly the plain
+    join's rows (the oracle hash depends on it), and its hot branch
+    must be a broadcast join in the plan."""
+    from semantic_ann_in_data_lake_spark.operators.textstats import (
+        _skew_safe_term_join,
+    )
+    from semantic_ann_in_data_lake_spark.functions.text import words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        F.col("doc_id"), F.explode(words("text")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    plain = tf.join(dfreq, "term")
+    # floor=0 forces the hot path at gate scale (production floor 1000
+    # only engages on corpora where df can exceed it)
+    split = _skew_safe_term_join(tf, dfreq, hot_df_floor=0)
+    rows = lambda df: sorted(map(tuple, df.select("term", "doc_id", "tf", "df").collect()))
+    assert rows(split) == rows(plain)
+    plan = split._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastHashJoin" in plan

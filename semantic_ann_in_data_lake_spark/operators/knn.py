@@ -145,6 +145,7 @@ def knn_join(
     then approximate (quantization error ~scale/2 per lane), so results
     are near- but not hash-exact.
     """
+    known_n_cand = known_n_query = None
     if strategy == "auto":
         # SURVEY §4.2's optional dispatch: broadcast the candidate index
         # when it fits comfortably in executor memory, else fall back to
@@ -199,6 +200,9 @@ def knn_join(
             and pq_bytes <= 256 << 20
         ):
             strategy = "pq"
+            # pass the dispatcher's measurements down so knn_pq's own
+            # budget guard doesn't re-count the lineage
+            known_n_cand, known_n_query = n_cand, n_query
         else:
             strategy = "ivf"
     if strategy == "exact":
@@ -254,6 +258,7 @@ def knn_join(
         return knn_pq(
             queries, candidates, id_col, vec_col, k=k,
             exclude_self=exclude_self, round_dp=round_dp,
+            known_n_cand=known_n_cand, known_n_query=known_n_query,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 

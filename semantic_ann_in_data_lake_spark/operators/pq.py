@@ -164,6 +164,8 @@ def knn_pq(
     exclude_self: bool = True,
     round_dp: int = DEFAULT_ROUND_DP,
     seed: int = 42,
+    known_n_cand: int | None = None,
+    known_n_query: int | None = None,
 ) -> DataFrame:
     """Top-k by ADC-approximate squared L2 over the PQ-coded candidate
     index (broadcast tier).
@@ -187,13 +189,38 @@ def knn_pq(
     # of OOMing the driver (codes are m ints + id ≈ m+16 bytes/row
     # once packed; the pandas interchange is wider, so the budget
     # check uses the broadcast-side size it protects)
-    n_cand = _estimate_rows(candidates)
-    if n_cand is not None and n_cand * (m + 16) > _broadcast_byte_budget():
+    n_cand = known_n_cand if known_n_cand is not None else _estimate_rows(candidates)
+    # PQ/ADC shrinks MEMORY, not compute: the broadcast scorer still
+    # evaluates every (query, candidate) pair. Mirror auto-dispatch's
+    # compute ceiling (SPARK_GRAFT_KNN_PAIR_BUDGET) so an oversized
+    # explicit call degrades to the cell-sharded IVF-PQ tier instead of
+    # running a quadratic job (VERDICT r5 carried item: pq.py had only
+    # the byte guard). count() fallback is noise next to the full
+    # encode+collect this tier performs anyway.
+    import os
+
+    if n_cand is None:
+        n_cand = candidates.count()
+    if known_n_query is not None:
+        n_query = known_n_query
+    elif queries is candidates:
+        n_query = n_cand
+    else:
+        n_query = _estimate_rows(queries) or queries.count()
+    pair_budget = float(os.environ.get("SPARK_GRAFT_KNN_PAIR_BUDGET", "1e10"))
+    over_bytes = n_cand * (m + 16) > _broadcast_byte_budget()
+    over_pairs = n_query * n_cand > pair_budget
+    if over_bytes or over_pairs:
         import warnings
 
+        why = (
+            "exceed the broadcast budget even PQ-coded"
+            if over_bytes
+            else f"x {n_query} queries exceed the {pair_budget:.0e} pair budget"
+        )
         warnings.warn(
-            f"knn_pq: ~{n_cand} candidates exceed the broadcast budget "
-            "even PQ-coded; degrading to knn_ivf_pq (cell-sharded).",
+            f"knn_pq: ~{n_cand} candidates {why}; degrading to "
+            "knn_ivf_pq (cell-sharded).",
             stacklevel=2,
         )
         return knn_ivf_pq(

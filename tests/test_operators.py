@@ -3928,3 +3928,35 @@ def test_skew_safe_term_join_equivalence(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_knn_pq_pair_budget_degrades_to_ivf_pq(spark, sf_dir, monkeypatch):
+    """An EXPLICIT strategy='pq' call is still a quadratic scorer (ADC
+    shrinks memory, not compute): past the pair budget it must degrade
+    to the cell-sharded IVF-PQ tier with a warning, mirroring the auto
+    tier's compute ceiling (VERDICT r5 carried item: only the byte
+    guard existed)."""
+    from semantic_ann_in_data_lake_spark.operators import pq as pq_mod
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    called = {}
+    real_ivf_pq = pq_mod.knn_ivf_pq
+
+    def spy(*a, **kw):
+        called["nlist"] = kw.get("nlist")
+        return real_ivf_pq(*a, **kw)
+
+    monkeypatch.setattr(pq_mod, "knn_ivf_pq", spy)
+    monkeypatch.setenv("SPARK_GRAFT_KNN_PAIR_BUDGET", "100")  # 50*50 > 100
+    with pytest.warns(UserWarning, match="pair budget"):
+        out = pq_mod.knn_pq(emb, emb, k=3)
+    assert called["nlist"] is not None and out.count() > 0
+    monkeypatch.delenv("SPARK_GRAFT_KNN_PAIR_BUDGET")
+    # under budget: no degrade, no warning
+    called.clear()
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        pq_mod.knn_pq(emb, emb, k=3).count()
+    assert not called

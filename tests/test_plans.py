@@ -326,3 +326,78 @@ def test_corpus_datacard_three_scans(spark, sf_dir):
     # formatted mode mentions each scan node twice (tree + details)
     assert plan.count("Scan parquet") <= 6
     assert "CartesianProduct" not in plan
+
+
+def test_unpartitioned_windows_sit_above_bounded_aggregates(spark, sf_dir):
+    """Any Window WITHOUT a partitionBy funnels every row through one
+    task — fatal at 100 TB unless its input is provably tiny. Walk
+    every registry plan: an unpartitioned Window must have an Aggregate
+    or Limit strictly below it (the drift/rank merges window over
+    ≤n_bins aggregated rows — bounded by construction, pinned here so
+    a refactor can't silently widen one to raw data)."""
+    from semantic_ann_in_data_lake_spark.plans import registry
+
+    def nodes(plan, depth=0):
+        yield plan, depth
+        for i in range(plan.children().size()):
+            yield from nodes(plan.children().apply(i), depth + 1)
+
+    def subtree_bounded(node):
+        # bounded if an Aggregate/Limit gates the subtree, or if every
+        # leaf is driver-local literal data (LocalRelation: e.g. the
+        # corruption ops window over a table's COLUMN LIST — schema
+        # width, not data size)
+        leaves_local = True
+        for sub, _ in nodes(node):
+            name = sub.getClass().getSimpleName()
+            if name in ("Aggregate", "GlobalLimit", "LocalLimit"):
+                return True
+            if sub.children().size() == 0 and name not in (
+                # LogicalRDD here is always createDataFrame over a
+                # driver-resident python list (the corruption ops build
+                # a table's COLUMN LIST — schema width, not data): data
+                # that was materialized on the driver is bounded by
+                # definition. No operator in this engine reads
+                # unbounded data through an RDD (SURVEY §2 "DataFrame,
+                # not RDD" discipline).
+                "LocalRelation", "OneRowRelation", "LogicalRDD", "Range",
+            ):
+                leaves_local = False
+        return leaves_local
+
+    offenders = []
+    for name, (fn, _) in sorted(registry.REGISTRY.items()):
+        try:
+            df = fn(spark, sf_dir)
+        except Exception:
+            continue  # side-effecting entries needing tmp dirs, etc.
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for node, _ in nodes(plan):
+            if node.getClass().getSimpleName() != "Window":
+                continue
+            if node.partitionSpec().size() > 0:
+                continue
+            if not all(
+                subtree_bounded(node.children().apply(i))
+                for i in range(node.children().size())
+            ):
+                offenders.append(name)
+    assert not offenders, (
+        f"unpartitioned Window over unbounded input in: {sorted(set(offenders))}"
+    )
+
+
+def test_entry_flagship_tier_independent(spark):
+    """entry() pins strategy='broadcast'; the flagship result must not
+    depend on that choice — at gate scale auto routes to the same
+    exact broadcast tier, so the 12-cell grids must be row-identical
+    (VERDICT r5 task 9)."""
+    from semantic_ann_in_data_lake_spark.plans.pipeline import (
+        grid_evaluate_discovery,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    bcast = grid_evaluate_discovery(spark, sf, strategy="broadcast")
+    auto = grid_evaluate_discovery(spark, sf, strategy="auto")
+    assert rows(bcast) == rows(auto)

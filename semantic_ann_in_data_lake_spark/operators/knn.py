@@ -686,13 +686,26 @@ def fit_ivf_centroids(
         centroids = mat[
             rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)
         ]
+        # BLAS |x|²-2x·c+|c|² form, same as pq.fit_pq: the (n, k, d)
+        # broadcast-subtract allocates n·k·d floats per iteration and
+        # became the dominant cost once nlist started scaling with the
+        # corpus (derive_nlist); the Gram form allocates only n·k.
+        sq = (mat * mat).sum(axis=1)[:, None]
         for _ in range(10):  # Lloyd iterations, driver-side on the sample
-            d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            d2 = (
+                sq
+                - 2.0 * (mat @ centroids.T)
+                + (centroids * centroids).sum(axis=1)[None, :]
+            )
             assign = d2.argmin(axis=1)
-            for j in range(len(centroids)):
-                members = mat[assign == j]
-                if len(members):
-                    centroids[j] = members.mean(axis=0)
+            # vectorized per-cell mean: bincount sums per assigned cell
+            counts = np.bincount(assign, minlength=len(centroids))
+            for j in range(mat.shape[1]):
+                sums = np.bincount(
+                    assign, weights=mat[:, j], minlength=len(centroids)
+                )
+                nz = counts > 0
+                centroids[nz, j] = sums[nz] / counts[nz]
         return centroids
     raise ValueError(f"unknown ivf fit {fit!r}")
 

@@ -43,112 +43,51 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-#: Round of each name's most recent GREEN official driver row
-#: (CORRECTNESS_r01..r05). The driver gates only the FIRST 50 entries of
-#: :func:`queries` per round, so ordering decides what gets re-validated.
-#: Regenerate each round from the new CORRECTNESS file: a green row moves
-#: the name to that round's set; red rows are handled by _GATE_RED_RETRY.
-_GREEN_AS_OF_ROUND: dict[int, frozenset[str]] = {
-    1: frozenset({
-        "q18_large_volume_customers",
-    }),
-    2: frozenset({
-        "ann_threshold_join", "annotate_columns_rule",
-        "catalog_join_pipeline", "column_to_text_customer",
-        "corrupt1_positional", "date_normalize_orders", "dedup_exact",
-        "deterministic_sample_docs", "doc_fingerprints",
-        "doc_token_stats", "embed_prompt_customer",
-        "embedding_dup_pairs", "events_hourly_rollup",
-        "grid_eval_discovery", "hash_embeddings",
-        "j10_symmetric_neighbors", "j7_supplier_pairs",
-        "knn_broadcast_l2", "knn_exact_l2", "knn_topk_cosine",
-        "lang_id", "media_features", "minhash_lsh_pairs",
-        "minhash_signatures", "ngram_jaccard_pairs", "q3_top_orders",
-        "q5_local_supplier", "q6_forecast_revenue",
-        "semantic_search_docs", "semi_anti_parts", "semlink_eval",
-        "sessionize_events", "simhash_codes", "simhash_near_dup_pairs",
-        "synonym_canonical_terms", "token_truncate_docs",
-        "train_test_split_pairs", "window_topk_orders",
-    }),
-    3: frozenset({
-        "asof_join_events", "band_join_view_purchase", "bm25_top_terms",
-        "bpe_contract_docs", "cap_docs_per_source",
-        "cross_corpus_near_dups", "cube_revenue",
-        "customer_trailing_revenue", "decontaminate_docs",
-        "dedup_keep_canonical", "doc_repetition_stats",
-        "embedding_near_dups_ann_distcheck",
-        "funnel_view_click_purchase", "knn_ivf_l2_distcheck",
-        "knn_ivf_probeall_l2", "knn_lsh_l2_distcheck",
-        "lake_join_discovery", "lsh_recall_report", "mix_sample_docs",
-        "pack_sequences_docs", "pii_scrub_docs", "q10_returned_revenue",
-        "q11_important_stock", "q13_order_distribution",
-        "q14_economy_revenue_ratio", "q15_top_supplier",
-        "q16_supplier_part_count", "q17_small_quantity_revenue",
-        "q19_disjunctive_revenue", "q20_promotion_suppliers",
-        "q21_waiting_supplier", "q22_idle_customers",
-        "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
-        "q9_product_profit", "quality_filter_docs",
-        "quality_model_scores", "salted_heavy_user_rollup",
-        "tfidf_top_terms", "upsert_orders_latest",
-        "user_retention_cohorts", "zorder_key_orders",
-    }),
-    4: frozenset({
-        "bitext_mine_en_de", "bloom_prune_join_orders",
-        "bucketed_join_spend", "centroid_per_source", "chunk_docs",
-        "corrupt2_charnoise", "corrupt3_swap", "csv_dir_scan_stats",
-        "csv_sink_roundtrip", "customer_order_trends",
-        "dedup_cluster_assign", "dedup_then_jaccard_join",
-        "deepjoin_eval", "embedding_outliers_per_source",
-        "events_sliding_rollup", "fd_check_lake",
-        "fuzzy_join_part_names", "hard_negatives_embeddings",
-        "hybrid_search_rrf", "ivf_index_build_refresh_check",
-        "ivf_index_search_distcheck", "jaccard_prefix_join",
-        "join_size_orders_lineitem", "json_catalog_scan",
-        "jsonl_roundtrip_stats", "knn_auto_l2",
-        "knn_ivf_kmeans_l2_distcheck", "knn_ivf_pq_adc_distcheck",
-        "knn_pq_adc_distcheck", "media_frame_samples",
-        "orc_sink_roundtrip", "pivot_linestatus",
-        "q12_priority_shipping", "q4_late_shipment_priority",
-        "quantize_embeddings_int8", "rollup_revenue",
-        "stratified_sample_docs", "table_diff_orders",
-        "view_error_interval_join",
-    }),
-    5: frozenset({
-        "approx_percentile_bounds", "bigram_lm_scores",
-        "brand_price_quartiles", "cms_heavy_hitters_events",
-        "corpus_datacard", "dedup_keep_longest",
-        "distinct_sample_orders", "dpp_partitioned_join_prune",
-        "dup_span_fraction", "equidepth_histogram_totalprice",
-        "event_props_json_stats", "event_transition_matrix",
-        "ewma_user_value", "histogram_totalprice", "j1_lookup_join",
-        "j2_left_default", "join_discovery_fused", "lang_source_matrix",
-        "leakage_safe_split_docs", "length_bucket_batches_docs",
-        "most_common_events", "ngram_topk_corpus",
-        "profile_approx_distinct_bounds",
-        "profile_correlations_lineitem", "profile_customer",
-        "profile_entropy", "profile_lake_core", "profile_lineitem",
-        "profile_merge_partials", "profile_percentiles_lineitem",
-        "psi_drift_snapshots", "q1_pricing_summary",
-        "quantiles_from_bins_totalprice", "resample_interpolate_15m",
-        "resample_interpolate_user_value", "row_counts",
-        "scd2_user_state", "segment_dedup_rewrite",
-        "shard_manifest_docs", "temperature_mix_allocation",
-        "trailing_7d_active_users", "validate_orders",
-        "value_outliers_per_user", "value_overlap_join_discovery",
-        "weighted_sample_docs", "winsorized_stats_totalprice",
-    }),
-}
+def _load_official_record(
+    root: str | None = None,
+) -> tuple[dict[str, int], frozenset[str]]:
+    """Scan the committed CORRECTNESS_r*.json driver records (repo
+    root) and return (name -> round of most recent GREEN official row,
+    names whose LAST row is red). Self-maintaining: each new round's
+    file re-derives the gate state — no hand-updated literal to forget
+    (the round-5 red rows happened exactly because the static waiter
+    set went stale). Missing/unreadable files degrade to "everything
+    is a debut", which only affects ordering, never membership."""
+    import glob
+    import json
+    import os
+    import re
 
-_GREEN_ROUND: dict[str, int] = {
-    name: rnd for rnd, names in _GREEN_AS_OF_ROUND.items() for name in names
-}
+    if root is None:
+        # plans/registry.py -> plans -> package -> repo root
+        root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    latest: dict[str, tuple[int, bool]] = {}
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            green = isinstance(row, dict) and row.get("err") is None
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, green)
+    green_round = {n: r for n, (r, g) in latest.items() if g}
+    red_last = frozenset(n for n, (r, g) in latest.items() if not g)
+    return green_round, red_last
 
 
-#: Names whose LAST official driver row is red — floated to the front of
-#: the gate window so the red row is replaced with a green one ASAP.
-#: Empty as of round 6: the only reds ever recorded were `no_oracle`
-#: rows on None-oracle entries, which :func:`queries` no longer exposes.
-_GATE_RED_RETRY: frozenset[str] = frozenset()
+#: name -> round of its most recent GREEN official driver row, and the
+#: names whose LAST official row is red (floated to the front of the
+#: gate window so the red row is replaced with a green one ASAP).
+#: Derived at import from the committed CORRECTNESS files.
+_GREEN_ROUND, _GATE_RED_RETRY = _load_official_record()
 
 
 def _gate_ordered(names) -> list[str]:

@@ -65,3 +65,27 @@ def test_gate_window_prefers_stalest_evidence():
         else:
             ranks.append((2, registry._GREEN_ROUND[n]))
     assert ranks == sorted(ranks)
+
+
+def test_official_record_loader_matches_files(tmp_path):
+    """The gate state is DERIVED from the committed CORRECTNESS files
+    at import; pin the loader's semantics: last round wins, err==None
+    is green, red-last names float to retry, unreadable files degrade
+    to debut (never crash queries())."""
+    import json
+
+    d = tmp_path
+    (d / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"err": None}, "b": {"err": None}, "c": {"err": "boom"},
+    }))
+    (d / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "b": {"err": "no_oracle"}, "c": {"err": None},
+    }))
+    (d / "CORRECTNESS_r9.json").write_text("not json")
+
+    green, red = registry._load_official_record(root=str(d))
+    assert green == {"a": 1, "c": 2}
+    assert red == frozenset({"b"})
+    # empty dir -> everything is a debut, nothing red
+    green2, red2 = registry._load_official_record(root=str(d / "void"))
+    assert green2 == {} and red2 == frozenset()

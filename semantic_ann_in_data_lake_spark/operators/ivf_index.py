@@ -78,10 +78,17 @@ def build_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nlist: int = 16,
+    nlist: int | None = None,
     seed: int = 42,
     fit: str = "sample",
 ) -> None:
+    if nlist is None:
+        # same scale-aware default as the per-run IVF tiers: cells
+        # track the corpus (≈ √n) so a persistent index built today
+        # still partitions the corpus after it grows
+        from semantic_ann_in_data_lake_spark.operators.knn import derive_nlist
+
+        nlist = derive_nlist(emb)
     prepped = _prep(emb, id_col, vec_col, "cand")
     cents = fit_ivf_centroids(prepped, nlist=nlist, seed=seed, fit=fit)
     c = prepped.select(

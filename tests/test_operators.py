@@ -3960,3 +3960,18 @@ def test_knn_pq_pair_budget_degrades_to_ivf_pq(spark, sf_dir, monkeypatch):
         _w.simplefilter("error")
         pq_mod.knn_pq(emb, emb, k=3).count()
     assert not called
+
+
+def test_build_ivf_index_derives_nlist(spark, sf_dir, tmp_path):
+    """build_ivf_index(nlist=None) fits the scale-aware derived cell
+    count, same policy as the per-run IVF tiers."""
+    from semantic_ann_in_data_lake_spark.operators.ivf_index import (
+        build_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = str(tmp_path / "idx")
+    build_ivf_index(emb, p)
+    n_cents = spark.read.parquet(f"{p}/centroids").count()
+    n = emb.count()
+    assert n_cents == int(min(4096, max(16, round(n ** 0.5))))

@@ -651,3 +651,74 @@ def test_sessionize_stream_ignores_cross_batch_late_event(spark, tmp_path):
     # no session may CLOSE: e3 continues the open session (the late e2
     # is dropped, not folded backward)
     assert closed == []
+
+
+def test_stream_refresh_ivf_index_equals_batch_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """Streamed index ingestion ≡ batch refresh_ivf_index: same cells,
+    same search results; re-delivered files (fresh checkpoint) and
+    replayed batches must leave the index unchanged."""
+    import shutil
+
+    from semantic_ann_in_data_lake_spark.operators.ivf_index import (
+        build_ivf_index, index_assignment_violations, search_ivf_index,
+    )
+    from semantic_ann_in_data_lake_spark.streaming.index_stream import (
+        stream_refresh_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where("vec_id % 3 != 0")
+    new = emb.where("vec_id % 3 = 0")
+
+    p_stream = str(tmp_path / "idx_stream")
+    p_batch = str(tmp_path / "idx_batch")
+    build_ivf_index(base, p_stream, nlist=8)
+    build_ivf_index(base, p_batch, nlist=8)
+
+    # stage the new vectors as TWO files -> two micro-batches
+    in_dir = tmp_path / "emb_in"
+    in_dir.mkdir()
+    new.where("vec_id % 2 = 0").coalesce(1).write.parquet(
+        str(in_dir / "a.parquet")
+    )
+    new.where("vec_id % 2 = 1").coalesce(1).write.parquet(
+        str(in_dir / "b.parquet")
+    )
+    schema = emb.schema
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir) + "/*")
+        )
+        q = stream_refresh_ivf_index(stream, p_stream).option(
+            "checkpointLocation", str(tmp_path / ckpt)
+        ).start()
+        q.awaitTermination()
+
+    run("ckpt_0")
+
+    from semantic_ann_in_data_lake_spark.operators.ivf_index import (
+        refresh_ivf_index,
+    )
+
+    refresh_ivf_index(spark, p_batch, new)
+
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    probes = emb.limit(40)
+    s_stream = search_ivf_index(spark, p_stream, probes, k=3)
+    s_batch = search_ivf_index(spark, p_batch, probes, k=3)
+    assert rows(s_stream) == rows(s_batch)
+    assert index_assignment_violations(spark, p_stream).count() == 0
+
+    n_before = spark.read.parquet(f"{p_stream}/cells").count()
+    assert n_before == emb.count()
+
+    # cross-run re-delivery: fresh checkpoint re-sends both files;
+    # the vec_id anti-join must keep the index unchanged
+    run("ckpt_1")
+    assert spark.read.parquet(f"{p_stream}/cells").count() == n_before
+    assert rows(search_ivf_index(spark, p_stream, probes, k=3)) == rows(s_batch)

@@ -109,11 +109,29 @@ def write_zordered(
 
 
 def compact_parquet(
-    spark, src_path: str, dst_path: str, target_files: int, order_col: str | None = None
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_files: int | None = None,
+    order_col: str | None = None,
+    target_mb: int = 128,
 ) -> None:
     """Small-file compaction: rewrite ``src_path`` as ``target_files``
     files, optionally range-clustered on ``order_col`` so the rewrite
-    also restores scan locality."""
+    also restores scan locality.
+
+    ``target_files=None`` derives the count from the source's on-disk
+    byte size (Hadoop FileSystem ContentSummary — works on any
+    supported FS, no file listing on the driver) at ``target_mb`` per
+    output file: the auto-sizing a recurring lake compaction job needs,
+    since the right file count is a function of data volume, not a
+    constant."""
+    if target_files is None:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(src_path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        total = fs.getContentSummary(p).getLength()
+        target_files = max(1, -(-int(total) // (target_mb << 20)))
     df = spark.read.parquet(src_path)
     if order_col is not None:
         df = df.repartitionByRange(target_files, F.col(order_col)).sortWithinPartitions(

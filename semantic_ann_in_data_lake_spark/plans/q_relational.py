@@ -571,3 +571,38 @@ def table_diff_orders(spark, sf_dir):
         )
     )
     return table_diff(o, new, "k")
+
+
+_COMPACT_RT = "/tmp/sals_gate/compact_rt"
+
+
+@register(
+    "compact_roundtrip_stats",
+    """
+    SELECT lang, count(*) AS n, sum(length(text))::BIGINT AS chars,
+           sum(doc_id)::BIGINT AS id_sum
+    FROM documents GROUP BY 1
+    """,
+)
+def compact_roundtrip_stats(spark, sf_dir):
+    """Small-file compaction gate (layout.compact_parquet): fragment
+    documents into 32 tiny files, auto-size-compact them (FS byte
+    probe → target file count), and aggregate the compacted copy vs
+    the ORIGINAL table — lossless per row, per column. The file-count
+    mechanics are unit-pinned; this entry hash-gates the data."""
+    from semantic_ann_in_data_lake_spark.operators.layout import (
+        compact_parquet,
+    )
+
+    frag = f"{_COMPACT_RT}/frag"
+    dst = f"{_COMPACT_RT}/compacted"
+    _t(spark, sf_dir, "documents").repartition(32).write.mode(
+        "overwrite"
+    ).parquet(frag)
+    compact_parquet(spark, frag, dst, order_col="doc_id")
+    back = spark.read.parquet(dst)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )

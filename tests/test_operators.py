@@ -1706,6 +1706,20 @@ def test_compact_parquet_and_zorder_preserve_rows(spark, sf_dir, tmp_path):
     write_zordered(orders, zp, ["o_custkey", "o_totalprice"], target_files=4)
     assert sorted(map(tuple, spark.read.parquet(zp).collect())) == want
 
+    # auto-sizing: target_files=None derives ceil(src_bytes / target_mb)
+    # from the FS content summary — at 1 MiB/file the fragmented copy
+    # must compact to that count, rows preserved
+    import os
+
+    auto = str(tmp_path / "auto")
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(f"{frag}/*.parquet")
+    )
+    expect = max(1, -(-total // (1 << 20)))
+    compact_parquet(spark, frag, auto, target_mb=1)
+    assert len(glob.glob(f"{auto}/*.parquet")) == expect
+    assert sorted(map(tuple, spark.read.parquet(auto).collect())) == want
+
 
 def test_cross_corpus_pairs_subset_of_self_join(spark, sf_dir):
     """Every cross-corpus near-dup pair must also be found by the

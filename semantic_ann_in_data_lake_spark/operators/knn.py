@@ -99,16 +99,24 @@ def _prep(df: DataFrame, id_col: str, vec_col: str, side: str) -> DataFrame:
 
 
 def derive_nlist(
-    candidates: DataFrame, floor: int = 16, cap: int = 4096
+    candidates: DataFrame | None = None,
+    floor: int = 16,
+    cap: int = 4096,
+    known_n: int | None = None,
 ) -> int:
     """Scale-aware IVF cell count: nlist ≈ √n keeps the per-cell
     candidate population ≈ √n, so probe work |Q|·nprobe·(n/nlist)
     grows as n^1.5 overall but each cell stays worker-sized as the
     corpus grows 100× — a fixed nlist instead re-approaches |Q|·|C|
     per cell (the sf1 7.4× outlier in SCALING, VERDICT r5 item 5).
-    Row count from parquet footers when free, count() otherwise;
-    capped so the centroid broadcast stays small."""
-    n = _estimate_rows(candidates)
+    ``known_n`` (a count the caller already paid for — the auto
+    dispatcher, the PQ degrade path) skips the probe entirely; else
+    row count from parquet footers when free, count() otherwise.
+    Capped so the centroid broadcast stays small. The floor/cap/√n
+    policy lives ONLY here — every tier derives through this helper."""
+    n = known_n
+    if n is None:
+        n = _estimate_rows(candidates)
     if n is None:
         n = candidates.count()
     return int(min(cap, max(floor, round(n ** 0.5))))
@@ -200,11 +208,11 @@ def knn_join(
             and pq_bytes <= 256 << 20
         ):
             strategy = "pq"
-            # pass the dispatcher's measurements down so knn_pq's own
-            # budget guard doesn't re-count the lineage
-            known_n_cand, known_n_query = n_cand, n_query
         else:
             strategy = "ivf"
+        # pass the dispatcher's measurements down so neither knn_pq's
+        # budget guard nor derive_nlist re-counts the lineage
+        known_n_cand, known_n_query = n_cand, n_query
     if strategy == "exact":
         return _knn_exact(
             queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp
@@ -241,7 +249,7 @@ def knn_join(
             # explicit-tier default mirrors the auto degrade path:
             # derive cells from the candidate count instead of a fixed
             # 16 that stops partitioning the corpus at scale
-            nlist = derive_nlist(candidates)
+            nlist = derive_nlist(candidates, known_n=known_n_cand)
         return _knn_ivf(
             queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp,
             nlist=nlist, nprobe=nprobe, fit=ivf_fit, compress=compress,

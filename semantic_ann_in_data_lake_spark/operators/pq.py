@@ -223,9 +223,11 @@ def knn_pq(
             "knn_ivf_pq (cell-sharded).",
             stacklevel=2,
         )
+        from semantic_ann_in_data_lake_spark.operators.knn import derive_nlist
+
         return knn_ivf_pq(
             queries, candidates, id_col, vec_col, k=k,
-            nlist=min(4096, max(16, round(n_cand ** 0.5))), nprobe=8, m=m,
+            nlist=derive_nlist(known_n=n_cand), nprobe=8, m=m,
             ksub=ksub, exclude_self=exclude_self, round_dp=round_dp,
             seed=seed,
         )

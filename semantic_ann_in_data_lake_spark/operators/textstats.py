@@ -168,40 +168,40 @@ def fingerprints(
 
 
 def _skew_safe_term_join(tf: DataFrame, dfreq: DataFrame,
-                         hot_df_floor: int = 1000) -> DataFrame:
+                         hot_df_floor: int = 1000,
+                         max_hot: int = 4096) -> DataFrame:
     """``tf ⋈ dfreq`` on ``term``, resilient to stopword skew.
 
     A shuffle join on raw ``term`` sends every (doc, "the") row to one
     reducer — the skew that made tfidf 13.9× at sf1 (VERDICT r5 item
-    3). Split the vocabulary at its head instead: the ≤64 heaviest
-    terms with df > ``hot_df_floor`` (stopwords) join via a bounded
-    broadcast — their tf rows never shuffle at all — and the cold tail
-    joins on a now-unskewed shuffle. Output rows are identical to the
-    plain join (same columns, same values; union order is immaterial
-    to every downstream agg/window), so the oracle hash is unchanged.
+    3). Split the vocabulary at its head instead: the ``max_hot``
+    heaviest terms with df > ``hot_df_floor`` (stopwords) join via a
+    bounded broadcast — their tf rows never shuffle at all — and the
+    cold tail is anti-joined against the same broadcast, then joined
+    on a now-unskewed shuffle. Output rows are identical to the plain
+    join (same columns, same values; union order is immaterial to
+    every downstream agg/window), so the oracle hash is unchanged:
+    hot tf rows match exactly their dfreq row in the hot branch and
+    are absent from the cold branch; cold rows vice versa (hot dfreq
+    rows find no cold partner).
 
-    dfreq is persisted: the hot-head probe is a separate bounded
-    action (≤64 scalars to the driver) and would otherwise recompute
-    the tokenize→tf→df lineage. Below the floor (gate-scale corpora:
-    df can't exceed n_docs) the probe finds nothing and the plan is
-    the original single join.
-    """
-    from semantic_ann_in_data_lake_spark.cache import scoped_persist
-
-    dfreq = scoped_persist(dfreq)
-    hot = [
-        r["term"]
-        for r in dfreq.where(F.col("df") > hot_df_floor)
+    Fully LAZY — the hot head is a broadcast subquery
+    (orderBy + limit, deterministic under the (df desc, term asc)
+    total order), not a driver collect, so building the plan costs
+    zero jobs and plan-only consumers (explain tests, the gate's plan
+    walk) never execute the corpus aggregation. The repeated tf/dfreq
+    subtrees across the two branches dedupe physically via Spark's
+    ReuseExchange (same canonical aggregate exchange)."""
+    hot = F.broadcast(
+        dfreq.where(F.col("df") > hot_df_floor)
         .orderBy(F.col("df").desc(), F.col("term").asc())
-        .limit(64)
-        .collect()
-    ]
-    if not hot:
-        return tf.join(dfreq, "term")
-    is_hot = F.col("term").isin(hot)
-    return tf.where(is_hot).join(
-        F.broadcast(dfreq.where(is_hot)), "term"
-    ).unionByName(tf.where(~is_hot).join(dfreq.where(~is_hot), "term"))
+        .limit(max_hot)
+    )
+    hot_join = tf.join(hot, "term")
+    cold_join = tf.join(hot.select("term"), "term", "left_anti").join(
+        dfreq, "term"
+    )
+    return hot_join.unionByName(cold_join)
 
 
 def tfidf_top_terms(

@@ -74,7 +74,15 @@ def _load_official_record(
         except Exception:
             continue
         for name, row in rows.items():
-            green = isinstance(row, dict) and row.get("err") is None
+            # green requires no error AND no False match flag: rounds
+            # 1-3 recorded rows with err=None but hash_match=False
+            # (e.g. deepjoin_eval r01) — those are failures to retry,
+            # not evidence. None flags (rows-only history) don't
+            # disqualify; only an explicit False does.
+            green = isinstance(row, dict) and row.get("err") is None and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
             prev = latest.get(name)
             if prev is None or rnd >= prev[0]:
                 latest[name] = (rnd, green)

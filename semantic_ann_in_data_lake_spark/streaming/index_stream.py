@@ -65,18 +65,27 @@ def stream_refresh_ivf_index(
         ):
             return  # driver-retry replay of a fully committed batch
         fresh = batch_df
+        deduped = False
         if dedup_ids:
             cells = _read_sink_or_none(spark, f"{path}/cells")
             if cells is not None:
                 seen = cells.select(
                     F.col("vec_id").alias(id_col)
                 ).distinct()
-                fresh = fresh.join(seen, id_col, "left_anti")
-        if fresh.head(1):
-            refresh_ivf_index(spark, path, fresh, id_col, vec_col)
-        spark.createDataFrame(
-            [(int(batch_id),)], "batch_id long"
-        ).write.mode("append").parquet(log_path)
+                # persist: the anti-join probes the vec_id column of
+                # the ENTIRE index — without this, the emptiness check
+                # and the cell append would each run that scan
+                fresh = fresh.join(seen, id_col, "left_anti").persist()
+                deduped = True
+        try:
+            if fresh.head(1):
+                refresh_ivf_index(spark, path, fresh, id_col, vec_col)
+            spark.createDataFrame(
+                [(int(batch_id),)], "batch_id long"
+            ).write.mode("append").parquet(log_path)
+        finally:
+            if deduped:
+                fresh.unpersist()
 
     return (
         emb_stream.writeStream.foreachBatch(handle)

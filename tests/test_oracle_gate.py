@@ -77,6 +77,11 @@ def test_official_record_loader_matches_files(tmp_path):
     d = tmp_path
     (d / "CORRECTNESS_r01.json").write_text(json.dumps({
         "a": {"err": None}, "b": {"err": None}, "c": {"err": "boom"},
+        # err=None but a False match flag is a FAILURE (rounds 1-3
+        # recorded such rows, e.g. deepjoin_eval r01) — must be red
+        "d": {"err": None, "rows_match": True, "hash_match": False},
+        # None flags (rows-only history) do not disqualify
+        "e": {"err": None, "rows_match": None, "hash_match": None},
     }))
     (d / "CORRECTNESS_r02.json").write_text(json.dumps({
         "b": {"err": "no_oracle"}, "c": {"err": None},
@@ -84,8 +89,8 @@ def test_official_record_loader_matches_files(tmp_path):
     (d / "CORRECTNESS_r9.json").write_text("not json")
 
     green, red = registry._load_official_record(root=str(d))
-    assert green == {"a": 1, "c": 2}
-    assert red == frozenset({"b"})
+    assert green == {"a": 1, "c": 2, "e": 1}
+    assert red == frozenset({"b", "d"})
     # empty dir -> everything is a debut, nothing red
     green2, red2 = registry._load_official_record(root=str(d / "void"))
     assert green2 == {} and red2 == frozenset()

@@ -114,6 +114,8 @@ def derive_nlist(
     row count from parquet footers when free, count() otherwise.
     Capped so the centroid broadcast stays small. The floor/cap/√n
     policy lives ONLY here — every tier derives through this helper."""
+    if candidates is None and known_n is None:
+        raise ValueError("derive_nlist needs candidates or known_n")
     n = known_n
     if n is None:
         n = _estimate_rows(candidates)

@@ -198,9 +198,11 @@ def _skew_safe_term_join(tf: DataFrame, dfreq: DataFrame,
         .limit(max_hot)
     )
     hot_join = tf.join(hot, "term")
-    cold_join = tf.join(hot.select("term"), "term", "left_anti").join(
-        dfreq, "term"
-    )
+    # anti-join on `hot` itself (left_anti keys on "term" and ignores
+    # the df column): both branches then share ONE canonical broadcast
+    # exchange — a projected copy would be a second, different exchange
+    # and the sort+limit head would compute twice per action
+    cold_join = tf.join(hot, "term", "left_anti").join(dfreq, "term")
     return hot_join.unionByName(cold_join)
 
 

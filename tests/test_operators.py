@@ -3894,6 +3894,10 @@ def test_derive_nlist_scales_with_candidates(spark, sf_dir):
     assert derive_nlist(filtered) == int(min(4096, max(16, round(m ** 0.5))))
     # clamps
     assert derive_nlist(emb.limit(4)) == 16
+    # known_n short-circuits any probe; both-None is a usage error
+    assert derive_nlist(known_n=10_000) == 100
+    with pytest.raises(ValueError):
+        derive_nlist()
 
 
 def test_knn_ivf_pq_derives_nlist(spark, sf_dir, monkeypatch):

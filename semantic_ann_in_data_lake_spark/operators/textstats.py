@@ -198,10 +198,14 @@ def _skew_safe_term_join(tf: DataFrame, dfreq: DataFrame,
         .limit(max_hot)
     )
     hot_join = tf.join(hot, "term")
-    # anti-join on `hot` itself (left_anti keys on "term" and ignores
-    # the df column): both branches then share ONE canonical broadcast
-    # exchange — a projected copy would be a second, different exchange
-    # and the sort+limit head would compute twice per action
+    # anti-join on `hot` itself (left_anti keys on "term"; column
+    # pruning narrows the build side to term-only regardless, so the
+    # two broadcasts stay canonically distinct and the TopK head runs
+    # twice — bounded distributed TakeOrdered over the vocabulary,
+    # cheap). What matters is that the EXPENSIVE lineage underneath —
+    # the tokenize→tf→dfreq aggregation exchange — is shared: the
+    # physical plan shows ReusedExchange on the dfreq shuffle feeding
+    # both heads and the cold join.
     cold_join = tf.join(hot, "term", "left_anti").join(dfreq, "term")
     return hot_join.unionByName(cold_join)
 

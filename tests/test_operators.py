@@ -3946,6 +3946,20 @@ def test_skew_safe_term_join_equivalence(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "BroadcastHashJoin" in plan
+    # the expensive tokenize->tf->dfreq aggregation exchange must be
+    # SHARED across the hot/cold branches (only the bounded TopK head
+    # may evaluate twice) — pin via the non-AQE physical plan, where
+    # reuse is textually visible
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # rebuild under non-AQE: queryExecution is planned at
+        # construction, so the earlier frame kept its adaptive plan
+        split2 = _skew_safe_term_join(tf, dfreq, hot_df_floor=0)
+        phys = split2._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in phys
+        assert "TakeOrderedAndProject" in phys  # the lazy bounded head
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_knn_pq_pair_budget_degrades_to_ivf_pq(spark, sf_dir, monkeypatch):

@@ -392,3 +392,58 @@ def test_quantiles_from_bins_error_bound_arbitrary(shared_spark, vals, q):
     # clamp the exact value the way the histogram clamps its bins
     exact_clamped = min(max(float(exact), lo), lo + n_bins * width)
     assert abs(est - exact_clamped) <= width + 1e-9, (est, exact_clamped)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.text(alphabet="abc de", min_size=0, max_size=30),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=0, max_value=5),
+    st.integers(min_value=1, max_value=6),
+)
+def test_skew_safe_term_join_always_equals_plain_join(
+    shared_spark, docs, floor, max_hot
+):
+    """For ANY corpus, hot floor, and head cap, the skew-safe split
+    must emit exactly the plain join's row multiset — the equivalence
+    the oracle hash rides on, pinned beyond the single fixture."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.functions.text import words
+    from semantic_ann_in_data_lake_spark.operators.textstats import (
+        _skew_safe_term_join,
+    )
+
+    df = shared_spark.createDataFrame(docs, "doc_id long, text string")
+    tok = df.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    plain = sorted(
+        map(tuple, tf.join(dfreq, "term").select(
+            "term", "doc_id", "tf", "df").collect())
+    )
+    split = sorted(
+        map(tuple, _skew_safe_term_join(
+            tf, dfreq, hot_df_floor=floor, max_hot=max_hot
+        ).select("term", "doc_id", "tf", "df").collect())
+    )
+    assert split == plain
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=10**12))
+def test_derive_nlist_known_n_properties(n):
+    """derive_nlist(known_n=n): clamped to [16, 4096], monotone in n,
+    and ≈ √n inside the clamp band."""
+    from semantic_ann_in_data_lake_spark.operators.knn import derive_nlist
+
+    got = derive_nlist(known_n=n)
+    assert 16 <= got <= 4096
+    assert got == min(4096, max(16, round(n ** 0.5)))
+    assert derive_nlist(known_n=n + 1) >= got

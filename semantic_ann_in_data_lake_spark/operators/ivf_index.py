@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq
 from semantic_ann_in_data_lake_spark.operators.knn import (
-    _prep, _ranked_topk, fit_ivf_centroids,
+    _prep, _ranked_topk, derive_nlist, fit_ivf_centroids,
 )
 
 
@@ -86,8 +86,6 @@ def build_ivf_index(
         # same scale-aware default as the per-run IVF tiers: cells
         # track the corpus (≈ √n) so a persistent index built today
         # still partitions the corpus after it grows
-        from semantic_ann_in_data_lake_spark.operators.knn import derive_nlist
-
         nlist = derive_nlist(emb)
     prepped = _prep(emb, id_col, vec_col, "cand")
     cents = fit_ivf_centroids(prepped, nlist=nlist, seed=seed, fit=fit)

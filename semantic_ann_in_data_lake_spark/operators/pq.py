@@ -39,8 +39,11 @@ from pyspark.sql import functions as F
 
 from semantic_ann_in_data_lake_spark.operators.knn import (
     DEFAULT_ROUND_DP,
+    _broadcast_byte_budget,
+    _estimate_rows,
     _prep,
     _ranked_topk,
+    derive_nlist,
 )
 
 
@@ -177,11 +180,6 @@ def knn_pq(
     """
     import numpy as np
 
-    from semantic_ann_in_data_lake_spark.operators.knn import (
-        _broadcast_byte_budget,
-        _estimate_rows,
-    )
-
     spark = queries.sparkSession
     # the coded index is collected to the driver before broadcasting —
     # same discipline as _knn_broadcast's guard: estimate the code
@@ -223,8 +221,6 @@ def knn_pq(
             "knn_ivf_pq (cell-sharded).",
             stacklevel=2,
         )
-        from semantic_ann_in_data_lake_spark.operators.knn import derive_nlist
-
         return knn_ivf_pq(
             queries, candidates, id_col, vec_col, k=k,
             nlist=derive_nlist(known_n=n_cand), nprobe=8, m=m,
@@ -483,8 +479,6 @@ def knn_ivf_pq(
     if nlist is None:
         # mirror knn_join's explicit-IVF default: cells scale ≈ √n so
         # per-cell ADC work stays bounded as the corpus grows
-        from semantic_ann_in_data_lake_spark.operators.knn import derive_nlist
-
         nlist = derive_nlist(candidates)
     cents, books = fit_ivf_pq(c, nlist=nlist, m=m, ksub=ksub, seed=seed)
     bc = spark.sparkContext.broadcast((cents, np.asarray(books)))

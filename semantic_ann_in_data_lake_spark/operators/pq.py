@@ -39,8 +39,6 @@ from pyspark.sql import functions as F
 
 from semantic_ann_in_data_lake_spark.operators.knn import (
     DEFAULT_ROUND_DP,
-    _broadcast_byte_budget,
-    _estimate_rows,
     _prep,
     _ranked_topk,
     derive_nlist,
@@ -179,6 +177,15 @@ def knn_pq(
     deterministic even though approximate.
     """
     import numpy as np
+
+    # imported at call time, NOT module level: knn is the single
+    # monkeypatch seam for the budget probes (tests patch
+    # knn._estimate_rows); a module-level binding here would freeze
+    # the unpatched function
+    from semantic_ann_in_data_lake_spark.operators.knn import (
+        _broadcast_byte_budget,
+        _estimate_rows,
+    )
 
     spark = queries.sparkSession
     # the coded index is collected to the driver before broadcasting —

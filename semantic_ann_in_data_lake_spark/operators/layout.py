@@ -121,16 +121,27 @@ def compact_parquet(
     also restores scan locality.
 
     ``target_files=None`` derives the count from the source's on-disk
-    byte size (Hadoop FileSystem ContentSummary — works on any
-    supported FS, no file listing on the driver) at ``target_mb`` per
-    output file: the auto-sizing a recurring lake compaction job needs,
-    since the right file count is a function of data volume, not a
-    constant."""
+    DATA byte size (recursive Hadoop FileSystem listing summing only
+    ``*.parquet`` files — ContentSummary would also count ``_SUCCESS``
+    markers, local-FS ``.crc`` shadows, and stray subdirectory
+    metadata, inflating the count near a ``target_mb`` boundary) at
+    ``target_mb`` per output file: the auto-sizing a recurring lake
+    compaction job needs, since the right file count is a function of
+    data volume, not a constant. The listing is driver-side but
+    metadata-scale — one RPC page per few thousand files."""
     if target_files is None:
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(src_path)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        total = fs.getContentSummary(p).getLength()
+        total = 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith(
+                ("_", ".")
+            ):
+                total += st.getLen()
         target_files = max(1, -(-int(total) // (target_mb << 20)))
     df = spark.read.parquet(src_path)
     if order_col is not None:

@@ -11,14 +11,23 @@ by one trigger interval and never pauses for a rebuild.
 
 Exactly-once story (two independent layers, both bounded):
 
-1. a committed ``ingest_log`` of batch ids — a replayed foreachBatch
-   invocation (same checkpoint, driver retry) short-circuits before
-   touching the cells;
+1. a committed ``ingest_log`` of ``(run_id, batch_id)`` pairs, where
+   ``run_id`` is minted once per writer incarnation — a replayed
+   foreachBatch invocation WITHIN this incarnation (driver retry of a
+   fully committed epoch) short-circuits before touching the cells.
+   The run scoping matters: a fresh checkpoint restarts ``batch_id``
+   at 0, so a bare-batch-id log would collide with a prior run's
+   entries and silently drop that batch's NEW rows while the new
+   checkpoint marks them consumed. An entry short-circuits only when
+   it provably belongs to this incarnation; logs written by older
+   versions (no ``run_id`` column) never match and fall through.
 2. a vec_id anti-join against the existing cells for cross-run
-   re-delivery (fresh checkpoint replaying old files). The probe reads
-   ONLY the vec_id column of the cell files (column-pruned scan), and
-   can be disabled (``dedup_ids=False``) when a stable checkpoint
-   makes layer 1 sufficient.
+   re-delivery (restart from a fresh checkpoint, or a prior run's log
+   entry that layer 1 now correctly ignores). The probe reads ONLY
+   the vec_id column of the cell files (column-pruned scan). It can
+   be disabled (``dedup_ids=False``) when re-ingesting duplicate ids
+   is acceptable — see below: replays are absorbed semantically even
+   without it.
 
 Even a row that slips both layers (crash between the cell append and
 the log write) is absorbed semantically: assignment under stored
@@ -28,6 +37,8 @@ ranking — replayed appends can never change a search result.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,13 +66,29 @@ def stream_refresh_ivf_index(
     streamed rows exactly as for built rows.
     """
 
+    # minted once per writer incarnation: a driver retry re-invokes
+    # THIS closure (same token), while a restarted stream builds a new
+    # writer (new token) — so a prior run's log rows, whose batch ids
+    # restart at 0 under a fresh checkpoint, can never short-circuit
+    # a batch that carries new data (ADVICE r6: bare-batch_id keying
+    # silently lost such rows)
+    run_token = uuid.uuid4().hex
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         log_path = f"{path}/ingest_log"
-        log = _read_sink_or_none(spark, log_path)
+        # mergeSchema: tolerate log dirs mixing the legacy batch_id-only
+        # schema with (run_id, batch_id) rows
+        log = _read_sink_or_none(
+            spark, log_path, {"mergeSchema": "true"}
+        )
         if (
             log is not None
-            and log.where(F.col("batch_id") == batch_id).head(1)
+            and "run_id" in log.columns
+            and log.where(
+                (F.col("run_id") == run_token)
+                & (F.col("batch_id") == batch_id)
+            ).head(1)
         ):
             return  # driver-retry replay of a fully committed batch
         fresh = batch_df
@@ -81,7 +108,8 @@ def stream_refresh_ivf_index(
             if fresh.head(1):
                 refresh_ivf_index(spark, path, fresh, id_col, vec_col)
             spark.createDataFrame(
-                [(int(batch_id),)], "batch_id long"
+                [(run_token, int(batch_id))],
+                "run_id string, batch_id long",
             ).write.mode("append").parquet(log_path)
         finally:
             if deduped:

@@ -88,7 +88,7 @@ def run_available_now(
     return q
 
 
-def _read_sink_or_none(spark, path: str):
+def _read_sink_or_none(spark, path: str, options: dict | None = None):
     """Read a foreachBatch sink, returning None ONLY for the
     missing-path first-batch case. Any other AnalysisException (e.g.
     unreadable footers from an interrupted write) PROPAGATES so the
@@ -99,7 +99,7 @@ def _read_sink_or_none(spark, path: str):
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(path)
+        return spark.read.options(**(options or {})).parquet(path)
     except AnalysisException as e:
         msg = str(e)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:

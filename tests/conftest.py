@@ -1,12 +1,13 @@
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_TEST = "/root/testdata/sf0.001"
+SF_TEST = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
@@ -19,6 +20,11 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
+    if not os.path.isdir(SF_TEST):
+        pytest.skip(
+            f"test data dir {SF_TEST} absent "
+            "(set SPARK_GRAFT_TEST_SF_DIR to your sf0.001 parquet dir)"
+        )
     return SF_TEST
 
 

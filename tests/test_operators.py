@@ -1706,9 +1706,11 @@ def test_compact_parquet_and_zorder_preserve_rows(spark, sf_dir, tmp_path):
     write_zordered(orders, zp, ["o_custkey", "o_totalprice"], target_files=4)
     assert sorted(map(tuple, spark.read.parquet(zp).collect())) == want
 
-    # auto-sizing: target_files=None derives ceil(src_bytes / target_mb)
-    # from the FS content summary — at 1 MiB/file the fragmented copy
-    # must compact to that count, rows preserved
+    # auto-sizing: target_files=None derives ceil(data_bytes / target_mb)
+    # from a recursive listing of *.parquet files ONLY (a ContentSummary
+    # would also count _SUCCESS/.crc and flake near the 1 MiB edge —
+    # ADVICE r6), so the expected count below sums exactly the same
+    # file set the operator does
     import os
 
     auto = str(tmp_path / "auto")

@@ -235,11 +235,11 @@ def test_lake_discovery_one_agg_per_table(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_join_discovery_fused_finds_fk_edges(spark):
+def test_join_discovery_fused_finds_fk_edges(spark, sf_dir):
     from semantic_ann_in_data_lake_spark.plans import registry
 
     out = registry.REGISTRY["join_discovery_fused"][0](
-        spark, "/root/testdata/sf0.001"
+        spark, sf_dir
     ).collect()
     top = {r["query_col"]: r["cand_col"] for r in out if r["rank"] == 1}
     # the canonical FK->PK edges win rank 1 (both legs agree)
@@ -365,13 +365,21 @@ def test_unpartitioned_windows_sit_above_bounded_aggregates(spark, sf_dir):
                 leaves_local = False
         return leaves_local
 
-    offenders = []
+    # Entries allowed to fail plan construction under (spark, sf_dir)
+    # alone (e.g. a future side-effecting entry needing a tmp dir).
+    # Currently EMPTY — every registry entry builds a plan; an entry
+    # that starts throwing must be adjudicated here, not silently
+    # dropped from the invariant (ADVICE r6).
+    allowed_skips: set[str] = set()
+
+    offenders, skipped = [], []
     for name, (fn, _) in sorted(registry.REGISTRY.items()):
         try:
             df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().optimizedPlan()
         except Exception:
-            continue  # side-effecting entries needing tmp dirs, etc.
-        plan = df._jdf.queryExecution().optimizedPlan()
+            skipped.append(name)
+            continue
         for node, _ in nodes(plan):
             if node.getClass().getSimpleName() != "Window":
                 continue
@@ -382,12 +390,16 @@ def test_unpartitioned_windows_sit_above_bounded_aggregates(spark, sf_dir):
                 for i in range(node.children().size())
             ):
                 offenders.append(name)
+    assert set(skipped) <= allowed_skips, (
+        f"registry entries newly failing plan construction (adjudicate "
+        f"in allowed_skips or fix): {sorted(set(skipped) - allowed_skips)}"
+    )
     assert not offenders, (
         f"unpartitioned Window over unbounded input in: {sorted(set(offenders))}"
     )
 
 
-def test_entry_flagship_tier_independent(spark):
+def test_entry_flagship_tier_independent(spark, sf_dir):
     """entry() pins strategy='broadcast'; the flagship result must not
     depend on that choice — at gate scale auto routes to the same
     exact broadcast tier, so the 12-cell grids must be row-identical
@@ -396,7 +408,7 @@ def test_entry_flagship_tier_independent(spark):
         grid_evaluate_discovery,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     rows = lambda df: sorted(map(tuple, df.collect()))
     bcast = grid_evaluate_discovery(spark, sf, strategy="broadcast")
     auto = grid_evaluate_discovery(spark, sf, strategy="auto")

@@ -688,11 +688,11 @@ def test_stream_refresh_ivf_index_equals_batch_and_replays(
     )
     schema = emb.schema
 
-    def run(ckpt):
+    def run(ckpt, src=None):
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(str(in_dir) + "/*")
+            .parquet(str(src or in_dir) + "/*")
         )
         q = stream_refresh_ivf_index(stream, p_stream).option(
             "checkpointLocation", str(tmp_path / ckpt)
@@ -722,3 +722,22 @@ def test_stream_refresh_ivf_index_equals_batch_and_replays(
     run("ckpt_1")
     assert spark.read.parquet(f"{p_stream}/cells").count() == n_before
     assert rows(search_ivf_index(spark, p_stream, probes, k=3)) == rows(s_batch)
+
+    # ADVICE r6 regression: a restarted stream's batch ids restart at
+    # 0 — its batch 0 COLLIDES with the prior run's logged batch 0. A
+    # bare-batch_id replay guard would short-circuit and permanently
+    # drop these genuinely new rows; the run-scoped log must let them
+    # through to the anti-join and ingest them.
+    from pyspark.sql import functions as F
+
+    fresh_vecs = new.limit(10).withColumn(
+        "vec_id", (F.col("vec_id") + F.lit(1_000_000)).cast("long")
+    )
+    in_dir2 = tmp_path / "emb_in2"
+    in_dir2.mkdir()
+    fresh_vecs.coalesce(1).write.parquet(str(in_dir2 / "c.parquet"))
+    run("ckpt_2", in_dir2)
+    assert (
+        spark.read.parquet(f"{p_stream}/cells").count() == n_before + 10
+    )
+    assert index_assignment_violations(spark, p_stream).count() == 0

@@ -15,8 +15,31 @@ re-deliveries never re-embed (cache-or-compute S9, streamed).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _lineage_token(lineage: str | None) -> str:
+    """Identity of the retry domain an idempotency guard may trust.
+
+    Micro-batch ids are only meaningful WITHIN one checkpoint lineage:
+    a fresh checkpoint restarts them at 0, so a guard keyed on the
+    bare batch id either silently skips a colliding batch that carries
+    new rows (data loss) or clobbers a prior run's partial with an
+    unrelated one (ADVICE r6 — the IVF ingest log had exactly this
+    hole). Callers that restart streams should pass something stable
+    per checkpoint — the checkpoint path itself is ideal: same
+    checkpoint → same token → cross-restart replays of an uncommitted
+    epoch still short-circuit / overwrite-in-place. The default mints
+    a per-writer-incarnation token: in-process driver retries are
+    covered, and a restarted stream can never be confused with a
+    prior run. Either way, re-pointing a FRESH checkpoint at an
+    existing aggregate sink while re-reading already-ingested history
+    double-counts by construction — rebuild the sink instead (same
+    contract as any materialized view)."""
+    return lineage if lineage else uuid.uuid4().hex
 
 
 def events_stream(spark: SparkSession, events_dir: str, schema) -> DataFrame:
@@ -334,7 +357,9 @@ def error_after_view_join_stream(
     )
 
 
-def incremental_rollup_foreach_batch(events_stream: DataFrame, sink_path: str):
+def incremental_rollup_foreach_batch(
+    events_stream: DataFrame, sink_path: str, lineage: str | None = None
+):
     """foreachBatch incremental MATERIALIZED rollup: maintain a durable
     hourly (window_start, event_type) aggregate table under appends —
     the materialized-view-maintenance pattern on plain parquet.
@@ -348,12 +373,19 @@ def incremental_rollup_foreach_batch(events_stream: DataFrame, sink_path: str):
     drift across arbitrary batch splits); `sum_value` derives at read
     time as cents/100.
 
-    Retry idempotency: each merged row carries ``last_batch`` — the
-    highest batch id folded into its partition. foreachBatch is
-    at-least-once (write can succeed while the checkpoint commit is
-    lost); a re-executed batch sees its own id already recorded in the
-    touched partitions and SKIPS, where a bare read-merge-write would
-    fold the batch in twice and silently inflate the counters."""
+    Retry idempotency: each merged row carries ``(last_run,
+    last_batch)`` — the lineage token and batch id of the latest fold
+    into its partition. foreachBatch is at-least-once (write can
+    succeed while the checkpoint commit is lost); a re-executed batch
+    sees its own ``(lineage, id)`` already recorded in the touched
+    partitions and SKIPS, where a bare read-merge-write would fold the
+    batch in twice and silently inflate the counters. The guard is
+    scoped by ``lineage`` (see ``_lineage_token``): pass the
+    checkpoint path for cross-restart retry coverage; a restarted
+    stream under a NEW lineage folds its batches normally instead of
+    mistaking them for replays of a prior run's colliding batch ids —
+    the silent-loss mode ADVICE r6 flagged in the IVF ingest log."""
+    run_token = _lineage_token(lineage)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -376,27 +408,39 @@ def incremental_rollup_foreach_batch(events_stream: DataFrame, sink_path: str):
                 "sum_cents",
             )
         )
-        b = b.withColumn("last_batch", F.lit(batch_id))
         days = [r["day"] for r in b.select("day").distinct().collect()]
-        sink = _read_sink_or_none(spark, sink_path)
+        sink = _read_sink_or_none(spark, sink_path, {"mergeSchema": "true"})
         if sink is not None:
             old = sink.where(F.col("day").isin(days))
-            # re-executed batch: its id is already folded into every
-            # partition it touches (the overwrite is one committed
-            # job) — applying again would double-count
-            if old.where(F.col("last_batch") >= batch_id).limit(1).count():
+            # re-executed batch OF THIS LINEAGE: its (run, id) is
+            # already folded into every partition it touches (the
+            # overwrite is one committed job) — applying again would
+            # double-count. A different lineage's batch ids say
+            # nothing (they restart at 0), so they never match.
+            if "last_run" in old.columns and old.where(
+                (F.col("last_run") == run_token)
+                & (F.col("last_batch") >= batch_id)
+            ).limit(1).count():
                 return
             merged = (
-                b.unionByName(old)
+                b.unionByName(
+                    old.select(
+                        "window_start", "day", "event_type",
+                        "n_events", "sum_cents",
+                    )
+                )
                 .groupBy("window_start", "day", "event_type")
                 .agg(
                     F.sum("n_events").alias("n_events"),
                     F.sum("sum_cents").alias("sum_cents"),
-                    F.max("last_batch").alias("last_batch"),
                 )
             )
         else:  # first batch: no sink yet
             merged = b
+        # every row of a touched partition reflects this fold
+        merged = merged.withColumn("last_run", F.lit(run_token)).withColumn(
+            "last_batch", F.lit(int(batch_id))
+        )
         # materialize before writing: the merge plan READS the sink path
         # it is about to overwrite (Spark rejects self-overwrite on file
         # sources). localCheckpoint truncates the lineage; a table
@@ -418,23 +462,31 @@ def incremental_cms_foreach_batch(
     key_col: str = "user_id",
     depth: int = 3,
     width: int = 512,
+    lineage: str | None = None,
 ):
     """foreachBatch streaming count-min sketch (the streamed form of
     ``sketches.cms_sketch``): each micro-batch writes its PARTIAL
     sketch — the per-(depth, bucket) counts of the batch — into a
-    batch-id partition of the sink; the live sketch is the
+    (run_id, batch_id) partition of the sink; the live sketch is the
     sum-merge of all partitions (CMS cells are counters, so merge is
     plain addition — the textbook mergeable-summary property).
 
-    Idempotency: the sink is partitioned by batch_id with dynamic
-    partition overwrite, so a re-delivered/retried batch REPLACES its
-    own partition instead of double-counting — exactly-once sketch
-    cells on at-least-once batch delivery. Per-batch state is at most
-    depth×width rows regardless of batch size or key cardinality.
+    Idempotency: the sink is partitioned by (run_id, batch_id) with
+    dynamic partition overwrite, so a re-delivered/retried batch
+    REPLACES its own partition instead of double-counting —
+    exactly-once sketch cells on at-least-once batch delivery. The
+    run_id level is the lineage scoping of ``_lineage_token``: under
+    a bare batch_id layout a RESTARTED stream's batch 0 would clobber
+    the prior run's batch-0 partial (silent undercount of everything
+    that partial held). Per-batch state is at most depth×width rows
+    regardless of batch size or key cardinality.
     """
+    run_token = _lineage_token(lineage)
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         cms_partial_write(
-            batch_df, batch_id, sink_path, key_col, depth=depth, width=width
+            batch_df, batch_id, sink_path, key_col, depth=depth,
+            width=width, run_id=run_token,
         )
 
     return events_stream.writeStream.foreachBatch(handle).trigger(
@@ -449,18 +501,21 @@ def cms_partial_write(
     key_col: str,
     depth: int = 3,
     width: int = 512,
+    run_id: str = "static",
 ) -> None:
     """One micro-batch's partial-sketch write (the foreachBatch body,
     public so re-delivery semantics are directly testable): REPLACES
-    the batch's own sink partition via dynamic partition overwrite."""
+    the batch's own (run_id, batch_id) sink partition via dynamic
+    partition overwrite."""
     from semantic_ann_in_data_lake_spark.operators.sketches import cms_sketch
 
     part = cms_sketch(batch_df, key_col, depth=depth, width=width)
     (
-        part.withColumn("batch_id", F.lit(batch_id))
+        part.withColumn("run_id", F.lit(run_id))
+        .withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
+        .partitionBy("run_id", "batch_id")
         .parquet(sink_path)
     )
 
@@ -483,6 +538,7 @@ def incremental_bins_foreach_batch(
     lo: float = 0.0,
     width: float = 10.0,
     n_bins: int = 20,
+    lineage: str | None = None,
 ):
     """foreachBatch streaming histogram — the streamed half of PSI
     drift monitoring (``operators.drift``): each micro-batch writes its
@@ -493,13 +549,19 @@ def incremental_bins_foreach_batch(
     ≤n_bins-row computation against a baseline bin table that never
     re-reads either corpus.
 
-    Idempotency: dynamic partition overwrite by batch_id — a retried
-    batch replaces its own partial instead of double-counting.
-    Per-batch state: ≤``n_bins`` rows regardless of batch size.
+    Idempotency: dynamic partition overwrite by (run_id, batch_id) —
+    a retried batch replaces its own partial instead of
+    double-counting, and a RESTARTED stream (fresh checkpoint, batch
+    ids back at 0) lands under a new run_id instead of clobbering the
+    prior run's partials (``_lineage_token``). Per-batch state:
+    ≤``n_bins`` rows regardless of batch size.
     """
+    run_token = _lineage_token(lineage)
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         bins_partial_write(
-            batch_df, batch_id, sink_path, value_col, lo, width, n_bins
+            batch_df, batch_id, sink_path, value_col, lo, width, n_bins,
+            run_id=run_token,
         )
 
     return events_stream.writeStream.foreachBatch(handle).trigger(
@@ -515,6 +577,7 @@ def bins_partial_write(
     lo: float,
     width: float,
     n_bins: int,
+    run_id: str = "static",
 ) -> None:
     """One micro-batch's partial histogram write (public so
     re-delivery semantics are directly testable)."""
@@ -522,10 +585,11 @@ def bins_partial_write(
 
     part = bin_counts(batch_df, value_col, lo, width, n_bins)
     (
-        part.withColumn("batch_id", F.lit(batch_id))
+        part.withColumn("run_id", F.lit(run_id))
+        .withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
+        .partitionBy("run_id", "batch_id")
         .parquet(sink_path)
     )
 

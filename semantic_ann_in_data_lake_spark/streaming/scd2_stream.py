@@ -51,23 +51,28 @@ def scd2_changelog_stream(events: DataFrame) -> DataFrame:
                 evs.append((int(r.ts.value // 1000), int(r.event_id), r.event_type))
         evs.sort()
         if state.exists:
-            cur, version, from_us, n, last_us = state.get
+            cur, version, from_us, n, last_us, last_eid = state.get
         else:
             # None, not a -1 epoch sentinel: pre-epoch timestamps are
             # legitimate (ts_us < -1 would read as "late" and a key
             # whose events are all pre-1970 would never open a run)
-            cur, version, from_us, n, last_us = None, 0, None, 0, None
-        for ts_us, _eid, etype in evs:
-            if last_us is not None and ts_us < last_us:
-                # cross-batch late arrival: folding it in arrival order
+            cur, version, from_us, n, last_us, last_eid = (
+                None, 0, None, 0, None, None,
+            )
+        for ts_us, eid, etype in evs:
+            if last_us is not None and (ts_us, eid) <= (last_us, last_eid):
+                # cross-batch late arrival OR at-least-once transport
+                # redelivery: folding a late event in arrival order
                 # would emit an INVERTED interval (valid_to before
                 # valid_from) and permanently desync version numbers
-                # from the batch operator. Contract: state transitions
-                # fold in event-time order per delivery; events older
-                # than the last folded timestamp are dropped (the batch
-                # job over the full log is the reconciliation path).
+                # from the batch operator; re-folding a redelivered
+                # event would inflate n / open a spurious version. The
+                # lexicographic (ts, event_id) guard matches the batch
+                # operator's (ts asc, event_id asc) fold order exactly
+                # (same discipline as the EWMA stream); the batch job
+                # over the full log is the reconciliation path.
                 continue
-            last_us = ts_us
+            last_us, last_eid = ts_us, eid
             if cur is None:
                 cur, version, from_us, n = etype, 1, ts_us, 1
             elif etype == cur:
@@ -76,7 +81,7 @@ def scd2_changelog_stream(events: DataFrame) -> DataFrame:
                 rows.append((user_id, cur, from_us, ts_us, version, n))
                 cur, version, from_us, n = etype, version + 1, ts_us, 1
         if cur is not None:
-            state.update((cur, version, from_us, n, last_us))
+            state.update((cur, version, from_us, n, last_us, last_eid))
         if rows:
             yield pd.DataFrame(
                 [
@@ -100,7 +105,10 @@ def scd2_changelog_stream(events: DataFrame) -> DataFrame:
         normalize_event_ts,
     )
 
-    state_schema = "cur string, version int, from_us long, n long, last_us long"
+    state_schema = (
+        "cur string, version int, from_us long, n long, "
+        "last_us long, last_eid long"
+    )
     return (
         normalize_event_ts(events)
         .withWatermark("ts", "1 minute")

@@ -92,38 +92,47 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         rows = []
         if state.hasTimedOut:
             if state.exists:
-                start_us, last_us, n, cents = state.get
+                start_us, last_us, _last_eid, n, cents = state.get
                 rows.append((user_id, start_us, last_us, n, cents / 100.0))
                 state.remove()
         else:
             # integer microseconds end-to-end: float epochs would round
             # session bounds off the source micros and break the
             # stream ≡ batch equality contract
-            events_ts: list[tuple[int, float]] = []
+            events_ts: list[tuple[int, str, float]] = []
             for pdf in pdfs:
                 for r in pdf.itertuples(index=False):
-                    events_ts.append((int(r.ts.value // 1000), float(r.value)))
-            events_ts.sort(key=lambda x: x[0])
+                    events_ts.append(
+                        (int(r.ts.value // 1000), str(r.event_id), float(r.value))
+                    )
+            events_ts.sort(key=lambda x: (x[0], x[1]))
             if state.exists:
-                start_us, last_us, n, cents = state.get
+                start_us, last_us, last_eid, n, cents = state.get
             else:
-                start_us = last_us = None
+                start_us = last_us = last_eid = None
                 n, cents = 0, 0
-            for ts_us, val in events_ts:
-                if last_us is not None and ts_us < last_us:
-                    # cross-batch late arrival: folding it would move
-                    # last_us BACKWARD, mis-measuring the next gap and
-                    # splitting sessions the batch twin keeps whole
-                    # (same contract as the SCD2 changelog / EWMA
+            for ts_us, eid, val in events_ts:
+                if last_us is not None and (ts_us, eid) <= (last_us, last_eid):
+                    # cross-batch late arrival (would move last_us
+                    # BACKWARD, mis-measuring the next gap and
+                    # splitting sessions the batch twin keeps whole)
+                    # OR an at-least-once redelivery of an
+                    # already-folded event (would inflate n and the
+                    # value sum). Lexicographic (ts, event_id) guard —
+                    # same contract as the SCD2 changelog / EWMA
                     # streams; the batch job over the full log is the
-                    # reconciliation path)
+                    # reconciliation path. Tie order among equal-ts
+                    # events is the STRING id order (the state slot is
+                    # typed once for both long and string id sources);
+                    # session aggregates are order-insensitive, so the
+                    # tie order never changes a result row.
                     continue
                 if last_us is not None and ts_us - last_us > gap_us:
                     rows.append((user_id, start_us, last_us, n, cents / 100.0))
                     start_us, n, cents = None, 0, 0
                 if start_us is None:
                     start_us = ts_us
-                last_us = ts_us
+                last_us, last_eid = ts_us, eid
                 n += 1
                 # NULL values arrive as NaN: count the event, add 0 —
                 # the batch twin's decimal sum skips NULLs the same way
@@ -131,7 +140,7 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 if val == val:
                     cents += to_cents(val)
             if start_us is not None:
-                state.update((start_us, last_us, n, cents))
+                state.update((start_us, last_us, last_eid, n, cents))
                 # close the open session once event time passes last+gap
                 state.setTimeoutTimestamp((last_us + gap_us) // 1000)
         if rows:
@@ -155,7 +164,10 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         normalize_event_ts,
     )
 
-    state_schema = "start_us long, last_us long, n long, total_cents long"
+    state_schema = (
+        "start_us long, last_us long, last_eid string, "
+        "n long, total_cents long"
+    )
     return (
         normalize_event_ts(events).withWatermark("ts", "1 minute")
         .groupBy("user_id")

@@ -424,7 +424,12 @@ def test_streaming_cms_merges_to_batch_sketch(spark, sf_dir, tmp_path):
     stream = spark.readStream.schema(raw_schema).option(
         "maxFilesPerTrigger", 1
     ).parquet(events_dir)
-    q = incremental_cms_foreach_batch(stream, sink, key_col="user_id")
+    # lineage="static" matches cms_partial_write's default run_id so
+    # the direct re-delivery writes below replace the STREAM's
+    # partitions (same retry domain), as a same-lineage retry would
+    q = incremental_cms_foreach_batch(
+        stream, sink, key_col="user_id", lineage="static"
+    )
     q.start().awaitTermination()
 
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -491,7 +496,8 @@ def test_streaming_bins_merge_to_batch_and_score_psi(spark, sf_dir, tmp_path):
         "maxFilesPerTrigger", 1
     ).parquet(events_dir)
     q = incremental_bins_foreach_batch(
-        stream, sink, "value", lo=0.0, width=10.0, n_bins=20
+        stream, sink, "value", lo=0.0, width=10.0, n_bins=20,
+        lineage="static",
     )
     q.start().awaitTermination()
 
@@ -577,8 +583,8 @@ def test_ewma_stream_equals_batch_fold(spark, sf_dir, tmp_path):
 
 def test_incremental_rollup_retry_does_not_double_count(spark, sf_dir, tmp_path):
     """A re-executed micro-batch (write committed, checkpoint lost)
-    must be a no-op: the last_batch watermark inside the touched
-    partitions detects the replay."""
+    must be a no-op: the (last_run, last_batch) watermark inside the
+    touched partitions detects the SAME-LINEAGE replay."""
     from pyspark.sql import functions as F
 
     from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
@@ -590,7 +596,7 @@ def test_incremental_rollup_retry_does_not_double_count(spark, sf_dir, tmp_path)
     src.coalesce(1).write.parquet(events_dir)
     sink = str(tmp_path / "rr_sink")
     stream = spark.readStream.schema(src.schema).parquet(events_dir)
-    q = incremental_rollup_foreach_batch(stream, sink).option(
+    q = incremental_rollup_foreach_batch(stream, sink, lineage="L1").option(
         "checkpointLocation", str(tmp_path / "rr_ckpt")
     )
     q.start().awaitTermination()
@@ -599,10 +605,12 @@ def test_incremental_rollup_retry_does_not_double_count(spark, sf_dir, tmp_path)
         .select("window_start", "event_type", "n_events", "sum_cents")
         .collect()))
     # simulate the at-least-once replay: re-run batch 0's handler body
-    # by restarting the stream with a FRESH checkpoint over the same
-    # file (same batch content, same batch_id=0)
+    # under the SAME lineage token (a fresh actual checkpoint re-sends
+    # the file with the same batch content and batch_id=0 — exactly
+    # what a write-committed/offset-lost restart of lineage L1 does)
     q2 = incremental_rollup_foreach_batch(
-        spark.readStream.schema(src.schema).parquet(events_dir), sink
+        spark.readStream.schema(src.schema).parquet(events_dir), sink,
+        lineage="L1",
     ).option("checkpointLocation", str(tmp_path / "rr_ckpt2"))
     q2.start().awaitTermination()
     after = sorted(map(tuple,
@@ -610,6 +618,57 @@ def test_incremental_rollup_retry_does_not_double_count(spark, sf_dir, tmp_path)
         .select("window_start", "event_type", "n_events", "sum_cents")
         .collect()))
     assert after == before
+
+
+def test_incremental_rollup_restarted_stream_keeps_new_data(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r6 bug class, rollup sink: a RESTARTED stream's batch ids
+    begin at 0 again, colliding with the prior lineage's logged ids. A
+    bare-batch_id guard would skip the colliding batch and silently
+    drop its NEW events; the lineage-scoped guard must fold them."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.plans.registry import (
+        events_hourly_rollup,
+    )
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        incremental_rollup_foreach_batch,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = src.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    sink = str(tmp_path / "rs_sink")
+
+    # run 1 ingests the first half (its batch 0)
+    d1 = str(tmp_path / "rs_in1")
+    src.where(F.col("event_id") <= mid).coalesce(1).write.parquet(d1)
+    incremental_rollup_foreach_batch(
+        spark.readStream.schema(src.schema).parquet(d1), sink
+    ).option("checkpointLocation", str(tmp_path / "rs_ck1")).start(
+    ).awaitTermination()
+
+    # run 2: fresh checkpoint, fresh input dir, default (new) lineage —
+    # its batch 0 carries ONLY new events and must not be skipped
+    d2 = str(tmp_path / "rs_in2")
+    src.where(F.col("event_id") > mid).coalesce(1).write.parquet(d2)
+    incremental_rollup_foreach_batch(
+        spark.readStream.schema(src.schema).parquet(d2), sink
+    ).option("checkpointLocation", str(tmp_path / "rs_ck2")).start(
+    ).awaitTermination()
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_cents"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (
+            r["n_events"],
+            int(round(r["sum_value"] * 100)),
+        )
+        for r in events_hourly_rollup(spark, sf_dir).collect()
+    }
+    assert got == want
 
 
 def test_sessionize_stream_ignores_cross_batch_late_event(spark, tmp_path):
@@ -651,6 +710,76 @@ def test_sessionize_stream_ignores_cross_batch_late_event(spark, tmp_path):
     # no session may CLOSE: e3 continues the open session (the late e2
     # is dropped, not folded backward)
     assert closed == []
+
+
+def test_stateful_streams_drop_redelivered_equal_ts_event(spark, tmp_path):
+    """At-least-once transport can re-deliver an already-folded event
+    in a LATER batch at the state's exact last timestamp. A bare
+    ts < last guard folds it again (inflating counts/sums/versions);
+    the lexicographic (ts, event_id) guard must drop it."""
+    from datetime import datetime
+
+    from semantic_ann_in_data_lake_spark.streaming.scd2_stream import (
+        scd2_changelog_stream,
+    )
+    from semantic_ann_in_data_lake_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    schema = (
+        "event_id string, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows1 = [("e1", t0, 7, "view", 1.0, "{}")]
+    rows2 = [
+        ("e1", t0, 7, "view", 1.0, "{}"),  # transport duplicate of e1
+        # an hour later: closes the session (gap > 30m) and, with a
+        # different type, closes the SCD2 "view" run
+        ("e4", datetime(2024, 1, 1, 13, 0, 0), 7, "click", 2.0, "{}"),
+    ]
+    src_dir = str(tmp_path / "rd_in")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    def run(make_stream, out_name):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src_dir)
+        out_dir = str(tmp_path / out_name)
+        (
+            make_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", out_dir + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.read.parquet(out_dir).collect()
+
+    sessions = run(lambda s: sessionize_stream(s, gap_minutes=30), "rd_sess")
+    assert [
+        (r["n_events"], r["sum_value"]) for r in sessions
+    ] == [(1, 1.0)]  # duplicate e1 not re-folded
+
+    # scd2 needs a long event_id column (events-table shape)
+    from pyspark.sql import functions as F
+
+    runs = run(
+        lambda s: scd2_changelog_stream(
+            s.withColumn(
+                "event_id",
+                F.regexp_replace("event_id", "e", "").cast("long"),
+            )
+        ),
+        "rd_scd2",
+    )
+    assert [(r["state"], r["version"], r["n_events"]) for r in runs] == [
+        ("view", 1, 1)
+    ]
 
 
 def test_stream_refresh_ivf_index_equals_batch_and_replays(

@@ -533,6 +533,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     total = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
@@ -552,9 +553,27 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         new_total = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels
         if new_total == total:
+            converged = True
             break
         total = new_total
     edges.unpersist()
+    if not converged:
+        # propagation reaches fixpoint in ≤ diameter rounds; a graph
+        # deeper than max_iter (e.g. a long gradual-drift chain) would
+        # otherwise return labels that SILENTLY split one component
+        # into several — downstream leakage-safe splits would then
+        # place two near-dup docs on opposite sides of a train/test
+        # boundary, the exact failure the operator exists to prevent
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: no fixpoint after max_iter={max_iter} "
+            "rounds — component labels may be split; raise max_iter "
+            "(rounds needed = graph diameter, typically 2-4 for "
+            "near-dup clusters)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

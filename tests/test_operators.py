@@ -637,6 +637,18 @@ def test_dedup_clusters_chain_and_islands(spark):
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 8: 8, 9: 8}
 
+    # a graph deeper than max_iter must WARN (silent split would leak
+    # near-dups across a train/test boundary downstream), not return
+    # quietly-wrong labels
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup_clusters(pairs, max_iter=1).collect()
+    assert any(
+        "no fixpoint" in str(w.message) for w in caught
+    ), [str(w.message) for w in caught]
+
 
 def test_quantize_embeddings_zero_vector_and_range(spark):
     from semantic_ann_in_data_lake_spark.operators.knn import quantize_embeddings

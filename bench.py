@@ -258,6 +258,8 @@ def bench_queries(spark, sf_dir):
         # round-3 operators: leak check, packing, skew/band joins, layout
         "decontaminate_docs": from_registry("decontaminate_docs"),
         "pack_sequences_docs": from_registry("pack_sequences_docs"),
+        # round-7: mixture assembly (grouped distributed prefix sum)
+        "budget_select_docs": from_registry("budget_select_docs"),
         "band_join_view_purchase": from_registry("band_join_view_purchase"),
         "salted_heavy_user_rollup": from_registry("salted_heavy_user_rollup"),
         "zorder_key_orders": from_registry("zorder_key_orders"),

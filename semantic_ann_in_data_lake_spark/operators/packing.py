@@ -23,7 +23,7 @@ exchange on the data path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -89,6 +89,112 @@ def pack_sequences(
         "cum_before",
         F.expr(f"cum_before div {int(budget)}L").alias("bin_id"),
         (F.col("cum_before") % budget).alias("bin_offset"),
+    )
+
+
+def grouped_running_total(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    val_col: str,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running total of ``val_col`` in ``order_cols`` order —
+    the GROUPED form of :func:`pack_sequences`'s distributed prefix
+    sum, for when one group can be corpus-sized.
+
+    A plain ``Window.partitionBy(group)`` funnels each group through
+    ONE task — fatal when a group holds a large share of 100 TB (the
+    dominant source of a training mix routinely does). Here the data
+    range-partitions on (group, order keys), each partition computes a
+    LOCAL cumulative sum (parallel), per-(group, partition) totals —
+    a frame of at most n_partitions + n_groups rows — turn into
+    partition offsets with a window over that tiny frame only, and a
+    broadcast join adds the offsets back. One range shuffle + one tiny
+    aggregate, any group size.
+
+    ``order_cols`` must totally order rows WITHIN a group (include a
+    unique tiebreaker such as the id column) — ties across a partition
+    boundary would otherwise make the running total nondeterministic.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must totally order rows within a group")
+    group = F.col(group_col)
+    order = [c if isinstance(c, Column) else F.col(c) for c in order_cols]
+    if num_partitions:
+        keyed = df.repartitionByRange(num_partitions, group, *order)
+    else:
+        keyed = df.repartitionByRange(group, *order)
+    part = keyed.withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy(group_col, "__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+
+    # feeds BOTH the totals aggregate and the final join (Catalyst
+    # does not CSE across branches — same reuse shape as
+    # pack_sequences)
+    local = scoped_persist(
+        part.withColumn("__local_cum", F.sum(val_col).over(w_local))
+    )
+    totals = local.groupBy(group_col, "__pid").agg(
+        F.sum(val_col).alias("__ptot")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.sum("__ptot").over(w_off) - F.col("__ptot")
+    ).select(group_col, "__pid", "__offset")
+    return (
+        local.join(F.broadcast(offsets), [group_col, "__pid"])
+        .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
+        .drop("__pid", "__local_cum", "__offset")
+    )
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    quotas: DataFrame,
+    group_col: str = "source",
+    order_cols: list | None = None,
+    weight_col: str = "n_tokens",
+    quota_col: str = "alloc_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy per-group selection filling each group's token quota —
+    the SELECTION step that turns a mixture allocation
+    (``temperature_mix_allocation``: tokens per source) into actual
+    rows: walk each group in ``order_cols`` order (put the best docs
+    first) and keep a row iff the running token total BEFORE it is
+    still under the group's quota. The straddling document is kept, so
+    every quota is met exactly once the group has enough tokens;
+    groups short of quota contribute everything they have.
+
+    ``quotas``: one row per group with ``quota_col`` (token budget).
+    Adds ``cum_before`` (tokens admitted before this row) to the
+    selected rows. Deterministic given a totally-ordering
+    ``order_cols`` (include the id column as tiebreaker); integer
+    arithmetic end to end, so the selected SET is reproducible
+    cross-engine. Scale: the running total is the skew-safe
+    :func:`grouped_running_total`; the quota join broadcasts the
+    n_groups-row allocation table.
+    """
+    run = grouped_running_total(
+        df, group_col, order_cols, weight_col,
+        out_col="__cum", num_partitions=num_partitions,
+    )
+    sel = run.join(F.broadcast(quotas), group_col)
+    before = F.col("__cum") - F.col(weight_col)
+    return (
+        sel.where(before < F.col(quota_col))
+        .withColumn("cum_before", before)
+        .drop("__cum", quota_col)
     )
 
 

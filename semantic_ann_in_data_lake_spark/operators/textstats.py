@@ -52,17 +52,24 @@ def _r4(c: Column) -> Column:
 
 
 def token_stats(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-doc token statistics + a composite quality score.
 
     Quality = 0.4·min(n_tokens/100, 1) + 0.3·type_token_ratio +
     0.3·stopword_ratio, all ratios exact int/int divisions (rounded
-    4 dp) so the score is engine-portable.
+    4 dp) so the score is engine-portable. ``extra_cols`` pass through
+    unchanged (e.g. ``source`` for downstream per-source selection) —
+    carrying them here beats re-joining the stats onto the corpus,
+    which would shuffle the full table against itself.
     """
     toks = words(text_col)
     d = docs.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra_cols],
         F.length(F.col(text_col)).alias("n_chars"),
         toks.alias("__toks__"),
         normalize_sentence(text_col).alias("__norm__"),
@@ -87,6 +94,7 @@ def token_stats(
     )
     return d.select(
         "doc_id",
+        *extra_cols,
         "n_chars",
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),

@@ -389,6 +389,117 @@ def pack_sequences_docs(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), budget=256)
 
 
+_BUDGET_SELECT_B = 8_000  # total tokens in the assembled mix
+
+
+def _budget_select_oracle(budget: int = _BUDGET_SELECT_B) -> str:
+    # quality_score / n_tokens: verbatim the doc_token_stats expressions
+    # (hash-gated equal cross-engine); alloc: verbatim the
+    # temperature_mix_allocation discipline (sqrt weight, DECIMAL
+    # accumulation, 6-dp share, floor to tokens)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             len(toks)::INT AS n_tokens,
+             greatest(len(toks), 1) AS safe_tok,
+             len(list_distinct(toks)) AS n_distinct,
+             len(list_filter(toks, tk -> tk IN ({_STOP_IN}))) AS stop_hits
+      FROM t
+    ), s AS (
+      SELECT doc_id, source, n_tokens,
+             round(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+                   + 0.3 * round(n_distinct::DOUBLE / safe_tok + 1e-9, 4)
+                   + 0.3 * round(stop_hits::DOUBLE / safe_tok + 1e-9, 4)
+                   + 1e-9, 4) AS quality_score
+      FROM m
+    ), per_source AS (
+      SELECT source, sum(n_tokens)::BIGINT AS src_tokens FROM s GROUP BY source
+    ), w AS (
+      SELECT source, round(sqrt(src_tokens::DOUBLE), 6)::DECIMAL(18,6) AS wgt
+      FROM per_source
+    ), tot AS (SELECT sum(wgt) AS total FROM w),
+    alloc AS (
+      SELECT w.source,
+             floor(round(w.wgt::DOUBLE / tot.total::DOUBLE, 6)::DECIMAL(18,6)
+                   * {budget})::BIGINT AS alloc_tokens
+      FROM w, tot
+    ), run AS (
+      SELECT s.*,
+             ((sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY quality_score DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              - n_tokens)::BIGINT AS cum_before
+      FROM s
+    )
+    SELECT run.doc_id, run.source, run.quality_score, run.n_tokens,
+           run.cum_before
+    FROM run JOIN alloc USING (source)
+    WHERE run.cum_before < alloc.alloc_tokens
+    """
+
+
+@register("budget_select_docs", _budget_select_oracle())
+def budget_select_docs(spark, sf_dir):
+    """Mixture ASSEMBLY: turn the temperature allocation (tokens per
+    source, α = 0.5 — same discipline as ``temperature_mix_allocation``)
+    into the actual document set of an 8,000-token training mix: within
+    each source, admit documents best-quality-first while the running
+    token total is under the source's quota (the straddling doc is
+    kept). The running total is the skew-safe grouped distributed
+    prefix sum (``operators/packing.py::grouped_running_total``) — a
+    dominant source never funnels through one task; the oracle is the
+    plain per-source window, proving the decomposition exact. The
+    n_sources-row quota table broadcasts onto the selection; ``source``
+    rides through ``token_stats`` instead of re-joining the stats onto
+    the corpus (which would shuffle the full table against itself)."""
+    from semantic_ann_in_data_lake_spark.operators.packing import (
+        select_to_token_budget,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = textstats.token_stats(docs, extra_cols=("source",)).select(
+        "doc_id", "source", "n_tokens", "quality_score"
+    )
+    per_source = d.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("src_tokens")
+    )
+    w = per_source.withColumn(
+        "wgt",
+        F.round(F.sqrt(F.col("src_tokens").cast("double")), 6).cast(
+            "decimal(18,6)"
+        ),
+    )
+    tot = w.agg(F.sum("wgt").alias("total"))
+    quotas = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(
+                F.round(
+                    F.col("wgt").cast("double") / F.col("total").cast("double"),
+                    6,
+                ).cast("decimal(18,6)")
+                * _BUDGET_SELECT_B
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+    )
+    sel = select_to_token_budget(
+        d,
+        quotas,
+        group_col="source",
+        order_cols=[F.col("quality_score").desc(), F.col("doc_id").asc()],
+        weight_col="n_tokens",
+    )
+    return sel.select(
+        "doc_id", "source", "quality_score", "n_tokens",
+        F.col("cum_before").cast("long").alias("cum_before"),
+    )
+
+
 @register(
     "bpe_contract_docs",
     """

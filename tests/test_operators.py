@@ -1381,6 +1381,78 @@ def test_pack_sequences_partition_invariant(spark, sf_dir):
     assert max(c for (c, _, _) in a.values()) < total
 
 
+def test_grouped_running_total_matches_window_any_partitioning(spark, sf_dir):
+    """The grouped distributed prefix sum ≡ the single-task
+    Window.partitionBy(group) cumulative sum, for any partition count —
+    the skew-safe decomposition may not leak partitioning into the
+    totals."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from semantic_ann_in_data_lake_spark.operators.packing import (
+        grouped_running_total,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").cast("long").alias("w")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["source"], r["doc_id"]): r["run"]
+        for r in docs.withColumn("run", F.sum("w").over(w)).collect()
+    }
+    for nparts in (2, 9):
+        got = {
+            (r["source"], r["doc_id"]): r["running"]
+            for r in grouped_running_total(
+                docs, "source", [F.col("doc_id").asc()], "w",
+                num_partitions=nparts,
+            ).collect()
+        }
+        assert got == want, nparts
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        grouped_running_total(docs, "source", [], "w")
+
+
+def test_select_to_token_budget_greedy_semantics(spark):
+    """Per-group greedy fill: rows admitted in order while cum_before <
+    quota; the straddling row is kept; a group short of quota keeps
+    everything; groups absent from quotas select nothing."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.packing import (
+        select_to_token_budget,
+    )
+
+    rows = [
+        # group a: quota 10 -> ranks 1 (5 toks, cum_before 0) and
+        # 2 (8 toks, cum_before 5 < 10, straddles) kept; rank 3 dropped
+        ("a", 1, 5), ("a", 2, 8), ("a", 3, 1),
+        # group b: quota 100 -> everything kept (short of quota)
+        ("b", 4, 7), ("b", 5, 9),
+        # group c: no quota row -> nothing kept
+        ("c", 6, 3),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    quotas = spark.createDataFrame(
+        [("a", 10), ("b", 100)], "source string, alloc_tokens long"
+    )
+    got = {
+        r["doc_id"]: r["cum_before"]
+        for r in select_to_token_budget(
+            df, quotas, order_cols=[F.col("doc_id").asc()]
+        ).collect()
+    }
+    assert got == {1: 0, 2: 5, 4: 0, 5: 7}
+
+
 # --- skew-salted join ----------------------------------------------------
 
 

@@ -33,8 +33,9 @@ Layout
                          and the banded |a−b| ≤ eps proximity join.
 - ``operators.decontam`` benchmark-leak detection/filtering (n-gram
                          overlap vs an evaluation set).
-- ``operators.packing``  token-budget sequence packing via a
-                         distributed prefix sum.
+- ``operators.packing``  token-budget sequence packing and mixture
+                         assembly (quota-fill selection) via plain and
+                         grouped distributed prefix sums.
 - ``operators.layout``   Z-order (Morton) clustering writes + parquet
                          small-file compaction.
 - ``functions``          reusable column expressions: portable hashes,

@@ -447,3 +447,48 @@ def test_derive_nlist_known_n_properties(n):
     assert 16 <= got <= 4096
     assert got == min(4096, max(16, round(n ** 0.5)))
     assert derive_nlist(known_n=n + 1) >= got
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_grouped_running_total_matches_window_property(
+    shared_spark, rows, nparts
+):
+    """grouped_running_total ≡ Window.partitionBy(group) cumulative sum
+    for arbitrary group/weight data and partition counts — the skew-safe
+    decomposition may never leak partitioning into the totals."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from semantic_ann_in_data_lake_spark.operators.packing import (
+        grouped_running_total,
+    )
+
+    data = [(g, i, w) for i, (g, w) in enumerate(rows)]
+    df = shared_spark.createDataFrame(data, "g string, id long, w long")
+    win = (
+        Window.partitionBy("g")
+        .orderBy(F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["g"], r["id"]): r["run"]
+        for r in df.withColumn("run", F.sum("w").over(win)).collect()
+    }
+    got = {
+        (r["g"], r["id"]): r["running"]
+        for r in grouped_running_total(
+            df, "g", [F.col("id").asc()], "w", num_partitions=nparts
+        ).collect()
+    }
+    assert got == want

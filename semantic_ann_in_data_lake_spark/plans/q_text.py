@@ -391,14 +391,10 @@ def pack_sequences_docs(spark, sf_dir):
 
 _BUDGET_SELECT_B = 8_000  # total tokens in the assembled mix
 
-
-def _budget_select_oracle(budget: int = _BUDGET_SELECT_B) -> str:
-    # quality_score / n_tokens: verbatim the doc_token_stats expressions
-    # (hash-gated equal cross-engine); alloc: verbatim the
-    # temperature_mix_allocation discipline (sqrt weight, DECIMAL
-    # accumulation, 6-dp share, floor to tokens)
-    return f"""
-    WITH t AS (
+# (doc_id, source, n_tokens, quality_score) per document — verbatim the
+# doc_token_stats expressions (hash-gated equal cross-engine); the
+# shared front half of the mixture-curation oracles
+_DOC_QUALITY_CTES = f"""t AS (
       SELECT doc_id, source, {_TOKS} AS toks FROM documents
     ), m AS (
       SELECT doc_id, source,
@@ -414,7 +410,14 @@ def _budget_select_oracle(budget: int = _BUDGET_SELECT_B) -> str:
                    + 0.3 * round(stop_hits::DOUBLE / safe_tok + 1e-9, 4)
                    + 1e-9, 4) AS quality_score
       FROM m
-    ), per_source AS (
+    )"""
+
+
+def _budget_select_oracle(budget: int = _BUDGET_SELECT_B) -> str:
+    # alloc: verbatim the temperature_mix_allocation discipline (sqrt
+    # weight, DECIMAL accumulation, 6-dp share, floor to tokens)
+    return f"""
+    WITH {_DOC_QUALITY_CTES}, per_source AS (
       SELECT source, sum(n_tokens)::BIGINT AS src_tokens FROM s GROUP BY source
     ), w AS (
       SELECT source, round(sqrt(src_tokens::DOUBLE), 6)::DECIMAL(18,6) AS wgt
@@ -497,6 +500,70 @@ def budget_select_docs(spark, sf_dir):
     return sel.select(
         "doc_id", "source", "quality_score", "n_tokens",
         F.col("cum_before").cast("long").alias("cum_before"),
+    )
+
+
+@register(
+    "quality_quartiles_by_source",
+    f"""
+    WITH {_DOC_QUALITY_CTES}, r AS (
+      SELECT s.*,
+             row_number() OVER (PARTITION BY source
+                ORDER BY quality_score ASC, doc_id ASC) AS rnk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM s
+    )
+    SELECT source,
+           (((rnk - 1) * 4) // n + 1)::BIGINT AS quartile,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS token_sum,
+           min(quality_score) AS min_q,
+           max(quality_score) AS max_q
+    FROM r GROUP BY source, quartile
+    """,
+)
+def quality_quartiles_by_source(spark, sf_dir):
+    """Per-source quality-quartile profile — the curation view a
+    mixture owner reads before setting budgets: how many docs/tokens
+    each source holds per quality band, and the band edges. Quartile
+    assignment is the explicit integer formula ((rank−1)·4) div n + 1
+    (NOT each engine's NTILE, whose remainder placement differs), with
+    rank by (quality asc, doc_id asc). The per-source rank is the
+    grouped distributed prefix sum counting rows
+    (``grouped_running_total`` with weight 1) — no per-source window
+    touches the data path, so a dominant source stays parallel; the
+    group sizes broadcast (n_sources rows). Oracle: the plain window
+    form, proving the distributed rank exact."""
+    from semantic_ann_in_data_lake_spark.operators.packing import (
+        grouped_running_total,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = textstats.token_stats(docs, extra_cols=("source",)).select(
+        "doc_id", "source", "n_tokens", "quality_score"
+    )
+    ranked = grouped_running_total(
+        d.withColumn("__one", F.lit(1).cast("long")),
+        "source",
+        [F.col("quality_score").asc(), F.col("doc_id").asc()],
+        "__one",
+        out_col="rnk",
+    )
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        ranked.join(F.broadcast(sizes), "source")
+        # `div`: LONG integer division end to end (a double `/` then
+        # cast truncates the same way here but rounds above 2^53)
+        .withColumn("quartile", F.expr("((rnk - 1) * 4) div n + 1"))
+    )
+    return (
+        q.groupBy("source", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("token_sum"),
+            F.min("quality_score").alias("min_q"),
+            F.max("quality_score").alias("max_q"),
+        )
     )
 
 

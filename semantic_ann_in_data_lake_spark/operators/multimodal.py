@@ -112,6 +112,102 @@ def extract_features(
     return media.select("media_id", "payload", "meta").mapInPandas(run, schema=schema)
 
 
+def _resize_cols(max_side: int):
+    """(new_width, new_height, resized) column expressions from the
+    meta struct — aspect-preserving clamp of the longer side to
+    ``max_side``, integer arithmetic end to end (``div``), so the math
+    is engine-portable and oracle-gateable."""
+    if max_side < 1:
+        raise ValueError(f"max_side must be >= 1, got {max_side}")
+    longer = F.greatest(F.col("meta.width"), F.col("meta.height"))
+    needs = longer > max_side
+
+    def scaled(side: str):
+        return F.greatest(
+            F.expr(
+                f"(meta.{side} * {int(max_side)}L)"
+                " div greatest(meta.width, meta.height)"
+            ),
+            F.lit(1).cast("long"),
+        ).cast("int")
+
+    new_w = F.when(needs, scaled("width")).otherwise(F.col("meta.width"))
+    new_h = F.when(needs, scaled("height")).otherwise(F.col("meta.height"))
+    return new_w, new_h, needs
+
+
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving resize PLAN: pure column math over the typed
+    metadata — no payload bytes are touched at plan time (the 100-TB
+    rule this module's schema exists for: decide geometry from
+    metadata columns, decode each payload at most once downstream).
+
+    Output: (media_id, width, height, new_width, new_height, resized).
+    """
+    new_w, new_h, needs = _resize_cols(max_side)
+    return media.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        new_w.alias("new_width"),
+        new_h.alias("new_height"),
+        needs.alias("resized"),
+    )
+
+
+def resize_images(
+    media: DataFrame,
+    max_side: int = 256,
+    transform_fn=None,
+    batch_size: int = 64,
+) -> DataFrame:
+    """mapInPandas resize STAGE: geometry comes from :func:`resize_plan`
+    (JVM columns, joined in before the Python boundary); the
+    bytes→pixels→bytes resample is the stubbed step —
+    ``transform_fn(payload, new_w, new_h) -> bytes`` defaults to a
+    payload passthrough (no image library in this environment, same
+    policy as :func:`decode_image`); a real resampler drops in without
+    touching the Spark side. Output: (media_id, new_width, new_height,
+    payload). The geometry columns compute INLINE in the same
+    projection as the payload (one scan — a join back against
+    resize_plan would scan the media twice; Catalyst has no
+    cross-branch CSE).
+    """
+    import pandas as pd
+
+    fn = transform_fn or (lambda p, w, h: p)
+    schema = "media_id long, new_width int, new_height int, payload binary"
+    new_w, new_h, _ = _resize_cols(max_side)
+    src = media.select(
+        "media_id",
+        "payload",
+        new_w.alias("new_width"),
+        new_h.alias("new_height"),
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "new_width": chunk["new_width"],
+                        "new_height": chunk["new_height"],
+                        "payload": [
+                            fn(p, w, h)
+                            for p, w, h in zip(
+                                chunk["payload"],
+                                chunk["new_width"],
+                                chunk["new_height"],
+                            )
+                        ],
+                    }
+                )
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

@@ -196,6 +196,44 @@ def annotate_columns_rule(spark, sf_dir):
 
 
 @register(
+    "media_resize_plan",
+    """
+    WITH mm AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 1024 + 32)::INT AS width,
+             ((doc_id * 7) % 1024 + 32)::INT AS height
+      FROM documents
+    )
+    SELECT media_id, width, height,
+           CASE WHEN greatest(width, height) > 128
+                THEN greatest((width * 128) // greatest(width, height), 1)
+                ELSE width END::INT AS new_width,
+           CASE WHEN greatest(width, height) > 128
+                THEN greatest((height * 128) // greatest(width, height), 1)
+                ELSE height END::INT AS new_height,
+           greatest(width, height) > 128 AS resized
+    FROM mm
+    """,
+)
+def media_resize_plan(spark, sf_dir):
+    """Multimodal resize PLAN (the third leg of the decode /
+    feature-extract / resize / frame-sample plumbing): aspect-preserving
+    clamp of the longer side to 128, computed as pure integer column
+    math over the typed metadata — payload bytes are never touched at
+    plan time, so at 100 TB the geometry decision costs a metadata
+    column scan and the (stubbed) pixel resample in ``resize_images``
+    decodes each payload at most once. The oracle reproduces the
+    synthesized fixture dims and the same ``div`` math exactly."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        resize_plan,
+        synthesize_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return resize_plan(synthesize_media_from_documents(docs), max_side=128)
+
+
+@register(
     "media_features",
     """
     SELECT doc_id AS media_id, 'image' AS modality,

@@ -405,6 +405,56 @@ def test_multimodal_features_and_stub(spark, sf_dir):
     assert frame_sample_plan(media).count() == 0
 
 
+def test_resize_plan_and_images_plumbing(spark, sf_dir):
+    """Aspect math: longer side clamps to max_side, aspect preserved
+    within integer truncation, never below 1; resize_images carries the
+    geometry and applies the (stub/passthrough) transform per row."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        resize_images,
+        resize_plan,
+        synthesize_media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = synthesize_media_from_documents(docs)
+    plan = {r["media_id"]: r for r in resize_plan(media, max_side=64).collect()}
+    assert plan
+    for r in plan.values():
+        longer = max(r["width"], r["height"])
+        if longer > 64:
+            assert r["resized"]
+            assert max(r["new_width"], r["new_height"]) == 64
+            assert r["new_width"] == max(1, (r["width"] * 64) // longer)
+            assert r["new_height"] == max(1, (r["height"] * 64) // longer)
+        else:
+            assert not r["resized"]
+            assert (r["new_width"], r["new_height"]) == (r["width"], r["height"])
+
+    # payload passthrough stub + geometry ride-along; custom transform
+    # sees the computed dims
+    out = {r["media_id"]: r for r in resize_images(media, max_side=64).collect()}
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert set(out) == set(src)
+    for mid, r in out.items():
+        assert bytes(r["payload"]) == src[mid]
+        assert (r["new_width"], r["new_height"]) == (
+            plan[mid]["new_width"], plan[mid]["new_height"],
+        )
+    tagged = resize_images(
+        media, max_side=64,
+        transform_fn=lambda p, w, h: f"{w}x{h}".encode(),
+    ).collect()
+    assert all(
+        bytes(r["payload"]) == f"{r['new_width']}x{r['new_height']}".encode()
+        for r in tagged
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resize_plan(media, max_side=0)
+
+
 # --- sources -------------------------------------------------------------
 
 

@@ -10,7 +10,6 @@ Spark retries / reruns never redo external-model work (SURVEY §4.3).
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession

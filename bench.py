@@ -258,8 +258,12 @@ def bench_queries(spark, sf_dir):
         # round-3 operators: leak check, packing, skew/band joins, layout
         "decontaminate_docs": from_registry("decontaminate_docs"),
         "pack_sequences_docs": from_registry("pack_sequences_docs"),
-        # round-7: mixture assembly (grouped distributed prefix sum)
+        # round-7: mixture assembly (grouped distributed prefix sum),
+        # quartile curation profile, multimodal resize plumbing
         "budget_select_docs": from_registry("budget_select_docs"),
+        "quality_quartiles": from_registry("quality_quartiles_by_source"),
+        "media_resize_plan": from_registry("media_resize_plan"),
+        "media_audio_windows": from_registry("media_audio_windows"),
         "band_join_view_purchase": from_registry("band_join_view_purchase"),
         "salted_heavy_user_rollup": from_registry("salted_heavy_user_rollup"),
         "zorder_key_orders": from_registry("zorder_key_orders"),

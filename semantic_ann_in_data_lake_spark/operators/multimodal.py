@@ -62,6 +62,67 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_audio_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic audio-like media table from the documents fixture:
+    text bytes stand in for the waveform payload and the duration
+    derives from ``n_chars`` (10 ms per character — a TTS-ish rate), so
+    the segmentation math downstream is reproducible in any engine."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("audio").alias("modality"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def audio_window_plan(
+    media: DataFrame, window_ms: int = 400, hop_ms: int = 200
+) -> DataFrame:
+    """Audio segmentation PLAN (the audio leg of the multimodal
+    plumbing, beside image resize and video frame sampling): fixed
+    ``window_ms`` windows every ``hop_ms`` over the metadata duration,
+    FULL windows only — a clip shorter than one window yields no rows,
+    and a tail shorter than a window is dropped, the usual STFT/ASR
+    framing convention.
+
+    Pure integer column math over the typed meta struct
+    (posexplode(sequence(0, dur-window, hop))): payload bytes are never
+    touched at plan time, so at 100 TB the framing decision costs a
+    metadata column scan; the PCM slice stage downstream reuses the
+    Arrow-batched byte-window iterator shape of :func:`sample_frames`.
+    Output: (media_id, window_idx, start_ms, end_ms).
+    """
+    if window_ms < 1:
+        raise ValueError(f"window_ms must be >= 1, got {window_ms}")
+    if hop_ms < 1:
+        raise ValueError(f"hop_ms must be >= 1, got {hop_ms}")
+    dur = F.col("meta.duration_ms")
+    return (
+        media.where(dur.isNotNull() & (dur >= window_ms))
+        .select(
+            "media_id",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    (dur - window_ms).cast("long"),
+                    F.lit(int(hop_ms)).cast("long"),
+                )
+            ).alias("window_idx", "start_ms"),
+        )
+        .select(
+            "media_id",
+            F.col("window_idx").cast("int").alias("window_idx"),
+            F.col("start_ms").cast("long").alias("start_ms"),
+            (F.col("start_ms") + window_ms).cast("long").alias("end_ms"),
+        )
+    )
+
+
 def decode_image(payload: bytes) -> "object":
     """Real decode requires an image library not present in this
     container — STUB by policy. The Spark plumbing around it

@@ -234,6 +234,38 @@ def media_resize_plan(spark, sf_dir):
 
 
 @register(
+    "media_audio_windows",
+    """
+    WITH a AS (
+      SELECT doc_id AS media_id, (n_chars * 10)::BIGINT AS dur
+      FROM documents
+      WHERE n_chars * 10 >= 400
+    )
+    SELECT media_id,
+           (s // 200)::INT AS window_idx,
+           s::BIGINT AS start_ms,
+           (s + 400)::BIGINT AS end_ms
+    FROM (SELECT media_id, unnest(range(0, dur - 400 + 1, 200)) AS s FROM a)
+    """,
+)
+def media_audio_windows(spark, sf_dir):
+    """Audio segmentation plan (the audio leg of the multimodal
+    plumbing, operators/multimodal.py::audio_window_plan): 400 ms
+    windows every 200 ms over the metadata duration, full windows only
+    — posexplode(sequence(...)) integer math, no payload bytes at plan
+    time. The synthesized durations derive from ``n_chars`` so the
+    DuckDB oracle reproduces the framing (range is end-exclusive, hence
+    ``dur - 400 + 1``) and window_idx (= start // hop) exactly."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        audio_window_plan,
+        synthesize_audio_from_documents,
+    )
+
+    media = synthesize_audio_from_documents(_t(spark, sf_dir, "documents"))
+    return audio_window_plan(media, window_ms=400, hop_ms=200)
+
+
+@register(
     "media_features",
     """
     SELECT doc_id AS media_id, 'image' AS modality,

@@ -455,6 +455,47 @@ def test_resize_plan_and_images_plumbing(spark, sf_dir):
         resize_plan(media, max_side=0)
 
 
+def test_audio_window_plan(spark, sf_dir):
+    """Framing math: full windows only — count = (dur - window) div hop
+    + 1 for dur >= window, 0 otherwise; start = idx * hop; end - start
+    = window; tail shorter than a window is dropped."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        audio_window_plan,
+        synthesize_audio_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = synthesize_audio_from_documents(docs)
+    durs = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect()}
+
+    window_ms, hop_ms = 400, 150  # hop deliberately not dividing window
+    rows = audio_window_plan(media, window_ms=window_ms, hop_ms=hop_ms).collect()
+    by_media: dict = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, dur in durs.items():
+        got = sorted(by_media.get(mid, []), key=lambda r: r["window_idx"])
+        expect_n = (dur - window_ms) // hop_ms + 1 if dur >= window_ms else 0
+        assert len(got) == expect_n, (mid, dur)
+        for i, r in enumerate(got):
+            assert r["window_idx"] == i
+            assert r["start_ms"] == i * hop_ms
+            assert r["end_ms"] == r["start_ms"] + window_ms
+            assert r["end_ms"] <= dur  # full windows only
+
+    # clip shorter than one window yields no rows (no partial frames)
+    short = media.where("meta.duration_ms < 400")
+    if short.count():
+        assert audio_window_plan(short, window_ms=400, hop_ms=150).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        audio_window_plan(media, window_ms=0)
+    with _pytest.raises(ValueError):
+        audio_window_plan(media, hop_ms=0)
+
+
 # --- sources -------------------------------------------------------------
 
 

@@ -260,3 +260,69 @@ def length_bucket_batches(
             ).alias("padding_waste"),
         )
     )
+
+
+def replay_upsample(
+    df: DataFrame,
+    factor: Column,
+    id_col: str = "doc_id",
+    salt: str = "replay",
+    portable: bool = True,
+    max_factor: float = 100.0,
+) -> DataFrame:
+    """Source-level replay mixing: repeat each row ``factor`` times —
+    the "books x2.5 epochs, web x0.7" primitive that turns a mixture
+    allocation into an epoch-expanded document stream. Each row emits
+    ``ceil(factor)`` candidate copies (``copy_idx`` 0..); a copy is
+    kept when ``copy_idx < floor(factor)`` (the whole replays), plus
+    the one fractional copy when a deterministic uniform from
+    ``hash(id)`` lands under ``frac(factor)`` — so factor 2.5 replays
+    every row twice and a content-chosen, reproducible half of the
+    rows a third time, and factor 0.7 DOWN-samples to ~70% (one op
+    covers both directions; factor <= 0 drops the row entirely).
+
+    Deterministic and content-addressed: re-runs, retries, and
+    repartitions keep exactly the same copies (the fractional draw
+    depends only on the id hash, never on row order). Scale: entirely
+    row-local — one projection, a bounded explode (fan-out clamped to
+    ``max_factor``), a filter; no shuffle, no window, no driver state.
+    ``portable=False`` swaps the md5-tier uniform for xxhash64 (the
+    at-scale default; the portable tier exists so the selection is
+    oracle-checkable cross-engine).
+    """
+    from semantic_ann_in_data_lake_spark.functions.hashing import (
+        fast_hash64,
+        portable_hash64,
+    )
+
+    f_col = F.least(factor.cast("double"), F.lit(float(max_factor)))
+    key = F.col(id_col).cast("string")
+    h = (
+        portable_hash64(key, seed=f"{salt}:")
+        if portable
+        else fast_hash64(F.concat(F.lit(f"{salt}:"), key))
+    )
+    # uniform in (0, 1]: same idiom as weighted_sample's u, bit-equal
+    # in DuckDB via portable_hash_expr
+    u = (
+        ((F.pmod(h, F.lit(1000000007))) + 1).cast("double") / 1000000008.0
+    )
+    base = (
+        df.withColumn("__replay_f", f_col)
+        .where(F.col("__replay_f") > 0)
+        .withColumn("__replay_u", u)
+    )
+    out = base.withColumn(
+        "copy_idx",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.col("__replay_f")).cast("int") - 1,
+                F.lit(1),
+            )
+        ),
+    )
+    whole = F.col("copy_idx") < F.floor(F.col("__replay_f"))
+    frac = F.col("__replay_f") - F.floor(F.col("__replay_f"))
+    keep = whole | (F.col("__replay_u") < frac)
+    return out.where(keep).drop("__replay_f", "__replay_u")

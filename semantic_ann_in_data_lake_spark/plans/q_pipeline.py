@@ -749,6 +749,49 @@ def media_frame_samples(spark, sf_dir):
 
 
 @register(
+    "replay_mix_docs",
+    f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             (CAST(substr(source, 4) AS INT) % 5) / 2.0 + 0.5 AS f
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, source, f,
+             unnest(range(0, ceil(f)::BIGINT)) AS copy_idx
+      FROM f WHERE f > 0
+    )
+    SELECT doc_id, source, copy_idx::INT AS copy_idx
+    FROM e
+    WHERE copy_idx < floor(f)
+       OR ((({portable_hash_expr("doc_id::VARCHAR", seed="replaymix:")})
+            % 1000000007 + 1000000007) % 1000000007 + 1)::DOUBLE
+          / 1000000008.0 < f - floor(f)
+    """,
+)
+def replay_mix_docs(spark, sf_dir):
+    """Source-level replay mixing (operators/packing.py
+    replay_upsample): per-source factors 0.5/1.0/1.5/2.0/2.5 (derived
+    arithmetically from the source index so both engines compute the
+    exact binary fractions) expand the corpus into an epoch stream —
+    whole copies always, the fractional copy by a deterministic
+    id-hash draw, factor 0.5 down-samples. Entirely row-local (one
+    bounded explode + filter, no shuffle); the gate pins the
+    whole/fractional keep rule and the uniform's hash idiom
+    cross-engine."""
+    from semantic_ann_in_data_lake_spark.operators.packing import (
+        replay_upsample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    idx = F.substring("source", 4, 10).cast("int")
+    factor = (idx % 5).cast("double") / 2.0 + 0.5
+    return replay_upsample(d, factor, id_col="doc_id", salt="replaymix").select(
+        "doc_id", "source", "copy_idx"
+    )
+
+
+@register(
     "weighted_sample_docs",
     f"""
     WITH h AS (

@@ -1544,6 +1544,63 @@ def test_select_to_token_budget_greedy_semantics(spark):
     assert got == {1: 0, 2: 5, 4: 0, 5: 7}
 
 
+def test_replay_upsample_semantics(spark):
+    """Whole copies always kept; the fractional copy follows the
+    deterministic id-hash draw; factor <= 0 drops the row; integer
+    factors replay exactly; the fan-out clamps at max_factor; re-runs
+    are bit-identical."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.functions.hashing import (
+        portable_hash64,
+    )
+    from semantic_ann_in_data_lake_spark.operators.packing import (
+        replay_upsample,
+    )
+
+    rows = [(i, [0.0, 1.0, 2.0, 2.5, -1.0][i % 5]) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, f double")
+    out = replay_upsample(df, F.col("f"), id_col="doc_id", salt="t").collect()
+    by_id: dict = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r["copy_idx"])
+
+    us = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id",
+            (
+                (F.pmod(portable_hash64(F.col("doc_id").cast("string"), seed="t:"),
+                        F.lit(1000000007)) + 1).cast("double") / 1000000008.0
+            ).alias("u"),
+        ).collect()
+    }
+    for i, f in rows:
+        copies = sorted(by_id.get(i, []))
+        if f <= 0:
+            assert copies == []
+        elif f == 1.0:
+            assert copies == [0]
+        elif f == 2.0:
+            assert copies == [0, 1]
+        elif f == 2.5:
+            expect = [0, 1] + ([2] if us[i] < 0.5 else [])
+            assert copies == expect, (i, us[i])
+
+    # clamp: a huge factor fans out to max_factor, not beyond
+    big = spark.createDataFrame([(1, 1e9)], "doc_id long, f double")
+    n = replay_upsample(big, F.col("f"), id_col="doc_id", max_factor=3.0).count()
+    assert n == 3
+
+    # determinism across runs / repartitions
+    again = replay_upsample(
+        df.repartition(7), F.col("f"), id_col="doc_id", salt="t"
+    ).collect()
+    assert sorted((r["doc_id"], r["copy_idx"]) for r in out) == sorted(
+        (r["doc_id"], r["copy_idx"]) for r in again
+    )
+
+
 # --- skew-salted join ----------------------------------------------------
 
 

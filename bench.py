@@ -265,6 +265,8 @@ def bench_queries(spark, sf_dir):
         "media_resize_plan": from_registry("media_resize_plan"),
         "media_audio_windows": from_registry("media_audio_windows"),
         "replay_mix_docs": from_registry("replay_mix_docs"),
+        "dsir_select_docs": from_registry("dsir_select_docs"),
+        "semdedup_check": from_registry("semdedup_check"),
         "band_join_view_purchase": from_registry("band_join_view_purchase"),
         "salted_heavy_user_rollup": from_registry("salted_heavy_user_rollup"),
         "zorder_key_orders": from_registry("zorder_key_orders"),

@@ -314,3 +314,158 @@ def table_diff(
         .where(F.col("change").isNotNull())
         .select("key", "change")
     )
+
+
+def semdedup_invariant_violations(
+    result: DataFrame,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.95,
+    seed: int = 42,
+    max_cluster_size: int = 100_000,
+    tol: float = DIST_TOL,
+) -> DataFrame:
+    """Violations of the SemDeDup contract for ``result`` (the output
+    of ``operators/semdedup.semdedup`` over ``emb``): returns
+    ``(vec_id, other_id, reported, expected, violation)``, EMPTY iff
+    the contract holds.
+
+    Checked invariants (`operators/semdedup.py` return contract):
+
+    - ``coverage``: every input vector appears exactly once;
+    - ``kept_pair``: no two KEPT vectors in the same sweep group share
+      cosine > τ (the sweep group — (cluster, sub) — is recomputed
+      here from the output's own cluster sizes and the
+      content-addressed subsplit hash, so the check follows the
+      operator's documented subsplit recall trade exactly);
+    - ``kept_flags``: kept rows carry the sentinel witness
+      (dup_of = −1, dup_cos = 0);
+    - ``bad_witness``: a dropped row's ``dup_of`` names a KEPT row of
+      the same cluster;
+    - ``witness_below_tau``: a dropped row's ``dup_cos`` clears τ;
+    - ``witness_cos``: ``dup_cos`` equals the cosine recomputed from
+      the raw vectors (within :data:`DIST_TOL`).
+    """
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    out_schema = [
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("other_id").cast("long").alias("other_id"),
+        F.col("reported").cast("double").alias("reported"),
+        F.col("expected").cast("double").alias("expected"),
+        F.col("violation").cast("string").alias("violation"),
+    ]
+
+    coverage = (
+        v.select("vec_id")
+        .join(result.select("vec_id", F.lit(1).alias("__o")), "vec_id", "full")
+        .groupBy("vec_id")
+        .agg(F.sum(F.coalesce("__o", F.lit(0))).alias("n"))
+        .filter(F.col("n") != 1)
+        .select(
+            "vec_id",
+            F.lit(-1).alias("other_id"),
+            F.col("n").cast("double").alias("reported"),
+            F.lit(1.0).alias("expected"),
+            F.lit("coverage").alias("violation"),
+        )
+        .select(*out_schema)
+    )
+
+    sizes = result.groupBy("cluster").agg(F.count(F.lit(1)).alias("__cs"))
+    n_sub = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("__cs") / F.lit(max_cluster_size)).cast("int"),
+    )
+    r = (
+        result.join(F.broadcast(sizes), "cluster")
+        .withColumn(
+            "__sub",
+            F.when(
+                n_sub > 1,
+                F.pmod(F.xxhash64("vec_id", F.lit(seed)), n_sub),
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        .join(v, "vec_id")
+    )
+
+    kept = r.filter(F.col("kept")).select(
+        "cluster", "__sub", F.col("vec_id").alias("kid"),
+        F.col("__v").alias("__kv"),
+    )
+    kept_pair = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.__sub") == F.col("b.__sub"))
+            & (F.col("a.kid") < F.col("b.kid")),
+        )
+        .select(
+            F.col("a.kid").alias("vec_id"),
+            F.col("b.kid").alias("other_id"),
+            cosine_sim("a.__kv", "b.__kv").alias("reported"),
+            F.lit(float(tau)).alias("expected"),
+            F.lit("kept_pair").alias("violation"),
+        )
+        .filter(F.col("reported") > F.lit(float(tau)) + F.lit(tol))
+        .select(*out_schema)
+    )
+
+    kept_flags = (
+        r.filter(F.col("kept"))
+        .filter((F.col("dup_of") != -1) | (F.col("dup_cos") != 0.0))
+        .select(
+            "vec_id",
+            F.col("dup_of").alias("other_id"),
+            F.col("dup_cos").alias("reported"),
+            F.lit(0.0).alias("expected"),
+            F.lit("kept_flags").alias("violation"),
+        )
+        .select(*out_schema)
+    )
+
+    dropped = r.filter(~F.col("kept"))
+    witness = dropped.alias("d").join(
+        kept.alias("k"),
+        (F.col("d.dup_of") == F.col("k.kid"))
+        & (F.col("d.cluster") == F.col("k.cluster")),
+        "left",
+    )
+    bad_witness = witness.filter(F.col("k.kid").isNull()).select(
+        F.col("d.vec_id").alias("vec_id"),
+        F.col("d.dup_of").alias("other_id"),
+        F.col("d.dup_cos").alias("reported"),
+        F.lit(float(tau)).alias("expected"),
+        F.lit("bad_witness").alias("violation"),
+    ).select(*out_schema)
+    witness_below_tau = witness.filter(
+        F.col("k.kid").isNotNull()
+        & (F.col("d.dup_cos") <= F.lit(float(tau)) - F.lit(tol))
+    ).select(
+        F.col("d.vec_id").alias("vec_id"),
+        F.col("d.dup_of").alias("other_id"),
+        F.col("d.dup_cos").alias("reported"),
+        F.lit(float(tau)).alias("expected"),
+        F.lit("witness_below_tau").alias("violation"),
+    ).select(*out_schema)
+    witness_cos = witness.filter(F.col("k.kid").isNotNull()).select(
+        F.col("d.vec_id").alias("vec_id"),
+        F.col("d.dup_of").alias("other_id"),
+        F.col("d.dup_cos").alias("reported"),
+        cosine_sim("d.__v", "k.__kv").alias("expected"),
+        F.lit("witness_cos").alias("violation"),
+    ).filter(
+        F.abs(F.col("reported") - F.col("expected")) > tol
+    ).select(*out_schema)
+
+    return (
+        coverage.unionByName(kept_pair)
+        .unionByName(kept_flags)
+        .unionByName(bad_witness)
+        .unionByName(witness_below_tau)
+        .unionByName(witness_cos)
+    )

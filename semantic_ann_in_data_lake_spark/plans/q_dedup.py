@@ -616,3 +616,31 @@ def leakage_safe_split_docs(spark, sf_dir):
     )
 
     return leakage_safe_split(docs, clusters)
+
+
+_SEMDEDUP_CHECK_EMPTY_SQL = """
+    SELECT 0::BIGINT AS vec_id, 0::BIGINT AS other_id,
+           0.0 AS reported, 0.0 AS expected, '' AS violation
+    WHERE FALSE
+"""
+
+
+@register("semdedup_check", _SEMDEDUP_CHECK_EMPTY_SQL)
+def semdedup_check(spark, sf_dir):
+    """Contract gate for cluster-scoped semantic dedup
+    (operators/semdedup.py, Abbas et al. 2023): empty iff the keep
+    set is a valid SemDeDup solution — full coverage, no kept pair
+    above τ inside a sweep group, and every dropped vector names a
+    kept witness in its cluster whose recomputed cosine clears τ.
+    Exercises the full operator (seeded k-means fit, cosine argmax
+    assignment, greedy ascending-centroid-cos sweep) end-to-end."""
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+    from semantic_ann_in_data_lake_spark.operators import checks
+    from semantic_ann_in_data_lake_spark.operators.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # the checker fans the result into six invariant branches —
+    # persist so the k-means fit + sweep lineage runs once, not 6×
+    return checks.semdedup_invariant_violations(
+        scoped_persist(semdedup(emb, tau=0.9)), emb, tau=0.9
+    )

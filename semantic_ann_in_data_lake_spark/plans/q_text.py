@@ -1082,3 +1082,66 @@ def length_bucket_batches_docs(spark, sf_dir):
     return length_bucket_batches(
         _t(spark, sf_dir, "documents"), min_bucket=16, max_bucket=1024
     )
+
+
+_DSIR_B = 1024
+_DSIR_M = 1 << 20
+_DSIR_HASH = portable_hash_expr("gram", seed="dsir:")
+_DSIR_GHASH = portable_hash_expr("doc_id::VARCHAR", seed="dsir:g:")
+
+
+@register(
+    "dsir_select_docs",
+    f"""
+    WITH w AS (SELECT doc_id, lang, {_TOKS} AS w FROM documents),
+    g AS (SELECT doc_id, lang,
+            w || list_transform(range(1, len(w)),
+                 i -> list_extract(w, i) || ' ' || list_extract(w, i + 1))
+              AS grams
+          FROM w),
+    e AS (SELECT doc_id, (lang = 'en') AS is_t, unnest(grams) AS gram
+          FROM g),
+    b AS (SELECT doc_id, is_t, ({_DSIR_HASH}) % {_DSIR_B} AS b FROM e),
+    c AS (SELECT b, count(*)::BIGINT AS cq,
+                 sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS cp
+          FROM b GROUP BY 1),
+    t AS (SELECT sum(cq) AS tq, sum(cp) AS tp FROM c),
+    r AS (SELECT b,
+                 round((ln((cp + 1.0) / (tp + {_DSIR_B}.0))
+                        - ln((cq + 1.0) / (tq + {_DSIR_B}.0))
+                        + 1e-9) * 1000000, 0)::BIGINT AS rm
+          FROM c CROSS JOIN t),
+    d AS (SELECT b.doc_id, count(*)::INT AS n_grams,
+                 sum(rm)::BIGINT AS wm
+          FROM b JOIN r USING (b) GROUP BY 1),
+    base AS (SELECT g.doc_id, coalesce(d.n_grams, 0)::INT AS n_grams,
+                    coalesce(d.wm, 0)::BIGINT AS wm
+             FROM g LEFT JOIN d ON g.doc_id = d.doc_id),
+    keyed AS (SELECT doc_id, n_grams, wm,
+              wm + round((-ln(-ln(((({_DSIR_GHASH}) % {_DSIR_M}) + 0.5)
+                                   / {_DSIR_M}.0))
+                          + 1e-9) * 1000000, 0)::BIGINT AS km
+              FROM base),
+    topk AS (SELECT doc_id FROM keyed ORDER BY km DESC, doc_id LIMIT 100)
+    SELECT doc_id, n_grams,
+           round(wm / 1000000.0 + 1e-9, 4) AS log_weight,
+           round(km / 1000000.0 + 1e-9, 4) AS sel_key,
+           (doc_id IN (SELECT doc_id FROM topk)) AS selected
+    FROM keyed
+    """,
+)
+def dsir_select_docs(spark, sf_dir):
+    """DSIR data selection (operators/dsir.py::dsir_select): hashed
+    unigram+bigram bucket features (B=1024, engine-portable hash),
+    add-1-smoothed target-vs-raw log-ratio table fit on the corpus
+    itself (target = lang='en'), per-doc log importance weight as an
+    exact integer micro-unit sum, Gumbel-top-100 sampled selection
+    keyed by a content-addressed hash draw. The scoring pass is
+    row-local (the fitted ≤B-row ratio table is inlined as a literal
+    lookup array); the only corpus shuffle is the B-bucket count
+    aggregation, collapsed map-side by partial agg."""
+    from semantic_ann_in_data_lake_spark.operators.dsir import dsir_select
+
+    return dsir_select(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en", k=100
+    )

@@ -4241,3 +4241,150 @@ def test_build_ivf_index_derives_nlist(spark, sf_dir, tmp_path):
     n_cents = spark.read.parquet(f"{p}/centroids").count()
     n = emb.count()
     assert n_cents == int(min(4096, max(16, round(n ** 0.5))))
+
+
+def test_dsir_select_weights_target_like_docs_higher(spark):
+    """Docs sharing the target's vocabulary get higher log importance
+    weights than docs that only share raw-side vocabulary; exactly k
+    docs are selected; the sample is invariant to repartitioning; an
+    empty doc scores n_grams=0, log_weight=0."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.dsir import dsir_select
+
+    rows = (
+        # target distribution: "alpha beta" docs
+        [(i, "alpha beta alpha beta", "t") for i in range(10)]
+        # raw-only noise: "zz qq" docs
+        + [(100 + i, "zz qq zz qq", "r") for i in range(10)]
+        # the two probes: one target-like, one noise-like
+        + [(500, "alpha beta alpha", "r"), (501, "zz qq zz", "r"),
+           (502, "", "r")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = dsir_select(
+        docs, F.col("grp") == "t", k=5, n_buckets=64, seed="t:"
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 23
+    assert got[500]["log_weight"] > got[501]["log_weight"]
+    assert got[502]["n_grams"] == 0 and got[502]["log_weight"] == 0.0
+    assert sum(1 for r in got.values() if r["selected"]) == 5
+    # content-addressed: the same call over a different partitioning
+    # selects the same ids with the same keys
+    got2 = {
+        r["doc_id"]: (r["sel_key"], r["selected"])
+        for r in dsir_select(
+            docs.repartition(7), F.col("grp") == "t", k=5,
+            n_buckets=64, seed="t:",
+        ).collect()
+    }
+    assert got2 == {
+        d: (r["sel_key"], r["selected"]) for d, r in got.items()
+    }
+
+
+def test_dsir_fit_table_shape_and_neutral_bucket(spark):
+    """The fitted ratio table is dense length-B; buckets never touched
+    by any gram keep the smoothing-only prior log((Tq+aB)/(Tp+aB))
+    scaled to micro-units (positive when the target corpus is the
+    smaller one); k larger than the corpus selects everything."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.functions.text import words
+    from semantic_ann_in_data_lake_spark.operators.dsir import (
+        dsir_select,
+        feature_grams,
+        fit_bucket_log_ratios,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b", True), (2, "c d", False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    g = docs.select(
+        "doc_id", "is_t", feature_grams(words("text")).alias("grams")
+    )
+    table = fit_bucket_log_ratios(g, F.col("is_t"), n_buckets=32)
+    assert len(table) == 32
+    import math
+
+    # untouched bucket: cp=cq=0 -> ln((0+1)/(tp+32)) - ln((0+1)/(tq+32))
+    # = ln((tq+32)/(tp+32)); tq = 6 grams total, tp = 3 target grams
+    want = round((math.log((6 + 32) / (3 + 32)) + 1e-9) * 1_000_000)
+    assert max(set(table), key=table.count) == want
+
+    out = dsir_select(docs, F.col("is_t"), k=99, n_buckets=32)
+    assert all(r["selected"] for r in out.collect())
+
+
+def test_semdedup_keeps_one_per_duplicate_direction(spark):
+    """Two direction families with an in-family near-duplicate each:
+    exactly one representative survives per τ-duplicate group, the
+    outlier below τ survives on its own, dropped rows name a kept
+    witness above τ, and the result is identical under repartitioning
+    and re-runs. The independent invariant checker returns empty."""
+    from semantic_ann_in_data_lake_spark.operators.checks import (
+        semdedup_invariant_violations,
+    )
+    from semantic_ann_in_data_lake_spark.operators.semdedup import semdedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.05]),   # cos(1,2) ~ 0.99875 > tau
+        (3, [0.9, 0.45]),   # cos to 1/2 ~ 0.894/0.916 < tau
+        (10, [0.0, 1.0]),
+        (11, [0.0, 2.0]),   # cos(10,11) = 1 > tau
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(emb, tau=0.95, nlist=2)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == 5
+    assert sum(1 for r in got.values() if r["kept"]) == 3
+    # one of the (1, 2) pair kept, the other dropped naming it
+    pair_kept = [i for i in (1, 2) if got[i]["kept"]]
+    assert len(pair_kept) == 1
+    dropped = got[3 - pair_kept[0]]
+    assert dropped["dup_of"] == pair_kept[0] and dropped["dup_cos"] > 0.95
+    assert got[3]["kept"]
+    b_kept = [i for i in (10, 11) if got[i]["kept"]]
+    assert len(b_kept) == 1
+    assert semdedup_invariant_violations(out, emb, tau=0.95).count() == 0
+    # deterministic under input partitioning
+    again = {
+        r["vec_id"]: (r["kept"], r["dup_of"])
+        for r in semdedup(emb.repartition(5), tau=0.95, nlist=2).collect()
+    }
+    assert again == {i: (r["kept"], r["dup_of"]) for i, r in got.items()}
+
+
+def test_semdedup_subsplit_caps_sweep_group_and_stays_consistent(spark):
+    """An oversized cluster hash-subsplits: each sub-shard keeps its
+    own representative (the documented cross-shard recall trade), and
+    the invariant checker — which recomputes the content-addressed
+    subsplit — still returns empty."""
+    from semantic_ann_in_data_lake_spark.operators.checks import (
+        semdedup_invariant_violations,
+    )
+    from semantic_ann_in_data_lake_spark.operators.semdedup import semdedup
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) * 1e-4]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semdedup(emb, tau=0.9, nlist=1, max_cluster_size=3)
+    rows = out.collect()
+    assert len(rows) == 8
+    n_kept = sum(1 for r in rows if r["kept"])
+    assert 2 <= n_kept <= 3  # ceil(8/3) = 3 sub-shards, >=1 kept each
+    assert (
+        semdedup_invariant_violations(
+            out, emb, tau=0.9, max_cluster_size=3
+        ).count()
+        == 0
+    )
+    # without the subsplit the whole direction family collapses to one
+    assert (
+        sum(1 for r in semdedup(emb, tau=0.9, nlist=1).collect() if r["kept"])
+        == 1
+    )

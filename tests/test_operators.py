@@ -4388,3 +4388,62 @@ def test_semdedup_subsplit_caps_sweep_group_and_stays_consistent(spark):
         sum(1 for r in semdedup(emb, tau=0.9, nlist=1).collect() if r["kept"])
         == 1
     )
+
+
+def _winnow_ref(text, k=8, w=4, seed="win:"):
+    """Independent driver-side reference of the winnowing spec."""
+    import hashlib
+    import re
+
+    n = re.sub(r"\s+", " ", text).strip().lower()
+    keys = []
+    for i in range(1, max(len(n) - k + 1, 0) + 1):
+        gram = n[i - 1 : i - 1 + k]
+        h = int(hashlib.md5((seed + gram).encode()).hexdigest()[:15], 16)
+        keys.append((h % (1 << 40)) * (1 << 20) + ((1 << 20) - 1 - i))
+    if not keys:
+        return set()
+    sel = {
+        min(keys[j : j + w])
+        for j in range(max(len(keys) - w + 1, 1))
+    }
+    return {
+        ((1 << 20) - 1 - (key % (1 << 20)), key >> 20) for key in sel
+    }
+
+
+def test_winnow_fingerprints_match_reference_and_guarantee(spark):
+    """Spark fingerprints equal the independent reference exactly
+    (packing, rightmost-min tie-break, degenerate short-doc cases),
+    and the winnowing guarantee holds: docs sharing a verbatim
+    w+k-1 = 11-char run share a fingerprint."""
+    from semantic_ann_in_data_lake_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "a   Quick BROWN fox jumps high above everything else",
+        3: "short",            # < k: no fingerprints
+        4: "ninechars",        # exactly k+1 grams? len 9 -> 2 grams < w
+        5: "xyz " * 12,        # periodic text: tie-break exercised
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {}
+    for r in winnow_fingerprints(docs, k=8, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for d, t in texts.items():
+        assert got.get(d, set()) == _winnow_ref(t), d
+    # guarantee: docs 1 and 2 share "brown fox jumps" (>= 11 chars)
+    shared_fps = {fp for _, fp in got[1]} & {fp for _, fp in got[2]}
+    assert shared_fps
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(
+            docs, k=8, w=4, min_shared=1, max_df=10
+        ).collect()
+    }
+    assert (1, 2) in pairs

@@ -1228,3 +1228,150 @@ def dpp_partitioned_join_prune(spark, sf_dir):
             .alias("spend"),
         )
     )
+
+
+_RL_H1 = portable_hash_expr("c_custkey::VARCHAR", seed="rl1:")
+_RL_H2 = portable_hash_expr("c_custkey::VARCHAR", seed="rl2:")
+_RL_W = 4
+
+
+@register(
+    "record_linkage_scores",
+    f"""
+    WITH base AS (
+      SELECT c_custkey AS uid, 'o' AS side, c_name AS name,
+             c_acctbal AS acct, c_nationkey AS nat
+      FROM customer
+    ), dirty AS (
+      SELECT c_custkey + 10000000 AS uid, 'd' AS side,
+             CASE WHEN ({_RL_H1}) % 3 = 0
+                  THEN substr(c_name, 1, length(c_name) - 1) || 'x'
+                  ELSE c_name END AS name,
+             CASE WHEN ({_RL_H2}) % 4 = 0
+                  THEN c_acctbal + 1.0
+                  ELSE c_acctbal END AS acct,
+             c_nationkey AS nat
+      FROM customer
+    ), u AS (
+      SELECT * FROM base UNION ALL SELECT * FROM dirty
+    ), r AS (
+      SELECT *, row_number() OVER (ORDER BY name, uid) AS rn FROM u
+    ), p AS (
+      SELECT a.uid AS uid_a, b.uid AS uid_b,
+             a.side AS side_a, b.side AS side_b,
+             (a.name IS NOT DISTINCT FROM b.name) AS agree_name,
+             (a.acct IS NOT DISTINCT FROM b.acct) AS agree_acct,
+             (a.nat IS NOT DISTINCT FROM b.nat) AS agree_nat
+      FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < {_RL_W}
+    ), sn AS (
+      SELECT sum(c * (c - 1))::DOUBLE AS s, sum(c)::DOUBLE AS n
+      FROM (SELECT count(*) AS c FROM u GROUP BY name)
+    ), sp AS (
+      SELECT sum(c * (c - 1))::DOUBLE AS s, sum(c)::DOUBLE AS n
+      FROM (SELECT count(*) AS c FROM u GROUP BY acct)
+    ), st AS (
+      SELECT sum(c * (c - 1))::DOUBLE AS s, sum(c)::DOUBLE AS n
+      FROM (SELECT count(*) AS c FROM u GROUP BY nat)
+    ), w AS (
+      SELECT
+        round((ln(0.95) - ln(least(greatest(sn.s / (sn.n * (sn.n - 1)), 1.0 / (sn.n * (sn.n - 1))), 1.0 - 1.0 / (sn.n * (sn.n - 1)))) + 1e-9) * 1000000, 0)::BIGINT AS aw_name,
+        round((ln(0.05) - ln(1.0 - least(greatest(sn.s / (sn.n * (sn.n - 1)), 1.0 / (sn.n * (sn.n - 1))), 1.0 - 1.0 / (sn.n * (sn.n - 1)))) + 1e-9) * 1000000, 0)::BIGINT AS dw_name,
+        round((ln(0.9) - ln(least(greatest(sp.s / (sp.n * (sp.n - 1)), 1.0 / (sp.n * (sp.n - 1))), 1.0 - 1.0 / (sp.n * (sp.n - 1)))) + 1e-9) * 1000000, 0)::BIGINT AS aw_acct,
+        round((ln(0.1) - ln(1.0 - least(greatest(sp.s / (sp.n * (sp.n - 1)), 1.0 / (sp.n * (sp.n - 1))), 1.0 - 1.0 / (sp.n * (sp.n - 1)))) + 1e-9) * 1000000, 0)::BIGINT AS dw_acct,
+        round((ln(0.99) - ln(least(greatest(st.s / (st.n * (st.n - 1)), 1.0 / (st.n * (st.n - 1))), 1.0 - 1.0 / (st.n * (st.n - 1)))) + 1e-9) * 1000000, 0)::BIGINT AS aw_nat,
+        round((ln(0.01) - ln(1.0 - least(greatest(st.s / (st.n * (st.n - 1)), 1.0 / (st.n * (st.n - 1))), 1.0 - 1.0 / (st.n * (st.n - 1)))) + 1e-9) * 1000000, 0)::BIGINT AS dw_nat
+      FROM sn, sp, st
+    )
+    SELECT uid_a, uid_b, agree_name, agree_acct, agree_nat,
+           round(((CASE WHEN agree_name THEN aw_name ELSE dw_name END)
+                + (CASE WHEN agree_acct THEN aw_acct ELSE dw_acct END)
+                + (CASE WHEN agree_nat THEN aw_nat ELSE dw_nat END))
+                 / 1000000.0 + 1e-9, 4) AS fs_score,
+           (uid_b - uid_a = 10000000) AS is_true_match
+    FROM p CROSS JOIN w
+    WHERE side_a <> side_b
+    """,
+)
+def record_linkage_scores(spark, sf_dir):
+    """Entity resolution without ground truth (operators/linkage.py):
+    sorted-neighborhood blocking (Hernández–Stolfo) over the union of
+    the clean customer table and a deterministically perturbed copy
+    (hash-gated edits: last-char on name, +1.0 on acctbal — the dirty-source
+    stand-in), then Fellegi–Sunter log-likelihood scoring with
+    data-estimated u-probabilities. Blocking = distributed global
+    rank + bucket band join (no single-partition window, fan-out ≤
+    2W); scoring = row-local micro-unit CASE sum. is_true_match
+    exposes the planted identity for downstream P/R evaluation."""
+    from semantic_ann_in_data_lake_spark.functions.hashing import (
+        portable_hash64,
+    )
+    from semantic_ann_in_data_lake_spark.operators.linkage import (
+        estimate_u_counts,
+        fs_scores,
+        sorted_neighborhood_pairs,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    key_s = F.col("c_custkey").cast("string")
+    base = c.select(
+        F.col("c_custkey").alias("uid"),
+        F.lit("o").alias("side"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acct"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    dirty = c.select(
+        (F.col("c_custkey") + 10_000_000).alias("uid"),
+        F.lit("d").alias("side"),
+        F.when(
+            portable_hash64(key_s, seed="rl1:") % 3 == 0,
+            F.concat(
+                F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("x")
+            ),
+        ).otherwise(F.col("c_name")).alias("name"),
+        F.when(
+            portable_hash64(key_s, seed="rl2:") % 4 == 0,
+            F.col("c_acctbal") + F.lit(1.0),
+        ).otherwise(F.col("c_acctbal")).alias("acct"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+
+    u = scoped_persist(base.unionByName(dirty))
+    pairs = sorted_neighborhood_pairs(u, ["name"], "uid", window=_RL_W)
+    fa = u.select(
+        F.col("uid").alias("uid_a"), F.col("side").alias("side_a"),
+        F.col("name").alias("name_a"), F.col("acct").alias("acct_a"),
+        F.col("nat").alias("nat_a"),
+    )
+    fb = u.select(
+        F.col("uid").alias("uid_b"), F.col("side").alias("side_b"),
+        F.col("name").alias("name_b"), F.col("acct").alias("acct_b"),
+        F.col("nat").alias("nat_b"),
+    )
+    p = (
+        pairs.join(fa, "uid_a")
+        .join(fb, "uid_b")
+        .filter(F.col("side_a") != F.col("side_b"))
+        .select(
+            "uid_a", "uid_b",
+            F.col("name_a").eqNullSafe(F.col("name_b")).alias("agree_name"),
+            F.col("acct_a").eqNullSafe(F.col("acct_b")).alias("agree_acct"),
+            F.col("nat_a").eqNullSafe(F.col("nat_b")).alias("agree_nat"),
+        )
+    )
+    scored = fs_scores(
+        p,
+        [
+            (F.col("agree_name"), 0.95, estimate_u_counts(u, "name")),
+            (F.col("agree_acct"), 0.9, estimate_u_counts(u, "acct")),
+            (F.col("agree_nat"), 0.99, estimate_u_counts(u, "nat")),
+        ],
+    )
+    return scored.select(
+        "uid_a", "uid_b", "agree_name", "agree_acct", "agree_nat",
+        "fs_score",
+        ((F.col("uid_b") - F.col("uid_a")) == 10_000_000).alias(
+            "is_true_match"
+        ),
+    )

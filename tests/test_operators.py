@@ -4447,3 +4447,68 @@ def test_winnow_fingerprints_match_reference_and_guarantee(spark):
         ).collect()
     }
     assert (1, 2) in pairs
+
+
+def test_sorted_neighborhood_pairs_exact_window_semantics(spark):
+    """The blocked pair set equals EXACTLY {(a,b): 0 < rank_b - rank_a
+    < window} over the global sort order — including pairs straddling
+    rank-bucket boundaries — and a window of 2 yields adjacent pairs
+    only."""
+    from semantic_ann_in_data_lake_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"k{i % 7}") for i in range(20)]  # ties -> id tie-break
+    df = spark.createDataFrame(rows, "uid long, key string")
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    rank = {uid: i + 1 for i, (uid, _) in enumerate(order)}
+    for w in (2, 4):
+        want = {
+            (a, b)
+            for a in rank
+            for b in rank
+            if 0 < rank[b] - rank[a] < w
+        }
+        got = {
+            (r["uid_a"], r["uid_b"])
+            for r in sorted_neighborhood_pairs(
+                df, ["key"], "uid", window=w
+            ).collect()
+        }
+        assert got == want, w
+
+
+def test_fs_scores_and_u_estimate(spark):
+    """u = sum c(c-1) / n(n-1) exactly; agreeing fields add log(m/u),
+    disagreeing subtract into negative scores; the all-distinct
+    degenerate field clamps u instead of producing infinities."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.linkage import (
+        estimate_u_counts,
+        fs_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, None)], "uid long, v string"
+    )
+    s, n = estimate_u_counts(df, "v")
+    assert (s, n) == (2, 4)  # only the "x" pair agrees: 2*1
+
+    pairs = spark.createDataFrame(
+        [(1, 2, True), (1, 3, False)], "a long, b long, agree boolean"
+    )
+    out = {
+        (r["a"], r["b"]): r["fs_score"]
+        for r in fs_scores(
+            pairs, [(F.col("agree"), 0.9, (2, 4))]
+        ).collect()
+    }
+    u = 2 / 12
+    assert abs(out[(1, 2)] - math.log(0.9 / u)) < 1e-3
+    assert abs(out[(1, 3)] - math.log(0.1 / (1 - u))) < 1e-3
+    # degenerate: all values distinct -> u clamps to 1/(n(n-1))
+    out2 = fs_scores(pairs, [(F.col("agree"), 0.9, (0, 4))]).collect()
+    assert all(abs(r["fs_score"]) < 100 for r in out2)

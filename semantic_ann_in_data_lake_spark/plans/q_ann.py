@@ -1228,3 +1228,29 @@ def knn_ivf_pq_adc_distcheck(spark, sf_dir):
     return checks.knn_invariant_violations(
         res, emb, metric="l2_sq", cand_emb=decoded
     )
+
+
+_KCENTER_CHECK_EMPTY_SQL = """
+    SELECT 0::INT AS center_rank, 0::BIGINT AS vec_id,
+           0.0 AS reported, 0.0 AS expected, '' AS violation
+    WHERE FALSE
+"""
+
+
+@register("kcenter_check", _KCENTER_CHECK_EMPTY_SQL)
+def kcenter_check(spark, sf_dir):
+    """Contract gate for greedy k-center coreset selection
+    (operators/coreset.py, Gonzalez 1985 / Sener & Savarese 2018):
+    empty iff the emitted 16 centers are the true farthest-first
+    traversal of the embedding corpus — every center's radius equals
+    its recomputed min distance to earlier centers, no corpus vector
+    beats any round's argmax, and radii are non-increasing. The
+    diversity-selection leg beside DSIR (distribution matching) and
+    SemDeDup (redundancy removal)."""
+    from semantic_ann_in_data_lake_spark.operators.coreset import (
+        kcenter_coreset,
+        kcenter_invariant_violations,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_invariant_violations(kcenter_coreset(emb, k=16), emb)

@@ -4512,3 +4512,65 @@ def test_fs_scores_and_u_estimate(spark):
     # degenerate: all values distinct -> u clamps to 1/(n(n-1))
     out2 = fs_scores(pairs, [(F.col("agree"), 0.9, (0, 4))]).collect()
     assert all(abs(r["fs_score"]) < 100 for r in out2)
+
+
+def test_kcenter_coreset_matches_bruteforce_reference(spark):
+    """The selected centers equal an independent brute-force greedy
+    farthest-first traversal (seed = min id, ties by ascending id),
+    radii match recomputed distances and are non-increasing, k beyond
+    the corpus truncates, and the invariant checker returns empty."""
+    import math
+
+    from semantic_ann_in_data_lake_spark.operators.coreset import (
+        kcenter_coreset,
+        kcenter_invariant_violations,
+    )
+
+    pts = {
+        1: [0.0, 0.0],
+        2: [0.1, 0.0],
+        3: [10.0, 0.0],
+        4: [0.0, 8.0],
+        5: [10.0, 8.0],
+        6: [5.0, 4.0],
+    }
+    emb = spark.createDataFrame(
+        list(pts.items()), "vec_id long, embedding array<double>"
+    )
+
+    def ref(k):
+        centers = [min(pts)]
+        radii = [0.0]
+        while len(centers) < k and len(centers) < len(pts):
+            best = None
+            for vid, v in pts.items():
+                if vid in centers:
+                    continue
+                d = min(
+                    math.dist(v, pts[c]) for c in centers
+                )
+                key = (-d, vid)
+                if best is None or key < best[0]:
+                    best = (key, vid, d)
+            centers.append(best[1])
+            radii.append(best[2])
+        return list(zip(range(1, len(centers) + 1), centers, radii))
+
+    for k in (1, 3, 10):
+        got = sorted(
+            (r["center_rank"], r["vec_id"], r["radius"])
+            for r in kcenter_coreset(emb, k=k).collect()
+        )
+        want = ref(k)
+        assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want], k
+        assert all(
+            abs(g[2] - w[2]) < 1e-9 for g, w in zip(got, want)
+        ), k
+    out = kcenter_coreset(emb, k=4)
+    assert kcenter_invariant_violations(out, emb).count() == 0
+    # radii non-increasing past the seed
+    radii = [
+        r["radius"]
+        for r in out.orderBy("center_rank").collect()
+    ][1:]
+    assert all(a >= b - 1e-12 for a, b in zip(radii, radii[1:]))

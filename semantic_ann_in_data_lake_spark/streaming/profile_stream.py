@@ -603,3 +603,125 @@ def merged_bin_counts(spark: SparkSession, sink_path: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def incremental_winnow_foreach_batch(
+    docs_stream: DataFrame,
+    fp_path: str,
+    pairs_path: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 4,
+    max_df: int = 1_000_000,
+):
+    """foreachBatch streaming NEAR-VERBATIM reuse detection (the
+    streamed form of ``winnow.winnow_overlap_pairs``): each
+    micro-batch is winnow-fingerprinted once; a pair surfaces exactly
+    when its LATER document arrives, with its COMPLETE shared-
+    fingerprint count (the earlier doc's fingerprints are all in the
+    sink by then, and fingerprint sets are per-doc — batch boundaries
+    cannot change them). No historical re-pairing, no quadratic
+    catch-up.
+
+    ``max_df`` caps fan-out at ARRIVAL-TIME document frequency —
+    measured against history + this batch. That matches the batch
+    operator exactly while the cap never fires (the stream≡batch
+    equality test's posture); once a fingerprint's df later grows past
+    the cap the batch op would retro-drop pairs the stream already
+    emitted — the documented divergence of any monotone streaming
+    view of a non-monotone cap.
+
+    Scale: per batch, fingerprinting is row-local (zero shuffle); the
+    history probe is an equi-join pruned to the batch's fingerprint
+    keys (partition the fp sink by a hash bucket of ``fp`` for a
+    long-lived stream); both sinks are append-only with the same
+    retry guards as the LSH band sink.
+    """
+    from semantic_ann_in_data_lake_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fps = (
+            winnow_fingerprints(batch_df, k=k, w=w)
+            .select("doc_id", "fp")
+            .distinct()
+            .persist()
+        )
+        hist = _read_sink_or_none(spark, fp_path)
+        if hist is not None:
+            # retry guard first (a re-executed committed batch must see
+            # history WITHOUT itself), then prune history to the
+            # batch's keys
+            hist = hist.join(
+                fps.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+            hist_hits = hist.join(
+                fps.select("fp").distinct(), "fp", "left_semi"
+            ).persist()
+        else:
+            hist_hits = None
+
+        # arrival-time df cap: count per fp over (pruned history + batch)
+        batch_cnt = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__cb"))
+        if hist_hits is not None:
+            hist_cnt = hist_hits.groupBy("fp").agg(
+                F.count(F.lit(1)).alias("__ch")
+            )
+            df_ok = (
+                batch_cnt.join(hist_cnt, "fp", "left")
+                .filter(
+                    F.col("__cb") + F.coalesce("__ch", F.lit(0)) <= max_df
+                )
+                .select("fp")
+            )
+        else:
+            df_ok = batch_cnt.filter(F.col("__cb") <= max_df).select("fp")
+        fps_ok = fps.join(df_ok, "fp", "left_semi")
+
+        a, b = fps_ok.alias("a"), fps_ok.alias("b")
+        in_batch = a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        hits = in_batch
+        if hist_hits is not None:
+            cross = (
+                hist_hits.join(df_ok, "fp", "left_semi")
+                .alias("h")
+                .join(fps_ok.alias("n"), "fp")
+                .select(
+                    F.least("h.doc_id", "n.doc_id").alias("id_a"),
+                    F.greatest("h.doc_id", "n.doc_id").alias("id_b"),
+                )
+            )
+            hits = in_batch.unionByName(cross)
+        pairs = (
+            hits.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+        seen = _read_sink_or_none(spark, pairs_path)
+        if seen is not None:
+            pairs = pairs.join(seen, ["id_a", "id_b"], "left_anti")
+        pairs.write.mode("append").parquet(pairs_path)
+        # fp append, retry-guarded by doc id like the band sink
+        fresh = fps
+        full_hist = _read_sink_or_none(spark, fp_path)
+        if full_hist is not None:
+            fresh = fps.join(
+                full_hist.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+        fresh.write.mode("append").parquet(fp_path)
+        fps.unpersist()
+        if hist_hits is not None:
+            hist_hits.unpersist()
+
+    return docs_stream.writeStream.foreachBatch(handle).trigger(
+        availableNow=True
+    )

@@ -870,3 +870,75 @@ def test_stream_refresh_ivf_index_equals_batch_and_replays(
         spark.read.parquet(f"{p_stream}/cells").count() == n_before + 10
     )
     assert index_assignment_violations(spark, p_stream).count() == 0
+
+
+def test_incremental_winnow_equals_batch_overlap(spark, sf_dir, tmp_path):
+    """Streamed winnowing over two file-batches must produce exactly
+    the batch operator's overlap pairs WITH identical shared counts
+    (fingerprint sets are per-doc, so batch boundaries cannot change
+    them; a pair surfaces complete when its later doc arrives), and a
+    re-delivery run from a fresh checkpoint must add nothing."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.winnow import (
+        winnow_overlap_pairs,
+    )
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        incremental_winnow_foreach_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).where(F.col("doc_id") < 120)
+    in_dir = tmp_path / "win_in"
+    in_dir.mkdir()
+    docs.where(F.col("doc_id") < 60).coalesce(1).write.parquet(
+        str(tmp_path / "_a")
+    )
+    docs.where(F.col("doc_id") >= 60).coalesce(1).write.parquet(
+        str(tmp_path / "_b")
+    )
+    shutil.copy(
+        glob.glob(str(tmp_path / "_a" / "part-*.parquet"))[0],
+        in_dir / "a.parquet",
+    )
+    shutil.copy(
+        glob.glob(str(tmp_path / "_b" / "part-*.parquet"))[0],
+        in_dir / "b.parquet",
+    )
+    fp_sink = str(tmp_path / "fps")
+    pairs_sink = str(tmp_path / "pairs")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        q = (
+            incremental_winnow_foreach_batch(
+                stream, fp_sink, pairs_sink, min_shared=4
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in spark.read.parquet(pairs_sink).collect()
+    }
+    want = {
+        (r["doc_id_a"], r["doc_id_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(
+            docs, min_shared=4, max_df=1_000_000
+        ).collect()
+    }
+    assert got == want and want  # non-empty on the template corpus
+
+    run("ckpt2")  # re-delivery from a fresh checkpoint
+    assert spark.read.parquet(pairs_sink).count() == len(want)

@@ -431,3 +431,76 @@ def gopher_ok_from_stats(
         )
     )
     return n_tokens.between(20, 200) & (stop_ratio >= 0.05) & (dup_frac <= 0.2)
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution — the
+    compression-ratio quality proxy (gibberish and key-mash text sits
+    far from natural-language entropy; binary-ish payloads max it out).
+
+    Output: ``(doc_id, n_chars, n_distinct_chars, char_entropy,
+    entropy_ratio)`` — entropy in bits/char over the NORMALIZED text,
+    ``entropy_ratio`` = entropy / log2(distinct) ∈ [0, 1] (1 =
+    uniform usage; 0 when fewer than 2 distinct chars). Entirely
+    row-local (no explode, no shuffle, no UDF): per-char-class terms
+    are 6-dp micro-unit integers summed in sorted-distinct order, so
+    the fold is exact integer math — engine-portable by construction.
+    Per-row cost O(len · distinct_chars); distinct is alphabet-bounded
+    (≤ a few hundred for natural text).
+    """
+    from semantic_ann_in_data_lake_spark.functions.text import (
+        normalize_sentence,
+    )
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        normalize_sentence(text_col).alias("__n"),
+    ).select(
+        "doc_id",
+        F.length("__n").alias("n_chars"),
+        F.when(F.length("__n") == 0, F.array().cast("array<string>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__n")),
+                lambda i: F.substring(F.col("__n"), i, 1),
+            )
+        )
+        .alias("__chars__"),
+    )
+    staged = staged.withColumn(
+        "__alpha__", F.array_sort(F.array_distinct("__chars__"))
+    )
+    p = lambda c: F.size(  # noqa: E731
+        F.filter("__chars__", lambda x: x == c)
+    ).cast("double") / F.col("n_chars").cast("double")
+    term_micro = lambda c: F.round(  # noqa: E731
+        (-p(c) * F.log2(p(c)) + F.lit(ROUND_BIAS)) * F.lit(1_000_000), 0
+    ).cast("long")
+    ent_micro = F.aggregate(
+        F.transform("__alpha__", term_micro),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_dist = F.size("__alpha__")
+    ent = F.col("__em") / F.lit(1_000_000.0)
+    return (
+        staged.withColumn("__em", ent_micro)
+        .select(
+            "doc_id",
+            "n_chars",
+            n_dist.cast("int").alias("n_distinct_chars"),
+            F.round(ent + F.lit(ROUND_BIAS), 4).alias("char_entropy"),
+            F.when(n_dist < 2, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    ent / F.log2(n_dist.cast("double")) + F.lit(ROUND_BIAS),
+                    4,
+                )
+            )
+            .alias("entropy_ratio"),
+        )
+    )

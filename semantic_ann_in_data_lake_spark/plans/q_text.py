@@ -1202,3 +1202,42 @@ def winnow_overlap_pairs(spark, sf_dir):
     return op(
         _t(spark, sf_dir, "documents"), k=8, w=4, min_shared=4, max_df=64
     )
+
+
+@register(
+    "char_entropy_docs",
+    f"""
+    WITH n AS (SELECT doc_id, {normalize_sentence_sql('text')} AS nrm
+               FROM documents),
+    c AS (SELECT doc_id, length(nrm) AS n_chars,
+             CASE WHEN length(nrm) = 0 THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, length(nrm) + 1),
+                                      i -> substr(nrm, i, 1)) END AS ch
+          FROM n),
+    a AS (SELECT doc_id, n_chars, ch,
+                 list_sort(list_distinct(ch)) AS alpha
+          FROM c),
+    e AS (SELECT doc_id, n_chars,
+                 len(alpha) AS n_dist,
+                 list_sum(list_transform(alpha, g ->
+                   round((-(len(list_filter(ch, x -> x = g))::DOUBLE
+                            / n_chars)
+                          * log2(len(list_filter(ch, x -> x = g))::DOUBLE
+                                 / n_chars)
+                          + 1e-9) * 1000000, 0)::BIGINT)) AS em
+          FROM a)
+    SELECT doc_id, n_chars::INT AS n_chars, n_dist::INT AS n_distinct_chars,
+           round(coalesce(em, 0) / 1000000.0 + 1e-9, 4) AS char_entropy,
+           CASE WHEN n_dist < 2 THEN 0.0
+                ELSE round(coalesce(em, 0) / 1000000.0 / log2(n_dist::DOUBLE)
+                           + 1e-9, 4) END AS entropy_ratio
+    FROM e
+    """,
+)
+def char_entropy_docs(spark, sf_dir):
+    """Character-entropy quality signal (operators/textstats.py::
+    char_entropy): bits/char + normalized uniformity ratio per doc —
+    the compression-proxy gate for gibberish/key-mash/binary-ish text.
+    Row-local, integer micro-unit fold in sorted-alphabet order
+    (exact, engine-portable); zero shuffle."""
+    return textstats.char_entropy(_t(spark, sf_dir, "documents"))

@@ -4574,3 +4574,23 @@ def test_kcenter_coreset_matches_bruteforce_reference(spark):
         for r in out.orderBy("center_rank").collect()
     ][1:]
     assert all(a >= b - 1e-12 for a, b in zip(radii, radii[1:]))
+
+
+def test_char_entropy_hand_cases(spark):
+    """entropy('aaaa')=0; entropy('ab')=1 bit with ratio 1; empty doc
+    reports zeros; 'abab' == 'ab' distribution-wise."""
+    from semantic_ann_in_data_lake_spark.operators.textstats import (
+        char_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, ""), (4, "abab")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert got[1]["char_entropy"] == 0.0 and got[1]["n_distinct_chars"] == 1
+    assert abs(got[2]["char_entropy"] - 1.0) < 1e-6
+    assert abs(got[2]["entropy_ratio"] - 1.0) < 1e-6
+    assert got[3]["n_chars"] == 0 and got[3]["char_entropy"] == 0.0
+    assert got[3]["entropy_ratio"] == 0.0
+    assert abs(got[4]["char_entropy"] - 1.0) < 1e-6

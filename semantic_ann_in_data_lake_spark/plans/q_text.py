@@ -1241,3 +1241,228 @@ def char_entropy_docs(spark, sf_dir):
     Row-local, integer micro-unit fold in sorted-alphabet order
     (exact, engine-portable); zero shuffle."""
     return textstats.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+def _funnel_lang_sql() -> str:
+    score_cols = ", ".join(
+        f"len(list_filter(w, tk -> tk IN ({', '.join(chr(39) + m + chr(39) for m in ws)}))) AS s_{lang}"
+        for lang, ws in textstats.LANG_MARKERS.items()
+    )
+    langs = list(textstats.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'"
+        for lang in langs
+    ) + " ELSE 'und' END"
+    return score_cols, pred
+
+
+_FUNNEL_SCORES, _FUNNEL_PRED = _funnel_lang_sql()
+
+
+@register(
+    "curation_funnel_docs",
+    f"""
+    WITH n AS (SELECT doc_id, {normalize_sentence_sql('text')} AS nrm
+               FROM documents),
+    wds AS (SELECT doc_id, nrm,
+              CASE WHEN length(nrm) = 0 THEN []::VARCHAR[]
+                   ELSE string_split(nrm, ' ') END AS w
+            FROM n),
+    f AS (SELECT doc_id, nrm, md5(nrm) AS h, len(w) AS nt,
+            len(list_filter(w, tk -> tk IN ({_STOP_IN}))) AS stop_hits,
+            greatest(len(w) - 2, 0) AS ng,
+            len({word_shingles_from_sql('w', 3)}) AS ndg,
+            {_FUNNEL_SCORES}
+          FROM wds),
+    ech AS (SELECT doc_id,
+              CASE WHEN length(nrm) = 0 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, length(nrm) + 1),
+                                       i -> substr(nrm, i, 1)) END AS ch,
+              length(nrm) AS nc
+            FROM n),
+    ent AS (SELECT doc_id,
+              len(list_sort(list_distinct(ch))) AS nd,
+              coalesce(list_sum(list_transform(list_sort(list_distinct(ch)),
+                g -> round((-(len(list_filter(ch, x -> x = g))::DOUBLE / nc)
+                            * log2(len(list_filter(ch, x -> x = g))::DOUBLE
+                                   / nc)
+                            + 1e-9) * 1000000, 0)::BIGINT)), 0) AS em
+            FROM ech),
+    flags AS (SELECT f.doc_id, h, nt,
+        (nt BETWEEN 20 AND 200
+         AND round(stop_hits::DOUBLE / greatest(nt, 1) + 1e-9, 4) >= 0.05
+         AND round((CASE WHEN ng = 0 THEN 0.0
+                    ELSE (ng - ndg)::DOUBLE / ng END) + 1e-9, 4) <= 0.2)
+          AS q,
+        (({_FUNNEL_PRED}) = 'en') AS en,
+        (nd >= 2 AND round(em / 1000000.0 / log2(nd::DOUBLE) + 1e-9, 4)
+           BETWEEN 0.86 AND 0.92) AS ef
+      FROM f JOIN ent ON f.doc_id = ent.doc_id),
+    keep AS (SELECT h, min(doc_id) AS keeper FROM flags
+             WHERE q AND en GROUP BY 1),
+    fl2 AS (SELECT flags.*, (flags.doc_id = keep.keeper) AS isk
+            FROM flags LEFT JOIN keep ON flags.h = keep.h),
+    agg AS (SELECT
+        count(*)::BIGINT AS d1, coalesce(sum(nt), 0)::BIGINT AS t1,
+        count(*) FILTER (WHERE en)::BIGINT AS d2,
+        coalesce(sum(nt) FILTER (WHERE en), 0)::BIGINT AS t2,
+        count(*) FILTER (WHERE en AND q)::BIGINT AS d3,
+        coalesce(sum(nt) FILTER (WHERE en AND q), 0)::BIGINT AS t3,
+        count(*) FILTER (WHERE q AND en AND isk)::BIGINT AS d4,
+        coalesce(sum(nt) FILTER (WHERE q AND en AND isk), 0)::BIGINT AS t4,
+        count(*) FILTER (WHERE q AND en AND isk AND ef)::BIGINT AS d5,
+        coalesce(sum(nt) FILTER (WHERE q AND en AND isk AND ef), 0)::BIGINT
+          AS t5
+      FROM fl2)
+    SELECT 1 AS stage_rank, 'ingest' AS stage, d1 AS n_docs, t1 AS n_tokens FROM agg
+    UNION ALL SELECT 2, 'lang_en', d2, t2 FROM agg
+    UNION ALL SELECT 3, 'quality', d3, t3 FROM agg
+    UNION ALL SELECT 4, 'exact_dedup', d4, t4 FROM agg
+    UNION ALL SELECT 5, 'entropy_band', d5, t5 FROM agg
+    """,
+)
+def curation_funnel_docs(spark, sf_dir):
+    """The flagship curation funnel: the five-stage keep/drop pipeline
+    a pretraining ingest applies — Gopher-style quality gate →
+    language filter → exact dedup (keep-min per normalized-text hash,
+    computed among survivors) → char-entropy band — reported as
+    per-stage survivor counts and token totals. ONE corpus scan (all
+    row-local flags in a single persisted projection) + one narrow
+    dedup groupBy + a 1-row conditional aggregate unpivoted to 5 rows:
+    the funnel costs barely more than any single stage."""
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+    from semantic_ann_in_data_lake_spark.functions.text import (
+        normalize_sentence,
+        word_shingles_from,
+    )
+    from semantic_ann_in_data_lake_spark.operators.textstats import (
+        LANG_MARKERS,
+        ROUND_BIAS,
+        STOPWORDS,
+        _count_in,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", normalize_sentence("text").alias("__n")
+    ).select(
+        "doc_id",
+        "__n",
+        F.when(
+            F.length("__n") == 0, F.array().cast("array<string>")
+        ).otherwise(F.split("__n", " ")).alias("__w"),
+    )
+    nt = F.size("__w")
+    stop_hits = _count_in(F.col("__w"), STOPWORDS)
+    ng = F.greatest(nt - 2, F.lit(0))
+    ndg = F.size(word_shingles_from(F.col("__w"), 3))
+    q_flag = (
+        nt.between(20, 200)
+        & (
+            F.round(
+                stop_hits.cast("double") / F.greatest(nt, F.lit(1))
+                + F.lit(ROUND_BIAS),
+                4,
+            )
+            >= 0.05
+        )
+        & (
+            F.round(
+                F.when(ng == 0, F.lit(0.0)).otherwise(
+                    (ng - ndg).cast("double") / ng
+                )
+                + F.lit(ROUND_BIAS),
+                4,
+            )
+            <= 0.2
+        )
+    )
+    scores = {
+        lang: _count_in(F.col("__w"), ms) for lang, ms in LANG_MARKERS.items()
+    }
+    best = F.lit(0)
+    for lang in LANG_MARKERS:
+        best = F.greatest(best, scores[lang])
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(
+            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(pred)
+    en_flag = pred == "en"
+    chars = F.when(
+        F.length("__n") == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length("__n")),
+            lambda i: F.substring(F.col("__n"), i, 1),
+        )
+    )
+    staged = staged.withColumn("__ch", chars).withColumn(
+        "__alpha", F.array_sort(F.array_distinct("__ch"))
+    )
+    nc = F.size("__ch").cast("double")
+    p = lambda g: F.size(  # noqa: E731
+        F.filter("__ch", lambda x: x == g)
+    ).cast("double") / nc
+    em = F.aggregate(
+        F.transform(
+            "__alpha",
+            lambda g: F.round(
+                (-p(g) * F.log2(p(g)) + F.lit(ROUND_BIAS)) * F.lit(1_000_000),
+                0,
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nd = F.size("__alpha")
+    e_flag = (nd >= 2) & F.round(
+        em / F.lit(1_000_000.0) / F.log2(nd.cast("double"))
+        + F.lit(ROUND_BIAS),
+        4,
+    ).between(0.86, 0.92)
+    flags = scoped_persist(
+        staged.select(
+            "doc_id",
+            F.md5("__n").alias("__h"),
+            nt.alias("__nt"),
+            q_flag.alias("__q"),
+            en_flag.alias("__en"),
+            e_flag.alias("__ef"),
+        )
+    )
+    keep = (
+        flags.filter(F.col("__q") & F.col("__en"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("__keeper"))
+    )
+    fl2 = flags.join(keep, "__h", "left").withColumn(
+        "__isk", F.col("doc_id") == F.col("__keeper")
+    )
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def tok(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("__nt"))), F.lit(0)
+        ).cast("long")
+
+    c2 = F.col("__en")
+    c3 = c2 & F.col("__q")
+    c4 = c3 & F.col("__isk")
+    c5 = c4 & F.col("__ef")
+    agg = fl2.agg(
+        cnt(F.lit(True)).alias("d1"), tok(F.lit(True)).alias("t1"),
+        cnt(c2).alias("d2"), tok(c2).alias("t2"),
+        cnt(c3).alias("d3"), tok(c3).alias("t3"),
+        cnt(c4).alias("d4"), tok(c4).alias("t4"),
+        cnt(c5).alias("d5"), tok(c5).alias("t5"),
+    )
+    return agg.selectExpr(
+        "stack(5, 1, 'ingest', d1, t1, 2, 'lang_en', d2, t2,"
+        " 3, 'quality', d3, t3, 4, 'exact_dedup', d4, t4,"
+        " 5, 'entropy_band', d5, t5)"
+        " as (stage_rank, stage, n_docs, n_tokens)"
+    )

@@ -4594,3 +4594,23 @@ def test_char_entropy_hand_cases(spark):
     assert got[3]["n_chars"] == 0 and got[3]["char_entropy"] == 0.0
     assert got[3]["entropy_ratio"] == 0.0
     assert abs(got[4]["char_entropy"] - 1.0) < 1e-6
+
+
+def test_curation_funnel_monotone_and_complete(spark, sf_dir):
+    """The funnel reports exactly 5 stages, each a subset of the
+    previous (docs and tokens non-increasing), starting from the full
+    corpus; every count is non-negative."""
+    from semantic_ann_in_data_lake_spark.plans.registry import REGISTRY
+
+    fn, _ = REGISTRY["curation_funnel_docs"]
+    rows = sorted(
+        (r["stage_rank"], r["stage"], r["n_docs"], r["n_tokens"])
+        for r in fn(spark, sf_dir).collect()
+    )
+    assert [r[1] for r in rows] == [
+        "ingest", "lang_en", "quality", "exact_dedup", "entropy_band"
+    ]
+    n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert rows[0][2] == n_corpus
+    for (_, _, d0, t0), (_, _, d1, t1) in zip(rows, rows[1:]):
+        assert 0 <= d1 <= d0 and 0 <= t1 <= t0

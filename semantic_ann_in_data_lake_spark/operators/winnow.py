@@ -24,7 +24,8 @@ Scale design:
   row-local array expressions inside whole-stage codegen; the
   operator emits ~2·L/(w+1) rows per document straight off the scan.
 - **Engine-portable integer packing.** Each k-gram key packs
-  (40-bit portable hash, 20-bit reversed position) into one BIGINT:
+  (40-bit Karp-Rabin polynomial hash over char codes, 20-bit reversed
+  position) into one BIGINT:
   ``key = h·2²⁰ + (2²⁰−1−pos)``, so a plain integer ``min`` over a
   window implements "min hash, rightmost position on ties" in one
   comparison — bit-identical in DuckDB. Positions are capped at 2²⁰
@@ -42,10 +43,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from semantic_ann_in_data_lake_spark.functions.hashing import (
-    portable_hash_expr,
-    portable_hash_spark_sql,
-)
 from semantic_ann_in_data_lake_spark.functions.text import (
     normalize_sentence,
     normalize_sentence_sql,
@@ -60,6 +57,11 @@ _POS_CAP = (1 << _POS_BITS) - 1
 _HASH_MOD = 1 << _HASH_BITS
 _POS_MOD = 1 << _POS_BITS
 
+#: Karp-Rabin base and its powers mod 2^40 (B^0..B^15) — extend the
+#: list to raise the max supported k
+_POLY_B = 131
+_POLY_POWS = [pow(_POLY_B, j, _HASH_MOD) for j in range(16)]
+
 
 def winnow_fingerprints(
     docs: DataFrame,
@@ -67,7 +69,6 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 8,
     w: int = 4,
-    seed: str = "win:",
 ) -> DataFrame:
     """Winnowing fingerprints: one row per selected (position, hash).
 
@@ -79,30 +80,51 @@ def winnow_fingerprints(
     """
     norm = normalize_sentence(text_col)
     n_keys = F.greatest(F.length("__norm__") - F.lit(k - 1), F.lit(0))
-    gram_hash = portable_hash_spark_sql(
-        f"substring(__norm__, i, {k})", seed=seed
+    # Karp-Rabin polynomial gram hash over char CODES — the classic
+    # winnowing construction: h_i = (sum_j code[i+j]*B^j) mod 2^40.
+    # Pure integer math, exact in both engines (ascii() == ord(), CJK
+    # included), no per-gram string allocation, and several times
+    # cheaper than an md5 round-trip inside the (interpreted) HOF
+    # lambda. Each term reduces mod M before the sum: code <= 0x10FFFF
+    # < 2^21 and B^j mod M < 2^40, so terms stay under 2^61 and the
+    # k-term sum far from BIGINT overflow in either engine.
+    if k > len(_POLY_POWS):
+        raise ValueError(f"k must be <= {len(_POLY_POWS)}")
+    poly = " + ".join(
+        f"(cast(element_at(__codes__, i + {j}) as bigint)"
+        f" * {p}L % {_HASH_MOD})"
+        for j, p in enumerate(_POLY_POWS[:k])
     )
     # sequence(1, 0) is the DESCENDING [1, 0] in Spark (the
-    # word_shingles_from gotcha) — guard the empty case explicitly
-    keys = F.expr(
-        f"case when __nk__ < 1 then array() "
-        f"else transform(sequence(1, __nk__), "
-        f"i -> ({gram_hash} % {_HASH_MOD}) * {_POS_MOD}"
-        f" + ({_POS_CAP} - i)) end"
+    # word_shingles_from gotcha) — __nk__ < 1 short-circuits to empty
+    keys_sql = (
+        f"transform(sequence(1, __nk__), "
+        f"i -> (({poly}) % {_HASH_MOD}) * {_POS_MOD}"
+        f" + ({_POS_CAP} - i))"
     )
-    sel = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size("__keys__") - F.lit(w - 1), F.lit(1))
-            ),
-            lambda j: F.array_min(F.slice("__keys__", j, w)),
-        )
+    # LET-binding via a one-element array lambda: the window sweep
+    # references the keys array O(L) times, and across a projection
+    # boundary Catalyst's CollapseProject would inline the whole keys
+    # expression into every reference — re-deriving all L gram hashes
+    # PER WINDOW, O(L²·k) per document (measured: a 6 s sf0.1 pass
+    # became minutes). Binding keys to a lambda variable evaluates it
+    # exactly once per row, inside one projection.
+    sel = F.expr(
+        f"case when __nk__ < 1 then array() else "
+        f"element_at(transform(array({keys_sql}), ks -> "
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(ks) - {w - 1}, 1)), "
+        f"j -> array_min(slice(ks, j, {w}))))), 1) end"
     )
     staged = (
         docs.select(F.col(id_col).alias("doc_id"), norm.alias("__norm__"))
-        .select("doc_id", "__norm__", n_keys.alias("__nk__"))
-        .select("doc_id", keys.alias("__keys__"))
-        .filter(F.size("__keys__") > 0)
+        .select(
+            "doc_id",
+            n_keys.alias("__nk__"),
+            F.expr(
+                "transform(split(__norm__, ''), c -> ascii(c))"
+            ).alias("__codes__"),
+        )
         .select("doc_id", F.explode(sel).alias("__key__"))
     )
     return staged.select(
@@ -122,14 +144,20 @@ def winnow_overlap_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_df: int = 1000,
-    seed: str = "win:",
+    max_df_frac: float | None = None,
+    df_floor: int = 16,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints.
 
     Returns ``(doc_id_a, doc_id_b, n_shared)`` with ``a < b``.
-    Fingerprints present in more than ``max_df`` documents are dropped
-    before the join (corpus-wide boilerplate — they carry no pairing
-    signal and bound the per-hash fan-out at max_df²).
+    Fingerprints above the df cap are dropped before the join
+    (corpus-wide boilerplate — they carry no pairing signal and the
+    cap bounds per-hash fan-out at cap²). ``max_df_frac`` makes the
+    cap CORPUS-RELATIVE: threshold = max(df_floor, ⌈frac·n_docs⌉) —
+    an absolute cap stops biting below n ≈ cap/template-share and the
+    boilerplate join fan-out reappears at exactly the scales where it
+    hurts (measured: the absolute-64 posture was 2× SLOWER at sf0.1
+    than at 10× the data, where the cap finally bit).
     """
     from semantic_ann_in_data_lake_spark.cache import scoped_persist
 
@@ -137,15 +165,27 @@ def winnow_overlap_pairs(
     # measurement + both join sides) — one shuffle, not three
     fp = scoped_persist(
         winnow_fingerprints(
-            docs, id_col=id_col, text_col=text_col, k=k, w=w, seed=seed
+            docs, id_col=id_col, text_col=text_col, k=k, w=w
         ).select("doc_id", "fp").distinct()
     )
-    df_ok = (
-        fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
-        .select("fp")
-    )
+    dfreq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df_frac is not None:
+        # lazy 1-row corpus count broadcast into the threshold — the
+        # cap scales with the corpus, no driver action
+        n = docs.agg(F.count(F.lit(1)).alias("__n"))
+        cap = F.greatest(
+            F.lit(int(df_floor)),
+            F.ceil(F.lit(float(max_df_frac)) * F.col("__n")).cast("long"),
+        )
+        df_ok = (
+            dfreq.crossJoin(F.broadcast(n))
+            .filter((F.col("__df") >= 2) & (F.col("__df") <= cap))
+            .select("fp")
+        )
+    else:
+        df_ok = dfreq.filter(
+            (F.col("__df") >= 2) & (F.col("__df") <= max_df)
+        ).select("fp")
     fp = fp.join(df_ok, "fp")
     a = fp.select(F.col("doc_id").alias("doc_id_a"), "fp")
     b = fp.select(F.col("doc_id").alias("doc_id_b"), "fp")
@@ -166,19 +206,28 @@ def winnow_fingerprints_sql(
     text_col: str = "text",
     k: int = 8,
     w: int = 4,
-    seed: str = "win:",
 ) -> str:
-    """DuckDB twin of :func:`winnow_fingerprints` (identical packing
-    arithmetic; used to build oracle_sql strings)."""
+    """DuckDB twin of :func:`winnow_fingerprints` (identical
+    Karp-Rabin and packing arithmetic; used to build oracle_sql
+    strings)."""
     norm = normalize_sentence_sql(text_col)
-    gram_hash = portable_hash_expr(f"substr(n, i, {k})", seed=seed)
+    poly = " + ".join(
+        f"(list_extract(codes, i + {j}) * {p} % {_HASH_MOD})"
+        for j, p in enumerate(_POLY_POWS[:k])
+    )
     return f"""
     WITH nrm AS (SELECT {id_col} AS doc_id, {norm} AS n FROM {table}),
+    cds AS (SELECT doc_id, length(n) AS ln,
+              CASE WHEN length(n) = 0 THEN []::BIGINT[]
+                   ELSE list_transform(range(1, length(n) + 1),
+                                       i -> ord(substr(n, i, 1))::BIGINT)
+                   END AS codes
+            FROM nrm),
     ks AS (SELECT doc_id,
-             list_transform(range(1, greatest(length(n) - {k - 1}, 0) + 1),
-               i -> (({gram_hash}) % {_HASH_MOD}) * {_POS_MOD}
+             list_transform(range(1, greatest(ln - {k - 1}, 0) + 1),
+               i -> ((({poly})) % {_HASH_MOD}) * {_POS_MOD}
                     + ({_POS_CAP} - i)) AS keys
-           FROM nrm),
+           FROM cds),
     sel AS (SELECT doc_id,
               list_distinct(list_transform(
                 range(1, greatest(len(keys) - {w - 1}, 1) + 1),

@@ -1174,8 +1174,10 @@ def winnow_fingerprints_docs(spark, sf_dir):
     f"""
     WITH fpraw AS ({_winnow_sql()}),
     fp AS (SELECT DISTINCT doc_id, fp FROM fpraw),
+    cap AS (SELECT greatest(16, ceil(0.005 * count(*))::BIGINT) AS thr
+            FROM documents),
     dfok AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY 1)
-             WHERE df >= 2 AND df <= 64),
+             CROSS JOIN cap WHERE df >= 2 AND df <= thr),
     fpk AS (SELECT doc_id, fp FROM fp JOIN dfok USING (fp))
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            count(*) AS n_shared
@@ -1189,18 +1191,21 @@ def winnow_overlap_pairs(spark, sf_dir):
     """Near-verbatim reuse pairs: documents sharing ≥4 winnowing
     fingerprints (guarantee: any verbatim match ≥ w+k−1 = 11 chars
     shares ≥1 fingerprint — the exact-substring complement to
-    MinHash). Inverted-index join on fingerprint hash; the max_df=64
-    cap is the load-bearing bound on this template-heavy corpus:
-    fingerprints shared by >64 docs are corpus boilerplate carrying
-    no pairing signal, and dropping them bounds per-hash fan-out at
-    64²/2 — measured 9.48M pairs uncapped vs 1.5k capped at sf0.1
-    (same output-bound discipline as the Jaccard/edit join shapes)."""
+    MinHash). Inverted-index join on fingerprint hash; the
+    CORPUS-RELATIVE df cap (max(16, ⌈0.5% of docs⌉)) is the
+    load-bearing bound on this template-heavy corpus: fingerprints in
+    more docs than that are boilerplate carrying no pairing signal,
+    and dropping them bounds per-hash fan-out at cap² AT EVERY SCALE
+    (an absolute cap stopped biting below ~13k docs — measured 9.48M
+    pairs uncapped vs ~290 capped at sf0.1; same output-bound
+    discipline as the Jaccard/edit join shapes)."""
     from semantic_ann_in_data_lake_spark.operators.winnow import (
         winnow_overlap_pairs as op,
     )
 
     return op(
-        _t(spark, sf_dir, "documents"), k=8, w=4, min_shared=4, max_df=64
+        _t(spark, sf_dir, "documents"),
+        k=8, w=4, min_shared=4, max_df_frac=0.005,
     )
 
 

@@ -4390,17 +4390,20 @@ def test_semdedup_subsplit_caps_sweep_group_and_stays_consistent(spark):
     )
 
 
-def _winnow_ref(text, k=8, w=4, seed="win:"):
-    """Independent driver-side reference of the winnowing spec."""
-    import hashlib
+def _winnow_ref(text, k=8, w=4):
+    """Independent driver-side reference of the winnowing spec
+    (Karp-Rabin polynomial over char codes, base 131 mod 2^40)."""
     import re
 
+    M = 1 << 40
     n = re.sub(r"\s+", " ", text).strip().lower()
     keys = []
     for i in range(1, max(len(n) - k + 1, 0) + 1):
         gram = n[i - 1 : i - 1 + k]
-        h = int(hashlib.md5((seed + gram).encode()).hexdigest()[:15], 16)
-        keys.append((h % (1 << 40)) * (1 << 20) + ((1 << 20) - 1 - i))
+        h = sum(
+            ord(ch) * pow(131, j, M) % M for j, ch in enumerate(gram)
+        ) % M
+        keys.append(h * (1 << 20) + ((1 << 20) - 1 - i))
     if not keys:
         return set()
     sel = {

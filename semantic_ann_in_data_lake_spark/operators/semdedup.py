@@ -75,6 +75,14 @@ def semdedup(
     c = _prep(embeddings, id_col, vec_col, "cand")
     if nlist is None:
         nlist = derive_nlist(c)
+    out_schema = (
+        "vec_id long, cluster int, centroid_cos double,"
+        " kept boolean, dup_of long, dup_cos double"
+    )
+    if c.limit(1).count() == 0:
+        # empty corpus: the centroid fit's seeded sample pick would
+        # throw on a zero-row sample — the dedup of nothing is nothing
+        return spark.createDataFrame([], out_schema)
     centroids = fit_ivf_centroids(c, nlist=nlist, seed=seed, fit=fit)
     # unit-normalize centroids: assignment then maximizes cosine
     # directly (argmax v̂·ĉ ≡ argmin angular distance on the sphere)
@@ -174,9 +182,5 @@ def semdedup(
         )
 
     return assigned.groupBy("cluster", "sub").applyInPandas(
-        sweep,
-        schema=(
-            "vec_id long, cluster int, centroid_cos double,"
-            " kept boolean, dup_of long, dup_cos double"
-        ),
+        sweep, schema=out_schema
     )

@@ -102,6 +102,15 @@ def winnow_fingerprints(
         f"i -> (({poly}) % {_HASH_MOD}) * {_POS_MOD}"
         f" + ({_POS_CAP} - i))"
     )
+    # positions past 2^20 would wrap the packed key and silently break
+    # the rightmost-min tie-break — fail loudly instead (the SQL twin
+    # carries the same guard); chunk oversized docs first
+    # (chunking.chunk_documents)
+    overflow_guard = (
+        f"when __nk__ >= {_POS_MOD} then "
+        f"raise_error('winnow: document exceeds 2^20 normalized chars"
+        f" — chunk it first (chunking.chunk_documents)') "
+    )
     # LET-binding via a one-element array lambda: the window sweep
     # references the keys array O(L) times, and across a projection
     # boundary Catalyst's CollapseProject would inline the whole keys
@@ -110,7 +119,8 @@ def winnow_fingerprints(
     # became minutes). Binding keys to a lambda variable evaluates it
     # exactly once per row, inside one projection.
     sel = F.expr(
-        f"case when __nk__ < 1 then array() else "
+        f"case {overflow_guard}"
+        f"when __nk__ < 1 then array() else "
         f"element_at(transform(array({keys_sql}), ks -> "
         f"array_distinct(transform("
         f"sequence(1, greatest(size(ks) - {w - 1}, 1)), "
@@ -224,9 +234,11 @@ def winnow_fingerprints_sql(
                    END AS codes
             FROM nrm),
     ks AS (SELECT doc_id,
-             list_transform(range(1, greatest(ln - {k - 1}, 0) + 1),
-               i -> ((({poly})) % {_HASH_MOD}) * {_POS_MOD}
-                    + ({_POS_CAP} - i)) AS keys
+             CASE WHEN ln - {k - 1} >= {_POS_MOD}
+                  THEN error('winnow: document exceeds 2^20 normalized chars — chunk it first')
+                  ELSE list_transform(range(1, greatest(ln - {k - 1}, 0) + 1),
+                    i -> ((({poly})) % {_HASH_MOD}) * {_POS_MOD}
+                         + ({_POS_CAP} - i)) END AS keys
            FROM cds),
     sel AS (SELECT doc_id,
               list_distinct(list_transform(

@@ -4617,3 +4617,32 @@ def test_curation_funnel_monotone_and_complete(spark, sf_dir):
     assert rows[0][2] == n_corpus
     for (_, _, d0, t0), (_, _, d1, t1) in zip(rows, rows[1:]):
         assert 0 <= d1 <= d0 and 0 <= t1 <= t0
+
+
+def test_semdedup_empty_input_and_winnow_overflow_guard(spark):
+    """Edge hardening: semdedup of an empty frame returns an empty
+    result with the full schema (the centroid fit would otherwise
+    throw on a zero-row sample); a winnow doc past the 2^20-char
+    position-packing capacity fails LOUDLY instead of silently
+    wrapping the tie-break."""
+    import pytest
+
+    from semantic_ann_in_data_lake_spark.operators.semdedup import semdedup
+    from semantic_ann_in_data_lake_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    out = semdedup(empty, tau=0.9)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "vec_id", "cluster", "centroid_cos", "kept", "dup_of", "dup_cos"
+    }
+
+    big = spark.createDataFrame(
+        [(1, "x" * ((1 << 20) + 16))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="winnow: document exceeds"):
+        winnow_fingerprints(big).count()

@@ -272,6 +272,7 @@ def bench_queries(spark, sf_dir):
         "kcenter_check": from_registry("kcenter_check"),
         "char_entropy_docs": from_registry("char_entropy_docs"),
         "curation_funnel_docs": from_registry("curation_funnel_docs"),
+        "bm25_search_docs": from_registry("bm25_search_docs"),
         "band_join_view_purchase": from_registry("band_join_view_purchase"),
         "salted_heavy_user_rollup": from_registry("salted_heavy_user_rollup"),
         "zorder_key_orders": from_registry("zorder_key_orders"),

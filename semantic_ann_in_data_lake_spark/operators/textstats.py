@@ -504,3 +504,104 @@ def char_entropy(
             .alias("entropy_ratio"),
         )
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """BM25 query retrieval (Robertson–Spärck Jones / Okapi BM25): rank
+    documents against free-text queries with corpus idf and document
+    length normalization — the standard lexical retrieval leg beside
+    the embedding kNN tiers (fuse with ``ranks.rrf_fuse``).
+
+    score(q, d) = Σ_{t ∈ q ∩ d} idf_t · tf_td·(k1+1) /
+                  (tf_td + k1·(1 − b + b·len_d/avgdl)),
+    idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) (always ≥ 0).
+    Query terms are DISTINCT (unit query weights). Returns
+    ``(query_id, doc_id, score, rank)``, top-``k`` per query, rank
+    ties broken by ascending doc_id; scores are 4-dp doubles built
+    from exact per-term micro-unit sums (the repo-wide engine-parity
+    discipline).
+
+    Scale: the doc side is the classic inverted index — one exploded
+    (doc, term, tf) groupBy; idf and avgdl are a ≤|vocab|-row and a
+    1-row aggregate; the query⋈term join is keyed by term with the
+    query side typically tiny (broadcast). Top-k is a per-query
+    ranking window (keyed, never global).
+    """
+    from semantic_ann_in_data_lake_spark.functions.text import words
+
+    from pyspark.sql.window import Window as _Win
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("__w")
+    )
+    dlen = d.select("doc_id", F.size("__w").alias("__dl"))
+    dterms = (
+        d.select("doc_id", F.explode("__w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_and_avg = dlen.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(F.col("__dl").cast("double")).alias("__avgdl"),
+    )
+    dfreq = dterms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(words(query_text_col))
+        ).alias("term"),
+    )
+    j = (
+        qterms.join(dterms, "term")
+        .join(dfreq, "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    norm = F.lit(1.0 - b) + F.lit(b) * (
+        F.col("__dl").cast("double") / F.col("__avgdl")
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * norm)
+    )
+    term_micro = F.round(
+        (contrib + F.lit(ROUND_BIAS)) * F.lit(1_000_000), 0
+    ).cast("long")
+    scored = (
+        j.select("query_id", "doc_id", term_micro.alias("__tm"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__tm").alias("__sm"))
+    )
+    w = _Win.partitionBy("query_id").orderBy(
+        F.col("__sm").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("__sm") / F.lit(1_000_000.0) + F.lit(ROUND_BIAS), 4
+            ).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1471,3 +1471,52 @@ def curation_funnel_docs(spark, sf_dir):
         " 5, 'entropy_band', d5, t5)"
         " as (stage_rank, stage, n_docs, n_tokens)"
     )
+
+
+@register(
+    "bm25_search_docs",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    dlen AS (SELECT doc_id, len(w) AS dl FROM d),
+    dterms AS (SELECT doc_id, unnest(w) AS term FROM d),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM dterms GROUP BY 1, 2),
+    na AS (SELECT count(*) AS n, avg(dl::DOUBLE) AS avgdl FROM dlen),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT doc_id AS query_id,
+                 unnest(list_distinct(w)) AS term
+          FROM d WHERE doc_id < 5),
+    j AS (SELECT q.query_id, tf.doc_id, tf.tf, dfreq.df, dlen.dl,
+                 na.n, na.avgdl
+          FROM q JOIN tf USING (term)
+                 JOIN dfreq USING (term)
+                 JOIN dlen ON tf.doc_id = dlen.doc_id
+                 CROSS JOIN na),
+    t AS (SELECT query_id, doc_id,
+            round((ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl)))
+                   + 1e-9) * 1000000, 0)::BIGINT AS tm
+          FROM j),
+    s AS (SELECT query_id, doc_id, sum(tm)::BIGINT AS sm
+          FROM t GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sm DESC, doc_id ASC) AS rnk
+          FROM s)
+    SELECT query_id, doc_id,
+           round(sm / 1000000.0 + 1e-9, 4) AS score,
+           rnk::INT AS rank
+    FROM r WHERE rnk <= 5
+    """,
+)
+def bm25_search_docs(spark, sf_dir):
+    """BM25 query retrieval (operators/textstats.py::bm25_search,
+    Okapi BM25 with k1=1.2, b=0.75): the first 5 documents serve as
+    free-text queries against the corpus; inverted-index term join,
+    corpus idf + length normalization, per-term micro-unit exact sums,
+    top-5 per query. The lexical retrieval leg beside the embedding
+    kNN tiers (fused downstream via ranks.rrf_fuse)."""
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    return textstats.bm25_search(docs, queries, k=5)

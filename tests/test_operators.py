@@ -4646,3 +4646,46 @@ def test_semdedup_empty_input_and_winnow_overflow_guard(spark):
     )
     with pytest.raises(Exception, match="winnow: document exceeds"):
         winnow_fingerprints(big).count()
+
+
+def test_bm25_search_hand_case(spark):
+    """BM25 ranks the document containing all query terms above a
+    partial match; idf kills ubiquitous terms; exactly top-k rows per
+    query with consecutive ranks."""
+    import math
+
+    from semantic_ann_in_data_lake_spark.operators.textstats import (
+        bm25_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana banana"),
+            (3, "apple zebra yak"),
+            (4, "walrus zebra yak"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "banana cherry")], "query_id long, query_text string"
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in bm25_search(docs, queries, k=3).collect()
+    }
+    # doc 1 matches both terms, doc 2 only banana (higher tf but no
+    # cherry); docs 3/4 match nothing
+    assert set(got) == {1, 2}
+    assert got[1][1] == 1 and got[2][1] == 2
+    assert got[1][0] > got[2][0] > 0
+    # independent recompute of doc 1's score (avgdl = 3, dl = 3)
+    def idf(df, n=4):
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    def term(tf, df):
+        c = idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * 1.0))
+        return round((c + 1e-9) * 1_000_000)
+
+    want1 = round((term(1, 2) + term(1, 1)) / 1_000_000 + 1e-9, 4)
+    assert abs(got[1][0] - want1) < 1e-9

@@ -725,3 +725,56 @@ def incremental_winnow_foreach_batch(
     return docs_stream.writeStream.foreachBatch(handle).trigger(
         availableNow=True
     )
+
+
+def incremental_weighted_sample_foreach_batch(
+    docs_stream: DataFrame,
+    sink_path: str,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = 100,
+    seed: str = "wsample:",
+):
+    """foreachBatch streaming weighted sampling WITHOUT replacement
+    (the streamed form of ``pairs.weighted_sample``, Efraimidis–
+    Spirakis A-ES): because the A-ES key is a pure content hash of
+    the row id, the top-k over any prefix of the stream IS the batch
+    operator's answer on the rows seen so far — maintaining the
+    sample incrementally is just "union the k-row sink with the new
+    batch's keys, keep the k smallest". Stream ≡ batch equality is
+    EXACT, not approximate.
+
+    Exactly-once story: the state is deterministic from row content —
+    a re-delivered batch contributes identical keys, id-dedup absorbs
+    it, and a replayed overwrite rewrites the same k rows. State size
+    is k rows regardless of stream length; the k-row pool collects to
+    the driver before the overwrite because Spark cannot lazily read
+    and overwrite the same parquet path in one job (bounded by k, the
+    synonym-loop discipline).
+    """
+    from semantic_ann_in_data_lake_spark.operators.pairs import (
+        weighted_sample,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = weighted_sample(
+            batch_df, id_col, weight_col, k=k, seed=seed
+        )
+        seen = _read_sink_or_none(spark, sink_path)
+        pool = (
+            fresh if seen is None
+            else fresh.unionByName(seen).dropDuplicates([id_col])
+        )
+        rows = (
+            pool.orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+            .limit(k)
+            .collect()
+        )
+        spark.createDataFrame(rows, pool.schema).write.mode(
+            "overwrite"
+        ).parquet(sink_path)
+
+    return docs_stream.writeStream.foreachBatch(handle).trigger(
+        availableNow=True
+    )

@@ -942,3 +942,72 @@ def test_incremental_winnow_equals_batch_overlap(spark, sf_dir, tmp_path):
 
     run("ckpt2")  # re-delivery from a fresh checkpoint
     assert spark.read.parquet(pairs_sink).count() == len(want)
+
+
+def test_incremental_weighted_sample_equals_batch(spark, sf_dir, tmp_path):
+    """The streamed A-ES sample after consuming all batches equals the
+    batch operator over the full corpus EXACTLY (content-addressed
+    keys make the incremental top-k the same set), and re-delivery
+    from a fresh checkpoint leaves it unchanged."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.pairs import (
+        weighted_sample,
+    )
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        incremental_weighted_sample_foreach_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    in_dir = tmp_path / "ws_in"
+    in_dir.mkdir()
+    docs.where(F.col("doc_id") < 250).coalesce(1).write.parquet(
+        str(tmp_path / "_a")
+    )
+    docs.where(F.col("doc_id") >= 250).coalesce(1).write.parquet(
+        str(tmp_path / "_b")
+    )
+    shutil.copy(
+        glob.glob(str(tmp_path / "_a" / "part-*.parquet"))[0],
+        in_dir / "a.parquet",
+    )
+    shutil.copy(
+        glob.glob(str(tmp_path / "_b" / "part-*.parquet"))[0],
+        in_dir / "b.parquet",
+    )
+    sink = str(tmp_path / "sample")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        q = (
+            incremental_weighted_sample_foreach_batch(stream, sink, k=25)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    got = {
+        (r["doc_id"], r["sample_key"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["doc_id"], r["sample_key"])
+        for r in weighted_sample(docs, "doc_id", "n_chars", k=25).collect()
+    }
+    assert got == want and len(want) == 25
+
+    run("ckpt2")  # re-delivery from a fresh checkpoint
+    assert {
+        (r["doc_id"], r["sample_key"])
+        for r in spark.read.parquet(sink).collect()
+    } == want

@@ -492,3 +492,113 @@ def test_grouped_running_total_matches_window_property(
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.text(alphabet="abcdefg", min_size=11, max_size=24),
+    st.text(alphabet="hijklm ", min_size=0, max_size=30),
+    st.text(alphabet="nopqrs ", min_size=0, max_size=30),
+)
+def test_winnowing_guarantee_planted_substring(
+    shared_spark, shared, pre, suf
+):
+    """The winnowing GUARANTEE (Schleimer et al. 2003): two documents
+    sharing a verbatim run of >= w+k-1 = 11 chars share at least one
+    fingerprint — for ARBITRARY planted substrings and flanks.
+    (Flank alphabets are disjoint from the shared alphabet so
+    whitespace normalization cannot shorten the planted run.)"""
+    from semantic_ann_in_data_lake_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    docs = shared_spark.createDataFrame(
+        [(1, f"{pre} {shared}"), (2, f"{shared} {suf}")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in winnow_fingerprints(docs, k=8, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert got.get(1, set()) & got.get(2, set())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_kcenter_contract_and_cover_arbitrary_points(
+    shared_spark, pts, k
+):
+    """For arbitrary point sets: the invariant checker returns empty
+    (true farthest-first traversal) and the covering certificate
+    holds — every point sits within the LAST selected radius of some
+    center (the greedy's monotonicity makes radius_k an upper bound
+    on the remaining cover radius)."""
+    import math
+
+    from semantic_ann_in_data_lake_spark.operators.coreset import (
+        kcenter_coreset,
+        kcenter_invariant_violations,
+    )
+
+    emb = shared_spark.createDataFrame(
+        [(i, [float(x), float(y)]) for i, (x, y) in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    centers = kcenter_coreset(emb, k=k).collect()
+    assert kcenter_invariant_violations(
+        shared_spark.createDataFrame(centers), emb
+    ).count() == 0
+    if len(centers) > 1:
+        cvecs = {r["vec_id"] for r in centers}
+        last_r = max(r["radius"] for r in centers if r["center_rank"] > 1)
+        pts_by_id = {i: (float(x), float(y)) for i, (x, y) in enumerate(pts)}
+        for i, p in pts_by_id.items():
+            d = min(
+                math.dist(p, pts_by_id[c]) for c in cvecs
+            )
+            assert d <= last_r + 1e-9, (i, d, last_r)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="xyz", min_size=0, max_size=3),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_sorted_neighborhood_definition_arbitrary_keys(
+    shared_spark, keys, w
+):
+    """For arbitrary (duplicate-heavy) key lists and window sizes, the
+    blocked pair set equals EXACTLY {(a,b): 0 < rank_b - rank_a < w}
+    under the (key, id) total order."""
+    from semantic_ann_in_data_lake_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = list(enumerate(keys))
+    df = shared_spark.createDataFrame(rows, "uid long, key string")
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    rank = {uid: i + 1 for i, (uid, _) in enumerate(order)}
+    want = {
+        (a, b) for a in rank for b in rank if 0 < rank[b] - rank[a] < w
+    }
+    got = {
+        (r["uid_a"], r["uid_b"])
+        for r in sorted_neighborhood_pairs(
+            df, ["key"], "uid", window=w
+        ).collect()
+    }
+    assert got == want

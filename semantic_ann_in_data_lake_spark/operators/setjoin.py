@@ -142,3 +142,98 @@ def required_overlap(size_a: int, size_b: int, threshold: float) -> int:
     """⌈τ/(1+τ)·(|A|+|B|)⌉ — the overlap bound behind the filter
     (exposed for tests)."""
     return math.ceil(threshold / (1.0 + threshold) * (size_a + size_b))
+
+
+def containment_prefix_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact DIRECTIONAL containment join (Broder 1997, *On the
+    resemblance and containment of documents*): all ordered pairs
+    (a, b), a ≠ b, with C(A→B) = |S(A) ∩ S(B)| / |S(A)| ≥ τ over
+    word-``shingle_n``-gram sets — "document a is (near-)verbatim
+    contained in document b", the quote/subset complement of the
+    symmetric Jaccard join above.
+
+    Returns ``(id_contained, id_container, containment)`` (6 dp).
+    Empty shingle sets never pair.
+
+    Prefix filter (the containment specialization of AllPairs):
+    C ≥ τ needs |A ∩ B| ≥ ⌈τ|A|⌉, so A must share a shingle with B
+    among A's first |A| − ⌈τ|A|⌉ + 1 RAREST shingles. Only the
+    contained side prefixes; the container side indexes all shingles —
+    but the join key is always one of A's rarest shingles, so posting
+    lists stay short on natural text (shingles are far more selective
+    than tokens). Size filter: |B| ≥ τ|A|. Verification is exact
+    (``array_intersect``), so the filter's slack never changes the
+    answer — same float-boundary bias discipline as
+    :func:`jaccard_prefix_join`.
+    """
+    from semantic_ann_in_data_lake_spark.functions.text import (
+        word_shingles_from,
+    )
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sets = scoped_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"), words(text_col).alias("__w")
+        )
+        .select(
+            "doc_id",
+            word_shingles_from(F.col("__w"), shingle_n).alias("sh"),
+        )
+        .withColumn("sz", F.size("sh"))
+        .where(F.col("sz") > 0)
+    )
+    flat = sets.select("doc_id", "sz", F.explode("sh").alias("g"))
+    df_freq = flat.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("g").asc()
+    )
+    # prefix p = sz − ⌈τ·sz⌉ + 1; 1e-9 bias errs toward a LONGER
+    # prefix (more candidates, never fewer) — see jaccard_prefix_join
+    a_prefix = (
+        flat.join(df_freq, "g")
+        .withColumn("r", F.row_number().over(w_doc))
+        .where(
+            F.col("r")
+            <= F.col("sz")
+            - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9))
+            + 1
+        )
+        .select("g", F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    )
+    b_full = flat.select(
+        "g", F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    cands = (
+        a_prefix.join(b_full, "g")
+        .where(F.col("id_a") != F.col("id_b"))
+        .where(F.col("sz_b") >= F.col("sz_a") * F.lit(threshold) - F.lit(1e-9))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"),
+                     F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__inter", inter)
+        .where(
+            F.col("__inter").cast("double")
+            >= F.lit(threshold) * F.col("sz_a").cast("double") - F.lit(1e-9)
+        )
+        .select(
+            F.col("id_a").alias("id_contained"),
+            F.col("id_b").alias("id_container"),
+            F.round(
+                F.col("__inter").cast("double") / F.col("sz_a"), 6
+            ).alias("containment"),
+        )
+    )

@@ -15,6 +15,7 @@ from semantic_ann_in_data_lake_spark.plans.registry import register, _t
 from semantic_ann_in_data_lake_spark.functions.hashing import portable_hash_expr
 from semantic_ann_in_data_lake_spark.functions.text import (
     word_shingles_from_sql,
+    word_shingles_sql,
 )
 from semantic_ann_in_data_lake_spark.operators import dedup
 from semantic_ann_in_data_lake_spark.plans.qshared import _SH_CTE, _TOKS, _W_CTE
@@ -643,4 +644,37 @@ def semdedup_check(spark, sf_dir):
     # persist so the k-means fit + sweep lineage runs once, not 6×
     return checks.semdedup_invariant_violations(
         scoped_persist(semdedup(emb, tau=0.9)), emb, tau=0.9
+    )
+
+
+@register(
+    "containment_pairs_docs",
+    f"""
+    WITH t AS (SELECT doc_id,
+                 {word_shingles_sql('text', 3)} AS sh
+               FROM documents),
+    s AS (SELECT doc_id, sh, len(sh) AS sz FROM t WHERE len(sh) > 0)
+    SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE / a.sz, 6)
+             AS containment
+    FROM s a JOIN s b ON a.doc_id <> b.doc_id
+    WHERE b.sz >= 0.8 * a.sz - 1e-9
+      AND len(list_intersect(a.sh, b.sh))::DOUBLE >= 0.8 * a.sz - 1e-9
+    """,
+)
+def containment_pairs_docs(spark, sf_dir):
+    """Directional near-verbatim containment (operators/setjoin.py::
+    containment_prefix_join, Broder 1997): ordered pairs where ≥80%
+    of the contained doc's word-3-shingles appear in the container —
+    quote/subset detection, the asymmetric complement of the Jaccard
+    join. Prefix-filtered candidate generation (contained side joins
+    only through its rarest shingles) + exact verification; the
+    oracle is the brute-force all-pairs twin, so the filter's
+    EXACTNESS is hash-checked."""
+    from semantic_ann_in_data_lake_spark.operators.setjoin import (
+        containment_prefix_join,
+    )
+
+    return containment_prefix_join(
+        _t(spark, sf_dir, "documents"), threshold=0.8, shingle_n=3
     )

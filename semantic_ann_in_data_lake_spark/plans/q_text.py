@@ -1610,3 +1610,151 @@ def mixed_language_docs(spark, sf_dir):
             (share < 0.8).alias("is_mixed"),
         )
     )
+
+
+@register(
+    "ngram_diversity_by_source",
+    f"""
+    WITH t AS (SELECT source, {_TOKS} AS w FROM documents),
+    u AS (SELECT source, unnest(w) AS g FROM t),
+    b AS (SELECT source,
+                 unnest(list_transform(range(1, len(w)),
+                   i -> list_extract(w, i) || ' ' || list_extract(w, i + 1)))
+                   AS g
+          FROM t),
+    d1 AS (SELECT source, count(*) AS n1, count(DISTINCT g) AS u1
+           FROM u GROUP BY 1),
+    d2 AS (SELECT source, count(*) AS n2, count(DISTINCT g) AS u2
+           FROM b GROUP BY 1)
+    SELECT d1.source,
+           n1::BIGINT AS n_unigrams,
+           round(u1::DOUBLE / greatest(n1, 1) + 1e-9, 6) AS distinct_1,
+           n2::BIGINT AS n_bigrams,
+           round(u2::DOUBLE / greatest(n2, 1) + 1e-9, 6) AS distinct_2
+    FROM d1 JOIN d2 ON d1.source = d2.source
+    """,
+)
+def ngram_diversity_by_source(spark, sf_dir):
+    """Distinct-n diversity per source (Li et al. 2016, *A
+    Diversity-Promoting Objective Function for Neural Conversation
+    Models*): distinct unigram / bigram ratios — the standard
+    repetitiveness health check a corpus curator tracks per slice
+    (collapsing distinct-2 flags template/boilerplate sources). Two
+    exploded keyed aggregations (partial-agg collapsed), exact
+    integer counts."""
+    from semantic_ann_in_data_lake_spark.functions.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("source", words("text").alias("__w"))
+    uni = t.select("source", F.explode("__w").alias("g"))
+    n_bg = F.size("__w") - 1
+    bg = t.select(
+        "source",
+        F.explode(
+            F.when(n_bg < 1, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), n_bg),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("__w", i),
+                        F.element_at("__w", i + 1),
+                    ),
+                )
+            )
+        ).alias("g"),
+    )
+    d1 = uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.countDistinct("g").alias("u1"),
+    )
+    d2 = bg.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.countDistinct("g").alias("u2"),
+    )
+    r6 = lambda a, b: F.round(  # noqa: E731
+        a.cast("double") / F.greatest(b, F.lit(1)) + F.lit(1e-9), 6
+    )
+    return (
+        d1.join(d2, "source")
+        .select(
+            "source",
+            F.col("n1").cast("long").alias("n_unigrams"),
+            r6(F.col("u1"), F.col("n1")).alias("distinct_1"),
+            F.col("n2").cast("long").alias("n_bigrams"),
+            r6(F.col("u2"), F.col("n2")).alias("distinct_2"),
+        )
+    )
+
+
+@register(
+    "zipf_slope_by_source",
+    f"""
+    WITH t AS (SELECT source, unnest({_TOKS}) AS g FROM documents),
+    f AS (SELECT source, g, count(*) AS c FROM t GROUP BY 1, 2),
+    r AS (SELECT source, c,
+            row_number() OVER (PARTITION BY source
+                               ORDER BY c DESC, g ASC) AS rnk
+          FROM f),
+    xy AS (SELECT source,
+             round((ln(rnk) + 1e-9) * 10000, 0)::BIGINT AS x,
+             round((ln(c) + 1e-9) * 10000, 0)::BIGINT AS y
+           FROM r),
+    s AS (SELECT source, count(*)::BIGINT AS n,
+                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                 sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+          FROM xy GROUP BY 1)
+    SELECT source, n::INT AS n_terms,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE + 1e-9, 4) AS zipf_slope
+    FROM s WHERE n >= 2
+    """,
+)
+def zipf_slope_by_source(spark, sf_dir):
+    """Zipf rank-frequency slope per source: least-squares fit of
+    ln(freq) on ln(rank) over each source's term frequency table —
+    natural text sits near −1 (Zipf 1949); strong departures flag
+    machine-generated or template-heavy slices. The regression sums
+    run on 4-dp fixed-point integers (exact, partition-order-
+    independent, engine-portable); rank is a window PARTITIONED BY
+    SOURCE over the vocab-sized frequency table (keyed, never
+    global)."""
+    from pyspark.sql.window import Window as _Win
+
+    from semantic_ann_in_data_lake_spark.functions.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    f = (
+        docs.select("source", F.explode(words("text")).alias("g"))
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = _Win.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("g").asc()
+    )
+    fx = lambda col: F.round(  # noqa: E731
+        (F.log(col.cast("double")) + F.lit(1e-9)) * F.lit(10_000), 0
+    ).cast("long")
+    xy = f.withColumn("rnk", F.row_number().over(w)).select(
+        "source", fx(F.col("rnk")).alias("x"), fx(F.col("c")).alias("y")
+    )
+    s = xy.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.filter(F.col("n") >= 2).select(
+        "source",
+        F.col("n").cast("int").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double")
+            + F.lit(1e-9),
+            4,
+        ).alias("zipf_slope"),
+    )

@@ -4735,3 +4735,52 @@ def test_mixed_language_docs_flags_code_switching(spark, sf_dir):
     for r in rows.values():
         assert 0.0 < r["dominant_share"] <= 1.0
         assert r["is_mixed"] == (r["dominant_share"] < 0.8)
+
+
+def test_zipf_and_diversity_hand_cases(spark):
+    """A perfectly repetitive source collapses distinct-n toward 0 and
+    its Zipf fit degenerates sanely; a diverse source scores distinct-1
+    = 1.0; the Zipf slope of an exact power-law frequency table is the
+    planted exponent."""
+    import math
+
+    from semantic_ann_in_data_lake_spark.plans.registry import REGISTRY
+
+    div_fn, _ = REGISTRY["ngram_diversity_by_source"]
+    zipf_fn, _ = REGISTRY["zipf_slope_by_source"]
+
+    import tempfile
+
+    # planted corpus: src_rep repeats one token; src_div all-unique;
+    # src_zipf realizes freq(rank r) = round(64 / r) for r=1..8
+    rows = [(1, "aa " * 40, "en", "src_rep", 0)]
+    rows.append((2, " ".join(f"w{i}" for i in range(30)), "en", "src_div", 0))
+    toks = []
+    for r in range(1, 9):
+        toks += [f"z{r}"] * round(64 / r)
+    rows.append((3, " ".join(toks), "en", "src_zipf", 0))
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{td}/documents.parquet")
+        div = {r["source"]: r for r in div_fn(spark, td).collect()}
+        zipf = {r["source"]: r for r in zipf_fn(spark, td).collect()}
+    assert div["src_rep"]["distinct_1"] == round(1 / 40 + 1e-9, 6)
+    assert div["src_rep"]["distinct_2"] == round(1 / 39 + 1e-9, 6)
+    assert div["src_div"]["distinct_1"] == 1.0
+    # least-squares on the planted table, recomputed independently
+    pts = [
+        (math.log(r), math.log(round(64 / r))) for r in range(1, 9)
+    ]
+    n = len(pts)
+    sx = sum(round((x + 1e-9) * 1e4) for x, _ in pts)
+    sy = sum(round((y + 1e-9) * 1e4) for _, y in pts)
+    sxy = sum(
+        round((x + 1e-9) * 1e4) * round((y + 1e-9) * 1e4) for x, y in pts
+    )
+    sxx = sum(round((x + 1e-9) * 1e4) ** 2 for x, _ in pts)
+    want = round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 4)
+    assert zipf["src_zipf"]["zipf_slope"] == want
+    assert -1.2 < want < -0.8  # the planted ~1/r law
+    # src_rep has a single term -> filtered by the n >= 2 guard
+    assert "src_rep" not in zipf

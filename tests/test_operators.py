@@ -4784,3 +4784,46 @@ def test_zipf_and_diversity_hand_cases(spark):
     assert -1.2 < want < -0.8  # the planted ~1/r law
     # src_rep has a single term -> filtered by the n >= 2 guard
     assert "src_rep" not in zipf
+
+
+def test_curation_funnel_each_stage_drops_its_victim(spark):
+    """A planted five-doc corpus where every stage removes exactly one
+    known document: zh doc at lang_en, short en doc at quality, exact
+    duplicate at exact_dedup, low-char-entropy en doc at entropy_band;
+    the clean doc survives all five stages."""
+    import tempfile
+
+    from semantic_ann_in_data_lake_spark.plans.registry import REGISTRY
+
+    good = (
+        "the cat sat on a mat and then the dog ran to a tree while "
+        "birds sang about the warm sun over green hills today"
+    )
+    ent_fail = (
+        "the of qx wv zj kf bm pd gn ry cs lt hu i1 o2 e3 a4 u5 y6 "
+        "w7 r8 t9 p0 sd fg"
+    )
+    rows = [
+        (1, good, "en", "s", 0),
+        (2, "的 是 了 在 我 有 " * 5, "zh", "s", 0),       # lang_en drop
+        (3, "the cat sat on a mat", "en", "s", 0),          # quality drop
+        (4, good, "en", "s", 0),                            # dedup drop
+        (5, ent_fail, "en", "s", 0),                        # entropy drop
+    ]
+    fn, _ = REGISTRY["curation_funnel_docs"]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(f"{td}/documents.parquet")
+        got = {
+            r["stage"]: r["n_docs"] for r in fn(spark, td).collect()
+        }
+    assert got == {
+        "ingest": 5,
+        "lang_en": 4,
+        "quality": 3,
+        "exact_dedup": 2,
+        "entropy_band": 1,
+    }

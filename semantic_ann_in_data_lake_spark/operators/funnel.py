@@ -1,0 +1,153 @@
+"""The five-stage curation funnel as a reusable operator.
+
+Extracted from the gated registry query ``curation_funnel_docs``
+(plans/q_text.py keeps the DuckDB oracle twin) so the streaming
+quality monitor can run the identical stage pipeline per micro-batch.
+Stage semantics and the one-scan design are documented on the
+registry entry; expressions here are byte-identical to the gated
+shape — any change must keep the oracle hash-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantic_ann_in_data_lake_spark.cache import scoped_persist
+from semantic_ann_in_data_lake_spark.functions.text import (
+    normalize_sentence,
+    word_shingles_from,
+)
+from semantic_ann_in_data_lake_spark.operators.textstats import (
+    LANG_MARKERS,
+    ROUND_BIAS,
+    STOPWORDS,
+    _count_in,
+)
+
+
+def curation_funnel(docs: DataFrame) -> DataFrame:
+    """(stage_rank, stage, n_docs, n_tokens) for the five-stage
+    keep/drop pipeline over ``docs`` (doc_id, text)."""
+    staged = docs.select(
+        "doc_id", normalize_sentence("text").alias("__n")
+    ).select(
+        "doc_id",
+        "__n",
+        F.when(
+            F.length("__n") == 0, F.array().cast("array<string>")
+        ).otherwise(F.split("__n", " ")).alias("__w"),
+    )
+    nt = F.size("__w")
+    stop_hits = _count_in(F.col("__w"), STOPWORDS)
+    ng = F.greatest(nt - 2, F.lit(0))
+    ndg = F.size(word_shingles_from(F.col("__w"), 3))
+    q_flag = (
+        nt.between(20, 200)
+        & (
+            F.round(
+                stop_hits.cast("double") / F.greatest(nt, F.lit(1))
+                + F.lit(ROUND_BIAS),
+                4,
+            )
+            >= 0.05
+        )
+        & (
+            F.round(
+                F.when(ng == 0, F.lit(0.0)).otherwise(
+                    (ng - ndg).cast("double") / ng
+                )
+                + F.lit(ROUND_BIAS),
+                4,
+            )
+            <= 0.2
+        )
+    )
+    scores = {
+        lang: _count_in(F.col("__w"), ms) for lang, ms in LANG_MARKERS.items()
+    }
+    best = F.lit(0)
+    for lang in LANG_MARKERS:
+        best = F.greatest(best, scores[lang])
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(
+            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(pred)
+    en_flag = pred == "en"
+    chars = F.when(
+        F.length("__n") == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length("__n")),
+            lambda i: F.substring(F.col("__n"), i, 1),
+        )
+    )
+    staged = staged.withColumn("__ch", chars).withColumn(
+        "__alpha", F.array_sort(F.array_distinct("__ch"))
+    )
+    nc = F.size("__ch").cast("double")
+    p = lambda g: F.size(  # noqa: E731
+        F.filter("__ch", lambda x: x == g)
+    ).cast("double") / nc
+    em = F.aggregate(
+        F.transform(
+            "__alpha",
+            lambda g: F.round(
+                (-p(g) * F.log2(p(g)) + F.lit(ROUND_BIAS)) * F.lit(1_000_000),
+                0,
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nd = F.size("__alpha")
+    e_flag = (nd >= 2) & F.round(
+        em / F.lit(1_000_000.0) / F.log2(nd.cast("double"))
+        + F.lit(ROUND_BIAS),
+        4,
+    ).between(0.86, 0.92)
+    flags = scoped_persist(
+        staged.select(
+            "doc_id",
+            F.md5("__n").alias("__h"),
+            nt.alias("__nt"),
+            q_flag.alias("__q"),
+            en_flag.alias("__en"),
+            e_flag.alias("__ef"),
+        )
+    )
+    keep = (
+        flags.filter(F.col("__q") & F.col("__en"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("__keeper"))
+    )
+    fl2 = flags.join(keep, "__h", "left").withColumn(
+        "__isk", F.col("doc_id") == F.col("__keeper")
+    )
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def tok(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("__nt"))), F.lit(0)
+        ).cast("long")
+
+    c2 = F.col("__en")
+    c3 = c2 & F.col("__q")
+    c4 = c3 & F.col("__isk")
+    c5 = c4 & F.col("__ef")
+    agg = fl2.agg(
+        cnt(F.lit(True)).alias("d1"), tok(F.lit(True)).alias("t1"),
+        cnt(c2).alias("d2"), tok(c2).alias("t2"),
+        cnt(c3).alias("d3"), tok(c3).alias("t3"),
+        cnt(c4).alias("d4"), tok(c4).alias("t4"),
+        cnt(c5).alias("d5"), tok(c5).alias("t5"),
+    )
+    return agg.selectExpr(
+        "stack(5, 1, 'ingest', d1, t1, 2, 'lang_en', d2, t2,"
+        " 3, 'quality', d3, t3, 4, 'exact_dedup', d4, t4,"
+        " 5, 'entropy_band', d5, t5)"
+        " as (stage_rank, stage, n_docs, n_tokens)"
+    )

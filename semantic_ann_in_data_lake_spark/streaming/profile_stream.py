@@ -778,3 +778,46 @@ def incremental_weighted_sample_foreach_batch(
     return docs_stream.writeStream.foreachBatch(handle).trigger(
         availableNow=True
     )
+
+
+def incremental_quality_monitor_foreach_batch(
+    docs_stream: DataFrame, sink_path: str, lineage: str | None = None
+):
+    """foreachBatch streaming corpus-quality monitor: run the SAME
+    five-stage curation funnel as the batch gate
+    (``operators/funnel.py::curation_funnel``) over every micro-batch
+    and land the per-stage survivor/token counts as a time series —
+    the ingest-health dashboard feed (a collapsing entropy band or a
+    lang_en cliff in a batch flags an upstream corpus regression one
+    trigger interval after it happens).
+
+    Sink layout: parquet partitioned by ``(run_id, batch_id)``; each
+    batch's 5 rows land via dynamic partition overwrite, so the write
+    is exactly-once under foreachBatch retries (the funnel is
+    deterministic — a replayed batch rewrites identical rows; the
+    same (run, batch) idempotency pattern as the CMS/histogram
+    partial sinks). ``lineage`` scopes the run id (pass the
+    checkpoint path for cross-restart stability; default = one token
+    per writer incarnation).
+    """
+    from semantic_ann_in_data_lake_spark.operators.funnel import (
+        curation_funnel,
+    )
+
+    run_token = _lineage_token(lineage)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            curation_funnel(batch_df)
+            .withColumn("run_id", F.lit(run_token))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "batch_id")
+            .parquet(sink_path)
+        )
+
+    return docs_stream.writeStream.foreachBatch(handle).trigger(
+        availableNow=True
+    )

@@ -1011,3 +1011,74 @@ def test_incremental_weighted_sample_equals_batch(spark, sf_dir, tmp_path):
         (r["doc_id"], r["sample_key"])
         for r in spark.read.parquet(sink).collect()
     } == want
+
+
+def test_incremental_quality_monitor_equals_per_batch_funnel(
+    spark, sf_dir, tmp_path
+):
+    """Each micro-batch's monitor rows equal the batch funnel run on
+    that file's documents alone, and a re-delivery under the same
+    lineage rewrites identical rows (exactly-once by determinism)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.funnel import (
+        curation_funnel,
+    )
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        incremental_quality_monitor_foreach_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    halves = [
+        docs.where(F.col("doc_id") < 250),
+        docs.where(F.col("doc_id") >= 250),
+    ]
+    in_dir = tmp_path / "qm_in"
+    in_dir.mkdir()
+    for i, h in enumerate(halves):
+        h.coalesce(1).write.parquet(str(tmp_path / f"_h{i}"))
+        shutil.copy(
+            glob.glob(str(tmp_path / f"_h{i}" / "part-*.parquet"))[0],
+            in_dir / f"{chr(97 + i)}.parquet",
+        )
+    sink = str(tmp_path / "monitor")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        q = (
+            incremental_quality_monitor_foreach_batch(
+                stream, sink, lineage="fixed"
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    got = {
+        (r["batch_id"], r["stage"]): (r["n_docs"], r["n_tokens"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert len(got) == 10  # 2 batches x 5 stages
+    for b, h in enumerate(halves):
+        want = {
+            r["stage"]: (r["n_docs"], r["n_tokens"])
+            for r in curation_funnel(h).collect()
+        }
+        for stage, vals in want.items():
+            assert got[(b, stage)] == vals, (b, stage)
+
+    run("ckpt2")  # re-delivery, same lineage -> identical partitions
+    assert {
+        (r["batch_id"], r["stage"]): (r["n_docs"], r["n_tokens"])
+        for r in spark.read.parquet(sink).collect()
+    } == got

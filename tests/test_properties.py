@@ -602,3 +602,57 @@ def test_sorted_neighborhood_definition_arbitrary_keys(
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="pq r", min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sampled_from([0.5, 0.8, 1.0]),
+)
+def test_containment_prefix_join_matches_bruteforce_random(
+    shared_spark, texts, tau
+):
+    """The containment prefix filter equals brute-force all-ordered-
+    pairs shingle containment on arbitrary text (tiny vocab ->
+    maximal shingle-frequency ties), with the operator's exact
+    float-boundary bias mirrored."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.functions.text import (
+        word_shingles_from,
+        words,
+    )
+    from semantic_ann_in_data_lake_spark.operators.setjoin import (
+        containment_prefix_join,
+    )
+
+    docs = shared_spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    sets = docs.select(
+        "doc_id", word_shingles_from(words("text"), 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    a = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"),
+        F.size("sh").alias("za"),
+    )
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") != F.col("id_b"))
+        .where(
+            inter.cast("double")
+            >= F.lit(tau) * F.col("za").cast("double") - F.lit(1e-9)
+        )
+        .collect()
+    }
+    got = {
+        (r["id_contained"], r["id_container"])
+        for r in containment_prefix_join(docs, threshold=tau).collect()
+    }
+    assert got == brute

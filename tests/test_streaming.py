@@ -1082,3 +1082,86 @@ def test_incremental_quality_monitor_equals_per_batch_funnel(
         (r["batch_id"], r["stage"]): (r["n_docs"], r["n_tokens"])
         for r in spark.read.parquet(sink).collect()
     } == got
+
+
+def test_incremental_cc_equals_batch_clusters(spark, sf_dir, tmp_path):
+    """Streaming CC over edge micro-batches converges to EXACTLY the
+    batch dedup_clusters labels over the union of all edges — including
+    components formed by MULTI-HOP chains straddling batches — and a
+    re-delivery run from a fresh checkpoint changes nothing (min-label
+    merging is idempotent)."""
+    import glob
+    import shutil
+
+    from semantic_ann_in_data_lake_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_dups,
+    )
+    from semantic_ann_in_data_lake_spark.streaming.cc_stream import (
+        incremental_cc_foreach_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pairs = minhash_near_dups(
+        docs, num_hashes=16, bands=8, rows_per_band=2, threshold=0.01
+    ).select("id_a", "id_b")
+    # split edges into two batches by hash — chains WILL straddle
+    from pyspark.sql import functions as F
+
+    h = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(2))
+    halves = [pairs.where(h == i) for i in (0, 1)]
+    in_dir = tmp_path / "cc_in"
+    in_dir.mkdir()
+    for i, half in enumerate(halves):
+        half.coalesce(1).write.parquet(str(tmp_path / f"_e{i}"))
+        shutil.copy(
+            glob.glob(str(tmp_path / f"_e{i}" / "part-*.parquet"))[0],
+            in_dir / f"{chr(97 + i)}.parquet",
+        )
+    labels_sink = str(tmp_path / "labels")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(pairs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        q = (
+            incremental_cc_foreach_batch(stream, labels_sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(labels_sink).collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert got == want and want
+
+    run("ckpt2")  # idempotent re-delivery
+    assert {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(labels_sink).collect()
+    } == want
+
+
+def test_union_find_merge_transitive_chains():
+    """Driver-side label union-find: multi-hop chains collapse to the
+    component minimum; disjoint components stay apart; the mapping
+    contains only non-identity entries."""
+    from semantic_ann_in_data_lake_spark.streaming.cc_stream import (
+        _union_find_merge,
+    )
+
+    m = _union_find_merge([(5, 3), (3, 9), (9, 1), (20, 30)])
+    assert m == {3: 1, 5: 1, 9: 1, 30: 20}
+    assert _union_find_merge([]) == {}
+    assert _union_find_merge([(2, 2)]) == {}

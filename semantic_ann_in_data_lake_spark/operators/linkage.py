@@ -140,6 +140,13 @@ def fs_scores(
     """
     total = None
     for agree, m, (u_sum, u_n) in fields:
+        if not (0.0 < float(m) < 1.0):
+            # m=1 → log(0)=-inf disagreement weight; m≤0 or m≥1 likewise
+            # produce -inf/NaN that the micro-unit round+cast turns into
+            # garbage scores instead of an error
+            raise ValueError(
+                f"match probability m must be in (0, 1), got {m!r}"
+            )
         denom = u_n * (u_n - 1)
         if denom <= 0:
             raise ValueError("u estimate needs at least 2 rows")

@@ -112,12 +112,19 @@ def semdedup(
             )
             yield out
 
-    assigned = c.mapInPandas(
-        assign,
-        schema=(
-            "vec_id long, cluster int, centroid_cos double,"
-            " unit_vec array<double>"
-        ),
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+
+    # persisted: feeds BOTH the cluster-size aggregate and the subsplit
+    # join — without it the full BLAS assignment stage runs twice per
+    # action (correctness would survive only because it's deterministic)
+    assigned = scoped_persist(
+        c.mapInPandas(
+            assign,
+            schema=(
+                "vec_id long, cluster int, centroid_cos double,"
+                " unit_vec array<double>"
+            ),
+        )
     )
 
     # oversized clusters hash-subsplit into ceil(size/cap) shards; the

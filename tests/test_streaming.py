@@ -782,6 +782,51 @@ def test_stateful_streams_drop_redelivered_equal_ts_event(spark, tmp_path):
     ]
 
 
+def test_sessionize_keeps_new_numeric_id_at_equal_ts(spark, tmp_path):
+    """A genuinely NEW event in a later batch at the state's exact last
+    timestamp with a numerically larger but lexicographically smaller
+    id ('10' < '9' as strings) must be folded, not misclassified as a
+    redelivery — the guard compares zero-padded ids so string order
+    matches numeric order."""
+    from datetime import datetime
+
+    from semantic_ann_in_data_lake_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    schema = (
+        "event_id string, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows1 = [("9", t0, 7, "view", 1.0, "{}")]
+    rows2 = [
+        ("10", t0, 7, "view", 2.0, "{}"),  # new event, same microsecond
+        # closes the session (gap > 30m)
+        ("11", datetime(2024, 1, 1, 13, 0, 0), 7, "click", 4.0, "{}"),
+    ]
+    src_dir = str(tmp_path / "np_in")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    out_dir = str(tmp_path / "np_out")
+    (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    closed = spark.read.parquet(out_dir).collect()
+    assert [(r["n_events"], r["sum_value"]) for r in closed] == [(2, 3.0)]
+
+
 def test_stream_refresh_ivf_index_equals_batch_and_replays(
     spark, sf_dir, tmp_path
 ):

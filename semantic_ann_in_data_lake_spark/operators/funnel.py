@@ -26,6 +26,64 @@ from semantic_ann_in_data_lake_spark.operators.textstats import (
 )
 
 
+def _entropy_band_flag(n, lo: float, hi: float):
+    """Char-entropy band flag over an already-normalized string column
+    ``n`` — true iff entropy/log2(alphabet) ∈ [lo, hi] with ≥2 distinct
+    chars. Produces the IDENTICAL integer micro-unit terms as
+    textstats.char_entropy (count_g/n_chars per glyph, 6-dp micro
+    round, summed over the sorted alphabet), so the oracle hash of any
+    consumer is unchanged.
+
+    Cost shape (the r8 rewrite — the r7 per-glyph ``filter`` over a
+    ``transform(sequence…substring)`` char array was ~14s of the 16s
+    sf0.1 funnel):
+
+    - the char array comes from native ``split(n, '')`` (code-point
+      correct in Spark 4, measured 7× cheaper than the substring
+      transform, whose per-call code-point seek makes it O(L²));
+    - per-glyph counts are ``length(n) − length(replace(n, g))`` —
+      whole-stage-codegen string scans, not interpreted lambdas — so
+      the only interpreted loop is the ≤|alphabet| outer aggregate;
+    - the whole computation is LET-bound in one one-element-array
+      lambda scope, so CollapseProject cannot re-derive the alphabet
+      (or ``n`` itself) per reference.
+    """
+
+    def body(nb):
+        nc = F.length(nb).cast("double")
+        alpha = F.array_sort(
+            F.array_distinct(
+                F.when(
+                    F.length(nb) == 0, F.array().cast("array<string>")
+                ).otherwise(F.split(nb, ""))
+            )
+        )
+
+        def inner(al):
+            def term(g):
+                cnt = F.length(nb) - F.length(F.replace(nb, g))
+                pg = cnt.cast("double") / nc
+                return F.round(
+                    (-pg * F.log2(pg) + F.lit(ROUND_BIAS))
+                    * F.lit(1_000_000),
+                    0,
+                ).cast("long")
+
+            em = F.aggregate(
+                al, F.lit(0).cast("long"), lambda acc, g: acc + term(g)
+            )
+            nd = F.size(al)
+            return (nd >= 2) & F.round(
+                em / F.lit(1_000_000.0) / F.log2(nd.cast("double"))
+                + F.lit(ROUND_BIAS),
+                4,
+            ).between(lo, hi)
+
+        return F.element_at(F.transform(F.array(alpha), inner), 1)
+
+    return F.element_at(F.transform(F.array(n), body), 1)
+
+
 def curation_funnel(docs: DataFrame) -> DataFrame:
     """(stage_rank, stage, n_docs, n_tokens) for the five-stage
     keep/drop pipeline over ``docs`` (doc_id, text)."""
@@ -75,46 +133,26 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
             (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
         ).otherwise(pred)
     en_flag = pred == "en"
-    chars = F.when(
-        F.length("__n") == 0, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length("__n")),
-            lambda i: F.substring(F.col("__n"), i, 1),
-        )
-    )
-    staged = staged.withColumn("__ch", chars).withColumn(
-        "__alpha", F.array_sort(F.array_distinct("__ch"))
-    )
-    nc = F.size("__ch").cast("double")
-    p = lambda g: F.size(  # noqa: E731
-        F.filter("__ch", lambda x: x == g)
-    ).cast("double") / nc
-    em = F.aggregate(
-        F.transform(
-            "__alpha",
-            lambda g: F.round(
-                (-p(g) * F.log2(p(g)) + F.lit(ROUND_BIAS)) * F.lit(1_000_000),
-                0,
-            ).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    nd = F.size("__alpha")
-    e_flag = (nd >= 2) & F.round(
-        em / F.lit(1_000_000.0) / F.log2(nd.cast("double"))
-        + F.lit(ROUND_BIAS),
-        4,
-    ).between(0.86, 0.92)
+    # __ef is only consulted for stage-5 survivors (c5 = c4 & __ef with
+    # c4 ⊆ __q & __en), so the entropy fold — the most expensive flag —
+    # runs lazily behind the cheap flags: If() evaluates the taken
+    # branch only, skipping ~60% of rows at sf0.1. Two projections so
+    # __q/__en are plain attribute references here, not re-evaluated.
+    e_flag = F.when(
+        F.col("__q") & F.col("__en"),
+        _entropy_band_flag(F.col("__n"), 0.86, 0.92),
+    ).otherwise(F.lit(False))
     flags = scoped_persist(
         staged.select(
             "doc_id",
+            "__n",
             F.md5("__n").alias("__h"),
             nt.alias("__nt"),
             q_flag.alias("__q"),
             en_flag.alias("__en"),
-            e_flag.alias("__ef"),
+        )
+        .select(
+            "doc_id", "__h", "__nt", "__q", "__en", e_flag.alias("__ef")
         )
     )
     keep = (

@@ -385,6 +385,22 @@ def _sf_curve_dir(sf_dir: str) -> str | None:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
+    # Quiet the WindowExec "no partition defined" warning for this
+    # bench process: every unpartitioned window in the suite runs over
+    # a declared-BOUNDED frame (per-partition totals ≤ n_partitions
+    # rows, top-k survivors after a limit, one table's column list) —
+    # boundedness is pinned by
+    # tests/test_plans.py::test_unpartitioned_windows_sit_above_bounded_aggregates,
+    # so the warning is noise here, not a scale signal. Log level only;
+    # the plans are unchanged.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # logging backend unavailable — warnings are cosmetic
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     _warm(spark, sf_dir)

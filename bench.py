@@ -313,6 +313,10 @@ def bench_queries(spark, sf_dir):
         "table_diff_orders": from_registry("table_diff_orders"),
         "leakage_safe_split": from_registry("leakage_safe_split_docs"),
         "quantiles_from_bins": from_registry("quantiles_from_bins_totalprice"),
+        # round-8: recall meta-gates (quadratic-by-design audit queries —
+        # each embeds the exact broadcast baseline by construction)
+        "ivf_recall_report": from_registry("ivf_recall_report"),
+        "pq_recall_report": from_registry("pq_recall_report"),
     }
 
 

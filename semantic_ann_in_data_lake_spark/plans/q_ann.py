@@ -1182,6 +1182,296 @@ def knn_ivf_pq_l2(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Recall meta-gates for the IVF and PQ ladders (round-8; mirrors
+# lsh_recall_report's design): the approximation ERROR itself is a
+# hash-gated number, not a pytest assertion. The production fits
+# (sample-Lloyd / k-means||) are not SQL-expressible, so the reports run
+# the IDENTICAL mechanism over a hash-picked fit both engines can
+# compute: centroids/codewords are the corpus vectors with the smallest
+# (md5(vec_id), vec_id) — the probe geometry, cell assignment, ADC
+# quantization, ranking, and the recall arithmetic are then replicated
+# end-to-end in DuckDB. Fit QUALITY of the production quantizers stays
+# pinned by the pytest recall floors; these rows pin the mechanism's
+# recall as an official number (reference intent:
+# SemLink/join_discoverer.py:425-451 quality reporting).
+# ---------------------------------------------------------------------------
+
+_EXACT_TOPK_CTE = f"""
+    exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({l2_sq_sql('q.v', 'c.v')}, 6) ASC,
+                          c.vec_id ASC) AS rnk
+        FROM e q, e c WHERE q.vec_id <> c.vec_id
+      ) WHERE rnk <= 5
+    )
+"""
+
+
+@register(
+    "ivf_recall_report",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+    ),
+    ad AS (
+      SELECT e.vec_id, cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({l2_sq_sql('e.v', 'cv')}, 6) ASC, cid ASC
+             ) AS rnk
+      FROM e, cents
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM ad WHERE rnk = 1),
+    probes AS (SELECT vec_id AS query_id, cid AS cell FROM ad WHERE rnk <= 4),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+      FROM probes p JOIN assign a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ),
+    {_EXACT_TOPK_CTE},
+    hit AS (SELECT * FROM exact INTERSECT SELECT * FROM cand)
+    SELECT (SELECT count(*) FROM e)::BIGINT AS n_queries,
+           (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+           (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+           (SELECT count(*) FROM hit)::BIGINT AS n_found,
+           (1000 * (SELECT count(*) FROM hit)
+              // greatest((SELECT count(*) FROM exact), 1))::BIGINT
+             AS recall_x1000
+    """,
+)
+def ivf_recall_report(spark, sf_dir):
+    """Official CANDIDATE recall of the IVF probe mechanism at
+    nlist=16/nprobe=4: the fraction of exact top-5 neighbor pairs whose
+    candidate lives in one of the query's probed cells — the quantity
+    nprobe trades away. Assignment distances are rounded 6 dp with a
+    centroid-id tie-break, so cell membership is cross-engine exact.
+    The exact side is the bounded O(n²) broadcast baseline — this is a
+    gate/audit query, not a production path. The synthetic embeddings
+    are uniform-random (no cluster structure), so the gated number is a
+    pessimistic floor for real corpora; production-fit recall floors
+    stay in pytest."""
+    from pyspark.sql.window import Window as _Win
+
+    from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    ad = scoped_persist(
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(l2_sq("v", "cv"), 6).alias("d"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                _Win.partitionBy("vec_id").orderBy(
+                    F.col("d").asc(), F.col("cid").asc()
+                )
+            ),
+        )
+    )
+    assign = ad.filter(F.col("rnk") == 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("cid").alias("cell")
+    )
+    probes = ad.filter(F.col("rnk") <= 4).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("cell")
+    )
+    cand = scoped_persist(
+        probes.join(assign, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    exact = scoped_persist(
+        knn_join(emb, emb, k=5, strategy="broadcast").select(
+            "query_id", "cand_id"
+        )
+    )
+    hit = exact.join(cand, ["query_id", "cand_id"])
+    nq = e.agg(F.count(F.lit(1)).alias("n_queries"))
+    na = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nf = hit.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        nq.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "n_queries",
+            "n_exact",
+            "n_candidates",
+            "n_found",
+            F.floor(
+                (F.lit(1000) * F.col("n_found"))
+                / F.greatest(F.col("n_exact"), F.lit(1))
+            ).cast("long").alias("recall_x1000"),
+        )
+    )
+
+
+@register(
+    "pq_recall_report",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cw AS (
+      SELECT vec_id AS wid, v AS wv FROM e
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+    ),
+    ss AS (SELECT unnest(range(0, 4)) AS s),
+    sub AS (
+      SELECT vec_id, s, list_slice(v, s * 16 + 1, s * 16 + 16) AS sv
+      FROM e, ss
+    ),
+    wsub AS (
+      SELECT wid, s, list_slice(wv, s * 16 + 1, s * 16 + 16) AS wsv
+      FROM cw, ss
+    ),
+    enc AS (
+      SELECT vec_id, s, wid FROM (
+        SELECT sub.vec_id, sub.s, wsub.wid,
+               row_number() OVER (
+                 PARTITION BY sub.vec_id, sub.s
+                 ORDER BY round({l2_sq_sql('sv', 'wsv')}, 6) ASC, wid ASC
+               ) AS rnk
+        FROM sub JOIN wsub ON sub.s = wsub.s
+      ) WHERE rnk = 1
+    ),
+    dec AS (
+      SELECT enc.vec_id, flatten(list(wsv ORDER BY enc.s)) AS dv
+      FROM enc JOIN wsub ON enc.s = wsub.s AND enc.wid = wsub.wid
+      GROUP BY enc.vec_id
+    ),
+    approx AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, d.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({l2_sq_sql('q.v', 'd.dv')}, 6) ASC,
+                          d.vec_id ASC) AS rnk
+        FROM e q JOIN dec d ON q.vec_id <> d.vec_id
+      ) WHERE rnk <= 5
+    ),
+    {_EXACT_TOPK_CTE},
+    hit AS (SELECT * FROM exact INTERSECT SELECT * FROM approx)
+    SELECT (SELECT count(*) FROM e)::BIGINT AS n_queries,
+           (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+           (SELECT count(*) FROM approx)::BIGINT AS n_approx,
+           (SELECT count(*) FROM hit)::BIGINT AS n_found,
+           (1000 * (SELECT count(*) FROM hit)
+              // greatest((SELECT count(*) FROM exact), 1))::BIGINT
+             AS recall_x1000
+    """,
+)
+def pq_recall_report(spark, sf_dir):
+    """Official top-k recall of the PQ/ADC quantization at m=4 (16-dim
+    subspaces) and ksub=16: candidates are replaced by their nearest
+    codeword per subspace (6-dp rounded assignment, codeword-id
+    tie-break), queries rank the RECONSTRUCTED candidates exactly
+    (ADC decomposes: Σ_s ‖q_s − cw_s‖² = ‖q − concat(cw_s)‖²), and the
+    report counts how many exact top-5 pairs the quantized ranking
+    retains. The decode-side scoring reuses the gated broadcast kNN
+    tier; quadratic by design — gate/audit query. Uniform-random
+    64-dim embeddings quantize worst-case (no subspace structure), so
+    the gated number is a pessimistic floor; the production k-means
+    codebooks' recall floors stay in pytest."""
+    from pyspark.sql.window import Window as _Win
+
+    from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cw = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("wid"), F.col("v").alias("wv"))
+    )
+    ss = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s")
+    sub = e.select("vec_id", "v", ss).select(
+        "vec_id",
+        "s",
+        F.slice(F.col("v"), F.col("s") * 16 + 1, 16).alias("sv"),
+    )
+    wsub = cw.select("wid", "wv", ss).select(
+        "wid",
+        "s",
+        F.slice(F.col("wv"), F.col("s") * 16 + 1, 16).alias("wsv"),
+    )
+    enc = (
+        sub.join(F.broadcast(wsub), "s")
+        .withColumn("d", F.round(l2_sq("sv", "wsv"), 6))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                _Win.partitionBy("vec_id", "s").orderBy(
+                    F.col("d").asc(), F.col("wid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "s", "wid")
+    )
+    dec = (
+        enc.join(F.broadcast(wsub), ["s", "wid"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("s", "wsv"))
+                    ),
+                    lambda st: st["wsv"],
+                )
+            ).alias("embedding")
+        )
+    )
+    approx = knn_join(emb, dec, k=5, strategy="broadcast").select(
+        "query_id", "cand_id"
+    )
+    exact = scoped_persist(
+        knn_join(emb, emb, k=5, strategy="broadcast").select(
+            "query_id", "cand_id"
+        )
+    )
+    approx = scoped_persist(approx)
+    hit = exact.join(approx, ["query_id", "cand_id"])
+    nq = e.agg(F.count(F.lit(1)).alias("n_queries"))
+    na = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nx = approx.agg(F.count(F.lit(1)).alias("n_approx"))
+    nf = hit.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        nq.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nx))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "n_queries",
+            "n_exact",
+            "n_approx",
+            "n_found",
+            F.floor(
+                (F.lit(1000) * F.col("n_found"))
+                / F.greatest(F.col("n_exact"), F.lit(1))
+            ).cast("long").alias("recall_x1000"),
+        )
+    )
+
+
 _KCENTER_CHECK_EMPTY_SQL = """
     SELECT 0::INT AS center_rank, 0::BIGINT AS vec_id,
            0.0 AS reported, 0.0 AS expected, '' AS violation

@@ -317,6 +317,9 @@ def bench_queries(spark, sf_dir):
         # each embeds the exact broadcast baseline by construction)
         "ivf_recall_report": from_registry("ivf_recall_report"),
         "pq_recall_report": from_registry("pq_recall_report"),
+        # round-8: domain-aware curation (row-local parse + anti join +
+        # capped window)
+        "domain_curation_docs": from_registry("domain_curation_docs"),
     }
 
 

@@ -1,0 +1,129 @@
+"""Domain-aware curation: URL/host/registrable-domain extraction,
+per-domain caps, and blocklist filtering.
+
+Extension beyond the reference surface (which has no web-corpus
+notion): the standard pretraining-pipeline lever a 100 TB web crawl
+needs — balance the corpus so no single registrable domain dominates
+(per-domain caps) and drop known-bad domains (blocklist). See e.g.
+the C4 / RefinedWeb / Dolma pipeline descriptions (public papers);
+the operators here are the Spark-native equivalents.
+
+Scale design:
+
+- URL parsing and domain extraction are row-local JVM expressions
+  (``parse_url`` + split/slice on the host) — zero shuffle, zero
+  Python;
+- the blocklist filter is a broadcast LEFT ANTI join (blocklists are
+  KB-to-MB sized — always the small side);
+- per-domain caps reuse :func:`..operators.pairs.cap_per_key`
+  (row_number over a domain-partitioned window, WindowGroupLimit
+  pre-limits per partition before the exchange, no global sort).
+
+The testdata ``documents`` table has no url column, so the gated
+queries synthesize a deterministic URL per document from its
+``source``/``doc_id``/``lang`` (md5-seeded choices, replicated by the
+DuckDB oracle). Real deployments pass their own url column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Multi-label public suffixes the registrable-domain rule recognises.
+#: A tiny built-in stand-in for the real Public Suffix List (public,
+#: https://publicsuffix.org) — swap in the full list in production.
+MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "com.au", "co.jp", "com.br", "co.in",
+)
+
+_TLDS = ("com", "org", "net", "io", "co.uk")
+_SUBS = ("www", "blog", "docs", "shop")
+
+
+def _pick(options: tuple[str, ...], key: Column) -> Column:
+    """Deterministic cross-engine pick: ascii of the first md5 hex char
+    of ``key`` modulo len(options) — DuckDB computes the identical
+    value with ascii(substr(md5(k),1,1)) % n."""
+    idx = F.ascii(F.substring(F.md5(key), 1, 1)) % len(options)
+    pick = F.lit(options[0])
+    for i, opt in enumerate(options[1:], start=1):
+        pick = F.when(idx == i, F.lit(opt)).otherwise(pick)
+    return pick
+
+
+def synthesize_url(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Append a deterministic, well-formed ``url`` column:
+    ``https://{sub}.{source}.{tld}/p/{doc_id}?ref={lang}`` where the
+    subdomain is doc-seeded and the TLD source-seeded (so one source
+    maps to exactly one registrable domain)."""
+    sub = _pick(_SUBS, F.col(id_col).cast("string"))
+    tld = _pick(_TLDS, F.col(source_col))
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            sub,
+            F.lit("."),
+            F.col(source_col),
+            F.lit("."),
+            tld,
+            F.lit("/p/"),
+            F.col(id_col).cast("string"),
+            F.lit("?ref="),
+            F.col(lang_col),
+        ),
+    )
+
+
+def url_host(url: Column | str) -> Column:
+    """Host part of a URL — JVM-side ``parse_url(url, 'HOST')``."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.parse_url(u, F.lit("HOST"))
+
+
+def registrable_domain(host: Column | str) -> Column:
+    """Registrable domain (eTLD+1) of a host: the last two labels,
+    or three when the suffix is a recognised multi-label public suffix
+    (``co.uk`` and friends). Row-local split/slice — no UDF."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    take3 = F.lit(False)
+    for suf in MULTI_LABEL_SUFFIXES:
+        take3 = take3 | h.endswith("." + suf)
+    keep = F.when(take3 & (n >= 3), 3).otherwise(F.least(n, F.lit(2)))
+    return F.array_join(
+        F.slice(labels, n - keep + 1, keep), "."
+    )
+
+
+def domain_blocklist_filter(
+    docs: DataFrame, blocked: list[str], domain_col: str = "domain"
+) -> DataFrame:
+    """Drop rows whose registrable domain is blocklisted — broadcast
+    LEFT ANTI join (the blocklist is always the small side)."""
+    spark = docs.sparkSession
+    bl = spark.createDataFrame(
+        [(d,) for d in blocked], f"{domain_col} string"
+    )
+    return docs.join(F.broadcast(bl), domain_col, "left_anti")
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    n: int,
+    domain_col: str = "domain",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n`` documents per registrable domain
+    (deterministic by ``order_col``) — delegates to
+    :func:`..operators.pairs.cap_per_key`."""
+    from semantic_ann_in_data_lake_spark.operators.pairs import cap_per_key
+
+    return cap_per_key(docs, domain_col, n, order_col=order_col)

@@ -1634,3 +1634,128 @@ def zipf_slope_by_source(spark, sf_dir):
             4,
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-aware curation (round 8): URL synthesis + registrable-domain
+# extraction + blocklist + per-domain caps (operators/domains.py)
+# ---------------------------------------------------------------------------
+
+_URL_CTE = """
+    u AS (
+      SELECT doc_id,
+             'https://'
+             || (['www','blog','docs','shop']
+                  [(ascii(substr(md5(doc_id::VARCHAR), 1, 1)) % 4) + 1])
+             || '.' || source || '.'
+             || (['com','org','net','io','co.uk']
+                  [(ascii(substr(md5(source), 1, 1)) % 5) + 1])
+             || '/p/' || doc_id::VARCHAR || '?ref=' || lang AS url
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+      FROM u
+    ),
+    dom AS (
+      SELECT doc_id, url, host,
+        CASE WHEN (host LIKE '%.co.uk' OR host LIKE '%.com.au'
+                   OR host LIKE '%.co.jp' OR host LIKE '%.com.br'
+                   OR host LIKE '%.co.in')
+                  AND len(string_split(host, '.')) >= 3
+             THEN array_to_string(list_slice(string_split(host, '.'),
+                    len(string_split(host, '.')) - 2,
+                    len(string_split(host, '.'))), '.')
+             ELSE array_to_string(list_slice(string_split(host, '.'),
+                    greatest(len(string_split(host, '.')) - 1, 1),
+                    len(string_split(host, '.'))), '.')
+        END AS domain
+      FROM h
+    )
+"""
+
+#: Registrable domains dropped by the gated curation query — one plain
+#: TLD and one multi-label suffix so the blocklist exercises both
+#: registrable-domain paths. (The synthesized source→domain map is
+#: deterministic, so these literals exist at every sf.)
+_BLOCKED_DOMAINS = ["src7.net", "src18.co.uk"]
+_BLOCKED_IN = ", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)
+
+
+@register(
+    "domain_extract_docs",
+    f"""
+    WITH {_URL_CTE}
+    SELECT doc_id, url, host, domain FROM dom
+    """,
+)
+def domain_extract_docs(spark, sf_dir):
+    """URL → host → registrable domain per document, all row-local JVM
+    expressions (parse_url + split/slice; operators/domains.py). The
+    url column is synthesized deterministically from source/doc_id/lang
+    (the testdata has no url column); the oracle replicates the
+    synthesis, the parse, and the eTLD+1 rule — including the
+    multi-label public-suffix path (src*.co.uk)."""
+    from semantic_ann_in_data_lake_spark.operators import domains as D
+
+    docs = _t(spark, sf_dir, "documents")
+    u = D.synthesize_url(docs)
+    return u.select(
+        "doc_id",
+        "url",
+        D.url_host("url").alias("host"),
+        D.registrable_domain(D.url_host("url")).alias("domain"),
+    )
+
+
+@register(
+    "domain_curation_docs",
+    f"""
+    WITH {_URL_CTE},
+    counts AS (SELECT domain, count(*) AS n_docs FROM dom GROUP BY 1),
+    kept AS (
+      SELECT domain, count(*) AS n_kept FROM (
+        SELECT domain,
+               row_number() OVER (PARTITION BY domain
+                                  ORDER BY doc_id) AS rn
+        FROM dom WHERE domain NOT IN ({_BLOCKED_IN})
+      ) WHERE rn <= 15 GROUP BY 1
+    )
+    SELECT c.domain, c.n_docs::BIGINT AS n_docs,
+           (c.domain IN ({_BLOCKED_IN})) AS blocked,
+           coalesce(k.n_kept, 0)::BIGINT AS n_kept
+    FROM counts c LEFT JOIN kept k USING (domain)
+    """,
+)
+def domain_curation_docs(spark, sf_dir):
+    """Per-domain corpus balance report: blocklist filter (broadcast
+    anti join) then a 15-docs-per-domain cap (cap_per_key window with
+    WindowGroupLimit), reported as (domain, n_docs, blocked, n_kept) —
+    the standard no-single-domain-dominates lever of web-corpus
+    curation pipelines. ONE extraction scan feeds both the raw counts
+    and the capped counts."""
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+    from semantic_ann_in_data_lake_spark.operators import domains as D
+
+    docs = _t(spark, sf_dir, "documents")
+    dom = scoped_persist(
+        D.synthesize_url(docs).select(
+            "doc_id",
+            D.registrable_domain(D.url_host("url")).alias("domain"),
+        )
+    )
+    counts = dom.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        D.cap_per_domain(
+            D.domain_blocklist_filter(dom, _BLOCKED_DOMAINS), n=15
+        )
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return counts.join(kept, "domain", "left").select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("domain").isin(_BLOCKED_DOMAINS).alias("blocked"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -4833,3 +4833,59 @@ def test_curation_funnel_each_stage_drops_its_victim(spark):
         "exact_dedup": 2,
         "entropy_band": 1,
     }
+
+
+def test_domain_extraction_blocklist_and_cap(spark):
+    """registrable_domain handles plain TLDs, multi-label public
+    suffixes, and degenerate 1-label hosts; the blocklist anti-join
+    drops exactly the listed domains; the per-domain cap keeps the n
+    lowest order keys deterministically."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators import domains as D
+
+    hosts = spark.createDataFrame(
+        [
+            ("www.example.com", "example.com"),
+            ("a.b.shop.example.co.uk", "example.co.uk"),
+            ("example.co.jp", "example.co.jp"),
+            ("example.org", "example.org"),
+            ("localhost", "localhost"),
+        ],
+        "host string, want string",
+    )
+    bad = hosts.select(
+        "host", "want", D.registrable_domain("host").alias("got")
+    ).filter("got <> want")
+    assert bad.count() == 0, bad.collect()
+
+    rows = spark.createDataFrame(
+        [(i, f"d{i % 3}.com") for i in range(12)],
+        "doc_id long, domain string",
+    )
+    kept = D.domain_blocklist_filter(rows, ["d0.com"])
+    assert kept.filter("domain = 'd0.com'").count() == 0
+    assert kept.count() == 8
+
+    capped = D.cap_per_domain(rows, n=2)
+    got = sorted(
+        (r["domain"], r["doc_id"]) for r in capped.collect()
+    )
+    # lowest two doc_ids per domain survive
+    assert got == [
+        ("d0.com", 0), ("d0.com", 3),
+        ("d1.com", 1), ("d1.com", 4),
+        ("d2.com", 2), ("d2.com", 5),
+    ]
+
+    # synthesized urls parse back to the domain they were built from
+    docs = spark.createDataFrame(
+        [(1, "x", "en", "src10", 1), (2, "y", "en", "src4", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    u = D.synthesize_url(docs).select(
+        "source",
+        D.registrable_domain(D.url_host("url")).alias("domain"),
+    )
+    got = {r["source"]: r["domain"] for r in u.collect()}
+    assert got == {"src10": "src10.co.uk", "src4": "src4.com"}

@@ -28,25 +28,79 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def token_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer=None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, [extra_cols,] n_tokens) — THE tokenizer seam for every
+    token-accounting operator (same contract as
+    functions.text.token_truncate):
+
+    - ``tokenizer=None``: whitespace tokens, pure JVM expressions —
+      the oracle-gated tier;
+    - ``tokenizer=factory``: exact-token tier. ``factory()`` must
+      return an ``encode(str) -> list[int]`` object (tiktoken's
+      interface; functions.bpe.BpeTokenizer fits) and is invoked once
+      per Python worker inside an Arrow-batched mapInPandas.
+
+    NULL text counts NULL in both tiers.
+    """
+    from semantic_ann_in_data_lake_spark.functions.text import words
+
+    if tokenizer is None:
+        return docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.size(words(text_col)).cast("long").alias("n_tokens"),
+        )
+
+    id_type = dict(docs.dtypes)[id_col]
+    extra_schema = "".join(
+        f", {c} {dict(docs.dtypes)[c]}" for c in extra_cols
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        enc = tokenizer()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    **{c: pdf[c] for c in extra_cols},
+                    "n_tokens": pdf[text_col].map(
+                        lambda t: len(enc.encode(t))
+                        if isinstance(t, str)
+                        else None
+                    ),
+                }
+            )
+
+    return docs.select(id_col, *extra_cols, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}{extra_schema}, n_tokens long"
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     budget: int = 512,
     num_partitions: int | None = None,
+    tokenizer=None,
 ) -> DataFrame:
     """(id, n_tokens, cum_before, bin_id, bin_offset) per document.
 
-    ``n_tokens`` is the whitespace token count (the same tier the
-    token-stats operators gate; swap in an exact-BPE counter through
-    functions.text's tokenizer seam when available). All arithmetic is
-    integer-exact, so the assignment is reproducible cross-engine.
+    ``n_tokens`` comes from :func:`token_counts` — whitespace tier by
+    default (the oracle-gated tier), exact-BPE/tiktoken through the
+    ``tokenizer`` factory seam. All downstream arithmetic is
+    integer-exact, so the assignment is reproducible cross-engine
+    under either tokenizer.
     """
-    from semantic_ann_in_data_lake_spark.functions.text import words
-
-    toks = docs.select(
-        F.col(id_col), F.size(words(text_col)).cast("long").alias("n_tokens")
-    )
+    toks = token_counts(docs, id_col, text_col, tokenizer=tokenizer)
     if num_partitions:
         toks = toks.repartitionByRange(num_partitions, F.col(id_col))
     else:
@@ -166,6 +220,9 @@ def select_to_token_budget(
     weight_col: str = "n_tokens",
     quota_col: str = "alloc_tokens",
     num_partitions: int | None = None,
+    tokenizer=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Greedy per-group selection filling each group's token quota —
     the SELECTION step that turns a mixture allocation
@@ -184,7 +241,20 @@ def select_to_token_budget(
     cross-engine. Scale: the running total is the skew-safe
     :func:`grouped_running_total`; the quota join broadcasts the
     n_groups-row allocation table.
+
+    ``tokenizer``/``text_col``: the :func:`token_counts` seam — when a
+    tokenizer factory is given, ``weight_col`` is (re)computed as the
+    exact token count of ``text_col`` before selection, so budgets are
+    enforced in the same units the model will see. Default keeps the
+    caller-supplied weights (whitespace-tier or precomputed).
     """
+    if tokenizer is not None:
+        counts = token_counts(
+            df, id_col=id_col, text_col=text_col, tokenizer=tokenizer
+        )
+        df = df.drop(weight_col).join(
+            counts.withColumnRenamed("n_tokens", weight_col), id_col
+        )
     run = grouped_running_total(
         df, group_col, order_cols, weight_col,
         out_col="__cum", num_partitions=num_partitions,

@@ -56,6 +56,7 @@ def token_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     extra_cols: tuple[str, ...] = (),
+    tokenizer=None,
 ) -> DataFrame:
     """Per-doc token statistics + a composite quality score.
 
@@ -65,7 +66,26 @@ def token_stats(
     unchanged (e.g. ``source`` for downstream per-source selection) —
     carrying them here beats re-joining the stats onto the corpus,
     which would shuffle the full table against itself.
+
+    ``tokenizer``: the :func:`..operators.packing.token_counts` seam —
+    when given, the ``n_tokens`` COLUMN is replaced with the exact
+    token count (BPE/tiktoken units, what a model-budget consumer
+    bills against). The lexical ratios (TTR, stopword, avg length)
+    stay whitespace-structural by definition — they describe word
+    usage, not subword billing.
     """
+    if tokenizer is not None:
+        from semantic_ann_in_data_lake_spark.operators.packing import (
+            token_counts,
+        )
+
+        base = token_stats(
+            docs, id_col, text_col, extra_cols=extra_cols, tokenizer=None
+        ).drop("n_tokens")
+        exact = token_counts(
+            docs, id_col=id_col, text_col=text_col, tokenizer=tokenizer
+        ).withColumnRenamed(id_col, "doc_id")
+        return base.join(exact, "doc_id")
     toks = words(text_col)
     d = docs.select(
         F.col(id_col).alias("doc_id"),

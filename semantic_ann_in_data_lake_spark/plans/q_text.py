@@ -1759,3 +1759,75 @@ def domain_curation_docs(spark, sf_dir):
         F.col("domain").isin(_BLOCKED_DOMAINS).alias("blocked"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+@register(
+    "pack_sequences_bpe_docs",
+    """
+    SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_violations
+    FROM documents
+    """,
+)
+def pack_sequences_bpe_docs(spark, sf_dir):
+    """Sequence packing under EXACT-BPE token accounting — the
+    tokenizer seam (operators/packing.py::token_counts) exercised end
+    to end: train the in-repo byte-BPE on the corpus, pack to a
+    512-token budget in BPE units, then verify per row that (a) the
+    packed n_tokens equals an independent re-encode of the document,
+    (b) bin_id/bin_offset are exactly (cum_before div/mod budget) with
+    bin_offset < budget, and (c) the final cumulative total conserves
+    the corpus token sum. Emits (n_docs, n_violations); the oracle
+    pins n_violations = 0 (the BPE algebra is not SQL-expressible —
+    its packing invariants are; same model as `bpe_contract_docs`).
+    The whitespace-tier prefix-sum machinery is separately hash-gated
+    by `pack_sequences_docs`."""
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+    from semantic_ann_in_data_lake_spark.functions.bpe import (
+        BpeTokenizer,
+        train_bpe_from_df,
+    )
+    from semantic_ann_in_data_lake_spark.operators.packing import (
+        pack_sequences,
+        token_counts,
+    )
+
+    budget = 512
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_from_df(docs, num_merges=200)
+    tok = lambda: BpeTokenizer(merges)  # noqa: E731
+    packed = scoped_persist(
+        pack_sequences(docs, budget=budget, tokenizer=tok)
+    )
+    recount = token_counts(docs, tokenizer=tok).withColumnRenamed(
+        "n_tokens", "n_expected"
+    )
+    row_bad = (
+        packed.join(recount, "doc_id")
+        .withColumn(
+            "__bad",
+            (F.col("n_tokens") != F.col("n_expected"))
+            | (
+                F.col("bin_id")
+                != F.expr(f"cum_before div {budget}L")
+            )
+            | (F.col("bin_offset") != F.col("cum_before") % budget)
+            | (F.col("bin_offset") >= budget)
+            | (F.col("bin_offset") < 0),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__bad").cast("long")).alias("bad_rows"),
+        )
+    )
+    conserve = packed.agg(
+        (
+            F.max(F.col("cum_before") + F.col("n_tokens"))
+            != F.sum("n_tokens")
+        )
+        .cast("long")
+        .alias("bad_total")
+    )
+    return row_bad.crossJoin(F.broadcast(conserve)).select(
+        "n_docs",
+        (F.col("bad_rows") + F.col("bad_total")).alias("n_violations"),
+    )

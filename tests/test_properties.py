@@ -656,3 +656,77 @@ def test_containment_prefix_join_matches_bruteforce_random(
         for r in containment_prefix_join(docs, threshold=tau).collect()
     }
     assert got == brute
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=20),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=40),
+)
+def test_token_budget_respected_under_either_tokenizer(
+    shared_spark, texts, quota
+):
+    """select_to_token_budget admits exactly the greedy prefix of each
+    group — every admitted row's cum_before is under the quota and the
+    admitted SET equals the Python reference walk — whether tokens are
+    counted by the whitespace tier or through the exact-BPE tokenizer
+    seam (the budget must be enforced in whatever units the seam
+    bills)."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.functions.bpe import (
+        BpeTokenizer,
+        train_bpe,
+    )
+    from semantic_ann_in_data_lake_spark.operators.packing import (
+        select_to_token_budget,
+        token_counts,
+    )
+
+    docs = shared_spark.createDataFrame(
+        [(i, t, "g") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    quotas = shared_spark.createDataFrame(
+        [("g", quota)], "source string, alloc_tokens long"
+    )
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    merges = train_bpe(freqs or {"a": 1}, 10)
+
+    for factory in (None, lambda: BpeTokenizer(merges)):
+        counts = {
+            r["doc_id"]: r["n_tokens"]
+            for r in token_counts(docs, tokenizer=factory).collect()
+        }
+        # Python reference: walk ids ascending, admit while the running
+        # total BEFORE the row is under quota
+        want, run = set(), 0
+        for i in sorted(counts):
+            if run < quota:
+                want.add(i)
+            run += counts[i]
+        base = (
+            docs
+            if factory is not None
+            else docs.join(
+                token_counts(docs).withColumnRenamed("doc_id", "doc_id"),
+                "doc_id",
+            )
+        )
+        sel = select_to_token_budget(
+            base,
+            quotas,
+            group_col="source",
+            order_cols=[F.col("doc_id").asc()],
+            tokenizer=factory,
+        ).collect()
+        got = {r["doc_id"] for r in sel}
+        assert got == want, (factory is None, counts, quota, got, want)
+        assert all(r["cum_before"] < quota for r in sel)

@@ -320,6 +320,8 @@ def bench_queries(spark, sf_dir):
         # round-8: domain-aware curation (row-local parse + anti join +
         # capped window)
         "domain_curation_docs": from_registry("domain_curation_docs"),
+        "quality_threshold_sweep": from_registry("quality_threshold_sweep"),
+        "pack_sequences_bpe": from_registry("pack_sequences_bpe_docs"),
     }
 
 

@@ -84,9 +84,13 @@ def _entropy_band_flag(n, lo: float, hi: float):
     return F.element_at(F.transform(F.array(n), body), 1)
 
 
-def curation_funnel(docs: DataFrame) -> DataFrame:
-    """(stage_rank, stage, n_docs, n_tokens) for the five-stage
-    keep/drop pipeline over ``docs`` (doc_id, text)."""
+def funnel_flags(docs: DataFrame) -> DataFrame:
+    """Per-document funnel stage flags — the shared core of the batch
+    funnel, the streaming quality monitor, and the quality-classifier
+    threshold sweep: ``(doc_id, __h, __nt, __q, __en, __ef)`` =
+    (content md5, whitespace token count, quality flag, english flag,
+    entropy-band flag). One corpus scan, all row-local; callers persist
+    it when they fan out into multiple consumers."""
     staged = docs.select(
         "doc_id", normalize_sentence("text").alias("__n")
     ).select(
@@ -142,19 +146,20 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
         F.col("__q") & F.col("__en"),
         _entropy_band_flag(F.col("__n"), 0.86, 0.92),
     ).otherwise(F.lit(False))
-    flags = scoped_persist(
-        staged.select(
-            "doc_id",
-            "__n",
-            F.md5("__n").alias("__h"),
-            nt.alias("__nt"),
-            q_flag.alias("__q"),
-            en_flag.alias("__en"),
-        )
-        .select(
-            "doc_id", "__h", "__nt", "__q", "__en", e_flag.alias("__ef")
-        )
-    )
+    return staged.select(
+        "doc_id",
+        "__n",
+        F.md5("__n").alias("__h"),
+        nt.alias("__nt"),
+        q_flag.alias("__q"),
+        en_flag.alias("__en"),
+    ).select("doc_id", "__h", "__nt", "__q", "__en", e_flag.alias("__ef"))
+
+
+def curation_funnel(docs: DataFrame) -> DataFrame:
+    """(stage_rank, stage, n_docs, n_tokens) for the five-stage
+    keep/drop pipeline over ``docs`` (doc_id, text)."""
+    flags = scoped_persist(funnel_flags(docs))
     keep = (
         flags.filter(F.col("__q") & F.col("__en"))
         .groupBy("__h")

@@ -1831,3 +1831,101 @@ def pack_sequences_bpe_docs(spark, sf_dir):
         "n_docs",
         (F.col("bad_rows") + F.col("bad_total")).alias("n_violations"),
     )
+
+
+_SWEEP_THRESHOLDS = [0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70]
+
+
+def _sweep_oracle() -> str:
+    from semantic_ann_in_data_lake_spark.annotate.scoring import (
+        default_weights,
+        score_oracle_sql,
+    )
+
+    score_proj = score_oracle_sql("text", default_weights(16), bias=0.0)
+    tlist = ", ".join(repr(t) for t in _SWEEP_THRESHOLDS)
+    return f"""
+    WITH s AS (SELECT doc_id, {score_proj} FROM documents),
+    n AS (SELECT doc_id, {normalize_sentence_sql('text')} AS nrm
+          FROM documents),
+    wds AS (SELECT doc_id,
+              CASE WHEN length(nrm) = 0 THEN []::VARCHAR[]
+                   ELSE string_split(nrm, ' ') END AS w
+            FROM n),
+    f AS (SELECT doc_id, len(w) AS nt,
+            len(list_filter(w, tk -> tk IN ({_STOP_IN}))) AS stop_hits,
+            greatest(len(w) - 2, 0) AS ng,
+            len({word_shingles_from_sql('w', 3)}) AS ndg
+          FROM wds),
+    q AS (SELECT doc_id, nt,
+            (nt BETWEEN 20 AND 200
+             AND round(stop_hits::DOUBLE / greatest(nt, 1) + 1e-9, 4)
+                   >= 0.05
+             AND round((CASE WHEN ng = 0 THEN 0.0
+                        ELSE (ng - ndg)::DOUBLE / ng END) + 1e-9, 4)
+                   <= 0.2) AS qf
+          FROM f),
+    t AS (SELECT unnest([{tlist}]) AS threshold),
+    j AS (SELECT t.threshold, s.score, q.nt, q.qf
+          FROM s JOIN q USING (doc_id) CROSS JOIN t)
+    SELECT threshold,
+           count(*) FILTER (WHERE score >= threshold)::BIGINT AS survivors,
+           coalesce(sum(nt) FILTER (WHERE score >= threshold), 0)::BIGINT
+             AS token_yield,
+           CASE WHEN count(*) FILTER (WHERE score >= threshold) = 0
+                THEN 0.0
+                ELSE round(
+                  (count(*) FILTER (WHERE qf AND score >= threshold))::DOUBLE
+                  / count(*) FILTER (WHERE score >= threshold) + 1e-9, 4)
+           END AS est_precision
+    FROM j GROUP BY 1
+    """
+
+
+@register("quality_threshold_sweep", _sweep_oracle())
+def quality_threshold_sweep(spark, sf_dir):
+    """Quality-classifier operating-point sweep: for each score
+    threshold, (survivors, token yield, estimated precision) — the
+    table a curation owner reads to pick the keep/drop cut. Scores
+    come from the gated classifier head (annotate/scoring.py); the
+    precision estimate uses the funnel's rule-based quality flag as
+    the pseudo-label (operators/funnel.py::funnel_flags — shared core,
+    so the two gates can never drift). ONE scan each for scores and
+    flags, one broadcast of the 9-row threshold list, one grouped agg
+    — no per-threshold corpus rescans."""
+    from semantic_ann_in_data_lake_spark.annotate.scoring import (
+        score_documents,
+    )
+    from semantic_ann_in_data_lake_spark.operators.funnel import (
+        funnel_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = score_documents(docs).select("doc_id", "score")
+    flags = funnel_flags(docs).select(
+        "doc_id", F.col("__nt").alias("nt"), F.col("__q").alias("qf")
+    )
+    thresholds = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+        ).alias("threshold")
+    )
+    j = scores.join(flags, "doc_id").crossJoin(F.broadcast(thresholds))
+    hit = F.col("score") >= F.col("threshold")
+    survivors = F.sum(hit.cast("long"))
+    return j.groupBy("threshold").agg(
+        survivors.alias("survivors"),
+        F.coalesce(
+            F.sum(F.when(hit, F.col("nt"))), F.lit(0)
+        ).cast("long").alias("token_yield"),
+        F.when(survivors == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.sum((hit & F.col("qf")).cast("long")).cast("double")
+                / survivors
+                + F.lit(1e-9),
+                4,
+            )
+        )
+        .alias("est_precision"),
+    )

@@ -1210,3 +1210,83 @@ def test_union_find_merge_transitive_chains():
     assert m == {3: 1, 5: 1, 9: 1, 30: 20}
     assert _union_find_merge([]) == {}
     assert _union_find_merge([(2, 2)]) == {}
+
+
+def test_watermark_metrics_stream_equals_replay_and_redelivery(
+    spark, tmp_path
+):
+    """The observability sink's per-trigger rows equal the batch
+    replay's fold over the same file sequence — watermark advance
+    (max prior event − delay), late-row counts, and lag — and a
+    re-delivery run under the same lineage rewrites identical rows."""
+    from datetime import datetime
+
+    from semantic_ann_in_data_lake_spark.streaming.observe_stream import (
+        watermark_metrics_foreach_batch,
+        watermark_metrics_replay,
+    )
+
+    schema = (
+        "event_id string, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    t = lambda m, s=0: datetime(2024, 1, 1, 12, m, s)  # noqa: E731
+    batches_rows = [
+        [("e1", t(0), 1, "view", 1.0, "{}"),
+         ("e2", t(5), 1, "view", 1.0, "{}")],
+        # e3 is >60s behind the watermark (12:05 - 60s = 12:04)
+        [("e3", t(2), 2, "view", 1.0, "{}"),
+         ("e4", t(9), 2, "view", 1.0, "{}")],
+        [("e5", t(7, 30), 3, "view", 1.0, "{}")],  # late vs 12:08
+    ]
+    import glob
+    import shutil
+
+    in_dir = tmp_path / "wm_in"
+    in_dir.mkdir()
+    frames = []
+    for i, rows in enumerate(batches_rows):
+        df = spark.createDataFrame(rows, schema)
+        frames.append(df)
+        df.coalesce(1).write.parquet(str(tmp_path / f"_wm{i}"))
+        shutil.copy(
+            glob.glob(str(tmp_path / f"_wm{i}" / "part-*.parquet"))[0],
+            in_dir / f"{chr(97 + i)}.parquet",
+        )
+
+    want = watermark_metrics_replay(frames, delay_seconds=60)
+    assert [w["late_rows"] for w in want] == [0, 1, 1]
+    assert want[1]["watermark_us"] == want[0]["max_event_us"] - 60_000_000
+
+    sink = str(tmp_path / "wm_sink")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(in_dir))
+        q = (
+            watermark_metrics_foreach_batch(
+                stream, sink, delay_seconds=60, lineage="fixed"
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    cols = [
+        "batch_id", "n_rows", "max_event_us", "watermark_us",
+        "late_rows", "lag_us",
+    ]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == sorted(tuple(w[c] for c in cols) for w in want)
+
+    run("ck2")  # re-delivery, same lineage -> identical partitions
+    got2 = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got2 == got

@@ -322,6 +322,7 @@ def bench_queries(spark, sf_dir):
         "domain_curation_docs": from_registry("domain_curation_docs"),
         "quality_threshold_sweep": from_registry("quality_threshold_sweep"),
         "pack_sequences_bpe": from_registry("pack_sequences_bpe_docs"),
+        "gopher_rules_docs": from_registry("gopher_rules_docs"),
     }
 
 

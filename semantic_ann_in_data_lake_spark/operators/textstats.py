@@ -637,3 +637,93 @@ def bm25_search(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+#: Gopher rule constants (Rae et al. 2021, appendix A quality rules —
+#: public paper). The eight "must contain >=2" stopwords are the
+#: paper's list, NOT this package's STOPWORDS set.
+GOPHER_STOP_KINDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document measurements + keep flag for the published Gopher
+    document-quality rules not already covered by
+    :func:`gopher_ok_from_stats` (word-count band / stopword ratio /
+    duplicate n-grams):
+
+    - mean word length in [3, 10];
+    - symbol-to-word ratio ('#' or ellipsis) <= 0.1;
+    - <= 90% of lines start with a bullet, <= 30% end with an
+      ellipsis (lines split on the RAW text's newlines);
+    - >= 80% of words contain at least one alphabetic character;
+    - >= 2 distinct members of the paper's stopword list present.
+
+    Everything is one row-local projection (words array staged once,
+    line array staged once) — zero shuffle, whole-stage codegen on the
+    scan; ratios are exact int/int divisions rounded 4 dp, so the
+    output is engine-portable and hash-gatable.
+    """
+    from semantic_ann_in_data_lake_spark.functions.text import words
+
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        # words over the COALESCED text: NULL documents must measure as
+        # empty (n_words 0, keep false), not propagate NULL flags
+        words(raw).alias("__w"),
+        F.split(raw, "\n").alias("__ln"),
+        # symbol OCCURRENCES ('#' or an ellipsis), counted on the raw
+        # text before it leaves this projection
+        F.regexp_count(raw, F.lit(r"[#]|\.\.\.|…")).alias("__n_sym"),
+    )
+    n_words = F.size("__w")
+    safe_w = F.greatest(n_words, F.lit(1))
+    total_chars = F.aggregate(
+        F.transform("__w", F.length),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_len = _r4(total_chars.cast("double") / safe_w)
+    symbol_ratio = _r4(F.col("__n_sym").cast("double") / safe_w)
+    lines = F.filter("__ln", lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).rlike(r"^([-*•]|\d+[.)])\s"),
+        )
+    )
+    ell = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
+    )
+    bullet_frac = _r4(bullet.cast("double") / n_lines)
+    ellipsis_frac = _r4(ell.cast("double") / n_lines)
+    alpha_words = F.size(F.filter("__w", lambda x: x.rlike("[a-z]")))
+    alpha_frac = _r4(alpha_words.cast("double") / safe_w)
+    n_stop_kinds = F.size(
+        F.array_intersect(
+            F.array_distinct("__w"),
+            F.array(*[F.lit(s) for s in GOPHER_STOP_KINDS]),
+        )
+    )
+    keep = (
+        mean_len.between(3.0, 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_stop_kinds >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop_kinds.cast("int").alias("n_stop_kinds"),
+        keep.alias("keep"),
+    )

@@ -1929,3 +1929,69 @@ def quality_threshold_sweep(spark, sf_dir):
         )
         .alias("est_precision"),
     )
+
+
+def _gopher_rules_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in textstats.GOPHER_STOP_KINDS)
+    return f"""
+    WITH {_W_CTE},
+    ln AS (
+      SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), chr(10)),
+                         x -> length(trim(x)) > 0) AS lines,
+             len(regexp_extract_all(coalesce(text, ''),
+                                    '[#]|\\.\\.\\.|…')) AS n_sym
+      FROM documents
+    ),
+    m AS (
+      SELECT w.doc_id,
+             len(w.w) AS n_words,
+             greatest(len(w.w), 1) AS safe_w,
+             list_sum(list_transform(w.w, x -> length(x))) AS total_chars,
+             greatest(len(lines), 1) AS n_lines,
+             len(list_filter(lines,
+               x -> regexp_matches(trim(x),
+                                   '^([-*•]|[0-9]+[.)])\\s'))) AS bullet,
+             len(list_filter(lines,
+               x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS ell,
+             len(list_filter(w.w, x -> regexp_matches(x, '[a-z]')))
+               AS alpha_words,
+             len(list_intersect(list_distinct(w.w), [{stops}]))
+               AS n_stop_kinds,
+             n_sym
+      FROM w JOIN ln ON w.doc_id = ln.doc_id
+    ),
+    r AS (
+      SELECT doc_id, n_words,
+        round(coalesce(total_chars, 0)::DOUBLE / safe_w + 1e-9, 4)
+          AS mean_word_len,
+        round(n_sym::DOUBLE / safe_w + 1e-9, 4) AS symbol_ratio,
+        round(bullet::DOUBLE / n_lines + 1e-9, 4) AS bullet_frac,
+        round(ell::DOUBLE / n_lines + 1e-9, 4) AS ellipsis_frac,
+        round(alpha_words::DOUBLE / safe_w + 1e-9, 4) AS alpha_frac,
+        n_stop_kinds
+      FROM m
+    )
+    SELECT doc_id, n_words::BIGINT AS n_words, mean_word_len,
+           symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac,
+           n_stop_kinds::INT AS n_stop_kinds,
+           (mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+            AND n_stop_kinds >= 2) AS keep
+    FROM r
+    """
+
+
+@register("gopher_rules_docs", _gopher_rules_oracle())
+def gopher_rules_docs(spark, sf_dir):
+    """The published Gopher document-quality rule set (Rae et al. 2021
+    appendix A) as per-document measurements + keep flag — the rules
+    `quality_filter_docs`/`gopher_ok_from_stats` do not already cover:
+    mean word length band, symbol-to-word ratio, bullet-line and
+    ellipsis-line ceilings, alphabetic-word floor, and the ≥2-of-8
+    required-stopword presence (operators/textstats.py::gopher_rules).
+    Entirely row-local, zero shuffle; line rules are exercised on
+    crafted fixtures in unit tests (the synthetic corpus has no
+    newlines, so they gate vacuously-true here by construction)."""
+    return textstats.gopher_rules(_t(spark, sf_dir, "documents"))

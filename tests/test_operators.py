@@ -4889,3 +4889,45 @@ def test_domain_extraction_blocklist_and_cap(spark):
     )
     got = {r["source"]: r["domain"] for r in u.collect()}
     assert got == {"src10": "src10.co.uk", "src4": "src4.com"}
+
+
+def test_gopher_rules_line_and_word_rules(spark):
+    """Each Gopher rule trips on a crafted violator and passes on a
+    clean document — including the line-based rules the synthetic
+    corpus cannot exercise (bullets, ellipsis endings)."""
+    from semantic_ann_in_data_lake_spark.operators.textstats import (
+        gopher_rules,
+    )
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and we have "
+        "plenty of normal words to be sure with everything fine here"
+    )
+    bullets = "\n".join(f"- item {i} of the list to be" for i in range(10))
+    ellipsis = "\n".join(
+        f"the line {i} of text trails off and that..." for i in range(10)
+    )
+    symbols = "the # of # tags # here # is # way # too # high # to be"
+    nonalpha = "the 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 to be"
+    short = "a b c d e f g h i j the to be of and k l m n o p q r s"
+    nostop = "quick brown foxes jump over lazy dogs frequently indeed"
+    rows = [
+        (1, good), (2, bullets), (3, ellipsis), (4, symbols),
+        (5, nonalpha), (6, short), (7, nostop), (8, None), (9, ""),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got[1]["keep"] is True
+    assert got[2]["bullet_frac"] == 1.0 and got[2]["keep"] is False
+    assert got[3]["ellipsis_frac"] == 1.0 and got[3]["keep"] is False
+    assert got[4]["symbol_ratio"] > 0.1 and got[4]["keep"] is False
+    assert got[5]["alpha_frac"] < 0.8 and got[5]["keep"] is False
+    assert got[6]["mean_word_len"] < 3.0 and got[6]["keep"] is False
+    assert got[7]["n_stop_kinds"] < 2 and got[7]["keep"] is False
+    for empty in (8, 9):
+        assert got[empty]["keep"] is False
+        assert got[empty]["n_words"] == 0

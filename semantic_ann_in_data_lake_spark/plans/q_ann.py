@@ -1229,16 +1229,18 @@ _EXACT_TOPK_CTE = f"""
     ),
     assign AS (SELECT vec_id, cid AS cell FROM ad WHERE rnk = 1),
     probes AS (SELECT vec_id AS query_id, cid AS cell FROM ad WHERE rnk <= 4),
-    cand AS (
-      SELECT DISTINCT p.query_id, a.vec_id AS cand_id
-      FROM probes p JOIN assign a USING (cell)
-      WHERE a.vec_id <> p.query_id
-    ),
+    pop AS (SELECT cell, count(*) AS pop FROM assign GROUP BY 1),
     {_EXACT_TOPK_CTE},
-    hit AS (SELECT * FROM exact INTERSECT SELECT * FROM cand)
+    hit AS (
+      SELECT exact.query_id, exact.cand_id
+      FROM exact
+      JOIN assign a ON exact.cand_id = a.vec_id
+      JOIN probes p ON p.query_id = exact.query_id AND p.cell = a.cell
+    )
     SELECT (SELECT count(*) FROM e)::BIGINT AS n_queries,
            (SELECT count(*) FROM exact)::BIGINT AS n_exact,
-           (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+           ((SELECT sum(pop.pop) FROM probes JOIN pop USING (cell))
+             - (SELECT count(*) FROM e))::BIGINT AS n_candidates,
            (SELECT count(*) FROM hit)::BIGINT AS n_found,
            (1000 * (SELECT count(*) FROM hit)
               // greatest((SELECT count(*) FROM exact), 1))::BIGINT
@@ -1251,7 +1253,14 @@ def ivf_recall_report(spark, sf_dir):
     candidate lives in one of the query's probed cells — the quantity
     nprobe trades away. Assignment distances are rounded 6 dp with a
     centroid-id tie-break, so cell membership is cross-engine exact.
-    The exact side is the bounded O(n²) broadcast baseline — this is a
+    The candidate SET is never materialized (it is Θ(n²·nprobe/nlist)
+    rows at fixed nlist — the first committed shape measured 22× for
+    10× data): found-pairs come from joining the n·k exact pairs
+    against the assignment (a pair is a candidate iff its cand's cell
+    is among its query's probed cells, and cells partition candidates,
+    so no distinct is needed), and the candidate COUNT is the
+    population sum over probed cells minus the n self-pairs. The only
+    quadratic piece left is the exact broadcast baseline itself —
     gate/audit query, not a production path. The synthetic embeddings
     are uniform-random (no cluster structure), so the gated number is a
     pessimistic floor for real corpora; production-fit recall floors
@@ -1288,24 +1297,34 @@ def ivf_recall_report(spark, sf_dir):
     assign = ad.filter(F.col("rnk") == 1).select(
         F.col("vec_id").alias("cand_id"), F.col("cid").alias("cell")
     )
-    probes = ad.filter(F.col("rnk") <= 4).select(
-        F.col("vec_id").alias("query_id"), F.col("cid").alias("cell")
+    probes = scoped_persist(
+        ad.filter(F.col("rnk") <= 4).select(
+            F.col("vec_id").alias("query_id"), F.col("cid").alias("cell")
+        )
     )
-    cand = scoped_persist(
-        probes.join(assign, "cell")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id")
-        .distinct()
+    # candidate COUNT without materializing the Θ(n²·nprobe/nlist)
+    # candidate-pair set: population sum over probed cells minus the n
+    # self-pairs (every query's own cell is its rank-1 probe)
+    pop = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("pop"))
+    n_cand = (
+        probes.join(F.broadcast(pop), "cell")
+        .agg(F.sum("pop").alias("s"))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n"))))
+        .select((F.col("s") - F.col("n")).alias("n_candidates"))
     )
     exact = scoped_persist(
         knn_join(emb, emb, k=5, strategy="broadcast").select(
             "query_id", "cand_id"
         )
     )
-    hit = exact.join(cand, ["query_id", "cand_id"])
+    # a pair is a candidate iff its cand's cell is probed by its query;
+    # cells PARTITION candidates, so the join cannot duplicate pairs
+    hit = exact.join(
+        assign, "cand_id"
+    ).join(probes, ["query_id", "cell"])
     nq = e.agg(F.count(F.lit(1)).alias("n_queries"))
     na = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nc = n_cand
     nf = hit.agg(F.count(F.lit(1)).alias("n_found"))
     return (
         nq.crossJoin(F.broadcast(na))

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+    scoped_foreach_batch,
     _read_sink_or_none,
 )
 
@@ -148,6 +149,6 @@ def incremental_cc_foreach_batch(
         ).localCheckpoint(eager=True)
         updated.repartition(1).write.mode("overwrite").parquet(labels_path)
 
-    return pairs_stream.writeStream.foreachBatch(handle).trigger(
+    return pairs_stream.writeStream.foreachBatch(scoped_foreach_batch(handle)).trigger(
         availableNow=True
     )

@@ -47,6 +47,7 @@ from semantic_ann_in_data_lake_spark.operators.ivf_index import (
     refresh_ivf_index,
 )
 from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+    scoped_foreach_batch,
     _read_sink_or_none,
 )
 
@@ -116,6 +117,6 @@ def stream_refresh_ivf_index(
                 fresh.unpersist()
 
     return (
-        emb_stream.writeStream.foreachBatch(handle)
+        emb_stream.writeStream.foreachBatch(scoped_foreach_batch(handle))
         .trigger(availableNow=True)
     )

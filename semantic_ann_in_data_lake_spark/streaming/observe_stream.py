@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from semantic_ann_in_data_lake_spark.functions.dates import epoch_us
 from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+    scoped_foreach_batch,
     _lineage_token,
     _read_sink_or_none,
     normalize_event_ts,
@@ -117,9 +118,9 @@ def watermark_metrics_foreach_batch(
             .parquet(sink_path)
         )
 
-    return events_stream.writeStream.foreachBatch(handle).trigger(
-        availableNow=True
-    )
+    return events_stream.writeStream.foreachBatch(
+        scoped_foreach_batch(handle)
+    ).trigger(availableNow=True)
 
 
 def watermark_metrics_replay(

@@ -42,6 +42,23 @@ def _lineage_token(lineage: str | None) -> str:
     return lineage if lineage else uuid.uuid4().hex
 
 
+def scoped_foreach_batch(handle):
+    """Wrap a foreachBatch handler in a cache_scope: several handlers
+    call operators that scoped_persist multi-consumer subtrees
+    (curation_funnel's flags, winnow_fingerprints' fp frame) — outside
+    a scope those blocks live for the SESSION, so a long-running
+    stream accumulates one orphaned cached frame per micro-batch. The
+    handler's writes are actions inside the scope, so the persists are
+    exploited and then released per batch."""
+    from semantic_ann_in_data_lake_spark.cache import cache_scope
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        with cache_scope():
+            handle(batch_df, batch_id)
+
+    return run
+
+
 def events_stream(spark: SparkSession, events_dir: str, schema) -> DataFrame:
     """readStream over a directory of events parquet files."""
     return spark.readStream.schema(schema).parquet(events_dir)
@@ -162,7 +179,7 @@ def incremental_embed_foreach_batch(
         fresh.write.mode("append").parquet(sink_path)
 
     return (
-        docs_stream.writeStream.foreachBatch(handle)
+        docs_stream.writeStream.foreachBatch(scoped_foreach_batch(handle))
         .trigger(availableNow=True)
     )
 
@@ -201,7 +218,7 @@ def incremental_dedup_foreach_batch(docs_stream: DataFrame, sink_path: str,
             fresh = firsts
         fresh.write.mode("append").parquet(sink_path)
 
-    return docs_stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    return docs_stream.writeStream.foreachBatch(scoped_foreach_batch(handle)).trigger(availableNow=True)
 
 
 def incremental_neardup_foreach_batch(
@@ -292,7 +309,7 @@ def incremental_neardup_foreach_batch(
         fresh_bands.write.mode("append").parquet(bands_path)
         banded.unpersist()
 
-    return docs_stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    return docs_stream.writeStream.foreachBatch(scoped_foreach_batch(handle)).trigger(availableNow=True)
 
 
 def dedup_stream(
@@ -453,7 +470,7 @@ def incremental_rollup_foreach_batch(
             .parquet(sink_path)
         )
 
-    return events_stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    return events_stream.writeStream.foreachBatch(scoped_foreach_batch(handle)).trigger(availableNow=True)
 
 
 def incremental_cms_foreach_batch(
@@ -489,7 +506,7 @@ def incremental_cms_foreach_batch(
             width=width, run_id=run_token,
         )
 
-    return events_stream.writeStream.foreachBatch(handle).trigger(
+    return events_stream.writeStream.foreachBatch(scoped_foreach_batch(handle)).trigger(
         availableNow=True
     )
 
@@ -564,7 +581,7 @@ def incremental_bins_foreach_batch(
             run_id=run_token,
         )
 
-    return events_stream.writeStream.foreachBatch(handle).trigger(
+    return events_stream.writeStream.foreachBatch(scoped_foreach_batch(handle)).trigger(
         availableNow=True
     )
 
@@ -722,7 +739,7 @@ def incremental_winnow_foreach_batch(
         if hist_hits is not None:
             hist_hits.unpersist()
 
-    return docs_stream.writeStream.foreachBatch(handle).trigger(
+    return docs_stream.writeStream.foreachBatch(scoped_foreach_batch(handle)).trigger(
         availableNow=True
     )
 
@@ -775,7 +792,7 @@ def incremental_weighted_sample_foreach_batch(
             "overwrite"
         ).parquet(sink_path)
 
-    return docs_stream.writeStream.foreachBatch(handle).trigger(
+    return docs_stream.writeStream.foreachBatch(scoped_foreach_batch(handle)).trigger(
         availableNow=True
     )
 
@@ -818,6 +835,6 @@ def incremental_quality_monitor_foreach_batch(
             .parquet(sink_path)
         )
 
-    return docs_stream.writeStream.foreachBatch(handle).trigger(
+    return docs_stream.writeStream.foreachBatch(scoped_foreach_batch(handle)).trigger(
         availableNow=True
     )

@@ -1290,3 +1290,50 @@ def test_watermark_metrics_stream_equals_replay_and_redelivery(
         for r in spark.read.parquet(sink).collect()
     )
     assert got2 == got
+
+
+def test_foreach_batch_sinks_release_cached_blocks(spark, sf_dir, tmp_path):
+    """Handlers that call persisting operators (the quality monitor's
+    curation_funnel, the winnow sink's fingerprints) must not leak one
+    cached frame per micro-batch — scoped_foreach_batch wraps each
+    batch in a cache_scope, so the persistent-RDD count returns to its
+    pre-stream level after the run."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+        incremental_quality_monitor_foreach_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    in_dir = tmp_path / "leak_in"
+    in_dir.mkdir()
+    for i, half in enumerate(
+        [docs.where(F.col("doc_id") < 250), docs.where(F.col("doc_id") >= 250)]
+    ):
+        half.coalesce(1).write.parquet(str(tmp_path / f"_l{i}"))
+        shutil.copy(
+            glob.glob(str(tmp_path / f"_l{i}" / "part-*.parquet"))[0],
+            in_dir / f"{chr(97 + i)}.parquet",
+        )
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_persistent()
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(in_dir))
+    q = (
+        incremental_quality_monitor_foreach_batch(
+            stream, str(tmp_path / "leak_sink"), lineage="fixed"
+        )
+        .option("checkpointLocation", str(tmp_path / "leak_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert n_persistent() == before

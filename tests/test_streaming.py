@@ -1336,4 +1336,9 @@ def test_foreach_batch_sinks_release_cached_blocks(spark, sf_dir, tmp_path):
         .start()
     )
     q.awaitTermination()
-    assert n_persistent() == before
+    # <= not ==: in a long shared session Spark's async ContextCleaner
+    # may release OTHER tests' unreachable blocks while this stream
+    # runs (observed 182 -> 180 in a full-suite run). The pin is NO NET
+    # GROWTH: pre-fix, each micro-batch added one persisted flags
+    # frame synchronously, so this read before+2 here.
+    assert n_persistent() <= before

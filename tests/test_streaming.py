@@ -1342,3 +1342,70 @@ def test_foreach_batch_sinks_release_cached_blocks(spark, sf_dir, tmp_path):
     # GROWTH: pre-fix, each micro-batch added one persisted flags
     # frame synchronously, so this read before+2 here.
     assert n_persistent() <= before
+
+
+def test_streaming_domain_cap_equals_batch_and_redelivery(
+    spark, sf_dir, tmp_path
+):
+    """The streamed per-domain admission cap over id-ordered file
+    batches admits EXACTLY the batch cap_per_domain keep set over the
+    full log, and a re-delivery from a fresh checkpoint (same sink)
+    admits nothing new."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators import domains as D
+    from semantic_ann_in_data_lake_spark.streaming.domain_stream import (
+        incremental_domain_cap_foreach_batch,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+    )
+    urled = D.synthesize_url(docs).select("doc_id", "url")
+    want = {
+        (r["doc_id"], r["domain"])
+        for r in D.cap_per_domain(
+            urled.select(
+                "doc_id",
+                D.registrable_domain(D.url_host("url")).alias("domain"),
+            ),
+            n=7,
+        ).collect()
+    }
+
+    in_dir = tmp_path / "dc_in"
+    in_dir.mkdir()
+    for i, half in enumerate(
+        [urled.where(F.col("doc_id") < 250), urled.where(F.col("doc_id") >= 250)]
+    ):
+        half.coalesce(1).write.parquet(str(tmp_path / f"_dc{i}"))
+        shutil.copy(
+            glob.glob(str(tmp_path / f"_dc{i}" / "part-*.parquet"))[0],
+            in_dir / f"{chr(97 + i)}.parquet",
+        )
+    sink = str(tmp_path / "dc_sink")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(urled.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(in_dir))
+        q = (
+            incremental_domain_cap_foreach_batch(stream, sink, n_per_domain=7)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination()
+
+    run("dc_ck1")
+    got = {
+        (r["doc_id"], r["domain"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == want
+
+    run("dc_ck2")  # re-delivery: same files, fresh checkpoint
+    assert spark.read.parquet(sink).count() == len(want)

@@ -730,3 +730,38 @@ def test_token_budget_respected_under_either_tokenizer(
         got = {r["doc_id"] for r in sel}
         assert got == want, (factory is None, counts, quota, got, want)
         assert all(r["cum_before"] < quota for r in sel)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcxyz09", min_size=1, max_size=6),
+        min_size=1,
+        max_size=4,
+    ),
+    st.sampled_from([None, "co.uk", "com.au", "co.jp", "com.br", "co.in"]),
+)
+def test_registrable_domain_matches_python_model(
+    shared_spark, labels, suffix
+):
+    """registrable_domain == a direct Python model of the eTLD+1 rule
+    (last two labels; last three when the host ends in a recognised
+    multi-label public suffix) for arbitrary label stacks with and
+    without multi-label suffixes."""
+    from semantic_ann_in_data_lake_spark.operators.domains import (
+        MULTI_LABEL_SUFFIXES,
+        registrable_domain,
+    )
+
+    host = ".".join(labels + ([suffix] if suffix else []))
+
+    parts = host.split(".")
+    take3 = any(
+        host.endswith("." + s) for s in MULTI_LABEL_SUFFIXES
+    ) and len(parts) >= 3
+    keep = 3 if take3 else min(len(parts), 2)
+    want = ".".join(parts[-keep:])
+
+    df = shared_spark.createDataFrame([(host,)], "host string")
+    got = df.select(registrable_domain("host").alias("d")).collect()[0]["d"]
+    assert got == want, (host, got, want)

@@ -765,3 +765,65 @@ def test_registrable_domain_matches_python_model(
     df = shared_spark.createDataFrame([(host,)], "host string")
     got = df.select(registrable_domain("host").alias("d")).collect()[0]["d"]
     assert got == want, (host, got, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=600), max_size=5),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(min_value=1, max_value=120),
+)
+def test_watermark_replay_matches_python_model(
+    shared_spark, batches_sec, delay
+):
+    """watermark_metrics_replay == a pure-Python fold of the advance
+    rule (watermark = max prior event second − delay; late = events
+    strictly behind it) for arbitrary batch sequences including empty
+    batches and out-of-order arrivals."""
+    from datetime import datetime, timedelta
+
+    from semantic_ann_in_data_lake_spark.streaming.observe_stream import (
+        watermark_metrics_replay,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "event_id string, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    frames = [
+        shared_spark.createDataFrame(
+            [
+                (f"e{i}{j}", t0 + timedelta(seconds=s), 1, "v", 1.0, "{}")
+                for j, s in enumerate(secs)
+            ],
+            schema,
+        )
+        for i, secs in enumerate(batches_sec)
+    ]
+    got = watermark_metrics_replay(frames, delay_seconds=delay)
+
+    seen_max = None
+    for secs, g in zip(batches_sec, got):
+        wm = None if seen_max is None else seen_max - delay
+        assert g["n_rows"] == len(secs)
+        assert g["max_event_us"] == (
+            None if not secs else (max(secs) * 1_000_000
+                                   + int(t0.timestamp()) * 1_000_000)
+        )
+        # t0.timestamp() is UTC-exact here: the container clock and the
+        # pinned Spark session zone are both UTC, so naive-datetime
+        # epoch math and epoch_us agree
+        if wm is None:
+            assert g["watermark_us"] is None
+        else:
+            assert g["watermark_us"] == (
+                wm * 1_000_000 + int(t0.timestamp()) * 1_000_000
+            )
+        want_late = 0 if wm is None else sum(1 for s in secs if s < wm)
+        assert g["late_rows"] == want_late, (secs, wm, g)
+        if secs and (seen_max is None or max(secs) > seen_max):
+            seen_max = max(secs)

@@ -30,9 +30,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Multi-label public suffixes the registrable-domain rule recognises.
-#: A tiny built-in stand-in for the real Public Suffix List (public,
-#: https://publicsuffix.org) — swap in the full list in production.
+#: Multi-label public suffixes the registrable-domain rule recognises
+#: by default. A tiny built-in stand-in for the real Public Suffix
+#: List (public, https://publicsuffix.org) — pass the full list via
+#: ``registrable_domain(..., suffixes=...)`` in production.
 MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
     "co.uk", "com.au", "co.jp", "com.br", "co.in",
 )
@@ -87,19 +88,43 @@ def url_host(url: Column | str) -> Column:
     return F.parse_url(u, F.lit("HOST"))
 
 
-def registrable_domain(host: Column | str) -> Column:
+def registrable_domain(
+    host: Column | str,
+    suffixes: tuple[str, ...] = MULTI_LABEL_SUFFIXES,
+) -> Column:
     """Registrable domain (eTLD+1) of a host: the last two labels,
-    or three when the suffix is a recognised multi-label public suffix
-    (``co.uk`` and friends). Row-local split/slice — no UDF."""
+    or one more than the suffix length when the host ends in a
+    recognised multi-label public suffix (``co.uk`` and friends).
+    Row-local split/slice — no UDF.
+
+    A host that IS a public suffix (e.g. host ``co.uk``) has no
+    registrable domain — it returns NULL rather than reporting the
+    bare suffix as its own domain (grouping every ``*.co.uk`` site's
+    parent under one key would silently merge unrelated sites in
+    per-domain caps/blocklists).
+
+    ``suffixes`` is injectable so deployments can load the full
+    Public Suffix List (public, https://publicsuffix.org) instead of
+    the tiny built-in stand-in; entries may be any label depth
+    (e.g. ``github.io`` → ``user.github.io`` is the registrable
+    domain). NULL hosts stay NULL.
+    """
     h = F.col(host) if isinstance(host, str) else host
     labels = F.split(h, r"\.")
     n = F.size(labels)
-    take3 = F.lit(False)
-    for suf in MULTI_LABEL_SUFFIXES:
-        take3 = take3 | h.endswith("." + suf)
-    keep = F.when(take3 & (n >= 3), 3).otherwise(F.least(n, F.lit(2)))
-    return F.array_join(
-        F.slice(labels, n - keep + 1, keep), "."
+    is_suffix = F.lit(False)
+    keep = F.least(n, F.lit(2))
+    # longest-match-wins, as the PSL prescribes: apply shorter
+    # suffixes first so a longer matching suffix overwrites the keep
+    # width (e.g. a list with both 'io' and 'github.io')
+    for suf in sorted(suffixes, key=lambda s: s.count(".")):
+        width = suf.count(".") + 2
+        is_suffix = is_suffix | (h == suf)
+        keep = F.when(
+            h.endswith("." + suf) & (n >= width), F.lit(width)
+        ).otherwise(keep)
+    return F.when(is_suffix, F.lit(None).cast("string")).otherwise(
+        F.array_join(F.slice(labels, n - keep + 1, keep), ".")
     )
 
 

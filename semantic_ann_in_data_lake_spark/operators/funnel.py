@@ -89,8 +89,15 @@ def funnel_flags(docs: DataFrame) -> DataFrame:
     funnel, the streaming quality monitor, and the quality-classifier
     threshold sweep: ``(doc_id, __h, __nt, __q, __en, __ef)`` =
     (content md5, whitespace token count, quality flag, english flag,
-    entropy-band flag). One corpus scan, all row-local; callers persist
-    it when they fan out into multiple consumers."""
+    stage-5 survivor flag). One corpus scan, all row-local; callers
+    persist it when they fan out into multiple consumers.
+
+    ``__ef`` is NOT a standalone entropy measurement: it is
+    entropy-band AND ``__q`` AND ``__en`` (hard-False whenever the
+    cheap flags fail, so the expensive entropy fold is skipped for
+    rows the funnel already dropped). Consumers that need the entropy
+    band independent of the quality/english gates must call
+    ``_entropy_band_flag`` directly."""
     staged = docs.select(
         "doc_id", normalize_sentence("text").alias("__n")
     ).select(

@@ -65,6 +65,17 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     whose gap closed are emitted; the open session stays in state and
     is flushed on event-time timeout (watermark-driven), so results for
     fully-delivered input match ``sessionize_batch``.
+
+    State-format compatibility: the redelivery guard compares
+    ``(ts, event_id)`` lexicographically with numeric event ids
+    zero-padded to 20 digits (covers the full unsigned-64-bit id
+    domain; ids longer than 20 digits fall back to plain
+    lexicographic order). Checkpoints written by pre-padding builds
+    store UNPADDED ids, so an equal-timestamp redelivery straddling
+    an upgrade can be misclassified (folded twice or dropped) —
+    upgrades across the padding change require a FRESH checkpoint
+    (replay the log), the same operational rule as any Spark
+    stateful-operator schema change.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -4851,12 +4851,33 @@ def test_domain_extraction_blocklist_and_cap(spark):
             ("example.co.jp", "example.co.jp"),
             ("example.org", "example.org"),
             ("localhost", "localhost"),
+            # a host that IS a public suffix has no registrable domain
+            ("co.uk", None),
+            ("com.au", None),
         ],
         "host string, want string",
     )
     bad = hosts.select(
         "host", "want", D.registrable_domain("host").alias("got")
-    ).filter("got <> want")
+    ).filter("got IS DISTINCT FROM want")
+    assert bad.count() == 0, bad.collect()
+
+    # the suffix list is injectable (deployments load the full PSL);
+    # longest match wins, and deeper suffixes widen the keep count
+    psl = ("io", "github.io")
+    inj = spark.createDataFrame(
+        [
+            ("user.github.io", "user.github.io"),
+            ("a.user.github.io", "user.github.io"),
+            ("github.io", None),
+            ("plain.example.com", "example.com"),
+        ],
+        "host string, want string",
+    )
+    bad = inj.select(
+        "host", "want",
+        D.registrable_domain("host", suffixes=psl).alias("got"),
+    ).filter("got IS DISTINCT FROM want")
     assert bad.count() == 0, bad.collect()
 
     rows = spark.createDataFrame(

@@ -746,8 +746,9 @@ def test_registrable_domain_matches_python_model(
 ):
     """registrable_domain == a direct Python model of the eTLD+1 rule
     (last two labels; last three when the host ends in a recognised
-    multi-label public suffix) for arbitrary label stacks with and
-    without multi-label suffixes."""
+    multi-label public suffix; NULL when the host IS a public suffix)
+    for arbitrary label stacks with and without multi-label
+    suffixes."""
     from semantic_ann_in_data_lake_spark.operators.domains import (
         MULTI_LABEL_SUFFIXES,
         registrable_domain,
@@ -756,11 +757,14 @@ def test_registrable_domain_matches_python_model(
     host = ".".join(labels + ([suffix] if suffix else []))
 
     parts = host.split(".")
-    take3 = any(
-        host.endswith("." + s) for s in MULTI_LABEL_SUFFIXES
-    ) and len(parts) >= 3
-    keep = 3 if take3 else min(len(parts), 2)
-    want = ".".join(parts[-keep:])
+    if host in MULTI_LABEL_SUFFIXES:
+        want = None
+    else:
+        take3 = any(
+            host.endswith("." + s) for s in MULTI_LABEL_SUFFIXES
+        ) and len(parts) >= 3
+        keep = 3 if take3 else min(len(parts), 2)
+        want = ".".join(parts[-keep:])
 
     df = shared_spark.createDataFrame([(host,)], "host string")
     got = df.select(registrable_domain("host").alias("d")).collect()[0]["d"]

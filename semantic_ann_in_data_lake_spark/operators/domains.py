@@ -83,9 +83,11 @@ def synthesize_url(
 
 
 def url_host(url: Column | str) -> Column:
-    """Host part of a URL — JVM-side ``parse_url(url, 'HOST')``."""
+    """Host part of a URL — JVM-side ``try_parse_url(url, 'HOST')``
+    (the try_ form: malformed crawl URLs yield NULL instead of failing
+    the job under ANSI mode — callers bucket or drop the NULLs)."""
     u = F.col(url) if isinstance(url, str) else url
-    return F.parse_url(u, F.lit("HOST"))
+    return F.try_parse_url(u, F.lit("HOST"))
 
 
 def registrable_domain(

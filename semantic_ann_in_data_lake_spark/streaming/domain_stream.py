@@ -9,25 +9,77 @@ are dropped at the door instead of post-hoc. First-arrival-wins
 and, when files arrive in id order, IDENTICAL to the batch operator's
 keep set over the full log — the stream ≡ batch pin the test asserts.
 
-Scale/exactly-once design (same discipline as the other foreachBatch
-sinks): per batch one row-local domain extraction, one
-WindowGroupLimit-bounded rank within the batch, one broadcast join
-against the ≤n_domains-row admitted-count aggregate of the sink, and
-an id-retry-guarded append — a replayed batch's rows are dropped by
-the anti-join before quota math runs, so retries can neither
-double-admit nor burn quota twice.
+Malformed URLs (``parse_url`` → NULL host, or hosts that ARE a public
+suffix → NULL registrable domain) are bucketed under the sentinel
+domain ``__invalid__`` BEFORE quota math: NULL keys match no equi-join
+row, so a NULL-keyed domain would restart its quota from zero every
+micro-batch while the batch operator caps it as one (NULL) group —
+the sentinel keeps stream ≡ batch and makes the cap actually bind on
+junk-URL floods.
+
+Incremental-state design (this replaces the per-trigger full-sink
+re-aggregation the first version used):
+
+- The admitted sink is partitioned by ``(run_id, batch_id)`` and
+  written with DYNAMIC partition overwrite — a same-lineage replay of
+  batch b recomputes its admitted set from the same pre-b state and
+  rewrites its own partition identically (exactly-once), no id
+  anti-join against the whole sink needed.
+- A compact state table (``<sink>__state``) carries the per-domain
+  cumulative counts and the max-seen-id scalar; it is double-buffered
+  into two ``epoch = batch_id % 2`` partitions so batch b reads the
+  b−1 epoch while dynamically overwriting the b−2 slot — the written
+  partition is never an input of the writing job.
+- Steady-state per-trigger reads are therefore STATE-sized (two
+  epochs ≤ 2·(n_domains+1) rows), independent of how many batches the
+  stream has run — the property ``test_streaming_domain_cap_state_
+  sized_reads`` pins by spying on the bootstrap hook.
+- The full admitted sink is scanned ONLY when the run identity
+  changes (fresh checkpoint over an existing sink, or a legacy sink
+  without state): counts and max admitted id are rebuilt once, then
+  reads are incremental again. Rows at or below the rebuilt
+  max-seen-id are redeliveries and are dropped; previously REJECTED
+  rows above it re-enter quota math and lose again (their domain is
+  at cap by construction — a domain that rejected a row can never
+  drop below cap, the admitted set is append-only).
+
+Redelivery contract (same as the SCD2/EWMA/sessionize legs'
+lexicographic guard): files arrive in id order, so a row with
+``id <= max_seen`` is an at-least-once redelivery, not new data.
+Cross-restart exactly-once needs a stable ``lineage`` (pass the
+checkpoint path); the default mints a per-incarnation token, which
+still covers in-process retries and fresh-checkpoint re-ingests of an
+already-admitted history (via the max-seen guard + quota).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from semantic_ann_in_data_lake_spark.streaming.profile_stream import (
+    _lineage_token,
     _read_sink_or_none,
     scoped_foreach_batch,
 )
+
+#: quota bucket for rows whose URL yields no registrable domain
+INVALID_DOMAIN = "__invalid__"
+
+
+def _bootstrap_from_sink(
+    spark: SparkSession, sink_path: str, id_col: str
+) -> tuple[DataFrame | None, object]:
+    """(per-domain admitted counts, max admitted id) rebuilt from the
+    FULL admitted sink — the once-per-run-restart path (tests spy on
+    this to pin that steady-state triggers never call it)."""
+    sink = _read_sink_or_none(spark, sink_path)
+    if sink is None:
+        return None, None
+    counts = sink.groupBy("domain").agg(F.count(F.lit(1)).alias("used"))
+    mx = sink.agg(F.max(id_col).alias("mx")).collect()[0]["mx"]
+    return counts, mx
 
 
 def incremental_domain_cap_foreach_batch(
@@ -35,46 +87,156 @@ def incremental_domain_cap_foreach_batch(
     sink_path: str,
     n_per_domain: int,
     id_col: str = "doc_id",
+    lineage: str | None = None,
 ):
     """foreachBatch per-domain admission: sink rows are the ADMITTED
-    documents ``(doc_id, domain)``. Quota left for a domain = cap −
-    already-admitted; within a batch candidates rank by id so the
-    admitted set is deterministic under repartitioning and retries."""
+    documents ``(doc_id, domain)`` partitioned by ``(run_id,
+    batch_id)``. Quota left for a domain = cap − already-admitted;
+    within a batch candidates rank by id so the admitted set is
+    deterministic under repartitioning and retries."""
     from semantic_ann_in_data_lake_spark.operators import domains as D
+
+    run_token = _lineage_token(lineage)
+    state_path = sink_path + "__state"
+    cap = int(n_per_domain)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        b = int(batch_id)
+        id_type = batch_df.schema[id_col].dataType.simpleString()
         cand = batch_df.select(
             F.col(id_col),
-            D.registrable_domain(D.url_host("url")).alias("domain"),
+            F.coalesce(
+                D.registrable_domain(D.url_host("url")),
+                F.lit(INVALID_DOMAIN),
+            ).alias("domain"),
         )
-        sink = _read_sink_or_none(spark, sink_path)
-        if sink is not None:
-            # retry guard FIRST: a re-delivered row must not re-enter
-            # quota math (it is already admitted or already rejected —
-            # rejected rows lost their race and stay rejected: the
-            # admitted set is append-only, so the outcome replays)
-            cand = cand.join(
-                sink.select(id_col).distinct(), id_col, "left_anti"
-            )
-            used = sink.groupBy("domain").agg(
-                F.count(F.lit(1)).alias("__used")
-            )
+
+        state = _read_sink_or_none(spark, state_path)
+        base: DataFrame | None = None
+        max_seen = None
+        if state is not None:
+            hdrs = {
+                int(r["as_of_batch"]): r
+                for r in state.where(F.col("run_id") == run_token)
+                .select(
+                    "as_of_batch", "max_seen_pre", "max_seen_post"
+                )
+                .distinct()
+                .collect()
+            }
         else:
-            used = None
+            hdrs = {}
+        if b - 1 in hdrs:
+            # steady state (and the common replay): counts AFTER b−1
+            base = state.where(
+                (F.col("run_id") == run_token)
+                & (F.col("as_of_batch") == b - 1)
+                & F.col("domain").isNotNull()
+            ).select("domain", F.col("used_post").alias("used"))
+            max_seen = hdrs[b - 1]["max_seen_post"]
+        elif b in hdrs:
+            # crash replay of the run's FIRST batch after its state
+            # write committed: the pre-b snapshot is this epoch's
+            # used_pre column
+            base = state.where(
+                (F.col("run_id") == run_token)
+                & (F.col("as_of_batch") == b)
+                & F.col("domain").isNotNull()
+            ).select("domain", F.col("used_pre").alias("used"))
+            max_seen = hdrs[b]["max_seen_pre"]
+        else:
+            # run identity changed (fresh checkpoint / legacy sink):
+            # one full-sink rebuild, then incremental again
+            base, max_seen = _bootstrap_from_sink(spark, sink_path, id_col)
+
+        if base is not None:
+            # truncate lineage: the state/sink frames feeding `base`
+            # share a root path with the partitions the two writes
+            # below overwrite — an eager local checkpoint (state-sized
+            # in steady state) makes both writes read-free of their
+            # own output
+            base = base.localCheckpoint(eager=True)
+
+        if max_seen is not None:
+            # id-ordered-arrival redelivery guard (the streaming legs'
+            # shared contract): rows at/below the frontier are
+            # at-least-once redeliveries of admitted-or-rejected rows
+            cand = cand.where(F.col(id_col) > F.lit(max_seen))
+
         w = Window.partitionBy("domain").orderBy(F.col(id_col).asc())
         ranked = cand.withColumn("__rn", F.row_number().over(w))
-        if used is not None:
-            ranked = ranked.join(F.broadcast(used), "domain", "left")
-            left = F.lit(int(n_per_domain)) - F.coalesce(
-                F.col("__used"), F.lit(0)
-            )
+        if base is not None:
+            ranked = ranked.join(F.broadcast(base), "domain", "left")
+            left = F.lit(cap) - F.coalesce(F.col("used"), F.lit(0))
         else:
-            left = F.lit(int(n_per_domain))
+            left = F.lit(cap)
         admitted = ranked.where(F.col("__rn") <= left).select(
             id_col, "domain"
         )
-        admitted.write.mode("append").parquet(sink_path)
+        (
+            admitted.withColumn("run_id", F.lit(run_token))
+            .withColumn("batch_id", F.lit(b))
+            .repartition(1)
+            .sortWithinPartitions(id_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "batch_id")
+            .parquet(sink_path)
+        )
+
+        # fold the batch into the state snapshot: used_pre = counts
+        # before this batch (what a replay must rank against),
+        # used_post = after
+        batch_counts = admitted.groupBy("domain").agg(
+            F.count(F.lit(1)).alias("__add")
+        )
+        if base is not None:
+            merged = base.join(batch_counts, "domain", "full").select(
+                "domain",
+                F.coalesce(F.col("used"), F.lit(0))
+                .cast("long")
+                .alias("used_pre"),
+                (
+                    F.coalesce(F.col("used"), F.lit(0))
+                    + F.coalesce(F.col("__add"), F.lit(0))
+                )
+                .cast("long")
+                .alias("used_post"),
+            )
+        else:
+            merged = batch_counts.select(
+                "domain",
+                F.lit(0).cast("long").alias("used_pre"),
+                F.col("__add").cast("long").alias("used_post"),
+            )
+        batch_mx = cand.agg(F.max(id_col).alias("mx")).collect()[0]["mx"]
+        post_mx = max(
+            (m for m in (max_seen, batch_mx) if m is not None),
+            default=None,
+        )
+        # marker row (NULL domain): state must exist even for an
+        # all-rejected or empty batch so the scalars advance
+        marker = merged.sparkSession.createDataFrame(
+            [(None, 0, 0)], "domain string, used_pre long, used_post long"
+        )
+        (
+            merged.unionByName(marker)
+            .withColumn("run_id", F.lit(run_token))
+            .withColumn("as_of_batch", F.lit(b))
+            .withColumn(
+                "max_seen_pre", F.lit(max_seen).cast(id_type)
+            )
+            .withColumn(
+                "max_seen_post", F.lit(post_mx).cast(id_type)
+            )
+            .withColumn("epoch", F.lit(b % 2))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(state_path)
+        )
 
     return docs_stream.writeStream.foreachBatch(
         scoped_foreach_batch(handle)

@@ -17,12 +17,18 @@ numbers are deterministic, replayable, and testable against a batch
 fold — no dependency on listener timing.
 
 Scale notes: per batch the job is one aggregate over the micro-batch
-plus one column-pruned scan of the ≤(batches so far) sink rows of one
-run; the sink write is a 1-row dynamic partition overwrite keyed on
-(run_id, batch_id) — the same lineage-scoped exactly-once discipline
-as every other foreachBatch sink in this package (a replayed batch
-recomputes against strictly-earlier rows and rewrites its own
-partition byte-identically).
+plus a 2-row read of a double-buffered state table
+(``<sink>__state``, ``epoch = batch_id % 2`` partitions) that carries
+the running max event time as (pre-batch, post-batch) scalars — NOT a
+re-scan of all earlier metric rows, so a long-running production
+stream pays O(batch) per trigger regardless of how many triggers have
+fired. A same-lineage replay of batch b finds either the b−1 epoch
+(uses its post value) or its own epoch (uses the pre value) and
+rewrites its metrics partition byte-identically; only a run-identity
+change (fresh checkpoint, legacy sink) falls back to one scan of the
+run's strictly-earlier metric rows to rebuild the state — the same
+lineage-scoped exactly-once discipline as every other foreachBatch
+sink in this package.
 """
 
 from __future__ import annotations
@@ -63,6 +69,27 @@ def _batch_metrics(
     )
 
 
+def _bootstrap_basis(
+    spark: SparkSession, sink_path: str, run_token: str, batch_id: int
+) -> int | None:
+    """Watermark basis (max event time over this run's strictly-earlier
+    batches) rebuilt from the FULL metrics sink — the once-per-run-
+    restart path (tests spy on this to pin that steady-state triggers
+    never call it)."""
+    prior = _read_sink_or_none(spark, sink_path)
+    if prior is None:
+        return None
+    row = (
+        prior.where(
+            (F.col("run_id") == run_token)
+            & (F.col("batch_id") < int(batch_id))
+        )
+        .agg(F.max("max_event_us").alias("mx"))
+        .collect()[0]
+    )
+    return None if row["mx"] is None else int(row["mx"])
+
+
 def watermark_metrics_foreach_batch(
     events_stream: DataFrame,
     sink_path: str,
@@ -82,25 +109,40 @@ def watermark_metrics_foreach_batch(
     cross-restart stability.
     """
     run_token = _lineage_token(lineage)
+    state_path = sink_path + "__state"
     delay_us = int(delay_seconds) * 1_000_000
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prior = _read_sink_or_none(spark, sink_path)
-        wm_us: int | None = None
-        if prior is not None:
-            # strictly-earlier batches only: a RETRIED batch must not
-            # see its own prior partial through the watermark
-            row = (
-                prior.where(
-                    (F.col("run_id") == run_token)
-                    & (F.col("batch_id") < int(batch_id))
-                )
-                .agg(F.max("max_event_us").alias("mx"))
-                .collect()[0]
-            )
-            if row["mx"] is not None:
-                wm_us = int(row["mx"]) - delay_us
+        b = int(batch_id)
+        state = _read_sink_or_none(spark, state_path)
+        hdrs: dict[int, dict] = {}
+        if state is not None:
+            hdrs = {
+                int(r["as_of_batch"]): r
+                for r in state.where(F.col("run_id") == run_token)
+                .select("as_of_batch", "basis_pre", "basis_post")
+                .collect()
+            }
+        basis: int | None = None
+        if b - 1 in hdrs:
+            # steady state (and the common replay): max event time
+            # over batches ≤ b−1
+            basis = hdrs[b - 1]["basis_post"]
+        elif b in hdrs:
+            # crash replay after this batch's own state write landed:
+            # a RETRIED batch must not see its own prior partial
+            # through the watermark — the pre-batch scalar is exactly
+            # the strictly-earlier max
+            basis = hdrs[b]["basis_pre"]
+        else:
+            # run identity changed (fresh checkpoint / legacy sink):
+            # rebuild the frontier once from the run's strictly-earlier
+            # metric rows, then reads are state-sized again (the
+            # state-sized-reads test spies on _bootstrap_basis)
+            basis = _bootstrap_basis(spark, sink_path, run_token, b)
+        basis = None if basis is None else int(basis)
+        wm_us = None if basis is None else basis - delay_us
         n, mx, late = _batch_metrics(batch_df, wm_us)
         lag = None if (mx is None or wm_us is None) else mx - wm_us
         (
@@ -110,12 +152,25 @@ def watermark_metrics_foreach_batch(
                 " late_rows long, lag_us long",
             )
             .withColumn("run_id", F.lit(run_token))
-            .withColumn("batch_id", F.lit(int(batch_id)))
+            .withColumn("batch_id", F.lit(b))
             .repartition(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("run_id", "batch_id")
             .parquet(sink_path)
+        )
+        post = max((v for v in (basis, mx) if v is not None), default=None)
+        (
+            spark.createDataFrame(
+                [(run_token, b, basis, post, b % 2)],
+                "run_id string, as_of_batch long, basis_pre long,"
+                " basis_post long, epoch int",
+            )
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(state_path)
         )
 
     return events_stream.writeStream.foreachBatch(

@@ -1218,9 +1218,12 @@ def test_watermark_metrics_stream_equals_replay_and_redelivery(
     """The observability sink's per-trigger rows equal the batch
     replay's fold over the same file sequence — watermark advance
     (max prior event − delay), late-row counts, and lag — and a
-    re-delivery run under the same lineage rewrites identical rows."""
+    re-delivery run under the same lineage rewrites identical rows.
+    Steady-state triggers read only the 2-row state table; the
+    full-sink bootstrap fires once per run start."""
     from datetime import datetime
 
+    from semantic_ann_in_data_lake_spark.streaming import observe_stream
     from semantic_ann_in_data_lake_spark.streaming.observe_stream import (
         watermark_metrics_foreach_batch,
         watermark_metrics_replay,
@@ -1260,36 +1263,55 @@ def test_watermark_metrics_stream_equals_replay_and_redelivery(
 
     sink = str(tmp_path / "wm_sink")
 
-    def run(ckpt):
-        stream = spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", 1
-        ).parquet(str(in_dir))
-        q = (
-            watermark_metrics_foreach_batch(
-                stream, sink, delay_seconds=60, lineage="fixed"
+    calls = []
+    real_bootstrap = observe_stream._bootstrap_basis
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real_bootstrap(*a, **kw)
+
+    observe_stream._bootstrap_basis = spy
+    try:
+
+        def run(ckpt):
+            stream = spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", 1
+            ).parquet(str(in_dir))
+            q = (
+                watermark_metrics_foreach_batch(
+                    stream, sink, delay_seconds=60, lineage="fixed"
+                )
+                .option("checkpointLocation", str(tmp_path / ckpt))
+                .start()
             )
-            .option("checkpointLocation", str(tmp_path / ckpt))
-            .start()
+            q.awaitTermination()
+
+        run("ck1")
+        cols = [
+            "batch_id", "n_rows", "max_event_us", "watermark_us",
+            "late_rows", "lag_us",
+        ]
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in spark.read.parquet(sink).collect()
         )
-        q.awaitTermination()
+        assert got == sorted(tuple(w[c] for c in cols) for w in want)
+        # batches 1,2 ran off the state table, not a sink re-scan
+        assert len(calls) == 1
 
-    run("ck1")
-    cols = [
-        "batch_id", "n_rows", "max_event_us", "watermark_us",
-        "late_rows", "lag_us",
-    ]
-    got = sorted(
-        tuple(r[c] for c in cols)
-        for r in spark.read.parquet(sink).collect()
-    )
-    assert got == sorted(tuple(w[c] for c in cols) for w in want)
-
-    run("ck2")  # re-delivery, same lineage -> identical partitions
-    got2 = sorted(
-        tuple(r[c] for c in cols)
-        for r in spark.read.parquet(sink).collect()
-    )
-    assert got2 == got
+        run("ck2")  # re-delivery, same lineage -> identical partitions
+        got2 = sorted(
+            tuple(r[c] for c in cols)
+            for r in spark.read.parquet(sink).collect()
+        )
+        assert got2 == got
+        # fresh checkpoint restarts batch ids: ONE bootstrap, then
+        # incremental again
+        assert len(calls) == 2
+    finally:
+        observe_stream._bootstrap_basis = real_bootstrap
+    # state table: one row per epoch, regardless of batches run
+    assert spark.read.parquet(sink + "__state").count() <= 2
 
 
 def test_foreach_batch_sinks_release_cached_blocks(spark, sf_dir, tmp_path):
@@ -1349,15 +1371,21 @@ def test_streaming_domain_cap_equals_batch_and_redelivery(
 ):
     """The streamed per-domain admission cap over id-ordered file
     batches admits EXACTLY the batch cap_per_domain keep set over the
-    full log, and a re-delivery from a fresh checkpoint (same sink)
-    admits nothing new."""
+    full log — including malformed-URL rows, which both sides bucket
+    under the '__invalid__' sentinel so the cap binds on junk floods
+    (ADVICE r8: NULL domains bypassed the cross-batch quota joins) —
+    and a re-delivery from a fresh checkpoint (same sink) admits
+    nothing new. Steady-state triggers must never rescan the full
+    sink: the bootstrap hook fires only on the run-identity change."""
     import glob
     import shutil
 
     from pyspark.sql import functions as F
 
     from semantic_ann_in_data_lake_spark.operators import domains as D
+    from semantic_ann_in_data_lake_spark.streaming import domain_stream
     from semantic_ann_in_data_lake_spark.streaming.domain_stream import (
+        INVALID_DOMAIN,
         incremental_domain_cap_foreach_batch,
     )
 
@@ -1365,23 +1393,37 @@ def test_streaming_domain_cap_equals_batch_and_redelivery(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text", "lang", "source")
     )
-    urled = D.synthesize_url(docs).select("doc_id", "url")
+    # 40 junk-URL rows (host unparsable -> NULL domain); cap 7 must
+    # admit exactly 7 of them corpus-wide
+    junk = spark.range(40).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("not a url #"), F.col("id")).alias("url"),
+    )
+    urled = (
+        D.synthesize_url(docs)
+        .select("doc_id", "url")
+        .unionByName(junk)
+    )
+    domain = F.coalesce(
+        D.registrable_domain(D.url_host("url")), F.lit(INVALID_DOMAIN)
+    )
     want = {
         (r["doc_id"], r["domain"])
         for r in D.cap_per_domain(
-            urled.select(
-                "doc_id",
-                D.registrable_domain(D.url_host("url")).alias("domain"),
-            ),
-            n=7,
+            urled.select("doc_id", domain.alias("domain")), n=7
         ).collect()
     }
+    assert sum(1 for _, d in want if d == INVALID_DOMAIN) == 7
 
     in_dir = tmp_path / "dc_in"
     in_dir.mkdir()
-    for i, half in enumerate(
-        [urled.where(F.col("doc_id") < 250), urled.where(F.col("doc_id") >= 250)]
-    ):
+    # id-ordered arrival (the documented streaming contract): every id
+    # in the second file is above every id in the first, junk included
+    halves = [
+        urled.where(F.col("doc_id") < 250),
+        urled.where(F.col("doc_id") >= 250),
+    ]
+    for i, half in enumerate(halves):
         half.coalesce(1).write.parquet(str(tmp_path / f"_dc{i}"))
         shutil.copy(
             glob.glob(str(tmp_path / f"_dc{i}" / "part-*.parquet"))[0],
@@ -1389,23 +1431,50 @@ def test_streaming_domain_cap_equals_batch_and_redelivery(
         )
     sink = str(tmp_path / "dc_sink")
 
-    def run(ckpt):
-        stream = spark.readStream.schema(urled.schema).option(
-            "maxFilesPerTrigger", 1
-        ).parquet(str(in_dir))
-        q = (
-            incremental_domain_cap_foreach_batch(stream, sink, n_per_domain=7)
-            .option("checkpointLocation", str(tmp_path / ckpt))
-            .start()
-        )
-        q.awaitTermination()
+    calls = []
+    real_bootstrap = domain_stream._bootstrap_from_sink
 
-    run("dc_ck1")
-    got = {
-        (r["doc_id"], r["domain"])
-        for r in spark.read.parquet(sink).collect()
-    }
-    assert got == want
+    def spy(*a, **kw):
+        calls.append(1)
+        return real_bootstrap(*a, **kw)
 
-    run("dc_ck2")  # re-delivery: same files, fresh checkpoint
-    assert spark.read.parquet(sink).count() == len(want)
+    domain_stream._bootstrap_from_sink = spy
+    try:
+
+        def run(ckpt):
+            stream = spark.readStream.schema(urled.schema).option(
+                "maxFilesPerTrigger", 1
+            ).parquet(str(in_dir))
+            q = (
+                incremental_domain_cap_foreach_batch(
+                    stream, sink, n_per_domain=7
+                )
+                .option("checkpointLocation", str(tmp_path / ckpt))
+                .start()
+            )
+            q.awaitTermination()
+
+        run("dc_ck1")
+        got = {
+            (r["doc_id"], r["domain"])
+            for r in spark.read.parquet(sink).collect()
+        }
+        assert got == want
+        # batch 0 takes the (empty-sink) bootstrap path once; batch 1
+        # must read only the state table — per-trigger reads are
+        # state-sized, not sink-sized
+        assert len(calls) == 1
+
+        run("dc_ck2")  # re-delivery: same files, fresh checkpoint
+        assert spark.read.parquet(sink).count() == len(want)
+        # run-identity change: exactly ONE more bootstrap scan
+        # (batch 0 of the new run), then incremental again
+        assert len(calls) == 2
+    finally:
+        domain_stream._bootstrap_from_sink = real_bootstrap
+
+    # the state table is STATE-sized (two epochs of n_domains+1 rows),
+    # not proportional to batches run or documents seen
+    n_domains = urled.select(domain.alias("d")).distinct().count()
+    state_rows = spark.read.parquet(sink + "__state").count()
+    assert state_rows <= 2 * (n_domains + 1)

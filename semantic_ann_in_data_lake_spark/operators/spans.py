@@ -118,3 +118,116 @@ def duplicated_span_stats(
             4,
         ).alias("dup_fraction"),
     )
+
+
+def duplicated_span_rewrite(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    portable: bool = True,
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the rewrite step of
+    exact-substring training-data dedup (Lee et al., *Deduplicating
+    Training Data Makes Language Models Better*, ACL 2022, public
+    method), at word-n-gram granularity.
+
+    Every verbatim token span of length ≥ ``n`` that occurs more than
+    once in the corpus (across documents or repeated within one) is
+    excised from every occurrence EXCEPT the canonical one — the
+    occurrence with the lexicographically smallest ``(doc_id,
+    position)``, a deterministic keep rule. Formally: a token position
+    is removed iff it is covered by at least one positional n-gram
+    whose (doc, position) is not that n-gram's canonical occurrence.
+    A shared span of s ≥ n tokens contributes s−n+1 shared grams whose
+    coverage union is exactly the span, so whole spans vanish and one
+    copy survives; spans shorter than n are below the detection
+    threshold by definition. Single-pass semantics: excision can make
+    previously-distant tokens adjacent, and newly-formed grams are NOT
+    re-deduplicated (run to fixpoint by re-applying if required).
+
+    Returns ``(doc_id, n_tokens, n_removed, text_dedup)`` for EVERY
+    input document; ``text_dedup`` is the surviving tokens re-joined
+    with single spaces (token-normalized space, like the boilerplate
+    rewrite). A fully-duplicated non-canonical document collapses to
+    ``''``.
+
+    Scale design (the 100-TB argument — no suffix array, no driver
+    state):
+
+    - grams are hashed to BIGINT inside the scan projection, so the
+      corpus-wide canonical-occurrence aggregation shuffles
+      ``(gh, doc_id, pos)`` only;
+    - the canonical occurrence is ``min(struct(doc_id, pos))`` — one
+      keyed aggregation, map-side combinable; the dup-occurrence join
+      is the matching equi-join on ``gh`` (co-partitioned, AQE);
+    - coverage explodes ≤ n rows per DUPLICATED gram occurrence
+      (O(n·dup_density·L) per doc, never O(L²)), dedups on
+      ``(doc_id, tpos)``, and drops tokens via a LEFT ANTI join —
+      linear everywhere, every stage a plain shuffle Catalyst can
+      coalesce;
+    - reassembly is one per-doc groupBy (sort_array over collected
+      (pos, token) structs — bounded by document length, the same
+      bound every per-doc array op in this package carries).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+
+    hasher = portable_hash64 if portable else fast_hash64
+    base = scoped_persist(
+        docs.select(F.col(id_col).alias("doc_id"), words(text_col).alias("__w"))
+    )
+    # hash inside the transform so the explode emits BIGINTs, not gram
+    # strings (the duplicated_span_stats discipline)
+    occ = scoped_persist(
+        base.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    positional_ngrams(F.col("__w"), n), lambda g: hasher(g)
+                )
+            ).alias("p0", "gh"),
+        ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gh")
+    )
+    canon = occ.groupBy("gh").agg(
+        F.min(F.struct("doc_id", "pos")).alias("__c")
+    )
+    dup = occ.join(canon, "gh").where(
+        (F.col("doc_id") != F.col("__c.doc_id"))
+        | (F.col("pos") != F.col("__c.pos"))
+    )
+    covered = dup.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("tpos"),
+    ).distinct()
+    toks = base.select(
+        "doc_id", F.posexplode("__w").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("tpos"), "tok")
+    kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    return (
+        base.select("doc_id", F.size("__w").alias("n_tokens"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        )
+    )

@@ -665,6 +665,68 @@ def _dup_span_oracle(n: int = 5) -> str:
     """
 
 
+def _dedup_span_rewrite_oracle(n: int = 5) -> str:
+    gram = f"array_to_string(list_slice(w, i, i + {n - 1}), ' ')"
+    return f"""
+    WITH {_W_CTE},
+    occ AS (
+      SELECT doc_id, i AS pos, {portable_hash_expr(gram)} AS gh
+      FROM (SELECT doc_id, w,
+                   unnest(range(1, greatest(len(w) - {n - 1}, 0) + 1)) AS i
+            FROM w)
+    ),
+    canon AS (
+      SELECT gh, min(struct_pack(d := doc_id, p := pos)) AS cc
+      FROM occ GROUP BY gh
+    ),
+    dup AS (
+      SELECT o.doc_id, o.pos
+      FROM occ o JOIN canon c ON o.gh = c.gh
+      WHERE o.doc_id <> c.cc.d OR o.pos <> c.cc.p
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, tpos FROM (
+        SELECT doc_id, unnest(range(pos, pos + {n})) AS tpos FROM dup
+      )
+    ),
+    toks AS (
+      SELECT doc_id, i AS tpos, w[i] AS tok
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.tok FROM toks t
+      ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY tpos) AS text_dedup
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id, len(w.w)::BIGINT AS n_tokens,
+           (len(w.w) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+           coalesce(a.text_dedup, '') AS text_dedup
+    FROM w LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register("dedup_span_rewrite", _dedup_span_rewrite_oracle())
+def dedup_span_rewrite(spark, sf_dir):
+    """Cross-document duplicated-span REMOVAL (operators/spans.py::
+    duplicated_span_rewrite) — the exact-substring dedup rewrite (Lee
+    et al. 2022) at 5-gram granularity: every token span ≥ 5 words
+    occurring more than once in the corpus survives only at its
+    canonical (smallest (doc_id, pos)) occurrence; every document is
+    returned rewritten. The measurement twin is `dup_span_fraction`;
+    the boilerplate-segment variant is `segment_dedup_rewrite`. All
+    shuffles carry BIGINT gram hashes or (doc_id, position) pairs —
+    no suffix array, no driver state, nothing quadratic."""
+    from semantic_ann_in_data_lake_spark.operators.spans import (
+        duplicated_span_rewrite,
+    )
+
+    return duplicated_span_rewrite(_t(spark, sf_dir, "documents"), n=5)
+
+
 @register("dup_span_fraction", _dup_span_oracle())
 def dup_span_fraction(spark, sf_dir):
     """Exact duplicated-span detection (operators/spans.py): the

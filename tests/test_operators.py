@@ -2040,6 +2040,43 @@ def test_duplicated_span_self_repetition_counts_multiplicity(spark):
     assert out[2] == (1, 1)
 
 
+def test_duplicated_span_rewrite_hand_cases(spark):
+    """Canonical-keep rule, within-doc self-repeat, full-document
+    collapse, and short-doc passthrough — exact expected rewrites."""
+    from semantic_ann_in_data_lake_spark.operators.spans import (
+        duplicated_span_rewrite,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 owns the canonical copy of the 5-token span
+            (1, "p q x1 x2 x3 x4 x5 r s"),
+            # doc 2 shares it -> span excised, unique tail kept
+            (2, "x1 x2 x3 x4 x5 t"),
+            # doc 3 repeats ITS OWN 5-gram -> second occurrence excised
+            (3, "a b c d e a b c d e"),
+            # doc 4 is a verbatim copy of doc 2 -> its shared span is
+            # gone (canonical in doc 1) AND its tail gram is unique...
+            # only spans >= n are detected, "t" alone survives
+            (4, "x1 x2 x3 x4 x5 t"),
+            # too short for any 5-gram -> untouched (token-normalized)
+            (5, "Solo  Doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_dedup"])
+        for r in duplicated_span_rewrite(docs, n=5).collect()
+    }
+    assert out[1] == (9, 0, "p q x1 x2 x3 x4 x5 r s")
+    assert out[2] == (6, 5, "t")
+    assert out[3] == (10, 5, "a b c d e")
+    # doc 4: "x1..x5" canonical lives in doc 1; "x2 x3 x4 x5 t" gram is
+    # shared with doc 2 (canonical there) -> ALL 6 tokens covered
+    assert out[4] == (6, 6, "")
+    assert out[5] == (2, 0, "solo doc")
+
+
 def test_global_row_number_matches_single_partition_window(spark, sf_dir):
     """Distributed prefix-sum rank == the textbook global window rank,
     at two partition counts (partitioning must not leak)."""

@@ -732,6 +732,56 @@ def test_token_budget_respected_under_either_tokenizer(
         assert all(r["cum_before"] < quota for r in sel)
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+def test_duplicated_span_rewrite_matches_python_model(
+    shared_spark, token_docs, n
+):
+    """duplicated_span_rewrite == a brute-force Python model of the
+    canonical-occurrence excision rule (every position covered by a
+    non-canonical duplicated n-gram occurrence is removed) for
+    arbitrary tiny corpora — including self-repeats, full-document
+    collapses, and sub-n documents."""
+    from semantic_ann_in_data_lake_spark.operators.spans import (
+        duplicated_span_rewrite,
+    )
+
+    toks = {i: list(ws) for i, ws in enumerate(token_docs)}
+    occs: dict[tuple, list[tuple[int, int]]] = {}
+    for d, w in toks.items():
+        for p in range(len(w) - n + 1):
+            occs.setdefault(tuple(w[p : p + n]), []).append((d, p + 1))
+    covered: set[tuple[int, int]] = set()
+    for g, os_ in occs.items():
+        c = min(os_)
+        for d, p in os_:
+            if (d, p) != c:
+                covered.update((d, j) for j in range(p, p + n))
+    want = {}
+    for d, w in toks.items():
+        kept = [t for j, t in enumerate(w, start=1) if (d, j) not in covered]
+        want[d] = (len(w), len(w) - len(kept), " ".join(kept))
+
+    docs = shared_spark.createDataFrame(
+        [(d, " ".join(w)) for d, w in toks.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_dedup"])
+        for r in duplicated_span_rewrite(docs, n=n).collect()
+    }
+    assert got == want, (toks, n, got, want)
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     st.lists(

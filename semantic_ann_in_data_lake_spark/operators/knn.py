@@ -139,6 +139,7 @@ def knn_join(
     max_bucket_size: int | None = None,
     nlist: int | None = None,
     nprobe: int = 4,
+    refine_factor: int = 4,
 ) -> DataFrame:
     """Top-k nearest candidates per query.
 
@@ -269,6 +270,32 @@ def knn_join(
             queries, candidates, id_col, vec_col, k=k,
             exclude_self=exclude_self, round_dp=round_dp,
             known_n_cand=known_n_cand, known_n_query=known_n_query,
+        )
+    if strategy in ("ivf_pq", "ivf_pq_refine"):
+        # both-sides-huge compressed tier (operators/pq.py): IVF cell
+        # shuffle carrying m uint8 codes; "_refine" re-scores an ADC
+        # shortlist of k·refine_factor exactly on the raw vectors
+        # (FAISS IndexRefineFlat shape) — exact distances, better
+        # recall, still sub-quadratic. l2_sq only.
+        if metric != "l2_sq":
+            raise ValueError(
+                f"strategy={strategy!r} supports metric='l2_sq' only"
+            )
+        from semantic_ann_in_data_lake_spark.operators.pq import (
+            knn_ivf_pq,
+            knn_ivf_pq_refine,
+        )
+
+        fn = knn_ivf_pq_refine if strategy == "ivf_pq_refine" else knn_ivf_pq
+        extra = (
+            {"refine_factor": refine_factor}
+            if strategy == "ivf_pq_refine"
+            else {}
+        )
+        return fn(
+            queries, candidates, id_col, vec_col, k=k,
+            nlist=nlist, nprobe=nprobe,
+            exclude_self=exclude_self, round_dp=round_dp, **extra,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 

@@ -602,6 +602,75 @@ def knn_ivf_pq(
     return _ranked_topk(scored, k, "l2_sq")
 
 
+def knn_ivf_pq_refine(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine_factor: int = 4,
+    nlist: int | None = None,
+    nprobe: int = 4,
+    m: int = 16,
+    ksub: int = 256,
+    exclude_self: bool = True,
+    round_dp: int = DEFAULT_ROUND_DP,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ with an exact re-rank (refine) stage — the standard
+    production ANN shape (FAISS ``IndexRefineFlat``): the compressed
+    index shortlists ``k·refine_factor`` candidates per query by ADC,
+    then the shortlist alone is re-scored against the RAW vectors and
+    the exact top-k is returned.
+
+    Two properties fall out:
+
+    - **distances are exact** — unlike the plain PQ/IVF-PQ tiers, the
+      returned ``distance`` is the true L2² between raw vectors, so
+      the symmetric invariant projection
+      (``checks.knn_invariant_violations`` with no ``cand_emb``)
+      gates this tier exactly like the LSH/IVF ones;
+    - **recall is monotone in refine_factor** — the final top-k can
+      only improve on ADC top-k, since every exact-top-k member the
+      shortlist captures survives the exact re-rank by definition.
+
+    Scale design: the shortlist is n_query·k·refine_factor rows of
+    (query_id, cand_id) — two equi-joins fetch the raw vectors (the
+    candidate-side join is the only one touching the full corpus, and
+    it ships exactly the shortlisted vectors), the exact distance is
+    the declarative fold, and the re-rank is the shared WindowGroupLimit
+    top-k. Nothing here is quadratic; the refine stage costs
+    O(n_query·k·refine_factor·dim) on top of the IVF-PQ probe.
+    """
+    if refine_factor < 1:
+        raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
+    from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq
+
+    shortlist = knn_ivf_pq(
+        queries, candidates, id_col, vec_col, k=k * refine_factor,
+        nlist=nlist, nprobe=nprobe, m=m, ksub=ksub,
+        exclude_self=exclude_self, round_dp=round_dp, seed=seed,
+    ).select("query_id", "cand_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    cv = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    rescored = (
+        shortlist.join(qv, "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(l2_sq("__qv", "__cv"), round_dp).alias("distance"),
+        )
+    )
+    return _ranked_topk(rescored, k, "l2_sq")
+
+
 def build_pq_index(
     candidates: DataFrame,
     path: str,

@@ -1182,6 +1182,30 @@ def knn_ivf_pq_l2(spark, sf_dir):
     )
 
 
+@register("knn_ivf_pq_refine_l2", _KNN_CHECK_EMPTY_SQL)
+def knn_ivf_pq_refine_l2(spark, sf_dir):
+    """IVF-PQ + exact re-rank tier (operators/pq.py
+    knn_ivf_pq_refine — the FAISS IndexRefineFlat shape: ADC shortlist
+    of k·refine_factor, re-scored on RAW vectors), exposed as its
+    contract projection. Because the refine stage returns true L2²
+    distances, the SYMMETRIC invariant projection applies — no decode
+    replay needed, exactly like the LSH/IVF gates: empty iff every
+    returned distance equals the exact recompute from raw vectors and
+    ranks are consecutive, monotone, tie-broken by cand_id. The
+    shortlist-vs-final recall uplift is hash-gated by
+    `pq_recall_report`; raw rows via
+    ``knn_join(strategy="ivf_pq_refine")`` and bench
+    `knn_ivf_pq_refine_k10`."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = knn_join(
+        emb, emb, k=5, strategy="ivf_pq_refine", nlist=16, nprobe=8,
+        refine_factor=3,
+    )
+    return checks.knn_invariant_violations(res, emb, metric="l2_sq")
+
+
 # ---------------------------------------------------------------------------
 # Recall meta-gates for the IVF and PQ ladders (round-8; mirrors
 # lsh_recall_report's design): the approximation ERROR itself is a
@@ -1375,25 +1399,46 @@ def ivf_recall_report(spark, sf_dir):
       FROM enc JOIN wsub ON enc.s = wsub.s AND enc.wid = wsub.wid
       GROUP BY enc.vec_id
     ),
-    approx AS (
-      SELECT query_id, cand_id FROM (
+    short AS (
+      SELECT query_id, cand_id, rnk FROM (
         SELECT q.vec_id AS query_id, d.vec_id AS cand_id,
                row_number() OVER (
                  PARTITION BY q.vec_id
                  ORDER BY round({l2_sq_sql('q.v', 'd.dv')}, 6) ASC,
                           d.vec_id ASC) AS rnk
         FROM e q JOIN dec d ON q.vec_id <> d.vec_id
-      ) WHERE rnk <= 5
+      ) WHERE rnk <= 15
+    ),
+    approx AS (SELECT query_id, cand_id FROM short WHERE rnk <= 5),
+    refined AS (
+      SELECT query_id, cand_id FROM (
+        SELECT s.query_id, s.cand_id,
+               row_number() OVER (
+                 PARTITION BY s.query_id
+                 ORDER BY round({l2_sq_sql('q.v', 'c.v')}, 6) ASC,
+                          s.cand_id ASC) AS rr
+        FROM short s
+        JOIN e q ON s.query_id = q.vec_id
+        JOIN e c ON s.cand_id = c.vec_id
+      ) WHERE rr <= 5
     ),
     {_EXACT_TOPK_CTE},
-    hit AS (SELECT * FROM exact INTERSECT SELECT * FROM approx)
+    hit AS (SELECT * FROM exact INTERSECT SELECT * FROM approx),
+    hs AS (SELECT * FROM exact
+           INTERSECT SELECT query_id, cand_id FROM short),
+    hr AS (SELECT * FROM exact INTERSECT SELECT * FROM refined)
     SELECT (SELECT count(*) FROM e)::BIGINT AS n_queries,
            (SELECT count(*) FROM exact)::BIGINT AS n_exact,
            (SELECT count(*) FROM approx)::BIGINT AS n_approx,
            (SELECT count(*) FROM hit)::BIGINT AS n_found,
            (1000 * (SELECT count(*) FROM hit)
               // greatest((SELECT count(*) FROM exact), 1))::BIGINT
-             AS recall_x1000
+             AS recall_x1000,
+           (SELECT count(*) FROM hs)::BIGINT AS n_short_found,
+           (SELECT count(*) FROM hr)::BIGINT AS n_refined_found,
+           (1000 * (SELECT count(*) FROM hr)
+              // greatest((SELECT count(*) FROM exact), 1))::BIGINT
+             AS refined_x1000
     """,
 )
 def pq_recall_report(spark, sf_dir):
@@ -1403,10 +1448,17 @@ def pq_recall_report(spark, sf_dir):
     tie-break), queries rank the RECONSTRUCTED candidates exactly
     (ADC decomposes: Σ_s ‖q_s − cw_s‖² = ‖q − concat(cw_s)‖²), and the
     report counts how many exact top-5 pairs the quantized ranking
-    retains. The decode-side scoring reuses the gated broadcast kNN
-    tier; quadratic by design — gate/audit query. Uniform-random
-    64-dim embeddings quantize worst-case (no subspace structure), so
-    the gated number is a pessimistic floor; the production k-means
+    retains. Round 9 extends it with the REFINE tier's arithmetic
+    (knn_ivf_pq_refine): the ADC top-15 shortlist re-ranked exactly on
+    raw vectors — (n_short_found, n_refined_found, refined_x1000)
+    show shortlist recall vs final recall next to the ADC-only
+    recall_x1000, pinning the re-rank uplift as an official number
+    (n_refined_found == n_short_found by the monotonicity argument in
+    knn_ivf_pq_refine's docstring — the gate proves it, not assumes
+    it). The decode-side scoring reuses the gated broadcast kNN tier;
+    quadratic by design — gate/audit query. Uniform-random 64-dim
+    embeddings quantize worst-case (no subspace structure), so the
+    gated number is a pessimistic floor; the production k-means
     codebooks' recall floors stay in pytest."""
     from pyspark.sql.window import Window as _Win
 
@@ -1460,24 +1512,66 @@ def pq_recall_report(spark, sf_dir):
             ).alias("embedding")
         )
     )
-    approx = knn_join(emb, dec, k=5, strategy="broadcast").select(
-        "query_id", "cand_id"
+    # ONE quadratic ADC pass serves both numbers: the top-15 shortlist
+    # IS the refine stage's input and its first 5 rows are the
+    # ADC-only answer
+    short = scoped_persist(
+        knn_join(emb, dec, k=15, strategy="broadcast").select(
+            "query_id", "cand_id", "rank"
+        )
     )
+    approx = short.where(F.col("rank") <= 5).select("query_id", "cand_id")
     exact = scoped_persist(
         knn_join(emb, emb, k=5, strategy="broadcast").select(
             "query_id", "cand_id"
         )
     )
-    approx = scoped_persist(approx)
+    # exact re-rank of the shortlist (the refine tier's mechanism,
+    # n·15 pairs — not quadratic): fetch raw vectors for both ends,
+    # true L2², top-5
+    refined = (
+        short.select("query_id", "cand_id")
+        .join(
+            e.select(
+                F.col("vec_id").alias("query_id"), F.col("v").alias("__qv")
+            ),
+            "query_id",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("cand_id"), F.col("v").alias("__cv")
+            ),
+            "cand_id",
+        )
+        .withColumn("__d", F.round(l2_sq("__qv", "__cv"), 6))
+        .withColumn(
+            "__rr",
+            F.row_number().over(
+                _Win.partitionBy("query_id").orderBy(
+                    F.col("__d").asc(), F.col("cand_id").asc()
+                )
+            ),
+        )
+        .where(F.col("__rr") <= 5)
+        .select("query_id", "cand_id")
+    )
     hit = exact.join(approx, ["query_id", "cand_id"])
+    hit_s = exact.join(
+        short.select("query_id", "cand_id"), ["query_id", "cand_id"]
+    )
+    hit_r = exact.join(refined, ["query_id", "cand_id"])
     nq = e.agg(F.count(F.lit(1)).alias("n_queries"))
     na = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     nx = approx.agg(F.count(F.lit(1)).alias("n_approx"))
     nf = hit.agg(F.count(F.lit(1)).alias("n_found"))
+    ns = hit_s.agg(F.count(F.lit(1)).alias("n_short_found"))
+    nr = hit_r.agg(F.count(F.lit(1)).alias("n_refined_found"))
     return (
         nq.crossJoin(F.broadcast(na))
         .crossJoin(F.broadcast(nx))
         .crossJoin(F.broadcast(nf))
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nr))
         .select(
             "n_queries",
             "n_exact",
@@ -1487,6 +1581,12 @@ def pq_recall_report(spark, sf_dir):
                 (F.lit(1000) * F.col("n_found"))
                 / F.greatest(F.col("n_exact"), F.lit(1))
             ).cast("long").alias("recall_x1000"),
+            "n_short_found",
+            "n_refined_found",
+            F.floor(
+                (F.lit(1000) * F.col("n_refined_found"))
+                / F.greatest(F.col("n_exact"), F.lit(1))
+            ).cast("long").alias("refined_x1000"),
         )
     )
 

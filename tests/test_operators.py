@@ -2590,6 +2590,57 @@ def test_knn_pq_recall_and_contract(spark, sf_dir):
         assert ds == sorted(ds) and ds[0] >= 0.0
 
 
+def test_knn_ivf_pq_refine_exact_distances_and_uplift(spark, sf_dir):
+    """The refine tier returns TRUE L2² distances (symmetric invariant
+    projection empty — no decode replay needed), its recall@5 is >= the
+    un-refined IVF-PQ tier's at identical knobs (monotone by
+    construction), and refine_factor=1 degenerates to re-scoring the
+    plain top-k (same pair set)."""
+    from collections import defaultdict
+
+    from semantic_ann_in_data_lake_spark.operators import checks
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+    from semantic_ann_in_data_lake_spark.operators.pq import knn_ivf_pq
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    knobs = dict(k=5, nlist=16, nprobe=8)
+    refined = knn_join(
+        emb, emb, strategy="ivf_pq_refine", refine_factor=3, **knobs
+    )
+    assert (
+        checks.knn_invariant_violations(refined, emb, metric="l2_sq").count()
+        == 0
+    )
+
+    def pairs(df):
+        d = defaultdict(set)
+        for r in df.select("query_id", "cand_id").collect():
+            d[r["query_id"]].add(r["cand_id"])
+        return d
+
+    exact = pairs(knn_join(emb, emb, k=5, strategy="broadcast"))
+    plain = pairs(knn_ivf_pq(emb, emb, **knobs))
+    ref = pairs(refined)
+    tot = sum(len(v) for v in exact.values())
+    rec_plain = sum(len(exact[q] & plain[q]) for q in exact) / tot
+    rec_ref = sum(len(exact[q] & ref[q]) for q in exact) / tot
+    assert rec_ref >= rec_plain
+    # refine_factor=1: same candidate set as the plain tier, distances
+    # re-scored exactly
+    ref1 = pairs(
+        knn_join(emb, emb, strategy="ivf_pq_refine", refine_factor=1, **knobs)
+    )
+    assert ref1 == plain
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        knn_join(emb, emb, strategy="ivf_pq_refine", metric="cosine")
+    with _pytest.raises(ValueError):
+        knn_join(emb, emb, strategy="ivf_pq_refine", refine_factor=0)
+
+
 def test_pq_rejects_bad_shapes(spark, sf_dir):
     import pytest as _pytest
 

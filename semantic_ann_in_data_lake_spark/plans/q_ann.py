@@ -1287,12 +1287,9 @@ def ivf_recall_report(spark, sf_dir):
     quadratic piece left is the exact broadcast baseline itself —
     gate/audit query, not a production path. The synthetic embeddings
     are uniform-random (no cluster structure), so the gated number is a
-    pessimistic floor for real corpora; production-fit recall floors
-    stay in pytest."""
-    from pyspark.sql.window import Window as _Win
-
-    from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq
-
+    pessimistic floor for real corpora; the trained-fit path's recall
+    is gated by `ivf_lloyd_recall_report`, and production k-means||
+    recall floors stay in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1302,6 +1299,18 @@ def ivf_recall_report(spark, sf_dir):
         .limit(16)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
+    return _ivf_candidate_recall(emb, e, cents)
+
+
+def _ivf_candidate_recall(emb, e, cents, nprobe: int = 4):
+    """Shared report arithmetic of the IVF recall gates: probe
+    geometry, cell assignment, exact-top-5 hit join, and the
+    population-sum candidate count (never materializing the
+    Θ(n²·nprobe/nlist) candidate set — see ivf_recall_report)."""
+    from pyspark.sql.window import Window as _Win
+
+    from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq
+
     ad = scoped_persist(
         e.crossJoin(F.broadcast(cents))
         .select(
@@ -1322,7 +1331,7 @@ def ivf_recall_report(spark, sf_dir):
         F.col("vec_id").alias("cand_id"), F.col("cid").alias("cell")
     )
     probes = scoped_persist(
-        ad.filter(F.col("rnk") <= 4).select(
+        ad.filter(F.col("rnk") <= int(nprobe)).select(
             F.col("vec_id").alias("query_id"), F.col("cid").alias("cell")
         )
     )
@@ -1365,6 +1374,152 @@ def ivf_recall_report(spark, sf_dir):
             ).cast("long").alias("recall_x1000"),
         )
     )
+
+
+def _ivf_lloyd_oracle(iters: int = 2, nprobe: int = 4) -> str:
+    """DuckDB twin of the Lloyd-fit IVF recall gate: hash-picked init,
+    ``iters`` deterministic Lloyd steps (6-dp-rounded assignment with
+    centroid-id tie-break; per-dimension means summed as DECIMAL(28,6)
+    over 6-dp-rounded inputs, ROUND_BIAS-nudged back to 6-dp doubles —
+    bit-identical in both engines), then the ivf_recall_report tail."""
+    blocks = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        blocks.append(f"""
+    a{t} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, p.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round({l2_sq_sql('e.v', 'p.cv')}, 6) ASC,
+                          p.cid ASC) AS rnk
+        FROM e, {prev} p
+      ) WHERE rnk = 1
+    ),
+    m{t} AS (
+      SELECT cid, i,
+             round((sum(round(v[i], 6)::DECIMAL(28,6))::DOUBLE
+                    / count(*)) + 1e-9, 6) AS mx
+      FROM (SELECT cid, v, unnest(range(1, len(v) + 1)) AS i FROM a{t})
+      GROUP BY cid, i
+    ),
+    c{t} AS (
+      SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN
+        (SELECT cid, list(mx ORDER BY i) AS cv FROM m{t} GROUP BY cid) n
+        ON p.cid = n.cid
+    )""")
+        prev = f"c{t}"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+    ),{",".join(blocks)},
+    ad AS (
+      SELECT e.vec_id, cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({l2_sq_sql('e.v', 'cv')}, 6) ASC, cid ASC
+             ) AS rnk
+      FROM e, {prev}
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM ad WHERE rnk = 1),
+    probes AS (SELECT vec_id AS query_id, cid AS cell FROM ad
+               WHERE rnk <= {nprobe}),
+    pop AS (SELECT cell, count(*) AS pop FROM assign GROUP BY 1),
+    {_EXACT_TOPK_CTE},
+    hit AS (
+      SELECT exact.query_id, exact.cand_id
+      FROM exact
+      JOIN assign a ON exact.cand_id = a.vec_id
+      JOIN probes p ON p.query_id = exact.query_id AND p.cell = a.cell
+    )
+    SELECT (SELECT count(*) FROM e)::BIGINT AS n_queries,
+           (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+           ((SELECT sum(pop.pop) FROM probes JOIN pop USING (cell))
+             - (SELECT count(*) FROM e))::BIGINT AS n_candidates,
+           (SELECT count(*) FROM hit)::BIGINT AS n_found,
+           (1000 * (SELECT count(*) FROM hit)
+              // greatest((SELECT count(*) FROM exact), 1))::BIGINT
+             AS recall_x1000
+    """
+
+
+@register("ivf_lloyd_recall_report", _ivf_lloyd_oracle())
+def ivf_lloyd_recall_report(spark, sf_dir):
+    """Official candidate recall of the TRAINED IVF fit path — the
+    sibling of `ivf_recall_report` (which pins the raw hash-picked
+    init): centroids here are 2 deterministic Lloyd iterations from
+    that init, i.e. the exact update rule the production fits
+    (fit="sample" driver-Lloyd and fit="kmeans_ml" k-means||) apply,
+    with cross-engine-exact arithmetic so DuckDB replicates the fit
+    end-to-end: assignments use 6-dp-rounded distances with
+    centroid-id tie-breaks, per-dimension means sum 6-dp-rounded
+    inputs as DECIMAL(28,6) (partition-order-independent), and empty
+    cells keep their previous centroid. kmeans_ml ITSELF is not
+    oracle-replicable (its float reductions are partition-order
+    dependent); its recall floor stays in pytest — this row pins the
+    Lloyd mechanism's recall as the official trained-fit number.
+    Quadratic only in the exact baseline; candidate counts via
+    population sums (shared `_ivf_candidate_recall` tail)."""
+    from pyspark.sql.window import Window as _Win
+
+    from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(2):
+        assign = (
+            e.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id", "v", "cid",
+                F.round(l2_sq("v", "cv"), 6).alias("d"),
+            )
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    _Win.partitionBy("vec_id").orderBy(
+                        F.col("d").asc(), F.col("cid").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rnk") == 1)
+        )
+        means = (
+            assign.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(
+                F.round(
+                    (
+                        F.sum(
+                            F.round(F.col("x"), 6).cast("decimal(28,6)")
+                        ).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    + F.lit(1e-9),
+                    6,
+                ).alias("mx")
+            )
+        )
+        newc = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mx"))),
+                lambda s: s["mx"],
+            ).alias("cv")
+        )
+        cents = (
+            cents.select("cid", F.col("cv").alias("__old"))
+            .join(newc, "cid", "left")
+            .select("cid", F.coalesce("cv", "__old").alias("cv"))
+        )
+    return _ivf_candidate_recall(emb, e, cents)
 
 
 @register(

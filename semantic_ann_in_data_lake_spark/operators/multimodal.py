@@ -1,10 +1,13 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Policy (per the build brief): media decode libraries are not in this
-environment, so the DECODE step is stubbed — but everything Spark-side
-is real and tested: the binary-column schema, typed metadata, Arrow
-batch shapes, partition sizing, and the ``mapInPandas`` operator
-signatures a production decode/feature-extract stage would use.
+Everything Spark-side is real and tested — the binary-column schema,
+typed metadata, Arrow batch shapes, partition sizing, and the
+``mapInPandas`` operator signatures a production decode/
+feature-extract stage uses. The decode step itself is real for PPM
+(netpbm P6/P3 — pure-Python :func:`decode_image`, no image library
+needed; hash-gated end-to-end by `ppm_decode_stats` over the
+synthesized fixture); other formats (JPEG/PNG/...) plug their decoder
+into the same ``feature_fn`` / ``transform_fn`` seams.
 
 Design for 100 TB of media:
 - payloads are opaque ``BINARY`` columns with a typed ``meta`` struct
@@ -123,14 +126,174 @@ def audio_window_plan(
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decode requires an image library not present in this
-    container — STUB by policy. The Spark plumbing around it
-    (``extract_features``) is real and tested with the deterministic
-    fake."""
-    raise NotImplementedError(
-        "image decode requires PIL/libvips — not available in this environment; "
-        "plug a decoder into extract_features(feature_fn=...)"
+def encode_ppm_p6(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) encoder — pure Python, no image
+    library. ``pixels`` is the row-major RGB byte plane
+    (3·width·height bytes)."""
+    if width < 1 or height < 1:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"pixel plane is {len(pixels)} bytes, want {3 * width * height}"
+        )
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode a PPM image (netpbm P6 binary / P3 ASCII — the public
+    lowest-common-denominator raster format) in pure Python: no image
+    library required, so the decode seam is REAL in this environment
+    (rounds 1-8 stubbed this step behind an env-policy error).
+    Returns ``{"width", "height", "maxval", "pixels"}`` with
+    ``pixels`` the row-major RGB byte plane; raises ``ValueError`` on
+    anything malformed (magic, comments, truncation, maxval > 255).
+    Other formats plug into ``extract_features(feature_fn=...)`` /
+    ``resize_images(transform_fn=...)`` exactly as before — the seam
+    is unchanged, it just has a working default format now.
+    """
+    if not payload or len(payload) < 2:
+        raise ValueError("not a PPM payload (too short)")
+    magic = bytes(payload[:2])
+    if magic not in (b"P6", b"P3"):
+        raise ValueError(f"not a PPM payload (magic {magic!r})")
+
+    # netpbm header tokens: whitespace-separated, '#' comments run to
+    # end of line; exactly one whitespace byte follows the maxval
+    # token before the P6 raster
+    pos = 2
+    tokens: list[int] = []
+
+    def _skip_ws(p: int) -> int:
+        while p < len(payload):
+            b = payload[p]
+            if b == 0x23:  # '#'
+                while p < len(payload) and payload[p] not in (0x0A, 0x0D):
+                    p += 1
+            elif b in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+                p += 1
+            else:
+                break
+        return p
+
+    while len(tokens) < 3:
+        pos = _skip_ws(pos)
+        start = pos
+        while pos < len(payload) and chr(payload[pos]).isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        tokens.append(int(payload[start:pos]))
+    width, height, maxval = tokens
+    if width < 1 or height < 1:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported maxval {maxval}")
+    n = 3 * width * height
+    if magic == b"P6":
+        pos += 1  # the single whitespace byte after maxval
+        pixels = bytes(payload[pos : pos + n])
+        if len(pixels) != n:
+            raise ValueError("truncated P6 raster")
+    else:  # P3: ASCII sample values
+        vals = []
+        while len(vals) < n:
+            pos = _skip_ws(pos)
+            start = pos
+            while pos < len(payload) and chr(payload[pos]).isdigit():
+                pos += 1
+            if pos == start:
+                raise ValueError("truncated P3 raster")
+            v = int(payload[start:pos])
+            if v > maxval:
+                raise ValueError(f"sample {v} exceeds maxval {maxval}")
+            vals.append(v)
+        pixels = bytes(vals)
+    return {
+        "width": width, "height": height, "maxval": maxval,
+        "pixels": pixels,
+    }
+
+
+#: synthesized-PPM geometry/pixel rule — integer arithmetic shared by
+#: the Python encoder and the DuckDB oracle (plans/q_text.py
+#: ppm_decode_stats): w = id%13+4, h = (7·id)%11+4,
+#: sample(c,x,y) = (id + 31y + 7x + 97c) mod 256
+def _ppm_dims(media_id: int) -> tuple[int, int]:
+    return media_id % 13 + 4, (media_id * 7) % 11 + 4
+
+
+def _ppm_pixels(media_id: int, width: int, height: int) -> bytes:
+    return bytes(
+        (media_id + 31 * y + 7 * x + 97 * c) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+
+
+def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format media fixture: one P6 PPM payload per
+    document, dimensions and pixel values pure integer functions of
+    ``doc_id`` (see ``_ppm_dims`` / ``_ppm_pixels``) so an oracle can
+    recompute any decode-derived statistic analytically without
+    parsing bytes. Built in an Arrow-batched mapInPandas — the same
+    boundary a production ingest's encode stage crosses."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = pdf["media_id"].astype("int64")
+            payloads = []
+            for mid in ids:
+                w, h = _ppm_dims(int(mid))
+                payloads.append(
+                    encode_ppm_p6(w, h, _ppm_pixels(int(mid), w, h))
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def image_decode_stats(media: DataFrame, batch_size: int = 64) -> DataFrame:
+    """Decode every payload with :func:`decode_image` and emit exact
+    integer per-channel statistics — the hash-gateable face of the
+    decode stage: ``(media_id, width, height, sum_r, sum_g, sum_b)``.
+    Decode failures surface as errors (a curation pipeline quarantines
+    them upstream via try/filter variants); sums are exact integers so
+    the gate is bit-stable."""
+    import pandas as pd
+
+    schema = (
+        "media_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long"
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                rows = []
+                for mid, payload in zip(chunk["media_id"], chunk["payload"]):
+                    img = decode_image(payload)
+                    px = img["pixels"]
+                    rows.append(
+                        (
+                            int(mid), img["width"], img["height"],
+                            sum(px[0::3]), sum(px[1::3]), sum(px[2::3]),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "width", "height",
+                        "sum_r", "sum_g", "sum_b",
+                    ],
+                )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=schema
     )
 
 

@@ -749,6 +749,51 @@ def media_frame_samples(spark, sf_dir):
 
 
 @register(
+    "ppm_decode_stats",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 13 + 4)::INT AS width,
+             ((doc_id * 7) % 11 + 4)::INT AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, width, height,
+             unnest(range(0, width * height)) AS i
+      FROM d
+    )
+    SELECT media_id, width, height,
+           sum((media_id + 31 * (i // width) + 7 * (i % width))
+               % 256)::BIGINT AS sum_r,
+           sum((media_id + 31 * (i // width) + 7 * (i % width) + 97)
+               % 256)::BIGINT AS sum_g,
+           sum((media_id + 31 * (i // width) + 7 * (i % width) + 194)
+               % 256)::BIGINT AS sum_b
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def ppm_decode_stats(spark, sf_dir):
+    """REAL image decode, hash-gated end to end
+    (operators/multimodal.py): one P6 PPM payload per document is
+    synthesized in an Arrow-batched encode stage (dimensions and pixel
+    values are pure integer functions of doc_id), decoded back by the
+    pure-Python netpbm parser `decode_image` — the seam rounds 1-8
+    stubbed by env policy, now closed — and reduced to exact integer
+    per-channel sums. The oracle recomputes every statistic
+    analytically from the pixel rule, so a single flipped byte
+    anywhere in encode, header parsing, raster slicing, or channel
+    deinterleaving fails the hash. Bytes never leave the Python
+    worker: the gate rows are (media_id, width, height, 3 sums)."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        image_decode_stats,
+        synthesize_ppm_media,
+    )
+
+    media = synthesize_ppm_media(_t(spark, sf_dir, "documents"))
+    return image_decode_stats(media)
+
+
+@register(
     "replay_mix_docs",
     f"""
     WITH f AS (

@@ -381,7 +381,7 @@ def test_distinct_sample_keeps_all_null_columns(spark):
 # --- multimodal plumbing -------------------------------------------------
 
 
-def test_multimodal_features_and_stub(spark, sf_dir):
+def test_multimodal_features_and_decode(spark, sf_dir):
     from semantic_ann_in_data_lake_spark.operators.multimodal import (
         decode_image,
         extract_features,
@@ -399,10 +399,58 @@ def test_multimodal_features_and_stub(spark, sf_dir):
     assert sorted((r["media_id"], tuple(r["feature"])) for r in feats) == sorted(
         (r["media_id"], tuple(r["feature"])) for r in feats2
     )
-    with pytest.raises(NotImplementedError):
+    # non-PPM payloads are rejected loudly, not mis-decoded
+    with pytest.raises(ValueError):
         decode_image(b"bytes")
     # frame sampling: duration null in image fixture → empty plan, no error
     assert frame_sample_plan(media).count() == 0
+
+
+def test_ppm_decode_roundtrip_and_malformed():
+    """Pure-Python PPM codec: P6 encode→decode round-trip, P3 ≡ P6 on
+    the same image, header comments/whitespace tolerated, malformed
+    payloads rejected with ValueError."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        _ppm_dims,
+        _ppm_pixels,
+        decode_image,
+        encode_ppm_p6,
+    )
+
+    for mid in (0, 1, 7, 12345):
+        w, h = _ppm_dims(mid)
+        px = _ppm_pixels(mid, w, h)
+        img = decode_image(encode_ppm_p6(w, h, px))
+        assert (img["width"], img["height"], img["maxval"]) == (w, h, 255)
+        assert img["pixels"] == px
+
+    # P3 (ASCII) equivalence, with a comment line in the header
+    w, h = 3, 2
+    px = bytes(range(3 * w * h))
+    p3 = (
+        b"P3\n# a comment\n 3  2 \n255\n"
+        + " ".join(str(v) for v in px).encode()
+    )
+    img = decode_image(p3)
+    assert (img["width"], img["height"], img["pixels"]) == (w, h, px)
+    # comment between header tokens of a P6 payload
+    p6c = b"P6\n3 # trailing comment\n2\n255\n" + px
+    assert decode_image(p6c)["pixels"] == px
+
+    import pytest as _pytest
+
+    for bad in (
+        b"",                                   # empty
+        b"P5\n1 1\n255\n\x00",                 # wrong magic (PGM)
+        b"P6\n0 2\n255\n",                     # zero width
+        b"P6\n2 2\n65535\n" + bytes(12),       # 16-bit maxval unsupported
+        b"P6\n2 2\n255\n" + bytes(11),         # truncated raster
+        b"P3\n2 2\n255\n1 2 3",                # truncated ASCII raster
+        b"P3\n1 1\n255\n300 0 0",              # sample exceeds maxval
+        b"P6\nx 2\n255\n",                     # non-numeric header
+    ):
+        with _pytest.raises(ValueError):
+            decode_image(bad)
 
 
 def test_resize_plan_and_images_plumbing(spark, sf_dir):

@@ -33,6 +33,34 @@ from semantic_ann_in_data_lake_spark.session import get_spark  # noqa: E402
 from semantic_ann_in_data_lake_spark.sources.readers import read_table  # noqa: E402
 
 
+#: Quadratic-BY-CONSTRUCTION suite entries: each scores (or embeds a
+#: stage that scores) all |Q|·|C| pairs on purpose — they are the
+#: exactness baselines the ANN tiers are judged against, or recall
+#: audits that contain the exact baseline as a term. Their sf-curve
+#: ratio is expected to approach n² (pair-op envelope: |Q|·|C| grows
+#: 100× for 10× data; wall-clock lands anywhere under that depending
+#: on BLAS/layout) and is NOT a regression signal — the artifact tags
+#: them so a hot shot (e.g. knn_broadcast_k10's 13× in r8 vs 2.1× in
+#: r7, same code) stops re-triggering audits. Every member has a
+#: sub-quadratic production twin in the same suite, and the auto
+#: dispatcher's byte+pair budgets route oversized calls away from
+#: them (PERF.md "exact-baseline family").
+EXACT_BASELINE_FAMILY = frozenset(
+    {
+        "semantic_search_docs_bcast",  # twin: semantic_search_docs_lsh
+        "knn_broadcast_k10",           # twin: knn_lsh/ivf/pq tiers
+        "knn_pq_k10",                  # ADC broadcast still scores all pairs; twin: knn_ivf_pq_k10
+        "hard_negatives_bcast",        # twin: ANN strategies of hard_negative_mine
+        "bitext_mine_bcast",           # twin: ANN strategies of mine_bitext
+        "semlink_eval_e2e",            # evaluation harness (exact grid leg)
+        "grid_eval_12cells",           # evaluation harness (exact grid leg)
+        "ivf_recall_report",           # audit: embeds the exact top-5 baseline
+        "ivf_lloyd_recall_report",     # audit: embeds the exact top-5 baseline
+        "pq_recall_report",            # audit: exact baseline + quantized rescan
+    }
+)
+
+
 def bench_queries(spark, sf_dir):
     reg = registry.REGISTRY
 
@@ -70,6 +98,15 @@ def bench_queries(spark, sf_dir):
         # nlist=16 posture re-approached |Q|·|C| per cell at sf1 (7.4×,
         # VERDICT r5 item 5)
         return knn_ivf_pq(emb, emb, k=10, nprobe=8)
+
+    def knn_ivf_pq_refine_bench():
+        # production posture of the refine tier: derived nlist, ADC
+        # shortlist 3·k, exact re-rank on raw vectors (n·3k pairs)
+        emb = read_table(spark, sf_dir, "embeddings")
+        return knn_join(
+            emb, emb, k=10, strategy="ivf_pq_refine", nprobe=8,
+            refine_factor=3,
+        )
 
     def minhash_fast():
         # Production posture: hot-bucket cap on, like knn_lsh above.
@@ -323,6 +360,13 @@ def bench_queries(spark, sf_dir):
         "quality_threshold_sweep": from_registry("quality_threshold_sweep"),
         "pack_sequences_bpe": from_registry("pack_sequences_bpe_docs"),
         "gopher_rules_docs": from_registry("gopher_rules_docs"),
+        # round-9: exact-substring dedup rewrite, the IVF-PQ refine
+        # tier (production posture), the trained-fit recall audit, and
+        # the real PPM decode stage
+        "dedup_span_rewrite": from_registry("dedup_span_rewrite"),
+        "knn_ivf_pq_refine_k10": knn_ivf_pq_refine_bench,
+        "ivf_lloyd_recall_report": from_registry("ivf_lloyd_recall_report"),
+        "ppm_decode_stats": from_registry("ppm_decode_stats"),
     }
 
 
@@ -471,6 +515,23 @@ def main():
                     "big_queries": big,
                     "small_queries": timings,
                     "ratio_big_over_small": up_ratio,
+                    # by-construction tags: these entries score all
+                    # |Q|·|C| pairs on purpose (exactness baselines /
+                    # recall audits); their ratio has an n²-ish
+                    # envelope and is not a regression signal — see
+                    # EXACT_BASELINE_FAMILY and PERF.md
+                    "families": {
+                        q: "exact_baseline"
+                        for q in sorted(EXACT_BASELINE_FAMILY)
+                        if q in big
+                    },
+                    "family_note": (
+                        "exact_baseline = quadratic by construction"
+                        " (all-pairs exactness baseline or recall"
+                        " audit embedding one); pair-op envelope is"
+                        " 100x for 10x data, each has a sub-quadratic"
+                        " production twin in the same suite"
+                    ),
                 },
                 f, indent=1, sort_keys=True,
             )

@@ -30,12 +30,17 @@ def normalize_sentence(col: Column | str) -> Column:
 def words(col: Column | str) -> Column:
     """Whitespace tokenization of a normalized string → ARRAY<STRING>.
 
-    Applied to already-normalized text; empty string yields empty array.
+    Applied to already-normalized text; empty string yields empty
+    array. NULL-safe: NULL text also yields the EMPTY array (not
+    NULL) — a crawl row with a missing body is a zero-token document,
+    and a NULL array would otherwise propagate NULL token counts into
+    prefix sums, rewrites, and funnel flags (every consumer of this
+    function inherits the 0-token contract instead).
     """
     c = normalize_sentence(col)
-    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(c, " ")
-    )
+    return F.when(
+        c.isNull() | (F.length(c) == 0), F.array().cast("array<string>")
+    ).otherwise(F.split(c, " "))
 
 
 def word_shingles_from(w: Column, n: int = 3) -> Column:
@@ -93,7 +98,10 @@ def normalize_sentence_sql(expr: str) -> str:
 
 def words_sql(expr: str) -> str:
     n = normalize_sentence_sql(expr)
-    return f"(case when length({n}) = 0 then []::VARCHAR[] else string_split({n}, ' ') end)"
+    return (
+        f"(case when {n} is null or length({n}) = 0 then []::VARCHAR[]"
+        f" else string_split({n}, ' ') end)"
+    )
 
 
 def word_shingles_from_sql(wcol: str, n: int = 3) -> str:

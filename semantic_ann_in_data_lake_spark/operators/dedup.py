@@ -50,9 +50,15 @@ def exact_duplicates(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exact dedup via content digest: one row per distinct text with
-    the canonical (minimum) id and the copy count."""
+    the canonical (minimum) id and the copy count. NULL-safe: a
+    missing body digests as the empty document (coalesce to ''), so
+    NULL-text and empty-text rows land in ONE duplicate group instead
+    of a separate NULL-keyed one."""
     return (
-        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        docs.select(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("text_hash"),
+            F.col(id_col),
+        )
         .groupBy("text_hash")
         .agg(
             F.min(id_col).alias("canonical_id"),

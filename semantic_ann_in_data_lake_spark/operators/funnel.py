@@ -99,7 +99,11 @@ def funnel_flags(docs: DataFrame) -> DataFrame:
     band independent of the quality/english gates must call
     ``_entropy_band_flag`` directly."""
     staged = docs.select(
-        "doc_id", normalize_sentence("text").alias("__n")
+        # NULL-safe: a missing body is an empty document — without the
+        # coalesce, NULL text yields __h = md5(NULL) = NULL and NULL
+        # stage flags, which silently fall out of every keep-count
+        "doc_id",
+        F.coalesce(normalize_sentence("text"), F.lit("")).alias("__n"),
     ).select(
         "doc_id",
         "__n",

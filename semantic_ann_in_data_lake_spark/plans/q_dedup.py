@@ -24,9 +24,10 @@ from semantic_ann_in_data_lake_spark.plans.qshared import _SH_CTE, _TOKS, _W_CTE
 @register(
     "dedup_exact",
     """
-    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+    SELECT md5(coalesce(text, '')) AS text_hash,
+           min(doc_id) AS canonical_id,
            count(*) AS n_copies
-    FROM documents GROUP BY md5(text)
+    FROM documents GROUP BY 1
     """,
 )
 def dedup_exact(spark, sf_dir):

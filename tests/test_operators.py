@@ -2088,6 +2088,61 @@ def test_duplicated_span_self_repetition_counts_multiplicity(spark):
     assert out[2] == (1, 1)
 
 
+def test_null_text_rows_follow_empty_doc_convention(spark):
+    """Crawl rows with a MISSING body (NULL text) must behave as
+    zero-token documents everywhere, not propagate NULLs: words() is
+    NULL-safe, so token counts, prefix sums, rewrites, funnel flags,
+    and the exact-dedup digest all treat NULL like '' (round-9
+    hardening — the NULL-domain quota bypass was this same bug class
+    in the streaming leg)."""
+    from semantic_ann_in_data_lake_spark.functions.text import words
+    from semantic_ann_in_data_lake_spark.operators import dedup
+    from semantic_ann_in_data_lake_spark.operators.funnel import funnel_flags
+    from semantic_ann_in_data_lake_spark.operators.packing import (
+        pack_sequences,
+    )
+    from semantic_ann_in_data_lake_spark.operators.spans import (
+        duplicated_span_rewrite,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "a b c d"), (5, "a b c d")],
+        "doc_id long, text string",
+    )
+    # words: NULL -> [] (not NULL)
+    w = {r["doc_id"]: r["w"] for r in docs.select(
+        "doc_id", words("text").alias("w")).collect()}
+    assert w[1] == [] and w[2] == [] and w[3] == []
+
+    # rewrite: NULL doc reports 0 tokens / 0 removed, like stats does
+    rw = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_dedup"])
+          for r in duplicated_span_rewrite(docs, n=3).collect()}
+    assert rw[1] == (0, 0, "") and rw[2] == (0, 0, "")
+
+    # packing: NULL doc is a 0-token row INSIDE the prefix sum, not a
+    # NULL bin assignment
+    pk = {r["doc_id"]: (r["n_tokens"], r["cum_before"], r["bin_id"])
+          for r in pack_sequences(docs, budget=8).collect()}
+    assert pk[1][0] == 0 and pk[1][1] is not None and pk[1][2] is not None
+
+    # funnel: NULL doc carries the empty-content digest and False
+    # flags (md5(NULL) would fall out of every keep-count silently)
+    ff = {r["doc_id"]: r for r in funnel_flags(docs).collect()}
+    assert ff[1]["__h"] == ff[2]["__h"] is not None
+    assert ff[1]["__nt"] == 0 and ff[1]["__q"] is False
+
+    # exact dedup: NULL-text and empty-text rows form ONE group under
+    # the empty digest
+    groups = {r["text_hash"]: r["n_copies"]
+              for r in dedup.exact_duplicates(docs).collect()}
+    assert None not in groups
+    import hashlib
+
+    # raw-content digest: NULL joins '' (docs 1+2); the
+    # whitespace-only doc 3 keeps its own raw digest
+    assert groups[hashlib.md5(b"").hexdigest()] == 2
+
+
 def test_duplicated_span_rewrite_hand_cases(spark):
     """Canonical-keep rule, within-doc self-repeat, full-document
     collapse, and short-doc passthrough — exact expected rewrites."""

@@ -367,6 +367,7 @@ def bench_queries(spark, sf_dir):
         "knn_ivf_pq_refine_k10": knn_ivf_pq_refine_bench,
         "ivf_lloyd_recall_report": from_registry("ivf_lloyd_recall_report"),
         "ppm_decode_stats": from_registry("ppm_decode_stats"),
+        "url_dedup_docs": from_registry("url_dedup_docs"),
     }
 
 

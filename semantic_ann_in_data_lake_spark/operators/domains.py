@@ -130,6 +130,168 @@ def registrable_domain(
     )
 
 
+#: query parameters stripped by URL canonicalization — the standard
+#: tracking/attribution junk crawl pipelines normalize away (public
+#: lists, e.g. the utm_* convention); injectable per deployment.
+TRACKING_PARAMS: tuple[str, ...] = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "gclid", "fbclid", "ref_src",
+)
+
+
+def canonicalize_url(
+    url: Column | str,
+    tracking: tuple[str, ...] = TRACKING_PARAMS,
+    strip_www: bool = True,
+) -> Column:
+    """Canonical form of a URL for URL-level dedup (the keep-one-doc-
+    per-page lever of crawl curation, beside content dedup):
+
+    - scheme and host lowercased; one leading ``www.`` stripped;
+    - fragment dropped; trailing ``/`` on the path dropped;
+    - tracking query parameters removed (``tracking``, injectable)
+      and the surviving parameters SORTED so param order never splits
+      a page into two keys;
+    - malformed URLs (no parsable host/scheme) canonicalize to NULL —
+      callers quarantine rather than merge unknowns.
+
+    Row-local JVM expressions end to end (try_parse_url + regexp +
+    array ops) — zero Python, zero shuffle; the DuckDB twin is
+    ``canonicalize_url_sql``.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    )
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(
+        F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("")),
+        r"/+$",
+        "",
+    )
+    q = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
+    params = F.filter(
+        F.split(q, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~F.element_at(F.split(p, "="), 1).isin(*tracking),
+    )
+    q2 = F.array_join(F.array_sort(params), "&")
+    return F.when(
+        host.isNull() | (host == "") | (scheme == ""),
+        F.lit(None).cast("string"),
+    ).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(q2 == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), q2)
+            ),
+        )
+    )
+
+
+def canonicalize_url_sql(
+    expr: str,
+    tracking: tuple[str, ...] = TRACKING_PARAMS,
+) -> str:
+    """DuckDB twin of :func:`canonicalize_url` (regexp part
+    extraction instead of parse_url; identical canonical rule)."""
+    tr = ", ".join(f"'{t}'" for t in tracking)
+    scheme = (
+        f"lower(regexp_extract({expr},"
+        f" '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    )
+    host = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract({expr},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),"
+        f" ':[0-9]+$', ''), '^www\\.', '')"
+    )
+    path = (
+        f"regexp_replace(regexp_extract({expr},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),"
+        f" '/+$', '')"
+    )
+    q2 = (
+        f"array_to_string(list_sort(list_filter("
+        f"string_split(regexp_extract({expr}, '\\?([^#]*)', 1), '&'),"
+        f" p -> length(p) > 0"
+        f" AND NOT list_contains([{tr}], string_split(p, '=')[1]))), '&')"
+    )
+    return (
+        f"(CASE WHEN {host} = '' OR {scheme} = '' THEN NULL"
+        f" ELSE {scheme} || '://' || {host} || {path}"
+        f" || (CASE WHEN {q2} = '' THEN '' ELSE '?' || {q2} END) END)"
+    )
+
+
+def synthesize_messy_urls(
+    docs: DataFrame, id_col: str = "doc_id", source_col: str = "source"
+) -> DataFrame:
+    """Deterministic MESSY url per document — md5-seeded variants of
+    scheme case, www prefix, trailing slash, tracking params, param
+    order, and fragments, all collapsing to the same canonical
+    ``https://{source}.{tld}/p/{doc_id % 10}?a=1&b=2`` so URL-level
+    dedup has real collision groups. Replicated verbatim by the
+    oracle (_MESSY_URL_CTE in plans/q_text.py)."""
+
+    def bit(n: int) -> Column:
+        return (
+            F.ascii(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"m{n}:"), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                )
+            )
+            % 2
+        )
+
+    tld = _pick(_TLDS, F.col(source_col))
+    scheme = F.when(bit(1) == 1, F.lit("HTTPS")).otherwise(F.lit("https"))
+    www = F.when(bit(2) == 1, F.lit("www.")).otherwise(F.lit(""))
+    slash = F.when(bit(3) == 1, F.lit("/")).otherwise(F.lit(""))
+    query = F.when(
+        bit(4) == 1, F.lit("?b=2&utm_source=feed&a=1")
+    ).otherwise(F.lit("?a=1&b=2"))
+    frag = F.when(bit(1) == 1, F.lit("#sec")).otherwise(F.lit(""))
+    return docs.select(
+        F.col(id_col),
+        F.concat(
+            scheme, F.lit("://"), www, F.col(source_col), F.lit("."), tld,
+            F.lit("/p/"), F.pmod(F.col(id_col), F.lit(10)).cast("string"),
+            slash, query, frag,
+        ).alias("url"),
+    )
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup groups: one row per canonical URL with the
+    keeper (minimum id) and the copy count. Rows whose URL does not
+    canonicalize (NULL) are EXCLUDED — unknown pages must be
+    quarantined, not merged into one mega-group (the NULL-key lesson
+    of the streaming domain cap)."""
+    c = canonicalize_url(url_col)
+    return (
+        docs.select(c.alias("canonical_url"), F.col(id_col))
+        .where(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 def domain_blocklist_filter(
     docs: DataFrame, blocked: list[str], domain_col: str = "domain"
 ) -> DataFrame:

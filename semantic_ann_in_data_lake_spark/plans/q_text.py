@@ -1823,6 +1823,87 @@ def domain_curation_docs(spark, sf_dir):
     )
 
 
+def _messy_url_cte() -> str:
+    def bit(n: int) -> str:
+        return f"ascii(substr(md5('m{n}:' || doc_id::VARCHAR), 1, 1)) % 2"
+
+    return f"""
+    mu AS (
+      SELECT doc_id,
+        (CASE WHEN {bit(1)} = 1 THEN 'HTTPS' ELSE 'https' END)
+        || '://'
+        || (CASE WHEN {bit(2)} = 1 THEN 'www.' ELSE '' END)
+        || source || '.'
+        || (['com','org','net','io','co.uk']
+             [(ascii(substr(md5(source), 1, 1)) % 5) + 1])
+        || '/p/' || (doc_id % 10)::VARCHAR
+        || (CASE WHEN {bit(3)} = 1 THEN '/' ELSE '' END)
+        || (CASE WHEN {bit(4)} = 1 THEN '?b=2&utm_source=feed&a=1'
+                 ELSE '?a=1&b=2' END)
+        || (CASE WHEN {bit(1)} = 1 THEN '#sec' ELSE '' END)
+        AS url
+      FROM documents
+    )
+"""
+
+
+from semantic_ann_in_data_lake_spark.operators.domains import (  # noqa: E402
+    canonicalize_url_sql as _curl_sql,
+)
+
+_MESSY_URL_CTE = _messy_url_cte()
+
+
+@register(
+    "url_canonicalize_docs",
+    f"""
+    WITH {_MESSY_URL_CTE}
+    SELECT doc_id, url, {_curl_sql('url')} AS canonical_url
+    FROM mu
+    """,
+)
+def url_canonicalize_docs(spark, sf_dir):
+    """URL canonicalization (operators/domains.py::canonicalize_url):
+    lowercased scheme/host, www strip, fragment drop, trailing-slash
+    drop, tracking-param removal, surviving params SORTED — the
+    keep-one-key-per-page normalizer URL-level crawl dedup needs. The
+    messy input urls are synthesized deterministically (md5-seeded
+    scheme case / www / slash / tracking-junk / param order /
+    fragment variants); the oracle replicates the synthesis AND the
+    canonical rule with regexp part extraction, so every branch of
+    the normalizer is hash-checked row by row."""
+    from semantic_ann_in_data_lake_spark.operators import domains as D
+
+    mu = D.synthesize_messy_urls(_t(spark, sf_dir, "documents"))
+    return mu.select(
+        "doc_id", "url", D.canonicalize_url("url").alias("canonical_url")
+    )
+
+
+@register(
+    "url_dedup_docs",
+    f"""
+    WITH {_MESSY_URL_CTE},
+    c AS (SELECT doc_id, {_curl_sql('url')} AS canonical_url FROM mu)
+    SELECT canonical_url, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM c WHERE canonical_url IS NOT NULL GROUP BY 1
+    """,
+)
+def url_dedup_docs(spark, sf_dir):
+    """URL-level dedup groups (operators/domains.py::url_dedup): one
+    row per canonical URL with the minimum-id keeper and the copy
+    count — the page-identity dedup lever beside content dedup (the
+    synthesis guarantees real collision groups: every variant of
+    (source, doc_id % 10) collapses to one canonical). One row-local
+    canonicalization + one hash-groupBy; NULL canonicals quarantined,
+    never merged."""
+    from semantic_ann_in_data_lake_spark.operators import domains as D
+
+    mu = D.synthesize_messy_urls(_t(spark, sf_dir, "documents"))
+    return D.url_dedup(mu)
+
+
 @register(
     "pack_sequences_bpe_docs",
     """

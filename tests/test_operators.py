@@ -5103,6 +5103,52 @@ def test_domain_extraction_blocklist_and_cap(spark):
     assert got == {"src10": "src10.co.uk", "src4": "src4.com"}
 
 
+def test_canonicalize_url_rule_and_dedup_quarantine(spark):
+    """canonicalize_url: scheme/host case, www strip, fragment drop,
+    trailing-slash drop, tracking removal, param sort, NULL on
+    malformed; url_dedup quarantines NULL canonicals instead of
+    merging them into one group."""
+    from semantic_ann_in_data_lake_spark.operators import domains as D
+
+    cases = spark.createDataFrame(
+        [
+            ("HTTPS://WWW.Ex.com/p/7/?b=2&utm_source=x&a=1#frag",
+             "https://ex.com/p/7?a=1&b=2"),
+            ("https://ex.com/p/7?a=1&b=2",
+             "https://ex.com/p/7?a=1&b=2"),
+            # tracking-only query -> no '?' at all
+            ("https://ex.com/p/7?gclid=z&fbclid=y", "https://ex.com/p/7"),
+            # root path: trailing slash drops, bare host stands
+            ("https://Ex.com/", "https://ex.com"),
+            # www is stripped once, not recursively inside the name
+            ("https://www.wwwish.com/x", "https://wwwish.com/x"),
+            # malformed -> NULL (quarantine, don't merge)
+            ("not a url", None),
+            (None, None),
+        ],
+        "url string, want string",
+    )
+    bad = cases.select(
+        "url", "want", D.canonicalize_url("url").alias("got")
+    ).filter("got IS DISTINCT FROM want")
+    assert bad.count() == 0, bad.collect()
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ex.com/p?x=1"),
+            (2, "HTTPS://www.ex.com/p/?utm_source=s&x=1"),
+            (3, "junk one"),
+            (4, "junk two"),
+        ],
+        "doc_id long, url string",
+    )
+    groups = {
+        r["canonical_url"]: (r["canonical_id"], r["n_copies"])
+        for r in D.url_dedup(docs).collect()
+    }
+    assert groups == {"https://ex.com/p?x=1": (1, 2)}
+
+
 def test_gopher_rules_line_and_word_rules(spark):
     """Each Gopher rule trips on a crafted violator and passes on a
     clean document — including the line-based rules the synthetic

@@ -13,7 +13,7 @@ from semantic_ann_in_data_lake_spark.plans.registry import register, _t
 
 from semantic_ann_in_data_lake_spark.functions.hashing import portable_hash_expr
 from semantic_ann_in_data_lake_spark.functions.text import (
-    normalize_sentence_sql, word_shingles_from_sql,
+    normalize_sentence_sql, word_shingles_from_sql, words_sql,
 )
 from semantic_ann_in_data_lake_spark.operators import textstats
 from semantic_ann_in_data_lake_spark.plans.qshared import _TOKS, _W_CTE
@@ -665,47 +665,77 @@ def _dup_span_oracle(n: int = 5) -> str:
     """
 
 
-def _dedup_span_rewrite_oracle(n: int = 5) -> str:
+def _span_pass_ctes(n: int, s: str, src: str) -> str:
+    """One excision pass as a DuckDB CTE chain (suffix ``s``) over a
+    relation ``src`` providing (doc_id, w) — chained by the one- and
+    two-pass oracles."""
     gram = f"array_to_string(list_slice(w, i, i + {n - 1}), ' ')"
     return f"""
-    WITH {_W_CTE},
-    occ AS (
+    occ{s} AS (
       SELECT doc_id, i AS pos, {portable_hash_expr(gram)} AS gh
       FROM (SELECT doc_id, w,
                    unnest(range(1, greatest(len(w) - {n - 1}, 0) + 1)) AS i
-            FROM w)
+            FROM {src})
     ),
-    canon AS (
+    canon{s} AS (
       SELECT gh, min(struct_pack(d := doc_id, p := pos)) AS cc
-      FROM occ GROUP BY gh
+      FROM occ{s} GROUP BY gh
     ),
-    dup AS (
+    dup{s} AS (
       SELECT o.doc_id, o.pos
-      FROM occ o JOIN canon c ON o.gh = c.gh
+      FROM occ{s} o JOIN canon{s} c ON o.gh = c.gh
       WHERE o.doc_id <> c.cc.d OR o.pos <> c.cc.p
     ),
-    cov AS (
+    cov{s} AS (
       SELECT DISTINCT doc_id, tpos FROM (
-        SELECT doc_id, unnest(range(pos, pos + {n})) AS tpos FROM dup
+        SELECT doc_id, unnest(range(pos, pos + {n})) AS tpos FROM dup{s}
       )
     ),
-    toks AS (
+    toks{s} AS (
       SELECT doc_id, i AS tpos, w[i] AS tok
-      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w)
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+            FROM {src})
     ),
-    kept AS (
-      SELECT t.doc_id, t.tpos, t.tok FROM toks t
-      ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+    kept{s} AS (
+      SELECT t.doc_id, t.tpos, t.tok FROM toks{s} t
+      ANTI JOIN cov{s} c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
     ),
-    agg AS (
+    agg{s} AS (
       SELECT doc_id, count(*) AS n_kept,
              string_agg(tok, ' ' ORDER BY tpos) AS text_dedup
-      FROM kept GROUP BY doc_id
-    )
-    SELECT w.doc_id, len(w.w)::BIGINT AS n_tokens,
-           (len(w.w) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
-           coalesce(a.text_dedup, '') AS text_dedup
-    FROM w LEFT JOIN agg a USING (doc_id)
+      FROM kept{s} GROUP BY doc_id
+    ),
+    out{s} AS (
+      SELECT {src}.doc_id, len({src}.w)::BIGINT AS n_tokens,
+             (len({src}.w) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+             coalesce(a.text_dedup, '') AS text_dedup
+      FROM {src} LEFT JOIN agg{s} a USING (doc_id)
+    )"""
+
+
+def _dedup_span_rewrite_oracle(n: int = 5) -> str:
+    return f"""
+    WITH {_W_CTE},
+    {_span_pass_ctes(n, '1', 'w')}
+    SELECT doc_id, n_tokens, n_removed, text_dedup FROM out1
+    """
+
+
+def _dedup_span_rewrite2_oracle(n: int = 5) -> str:
+    # pass 2 re-tokenizes pass 1's rewrite (words_sql is idempotent on
+    # the single-space token form) and reports the ORIGINAL token
+    # count with the TOTAL removed across both passes
+    return f"""
+    WITH {_W_CTE},
+    {_span_pass_ctes(n, '1', 'w')},
+    w2 AS (SELECT doc_id, {words_sql('text_dedup')} AS w FROM out1),
+    {_span_pass_ctes(n, '2', 'w2')}
+    SELECT o1.doc_id,
+           o1.n_tokens,
+           (o1.n_tokens - (o2.n_tokens - o2.n_removed))::BIGINT
+             AS n_removed,
+           o2.text_dedup
+    FROM out1 o1 JOIN out2 o2 USING (doc_id)
     """
 
 
@@ -725,6 +755,28 @@ def dedup_span_rewrite(spark, sf_dir):
     )
 
     return duplicated_span_rewrite(_t(spark, sf_dir, "documents"), n=5)
+
+
+@register("dedup_span_rewrite2", _dedup_span_rewrite2_oracle())
+def dedup_span_rewrite2(spark, sf_dir):
+    """Iterated (two-pass) duplicated-span removal
+    (operators/spans.py::duplicated_span_rewrite_multi): excision can
+    make previously-distant tokens adjacent, and the newly-formed
+    sequence can itself be a duplicated span the single pass does not
+    see by documented design — the second pass closes it. The oracle
+    chains the full pass CTE twice (the second over the first's
+    rewrite), so the composition arithmetic (original token count,
+    TOTAL removed across passes) is hash-checked; the adversarial
+    case where pass 2 genuinely removes tokens is unit-pinned
+    (natural corpora, including the fixtures, fixpoint after one
+    pass)."""
+    from semantic_ann_in_data_lake_spark.operators.spans import (
+        duplicated_span_rewrite_multi,
+    )
+
+    return duplicated_span_rewrite_multi(
+        _t(spark, sf_dir, "documents"), n=5, passes=2
+    )
 
 
 @register("dup_span_fraction", _dup_span_oracle())

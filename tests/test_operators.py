@@ -2180,6 +2180,47 @@ def test_duplicated_span_rewrite_hand_cases(spark):
     assert out[5] == (2, 0, "solo doc")
 
 
+def test_duplicated_span_rewrite_multi_second_pass_acts(spark):
+    """Excision adjacency: removing doc 2's shared middle makes
+    'p q r' adjacent, which duplicates doc 3 — invisible to the
+    single pass, excised by the second. passes=1 must equal the
+    single-pass operator exactly."""
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators.spans import (
+        duplicated_span_rewrite,
+        duplicated_span_rewrite_multi,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "p x y z q r"), (3, "p q r")],
+        ["doc_id", "text"],
+    )
+    two = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_dedup"])
+        for r in duplicated_span_rewrite_multi(docs, n=3, passes=2).collect()
+    }
+    # pass 1: doc 2 loses 'x y z' (canonical in doc 1) -> 'p q r';
+    # pass 2: doc 3's 'p q r' now duplicates doc 2's -> ''
+    assert two == {
+        1: (3, 0, "x y z"),
+        2: (6, 3, "p q r"),
+        3: (3, 3, ""),
+    }
+    one = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_dedup"])
+        for r in duplicated_span_rewrite(docs, n=3).collect()
+    }
+    assert one[3] == (3, 0, "p q r")  # single pass can't see it
+    eq = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_dedup"])
+        for r in duplicated_span_rewrite_multi(docs, n=3, passes=1).collect()
+    }
+    assert eq == one
+    with _pytest.raises(ValueError):
+        duplicated_span_rewrite_multi(docs, passes=0)
+
+
 def test_global_row_number_matches_single_partition_window(spark, sf_dir):
     """Distributed prefix-sum rank == the textbook global window rank,
     at two partition counts (partitioning must not leak)."""

@@ -35,12 +35,16 @@ def words(col: Column | str) -> Column:
     NULL) — a crawl row with a missing body is a zero-token document,
     and a NULL array would otherwise propagate NULL token counts into
     prefix sums, rewrites, and funnel flags (every consumer of this
-    function inherits the 0-token contract instead).
+    function inherits the 0-token contract instead). The coalesce
+    folds the NULL case into the existing empty guard, keeping the
+    normalize expression at exactly TWO references per row (the
+    re-evaluation floor `test_chunking_no_tokenize_reevaluation`
+    pins).
     """
-    c = normalize_sentence(col)
-    return F.when(
-        c.isNull() | (F.length(c) == 0), F.array().cast("array<string>")
-    ).otherwise(F.split(c, " "))
+    c = F.coalesce(normalize_sentence(col), F.lit(""))
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, " ")
+    )
 
 
 def word_shingles_from(w: Column, n: int = 3) -> Column:

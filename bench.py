@@ -368,6 +368,7 @@ def bench_queries(spark, sf_dir):
         "ivf_lloyd_recall_report": from_registry("ivf_lloyd_recall_report"),
         "ppm_decode_stats": from_registry("ppm_decode_stats"),
         "url_dedup_docs": from_registry("url_dedup_docs"),
+        "dedup_span_rewrite2": from_registry("dedup_span_rewrite2"),
     }
 
 

@@ -727,3 +727,94 @@ def gopher_rules(
         n_stop_kinds.cast("int").alias("n_stop_kinds"),
         keep.alias("keep"),
     )
+
+
+#: Unicode code-point bands for script-mix detection. Band
+#: approximations of the script property (a full Unicode script table
+#: is overkill for the corpus-balance signal): Latin = ASCII letters +
+#: Latin-1 letters + Extended-A; Cyrillic = the base block; CJK =
+#: kana + unified ideographs.
+SCRIPT_BANDS: dict[str, tuple[tuple[int, int], ...]] = {
+    "latin": ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x17F)),
+    "cyrillic": ((0x0400, 0x04FF),),
+    "cjk": ((0x3040, 0x30FF), (0x4E00, 0x9FFF)),
+    "digit": ((0x30, 0x39),),
+}
+
+_WS_CODES = (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C)
+
+
+def script_mix(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document script composition — the crawl-quality signal that
+    catches mislabeled languages and mixed-script spam (a document
+    tagged ``en`` that is 60% Cyrillic, a CJK page inside a Latin
+    shard): fractions of NON-WHITESPACE code points falling in each
+    :data:`SCRIPT_BANDS` band, plus an ``other`` remainder, summing to
+    1 at 4 dp (± rounding).
+
+    Returns ``(doc_id, n_chars, latin_frac, cyrillic_frac, cjk_frac,
+    digit_frac, other_frac)`` for every document (empty/NULL → zeros).
+
+    Scale design: one row-local projection, zero shuffle. Code points
+    come from the code-point-correct native ``split(text, '')``
+    (Spark 4; measured ~7× cheaper than per-position substring) and
+    the whole computation is LET-bound in a one-element-array lambda
+    scope so CollapseProject cannot re-derive the char array per band
+    (the PERF.md Catalyst trap); per-band tests are plain integer
+    range compares — the cheapest possible interpreted-HOF body.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    codes = F.when(
+        F.length(raw) == 0, F.array().cast("array<int>")
+    ).otherwise(F.transform(F.split(raw, ""), lambda ch: F.ascii(ch)))
+
+    def in_bands(c: Column, bands: tuple[tuple[int, int], ...]) -> Column:
+        cond = F.lit(False)
+        for lo, hi in bands:
+            cond = cond | c.between(lo, hi)
+        return cond
+
+    def band_pred(bands: tuple[tuple[int, int], ...]):
+        # closure factory, NOT a default arg: pyspark inspects lambda
+        # arity, and a second parameter makes it pass the array INDEX
+        # into it
+        return lambda c: in_bands(c, bands)
+
+    def body(cs: Column) -> Column:
+        nonws = F.filter(
+            cs, lambda c: ~c.isin(*[F.lit(w) for w in _WS_CODES])
+        )
+        counts = {
+            name: F.size(F.filter(nonws, band_pred(bands)))
+            for name, bands in SCRIPT_BANDS.items()
+        }
+        n = F.size(nonws)
+        return F.struct(
+            n.alias("n"),
+            *[v.alias(k) for k, v in counts.items()],
+        )
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.element_at(F.transform(F.array(codes), body), 1).alias("__s"),
+    )
+    n = F.col("__s.n")
+    safe = F.greatest(n, F.lit(1)).cast("double")
+
+    def frac(c: Column) -> Column:
+        return _r4(c.cast("double") / safe)
+
+    known = sum(
+        (F.col(f"__s.{k}") for k in SCRIPT_BANDS), F.lit(0)
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        frac(F.col("__s.latin")).alias("latin_frac"),
+        frac(F.col("__s.cyrillic")).alias("cyrillic_frac"),
+        frac(F.col("__s.cjk")).alias("cjk_frac"),
+        frac(F.col("__s.digit")).alias("digit_frac"),
+        frac(n - known).alias("other_frac"),
+    )

@@ -1875,6 +1875,66 @@ def domain_curation_docs(spark, sf_dir):
     )
 
 
+def _script_mix_oracle() -> str:
+    from semantic_ann_in_data_lake_spark.operators.textstats import (
+        SCRIPT_BANDS,
+        _WS_CODES,
+    )
+
+    ws = ", ".join(str(w) for w in _WS_CODES)
+
+    def band(bands):
+        return " OR ".join(
+            f"(c BETWEEN {lo} AND {hi})" for lo, hi in bands
+        )
+
+    fr = {
+        k: f"len(list_filter(cps, c -> {band(b)}))"
+        for k, b in SCRIPT_BANDS.items()
+    }
+    known = " + ".join(fr.values())
+    cols = ",\n           ".join(
+        f"round({fr[k]}::DOUBLE / greatest(len(cps), 1) + 1e-9, 4)"
+        f" AS {k}_frac"
+        for k in SCRIPT_BANDS
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 range(1, length(coalesce(text, '')) + 1),
+                 i -> ord(substr(coalesce(text, ''), i, 1))),
+               cp -> NOT list_contains([{ws}], cp)) AS cps
+      FROM documents
+    )
+    SELECT doc_id,
+           len(cps)::BIGINT AS n_chars,
+           {cols},
+           round((len(cps) - ({known}))::DOUBLE
+                 / greatest(len(cps), 1) + 1e-9, 4) AS other_frac
+    FROM c
+    """
+
+
+@register("script_mix_docs", _script_mix_oracle())
+def script_mix_docs(spark, sf_dir):
+    """Unicode script-mix detection (operators/textstats.py::
+    script_mix): per-document fractions of non-whitespace code points
+    in the Latin / Cyrillic / CJK / digit bands plus the remainder —
+    the corpus-balance signal that catches mislabeled languages and
+    mixed-script spam before they skew a language shard. One
+    row-local LET-bound projection over the native code-point split;
+    the oracle recomputes every band with ord(substr) ranges. The
+    multi-script behavior itself (Cyrillic/CJK fixtures are ASCII-only
+    here) is unit-pinned on crafted strings."""
+    from semantic_ann_in_data_lake_spark.operators.textstats import (
+        script_mix,
+    )
+
+    return script_mix(_t(spark, sf_dir, "documents"))
+
+
 def _messy_url_cte() -> str:
     def bit(n: int) -> str:
         return f"ascii(substr(md5('m{n}:' || doc_id::VARCHAR), 1, 1)) % 2"

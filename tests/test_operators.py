@@ -5190,6 +5190,42 @@ def test_canonicalize_url_rule_and_dedup_quarantine(spark):
     assert groups == {"https://ex.com/p?x=1": (1, 2)}
 
 
+def test_script_mix_multiscript_and_degenerate(spark):
+    """script_mix on crafted multi-script strings: band fractions are
+    exact, sum to 1 over non-whitespace chars, and NULL/punctuation
+    documents degrade to zeros / pure-other — the cases the ASCII-only
+    fixture corpus cannot exercise."""
+    from semantic_ann_in_data_lake_spark.operators.textstats import (
+        script_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello world 123"),
+            (2, "Привет мир"),
+            (3, "こんにちは 世界 hello"),
+            (4, None),
+            (5, "!!! ??? ..."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chars"], r["latin_frac"], r["cyrillic_frac"],
+            r["cjk_frac"], r["digit_frac"], r["other_frac"],
+        )
+        for r in script_mix(docs).collect()
+    }
+    assert got[1] == (13, 0.7692, 0.0, 0.0, 0.2308, 0.0)
+    assert got[2] == (9, 0.0, 1.0, 0.0, 0.0, 0.0)
+    assert got[3] == (12, 0.4167, 0.0, 0.5833, 0.0, 0.0)
+    assert got[4] == (0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    assert got[5] == (9, 0.0, 0.0, 0.0, 0.0, 1.0)
+    for v in got.values():  # fractions partition the char set
+        if v[0] > 0:
+            assert abs(sum(v[1:]) - 1.0) < 5e-4
+
+
 def test_gopher_rules_line_and_word_rules(spark):
     """Each Gopher rule trips on a crafted violator and passes on a
     clean document — including the line-based rules the synthetic

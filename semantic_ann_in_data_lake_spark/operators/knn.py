@@ -271,6 +271,22 @@ def knn_join(
             exclude_self=exclude_self, round_dp=round_dp,
             known_n_cand=known_n_cand, known_n_query=known_n_query,
         )
+    if strategy == "pq_refine":
+        # broadcast-ADC shortlist + exact re-rank (the refine stage of
+        # the IVF-PQ variant applied to the broadcast tier)
+        if metric != "l2_sq":
+            raise ValueError(
+                "strategy='pq_refine' supports metric='l2_sq' only"
+            )
+        from semantic_ann_in_data_lake_spark.operators.pq import (
+            knn_pq_refine,
+        )
+
+        return knn_pq_refine(
+            queries, candidates, id_col, vec_col, k=k,
+            refine_factor=refine_factor,
+            exclude_self=exclude_self, round_dp=round_dp,
+        )
     if strategy in ("ivf_pq", "ivf_pq_refine"):
         # both-sides-huge compressed tier (operators/pq.py): IVF cell
         # shuffle carrying m uint8 codes; "_refine" re-scores an ADC

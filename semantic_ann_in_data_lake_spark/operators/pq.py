@@ -602,6 +602,73 @@ def knn_ivf_pq(
     return _ranked_topk(scored, k, "l2_sq")
 
 
+def _exact_rerank(
+    shortlist: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_dp: int,
+) -> DataFrame:
+    """Shared refine stage: re-score a (query_id, cand_id) shortlist
+    exactly on the raw vectors (two n·k′-row equi-joins + the
+    declarative L2² fold) and return the standard ranked top-k."""
+    from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    cv = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    rescored = (
+        shortlist.join(qv, "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(l2_sq("__qv", "__cv"), round_dp).alias("distance"),
+        )
+    )
+    return _ranked_topk(rescored, k, "l2_sq")
+
+
+def knn_pq_refine(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine_factor: int = 4,
+    m: int = 16,
+    ksub: int = 256,
+    exclude_self: bool = True,
+    round_dp: int = DEFAULT_ROUND_DP,
+    seed: int = 42,
+) -> DataFrame:
+    """Broadcast-PQ with an exact re-rank — the refine stage of
+    :func:`knn_ivf_pq_refine` applied to the broadcast/ADC tier: the
+    compressed index shortlists ``k·refine_factor`` per query, the
+    shortlist is re-scored on raw vectors, exact top-k out. Same two
+    properties as the IVF variant (true L2² distances → symmetric
+    invariant gate; recall monotone ≥ ADC-only). Inherits knn_pq's
+    byte AND pair budget guards — an oversized call degrades through
+    knn_pq to the cell-sharded tier before the refine join runs."""
+    if refine_factor < 1:
+        raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
+    shortlist = knn_pq(
+        queries, candidates, id_col, vec_col, k=k * refine_factor,
+        m=m, ksub=ksub, exclude_self=exclude_self, round_dp=round_dp,
+        seed=seed,
+    ).select("query_id", "cand_id")
+    return _exact_rerank(
+        shortlist, queries, candidates, id_col, vec_col, k, round_dp
+    )
+
+
 def knn_ivf_pq_refine(
     queries: DataFrame,
     candidates: DataFrame,
@@ -644,31 +711,14 @@ def knn_ivf_pq_refine(
     """
     if refine_factor < 1:
         raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
-    from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq
-
     shortlist = knn_ivf_pq(
         queries, candidates, id_col, vec_col, k=k * refine_factor,
         nlist=nlist, nprobe=nprobe, m=m, ksub=ksub,
         exclude_self=exclude_self, round_dp=round_dp, seed=seed,
     ).select("query_id", "cand_id")
-    qv = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
+    return _exact_rerank(
+        shortlist, queries, candidates, id_col, vec_col, k, round_dp
     )
-    cv = candidates.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
-    rescored = (
-        shortlist.join(qv, "query_id")
-        .join(cv, "cand_id")
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(l2_sq("__qv", "__cv"), round_dp).alias("distance"),
-        )
-    )
-    return _ranked_topk(rescored, k, "l2_sq")
 
 
 def build_pq_index(

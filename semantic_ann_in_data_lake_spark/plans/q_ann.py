@@ -1182,6 +1182,25 @@ def knn_ivf_pq_l2(spark, sf_dir):
     )
 
 
+@register("knn_pq_refine_l2", _KNN_CHECK_EMPTY_SQL)
+def knn_pq_refine_l2(spark, sf_dir):
+    """Broadcast-PQ + exact re-rank tier (operators/pq.py
+    knn_pq_refine — the refine stage applied to the broadcast/ADC
+    shortlist), exposed as its contract projection: true L2²
+    distances, so the symmetric invariant projection gates it with no
+    decode replay — empty iff every returned distance equals the
+    exact recompute from raw vectors and ranks are consecutive,
+    monotone, tie-broken by cand_id. Raw rows via
+    ``knn_join(strategy="pq_refine")``."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = knn_join(
+        emb, emb, k=5, strategy="pq_refine", refine_factor=3
+    )
+    return checks.knn_invariant_violations(res, emb, metric="l2_sq")
+
+
 @register("knn_ivf_pq_refine_l2", _KNN_CHECK_EMPTY_SQL)
 def knn_ivf_pq_refine_l2(spark, sf_dir):
     """IVF-PQ + exact re-rank tier (operators/pq.py

@@ -2777,12 +2777,30 @@ def test_knn_ivf_pq_refine_exact_distances_and_uplift(spark, sf_dir):
     )
     assert ref1 == plain
 
+    # broadcast variant: same contract (exact distances, invariant
+    # projection empty), recall >= ADC-only at the same k
+    bref = knn_join(
+        emb, emb, k=5, strategy="pq_refine", refine_factor=3
+    )
+    assert (
+        checks.knn_invariant_violations(bref, emb, metric="l2_sq").count()
+        == 0
+    )
+    adc = pairs(knn_join(emb, emb, k=5, strategy="pq"))
+    refb = pairs(bref)
+    assert (
+        sum(len(exact[q] & refb[q]) for q in exact)
+        >= sum(len(exact[q] & adc[q]) for q in exact)
+    )
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         knn_join(emb, emb, strategy="ivf_pq_refine", metric="cosine")
     with _pytest.raises(ValueError):
         knn_join(emb, emb, strategy="ivf_pq_refine", refine_factor=0)
+    with _pytest.raises(ValueError):
+        knn_join(emb, emb, strategy="pq_refine", metric="cosine")
 
 
 def test_pq_rejects_bad_shapes(spark, sf_dir):

@@ -108,6 +108,16 @@ def bench_queries(spark, sf_dir):
             refine_factor=3,
         )
 
+    def knn_pca_refine_bench():
+        # rotate->compress->refine production posture: PCA top-32
+        # subspace (one covariance pass + driver eigh), IVF shortlist
+        # in the reduced space, exact re-rank on raw vectors
+        emb = read_table(spark, sf_dir, "embeddings")
+        return knn_join(
+            emb, emb, k=10, strategy="pca_refine", nprobe=8,
+            refine_factor=3,
+        )
+
     def minhash_fast():
         # Production posture: hot-bucket cap on, like knn_lsh above.
         # Uncapped, per-bucket exact verification grows quadratically in
@@ -369,6 +379,11 @@ def bench_queries(spark, sf_dir):
         "ppm_decode_stats": from_registry("ppm_decode_stats"),
         "url_dedup_docs": from_registry("url_dedup_docs"),
         "dedup_span_rewrite2": from_registry("dedup_span_rewrite2"),
+        # round-9 second batch: the PCA/JL projection front end
+        "knn_pca_refine_k10": knn_pca_refine_bench,
+        "embedding_covariance": from_registry("embedding_covariance"),
+        "jl_project_emb": from_registry("jl_project_emb"),
+        "nb_quality_classifier": from_registry("nb_quality_classifier_docs"),
     }
 
 

@@ -1,0 +1,453 @@
+"""Embedding projection preprocessing: distributed PCA and a
+hash-derived Johnson-Lindenstrauss sign projection — the
+dimensionality-reduction front end of a production ANN stack.
+
+Extension beyond the reference surface (the reference feeds raw
+MiniLM vectors straight into FAISS/hnswlib, ``DeepJoin/annIndex.py``),
+but the canonical public shape for ANN at scale: FAISS deployments
+put a ``PCAMatrix`` / OPQ rotation in front of the index, and
+JL sign projections (Achlioptas 2003) are the standard data-oblivious
+alternative when a training pass is unwanted.
+
+Cross-engine / determinism discipline:
+
+- The covariance pass quantizes inputs to 6-dp integer micro-units
+  (the repo's z-score idiom, ``plans/q_ann.py`` outlier oracle) so
+  every moment is an exact integer/DECIMAL sum — bit-identical across
+  partitionings and engines; the covariance itself is then one fixed
+  tree of double ops over those exact sums, rounded to 9 dp. The
+  (i, j, n, cov) relation is directly hash-gateable against DuckDB.
+- The eigendecomposition runs on the driver over the tiny d×d matrix
+  (d² floats — 64-dim embeddings mean a 32 KiB problem regardless of
+  corpus size) with a deterministic sign convention. The ROTATION is
+  not hash-gated (LAPACK output is not a cross-engine contract);
+  instead its invariant projections are: a full-rank rotation must
+  preserve centered L2 norms row-by-row, a reduced projection must be
+  non-expansive. Violations are empty iff the contract holds — the
+  ``operators/checks.py`` pattern.
+- The JL projection derives its ±1 matrix from md5 over
+  ``"{seed}:{i}:{j}"`` (ascii parity of the first hex digit), which
+  Python's hashlib, Spark's ``md5()`` and DuckDB's ``md5()`` all agree
+  on — so the PROJECTED VECTORS themselves are hash-gateable.
+
+Scale design:
+
+- Covariance: one row-local nested-``transform`` explode generates the
+  d(d+1)/2 upper-triangle terms per row (no self-join), and the keyed
+  aggregation has d(d+1)/2 distinct keys — map-side partial combine
+  makes the shuffle |partitions|·d² partial sums, never |rows|·d².
+- ``pca_fit``'s single ``collect()`` is the d(d+1)/2-row moment table
+  (bounded by the embedding dimension, not the corpus).
+- Transforms are JVM fold expressions over broadcast literal arrays
+  (m·d doubles) — zero Python in the hot path, codegen'd end to end.
+- ``knn_pca_refine`` = IVF shortlist in the reduced space + exact
+  re-rank on raw vectors (`pq._exact_rerank`): the standard
+  rotate→compress→refine production ladder, never quadratic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from semantic_ann_in_data_lake_spark.functions.vectors import dot
+
+#: micro-unit quantization of the covariance inputs (see module doc).
+COV_QUANT_DP = 6
+#: relative tolerance for the rotation invariants: double matmul noise
+#: for d≤1024 is ~1e-12 relative; 1e-7 keeps the check honest without
+#: gating on BLAS summation order.
+ROTATION_TOL = 1e-7
+
+
+def _dim(df: DataFrame, vec_col: str) -> int:
+    first = df.select(vec_col).head(1)
+    if not first or first[0][0] is None:
+        raise ValueError(f"cannot infer dimension of empty {vec_col!r}")
+    return len(first[0][0])
+
+
+def embedding_cov_moments(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact upper-triangle second-moment table of the 6-dp-quantized
+    embeddings: ``(i, j, n, sx, sy, sxy)`` for ``0 <= i <= j < d``
+    where ``x6 = round(x·1e6)`` per lane and the sums are integer/
+    DECIMAL (partition-order-independent by construction).
+
+    One row-local explode of the d(d+1)/2 pair terms, one keyed
+    aggregate with map-side combine (d(d+1)/2 keys). ``sx``/``sy`` at
+    key (i, j) are the lane-i / lane-j micro-sums — every row
+    contributes to every key, so the means fall out of the same pass.
+    Int64 envelope: |x| ≤ ~3e3 keeps x6·x6 under 9e18 per term; the
+    DECIMAL(38,0) accumulation then holds to ~1e20 rows.
+    """
+    q = df.select(
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * F.lit(float(10**COV_QUANT_DP))).cast("bigint"),
+        ).alias("q6")
+    )
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(q6) - 1), i -> "
+                "transform(sequence(i, size(q6) - 1), j -> "
+                "struct(i AS i, j AS j, q6[i] AS xi, q6[j] AS xj))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("xj").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("xi") * F.col("xj")).cast("decimal(38,0)")).alias("sxy"),
+    )
+
+
+def _cov_expr(round_dp: int) -> Column:
+    """cov = E[xy] − E[x]E[y] as ONE fixed tree of double ops over the
+    exact moment sums — mirrored verbatim by :func:`covariance_sql`."""
+    scale = float(10**COV_QUANT_DP)
+    n = F.col("n")
+    mx = F.col("sx").cast("double") / F.lit(scale) / n
+    my = F.col("sy").cast("double") / F.lit(scale) / n
+    exy = F.col("sxy").cast("double") / F.lit(scale * scale) / n
+    return F.round(exy - mx * my, round_dp)
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", round_dp: int = 9
+) -> DataFrame:
+    """Upper-triangle covariance relation ``(i, j, n, cov)`` of the
+    quantized embeddings — the hash-gateable face of the PCA fit."""
+    return (
+        embedding_cov_moments(df, vec_col)
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.col("n").cast("bigint").alias("n"),
+            _cov_expr(round_dp).alias("cov"),
+        )
+    )
+
+
+def covariance_sql(table: str = "embeddings", vec: str = "embedding",
+                   round_dp: int = 9) -> str:
+    """DuckDB twin of :func:`embedding_covariance` (same quantization,
+    same exact sums, same double tree)."""
+    s = 10**COV_QUANT_DP
+    return f"""
+    WITH q AS (
+      SELECT list_transform({vec},
+               x -> CAST(round(x::DOUBLE * {s}.0) AS BIGINT)) AS q6
+      FROM {table}),
+    p AS (
+      SELECT gi.i AS i, gj.j AS j, q6[gi.i + 1] AS xi, q6[gj.j + 1] AS xj
+      FROM q
+      CROSS JOIN (SELECT unnest(range(0, len_q)) AS i
+                  FROM (SELECT max(len(q6)) AS len_q FROM q)) gi
+      CROSS JOIN (SELECT unnest(range(0, len_q)) AS j
+                  FROM (SELECT max(len(q6)) AS len_q FROM q)) gj
+      WHERE gi.i <= gj.j AND gj.j < len(q6)),
+    a AS (
+      SELECT i, j, count(*) AS n,
+             sum(xi)::DECIMAL(38,0) AS sx, sum(xj)::DECIMAL(38,0) AS sy,
+             sum(xi * xj)::DECIMAL(38,0) AS sxy
+      FROM p GROUP BY 1, 2)
+    SELECT i::INT AS i, j::INT AS j, n::BIGINT AS n,
+           round(sxy::DOUBLE / {s}.0 / {s}.0 / n
+                 - (sx::DOUBLE / {s}.0 / n) * (sy::DOUBLE / {s}.0 / n),
+                 {round_dp}) AS cov
+    FROM a
+    """
+
+
+@dataclass(frozen=True)
+class PCAModel:
+    """Driver-side PCA rotation: ``components[r]`` is the r-th
+    principal axis (rows of R, descending eigenvalue), ``mean`` the
+    per-lane mean of the quantized fit corpus."""
+
+    mean: tuple[float, ...]
+    components: tuple[tuple[float, ...], ...]  # m × d
+    explained_var: tuple[float, ...]  # m, descending
+    n: int
+
+    @property
+    def dim(self) -> int:
+        return len(self.mean)
+
+    @property
+    def m(self) -> int:
+        return len(self.components)
+
+
+def pca_fit(
+    df: DataFrame, m: int | None = None, vec_col: str = "embedding"
+) -> PCAModel:
+    """Fit the PCA rotation from the exact covariance relation.
+
+    The distributed part is :func:`embedding_cov_moments`; the
+    ``collect()`` here is d(d+1)/2 rows (dimension-bounded — 2 080 for
+    d=64 — never corpus-bounded). ``numpy.linalg.eigh`` runs on the
+    driver over the symmetric d×d matrix; eigenvectors are ordered by
+    descending eigenvalue (index-ascending tie-break via the stable
+    sort) and sign-fixed so each axis's largest-|component| lane is
+    positive (first such lane on ties) — the standard convention that
+    makes the rotation reproducible across LAPACK builds up to fp
+    noise, which the invariant gates absorb.
+    """
+    import numpy as np
+
+    rows = embedding_cov_moments(df, vec_col).collect()
+    if not rows:
+        raise ValueError("pca_fit on an empty frame")
+    d = max(r["j"] for r in rows) + 1
+    if m is None:
+        m = d
+    if not 1 <= m <= d:
+        raise ValueError(f"m must be in [1, {d}], got {m}")
+    scale = float(10**COV_QUANT_DP)
+    n = rows[0]["n"]
+    cov = np.zeros((d, d))
+    mean = np.zeros(d)
+    for r in rows:
+        i, j = r["i"], r["j"]
+        mx = float(r["sx"]) / scale / n
+        my = float(r["sy"]) / scale / n
+        exy = float(r["sxy"]) / scale / scale / n
+        cov[i, j] = cov[j, i] = exy - mx * my
+        if i == j:
+            mean[i] = mx
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-w, kind="stable")[:m]
+    comps = []
+    for idx in order:
+        axis = v[:, idx]
+        lead = int(np.argmax(np.abs(axis)))
+        if axis[lead] < 0:
+            axis = -axis
+        comps.append(tuple(float(x) for x in axis))
+    return PCAModel(
+        mean=tuple(float(x) for x in mean),
+        components=tuple(comps),
+        explained_var=tuple(float(w[idx]) for idx in order),
+        n=int(n),
+    )
+
+
+def _lit_arr(vals) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _centered(vec_col: str, model: PCAModel) -> Column:
+    return F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        _lit_arr(model.mean),
+        lambda x, mu: x - mu,
+    )
+
+
+def pca_transform(
+    df: DataFrame,
+    model: PCAModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Apply the rotation: ``(id_col, out_col)`` with
+    ``out[r] = round(components[r] · (x − mean), round_dp)``.
+
+    Pure JVM fold expressions over broadcast literal arrays (m·d
+    doubles in the plan) — no Python, no shuffle, codegen'd."""
+    base = df.select(F.col(id_col), _centered(vec_col, model).alias("__c"))
+    proj = F.array(
+        *[
+            F.round(dot("__c", _lit_arr(comp)), round_dp)
+            for comp in model.components
+        ]
+    )
+    return base.select(F.col(id_col), proj.alias(out_col))
+
+
+def pca_invariant_violations(
+    df: DataFrame,
+    model: PCAModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = ROTATION_TOL,
+) -> DataFrame:
+    """Violations of the rotation contract over ``df`` — empty iff it
+    holds (the ``operators/checks.py`` pattern; the oracle is the
+    empty relation):
+
+    - full-rank model (m == d): ``‖R(x−mean)‖² == ‖x−mean‖²`` within
+      ``tol·(1+‖x−mean‖²)`` — an orthonormal rotation preserves norms,
+      so any broken axis surfaces on real data;
+    - reduced model (m < d): ``‖y‖² ≤ ‖x−mean‖²·(1+tol)+tol`` — an
+      orthonormal-row projection is non-expansive.
+
+    Norms are computed UNROUNDED inside the check (output rounding
+    would otherwise need a d-dependent slack). Returns
+    ``(vec_id, norm_in, norm_out, violation)``.
+    """
+    base = df.select(
+        F.col(id_col).alias("vec_id"), _centered(vec_col, model).alias("__c")
+    )
+    y_sq = F.lit(0.0)
+    for comp in model.components:
+        t = dot("__c", _lit_arr(comp))
+        y_sq = y_sq + t * t
+    c_sq = dot("__c", "__c")
+    scored = base.select(
+        "vec_id", c_sq.alias("__nin"), y_sq.alias("__nout")
+    )
+    if model.m == model.dim:
+        bad = F.abs(F.col("__nout") - F.col("__nin")) > F.lit(tol) * (
+            F.lit(1.0) + F.col("__nin")
+        )
+        tag = F.lit("norm_not_preserved")
+    else:
+        bad = F.col("__nout") > F.col("__nin") * (1.0 + tol) + tol
+        tag = F.lit("expansion")
+    return scored.where(bad).select(
+        "vec_id",
+        F.round("__nin", 6).alias("norm_in"),
+        F.round("__nout", 6).alias("norm_out"),
+        tag.alias("violation"),
+    )
+
+
+# --- Johnson-Lindenstrauss sign projection -------------------------------
+
+def jl_sign(seed: int, i: int, j: int) -> int:
+    """±1 from the ascii parity of the first hex digit of
+    ``md5("{seed}:{i}:{j}")`` — the exact derivation Spark's and
+    DuckDB's ``md5()`` reproduce (both emit lowercase hex)."""
+    h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+    return (ord(h[0]) % 2) * 2 - 1
+
+
+def jl_transform(
+    df: DataFrame,
+    m: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Data-oblivious JL sign projection (Achlioptas 2003, dense ±1
+    variant): ``out[j] = round((Σ_i x_i·s(i,j)) / √m, round_dp)`` with
+    ``s`` from :func:`jl_sign`. Deterministic end to end, so the
+    projected vectors themselves are hash-gateable cross-engine
+    (:func:`jl_sql` is the DuckDB twin). Pure JVM folds over literal
+    ±1 arrays; no fit pass, no shuffle."""
+    d = _dim(df, vec_col)
+    inv = float(math.sqrt(m))
+    proj = F.array(
+        *[
+            F.round(
+                dot(
+                    F.col(vec_col).cast("array<double>"),
+                    _lit_arr([jl_sign(seed, i, j) for i in range(d)]),
+                )
+                / F.lit(inv),
+                round_dp,
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), proj.alias(out_col))
+
+
+def jl_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    m: int = 16,
+    seed: int = 42,
+    round_dp: int = 6,
+    as_string: bool = False,
+) -> str:
+    """DuckDB twin of :func:`jl_transform` — recomputes the sign matrix
+    from md5 IN SQL (the oracle does not trust the driver's literals).
+    ``as_string`` serializes the projection '%.6f'-formatted and
+    '|'-joined (the repo's array-for-the-hash-gate idiom)."""
+    inv = repr(math.sqrt(m))
+    lst = f"""list_transform(range(0, {m}), j ->
+             round(list_sum(list_transform(range(1, len({vec}) + 1), i ->
+               ({vec}[i]::DOUBLE) *
+               ((ascii(substr(md5('{seed}:' || (i - 1)::VARCHAR
+                              || ':' || j::VARCHAR), 1, 1)) % 2) * 2 - 1)))
+               / {inv}, {round_dp}))"""
+    if as_string:
+        lst = (
+            "array_to_string(list_transform(" + lst +
+            ", x -> printf('%.6f', x)), '|')"
+        )
+    return f"SELECT {id_col}, {lst} AS proj FROM {table}"
+
+
+def knn_pca_refine(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 32,
+    refine_factor: int = 4,
+    nlist: int | None = None,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+    round_dp: int = 6,
+    model: PCAModel | None = None,
+) -> DataFrame:
+    """The rotate→compress→refine production ANN ladder (FAISS
+    ``PCAMatrix`` + IVF + ``IndexRefineFlat``): project both sides onto
+    the top-m principal axes, shortlist ``k·refine_factor`` per query
+    with the sub-quadratic IVF tier IN THE REDUCED SPACE (m-dim fold
+    cost instead of d-dim), then re-score the shortlist exactly on the
+    RAW vectors and return the standard ranked top-k.
+
+    Distances are therefore TRUE L2² — the symmetric invariant
+    projection (``checks.knn_invariant_violations``) gates this tier
+    exactly like the LSH/IVF/refine ones. Recall floors stay in pytest.
+    Cost: one covariance pass (unless ``model`` is supplied), two
+    projection maps, the m-dim IVF probe, and an O(n·k·refine_factor·d)
+    re-rank — nothing quadratic.
+    """
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+    from semantic_ann_in_data_lake_spark.operators.pq import _exact_rerank
+
+    if refine_factor < 1:
+        raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
+    if model is None:
+        model = pca_fit(candidates, m=m, vec_col=vec_col)
+    pq_q = pca_transform(queries, model, id_col, vec_col)
+    pq_c = (
+        pq_q
+        if candidates is queries
+        else pca_transform(candidates, model, id_col, vec_col)
+    )
+    shortlist = knn_join(
+        pq_q,
+        pq_c,
+        id_col=id_col,
+        vec_col="proj",
+        k=k * refine_factor,
+        strategy="ivf",
+        nlist=nlist,
+        nprobe=nprobe,
+        exclude_self=exclude_self,
+        round_dp=round_dp,
+    ).select("query_id", "cand_id")
+    return _exact_rerank(
+        shortlist, queries, candidates, id_col, vec_col, k, round_dp
+    )

@@ -313,6 +313,24 @@ def knn_join(
             nlist=nlist, nprobe=nprobe,
             exclude_self=exclude_self, round_dp=round_dp, **extra,
         )
+    if strategy == "pca_refine":
+        # rotate→compress→refine (operators/embedproj.py): IVF
+        # shortlist in the top-m principal subspace (m-dim fold cost),
+        # exact re-rank on raw vectors — FAISS PCAMatrix +
+        # IndexRefineFlat shape. Exact distances, l2_sq only.
+        if metric != "l2_sq":
+            raise ValueError(
+                "strategy='pca_refine' supports metric='l2_sq' only"
+            )
+        from semantic_ann_in_data_lake_spark.operators.embedproj import (
+            knn_pca_refine,
+        )
+
+        return knn_pca_refine(
+            queries, candidates, id_col, vec_col, k=k,
+            refine_factor=refine_factor, nlist=nlist, nprobe=nprobe,
+            exclude_self=exclude_self, round_dp=round_dp,
+        )
     raise ValueError(f"unknown strategy {strategy!r}")
 
 

@@ -1789,3 +1789,105 @@ def kcenter_check(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return kcenter_invariant_violations(kcenter_coreset(emb, k=16), emb)
+
+
+# ---------------------------------------------------------------------------
+# Embedding projection preprocessing (operators/embedproj.py): PCA +
+# JL rotation front end for the ANN ladder (FAISS PCAMatrix / OPQ
+# shape; Achlioptas 2003 sign projections)
+# ---------------------------------------------------------------------------
+
+from semantic_ann_in_data_lake_spark.operators.embedproj import (  # noqa: E402
+    covariance_sql as _embedproj_covariance_sql,
+    jl_sql as _embedproj_jl_sql,
+)
+
+
+
+@register("embedding_covariance", _embedproj_covariance_sql())
+def embedding_covariance(spark, sf_dir):
+    """Exact upper-triangle covariance relation of the 6-dp-quantized
+    embedding corpus — the distributed, hash-gateable half of the PCA
+    fit (`operators/embedproj.py`): one row-local explode of the
+    d(d+1)/2 pair terms, one keyed DECIMAL aggregate with map-side
+    combine (shuffle = |partitions|·d² partial sums, never rows·d²).
+    The driver-side eigh consumes exactly this relation, so gating it
+    gates the fit's entire distributed surface."""
+    from semantic_ann_in_data_lake_spark.operators import embedproj
+
+    return embedproj.embedding_covariance(_t(spark, sf_dir, "embeddings"))
+
+
+@register("jl_project_emb", _embedproj_jl_sql(as_string=True))
+def jl_project_emb(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 sign projection of the embedding corpus
+    to 16 dims (Achlioptas 2003) — the data-oblivious alternative to
+    the PCA rotation. The sign matrix derives from md5 ascii parity,
+    which Python, Spark and DuckDB agree on, so the PROJECTED VECTORS
+    are hash-gated directly (the oracle recomputes the signs in SQL —
+    it does not trust the driver's literals). Pure JVM folds; no fit
+    pass, no shuffle. The projection is '%.6f'/'|'-serialized for the
+    driver's pandas canonicalizer (the typed array<double> stays on the
+    operator API)."""
+    from semantic_ann_in_data_lake_spark.operators import embedproj
+
+    out = embedproj.jl_transform(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform("proj", lambda x: F.format_string("%.6f", x)), "|"
+        ).alias("proj"),
+    )
+
+
+_PCA_CHECK_EMPTY_SQL = """
+    SELECT 0::BIGINT AS vec_id, 0.0 AS norm_in, 0.0 AS norm_out,
+           '' AS violation, '' AS mode
+    WHERE FALSE
+"""
+
+
+@register("pca_rotation_check", _PCA_CHECK_EMPTY_SQL)
+def pca_rotation_check(spark, sf_dir):
+    """Contract gate for the PCA rotation (`operators/embedproj.py`):
+    empty iff the full-rank rotation preserves every centered norm
+    (orthonormality surfaced on real data) AND the top-16 projection is
+    non-expansive, row by row. The eigendecomposition itself is a
+    driver-side d×d problem whose distributed input is hash-gated by
+    `embedding_covariance`; this check closes the loop on the rotation
+    it produces. Explained-variance ordering and numpy parity stay in
+    pytest."""
+    from semantic_ann_in_data_lake_spark.operators import embedproj
+
+    emb = _t(spark, sf_dir, "embeddings")
+    full = embedproj.pca_fit(emb)
+    reduced = embedproj.PCAModel(
+        mean=full.mean,
+        components=full.components[:16],
+        explained_var=full.explained_var[:16],
+        n=full.n,
+    )
+    a = embedproj.pca_invariant_violations(emb, full).withColumn(
+        "mode", F.lit("full_rank")
+    )
+    b = embedproj.pca_invariant_violations(emb, reduced).withColumn(
+        "mode", F.lit("top16")
+    )
+    return a.unionByName(b)
+
+
+@register("knn_pca_refine_l2", _KNN_CHECK_EMPTY_SQL)
+def knn_pca_refine_l2(spark, sf_dir):
+    """The rotate→compress→refine ANN ladder (PCA top-32 subspace →
+    IVF shortlist → exact re-rank on raw vectors), exposed as its
+    contract projection: empty iff every returned neighbor carries the
+    TRUE L2² distance and a consistent rank — the same symmetric
+    invariant the LSH/IVF/refine tiers gate through. Recall floors and
+    the m-sweep stay in pytest; raw rows via
+    ``knn_join(strategy="pca_refine")`` and bench `knn_pca_refine_k10`."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return checks.knn_invariant_violations(
+        knn_join(emb, emb, k=5, strategy="pca_refine"), emb, metric="l2_sq"
+    )

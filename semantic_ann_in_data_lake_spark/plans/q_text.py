@@ -2250,3 +2250,54 @@ def gopher_rules_docs(spark, sf_dir):
     crafted fixtures in unit tests (the synthetic corpus has no
     newlines, so they gate vacuously-true here by construction)."""
     return textstats.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "nb_quality_classifier_docs",
+    f"""
+    WITH w AS (SELECT doc_id, {_TOKS} AS w,
+                      coalesce(source = 'src0', false) AS ref
+               FROM documents),
+    dt AS (SELECT doc_id, ref, unnest(w) AS tok FROM w),
+    cls AS (SELECT tok,
+                   count(*) FILTER (WHERE ref) AS c_ref,
+                   count(*) FILTER (WHERE NOT ref) AS c_rest
+            FROM dt GROUP BY tok),
+    tot AS (SELECT sum(c_ref) AS n_ref, sum(c_rest) AS n_rest,
+                   count(*) AS vsize
+            FROM cls),
+    wt AS (SELECT tok,
+                  round(log10((c_ref + 1.0) / (n_ref + 1.0 * vsize))
+                        - log10((c_rest + 1.0) / (n_rest + 1.0 * vsize))
+                        + 1e-9, 6)::DECIMAL(18,6) AS w6
+           FROM cls CROSS JOIN tot),
+    sc AS (SELECT dt.doc_id, count(*)::BIGINT AS n_tokens,
+                  sum(wt.w6) AS w_sum
+           FROM dt JOIN wt USING (tok) GROUP BY dt.doc_id)
+    SELECT w.doc_id,
+           coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+           round(CASE WHEN sc.n_tokens IS NULL THEN 0.0
+                      ELSE sc.w_sum::DOUBLE / sc.n_tokens END + 1e-9,
+                 4) + 0.0 AS nb_score
+    FROM w LEFT JOIN sc USING (doc_id)
+    """,
+)
+def nb_quality_classifier_docs(spark, sf_dir):
+    """Naive-Bayes quality classifier trained IN-ENGINE
+    (operators/lm.py::nb_log_odds_scores): per-token log-odds between
+    a reference corpus slice (here ``source = 'src0'`` — the
+    wiki-vs-crawl shape GPT-3/CCNet/fastText quality filters train
+    on; swap the label for curated-reference membership in
+    production) and the rest, applied back to every document as a
+    mean-per-token score. Closed-form NB weights make train+apply two
+    aggregations — no gradient loop, no external model. Token weights
+    round to 6 dp then accumulate in DECIMAL(18,6), so the
+    per-document mean is bit-identical across partitionings and
+    engines."""
+    from semantic_ann_in_data_lake_spark.operators.lm import (
+        nb_log_odds_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("__is_ref", F.col("source") == F.lit("src0"))
+    return nb_log_odds_scores(labeled, "__is_ref")

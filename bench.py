@@ -118,6 +118,15 @@ def bench_queries(spark, sf_dir):
             refine_factor=3,
         )
 
+    def knn_opq_refine_bench():
+        # OPQ production posture: energy-interleaved rotation, IVF-PQ
+        # shortlist on rotated vectors, exact re-rank on raw
+        emb = read_table(spark, sf_dir, "embeddings")
+        return knn_join(
+            emb, emb, k=10, strategy="opq_refine", nprobe=8,
+            refine_factor=3,
+        )
+
     def minhash_fast():
         # Production posture: hot-bucket cap on, like knn_lsh above.
         # Uncapped, per-bucket exact verification grows quadratically in
@@ -384,6 +393,7 @@ def bench_queries(spark, sf_dir):
         "embedding_covariance": from_registry("embedding_covariance"),
         "jl_project_emb": from_registry("jl_project_emb"),
         "nb_quality_classifier": from_registry("nb_quality_classifier_docs"),
+        "knn_opq_refine_k10": knn_opq_refine_bench,
     }
 
 

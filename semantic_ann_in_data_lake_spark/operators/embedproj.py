@@ -451,3 +451,85 @@ def knn_pca_refine(
     return _exact_rerank(
         shortlist, queries, candidates, id_col, vec_col, k, round_dp
     )
+
+
+def opq_axis_interleave(model: PCAModel, m_pq: int) -> PCAModel:
+    """Reorder a FULL-RANK rotation's axes round-robin across ``m_pq``
+    contiguous groups — the cheap public stand-in for OPQ's balanced
+    rotation (FAISS practitioners' "PCA then spread the energy"): a
+    product quantizer splits the vector into m_pq contiguous
+    subvectors, and raw PCA order would dump all the variance into the
+    first subquantizer; interleaving gives every subquantizer one axis
+    from each variance band. A permutation of orthonormal rows is
+    still orthonormal, so every rotation invariant
+    (:func:`pca_invariant_violations`) holds verbatim.
+    """
+    if model.m != model.dim:
+        raise ValueError("opq_axis_interleave needs a full-rank model")
+    d = model.dim
+    if not 1 <= m_pq <= d or d % m_pq:
+        raise ValueError(f"m_pq must divide dim ({d}), got {m_pq}")
+    sub = d // m_pq
+    # group g takes ranks g, g+m_pq, g+2·m_pq, … (variance bands spread
+    # round-robin); axes within a group stay in descending-variance order
+    order = [g + r * m_pq for g in range(m_pq) for r in range(sub)]
+    return PCAModel(
+        mean=model.mean,
+        components=tuple(model.components[i] for i in order),
+        explained_var=tuple(model.explained_var[i] for i in order),
+        n=model.n,
+    )
+
+
+def knn_opq_refine(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m_pq: int = 16,
+    ksub: int = 256,
+    refine_factor: int = 4,
+    nlist: int | None = None,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+    round_dp: int = 6,
+    model: PCAModel | None = None,
+) -> DataFrame:
+    """OPQ-shaped ANN tier (Ge et al. 2013 / FAISS ``OPQMatrix`` +
+    IVFPQ + refine): rotate with the energy-interleaved FULL-RANK PCA
+    basis (L2-preserving, so rotated-space distances ARE the true
+    distances), run the compressed IVF-PQ shortlist on the rotated
+    vectors — where the subquantizers see decorrelated, variance-
+    balanced coordinates — then re-score the shortlist exactly on the
+    RAW vectors. Returned distances are TRUE L2², so the symmetric
+    invariant projection gates this tier like every refine tier.
+
+    Cost on top of :func:`knn_pca_refine`: none structurally — one
+    covariance pass (unless ``model`` is given), two projection maps,
+    the IVF-PQ probe, the n·k·refine_factor exact re-rank.
+    """
+    from semantic_ann_in_data_lake_spark.operators.pq import (
+        _exact_rerank,
+        knn_ivf_pq,
+    )
+
+    if refine_factor < 1:
+        raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
+    if model is None:
+        model = pca_fit(candidates, vec_col=vec_col)
+    rot = opq_axis_interleave(model, m_pq)
+    rq = pca_transform(queries, rot, id_col, vec_col)
+    rc = (
+        rq
+        if candidates is queries
+        else pca_transform(candidates, rot, id_col, vec_col)
+    )
+    shortlist = knn_ivf_pq(
+        rq, rc, id_col, "proj", k=k * refine_factor,
+        nlist=nlist, nprobe=nprobe, m=m_pq, ksub=ksub,
+        exclude_self=exclude_self, round_dp=round_dp,
+    ).select("query_id", "cand_id")
+    return _exact_rerank(
+        shortlist, queries, candidates, id_col, vec_col, k, round_dp
+    )

@@ -313,6 +313,23 @@ def knn_join(
             nlist=nlist, nprobe=nprobe,
             exclude_self=exclude_self, round_dp=round_dp, **extra,
         )
+    if strategy == "opq_refine":
+        # OPQ shape (operators/embedproj.py): energy-interleaved
+        # full-rank rotation, IVF-PQ shortlist on rotated vectors,
+        # exact re-rank on raw. Exact distances, l2_sq only.
+        if metric != "l2_sq":
+            raise ValueError(
+                "strategy='opq_refine' supports metric='l2_sq' only"
+            )
+        from semantic_ann_in_data_lake_spark.operators.embedproj import (
+            knn_opq_refine,
+        )
+
+        return knn_opq_refine(
+            queries, candidates, id_col, vec_col, k=k,
+            refine_factor=refine_factor, nlist=nlist, nprobe=nprobe,
+            exclude_self=exclude_self, round_dp=round_dp,
+        )
     if strategy == "pca_refine":
         # rotate→compress→refine (operators/embedproj.py): IVF
         # shortlist in the top-m principal subspace (m-dim fold cost),

@@ -1891,3 +1891,23 @@ def knn_pca_refine_l2(spark, sf_dir):
     return checks.knn_invariant_violations(
         knn_join(emb, emb, k=5, strategy="pca_refine"), emb, metric="l2_sq"
     )
+
+
+@register("knn_opq_refine_l2", _KNN_CHECK_EMPTY_SQL)
+def knn_opq_refine_l2(spark, sf_dir):
+    """OPQ-shaped ANN tier (Ge et al. 2013 / FAISS OPQMatrix+IVFPQ+
+    refine): energy-interleaved full-rank PCA rotation (L2-preserving),
+    compressed IVF-PQ shortlist over the ROTATED vectors, exact re-rank
+    on raw — exposed as its contract projection: empty iff every
+    returned neighbor carries the TRUE L2² distance and a consistent
+    rank. On correlated real-world spectra the balanced rotation is
+    what makes m-way PQ codebooks efficient; on the near-isotropic
+    synthetic fixture recall parity with plain ivf_pq_refine is pinned
+    in pytest (there is no correlation structure to exploit — the gate
+    here guards the CONTRACT, not an uplift)."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return checks.knn_invariant_violations(
+        knn_join(emb, emb, k=5, strategy="opq_refine"), emb, metric="l2_sq"
+    )

@@ -300,3 +300,66 @@ def test_nb_log_odds_matches_python_model(spark):
     assert got[1][1] > got[3][1]
     # empty/NULL text and NULL label follow the 0-token convention
     assert got[5] == (0, 0.0) and got[6] == (0, 0.0)
+
+
+def test_opq_interleave_and_refine_contract(spark, emb):
+    """The OPQ axis interleave keeps the rotation orthonormal (all
+    rotation invariants hold), spreads variance bands across the m_pq
+    groups, and the opq_refine tier returns TRUE distances with recall
+    at parity (±0.05) with plain ivf_pq_refine on the isotropic
+    fixture."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+
+    model = ep.pca_fit(emb)
+    rot = ep.opq_axis_interleave(model, m_pq=16)
+    # permutation of orthonormal rows stays orthonormal
+    assert ep.pca_invariant_violations(emb, rot).count() == 0
+    R = np.array(rot.components)
+    assert np.allclose(R @ R.T, np.eye(len(R)), atol=1e-10)
+    # group g holds variance ranks g, g+16, g+32, g+48
+    ev_full = list(model.explained_var)
+    assert list(rot.explained_var[:4]) == [
+        ev_full[0], ev_full[16], ev_full[32], ev_full[48]
+    ]
+
+    refined = ep.knn_opq_refine(
+        emb, emb, k=5, nprobe=8, refine_factor=4, model=model
+    )
+    assert (
+        checks.knn_invariant_violations(refined, emb, metric="l2_sq").count()
+        == 0
+    )
+
+    def pairs(df):
+        d = defaultdict(set)
+        for r in df.select("query_id", "cand_id").collect():
+            d[r["query_id"]].add(r["cand_id"])
+        return d
+
+    exact = pairs(knn_join(emb, emb, k=5, strategy="broadcast"))
+    tot = sum(len(v) for v in exact.values())
+
+    def rec(df):
+        g = pairs(df)
+        return sum(len(exact[q] & g[q]) for q in exact) / tot
+
+    r_opq = rec(refined)
+    r_plain = rec(
+        knn_join(emb, emb, k=5, strategy="ivf_pq_refine", nprobe=8,
+                 refine_factor=4)
+    )
+    # measured 0.749 vs 0.750 at these knobs (isotropic fixture: the
+    # rotation is contract-neutral); parity band, not an uplift claim
+    assert abs(r_opq - r_plain) <= 0.05 and r_opq >= 0.6
+
+    reduced = ep.PCAModel(
+        mean=model.mean, components=model.components[:16],
+        explained_var=model.explained_var[:16], n=model.n,
+    )
+    with pytest.raises(ValueError):
+        ep.opq_axis_interleave(reduced, 16)  # needs full rank
+    with pytest.raises(ValueError):
+        ep.opq_axis_interleave(model, m_pq=7)  # 64 % 7 != 0
+    with pytest.raises(ValueError):
+        knn_join(emb, emb, strategy="opq_refine", metric="cosine")

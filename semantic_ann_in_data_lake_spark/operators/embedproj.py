@@ -187,6 +187,49 @@ class PCAModel:
         return len(self.components)
 
 
+def merge_cov_moments(a: DataFrame, b: DataFrame) -> DataFrame:
+    """EXACT merge of two :func:`embedding_cov_moments` relations:
+    the moment sums are integer/DECIMAL, and decimal addition is
+    associative and commutative, so
+    ``merge(moments(A), moments(B)) == moments(A ∪ B)`` bit-for-bit —
+    the property that makes the PCA fit embarrassingly incremental
+    (accumulate per ingest batch, refit whenever; see
+    ``streaming/pca_stream.py``). The full-outer join is defensive
+    (both sides normally carry the same d(d+1)/2 keys — the fit
+    assumes one uniform dimension)."""
+    z = F.lit(0).cast("decimal(38,0)")
+    return (
+        a.select("i", "j", "n", "sx", "sy", "sxy")
+        .join(
+            b.select(
+                "i", "j",
+                F.col("n").alias("__n2"), F.col("sx").alias("__sx2"),
+                F.col("sy").alias("__sy2"), F.col("sxy").alias("__sxy2"),
+            ),
+            ["i", "j"],
+            "full",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("__n2"), F.lit(0))
+            ).alias("n"),
+            (F.coalesce(F.col("sx"), z) + F.coalesce(F.col("__sx2"), z)).alias("sx"),
+            (F.coalesce(F.col("sy"), z) + F.coalesce(F.col("__sy2"), z)).alias("sy"),
+            (F.coalesce(F.col("sxy"), z) + F.coalesce(F.col("__sxy2"), z)).alias("sxy"),
+        )
+    )
+
+
+def pca_fit_from_moments(moments: DataFrame, m: int | None = None) -> PCAModel:
+    """Fit from an already-accumulated moments relation (the
+    incremental/streaming path) — identical math to :func:`pca_fit`,
+    which is just ``pca_fit_from_moments(embedding_cov_moments(df))``."""
+    return _fit_from_moment_rows(moments.collect(), m)
+
+
 def pca_fit(
     df: DataFrame, m: int | None = None, vec_col: str = "embedding"
 ) -> PCAModel:
@@ -202,9 +245,14 @@ def pca_fit(
     makes the rotation reproducible across LAPACK builds up to fp
     noise, which the invariant gates absorb.
     """
+    return _fit_from_moment_rows(
+        embedding_cov_moments(df, vec_col).collect(), m
+    )
+
+
+def _fit_from_moment_rows(rows, m: int | None) -> PCAModel:
     import numpy as np
 
-    rows = embedding_cov_moments(df, vec_col).collect()
     if not rows:
         raise ValueError("pca_fit on an empty frame")
     d = max(r["j"] for r in rows) + 1

@@ -363,3 +363,28 @@ def test_opq_interleave_and_refine_contract(spark, emb):
         ep.opq_axis_interleave(model, m_pq=7)  # 64 % 7 != 0
     with pytest.raises(ValueError):
         knn_join(emb, emb, strategy="opq_refine", metric="cosine")
+
+
+def test_merge_cov_moments_is_exact(spark, emb):
+    """merge(moments(A), moments(B)) == moments(A ∪ B) bit-for-bit —
+    the associativity property the streaming accumulator rests on."""
+    a = emb.where("vec_id < 200")
+    b = emb.where("vec_id >= 200")
+    merged = {
+        (r["i"], r["j"], r["n"], r["sx"], r["sy"], r["sxy"])
+        for r in ep.merge_cov_moments(
+            ep.embedding_cov_moments(a), ep.embedding_cov_moments(b)
+        ).collect()
+    }
+    full = {
+        (r["i"], r["j"], r["n"], r["sx"], r["sy"], r["sxy"])
+        for r in ep.embedding_cov_moments(emb).collect()
+    }
+    assert merged == full
+    # and the fit built from merged moments is the batch fit exactly
+    assert ep.pca_fit_from_moments(
+        ep.merge_cov_moments(
+            ep.embedding_cov_moments(a), ep.embedding_cov_moments(b)
+        ),
+        m=8,
+    ) == ep.pca_fit(emb, m=8)

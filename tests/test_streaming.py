@@ -1478,3 +1478,92 @@ def test_streaming_domain_cap_equals_batch_and_redelivery(
     n_domains = urled.select(domain.alias("d")).distinct().count()
     state_rows = spark.read.parquet(sink + "__state").count()
     assert state_rows <= 2 * (n_domains + 1)
+
+
+def test_streaming_pca_moments_equal_batch_bit_for_bit(
+    spark, sf_dir, tmp_path
+):
+    """The streamed covariance-moment accumulator equals the batch
+    pass over the full corpus BIT-FOR-BIT (decimal sums are
+    associative — `merge_cov_moments` is exact, not approximate), the
+    PCA model fitted from the streamed state equals the batch fit
+    float-for-float, and re-deliveries add nothing: a fresh checkpoint
+    with the SAME lineage replays into identical state, and a fresh
+    lineage re-accumulates to equal content under its own run_id."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators import embedproj as ep
+    from semantic_ann_in_data_lake_spark.streaming.pca_stream import (
+        incremental_cov_moments_foreach_batch,
+        read_cov_moments_state,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    want = {
+        (r["i"], r["j"], r["n"], r["sx"], r["sy"], r["sxy"])
+        for r in ep.embedding_cov_moments(emb).collect()
+    }
+    want_model = ep.pca_fit(emb, m=8)
+
+    in_dir = tmp_path / "pca_in"
+    in_dir.mkdir()
+    # id-ordered arrival: three disjoint ascending id ranges
+    cuts = [(0, 170), (170, 340), (340, 10_000)]
+    for i, (lo, hi) in enumerate(cuts):
+        part = emb.where(f"vec_id >= {lo} AND vec_id < {hi}")
+        part.coalesce(1).write.parquet(str(tmp_path / f"_pc{i}"))
+        shutil.copy(
+            glob.glob(str(tmp_path / f"_pc{i}" / "part-*.parquet"))[0],
+            in_dir / f"{chr(97 + i)}.parquet",
+        )
+    state = str(tmp_path / "pca_state")
+
+    def run(ckpt, lineage):
+        stream = spark.readStream.schema(emb.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(in_dir))
+        q = (
+            incremental_cov_moments_foreach_batch(
+                stream, state, lineage=lineage
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination()
+
+    run("pca_ck1", "lin1")
+    got_df = read_cov_moments_state(spark, state, lineage="lin1")
+    got = {
+        (r["i"], r["j"], r["n"], r["sx"], r["sy"], r["sxy"])
+        for r in got_df.collect()
+    }
+    assert got == want  # exact: Decimal == Decimal, count == count
+
+    got_model = ep.pca_fit_from_moments(got_df, m=8)
+    assert got_model == want_model  # frozen dataclass: float-for-float
+
+    # same-lineage fresh checkpoint: the full log replays through the
+    # first-batch path and every slot overwrites identically
+    run("pca_ck2", "lin1")
+    got2 = {
+        (r["i"], r["j"], r["n"], r["sx"], r["sy"], r["sxy"])
+        for r in read_cov_moments_state(spark, state, lineage="lin1").collect()
+    }
+    assert got2 == want
+
+    # fresh lineage over the same source: its own run accumulates to
+    # equal content (the merge property), reader picks it up by name
+    run("pca_ck3", "lin2")
+    got3 = {
+        (r["i"], r["j"], r["n"], r["sx"], r["sy"], r["sxy"])
+        for r in read_cov_moments_state(spark, state, lineage="lin2").collect()
+    }
+    assert got3 == want
+
+    # the state table never exceeds two generations of d(d+1)/2 rows
+    raw = spark.read.parquet(state)
+    per_run = raw.groupBy("run_id").count().collect()
+    assert all(r["count"] <= 2 * len(want) for r in per_run)

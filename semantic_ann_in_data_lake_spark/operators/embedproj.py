@@ -293,10 +293,28 @@ def _lit_arr(vals) -> Column:
     return F.array(*[F.lit(float(x)) for x in vals])
 
 
-def _centered(vec_col: str, model: PCAModel) -> Column:
+def _model_frame(df: DataFrame, model: PCAModel) -> DataFrame:
+    """The rotation shipped as DATA: a 1-row frame carrying the m×d
+    component matrix and the mean as nested arrays, crossJoin-broadcast
+    into the projection (the repo's sanctioned 1-row scalar broadcast).
+
+    Why not literal arrays in the plan: m·d literal expression NODES
+    (4 096 at d=64 full rank, ~1 M at d=1024) put Catalyst analysis
+    and whole-stage codegen on the hot path — measured 14.3 s for the
+    OPQ bench entry at sf0.1 versus 4.4 s for the literal-free IVF-PQ
+    twin, with the executors idle. As data, the matrix costs O(1) plan
+    nodes and one broadcast row regardless of dimension."""
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [([list(c) for c in model.components], list(model.mean))],
+        "__R array<array<double>>, __mu array<double>",
+    )
+
+
+def _centered_col(vec_col: str) -> Column:
     return F.zip_with(
         F.col(vec_col).cast("array<double>"),
-        _lit_arr(model.mean),
+        F.col("__mu"),
         lambda x, mu: x - mu,
     )
 
@@ -312,14 +330,14 @@ def pca_transform(
     """Apply the rotation: ``(id_col, out_col)`` with
     ``out[r] = round(components[r] · (x − mean), round_dp)``.
 
-    Pure JVM fold expressions over broadcast literal arrays (m·d
-    doubles in the plan) — no Python, no shuffle, codegen'd."""
-    base = df.select(F.col(id_col), _centered(vec_col, model).alias("__c"))
-    proj = F.array(
-        *[
-            F.round(dot("__c", _lit_arr(comp)), round_dp)
-            for comp in model.components
-        ]
+    One JVM ``transform`` over the broadcast matrix row — no Python,
+    no shuffle, plan size independent of m·d (see
+    :func:`_model_frame`)."""
+    base = df.crossJoin(F.broadcast(_model_frame(df, model))).select(
+        F.col(id_col), _centered_col(vec_col).alias("__c"), "__R"
+    )
+    proj = F.transform(
+        "__R", lambda row: F.round(dot("__c", row), round_dp)
     )
     return base.select(F.col(id_col), proj.alias(out_col))
 
@@ -345,13 +363,16 @@ def pca_invariant_violations(
     would otherwise need a d-dependent slack). Returns
     ``(vec_id, norm_in, norm_out, violation)``.
     """
-    base = df.select(
-        F.col(id_col).alias("vec_id"), _centered(vec_col, model).alias("__c")
+    base = df.crossJoin(F.broadcast(_model_frame(df, model))).select(
+        F.col(id_col).alias("vec_id"),
+        _centered_col(vec_col).alias("__c"),
+        "__R",
     )
-    y_sq = F.lit(0.0)
-    for comp in model.components:
-        t = dot("__c", _lit_arr(comp))
-        y_sq = y_sq + t * t
+    y_sq = F.aggregate(
+        F.transform("__R", lambda row: dot("__c", row)),
+        F.lit(0.0),
+        lambda acc, t: acc + t * t,
+    )
     c_sq = dot("__c", "__c")
     scored = base.select(
         "vec_id", c_sq.alias("__nin"), y_sq.alias("__nout")
@@ -399,20 +420,22 @@ def jl_transform(
     ±1 arrays; no fit pass, no shuffle."""
     d = _dim(df, vec_col)
     inv = float(math.sqrt(m))
-    proj = F.array(
-        *[
-            F.round(
-                dot(
-                    F.col(vec_col).cast("array<double>"),
-                    _lit_arr([jl_sign(seed, i, j) for i in range(d)]),
-                )
-                / F.lit(inv),
-                round_dp,
-            )
-            for j in range(m)
-        ]
+    # the sign matrix ships as DATA (1-row broadcast), not as m·d
+    # literal plan nodes — see _model_frame for the rationale
+    sdf = df.sparkSession.createDataFrame(
+        [([[float(jl_sign(seed, i, j)) for i in range(d)]
+           for j in range(m)],)],
+        "__S array<array<double>>",
     )
-    return df.select(F.col(id_col), proj.alias(out_col))
+    base = df.crossJoin(F.broadcast(sdf))
+    proj = F.transform(
+        "__S",
+        lambda row: F.round(
+            dot(F.col(vec_col).cast("array<double>"), row) / F.lit(inv),
+            round_dp,
+        ),
+    )
+    return base.select(F.col(id_col), proj.alias(out_col))
 
 
 def jl_sql(
@@ -474,15 +497,22 @@ def knn_pca_refine(
     from semantic_ann_in_data_lake_spark.operators.knn import knn_join
     from semantic_ann_in_data_lake_spark.operators.pq import _exact_rerank
 
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+
     if refine_factor < 1:
         raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
     if model is None:
         model = pca_fit(candidates, m=m, vec_col=vec_col)
-    pq_q = pca_transform(queries, model, id_col, vec_col)
+    # persist the projections: the IVF probe references its input more
+    # than once (cell assignment + scoring), and recomputing the
+    # rotation per reference doubles the map work for nothing
+    pq_q = scoped_persist(pca_transform(queries, model, id_col, vec_col))
     pq_c = (
         pq_q
         if candidates is queries
-        else pca_transform(candidates, model, id_col, vec_col)
+        else scoped_persist(
+            pca_transform(candidates, model, id_col, vec_col)
+        )
     )
     shortlist = knn_join(
         pq_q,
@@ -557,6 +587,7 @@ def knn_opq_refine(
     covariance pass (unless ``model`` is given), two projection maps,
     the IVF-PQ probe, the n·k·refine_factor exact re-rank.
     """
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
     from semantic_ann_in_data_lake_spark.operators.pq import (
         _exact_rerank,
         knn_ivf_pq,
@@ -567,11 +598,13 @@ def knn_opq_refine(
     if model is None:
         model = pca_fit(candidates, vec_col=vec_col)
     rot = opq_axis_interleave(model, m_pq)
-    rq = pca_transform(queries, rot, id_col, vec_col)
+    # persist the full-rank rotation: the IVF-PQ probe walks its input
+    # several times (codebook fit sample, cell assignment, ADC scan)
+    rq = scoped_persist(pca_transform(queries, rot, id_col, vec_col))
     rc = (
         rq
         if candidates is queries
-        else pca_transform(candidates, rot, id_col, vec_col)
+        else scoped_persist(pca_transform(candidates, rot, id_col, vec_col))
     )
     shortlist = knn_ivf_pq(
         rq, rc, id_col, "proj", k=k * refine_factor,

@@ -38,8 +38,11 @@ Scale design:
   makes the shuffle |partitions|·d² partial sums, never |rows|·d².
 - ``pca_fit``'s single ``collect()`` is the d(d+1)/2-row moment table
   (bounded by the embedding dimension, not the corpus).
-- Transforms are JVM fold expressions over broadcast literal arrays
-  (m·d doubles) — zero Python in the hot path, codegen'd end to end.
+- Transforms are single JVM ``transform`` lambdas over the rotation
+  matrix shipped as a 1-row broadcast of nested arrays — zero Python
+  in the hot path, and O(1) plan nodes at any dimension (literal
+  arrays would put m·d Catalyst nodes on the analysis/codegen path;
+  see ``_model_frame``).
 - ``knn_pca_refine`` = IVF shortlist in the reduced space + exact
   re-rank on raw vectors (`pq._exact_rerank`): the standard
   rotate→compress→refine production ladder, never quadratic.

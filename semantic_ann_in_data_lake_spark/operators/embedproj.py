@@ -617,3 +617,85 @@ def knn_opq_refine(
     return _exact_rerank(
         shortlist, queries, candidates, id_col, vec_col, k, round_dp
     )
+
+
+def pca_whiten_model(model: PCAModel, eps: float = 1e-9) -> PCAModel:
+    """Whitening transform from a PCA fit: rows scaled by 1/√λ, so
+    the whitened corpus has identity covariance — the standard
+    retrieval-embedding post-processing (whitening removes the
+    anisotropy that makes raw sentence-embedding cosine scores
+    saturate; see the public whitening-BERT line of work and FAISS's
+    PCAMatrix(eigen_power=-0.5)).
+
+    The result is NOT a rotation (rows are orthogonal but not unit
+    norm), so :func:`pca_invariant_violations` does not apply; its
+    contract is :func:`whitening_violations` — the whitened corpus's
+    own covariance must be the identity, which holds EXACTLY (to fp +
+    quantization noise) when the fit corpus is the transformed corpus:
+    cov(Λ^{-1/2}·R·(x−μ)) = Λ^{-1/2}·R·C·Rᵀ·Λ^{-1/2} = I.
+
+    ``explained_var`` keeps the ORIGINAL eigenvalues (the whitened
+    ones are 1 by construction; callers need λ to know what was
+    floored). Axes with λ ≤ eps are floored at eps — on degenerate
+    directions the identity property then holds only for the
+    un-floored axes (`whitening_violations` checks those).
+    """
+    comps = tuple(
+        tuple(c / math.sqrt(max(lam, eps)) for c in axis)
+        for axis, lam in zip(model.components, model.explained_var)
+    )
+    return PCAModel(
+        mean=model.mean,
+        components=comps,
+        explained_var=model.explained_var,
+        n=model.n,
+    )
+
+
+def whitening_violations(
+    df: DataFrame,
+    model: PCAModel | None = None,
+    m: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-3,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Contract of the whitening transform, as a violations projection
+    (empty iff it holds): the covariance of the whitened corpus equals
+    the identity — diagonal 1, off-diagonal 0 — within ``tol`` on
+    every un-floored axis pair.
+
+    This is a REAL distributed property check: it re-runs the exact
+    covariance pass (:func:`embedding_covariance`) over the
+    transformed vectors, so a wrong eigenvalue, a broken axis scale,
+    or a stale mean all surface as non-identity entries. ``tol``
+    absorbs the 6-dp quantization of the covariance pass's inputs
+    (≤ ~1e-5 per entry at unit scale) and the fit's own quantized
+    inputs; 1e-3 keeps an order-of-magnitude margin without masking a
+    single swapped or mis-scaled axis (those show up at O(1)).
+
+    Returns ``(i, j, cov, expected, violation)``.
+    """
+    if model is None:
+        model = pca_fit(df, m=m, vec_col=vec_col)
+    w = pca_whiten_model(model, eps=eps)
+    keep = sum(1 for lam in model.explained_var if lam > eps)
+    white = pca_transform(df, w, id_col, vec_col)
+    cov = embedding_covariance(white, vec_col="proj")
+    expected = F.when(F.col("i") == F.col("j"), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        cov.where((F.col("i") < keep) & (F.col("j") < keep))
+        .select(
+            "i",
+            "j",
+            "cov",
+            expected.alias("expected"),
+            F.when(
+                F.abs(F.col("cov") - expected) > tol, F.lit("not_identity")
+            ).alias("violation"),
+        )
+        .where(F.col("violation").isNotNull())
+    )

@@ -1911,3 +1911,35 @@ def knn_opq_refine_l2(spark, sf_dir):
     return checks.knn_invariant_violations(
         knn_join(emb, emb, k=5, strategy="opq_refine"), emb, metric="l2_sq"
     )
+
+
+_WHITEN_CHECK_EMPTY_SQL = """
+    SELECT 0::INT AS i, 0::INT AS j, 0.0 AS cov, 0.0 AS expected,
+           '' AS violation
+    WHERE FALSE
+"""
+
+
+@register("pca_whitening_check", _WHITEN_CHECK_EMPTY_SQL)
+def pca_whitening_check(spark, sf_dir):
+    """Contract gate for PCA whitening (`operators/embedproj.py::
+    pca_whiten_model` — the standard retrieval-embedding
+    post-processing; FAISS PCAMatrix(eigen_power=-0.5)): the whitened
+    corpus's own covariance, recomputed by the exact distributed
+    covariance pass, must be the IDENTITY — a wrong eigenvalue,
+    mis-scaled axis, or stale mean all surface as non-identity
+    entries. Checked at full rank AND at m=16 (whitening must compose
+    with truncation); numpy parity stays in pytest."""
+    from semantic_ann_in_data_lake_spark.operators import embedproj
+
+    emb = _t(spark, sf_dir, "embeddings")
+    full = embedproj.pca_fit(emb)
+    reduced = embedproj.PCAModel(
+        mean=full.mean,
+        components=full.components[:16],
+        explained_var=full.explained_var[:16],
+        n=full.n,
+    )
+    return embedproj.whitening_violations(emb, model=full).unionByName(
+        embedproj.whitening_violations(emb, model=reduced)
+    )

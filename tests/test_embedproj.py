@@ -388,3 +388,42 @@ def test_merge_cov_moments_is_exact(spark, emb):
         ),
         m=8,
     ) == ep.pca_fit(emb, m=8)
+
+
+def test_whitening_identity_and_tamper(spark, emb, full_model, emb_np):
+    """Whitened corpus covariance is the identity (the violations
+    projection is empty), the transform matches numpy, and a tampered
+    eigenvalue surfaces as a non-identity entry."""
+    _, X = emb_np
+    assert ep.whitening_violations(emb, model=full_model).count() == 0
+    m16 = ep.PCAModel(
+        mean=full_model.mean,
+        components=full_model.components[:16],
+        explained_var=full_model.explained_var[:16],
+        n=full_model.n,
+    )
+    assert ep.whitening_violations(emb, model=m16).count() == 0
+
+    # numpy parity of the whitening transform itself
+    w = ep.pca_whiten_model(m16)
+    got = (
+        ep.pca_transform(emb, w).toPandas().sort_values("vec_id")
+    )
+    R = np.array(m16.components)
+    lam = np.array(m16.explained_var)
+    Y = (X - np.array(m16.mean)) @ (R / np.sqrt(lam)[:, None]).T
+    have = np.array([list(p) for p in got["proj"]])
+    assert np.allclose(have, np.round(Y, 6), atol=2e-6)
+    # whitened model keeps the ORIGINAL eigenvalues for the caller
+    assert w.explained_var == m16.explained_var
+
+    # tamper: double one eigenvalue -> that axis's variance is 1/2
+    bad = ep.PCAModel(
+        mean=m16.mean,
+        components=m16.components,
+        explained_var=(m16.explained_var[0] * 2.0,)
+        + m16.explained_var[1:],
+        n=m16.n,
+    )
+    viol = ep.whitening_violations(emb, model=bad).collect()
+    assert any(r["i"] == 0 and r["j"] == 0 for r in viol)

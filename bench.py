@@ -127,6 +127,27 @@ def bench_queries(spark, sf_dir):
             refine_factor=3,
         )
 
+    def knn_nndescent_bench():
+        from semantic_ann_in_data_lake_spark.operators.nndescent import (
+            nndescent_knn_graph,
+        )
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        return nndescent_knn_graph(emb, k=10, iters=3)
+
+    def pagerank_bench():
+        from semantic_ann_in_data_lake_spark.operators.graphrank import (
+            pagerank,
+            symmetrize,
+        )
+        from semantic_ann_in_data_lake_spark.operators.nndescent import (
+            nndescent_knn_graph,
+        )
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        edges = symmetrize(nndescent_knn_graph(emb, k=5, iters=2))
+        return pagerank(edges, iters=5)
+
     def minhash_fast():
         # Production posture: hot-bucket cap on, like knn_lsh above.
         # Uncapped, per-bucket exact verification grows quadratically in
@@ -394,6 +415,13 @@ def bench_queries(spark, sf_dir):
         "jl_project_emb": from_registry("jl_project_emb"),
         "nb_quality_classifier": from_registry("nb_quality_classifier_docs"),
         "knn_opq_refine_k10": knn_opq_refine_bench,
+        # round-9 third batch: the graph family — NN-descent kNN-graph
+        # build (production posture: k=10, 3 rounds) and PageRank over
+        # the mutual-kNN graph (5 decimal-exact power iterations on the
+        # NN-descent edges — linear-in-n end to end, unlike the gated
+        # exact-graph variant)
+        "knn_nndescent_k10": knn_nndescent_bench,
+        "pagerank_knn_graph": pagerank_bench,
     }
 
 

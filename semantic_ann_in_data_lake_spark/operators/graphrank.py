@@ -1,0 +1,135 @@
+"""PageRank-style centrality over data-derived graphs — the
+graph-analytics primitive of corpus curation (Page et al. 1999; used in
+pretraining pipelines to weight documents by centrality/representativity
+of their neighborhood graph, and classically to rank crawl URLs).
+
+Here the graph is usually the SYMMETRIZED kNN graph of an embedding
+corpus (`operators/nndescent.py` or `operators/knn.py` edges, both
+directions, deduped): a node whose neighborhood is reciprocated by many
+well-connected nodes sits in a dense semantic region (high rank →
+representative/duplicative content), while low-rank nodes are outliers
+— both tails are actionable for selection and pruning.
+
+Execution shape (100-TB posture):
+- One iteration = one groupBy on dst (partial-aggregating shuffle of
+  (dst, contrib) pairs — never the vectors) + one broadcast of the
+  1-row dangling-mass frame. T iterations = T such rounds; state is
+  the (node, rank) frame, lineage-truncated per round
+  (``localCheckpoint``, the iterative-operator convention — the rank
+  frame is referenced twice per round, so the logical tree would
+  otherwise double each iteration).
+- Out-degrees are computed ONCE and joined in; skew is bounded
+  upstream (a kNN graph has out-degree exactly k; in-degree hubs are
+  bounded by the reverse cap if the graph came from nndescent).
+
+Determinism contract (what makes a 5-round float fixpoint
+hash-gateable cross-engine): per-edge contributions ``rank/outdeg``
+are rounded to 12 dp and cast to DECIMAL(38,12) — scale matching the
+round dp, so the cast is an exact grid-snap in BOTH engines (the
+`q_ann` centroid-oracle pattern: engines disagree on double→decimal
+tail rounding, never on which 1e-12 grid point a 12-dp-rounded double
+is nearest) — then summed EXACTLY (parallel double summation is
+order-nondeterministic; DECIMAL sums are not), and the combined value
+is rounded to ``round_dp`` decimals each round. rank_t is therefore a
+pure decimal function of rank_{t-1} that DuckDB replays bit-
+identically (`plans/q_ann.py::pagerank_knn_graph`).
+
+Dangling nodes (no out-edges) follow the textbook treatment: their
+mass redistributes uniformly. The symmetrized-kNN gate graph has none
+by construction; the hand-graph pytest exercises the path against a
+pure-Python model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Iterated PageRank over ``edges``: returns ``(node, pr)`` with
+    ``pr`` rounded to ``round_dp`` per round (see module docstring for
+    why that makes the number cross-engine exact). Nodes are the union
+    of both endpoint sets; initial rank 1/n; ``iters`` fixed rounds
+    (the curation use wants a deterministic, replayable score, not an
+    ε-converged fixpoint)."""
+    if iters < 0:
+        raise ValueError("iters >= 0 required")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("pr"))
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    base = (1.0 - damping) / n
+
+    r = nodes.select("node", F.round(F.lit(1.0 / n), round_dp).alias("pr"))
+    r = r.localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        rd = r.join(outdeg, "node", "left")
+        # exact decimal accumulation: parallel double sums are
+        # order-nondeterministic; DECIMAL sums are not
+        contrib = (
+            rd.where(F.col("deg").isNotNull())
+            .join(e, rd["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.round(F.col("pr") / F.col("deg"), 12).cast(
+                        "decimal(38,12)"
+                    )
+                ).alias("__c")
+            )
+        )
+        # pr is round_dp-dp exact by construction, so the scale-matched
+        # cast is a no-op grid-snap
+        dangling = rd.where(F.col("deg").isNull()).agg(
+            F.coalesce(
+                F.sum(F.col("pr").cast(f"decimal(38,{round_dp})")),
+                F.lit(0).cast(f"decimal(38,{round_dp})"),
+            ).alias("__dm")
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__c").cast("double"), F.lit(0.0))
+                        + F.col("__dm").cast("double") / F.lit(float(n))
+                    ),
+                    round_dp,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r
+
+
+def symmetrize(knn: DataFrame, src_col: str = "query_id", dst_col: str = "cand_id") -> DataFrame:
+    """Undirected edge set of a directed kNN graph: both directions,
+    deduped — the standard mutual-neighborhood graph for centrality
+    and community operators."""
+    a = knn.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    b = knn.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    return a.unionByName(b).distinct()

@@ -1943,3 +1943,264 @@ def pca_whitening_check(spark, sf_dir):
     return embedproj.whitening_violations(emb, model=full).unionByName(
         embedproj.whitening_violations(emb, model=reduced)
     )
+
+
+# ---------------------------------------------------------------------------
+# NN-descent (round 9): the graph-based ANN family (Dong et al. 2011).
+# Unlike the LSH/IVF/PQ tiers the FULL mechanism is SQL-expressible —
+# init buckets are md5-hex arithmetic, every round is a join + window
+# over rounded distances — so the recall report's oracle replicates the
+# entire T-round build end-to-end in DuckDB (MATERIALIZED CTEs: DuckDB
+# would otherwise re-inline each round into the next and the oracle
+# goes quadratic in wall-clock, measured 73s -> 0.6s at sf0.01).
+# ---------------------------------------------------------------------------
+
+_NND_K, _NND_ITERS, _NND_SEED = 5, 3, 42
+_NND_RK = 3 * _NND_K
+
+
+def _nndescent_oracle_sql(k: int, iters: int, seed: int, rk: int) -> str:
+    """DuckDB replication of `operators/nndescent.nndescent_knn_graph`
+    + the recall arithmetic of `nndescent_recall_vs_exact`. One CTE
+    block per descent round, generated by the same loop shape as the
+    Spark build so the two can't drift apart silently."""
+
+    def bucket(name: str, s: int) -> str:
+        return (
+            f"{name} AS (SELECT vec_id, (('0x'||substr(md5('{s}:'||vec_id::VARCHAR),1,8))::BIGINT"
+            f" % (SELECT nb FROM nn)) AS b FROM e)"
+        )
+
+    def scored(pairs: str, out: str) -> str:
+        return (
+            f"{out} AS MATERIALIZED (SELECT p.query_id, p.cand_id,"
+            f" round({l2_sq_sql('q.v', 'c.v')}, 6) AS d"
+            f" FROM {pairs} p JOIN e q ON q.vec_id = p.query_id"
+            f" JOIN e c ON c.vec_id = p.cand_id)"
+        )
+
+    def topk(s: str, out: str) -> str:
+        return (
+            f"{out} AS MATERIALIZED (SELECT query_id, cand_id, d FROM ("
+            f"SELECT s.*, row_number() OVER (PARTITION BY query_id"
+            f" ORDER BY d ASC, cand_id ASC) AS rnk FROM {s} s) WHERE rnk <= {k})"
+        )
+
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"nn AS (SELECT greatest(1, (count(*) + {k}) // {k + 1}) AS nb FROM e)",
+        bucket("b0", seed),
+        bucket("b1", seed + 1),
+        (
+            "p0 AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id"
+            " FROM b0 a JOIN b0 b ON a.b = b.b AND a.vec_id <> b.vec_id"
+            " UNION SELECT a.vec_id, b.vec_id"
+            " FROM b1 a JOIN b1 b ON a.b = b.b AND a.vec_id <> b.vec_id)"
+        ),
+        scored("p0", "s0"),
+        topk("s0", "g0"),
+    ]
+    for t in range(1, iters + 1):
+        g = f"g{t - 1}"
+        ctes += [
+            (
+                f"r{t} AS (SELECT query_id, cand_id FROM ("
+                f"SELECT g.cand_id AS query_id, g.query_id AS cand_id,"
+                f" row_number() OVER (PARTITION BY g.cand_id"
+                f" ORDER BY g.d ASC, g.query_id ASC) AS rnk FROM {g} g)"
+                f" WHERE rnk <= {rk})"
+            ),
+            (
+                f"u{t} AS MATERIALIZED (SELECT query_id, cand_id FROM {g}"
+                f" UNION SELECT query_id, cand_id FROM r{t})"
+            ),
+            (
+                f"p{t} AS (SELECT a.cand_id AS query_id, b.cand_id AS cand_id"
+                f" FROM u{t} a JOIN u{t} b"
+                f" ON a.query_id = b.query_id AND a.cand_id <> b.cand_id"
+                f" UNION SELECT query_id, cand_id FROM u{t})"
+            ),
+            scored(f"p{t}", f"s{t}"),
+            topk(f"s{t}", f"g{t}"),
+        ]
+    ctes += [
+        f"""exact AS MATERIALIZED (SELECT query_id, cand_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round({l2_sq_sql('q.v', 'c.v')}, 6) ASC,
+                            c.vec_id ASC) AS rnk
+          FROM e q, e c WHERE q.vec_id <> c.vec_id) WHERE rnk <= {k})""",
+        (
+            f"hit AS (SELECT ex.query_id FROM exact ex"
+            f" JOIN g{iters} g ON ex.query_id = g.query_id"
+            f" AND ex.cand_id = g.cand_id)"
+        ),
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT (SELECT count(DISTINCT query_id) FROM exact)::BIGINT AS n_queries,
+           (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+           (SELECT count(*) FROM hit)::BIGINT AS n_found,
+           (1000 * (SELECT count(*) FROM hit)
+              // greatest((SELECT count(*) FROM exact), 1))::BIGINT
+             AS recall_x1000
+    """
+    )
+
+
+@register("knn_nndescent_l2", _KNN_CHECK_EMPTY_SQL)
+def knn_nndescent_l2(spark, sf_dir):
+    """Graph-based approximate kNN via NN-descent (`operators/
+    nndescent.py`), exposed as its contract projection: empty iff every
+    edge of the T-round refined graph carries the exact L2² distance
+    and a consecutive, monotone rank — the same approximate-neighbors/
+    exact-distances contract the reference's HNSW layer promises
+    (`DeepJoin/annIndex.py:21-40`). Mechanism recall is hash-gated by
+    `nndescent_recall_report`; convergence on clustered data is pinned
+    in pytest (blob fixture)."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+    from semantic_ann_in_data_lake_spark.operators.nndescent import (
+        nndescent_knn_graph,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return checks.knn_invariant_violations(
+        nndescent_knn_graph(
+            emb, k=_NND_K, iters=_NND_ITERS, seed=_NND_SEED, reverse_cap=_NND_RK
+        ),
+        emb,
+        metric="l2_sq",
+    )
+
+
+@register(
+    "nndescent_recall_report",
+    _nndescent_oracle_sql(_NND_K, _NND_ITERS, _NND_SEED, _NND_RK),
+)
+def nndescent_recall_report(spark, sf_dir):
+    """Official recall of the T=3 NN-descent build vs the exact top-5
+    graph, as one integer row — the DuckDB oracle replays the ENTIRE
+    mechanism (bucket init, 3 descent rounds, top-k selection on
+    rounded distances), so a hash match certifies every round's edge
+    set, not just the summary. The synthetic embeddings are
+    uniform-random (no cluster structure for neighbor-of-neighbor
+    locality to exploit), so the gated number is the algorithm's
+    pessimistic floor — the same caveat `ivf_recall_report` documents;
+    convergence on clustered corpora (recall > 0.9 in 5 rounds on
+    Gaussian blobs) is pinned by pytest."""
+    from semantic_ann_in_data_lake_spark.operators.nndescent import (
+        nndescent_knn_graph,
+        nndescent_recall_vs_exact,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    graph = nndescent_knn_graph(
+        emb, k=_NND_K, iters=_NND_ITERS, seed=_NND_SEED, reverse_cap=_NND_RK
+    )
+    exact = knn_join(emb, emb, k=_NND_K, strategy="broadcast")
+    return nndescent_recall_vs_exact(graph, exact)
+
+
+# ---------------------------------------------------------------------------
+# Graph centrality over the mutual-kNN graph (round 9): PageRank as a
+# curation signal (dense-region/representativity scoring). The gate
+# graph is the EXACT top-5 kNN graph symmetrized (SQL-replicable), so
+# the oracle replays the whole pipeline: graph build, out-degrees, and
+# T=5 decimal-exact power-iteration rounds.
+# ---------------------------------------------------------------------------
+
+_PR_DAMPING, _PR_ITERS, _PR_DP = 0.85, 5, 9
+
+
+def _pagerank_oracle_sql(damping: float, iters: int, dp: int, k: int = 5) -> str:
+    """DuckDB replication of `operators/graphrank.pagerank` over the
+    symmetrized exact top-k graph. Arithmetic discipline mirrors the
+    operator line-for-line: every float op is ::DOUBLE (DuckDB bare
+    numeric literals are DECIMAL — decimal subtraction of 1 - 0.85 is
+    exact 0.15, IEEE gives 0.15000000000000002, a real 1-ulp trap),
+    contributions are round(·,12)::DECIMAL(38,12) grid-snaps summed
+    exactly, each round re-rounds to {dp} dp."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""exact AS MATERIALIZED (SELECT query_id, cand_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round({l2_sq_sql('q.v', 'c.v')}, 6) ASC,
+                            c.vec_id ASC) AS rnk
+          FROM e q, e c WHERE q.vec_id <> c.vec_id) WHERE rnk <= {k})""",
+        (
+            "edges AS MATERIALIZED (SELECT query_id AS src, cand_id AS dst FROM exact"
+            " UNION SELECT cand_id AS src, query_id AS dst FROM exact)"
+        ),
+        (
+            "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+            " UNION SELECT dst AS node FROM edges)"
+        ),
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        (
+            "outdeg AS MATERIALIZED (SELECT src AS node, count(*) AS deg"
+            " FROM edges GROUP BY 1)"
+        ),
+        (
+            f"r0 AS MATERIALIZED (SELECT node,"
+            f" round(1.0::DOUBLE / (SELECT n FROM nn)::DOUBLE, {dp}) AS pr"
+            f" FROM nodes)"
+        ),
+    ]
+    for t in range(1, iters + 1):
+        g = f"r{t - 1}"
+        ctes += [
+            (
+                f"c{t} AS (SELECT ed.dst AS node,"
+                f" sum(round(r.pr / od.deg, 12)::DECIMAL(38,12)) AS c"
+                f" FROM edges ed JOIN {g} r ON r.node = ed.src"
+                f" JOIN outdeg od ON od.node = ed.src GROUP BY 1)"
+            ),
+            (
+                f"d{t} AS (SELECT coalesce(sum(r.pr::DECIMAL(38,{dp})),"
+                f" 0::DECIMAL(38,{dp})) AS dm"
+                f" FROM {g} r LEFT JOIN outdeg od ON od.node = r.node"
+                f" WHERE od.node IS NULL)"
+            ),
+            (
+                f"r{t} AS MATERIALIZED (SELECT n.node,"
+                f" round((1.0::DOUBLE - {damping}::DOUBLE) / (SELECT n FROM nn)::DOUBLE"
+                f" + {damping}::DOUBLE * (coalesce(c.c::DOUBLE, 0.0::DOUBLE)"
+                f" + (SELECT dm FROM d{t})::DOUBLE / (SELECT n FROM nn)::DOUBLE),"
+                f" {dp}) AS pr"
+                f" FROM nodes n LEFT JOIN c{t} c ON c.node = n.node)"
+            ),
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n    SELECT node AS vec_id, pr FROM r{iters}"
+    )
+
+
+@register(
+    "pagerank_knn_graph",
+    _pagerank_oracle_sql(_PR_DAMPING, _PR_ITERS, _PR_DP),
+)
+def pagerank_knn_graph(spark, sf_dir):
+    """PageRank centrality of every corpus vector on the symmetrized
+    exact top-5 kNN graph (`operators/graphrank.py`) — the density/
+    representativity score curation pipelines threshold on (central =
+    redundant dense region, peripheral = outlier). T=5 rounds, d=0.85;
+    the DuckDB oracle replays graph build + every decimal-exact
+    iteration, so a hash match certifies all 5 fixpoint steps. The
+    dangling-node path has no traffic here (a symmetrized kNN graph
+    has out-degree ≥ k everywhere); it is pinned against a pure-Python
+    model in pytest (`tests/test_graphrank.py`)."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        pagerank,
+        symmetrize,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
+    return pagerank(
+        edges, damping=_PR_DAMPING, iters=_PR_ITERS, round_dp=_PR_DP
+    ).select(F.col("node").alias("vec_id"), "pr")

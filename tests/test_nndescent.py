@@ -1,0 +1,121 @@
+"""NN-descent kNN-graph construction (operators/nndescent.py).
+
+Cross-engine equality of the full T-round mechanism is covered by the
+oracle gate (`nndescent_recall_report` replays every round in DuckDB;
+`knn_nndescent_l2` gates the distance/rank contract); these tests pin
+the SEMANTICS the gates leave to pytest: convergence where the
+algorithm's locality assumption holds (clustered data — the gate corpus
+is uniform-random, the documented pessimistic floor), recall
+monotonicity in iterations, determinism, and edge shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from semantic_ann_in_data_lake_spark.operators.nndescent import (
+    nndescent_knn_graph,
+    nndescent_recall_vs_exact,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    return read_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    """Clustered corpus the descent can actually descend on: 40
+    Gaussian blobs of 10 points in d=16, blob std 0.05 vs unit-scale
+    centers — within-blob distances are far below cross-blob ones, so
+    the exact top-5 of every point lies inside its own blob."""
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(-1.0, 1.0, size=(40, 16))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(10):
+            v = c + rng.normal(0.0, 0.05, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def _exact_top5(spark, df):
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+
+    return knn_join(df, df, k=5, strategy="broadcast")
+
+
+def _recall(graph, exact) -> float:
+    row = nndescent_recall_vs_exact(graph, exact).collect()[0]
+    return row["n_found"] / row["n_exact"]
+
+
+def test_nndescent_converges_on_blobs(spark, blobs):
+    """On clustered data 5 rounds reach >0.9 recall@5 (measured 0.958;
+    vs 0.20 at the same depth on the uniform-random gate corpus) — the
+    neighbor-of-neighbor mechanism, not candidate volume, drives it:
+    total candidates scored stay a few ×(k+rk)² per node, far below
+    the 399 others per node a brute-force pass would touch."""
+    exact = _exact_top5(spark, blobs).persist()
+    g5 = nndescent_knn_graph(blobs, k=5, iters=5, seed=42)
+    assert _recall(g5, exact) > 0.9
+
+
+def test_nndescent_recall_monotone_in_iters(spark, blobs):
+    """Each round keeps the top-k of a SUPERSET containing the previous
+    list, so recall never decreases with more rounds."""
+    exact = _exact_top5(spark, blobs).persist()
+    recalls = [
+        _recall(nndescent_knn_graph(blobs, k=5, iters=t, seed=42), exact)
+        for t in (0, 1, 3)
+    ]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] > recalls[0]  # the descent actually moved
+
+
+def test_nndescent_contract_shape_and_determinism(spark, emb):
+    """k rows per node, ranks 1..k, no self edges; identical output on
+    a re-run (hash-bucket init + deterministic tie-breaks — no RNG)."""
+    g1 = nndescent_knn_graph(emb, k=5, iters=2, seed=42)
+    rows = g1.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.query_id, []).append(r)
+        assert r.query_id != r.cand_id
+    for qid, lst in per.items():
+        assert sorted(x.rank for x in lst) == [1, 2, 3, 4, 5]
+        by_rank = sorted(lst, key=lambda x: x.rank)
+        ds = [x.distance for x in by_rank]
+        assert ds == sorted(ds)
+    g2 = nndescent_knn_graph(emb, k=5, iters=2, seed=42)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, g2.collect()))
+
+
+def test_nndescent_invariant_projection_empty(spark, emb):
+    """The driver-facing contract gate, asserted directly: exact
+    distances, consecutive monotone ranks, no self pairs."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    g = nndescent_knn_graph(emb, k=5, iters=2, seed=42)
+    assert checks.knn_invariant_violations(g, emb, metric="l2_sq").count() == 0
+
+
+def test_nndescent_iters_zero_is_bucket_init_topk(spark, emb):
+    """iters=0 returns the scored init graph: ≤k neighbors per node
+    (bucket cliques can be smaller than k+1), valid ranks, no selfs."""
+    g = nndescent_knn_graph(emb, k=5, iters=0, seed=42)
+    rows = g.collect()
+    per = {}
+    for r in rows:
+        assert r.query_id != r.cand_id
+        per.setdefault(r.query_id, []).append(r.rank)
+    assert per, "init graph must be non-empty"
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5

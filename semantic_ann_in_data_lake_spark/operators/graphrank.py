@@ -133,3 +133,136 @@ def symmetrize(knn: DataFrame, src_col: str = "query_id", dst_col: str = "cand_i
     a = knn.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     b = knn.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     return a.unionByName(b).distinct()
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over an
+    UNDIRECTED edge set (both directions present, `symmetrize` output):
+    ``(node, degree, triangles, clustering)`` — the embedding-manifold
+    diagnostic (high clustering = locally consistent neighborhoods /
+    dense semantic regions; near-zero = the "neighbors" are an artifact
+    of dimensionality, a real signal on uniform-random corpora).
+
+    Shape: canonicalize to a < b once, then the standard two-join
+    triangle enumeration E(a,b)⋈E(b,c)⋈E(a,c) with a < b < c — each
+    triangle found exactly once, each join an equi-shuffle on a node
+    key. Per-node counts come from exploding the 3 corners of each
+    triangle (integer-exact); clustering = 2·T / (deg·(deg−1)), one
+    IEEE division rounded at ``round_dp`` (identical cross-engine).
+
+    Skew note (100-TB posture): join fan-out is Σ deg(v)² over the
+    middle corner. kNN graphs bound OUT-degree by k but not in-degree;
+    cap hub degrees upstream (the nndescent reverse cap, or a
+    deterministic per-node edge cap) before triangle-counting a corpus
+    with celebrity nodes — the same discipline every distributed
+    triangle counter (e.g. Cohen's MapReduce construction) documents.
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    canon = e.where(F.col("a") < F.col("b")).distinct()
+    deg = (
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ab = canon
+    bc = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = canon.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(
+            ac,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("triangles", F.lit(0)).cast("double")
+                    / (
+                        F.col("degree").cast("double")
+                        * (F.col("degree") - F.lit(1)).cast("double")
+                    ),
+                    round_dp,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected edge set: ``(node, community)`` after ``iters`` rounds —
+    the lightweight community detector for semantic-cluster discovery
+    on kNN graphs (near-dup families, topic clumps), O(|E|) per round
+    with no float arithmetic at all.
+
+    Deterministic variant (classic LPA breaks ties randomly, which
+    cannot be replayed): every node starts as its own label; each round
+    every node adopts the most frequent label among its NEIGHBORS, ties
+    broken by smallest label; isolated nodes keep their label. Integer
+    ops only, so the DuckDB oracle replays every round exactly
+    (`plans/q_ann.py::lpa_communities_knn`).
+
+    Each round = one join (edges ⋈ labels on src), one (dst, label)
+    count aggregate, one argmax window — all key-partitioned shuffles;
+    the label frame is lineage-truncated per round."""
+    if iters < 0:
+        raise ValueError("iters >= 0 required")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    lab = nodes.select("node", F.col("node").alias("community")).localCheckpoint(
+        eager=True
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(iters):
+        counts = (
+            e.join(lab.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("__n").desc(), F.col("community").asc()
+        )
+        pick = (
+            counts.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("node", F.col("community").alias("__new"))
+        )
+        lab = (
+            lab.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce("__new", "community").alias("community"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lab

@@ -2204,3 +2204,112 @@ def pagerank_knn_graph(spark, sf_dir):
     return pagerank(
         edges, damping=_PR_DAMPING, iters=_PR_ITERS, round_dp=_PR_DP
     ).select(F.col("node").alias("vec_id"), "pr")
+
+
+_SYM_KNN_EDGES_CTES = f"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    exact AS MATERIALIZED (SELECT query_id, cand_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round({l2_sq_sql('q.v', 'c.v')}, 6) ASC,
+                        c.vec_id ASC) AS rnk
+      FROM e q, e c WHERE q.vec_id <> c.vec_id) WHERE rnk <= 5),
+    edges AS MATERIALIZED (SELECT query_id AS src, cand_id AS dst FROM exact
+      UNION SELECT cand_id AS src, query_id AS dst FROM exact)"""
+
+
+@register(
+    "knn_graph_triangles",
+    f"""
+    WITH {_SYM_KNN_EDGES_CTES},
+    canon AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+    deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY 1),
+    tri AS MATERIALIZED (
+      SELECT ab.a, ab.b, bc.b AS c
+      FROM canon ab
+      JOIN canon bc ON bc.a = ab.b
+      JOIN canon ac ON ac.a = ab.a AND ac.b = bc.b),
+    corners AS (SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+    pn AS (SELECT node, count(*) AS triangles FROM corners GROUP BY 1)
+    SELECT d.node AS vec_id, d.degree,
+           coalesce(pn.triangles, 0)::BIGINT AS triangles,
+           CASE WHEN d.degree >= 2 THEN
+             round(2.0::DOUBLE * coalesce(pn.triangles, 0)::DOUBLE
+               / (d.degree::DOUBLE * (d.degree - 1)::DOUBLE), 6)
+           ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN pn ON pn.node = d.node
+    """,
+)
+def knn_graph_triangles(spark, sf_dir):
+    """Per-node triangle count + local clustering coefficient of the
+    symmetrized exact top-5 kNN graph (`operators/graphrank.py::
+    triangle_stats`) — the manifold diagnostic: uniform-random
+    embeddings produce near-zero clustering (these "neighbors" share
+    little), clustered corpora produce high clustering. The oracle
+    replays canonicalization, the 2-join triangle enumeration and the
+    corner explode; integer counts + one rounded IEEE division keep the
+    row hash exact."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        symmetrize,
+        triangle_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
+    return triangle_stats(edges).select(
+        F.col("node").alias("vec_id"), "degree", "triangles", "clustering"
+    )
+
+
+_LPA_ITERS = 4
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    ctes = [
+        _SYM_KNN_EDGES_CTES,
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS community FROM ("
+        "SELECT src AS node FROM edges UNION SELECT dst FROM edges))",
+    ]
+    for t in range(1, iters + 1):
+        g = f"l{t - 1}"
+        ctes += [
+            (
+                f"cnt{t} AS (SELECT ed.dst AS node, l.community, count(*) AS n"
+                f" FROM edges ed JOIN {g} l ON l.node = ed.src GROUP BY 1, 2)"
+            ),
+            (
+                f"pick{t} AS (SELECT node, community FROM ("
+                f"SELECT node, community, row_number() OVER (PARTITION BY node"
+                f" ORDER BY n DESC, community ASC) AS r FROM cnt{t}) WHERE r = 1)"
+            ),
+            (
+                f"l{t} AS MATERIALIZED (SELECT n.node,"
+                f" coalesce(p.community, n.community) AS community"
+                f" FROM {g} n LEFT JOIN pick{t} p ON p.node = n.node)"
+            ),
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n    SELECT node AS vec_id, community FROM l{iters}"
+    )
+
+
+@register("lpa_communities_knn", _lpa_oracle_sql(_LPA_ITERS))
+def lpa_communities_knn(spark, sf_dir):
+    """Deterministic synchronous label propagation on the symmetrized
+    exact top-5 kNN graph (`operators/graphrank.py::lpa_communities`,
+    T=4) — community structure of the embedding corpus (semantic
+    clusters / near-dup families). Integer-only arithmetic, so the
+    oracle replays every round exactly; blob-structured community
+    recovery is pinned in pytest."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        lpa_communities,
+        symmetrize,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
+    return lpa_communities(edges, iters=_LPA_ITERS).select(
+        F.col("node").alias("vec_id"), "community"
+    )

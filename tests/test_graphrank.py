@@ -88,3 +88,104 @@ def test_symmetrize_dedupes_and_covers_both_directions(spark):
     )
     got = {(r["src"], r["dst"]) for r in symmetrize(knn).collect()}
     assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}
+
+
+def test_triangle_stats_hand_case(spark):
+    """K4 minus one edge: nodes 1-2-3-4 fully connected except (1,4).
+    Triangles: (1,2,3) and (2,3,4). Degrees: 1→2, 2→3, 3→3, 4→2.
+    Clustering: 1 and 4 are 1.0 (their 2 neighbors are linked),
+    2 and 3 are 2·2/(3·2)=0.666667."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        symmetrize,
+        triangle_stats,
+    )
+
+    directed = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)],
+        "query_id bigint, cand_id bigint",
+    )
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_stats(symmetrize(directed)).collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (3, 2, 0.666667),
+        3: (3, 2, 0.666667),
+        4: (2, 1, 1.0),
+    }
+
+
+def test_triangle_free_graph_zero_clustering(spark):
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        symmetrize,
+        triangle_stats,
+    )
+
+    star = spark.createDataFrame(
+        [(1, n) for n in (2, 3, 4, 5)], "query_id bigint, cand_id bigint"
+    )
+    rows = triangle_stats(symmetrize(star)).collect()
+    assert all(r["triangles"] == 0 and r["clustering"] == 0.0 for r in rows)
+
+
+def test_lpa_two_cliques_two_communities(spark):
+    """Two 4-cliques joined by a single bridge edge: labels must
+    converge to one community per clique (the bridge minority label
+    never outvotes the clique majority)."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        lpa_communities,
+        symmetrize,
+    )
+
+    edges = []
+    for block in ((1, 2, 3, 4), (11, 12, 13, 14)):
+        for i, a in enumerate(block):
+            for b in block[i + 1:]:
+                edges.append((a, b))
+    edges.append((4, 11))  # bridge
+    df = spark.createDataFrame(edges, "query_id bigint, cand_id bigint")
+    lab = {
+        r["node"]: r["community"]
+        for r in lpa_communities(symmetrize(df), iters=4).collect()
+    }
+    first = {lab[v] for v in (1, 2, 3, 4)}
+    second = {lab[v] for v in (11, 12, 13, 14)}
+    assert len(first) == 1 and len(second) == 1 and first != second
+
+
+def test_lpa_recovers_blob_communities(spark):
+    """kNN graph of 10 tight Gaussian blobs: LPA communities align
+    with blob membership (majority-community purity ≥ 0.85; measured
+    0.90 — one blob fragments on the sparse k=3 graph, the rest are
+    recovered exactly; deterministic, so the number is stable)."""
+    import numpy as np
+
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        lpa_communities,
+        symmetrize,
+    )
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-1.0, 1.0, size=(10, 8))
+    rows, vid = [], 0
+    truth = {}
+    for bi, c in enumerate(centers):
+        for _ in range(8):
+            rows.append((vid, [float(x) for x in c + rng.normal(0, 0.03, 8)]))
+            truth[vid] = bi
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    edges = symmetrize(knn_join(df, df, k=3, strategy="broadcast"))
+    lab = {
+        r["node"]: r["community"]
+        for r in lpa_communities(edges, iters=4).collect()
+    }
+    from collections import Counter
+
+    pure = 0
+    for bi in range(10):
+        members = [lab[v] for v, b in truth.items() if b == bi]
+        pure += Counter(members).most_common(1)[0][1]
+    assert pure / len(truth) >= 0.85

@@ -266,3 +266,30 @@ def lpa_communities(
             .localCheckpoint(eager=True)
         )
     return lab
+
+
+def community_dedup(
+    labels: DataFrame,
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Graph-cluster dedup: one canonical representative per community
+    — ``(node, community, kept)`` with ``kept`` true for the smallest
+    node id of each community (the deterministic keep rule every dedup
+    operator in this engine uses). SemDeDup's graph-sibling: where
+    SemDeDup drops near-dups inside k-means cells, this drops them
+    inside LPA communities of the kNN graph, so transitive near-dup
+    chains (A≈B≈C with A̸≈C) collapse to ONE survivor instead of two.
+
+    Full-coverage output (every input node, flagged) — the audit-
+    friendly shape `operators/semdedup.py` established; filter on
+    ``kept`` for the survivor view. One window over the community key.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(community_col)
+    return labels.select(
+        F.col(node_col).alias("node"),
+        F.col(community_col).alias("community"),
+        (F.col(node_col) == F.min(node_col).over(w)).alias("kept"),
+    )

@@ -2313,3 +2313,34 @@ def lpa_communities_knn(spark, sf_dir):
     return lpa_communities(edges, iters=_LPA_ITERS).select(
         F.col("node").alias("vec_id"), "community"
     )
+
+
+@register(
+    "community_dedup_knn",
+    _lpa_oracle_sql(_LPA_ITERS).replace(
+        f"\n    SELECT node AS vec_id, community FROM l{_LPA_ITERS}",
+        f"""
+    SELECT node AS vec_id, community,
+           (node = min(node) OVER (PARTITION BY community)) AS kept
+    FROM l{_LPA_ITERS}""",
+    ),
+)
+def community_dedup_knn(spark, sf_dir):
+    """Graph-cluster dedup over the LPA communities of the symmetrized
+    exact top-5 kNN graph (`operators/graphrank.py::community_dedup`):
+    every vector flagged keep/drop, one smallest-id survivor per
+    community — the transitive-closure variant of embedding near-dup
+    removal (chains collapse to one survivor). Oracle = the LPA replay
+    plus one window; integer-only, hash-exact."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        community_dedup,
+        lpa_communities,
+        symmetrize,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
+    labels = lpa_communities(edges, iters=_LPA_ITERS)
+    return community_dedup(labels).select(
+        F.col("node").alias("vec_id"), "community", "kept"
+    )

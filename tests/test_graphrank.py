@@ -189,3 +189,16 @@ def test_lpa_recovers_blob_communities(spark):
         members = [lab[v] for v, b in truth.items() if b == bi]
         pure += Counter(members).most_common(1)[0][1]
     assert pure / len(truth) >= 0.85
+
+
+def test_community_dedup_keeps_min_per_community(spark):
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        community_dedup,
+    )
+
+    labels = spark.createDataFrame(
+        [(5, 1), (3, 1), (9, 1), (7, 2), (8, 2), (4, 4)],
+        "node bigint, community bigint",
+    )
+    rows = {r["node"]: r["kept"] for r in community_dedup(labels).collect()}
+    assert rows == {3: True, 5: False, 9: False, 7: True, 8: False, 4: True}

@@ -293,3 +293,153 @@ def community_dedup(
         F.col(community_col).alias("community"),
         (F.col(node_col) == F.min(node_col).over(w)).alias("kept"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Seidman 1983;
+    Batagelj–Zaveršnik is the sequential version — peeling is the one
+    that distributes): repeatedly drop ALL nodes of current degree < k
+    until none remain (``rounds=None``, with a driver-side convergence
+    count per round) or for a FIXED number of peels (the oracle-gated
+    shape — a data-independent plan both engines replay). Returns the
+    surviving ``(node, degree)`` — degree measured within the core.
+
+    The graph-cleaning primitive: on a kNN graph the k-core keeps the
+    mutually-embedded dense regions and peels chains/outliers whose
+    neighborhoods are not reciprocated — a structural (metric-free)
+    complement to distance-threshold outlier removal.
+
+    Each peel is one degree aggregate + one two-sided semi join of the
+    edge list (node-keyed shuffles, O(|E|) payload); the edge frame is
+    lineage-truncated per round. Synchronous peeling removes every
+    sub-k node of the ROUND simultaneously, so no tie-break is needed
+    anywhere — the fixpoint is unique (the k-core is) and the
+    trajectory is deterministic."""
+    if k < 1:
+        raise ValueError("k >= 1 required")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return ed.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+
+    t = 0
+    while True:
+        deg = degrees(e)
+        keep = deg.where(F.col("degree") >= k).select("node")
+        if rounds is None:
+            # fixpoint mode: stop when nothing was peeled this round
+            n_all = deg.count()
+            n_keep = keep.count()
+            if n_keep == n_all:
+                break
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src")
+            .join(keep.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        t += 1
+        if rounds is not None and t >= rounds:
+            break
+        if rounds is None and t > 10_000:  # unreachable backstop
+            raise RuntimeError("kcore failed to converge")
+    return degrees(e)
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_dp: int = 9,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    set — on a kNN graph the natural asymmetric signal: authority(v)
+    grows with how many nodes' top-k lists contain v (density /
+    attractor score, invisible to the symmetrized operators), hub(u)
+    with how authoritative u's own neighbors are. Returns ``(node,
+    authority, hub)`` after ``iters`` rounds, both scores L1-normalized
+    and rounded per round.
+
+    Update order is Kleinberg's original: authorities from CURRENT
+    hubs, then hubs from the NEW authorities, once per round.
+
+    Determinism contract (same discipline as `pagerank`): scores are
+    ``round_dp``-dp exact after every normalization, so the
+    scale-matched DECIMAL(38,round_dp) cast is a no-op grid-snap, sums
+    are exact decimals, and the single IEEE division per node per
+    round (value/total) is identical cross-engine — the oracle replays
+    all rounds (`plans/q_ann.py::hits_knn_graph`). Each round is two
+    node-keyed partial-agg shuffles + two 1-row total broadcasts; the
+    state frame is lineage-truncated per round."""
+    if iters < 0:
+        raise ValueError("iters >= 0 required")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0.0).alias("authority"),
+            F.lit(0.0).alias("hub"),
+        )
+    init = F.round(F.lit(1.0 / n), round_dp)
+    r = nodes.select(
+        "node", init.alias("authority"), init.alias("hub")
+    ).localCheckpoint(eager=True)
+    dec = f"decimal(38,{round_dp})"
+
+    def half_step(state: DataFrame, val_col: str, join_on: str, group_as: str):
+        """One normalized propagation: sum state[val_col] over edges
+        joined on ``join_on`` (src|dst), grouped by the other end."""
+        other = "dst" if join_on == "src" else "src"
+        raw = (
+            e.join(
+                state.select(
+                    F.col("node").alias(join_on), F.col(val_col).alias("__v")
+                ),
+                join_on,
+            )
+            .groupBy(F.col(other).alias("node"))
+            .agg(F.sum(F.col("__v").cast(dec)).alias("__s"))
+        )
+        tot = raw.agg(
+            F.coalesce(F.sum("__s"), F.lit(0).cast(dec)).alias("__t")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("__s").cast("double"), F.lit(0.0))
+                    / F.greatest(F.col("__t").cast("double"), F.lit(1e-12)),
+                    round_dp,
+                ).alias(group_as),
+            )
+        )
+
+    for _ in range(iters):
+        a = half_step(r, "hub", "src", "authority")
+        h = half_step(a, "authority", "dst", "hub")
+        r = (
+            a.join(h, "node")
+            .select("node", "authority", "hub")
+            .localCheckpoint(eager=True)
+        )
+    return r

@@ -2344,3 +2344,137 @@ def community_dedup_knn(spark, sf_dir):
     return community_dedup(labels).select(
         F.col("node").alias("vec_id"), "community", "kept"
     )
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    ctes = [_SYM_KNN_EDGES_CTES]
+    prev = "edges"
+    for t in range(1, rounds + 1):
+        ctes += [
+            (
+                f"d{t} AS (SELECT src AS node, count(*) AS degree"
+                f" FROM {prev} GROUP BY 1)"
+            ),
+            f"k{t} AS (SELECT node FROM d{t} WHERE degree >= {k})",
+            (
+                f"e{t} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e"
+                f" JOIN k{t} a ON a.node = e.src"
+                f" JOIN k{t} b ON b.node = e.dst)"
+            ),
+        ]
+        prev = f"e{t}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n    SELECT src AS vec_id, count(*) AS degree FROM {prev} GROUP BY 1"
+    )
+
+
+@register("kcore_knn_graph", _kcore_oracle_sql(6, 2))
+def kcore_knn_graph(spark, sf_dir):
+    """Two synchronous peels toward the 6-core of the symmetrized exact
+    top-5 kNN graph (`operators/graphrank.py::kcore`, fixed-rounds
+    shape): surviving (vec_id, degree) after round 2 — a nontrivial
+    intermediate state (uniform-random kNN graphs have NO 6-core: 500 →
+    ~300 → ~70 → 0, so the trajectory, not the fixpoint, is the
+    checkable object; the oracle replays both peels exactly).
+    Fixpoint-mode semantics (unique k-core, convergence detection) are
+    pinned in pytest against a pure-Python model and on clique-
+    structured graphs where the core is non-empty."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        kcore,
+        symmetrize,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
+    return kcore(edges, k=6, rounds=2).select(
+        F.col("node").alias("vec_id"), "degree"
+    )
+
+
+_HITS_ITERS, _HITS_DP = 5, 9
+
+
+def _hits_oracle_sql(iters: int, dp: int) -> str:
+    """DuckDB replication of `operators/graphrank.hits` over the
+    DIRECTED exact top-5 kNN graph: per round, authorities from current
+    hubs then hubs from the new authorities, each L1-normalized via
+    exact decimal sums and one IEEE division, re-rounded at {dp} dp."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""exact AS MATERIALIZED (SELECT query_id, cand_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round({l2_sq_sql('q.v', 'c.v')}, 6) ASC,
+                            c.vec_id ASC) AS rnk
+          FROM e q, e c WHERE q.vec_id <> c.vec_id) WHERE rnk <= 5)""",
+        "edges AS MATERIALIZED (SELECT query_id AS src, cand_id AS dst FROM exact)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM ("
+        "SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        (
+            f"r0 AS MATERIALIZED (SELECT node,"
+            f" round(1.0::DOUBLE / (SELECT n FROM nn)::DOUBLE, {dp}) AS authority,"
+            f" round(1.0::DOUBLE / (SELECT n FROM nn)::DOUBLE, {dp}) AS hub"
+            f" FROM nodes)"
+        ),
+    ]
+
+    def half(t: int, out: str, state: str, val: str, join_on: str):
+        other = "dst" if join_on == "src" else "src"
+        ctes.extend(
+            [
+                (
+                    f"{out}raw{t} AS (SELECT ed.{other} AS node,"
+                    f" sum(s.{val}::DECIMAL(38,{dp})) AS s"
+                    f" FROM edges ed JOIN {state} s ON s.node = ed.{join_on}"
+                    f" GROUP BY 1)"
+                ),
+                (
+                    f"{out}tot{t} AS (SELECT coalesce(sum(s),"
+                    f" 0::DECIMAL(38,{dp})) AS t FROM {out}raw{t})"
+                ),
+                (
+                    f"{out}{t} AS MATERIALIZED (SELECT n.node,"
+                    f" round(coalesce(r.s::DOUBLE, 0.0::DOUBLE)"
+                    f" / greatest((SELECT t FROM {out}tot{t})::DOUBLE, 1e-12),"
+                    f" {dp}) AS val"
+                    f" FROM nodes n LEFT JOIN {out}raw{t} r ON r.node = n.node)"
+                ),
+            ]
+        )
+
+    for t in range(1, iters + 1):
+        half(t, "a", f"r{t - 1}", "hub", "src")
+        half(t, "h", f"a{t}", "val", "dst")
+        ctes.append(
+            f"r{t} AS MATERIALIZED (SELECT a{t}.node, a{t}.val AS authority,"
+            f" h{t}.val AS hub FROM a{t} JOIN h{t} ON h{t}.node = a{t}.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n    SELECT node AS vec_id, authority, hub FROM r{iters}"
+    )
+
+
+@register("hits_knn_graph", _hits_oracle_sql(_HITS_ITERS, _HITS_DP))
+def hits_knn_graph(spark, sf_dir):
+    """HITS hubs/authorities on the DIRECTED exact top-5 kNN graph
+    (`operators/graphrank.py::hits`, T=5) — authority(v) measures how
+    often v appears in other vectors' top-k lists weighted by those
+    voters' own hub quality: the asymmetric density/attractor signal
+    the symmetrized centralities cannot see. The oracle replays all 5
+    rounds (decimal-exact sums, one IEEE division per node per half-
+    step); hand-graph python-model parity in pytest."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import hits
+
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = knn_join(emb, emb, k=5, strategy="broadcast")
+    edges = knn.select(
+        F.col("query_id").alias("src"), F.col("cand_id").alias("dst")
+    )
+    return hits(edges, iters=_HITS_ITERS, round_dp=_HITS_DP).select(
+        F.col("node").alias("vec_id"), "authority", "hub"
+    )

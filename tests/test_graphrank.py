@@ -202,3 +202,128 @@ def test_community_dedup_keeps_min_per_community(spark):
     )
     rows = {r["node"]: r["kept"] for r in community_dedup(labels).collect()}
     assert rows == {3: True, 5: False, 9: False, 7: True, 8: False, 4: True}
+
+
+def _python_kcore(edges, k):
+    """Fixpoint model: peel all sub-k nodes simultaneously until
+    stable; returns {node: degree-in-core}."""
+    es = {(s, d) for s, d in edges} | {(d, s) for s, d in edges}
+    while True:
+        deg = {}
+        for s, _ in es:
+            deg[s] = deg.get(s, 0) + 1
+        drop = {v for v, dg in deg.items() if dg < k}
+        if not drop:
+            return deg
+        es = {(s, d) for s, d in es if s not in drop and d not in drop}
+        if not es:
+            return {}
+
+
+def test_kcore_fixpoint_matches_python_model(spark):
+    """Two overlapping triangles + a pendant chain: the 2-core is the
+    triangles, the chain peels over multiple rounds."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        kcore,
+        symmetrize,
+    )
+
+    directed = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3),
+                (5, 6), (6, 7), (7, 8)]
+    df = spark.createDataFrame(directed, "query_id bigint, cand_id bigint")
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore(symmetrize(df), k=2, rounds=None).collect()
+    }
+    assert got == _python_kcore(directed, 2)
+    assert set(got) == {1, 2, 3, 4, 5}  # chain 6-7-8 peeled
+
+
+def test_kcore_empty_when_no_core(spark):
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        kcore,
+        symmetrize,
+    )
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "query_id bigint, cand_id bigint"
+    )
+    assert kcore(symmetrize(chain), k=2, rounds=None).count() == 0
+
+
+def test_kcore_fixed_rounds_is_a_prefix_of_the_fixpoint_trajectory(spark):
+    """rounds=1 equals exactly one synchronous peel of the model."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        kcore,
+        symmetrize,
+    )
+
+    directed = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3),
+                (5, 6), (6, 7), (7, 8)]
+    df = spark.createDataFrame(directed, "query_id bigint, cand_id bigint")
+    got1 = {
+        r["node"]: r["degree"]
+        for r in kcore(symmetrize(df), k=2, rounds=1).collect()
+    }
+    # one peel drops only node 8 (degree 1); 7 survives this round
+    es = {(s, d) for s, d in directed} | {(d, s) for s, d in directed}
+    es = {(s, d) for s, d in es if s != 8 and d != 8}
+    deg = {}
+    for s, _ in es:
+        deg[s] = deg.get(s, 0) + 1
+    assert got1 == deg
+
+
+def _python_hits(edges, iters=5, dp=9):
+    """Direct model of the documented contract: authorities from
+    current hubs then hubs from new authorities, L1-normalized with a
+    1e-12 floor, rounded at ``dp`` per half-step."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    a = {v: round(1.0 / n, dp) for v in nodes}
+    h = dict(a)
+    for _ in range(iters):
+        raw = {v: 0.0 for v in nodes}
+        for s, d in sorted(edges):
+            raw[d] += h[s]
+        tot = sum(raw[v] for v in nodes)
+        a = {v: round(raw[v] / max(tot, 1e-12), dp) for v in nodes}
+        raw = {v: 0.0 for v in nodes}
+        for s, d in sorted(edges):
+            raw[s] += a[d]
+        tot = sum(raw[v] for v in nodes)
+        h = {v: round(raw[v] / max(tot, 1e-12), dp) for v in nodes}
+    return a, h
+
+
+def test_hits_matches_python_model(spark):
+    """Directed hand graph with a clear authority (4: three in-edges)
+    and a clear hub (1: three out-edges to authorities)."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import hits
+
+    edges = [(1, 4), (2, 4), (3, 4), (1, 5), (2, 5), (1, 6), (6, 2)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: (r["authority"], r["hub"])
+        for r in hits(df, iters=5).collect()
+    }
+    a, h = _python_hits(edges)
+    assert set(got) == set(a)
+    for v in a:
+        assert got[v][0] == pytest.approx(a[v], abs=2e-9), ("authority", v)
+        assert got[v][1] == pytest.approx(h[v], abs=2e-9), ("hub", v)
+    # direction sanity: 4 is the top authority, 1 the top hub
+    assert max(a, key=a.get) == 4
+    assert max(h, key=h.get) == 1
+
+
+def test_hits_pure_sink_has_zero_hub(spark):
+    from semantic_ann_in_data_lake_spark.operators.graphrank import hits
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 3)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r for r in hits(df, iters=3).collect()}
+    assert got[3]["hub"] == 0.0       # no out-edges
+    assert got[1]["authority"] == 0.0  # no in-edges
+    assert got[3]["authority"] > 0.5   # the only authority

@@ -148,6 +148,35 @@ def bench_queries(spark, sf_dir):
         edges = symmetrize(nndescent_knn_graph(emb, k=5, iters=2))
         return pagerank(edges, iters=5)
 
+    def hits_bench():
+        from semantic_ann_in_data_lake_spark.operators.graphrank import hits
+        from semantic_ann_in_data_lake_spark.operators.nndescent import (
+            nndescent_knn_graph,
+        )
+        from pyspark.sql import functions as F
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        g = nndescent_knn_graph(emb, k=5, iters=2)
+        return hits(
+            g.select(
+                F.col("query_id").alias("src"), F.col("cand_id").alias("dst")
+            ),
+            iters=5,
+        )
+
+    def kcore_bench():
+        from semantic_ann_in_data_lake_spark.operators.graphrank import (
+            kcore,
+            symmetrize,
+        )
+        from semantic_ann_in_data_lake_spark.operators.nndescent import (
+            nndescent_knn_graph,
+        )
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        edges = symmetrize(nndescent_knn_graph(emb, k=5, iters=2))
+        return kcore(edges, k=6, rounds=2)
+
     def minhash_fast():
         # Production posture: hot-bucket cap on, like knn_lsh above.
         # Uncapped, per-bucket exact verification grows quadratically in
@@ -422,6 +451,8 @@ def bench_queries(spark, sf_dir):
         # exact-graph variant)
         "knn_nndescent_k10": knn_nndescent_bench,
         "pagerank_knn_graph": pagerank_bench,
+        "hits_knn_graph": hits_bench,
+        "kcore_knn_graph": kcore_bench,
     }
 
 

@@ -53,16 +53,30 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     round_dp: int = 9,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Iterated PageRank over ``edges``: returns ``(node, pr)`` with
     ``pr`` rounded to ``round_dp`` per round (see module docstring for
     why that makes the number cross-engine exact). Nodes are the union
     of both endpoint sets; initial rank 1/n; ``iters`` fixed rounds
     (the curation use wants a deterministic, replayable score, not an
-    ε-converged fixpoint)."""
+    ε-converged fixpoint).
+
+    ``weight_col`` selects WEIGHTED PageRank: a node's rank splits
+    over its out-edges proportionally to edge weight (similarity-
+    weighted centrality — a near-identical neighbor should pull more
+    rank than a barely-in-top-k one). Weights must be non-negative,
+    12-dp-exact doubles (callers derive them as ``round(f(dist), 12)``
+    so the decimal grid-snap is exact); out-STRENGTH (exact decimal
+    sum of out-weights) replaces out-degree, per-edge contributions
+    become ``round(pr · w / strength, 12)``, and zero-strength nodes
+    follow the dangling path."""
     if iters < 0:
         raise ValueError("iters >= 0 required")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("w"))
+    e = edges.select(*cols)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -72,11 +86,26 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("pr"))
-    outdeg = (
-        e.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
-    )
+    if weight_col is None:
+        outdeg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+    else:
+        # exact decimal strength; NULL (not 0) when a node only has
+        # zero-weight out-edges, so it rides the dangling path instead
+        # of dividing by zero
+        outdeg = (
+            e.groupBy(F.col("src").alias("node"))
+            .agg(
+                F.sum(F.col("w").cast("decimal(38,12)"))
+                .cast("double")
+                .alias("deg")
+            )
+            .withColumn(
+                "deg", F.when(F.col("deg") > 0, F.col("deg"))
+            )
+        )
+    outdeg = outdeg.localCheckpoint(eager=True)
     base = (1.0 - damping) / n
 
     r = nodes.select("node", F.round(F.lit(1.0 / n), round_dp).alias("pr"))
@@ -86,15 +115,18 @@ def pagerank(
         rd = r.join(outdeg, "node", "left")
         # exact decimal accumulation: parallel double sums are
         # order-nondeterministic; DECIMAL sums are not
+        per_edge = (
+            F.col("pr") / F.col("deg")
+            if weight_col is None
+            else F.col("pr") * F.col("w") / F.col("deg")
+        )
         contrib = (
             rd.where(F.col("deg").isNotNull())
             .join(e, rd["node"] == e["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum(
-                    F.round(F.col("pr") / F.col("deg"), 12).cast(
-                        "decimal(38,12)"
-                    )
+                    F.round(per_edge, 12).cast("decimal(38,12)")
                 ).alias("__c")
             )
         )

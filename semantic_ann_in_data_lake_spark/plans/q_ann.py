@@ -2478,3 +2478,118 @@ def hits_knn_graph(spark, sf_dir):
     return hits(edges, iters=_HITS_ITERS, round_dp=_HITS_DP).select(
         F.col("node").alias("vec_id"), "authority", "hub"
     )
+
+
+def _pagerank_weighted_oracle_sql(damping: float, iters: int, dp: int) -> str:
+    """Weighted variant of `_pagerank_oracle_sql`: edge weight
+    w = round(1/(1+d), 12) from the exact graph's rounded distances,
+    out-STRENGTH (exact decimal sum of out-weights, NULL-guarded like
+    the operator's zero-strength dangling rule) replaces out-degree,
+    contributions are round(pr·w/s, 12) grid-snaps."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""exact AS MATERIALIZED (SELECT query_id, cand_id, d FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 round({l2_sq_sql('q.v', 'c.v')}, 6) AS d,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round({l2_sq_sql('q.v', 'c.v')}, 6) ASC,
+                            c.vec_id ASC) AS rnk
+          FROM e q, e c WHERE q.vec_id <> c.vec_id) WHERE rnk <= 5)""",
+        (
+            "edges AS MATERIALIZED (SELECT src, dst,"
+            " round(1.0::DOUBLE / (1.0::DOUBLE + d), 12) AS w FROM ("
+            "SELECT query_id AS src, cand_id AS dst, d FROM exact"
+            " UNION SELECT cand_id AS src, query_id AS dst, d FROM exact))"
+        ),
+        (
+            "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+            " UNION SELECT dst AS node FROM edges)"
+        ),
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        (
+            "stren AS MATERIALIZED (SELECT node, s FROM ("
+            "SELECT src AS node, sum(w::DECIMAL(38,12))::DOUBLE AS s"
+            " FROM edges GROUP BY 1) WHERE s > 0)"
+        ),
+        (
+            f"r0 AS MATERIALIZED (SELECT node,"
+            f" round(1.0::DOUBLE / (SELECT n FROM nn)::DOUBLE, {dp}) AS pr"
+            f" FROM nodes)"
+        ),
+    ]
+    for t in range(1, iters + 1):
+        g = f"r{t - 1}"
+        ctes += [
+            (
+                f"c{t} AS (SELECT ed.dst AS node,"
+                f" sum(round(r.pr * ed.w / st.s, 12)::DECIMAL(38,12)) AS c"
+                f" FROM edges ed JOIN {g} r ON r.node = ed.src"
+                f" JOIN stren st ON st.node = ed.src GROUP BY 1)"
+            ),
+            (
+                f"d{t} AS (SELECT coalesce(sum(r.pr::DECIMAL(38,{dp})),"
+                f" 0::DECIMAL(38,{dp})) AS dm"
+                f" FROM {g} r LEFT JOIN stren st ON st.node = r.node"
+                f" WHERE st.node IS NULL)"
+            ),
+            (
+                f"r{t} AS MATERIALIZED (SELECT n.node,"
+                f" round((1.0::DOUBLE - {damping}::DOUBLE) / (SELECT n FROM nn)::DOUBLE"
+                f" + {damping}::DOUBLE * (coalesce(c.c::DOUBLE, 0.0::DOUBLE)"
+                f" + (SELECT dm FROM d{t})::DOUBLE / (SELECT n FROM nn)::DOUBLE),"
+                f" {dp}) AS pr"
+                f" FROM nodes n LEFT JOIN c{t} c ON c.node = n.node)"
+            ),
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n    SELECT node AS vec_id, pr FROM r{iters}"
+    )
+
+
+@register(
+    "pagerank_weighted_knn",
+    _pagerank_weighted_oracle_sql(_PR_DAMPING, _PR_ITERS, _PR_DP),
+)
+def pagerank_weighted_knn(spark, sf_dir):
+    """Similarity-WEIGHTED PageRank on the symmetrized exact top-5
+    graph: rank splits over out-edges proportionally to
+    w = round(1/(1+L2²), 12), so a near-identical neighbor pulls more
+    centrality than a barely-in-top-k one — the similarity-aware
+    refinement of `pagerank_knn_graph`. Out-strength is an exact
+    decimal sum; the oracle replays all 5 rounds; weighted-vs-
+    unweighted divergence and a python weighted model are pinned in
+    pytest."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import pagerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = knn_join(emb, emb, k=5, strategy="broadcast")
+    a = knn.select(
+        F.col("query_id").alias("src"),
+        F.col("cand_id").alias("dst"),
+        F.col("distance").alias("d"),
+    )
+    b = knn.select(
+        F.col("cand_id").alias("src"),
+        F.col("query_id").alias("dst"),
+        F.col("distance").alias("d"),
+    )
+    edges = (
+        a.unionByName(b)
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.col("d")), 12
+            ).alias("w"),
+        )
+    )
+    return pagerank(
+        edges,
+        damping=_PR_DAMPING,
+        iters=_PR_ITERS,
+        round_dp=_PR_DP,
+        weight_col="w",
+    ).select(F.col("node").alias("vec_id"), "pr")

@@ -327,3 +327,70 @@ def test_hits_pure_sink_has_zero_hub(spark):
     assert got[3]["hub"] == 0.0       # no out-edges
     assert got[1]["authority"] == 0.0  # no in-edges
     assert got[3]["authority"] > 0.5   # the only authority
+
+
+def _python_pagerank_weighted(edges_w, damping=0.85, iters=5, dp=9):
+    """Weighted model: contributions round(pr·w/strength, 12);
+    zero-strength nodes are dangling."""
+    nodes = sorted({s for s, _, _ in edges_w} | {d for _, d, _ in edges_w})
+    n = len(nodes)
+    stren = {}
+    for s, _, w in edges_w:
+        stren[s] = stren.get(s, 0.0) + w
+    stren = {v: s for v, s in stren.items() if s > 0}
+    r = {v: round(1.0 / n, dp) for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in sorted(edges_w):
+            if s in stren:
+                contrib[d] += round(r[s] * w / stren[s], 12)
+        dm = sum(r[v] for v in nodes if v not in stren)
+        base = (1.0 - damping) / n
+        r = {
+            v: round(base + damping * (contrib[v] + dm / n), dp)
+            for v in nodes
+        }
+    return r
+
+
+def test_weighted_pagerank_matches_python_model(spark):
+    """Asymmetric weights + a zero-weight-only source (node 9 has one
+    out-edge of weight 0 → zero strength → dangling path)."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import pagerank
+
+    edges = [
+        (1, 2, 0.9), (1, 3, 0.1), (2, 1, 0.5), (3, 1, 0.5),
+        (2, 3, 0.25), (9, 1, 0.0),
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, w double")
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iters=5, weight_col="w").collect()
+    }
+    want = _python_pagerank_weighted(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-9), v
+
+
+def test_weighted_pagerank_prefers_heavy_edges(spark):
+    """1 splits rank 0.9/0.1 between 2 and 3: node 2 must outrank
+    node 3; with uniform weights they tie."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import pagerank
+
+    def build(w12, w13):
+        return spark.createDataFrame(
+            [(1, 2, w12), (1, 3, w13), (2, 1, 1.0), (3, 1, 1.0)],
+            "src bigint, dst bigint, w double",
+        )
+
+    pr = {
+        r["node"]: r["pr"]
+        for r in pagerank(build(0.9, 0.1), iters=5, weight_col="w").collect()
+    }
+    assert pr[2] > pr[3]
+    pr_u = {
+        r["node"]: r["pr"]
+        for r in pagerank(build(0.5, 0.5), iters=5, weight_col="w").collect()
+    }
+    assert pr_u[2] == pr_u[3]

@@ -2593,3 +2593,94 @@ def pagerank_weighted_knn(spark, sf_dir):
         round_dp=_PR_DP,
         weight_col="w",
     ).select(F.col("node").alias("vec_id"), "pr")
+
+
+def _trustrank_oracle_sql(damping: float, iters: int, dp: int) -> str:
+    """DuckDB replication of `operators/graphrank.trustrank` over the
+    symmetrized exact top-5 graph with the md5-hash-picked 16-seed set
+    (the `ivf_recall_report` fit-selection pattern): teleport and
+    dangling mass flow to seeds only; same decimal grid-snap rounds."""
+    ctes = [
+        _SYM_KNN_EDGES_CTES,
+        (
+            "seeds AS MATERIALIZED (SELECT vec_id AS node FROM e"
+            " ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)"
+        ),
+        (
+            "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+            " UNION SELECT dst AS node FROM edges"
+            " UNION SELECT node FROM seeds)"
+        ),
+        "ns AS (SELECT count(*) AS n FROM seeds)",
+        (
+            f"tv AS MATERIALIZED (SELECT n.node,"
+            f" CASE WHEN s.node IS NOT NULL THEN"
+            f" round(1.0::DOUBLE / (SELECT n FROM ns)::DOUBLE, {dp})"
+            f" ELSE 0.0::DOUBLE END AS t"
+            f" FROM nodes n LEFT JOIN seeds s ON s.node = n.node)"
+        ),
+        (
+            "outdeg AS MATERIALIZED (SELECT src AS node, count(*) AS deg"
+            " FROM edges GROUP BY 1)"
+        ),
+        "r0 AS MATERIALIZED (SELECT node, t AS pr FROM tv)",
+    ]
+    for t in range(1, iters + 1):
+        g = f"r{t - 1}"
+        ctes += [
+            (
+                f"c{t} AS (SELECT ed.dst AS node,"
+                f" sum(round(r.pr / od.deg, 12)::DECIMAL(38,12)) AS c"
+                f" FROM edges ed JOIN {g} r ON r.node = ed.src"
+                f" JOIN outdeg od ON od.node = ed.src GROUP BY 1)"
+            ),
+            (
+                f"d{t} AS (SELECT coalesce(sum(r.pr::DECIMAL(38,{dp})),"
+                f" 0::DECIMAL(38,{dp})) AS dm"
+                f" FROM {g} r LEFT JOIN outdeg od ON od.node = r.node"
+                f" WHERE od.node IS NULL)"
+            ),
+            (
+                f"r{t} AS MATERIALIZED (SELECT v.node,"
+                f" round((1.0::DOUBLE - {damping}::DOUBLE) * v.t"
+                f" + {damping}::DOUBLE * (coalesce(c.c::DOUBLE, 0.0::DOUBLE)"
+                f" + (SELECT dm FROM d{t})::DOUBLE * v.t), {dp}) AS pr"
+                f" FROM tv v LEFT JOIN c{t} c ON c.node = v.node)"
+            ),
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n    SELECT node AS vec_id, pr AS trust FROM r{iters}"
+    )
+
+
+@register(
+    "trustrank_knn_graph",
+    _trustrank_oracle_sql(_PR_DAMPING, _PR_ITERS, _PR_DP),
+)
+def trustrank_knn_graph(spark, sf_dir):
+    """TrustRank seed propagation on the symmetrized exact top-5 kNN
+    graph (`operators/graphrank.py::trustrank`): trust teleports only
+    to an md5-hash-picked 16-vector seed set (the gold-set stand-in
+    both engines can select) and decays outward through the graph —
+    the quality-propagation primitive (score everything by graph
+    proximity to a verified set; invert seeds for contamination
+    neighborhoods). Oracle replays all 5 rounds; python-model parity
+    (incl. dangling-to-seeds) and seed-proximity monotonicity in
+    pytest."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        symmetrize,
+        trustrank,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("node"))
+    )
+    edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
+    return trustrank(
+        edges, seeds, damping=_PR_DAMPING, iters=_PR_ITERS, round_dp=_PR_DP
+    ).select(F.col("node").alias("vec_id"), "trust")

@@ -394,3 +394,70 @@ def test_weighted_pagerank_prefers_heavy_edges(spark):
         for r in pagerank(build(0.5, 0.5), iters=5, weight_col="w").collect()
     }
     assert pr_u[2] == pr_u[3]
+
+
+def _python_trustrank(edges, seeds, damping=0.85, iters=5, dp=9):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges} | set(seeds))
+    tv = {
+        v: round(1.0 / len(seeds), dp) if v in seeds else 0.0 for v in nodes
+    }
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = dict(tv)
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in sorted(edges):
+            contrib[d] += round(r[s] / out[s], 12)
+        dm = sum(r[v] for v in nodes if v not in out)
+        r = {
+            v: round(
+                (1.0 - damping) * tv[v]
+                + damping * (contrib[v] + dm * tv[v]),
+                dp,
+            )
+            for v in nodes
+        }
+    return r
+
+
+def test_trustrank_matches_python_model_with_dangling(spark):
+    """Chain out of the seed + a dangling sink: dangling mass must
+    return to the SEEDS, not spread uniformly."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import trustrank
+
+    edges = [(1, 2), (2, 3), (3, 4), (2, 1), (3, 2), (5, 1)]
+    # 4 is dangling (no out-edges); seed = {1}
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {
+        r["node"]: r["trust"]
+        for r in trustrank(df, seeds, iters=5).collect()
+    }
+    want = _python_trustrank(edges, {1})
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-9), v
+
+
+def test_trustrank_concentrates_near_seed_and_zeroes_unreachable(spark):
+    """On a bidirectional chain seeded at one end: trust mass
+    concentrates in the seed's neighborhood (hops 0-1 hold more than
+    hops 2-4 combined — pairwise hop monotonicity does NOT hold at
+    small T, rank oscillates with hop parity on a path), and nodes in
+    a disconnected component get exactly 0."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import trustrank
+
+    chain = []
+    for a, b in ((1, 2), (2, 3), (3, 4), (4, 5)):
+        chain += [(a, b), (b, a)]
+    chain += [(8, 9), (9, 8)]  # disconnected component
+    df = spark.createDataFrame(chain, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    t = {
+        r["node"]: r["trust"]
+        for r in trustrank(df, seeds, iters=5).collect()
+    }
+    assert t[1] + t[2] > t[3] + t[4] + t[5]
+    assert min(t[1], t[2], t[3], t[4], t[5]) > 0.0
+    assert t[8] == 0.0 and t[9] == 0.0

@@ -574,3 +574,81 @@ def trustrank(
             .localCheckpoint(eager=True)
         )
     return r.select("node", F.col("pr").alias("trust"))
+
+
+#: unreached sentinel for bfs_layers — larger than any reachable hop
+#: count (rounds are bounded), small enough for exact INT arithmetic
+UNREACHED = 2_147_483_647
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS hop distance: ``(node, hops)`` — 0 on the
+    seeds, the minimum edge count from any seed otherwise, computed by
+    ``rounds`` synchronous frontier relaxations (distance > rounds ⇒
+    :data:`UNREACHED`). Follows edges src→dst; pass a symmetrized set
+    for undirected distance.
+
+    The graded companion to the binary connected-components leakage
+    check: "how many near-dup hops is each training doc from the eval
+    set" — hop 1 is a near-dup of a test item, hop 2 a near-dup of a
+    near-dup, etc. — so a pipeline can quarantine by radius instead of
+    whole components, and TrustRank's decay gets an exact-integer
+    cross-check.
+
+    Integer-only (min-aggregate relaxation, no tie-breaks — min is
+    total), so the DuckDB oracle replays every round exactly. One
+    (dst, cand-dist) partial-agg shuffle per round; the distance frame
+    is lineage-truncated per round. ``rounds`` is explicit because hop
+    radius IS the semantic knob (quarantine radius), not a convergence
+    detail; callers wanting the fixpoint pass rounds ≥ the graph
+    diameter."""
+    if rounds < 0:
+        raise ValueError("rounds >= 0 required")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    s = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(s)
+        .distinct()
+    )
+    dist = (
+        nodes.join(s.withColumn("__s", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("__s"), F.lit(0))
+            .otherwise(F.lit(UNREACHED))
+            .cast("int")
+            .alias("hops"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        cand = (
+            e.join(
+                dist.where(F.col("hops") < UNREACHED).withColumnRenamed(
+                    "node", "src"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("hops") + F.lit(1)).cast("int").alias("__c"))
+        )
+        dist = (
+            dist.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("hops"), F.coalesce("__c", F.lit(UNREACHED))
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -2684,3 +2684,75 @@ def trustrank_knn_graph(spark, sf_dir):
     return trustrank(
         edges, seeds, damping=_PR_DAMPING, iters=_PR_ITERS, round_dp=_PR_DP
     ).select(F.col("node").alias("vec_id"), "trust")
+
+
+_BFS_ROUNDS = 4
+
+
+def _bfs_oracle_sql(rounds: int) -> str:
+    """DuckDB replication of `operators/graphrank.bfs_layers` from the
+    md5-hash-picked 16-seed set over the symmetrized exact top-5 graph:
+    min-relaxation per round, UNREACHED sentinel 2147483647."""
+    ctes = [
+        _SYM_KNN_EDGES_CTES,
+        (
+            "seeds AS MATERIALIZED (SELECT vec_id AS node FROM e"
+            " ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)"
+        ),
+        (
+            "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+            " UNION SELECT dst AS node FROM edges"
+            " UNION SELECT node FROM seeds)"
+        ),
+        (
+            "h0 AS MATERIALIZED (SELECT n.node,"
+            " CASE WHEN s.node IS NOT NULL THEN 0 ELSE 2147483647 END::INT AS hops"
+            " FROM nodes n LEFT JOIN seeds s ON s.node = n.node)"
+        ),
+    ]
+    for t in range(1, rounds + 1):
+        g = f"h{t - 1}"
+        ctes += [
+            (
+                f"c{t} AS (SELECT ed.dst AS node,"
+                f" (min(d.hops) + 1)::INT AS c"
+                f" FROM edges ed JOIN {g} d ON d.node = ed.src"
+                f" WHERE d.hops < 2147483647 GROUP BY 1)"
+            ),
+            (
+                f"h{t} AS MATERIALIZED (SELECT d.node,"
+                f" least(d.hops, coalesce(c.c, 2147483647))::INT AS hops"
+                f" FROM {g} d LEFT JOIN c{t} c ON c.node = d.node)"
+            ),
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n    SELECT node AS vec_id, hops FROM h{rounds}"
+    )
+
+
+@register("bfs_layers_knn", _bfs_oracle_sql(_BFS_ROUNDS))
+def bfs_layers_knn(spark, sf_dir):
+    """Multi-source BFS hop distance from the md5-hash-picked 16-seed
+    set over the symmetrized exact top-5 kNN graph (`operators/
+    graphrank.py::bfs_layers`, 4 relaxation rounds): the graded
+    leakage/proximity audit — hop 1 = near-dup of a seed, hop 2 =
+    near-dup of a near-dup; radius-based quarantine instead of
+    whole-component removal, and an exact-integer cross-check of
+    TrustRank's decay. Integer-only; the oracle replays every round."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        bfs_layers,
+        symmetrize,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("node"))
+    )
+    edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
+    return bfs_layers(edges, seeds, rounds=_BFS_ROUNDS).select(
+        F.col("node").alias("vec_id"), "hops"
+    )

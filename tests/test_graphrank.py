@@ -461,3 +461,45 @@ def test_trustrank_concentrates_near_seed_and_zeroes_unreachable(spark):
     assert t[1] + t[2] > t[3] + t[4] + t[5]
     assert min(t[1], t[2], t[3], t[4], t[5]) > 0.0
     assert t[8] == 0.0 and t[9] == 0.0
+
+
+def test_bfs_layers_hand_graph(spark):
+    """Chain 1-2-3-4-5 (undirected) + disconnected 8-9, seed {1}:
+    hops = position; unreachable = UNREACHED; rounds caps the radius."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        UNREACHED,
+        bfs_layers,
+        symmetrize,
+    )
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)],
+        "query_id bigint, cand_id bigint",
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    edges = symmetrize(chain)
+    full = {
+        r["node"]: r["hops"] for r in bfs_layers(edges, seeds, 4).collect()
+    }
+    assert full == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 8: UNREACHED, 9: UNREACHED}
+    capped = {
+        r["node"]: r["hops"] for r in bfs_layers(edges, seeds, 2).collect()
+    }
+    assert capped[3] == 2 and capped[4] == UNREACHED and capped[5] == UNREACHED
+
+
+def test_bfs_layers_multi_source_takes_min(spark):
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        bfs_layers,
+        symmetrize,
+    )
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "query_id bigint, cand_id bigint"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node bigint")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_layers(symmetrize(chain), seeds, 4).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}

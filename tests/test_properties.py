@@ -881,3 +881,105 @@ def test_watermark_replay_matches_python_model(
         assert g["late_rows"] == want_late, (secs, wm, g)
         if secs and (seen_max is None or max(secs) > seen_max):
             seen_max = max(secs)
+
+
+@st.composite
+def _random_digraph(draw):
+    """Small random directed graph as an edge list (no self loops,
+    deduped); node ids from a small pool so structure is dense enough
+    to be interesting."""
+    n = draw(st.integers(min_value=2, max_value=8))
+    edges = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=n),
+                st.integers(min_value=1, max_value=n),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=16,
+            unique=True,
+        )
+    )
+    return edges
+
+
+@settings(max_examples=12, deadline=None)
+@given(_random_digraph())
+def test_lpa_matches_python_model_on_random_graphs(shared_spark, edges):
+    """Deterministic LPA (most-frequent neighbor label, smallest-label
+    ties, isolated keep) equals a direct python model for any graph."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        lpa_communities,
+        symmetrize,
+    )
+
+    und = {(s, d) for s, d in edges} | {(d, s) for s, d in edges}
+    nodes = sorted({v for e in und for v in e})
+    lab = {v: v for v in nodes}
+    for _ in range(3):
+        new = {}
+        for v in nodes:
+            counts = {}
+            for s, d in und:
+                if d == v:
+                    counts[lab[s]] = counts.get(lab[s], 0) + 1
+            new[v] = (
+                min(
+                    (c for c in counts),
+                    key=lambda c: (-counts[c], c),
+                )
+                if counts
+                else lab[v]
+            )
+        lab = new
+
+    df = shared_spark.createDataFrame(list(edges), "query_id bigint, cand_id bigint")
+    got = {
+        r["node"]: r["community"]
+        for r in lpa_communities(symmetrize(df), iters=3).collect()
+    }
+    assert got == lab
+
+
+@settings(max_examples=12, deadline=None)
+@given(_random_digraph())
+def test_kcore_matches_python_model_on_random_graphs(shared_spark, edges):
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        kcore,
+        symmetrize,
+    )
+
+    und = {(s, d) for s, d in edges} | {(d, s) for s, d in edges}
+
+    es = set(und)
+    while True:
+        deg = {}
+        for s, _ in es:
+            deg[s] = deg.get(s, 0) + 1
+        drop = {v for v, dg in deg.items() if dg < 2}
+        if not drop:
+            want = deg
+            break
+        es = {(s, d) for s, d in es if s not in drop and d not in drop}
+        if not es:
+            want = {}
+            break
+
+    df = shared_spark.createDataFrame(list(edges), "query_id bigint, cand_id bigint")
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore(symmetrize(df), k=2, rounds=None).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(_random_digraph())
+def test_pagerank_mass_conserved_on_random_graphs(shared_spark, edges):
+    """With dangling redistribution, total rank is always ~1 no matter
+    the topology (the property the textbook treatment exists for)."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import pagerank
+
+    df = shared_spark.createDataFrame(list(edges), "src bigint, dst bigint")
+    rows = pagerank(df, iters=3).collect()
+    assert abs(sum(r["pr"] for r in rows) - 1.0) < 1e-7

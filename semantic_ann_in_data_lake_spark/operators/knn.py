@@ -148,6 +148,10 @@ def knn_join(
     (similarity desc, cand_id asc) for ``cosine`` (where ``distance``
     holds the similarity).
 
+    ``strategy="nndescent"`` routes self-join graph builds to the
+    index-free graph-ANN tier (`operators/nndescent.py`), same return
+    contract.
+
     ``compress="int8"`` (broadcast and ivf strategies): ship the
     candidate matrix as the symmetric-int8 index
     (:func:`quantize_embeddings`) — 8× smaller broadcast (broadcast
@@ -347,6 +351,31 @@ def knn_join(
             queries, candidates, id_col, vec_col, k=k,
             refine_factor=refine_factor, nlist=nlist, nprobe=nprobe,
             exclude_self=exclude_self, round_dp=round_dp,
+        )
+    if strategy == "nndescent":
+        # graph-ANN tier (operators/nndescent.py): index-free iterated
+        # co-neighbor refinement — a SELF-join construction (the graph
+        # is over one corpus), exact distances, l2_sq only.
+        if queries is not candidates:
+            raise ValueError(
+                "strategy='nndescent' builds a self kNN graph: pass the "
+                "same DataFrame object as queries and candidates"
+            )
+        if metric != "l2_sq":
+            raise ValueError(
+                "strategy='nndescent' supports metric='l2_sq' only"
+            )
+        if not exclude_self:
+            raise ValueError(
+                "strategy='nndescent' always excludes self pairs"
+            )
+        from semantic_ann_in_data_lake_spark.operators.nndescent import (
+            nndescent_knn_graph,
+        )
+
+        return nndescent_knn_graph(
+            candidates, k=k, id_col=id_col, vec_col=vec_col,
+            round_dp=round_dp,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 

@@ -119,3 +119,20 @@ def test_nndescent_iters_zero_is_bucket_init_topk(spark, emb):
     for ranks in per.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 5
+
+
+def test_knn_join_nndescent_strategy_routes_and_guards(spark, emb):
+    """knn_join(strategy='nndescent') returns the same contract as the
+    direct operator; non-self-join and cosine calls are rejected."""
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+
+    via_join = knn_join(emb, emb, k=5, strategy="nndescent")
+    direct = nndescent_knn_graph(emb, k=5)
+    assert sorted(map(tuple, via_join.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    other = emb.limit(10)
+    with pytest.raises(ValueError, match="self kNN graph"):
+        knn_join(other, emb, k=5, strategy="nndescent")
+    with pytest.raises(ValueError, match="l2_sq"):
+        knn_join(emb, emb, k=5, strategy="nndescent", metric="cosine")

@@ -1567,3 +1567,82 @@ def test_streaming_pca_moments_equal_batch_bit_for_bit(
     raw = spark.read.parquet(state)
     per_run = raw.groupBy("run_id").count().collect()
     assert all(r["count"] <= 2 * len(want) for r in per_run)
+
+
+def test_streaming_graph_triangles_equal_batch(spark, sf_dir, tmp_path):
+    """The streamed edge-dedup + triangle accumulator equals batch
+    `triangle_stats(symmetrize(all edges))` ROW-FOR-ROW (triangle
+    deltas are exact: a triangle is counted at the batch delivering
+    its last edge, once), redeliveries add nothing (edges are
+    content-addressed — file 3 re-delivers half of file 1), and a
+    same-lineage fresh-checkpoint replay overwrites its slots into
+    identical state."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        symmetrize,
+        triangle_stats,
+    )
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+    from semantic_ann_in_data_lake_spark.streaming.graph_stream import (
+        incremental_graph_foreach_batch,
+        read_graph_state,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    knn = knn_join(emb, emb, k=4, strategy="broadcast").select(
+        F.col("query_id").alias("src"), F.col("cand_id").alias("dst")
+    )
+    want = {
+        (r["node"], r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_stats(symmetrize(knn, "src", "dst")).collect()
+    }
+
+    rows = knn.collect()
+    cuts = [rows[:150], rows[150:330], rows[330:] + rows[:70]]  # 3rd redelivers
+    in_dir = tmp_path / "gs_in"
+    in_dir.mkdir()
+    for i, part in enumerate(cuts):
+        df = spark.createDataFrame(part, "src bigint, dst bigint")
+        df.coalesce(1).write.parquet(str(tmp_path / f"_g{i}"))
+        shutil.copy(
+            glob.glob(str(tmp_path / f"_g{i}" / "part-*.parquet"))[0],
+            in_dir / f"{chr(97 + i)}.parquet",
+        )
+
+    state = str(tmp_path / "graph_state")
+    edges = str(tmp_path / "graph_edges")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("src bigint, dst bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        q = (
+            incremental_graph_foreach_batch(
+                stream, state, edges, lineage="runA"
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    got = {
+        (r["node"], r["degree"], r["triangles"], r["clustering"])
+        for r in read_graph_state(spark, state, "runA").collect()
+    }
+    assert got == want
+
+    # same lineage, fresh checkpoint: full replay overwrites each slot
+    # deterministically — state unchanged
+    run("ck2")
+    got2 = {
+        (r["node"], r["degree"], r["triangles"], r["clustering"])
+        for r in read_graph_state(spark, state, "runA").collect()
+    }
+    assert got2 == want

@@ -652,3 +652,81 @@ def bfs_layers(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Neighborhood-overlap link scores for every edge of an UNDIRECTED
+    graph (`symmetrize` output): ``(a, b, common, jaccard)`` per
+    canonical edge a < b, where ``common`` counts shared neighbors
+    (excluding the endpoints themselves) and ``jaccard`` =
+    common / (deg(a) + deg(b) − common − 2) — the −2 removes a and b
+    from each other's neighborhoods so a pendant pair scores 0, not a
+    self-fulfilling overlap.
+
+    The common-neighbors family of link prediction (Liben-Nowell &
+    Kleinberg 2003) as a CONFIRMATION signal on kNN edges: a candidate
+    near-dup pair whose neighborhoods barely overlap is usually a
+    hub artifact; a pair embedded in the same neighborhood is a real
+    semantic duplicate. Integer counts + one rounded IEEE division —
+    the whole relation is cross-engine hash-exact (no log/exp, which
+    are NOT ulp-identical across libms — the reason this operator
+    ships Jaccard and not Adamic-Adar).
+
+    Shape: one co-neighbor equi-join (the NN-descent candidate step)
+    counted per canonical pair, plus a degree broadcast-join; fan-out
+    is Σ deg(v)² over pivot nodes — same hub-cap discipline as
+    `triangle_stats`."""
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    canon = e.where(F.col("a") < F.col("b")).distinct()
+    deg = e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # common neighbors of (a, b): pivot c adjacent to both
+    adj = e.select(F.col("a").alias("c"), F.col("b").alias("n"))
+    pairs_via_c = (
+        adj.alias("x")
+        .join(
+            adj.alias("y"),
+            (F.col("x.c") == F.col("y.c")) & (F.col("x.n") < F.col("y.n")),
+        )
+        .select(
+            F.col("x.n").alias("a"), F.col("y.n").alias("b"),
+            F.col("x.c").alias("c"),
+        )
+    )
+    common = (
+        canon.join(pairs_via_c, ["a", "b"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
+    out = (
+        canon.join(common, ["a", "b"], "left")
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce("common", F.lit(0)).cast("long").alias("common"),
+            F.round(
+                F.coalesce("common", F.lit(0)).cast("double")
+                / F.greatest(
+                    (
+                        F.col("__da")
+                        + F.col("__db")
+                        - F.coalesce("common", F.lit(0))
+                        - F.lit(2)
+                    ).cast("double"),
+                    F.lit(1.0),
+                ),
+                round_dp,
+            ).alias("jaccard"),
+        )
+    )
+    return out

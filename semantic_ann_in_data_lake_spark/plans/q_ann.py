@@ -2756,3 +2756,45 @@ def bfs_layers_knn(spark, sf_dir):
     return bfs_layers(edges, seeds, rounds=_BFS_ROUNDS).select(
         F.col("node").alias("vec_id"), "hops"
     )
+
+
+@register(
+    "edge_jaccard_knn",
+    f"""
+    WITH {_SYM_KNN_EDGES_CTES},
+    canon AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+    pv AS MATERIALIZED (
+      SELECT x.dst AS a, y.dst AS b
+      FROM edges x JOIN edges y
+        ON x.src = y.src AND x.dst < y.dst),
+    cm AS (SELECT c.a, c.b, count(*) AS common
+           FROM canon c JOIN pv ON pv.a = c.a AND pv.b = c.b
+           GROUP BY 1, 2)
+    SELECT c.a, c.b,
+           coalesce(cm.common, 0)::BIGINT AS common,
+           round(coalesce(cm.common, 0)::DOUBLE
+             / greatest((da.deg + db.deg - coalesce(cm.common, 0) - 2)::DOUBLE,
+                        1.0::DOUBLE), 6) AS jaccard
+    FROM canon c
+    LEFT JOIN cm ON cm.a = c.a AND cm.b = c.b
+    JOIN deg da ON da.node = c.a
+    JOIN deg db ON db.node = c.b
+    """,
+)
+def edge_jaccard_knn(spark, sf_dir):
+    """Neighborhood-Jaccard link scores for every canonical edge of the
+    symmetrized exact top-5 kNN graph (`operators/graphrank.py::
+    neighborhood_jaccard`) — the common-neighbors confirmation signal
+    for candidate near-dup pairs (hub-artifact edges score ~0, truly
+    embedded pairs score high). Integer counts + one rounded IEEE
+    division; hash-exact both engines (no log/exp — the reason this is
+    Jaccard and not Adamic-Adar)."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        neighborhood_jaccard,
+        symmetrize,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
+    return neighborhood_jaccard(edges)

@@ -503,3 +503,28 @@ def test_bfs_layers_multi_source_takes_min(spark):
         for r in bfs_layers(symmetrize(chain), seeds, 4).collect()
     }
     assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_neighborhood_jaccard_hand_case(spark):
+    """K4 minus edge (1,4): edge (2,3) has common={1,4}, degrees 3,3 →
+    2/(3+3-2-2)=1.0; edge (1,2) has common={3}, degrees 2,3 →
+    1/(2+3-1-2)=0.5; pendant pair scores 0."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        neighborhood_jaccard,
+        symmetrize,
+    )
+
+    g = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (7, 8)],
+        "query_id bigint, cand_id bigint",
+    )
+    got = {
+        (r["a"], r["b"]): (r["common"], r["jaccard"])
+        for r in neighborhood_jaccard(symmetrize(g)).collect()
+    }
+    assert got[(2, 3)] == (2, 1.0)
+    assert got[(1, 2)] == (1, 0.5)
+    assert got[(1, 3)] == (1, 0.5)
+    assert got[(2, 4)] == (1, 0.5)
+    assert got[(3, 4)] == (1, 0.5)
+    assert got[(7, 8)] == (0, 0.0)

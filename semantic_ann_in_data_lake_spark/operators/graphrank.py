@@ -730,3 +730,56 @@ def neighborhood_jaccard(
         )
     )
     return out
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an UNDIRECTED
+    edge set (`symmetrize` output, each undirected edge present in both
+    directions — which is exactly the double-counting the coefficient
+    is defined over): one row ``(n_dir_edges, assortativity)`` — the
+    Pearson correlation of endpoint degrees across edges. Positive =
+    hubs link to hubs (core-periphery corpora), negative = hubs link to
+    leaves (star-like, typical of kNN graphs around density peaks) — a
+    one-number graph-health summary for curation dashboards.
+
+    Exactness: every moment (Σx, Σx², Σxy over directed edges) is an
+    INTEGER summed in DECIMAL(38,0) — no float accumulation at all;
+    the final expression is a handful of IEEE doubles ops plus sqrt
+    (correctly-rounded per IEEE-754 in both engines, unlike log/exp),
+    rounded once — so the single output row is cross-engine
+    hash-exact. Degenerate variance (regular graphs) returns 0.0 by
+    convention."""
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    deg = e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    j = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    d0 = "decimal(38,0)"
+    m = j.agg(
+        F.count(F.lit(1)).cast(d0).alias("n"),
+        F.sum(F.col("da").cast(d0)).alias("sx"),
+        F.sum(F.col("db").cast(d0)).alias("sy"),
+        F.sum((F.col("da") * F.col("db")).cast(d0)).alias("sxy"),
+        F.sum((F.col("da") * F.col("da")).cast(d0)).alias("sxx"),
+        F.sum((F.col("db") * F.col("db")).cast(d0)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    va = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vb = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_dir_edges"),
+        F.when(
+            (va > 0) & (vb > 0),
+            F.round(num / (F.sqrt(va) * F.sqrt(vb)), round_dp),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("assortativity"),
+    )

@@ -2798,3 +2798,44 @@ def edge_jaccard_knn(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
     return neighborhood_jaccard(edges)
+
+
+@register(
+    "assortativity_knn",
+    f"""
+    WITH {_SYM_KNN_EDGES_CTES},
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+    j AS (SELECT da.deg AS x, db.deg AS y
+          FROM edges e JOIN deg da ON da.node = e.src
+          JOIN deg db ON db.node = e.dst),
+    m AS (SELECT count(*)::DECIMAL(38,0) AS n,
+                 sum(x::DECIMAL(38,0)) AS sx, sum(y::DECIMAL(38,0)) AS sy,
+                 sum((x * y)::DECIMAL(38,0)) AS sxy,
+                 sum((x * x)::DECIMAL(38,0)) AS sxx,
+                 sum((y * y)::DECIMAL(38,0)) AS syy
+          FROM j)
+    SELECT n::BIGINT AS n_dir_edges,
+           CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+                 AND (n * syy - sy * sy)::DOUBLE > 0 THEN
+             round((n * sxy - sx * sy)::DOUBLE
+               / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                  * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+           ELSE 0.0 END AS assortativity
+    FROM m
+    """,
+)
+def assortativity_knn(spark, sf_dir):
+    """Degree assortativity of the symmetrized exact top-5 kNN graph
+    (`operators/graphrank.py::degree_assortativity`): the one-number
+    hub-structure summary (negative on kNN graphs whose density peaks
+    act as stars). Integer moment sums in DECIMAL(38,0) — zero float
+    accumulation — then a few IEEE ops + correctly-rounded sqrt, so
+    the single row is hash-exact cross-engine."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        degree_assortativity,
+        symmetrize,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
+    return degree_assortativity(edges)

@@ -528,3 +528,41 @@ def test_neighborhood_jaccard_hand_case(spark):
     assert got[(2, 4)] == (1, 0.5)
     assert got[(3, 4)] == (1, 0.5)
     assert got[(7, 8)] == (0, 0.0)
+
+
+def test_assortativity_hand_cases(spark):
+    """Star graph: perfectly disassortative (-1); regular ring:
+    degenerate variance → 0 by convention; value matches numpy's
+    corrcoef on the directed edge list."""
+    import numpy as np
+
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        degree_assortativity,
+        symmetrize,
+    )
+
+    star = spark.createDataFrame(
+        [(1, n) for n in (2, 3, 4, 5)], "query_id bigint, cand_id bigint"
+    )
+    row = degree_assortativity(symmetrize(star)).collect()[0]
+    assert row["n_dir_edges"] == 8 and row["assortativity"] == -1.0
+
+    ring = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "query_id bigint, cand_id bigint"
+    )
+    assert (
+        degree_assortativity(symmetrize(ring)).collect()[0]["assortativity"]
+        == 0.0
+    )
+
+    mixed = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(mixed, "query_id bigint, cand_id bigint")
+    got = degree_assortativity(symmetrize(df)).collect()[0]["assortativity"]
+    und = {(s, d) for s, d in mixed} | {(d, s) for s, d in mixed}
+    deg = {}
+    for s, _ in und:
+        deg[s] = deg.get(s, 0) + 1
+    xs = [deg[s] for s, d in sorted(und)]
+    ys = [deg[d] for s, d in sorted(und)]
+    want = round(float(np.corrcoef(xs, ys)[0, 1]), 6)
+    assert got == pytest.approx(want, abs=1e-6)

@@ -783,3 +783,49 @@ def degree_assortativity(
         .otherwise(F.lit(0.0))
         .alias("assortativity"),
     )
+
+
+def graph_datacard(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One-row structural datacard of an UNDIRECTED edge set
+    (`symmetrize` output): ``(n_nodes, n_edges, n_triangles,
+    mean_degree, mean_clustering, assortativity)`` — the graph sibling
+    of the corpus datacard: what a curation dashboard pins next to a
+    crawl snapshot to see at a glance whether the embedding manifold
+    is clumpy (high clustering), hub-ridden (negative assortativity),
+    or degenerate.
+
+    Composition of the gated primitives, with the same exactness
+    discipline: triangle/degree counts are integers; mean degree and
+    mean clustering average ROUNDED values through DECIMAL sums (the
+    per-node clustering is 6-dp exact by `triangle_stats`' contract,
+    so DECIMAL(38,6) accumulates it without information loss);
+    assortativity comes from `degree_assortativity`. Single row,
+    hash-exact cross-engine."""
+    ts = triangle_stats(edges, src_col, dst_col)
+    agg = ts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("degree").cast("decimal(38,0)")).alias("__sdeg"),
+        F.sum(F.col("triangles").cast("decimal(38,0)")).alias("__stri"),
+        F.sum(F.col("clustering").cast("decimal(38,6)")).alias("__sclu"),
+    )
+    a = degree_assortativity(edges, src_col, dst_col)
+    return agg.crossJoin(F.broadcast(a)).select(
+        "n_nodes",
+        (F.col("__sdeg").cast("long") / F.lit(2)).cast("long").alias("n_edges"),
+        (F.col("__stri").cast("long") / F.lit(3)).cast("long").alias("n_triangles"),
+        F.round(
+            F.col("__sdeg").cast("double")
+            / F.col("n_nodes").cast("double"),
+            6,
+        ).alias("mean_degree"),
+        F.round(
+            F.col("__sclu").cast("double")
+            / F.col("n_nodes").cast("double"),
+            6,
+        ).alias("mean_clustering"),
+        "assortativity",
+    )

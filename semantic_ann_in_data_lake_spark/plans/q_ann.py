@@ -2839,3 +2839,68 @@ def assortativity_knn(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
     return degree_assortativity(edges)
+
+
+@register(
+    "graph_datacard_knn",
+    f"""
+    WITH {_SYM_KNN_EDGES_CTES},
+    canon AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+    deg AS MATERIALIZED (SELECT src AS node, count(*) AS degree FROM edges GROUP BY 1),
+    tri AS MATERIALIZED (
+      SELECT ab.a, ab.b, bc.b AS c
+      FROM canon ab
+      JOIN canon bc ON bc.a = ab.b
+      JOIN canon ac ON ac.a = ab.a AND ac.b = bc.b),
+    corners AS (SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+    pn AS (SELECT node, count(*) AS triangles FROM corners GROUP BY 1),
+    ts AS (SELECT d.node, d.degree,
+                  coalesce(pn.triangles, 0) AS triangles,
+                  CASE WHEN d.degree >= 2 THEN
+                    round(2.0::DOUBLE * coalesce(pn.triangles, 0)::DOUBLE
+                      / (d.degree::DOUBLE * (d.degree - 1)::DOUBLE), 6)
+                  ELSE 0.0 END AS clustering
+           FROM deg d LEFT JOIN pn ON pn.node = d.node),
+    agg AS (SELECT count(*)::BIGINT AS n_nodes,
+                   sum(degree::DECIMAL(38,0)) AS sdeg,
+                   sum(triangles::DECIMAL(38,0)) AS stri,
+                   sum(clustering::DECIMAL(38,6)) AS sclu
+            FROM ts),
+    jm AS (SELECT da.degree AS x, db.degree AS y
+           FROM edges e JOIN deg da ON da.node = e.src
+           JOIN deg db ON db.node = e.dst),
+    m AS (SELECT count(*)::DECIMAL(38,0) AS n,
+                 sum(x::DECIMAL(38,0)) AS sx, sum(y::DECIMAL(38,0)) AS sy,
+                 sum((x * y)::DECIMAL(38,0)) AS sxy,
+                 sum((x * x)::DECIMAL(38,0)) AS sxx,
+                 sum((y * y)::DECIMAL(38,0)) AS syy
+          FROM jm)
+    SELECT agg.n_nodes,
+           (agg.sdeg::BIGINT / 2)::BIGINT AS n_edges,
+           (agg.stri::BIGINT / 3)::BIGINT AS n_triangles,
+           round(agg.sdeg::DOUBLE / agg.n_nodes::DOUBLE, 6) AS mean_degree,
+           round(agg.sclu::DOUBLE / agg.n_nodes::DOUBLE, 6) AS mean_clustering,
+           CASE WHEN (m.n * m.sxx - m.sx * m.sx)::DOUBLE > 0
+                 AND (m.n * m.syy - m.sy * m.sy)::DOUBLE > 0 THEN
+             round((m.n * m.sxy - m.sx * m.sy)::DOUBLE
+               / (sqrt((m.n * m.sxx - m.sx * m.sx)::DOUBLE)
+                  * sqrt((m.n * m.syy - m.sy * m.sy)::DOUBLE)), 6)
+           ELSE 0.0 END AS assortativity
+    FROM agg, m
+    """,
+)
+def graph_datacard_knn(spark, sf_dir):
+    """One-row structural datacard of the symmetrized exact top-5 kNN
+    graph (`operators/graphrank.py::graph_datacard`): node/edge/
+    triangle counts, mean degree, mean clustering, assortativity —
+    the graph sibling of `corpus_datacard`. All counts integer, means
+    through DECIMAL sums of already-rounded values, hash-exact."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        graph_datacard,
+        symmetrize,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
+    return graph_datacard(edges)

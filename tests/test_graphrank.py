@@ -566,3 +566,24 @@ def test_assortativity_hand_cases(spark):
     ys = [deg[d] for s, d in sorted(und)]
     want = round(float(np.corrcoef(xs, ys)[0, 1]), 6)
     assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_graph_datacard_hand_case(spark):
+    """K4-minus-edge + pendant pair: 6 nodes, 6 undirected edges,
+    2 triangles; means derived by hand from the triangle_stats case."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        graph_datacard,
+        symmetrize,
+    )
+
+    g = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (7, 8)],
+        "query_id bigint, cand_id bigint",
+    )
+    row = graph_datacard(symmetrize(g)).collect()[0]
+    assert row["n_nodes"] == 6
+    assert row["n_edges"] == 6
+    assert row["n_triangles"] == 2
+    assert row["mean_degree"] == 2.0  # 12 directed / 6 nodes
+    # clusterings: 1.0, 0.666667, 0.666667, 1.0, 0, 0 → mean
+    assert row["mean_clustering"] == round((1.0 + 0.666667 * 2 + 1.0) / 6, 6)

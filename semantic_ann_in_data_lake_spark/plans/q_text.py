@@ -2301,3 +2301,37 @@ def nb_quality_classifier_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     labeled = docs.withColumn("__is_ref", F.col("source") == F.lit("src0"))
     return nb_log_odds_scores(labeled, "__is_ref")
+
+
+@register(
+    "curriculum_order_docs",
+    """
+    WITH b AS (
+      SELECT doc_id AS id, n_chars AS score,
+             ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bucket
+      FROM documents
+    )
+    SELECT id, score, bucket,
+           ((row_number() OVER (
+               PARTITION BY bucket
+               ORDER BY md5('42:' || id::VARCHAR) ASC, id ASC) - 1) * 4
+            + (bucket - 1))::BIGINT AS order_idx
+    FROM b
+    """,
+)
+def curriculum_order_docs(spark, sf_dir):
+    """Easy-first curriculum training order over the documents table
+    (`operators/curriculum.py::curriculum_order`): 4 equal-population
+    difficulty strata by n_chars, md5-shuffled within each stratum,
+    round-robin interleaved into one global order_idx — any contiguous
+    training window sees every stratum at corpus proportion. Integer/
+    window arithmetic on a total order with id tie-breaks, hash-exact
+    cross-engine."""
+    from semantic_ann_in_data_lake_spark.operators.curriculum import (
+        curriculum_order,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return curriculum_order(
+        docs, "n_chars", id_col="doc_id", n_buckets=4, seed=42
+    )

@@ -5284,3 +5284,46 @@ def test_gopher_rules_line_and_word_rules(spark):
     for empty in (8, 9):
         assert got[empty]["keep"] is False
         assert got[empty]["n_words"] == 0
+
+
+class TestCurriculumOrder:
+    """operators/curriculum.py — interleave + stratification
+    invariants the gate's hash can't explain on its own."""
+
+    def _order(self, spark, rows, n_buckets=3, **kw):
+        from semantic_ann_in_data_lake_spark.operators.curriculum import (
+            curriculum_order,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id bigint, score bigint")
+        return curriculum_order(
+            df, "score", id_col="doc_id", n_buckets=n_buckets, **kw
+        ).collect()
+
+    def test_interleave_and_uniqueness(self, spark):
+        rows = [(i, i * 10) for i in range(1, 13)]  # 12 docs, 3 buckets
+        got = self._order(spark, rows)
+        idx = sorted(r["order_idx"] for r in got)
+        assert idx == list(range(12))  # dense, unique, gapless
+        # round-robin: order positions 0..2 are buckets 1,2,3
+        by_idx = {r["order_idx"]: r["bucket"] for r in got}
+        assert [by_idx[i] for i in range(3)] == [1, 2, 3]
+        # stratification: bucket 1 holds the 4 lowest scores
+        b1 = {r["id"] for r in got if r["bucket"] == 1}
+        assert b1 == {1, 2, 3, 4}
+
+    def test_descending_flips_strata(self, spark):
+        rows = [(i, i * 10) for i in range(1, 13)]
+        got = self._order(spark, rows, descending=True)
+        b1 = {r["id"] for r in got if r["bucket"] == 1}
+        assert b1 == {9, 10, 11, 12}  # hardest first
+
+    def test_within_bucket_order_is_seeded_shuffle(self, spark):
+        rows = [(i, 0) for i in range(1, 10)]  # all tie on score
+        a = self._order(spark, rows, seed=1)
+        b = self._order(spark, rows, seed=1)
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        c = self._order(spark, rows, seed=2)
+        assert {(r["id"], r["order_idx"]) for r in a} != {
+            (r["id"], r["order_idx"]) for r in c
+        }

@@ -1420,3 +1420,82 @@ def record_linkage_scores(spark, sf_dir):
             "is_true_match"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax mixture allocation (Chung et al. 2023): uniform budget
+# waterfilling with a per-source epoch cap — the published successor to
+# temperature sampling for multilingual/multi-source mixing: small
+# sources are repeated up to E epochs but never more, the remaining
+# budget spreads UNIFORMLY over sources that can absorb it.
+# ---------------------------------------------------------------------------
+
+_UNIMAX_EPOCH_CAP = 4
+
+
+def _unimax_oracle() -> str:
+    from semantic_ann_in_data_lake_spark.functions.text import words_sql
+
+    E = _UNIMAX_EPOCH_CAP
+    return f"""
+    WITH per_source AS (
+      SELECT source,
+             count(*)::BIGINT AS n_docs,
+             sum(len({words_sql('text')}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    v AS (SELECT source, n_docs, n_tokens, n_tokens * {E} AS capacity
+          FROM per_source),
+    bb AS (SELECT floor(sum(capacity)::DOUBLE / 2.0::DOUBLE)::BIGINT AS b FROM v),
+    r AS (SELECT v.*,
+                 row_number() OVER (ORDER BY capacity ASC, source ASC) AS rk,
+                 coalesce(sum(capacity) OVER (
+                   ORDER BY capacity ASC, source ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+                 count(*) OVER () AS m
+          FROM v),
+    pick AS (SELECT min(rk) AS jstar
+             FROM r WHERE ((SELECT b FROM bb) - prefix)
+                          <= capacity * (m - rk + 1)),
+    tau AS (SELECT r.prefix AS pnum, (r.m - r.rk + 1) AS pden
+            FROM r JOIN pick ON r.rk = pick.jstar),
+    alloc AS (
+      SELECT r.source, r.n_docs, r.n_tokens, r.capacity,
+             CASE WHEN (SELECT jstar FROM pick) IS NULL THEN r.capacity
+                  ELSE least(r.capacity,
+                    floor(((SELECT b FROM bb) - (SELECT pnum FROM tau))::DOUBLE
+                          / (SELECT pden FROM tau)::DOUBLE)::BIGINT)
+             END AS alloc_tokens
+      FROM r)
+    SELECT source, n_docs, n_tokens, capacity, alloc_tokens,
+           round(alloc_tokens::DOUBLE / n_tokens::DOUBLE, 6) AS epochs
+    FROM alloc
+    """
+
+
+@register("unimax_mix_allocation", _unimax_oracle())
+def unimax_mix_allocation(spark, sf_dir):
+    """UniMax source allocation at epoch cap E=4 over a budget of half
+    the total capacity (so the waterfill path genuinely engages on the
+    fixture): sources that fit under the water level τ get their full
+    E-epoch capacity, the rest split the remaining budget uniformly.
+    τ selection is INTEGER arithmetic (``B − prefix ≤ cap·remaining``
+    over the capacity-sorted prefix sums — no float knife-edges);
+    the only floats are the final floor-division and the epochs
+    readout, both rounded. Hand-case waterfill parity in pytest."""
+    from semantic_ann_in_data_lake_spark.functions.text import words
+    from semantic_ann_in_data_lake_spark.operators.mixing_unimax import (
+        unimax_allocation,
+    )
+
+    per_source = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(words("text"))).cast("long").alias("n_tokens"),
+        )
+    )
+    return unimax_allocation(
+        per_source, epoch_cap=_UNIMAX_EPOCH_CAP, budget=None
+    )

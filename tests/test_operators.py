@@ -5327,3 +5327,58 @@ class TestCurriculumOrder:
         assert {(r["id"], r["order_idx"]) for r in a} != {
             (r["id"], r["order_idx"]) for r in c
         }
+
+
+class TestUnimaxAllocation:
+    """operators/mixing_unimax.py — waterfill parity with a direct
+    python model across budget regimes."""
+
+    def _alloc(self, spark, sizes, budget, E=4):
+        from semantic_ann_in_data_lake_spark.operators.mixing_unimax import (
+            unimax_allocation,
+        )
+
+        df = spark.createDataFrame(
+            [(s, 1, n) for s, n in sizes.items()],
+            "source string, n_docs bigint, n_tokens bigint",
+        )
+        return {
+            r["source"]: (r["alloc_tokens"], r["epochs"])
+            for r in unimax_allocation(df, epoch_cap=E, budget=budget).collect()
+        }
+
+    @staticmethod
+    def _model(sizes, budget, E=4):
+        caps = sorted((n * E, s) for s, n in sizes.items())
+        m = len(caps)
+        alloc, remaining, rem_n = {}, budget, m
+        tau = None
+        prefix = 0
+        for j, (cap, s) in enumerate(caps):
+            if budget - prefix <= cap * (m - j):
+                tau = (budget - prefix) // (m - j)
+                break
+            prefix += cap
+        for cap, s in caps:
+            alloc[s] = cap if tau is None else min(cap, tau)
+        return alloc
+
+    def test_waterfill_engages(self, spark):
+        sizes = {"a": 10, "b": 100, "c": 1000}
+        budget = 2000  # caps: 40, 400, 4000 — a,b fill; c gets the rest
+        got = self._alloc(spark, sizes, budget)
+        want = self._model(sizes, budget)
+        assert {s: g[0] for s, g in got.items()} == want
+        assert got["a"][0] == 40 and got["b"][0] == 400
+        assert got["c"][0] == 2000 - 440
+        assert got["a"][1] == 4.0  # epoch cap reached
+
+    def test_budget_exceeds_capacity(self, spark):
+        sizes = {"a": 10, "b": 20}
+        got = self._alloc(spark, sizes, budget=10_000)
+        assert {s: g[0] for s, g in got.items()} == {"a": 40, "b": 80}
+
+    def test_tiny_budget_splits_uniformly(self, spark):
+        sizes = {"a": 1000, "b": 1000, "c": 1000}
+        got = self._alloc(spark, sizes, budget=300)
+        assert {g[0] for g in got.values()} == {100}

@@ -2904,3 +2904,52 @@ def graph_datacard_knn(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
     return graph_datacard(edges)
+
+
+@register(
+    "prototype_prune_emb",
+    f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+    ),
+    ad AS (
+      SELECT e.vec_id, cid, round({l2_sq_sql('e.v', 'cv')}, 6) AS d,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({l2_sq_sql('e.v', 'cv')}, 6) ASC, cid ASC
+             ) AS rnk
+      FROM e, cents
+    ),
+    assigned AS (SELECT vec_id, cid AS cluster, d AS dist
+                 FROM ad WHERE rnk = 1)
+    SELECT vec_id, cluster, dist,
+           (row_number() OVER (
+              PARTITION BY cluster ORDER BY dist DESC, vec_id ASC) * 10
+            <= count(*) OVER (PARTITION BY cluster) * 7) AS kept
+    FROM assigned
+    """,
+)
+def prototype_prune_emb(spark, sf_dir):
+    """SSL-prototype data pruning (`operators/prototypes.py`): assign
+    every vector to its nearest of 16 md5-hash-picked prototypes (the
+    oracle-replicable fit stand-in, `ivf_recall_report` pattern), keep
+    the hardest 7/10 of each cluster via the division-free integer
+    rank rule. Production k-means fits plug into the same
+    ``centroids`` parameter; blob-corpus semantics (centers dropped,
+    outliers kept) pinned in pytest."""
+    from semantic_ann_in_data_lake_spark.operators.prototypes import (
+        prototype_prune,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    return prototype_prune(emb, cents, keep_num=7, keep_den=10)

@@ -587,3 +587,40 @@ def test_graph_datacard_hand_case(spark):
     assert row["mean_degree"] == 2.0  # 12 directed / 6 nodes
     # clusterings: 1.0, 0.666667, 0.666667, 1.0, 0, 0 → mean
     assert row["mean_clustering"] == round((1.0 + 0.666667 * 2 + 1.0) / 6, 6)
+
+
+def test_prototype_prune_drops_cluster_centers(spark):
+    """Blob corpus with the true centers as prototypes: kept fraction
+    is 7/10 per cluster, the points NEAREST each center are the ones
+    dropped, and every input row appears exactly once."""
+    import numpy as np
+
+    from semantic_ann_in_data_lake_spark.operators.prototypes import (
+        prototype_prune,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.uniform(-1.0, 1.0, size=(4, 8))
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(10):
+            rows.append((vid, [float(x) for x in c + rng.normal(0, 0.05, 8)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cid bigint, cv array<double>",
+    )
+    out = prototype_prune(emb, cents, keep_num=7, keep_den=10).collect()
+    assert len(out) == 40 and len({r["vec_id"] for r in out}) == 40
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for rows_c in by_cluster.values():
+        kept = [r for r in rows_c if r["kept"]]
+        dropped = [r for r in rows_c if not r["kept"]]
+        assert len(kept) == (len(rows_c) * 7) // 10
+        # every dropped row is nearer its prototype than every kept row
+        assert max(r["dist"] for r in dropped) <= min(
+            r["dist"] for r in kept
+        )

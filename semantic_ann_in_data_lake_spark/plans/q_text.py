@@ -2335,3 +2335,68 @@ def curriculum_order_docs(spark, sf_dir):
     return curriculum_order(
         docs, "n_chars", id_col="doc_id", n_buckets=4, seed=42
     )
+
+
+@register(
+    "curriculum_by_quality_docs",
+    f"""
+    WITH w AS (SELECT doc_id, {_TOKS} AS w,
+                      coalesce(source = 'src0', false) AS ref
+               FROM documents),
+    dt AS (SELECT doc_id, ref, unnest(w) AS tok FROM w),
+    cls AS (SELECT tok,
+                   count(*) FILTER (WHERE ref) AS c_ref,
+                   count(*) FILTER (WHERE NOT ref) AS c_rest
+            FROM dt GROUP BY tok),
+    tot AS (SELECT sum(c_ref) AS n_ref, sum(c_rest) AS n_rest,
+                   count(*) AS vsize
+            FROM cls),
+    wt AS (SELECT tok,
+                  round(log10((c_ref + 1.0) / (n_ref + 1.0 * vsize))
+                        - log10((c_rest + 1.0) / (n_rest + 1.0 * vsize))
+                        + 1e-9, 6)::DECIMAL(18,6) AS w6
+           FROM cls CROSS JOIN tot),
+    sc AS (SELECT dt.doc_id, count(*)::BIGINT AS n_tokens,
+                  sum(wt.w6) AS w_sum
+           FROM dt JOIN wt USING (tok) GROUP BY dt.doc_id),
+    scores AS (
+      SELECT w.doc_id AS id,
+             round(CASE WHEN sc.n_tokens IS NULL THEN 0.0
+                        ELSE sc.w_sum::DOUBLE / sc.n_tokens END + 1e-9,
+                   4) + 0.0 AS score
+      FROM w LEFT JOIN sc USING (doc_id)
+    ),
+    b AS (
+      SELECT id, score,
+             ntile(4) OVER (ORDER BY score ASC, id ASC) AS bucket
+      FROM scores
+    )
+    SELECT id, score, bucket,
+           ((row_number() OVER (
+               PARTITION BY bucket
+               ORDER BY md5('42:' || id::VARCHAR) ASC, id ASC) - 1) * 4
+            + (bucket - 1))::BIGINT AS order_idx
+    FROM b
+    """,
+)
+def curriculum_by_quality_docs(spark, sf_dir):
+    """End-to-end QUALITY curriculum: the in-engine NB classifier's
+    per-document score (train + apply, `nb_quality_classifier_docs`)
+    feeds `curriculum_order` — low-quality-first strata, seeded
+    shuffle within, round-robin interleave. The oracle replays the
+    whole chain (NB weights, 4-dp scores, ntile, interleave), so the
+    hash certifies the composition, not just the pieces. Anti-
+    curriculum (quality-first) is the ``descending`` flag."""
+    from semantic_ann_in_data_lake_spark.operators.curriculum import (
+        curriculum_order,
+    )
+    from semantic_ann_in_data_lake_spark.operators.lm import (
+        nb_log_odds_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("__is_ref", F.col("source") == F.lit("src0"))
+    scores = nb_log_odds_scores(labeled, "__is_ref")
+    return curriculum_order(
+        scores, "nb_score", id_col="doc_id", n_buckets=4, seed=42
+    )

@@ -2400,3 +2400,102 @@ def curriculum_by_quality_docs(spark, sf_dir):
     return curriculum_order(
         scores, "nb_score", id_col="doc_id", n_buckets=4, seed=42
     )
+
+
+@register(
+    "curation_rank_fusion_docs",
+    f"""
+    WITH w AS (SELECT doc_id, {_TOKS} AS w,
+                      coalesce(source = 'src0', false) AS ref,
+                      n_chars
+               FROM documents),
+    dt AS (SELECT doc_id, ref, unnest(w) AS tok FROM w),
+    cls AS (SELECT tok,
+                   count(*) FILTER (WHERE ref) AS c_ref,
+                   count(*) FILTER (WHERE NOT ref) AS c_rest
+            FROM dt GROUP BY tok),
+    tot AS (SELECT sum(c_ref) AS n_ref, sum(c_rest) AS n_rest,
+                   count(*) AS vsize
+            FROM cls),
+    wt AS (SELECT tok,
+                  round(log10((c_ref + 1.0) / (n_ref + 1.0 * vsize))
+                        - log10((c_rest + 1.0) / (n_rest + 1.0 * vsize))
+                        + 1e-9, 6)::DECIMAL(18,6) AS w6
+           FROM cls CROSS JOIN tot),
+    sc AS (SELECT dt.doc_id, count(*)::BIGINT AS n_tokens,
+                  sum(wt.w6) AS w_sum
+           FROM dt JOIN wt USING (tok) GROUP BY dt.doc_id),
+    sig AS (
+      SELECT w.doc_id,
+             round(CASE WHEN sc.n_tokens IS NULL THEN 0.0
+                        ELSE sc.w_sum::DOUBLE / sc.n_tokens END + 1e-9,
+                   4) + 0.0 AS nb_score,
+             len(w.w)::BIGINT AS n_words,
+             w.n_chars
+      FROM w LEFT JOIN sc USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, nb_score, n_words, n_chars,
+             row_number() OVER (ORDER BY nb_score DESC, doc_id ASC) AS r_quality,
+             row_number() OVER (ORDER BY n_words DESC, doc_id ASC) AS r_words,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS r_chars
+      FROM sig
+    )
+    SELECT doc_id, r_quality::BIGINT AS r_quality,
+           r_words::BIGINT AS r_words, r_chars::BIGINT AS r_chars,
+           round(1.0 / (60 + r_quality) + 1.0 / (60 + r_words)
+                 + 1.0 / (60 + r_chars), 6) AS rrf_score
+    FROM ranked
+    """,
+)
+def curation_rank_fusion_docs(spark, sf_dir):
+    """Multi-signal curation ranking by reciprocal-rank fusion (the
+    `hybrid_search_rrf` mechanism applied to CURATION): three
+    independent per-document signals — the in-engine NB quality score,
+    word count, char count — each ranked (desc, id ties), fused with
+    the standard k=60 RRF. The production pattern for combining
+    quality classifiers without calibrating their scales; plug
+    perplexity/centrality/dup-fraction signals into the same shape.
+    Oracle replays the NB chain + all three rankings + the fusion."""
+    from pyspark.sql.window import Window
+
+    from semantic_ann_in_data_lake_spark.functions.text import words
+    from semantic_ann_in_data_lake_spark.operators.lm import (
+        nb_log_odds_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("__is_ref", F.col("source") == F.lit("src0"))
+    nb = nb_log_odds_scores(labeled, "__is_ref").select("doc_id", "nb_score")
+    sig = (
+        docs.select(
+            "doc_id",
+            F.size(words("text")).cast("long").alias("n_words"),
+            "n_chars",
+        )
+        .join(nb, "doc_id")
+    )
+
+    def rank(col):
+        return F.row_number().over(
+            Window.orderBy(F.col(col).desc(), F.col("doc_id").asc())
+        )
+
+    ranked = sig.select(
+        "doc_id",
+        rank("nb_score").cast("long").alias("r_quality"),
+        rank("n_words").cast("long").alias("r_words"),
+        rank("n_chars").cast("long").alias("r_chars"),
+    )
+    return ranked.select(
+        "doc_id",
+        "r_quality",
+        "r_words",
+        "r_chars",
+        F.round(
+            F.lit(1.0) / (F.lit(60) + F.col("r_quality"))
+            + F.lit(1.0) / (F.lit(60) + F.col("r_words"))
+            + F.lit(1.0) / (F.lit(60) + F.col("r_chars")),
+            6,
+        ).alias("rrf_score"),
+    )

@@ -89,6 +89,7 @@ def nndescent_knn_graph(
     vec_col: str = "embedding",
     reverse_cap: int | None = None,
     round_dp: int = 6,
+    min_update_frac: float | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph over ``emb`` by NN-descent: returns
     ``(query_id, cand_id, distance, rank)`` — k rows per node, exact
@@ -102,9 +103,22 @@ def nndescent_knn_graph(
     the uniform-random gate corpus the neighbor-of-neighbor signal is
     weak and the gated recall number is a pessimistic floor — same
     caveat as `ivf_recall_report`.
+
+    ``min_update_frac`` (the paper's δ) turns ``iters`` into a CEILING:
+    after each round, the number of CHANGED edges is counted (one
+    anti-join of two k·n edge lists) and the loop stops early once a
+    round improves fewer than ``min_update_frac · n · k`` edges — the
+    production knob that makes T self-tuning per corpus (clustered
+    data converges in few rounds; uniform data stops burning passes
+    once the marginal gain dies). The stop depends only on the data,
+    so determinism is unchanged; the ORACLE-gated entries pin fixed
+    ``iters`` (a data-independent plan DuckDB replays), and the early
+    stop is pinned in pytest instead.
     """
     if k < 1 or iters < 0:
         raise ValueError("k >= 1 and iters >= 0 required")
+    if min_update_frac is not None and not (0 <= min_update_frac <= 1):
+        raise ValueError("min_update_frac in [0, 1] required")
     rk = reverse_cap if reverse_cap is not None else 3 * k
 
     v = emb.select(
@@ -163,6 +177,7 @@ def nndescent_knn_graph(
 
     # --- descent rounds ----------------------------------------------------
     for _ in range(iters):
+        prev = g
         rev = (
             g.select(
                 F.col("cand_id").alias("query_id"),
@@ -200,6 +215,18 @@ def nndescent_knn_graph(
         )
         cand = co.unionByName(und.select("query_id", "cand_id")).distinct()
         g = scored_topk(cand).localCheckpoint(eager=True)
+        if min_update_frac is not None:
+            changed = (
+                g.select("query_id", "cand_id")
+                .join(
+                    prev.select("query_id", "cand_id"),
+                    ["query_id", "cand_id"],
+                    "left_anti",
+                )
+                .count()
+            )
+            if changed < min_update_frac * n * k:
+                break
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("d").asc(), F.col("cand_id").asc()

@@ -136,3 +136,24 @@ def test_knn_join_nndescent_strategy_routes_and_guards(spark, emb):
         knn_join(other, emb, k=5, strategy="nndescent")
     with pytest.raises(ValueError, match="l2_sq"):
         knn_join(emb, emb, k=5, strategy="nndescent", metric="cosine")
+
+
+def test_nndescent_early_stop_matches_converged_fixed_iters(spark, blobs):
+    """With min_update_frac, the loop stops once a round changes few
+    edges: on the blob corpus a generous iteration CEILING with a tight
+    tolerance must (a) return a valid graph with recall matching a
+    converged fixed-T run, and (b) be deterministic across re-runs."""
+    exact = _exact_top5(spark, blobs).persist()
+    g_fixed = nndescent_knn_graph(blobs, k=5, iters=8, seed=42)
+    g_early = nndescent_knn_graph(
+        blobs, k=5, iters=8, seed=42, min_update_frac=0.01
+    )
+    r_fixed = _recall(g_fixed, exact)
+    r_early = _recall(g_early, exact)
+    assert r_early > 0.9 and r_fixed - r_early < 0.05
+    g_early2 = nndescent_knn_graph(
+        blobs, k=5, iters=8, seed=42, min_update_frac=0.01
+    )
+    assert sorted(map(tuple, g_early.collect())) == sorted(
+        map(tuple, g_early2.collect())
+    )

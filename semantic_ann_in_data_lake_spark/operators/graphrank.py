@@ -829,3 +829,81 @@ def graph_datacard(
         ).alias("mean_clustering"),
         "assortativity",
     )
+
+
+def triangle_count_doulion(
+    edges: DataFrame,
+    p_mille: int = 500,
+    seed: int = 42,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """DOULION approximate total-triangle count (Tsourakakis, Kang,
+    Miller & Faloutsos 2009): sparsify the graph by keeping each edge
+    with probability p, count triangles in the sparsified graph, scale
+    by 1/p³ — the published scale path for graphs whose exact
+    enumeration (Σ deg² join fan-out) is too hot; variance falls as
+    triangles concentrate, and the sparsified count costs p²-p³ of the
+    exact join work.
+
+    One row: ``(n_edges, n_edges_sampled, tri_sampled, tri_estimate)``.
+
+    Engine discipline: "probability p" is a DETERMINISTIC
+    content-addressed coin — keep canonical edge (a,b) iff
+    ``md5hex32(seed:a:b) % 1000 < p_mille`` — so the sample, the
+    count, and the estimate are pure functions of the edge set that
+    DuckDB replays exactly (no RNG, no variance across runs; variance
+    ACROSS SEEDS is the estimator's, pinned in pytest against the
+    exact count). With the default p = 500/1000 the 1/p³ correction
+    is exactly 8, keeping the estimate integer — pick p_mille values
+    whose cube divides 1000³ to stay on integers."""
+    if not (0 < p_mille <= 1000):
+        raise ValueError("p_mille in (0, 1000] required")
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    canon = e.where(F.col("a") < F.col("b")).distinct()
+    coin = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:"),
+                        F.col("a").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000),
+    )
+    sampled = canon.where(coin < F.lit(p_mille)).localCheckpoint(eager=True)
+    tri = (
+        sampled.alias("ab")
+        .join(
+            sampled.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("bc"),
+            "b",
+        )
+        .join(
+            sampled.select(F.col("a").alias("a2"), F.col("b").alias("c2")),
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("tri_sampled"))
+    )
+    counts = canon.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).crossJoin(
+        sampled.agg(F.count(F.lit(1)).cast("long").alias("n_edges_sampled"))
+    )
+    scale = round((1000 / p_mille) ** 3)
+    return counts.crossJoin(F.broadcast(tri)).select(
+        "n_edges",
+        "n_edges_sampled",
+        "tri_sampled",
+        (F.col("tri_sampled") * F.lit(int(scale))).cast("long").alias(
+            "tri_estimate"
+        ),
+    )

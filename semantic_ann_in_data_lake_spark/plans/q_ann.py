@@ -2953,3 +2953,42 @@ def prototype_prune_emb(spark, sf_dir):
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
     return prototype_prune(emb, cents, keep_num=7, keep_den=10)
+
+
+@register(
+    "triangles_doulion_knn",
+    f"""
+    WITH {_SYM_KNN_EDGES_CTES},
+    canon AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+    sampled AS MATERIALIZED (
+      SELECT a, b FROM canon
+      WHERE ('0x'||substr(md5('42:'||a::VARCHAR||':'||b::VARCHAR),1,8))::BIGINT
+            % 1000 < 500),
+    tri AS (
+      SELECT count(*)::BIGINT AS tri_sampled
+      FROM sampled ab
+      JOIN sampled bc ON bc.a = ab.b
+      JOIN sampled ac ON ac.a = ab.a AND ac.b = bc.b)
+    SELECT (SELECT count(*) FROM canon)::BIGINT AS n_edges,
+           (SELECT count(*) FROM sampled)::BIGINT AS n_edges_sampled,
+           tri.tri_sampled,
+           (tri.tri_sampled * 8)::BIGINT AS tri_estimate
+    FROM tri
+    """,
+)
+def triangles_doulion_knn(spark, sf_dir):
+    """DOULION approximate triangle count over the symmetrized exact
+    top-5 graph (`operators/graphrank.py::triangle_count_doulion`,
+    p=1/2 → exact ×8 correction): the published scale path when exact
+    enumeration's Σdeg² fan-out is too hot. The coin is a
+    content-addressed md5 threshold, so sample, count and estimate are
+    hash-exact in both engines; estimator accuracy vs the exact count
+    is pinned in pytest on a triangle-rich corpus."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        symmetrize,
+        triangle_count_doulion,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
+    return triangle_count_doulion(edges, p_mille=500, seed=42)

@@ -624,3 +624,40 @@ def test_prototype_prune_drops_cluster_centers(spark):
         assert max(r["dist"] for r in dropped) <= min(
             r["dist"] for r in kept
         )
+
+
+def test_doulion_estimate_tracks_exact_on_blobs(spark):
+    """Triangle-rich corpus (30 blobs of 8, k=4 graph): the p=1/2
+    estimate lands within 50% of the exact count (a loose band — the
+    estimator's variance at this size — that still catches a broken
+    correction factor, which would be off by 8x), sampled edges are
+    roughly half, and the output is deterministic."""
+    import numpy as np
+
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        symmetrize,
+        triangle_count_doulion,
+        triangle_stats,
+    )
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(5)
+    centers = rng.uniform(-1.0, 1.0, size=(30, 8))
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(8):
+            rows.append((vid, [float(x) for x in c + rng.normal(0, 0.04, 8)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    edges = symmetrize(knn_join(df, df, k=4, strategy="broadcast")).persist()
+    exact = (
+        triangle_stats(edges)
+        .agg({"triangles": "sum"})
+        .collect()[0][0]
+        // 3
+    )
+    est = triangle_count_doulion(edges, p_mille=500, seed=42).collect()[0]
+    assert abs(est["tri_estimate"] - exact) <= 0.5 * exact
+    assert 0.3 < est["n_edges_sampled"] / est["n_edges"] < 0.7
+    est2 = triangle_count_doulion(edges, p_mille=500, seed=42).collect()[0]
+    assert tuple(est) == tuple(est2)

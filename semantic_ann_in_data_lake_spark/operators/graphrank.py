@@ -907,3 +907,109 @@ def triangle_count_doulion(
             "tri_estimate"
         ),
     )
+
+
+def hyperanf(
+    edges: DataFrame,
+    rounds: int = 4,
+    seed: int = 42,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HyperANF neighborhood function (Boldi, Rosa & Vigna, WWW 2011):
+    estimate N(t) = Σ_v |ball(v, t)| for t = 0..rounds by giving every
+    node an HLL-ish sketch of its ball and propagating REGISTER-WISE
+    MAX along edges each round — the tool that measured the Facebook
+    graph's four degrees of separation, and here the distance-
+    distribution profile of the kNN graph (how fast semantic
+    neighborhoods saturate). Returns ``(t, n_est)`` per round.
+
+    Spark shape: registers live RELATIONALLY as (node, pos, val) rows
+    — m=16 rows per node — so one round is one edge join + one
+    (node, pos) max-aggregate: pure integer ops, no arrays, no UDFs,
+    and the sketch-union-is-max property that makes HyperANF work is
+    literally a groupBy(max).
+
+    Engine discipline: register init is md5-derived (idx = h % 16,
+    val = 29 − len(bin(h >> 4)) — the h >> 4 = 0 corner folds to 28, one
+    short of the true ρ, a deterministic convention shared by the
+    oracle and the pytest model); the per-node estimate
+    α₁₆·m²/Σ 2^(−val) uses 1.0/(1<<val) — powers of two are EXACT
+    doubles, so the 16-term sum is order-independent — and per-node
+    estimates round to 6 dp before the DECIMAL total. No ln-based
+    small-range correction (ln is not ulp-portable; the gate pins the
+    MECHANISM — accuracy bands belong to pytest, where the pure-Python
+    model matches EXACTLY, not approximately)."""
+    if rounds < 0:
+        raise ValueError("rounds >= 0 required")
+    m, alpha = 16, 0.673
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("node").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    init = nodes.select(
+        "node",
+        F.pmod(h, F.lit(m)).cast("int").alias("__hpos"),
+        (F.lit(29) - F.length(F.bin(F.shiftright(h, 4)))).cast("int").alias(
+            "__hval"
+        ),
+    )
+    # dense m rows per node: the hashed register carries ρ, the rest 0
+    pos = nodes.sparkSession.range(m).select(F.col("id").cast("int").alias("pos"))
+    state = (
+        init.crossJoin(F.broadcast(pos))
+        .select(
+            "node",
+            "pos",
+            F.when(F.col("pos") == F.col("__hpos"), F.col("__hval"))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("val"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def estimate(st: DataFrame, t: int) -> DataFrame:
+        per_node = st.groupBy("node").agg(
+            F.sum(
+                F.lit(1.0)
+                # per-row shift: F.shiftleft only takes a literal count
+                / F.expr("shiftleft(cast(1 as bigint), val)")
+            ).alias("__z")
+        )
+        return per_node.agg(
+            F.sum(
+                F.round(
+                    F.lit(alpha) * F.lit(float(m * m)) / F.col("__z"), 6
+                ).cast("decimal(38,6)")
+            ).alias("__s")
+        ).select(
+            F.lit(t).cast("int").alias("t"),
+            F.round(F.col("__s").cast("double"), 2).alias("n_est"),
+        )
+
+    out = estimate(state, 0)
+    for t in range(1, rounds + 1):
+        nbr = (
+            e.join(state.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "pos", "val")
+            .unionByName(state)
+        )
+        state = (
+            nbr.groupBy("node", "pos")
+            .agg(F.max("val").cast("int").alias("val"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(estimate(state, t))
+    return out

@@ -2992,3 +2992,71 @@ def triangles_doulion_knn(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
     return triangle_count_doulion(edges, p_mille=500, seed=42)
+
+
+_HYPERANF_ROUNDS = 4
+
+
+def _hyperanf_oracle_sql(rounds: int, seed: int = 42) -> str:
+    """DuckDB replication of `operators/graphrank.hyperanf` over the
+    symmetrized exact top-5 graph: md5 register init, per-round
+    register-wise max propagation, exact power-of-two estimator sums."""
+    ctes = [
+        _SYM_KNN_EDGES_CTES,
+        (
+            "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+            " UNION SELECT dst AS node FROM edges)"
+        ),
+        (
+            f"hh AS (SELECT node,"
+            f" ('0x'||substr(md5('{seed}:'||node::VARCHAR),1,8))::BIGINT AS h"
+            f" FROM nodes)"
+        ),
+        (
+            "ini AS (SELECT node, (h % 16)::INT AS hpos,"
+            " (29 - length(bin(h >> 4)))::INT AS hval FROM hh)"
+        ),
+        "ps AS (SELECT unnest(range(16))::INT AS pos)",
+        (
+            "s0 AS MATERIALIZED (SELECT i.node, ps.pos,"
+            " CASE WHEN ps.pos = i.hpos THEN i.hval ELSE 0 END::INT AS val"
+            " FROM ini i CROSS JOIN ps)"
+        ),
+    ]
+    for t in range(1, rounds + 1):
+        g = f"s{t - 1}"
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT node, pos, max(val)::INT AS val FROM ("
+            f"SELECT ed.dst AS node, st.pos, st.val"
+            f" FROM edges ed JOIN {g} st ON st.node = ed.src"
+            f" UNION ALL SELECT node, pos, val FROM {g}"
+            f") GROUP BY node, pos)"
+        )
+    ests = []
+    for t in range(rounds + 1):
+        ests.append(
+            f"SELECT {t}::INT AS t, round(sum(e)::DOUBLE, 2) AS n_est FROM ("
+            f"SELECT round(0.673::DOUBLE * 256.0::DOUBLE"
+            f" / sum(1.0::DOUBLE / (1::BIGINT << val)), 6)::DECIMAL(38,6) AS e"
+            f" FROM s{t} GROUP BY node)"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(ests)
+
+
+@register("hyperanf_knn", _hyperanf_oracle_sql(_HYPERANF_ROUNDS))
+def hyperanf_knn(spark, sf_dir):
+    """HyperANF neighborhood function of the symmetrized exact top-5
+    kNN graph (`operators/graphrank.py::hyperanf`, m=16, T=4): the
+    distance-distribution profile — how fast semantic balls saturate.
+    The oracle replays register init, every max-propagation round, and
+    the exact power-of-two estimator; a pure-Python HLL model matches
+    EXACTLY in pytest (the mechanism is deterministic — accuracy bands
+    vs true ball sizes are the model's job, not the gate's)."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        hyperanf,
+        symmetrize,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = symmetrize(knn_join(emb, emb, k=5, strategy="broadcast"))
+    return hyperanf(edges, rounds=_HYPERANF_ROUNDS)

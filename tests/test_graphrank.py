@@ -661,3 +661,57 @@ def test_doulion_estimate_tracks_exact_on_blobs(spark):
     assert 0.3 < est["n_edges_sampled"] / est["n_edges"] < 0.7
     est2 = triangle_count_doulion(edges, p_mille=500, seed=42).collect()[0]
     assert tuple(est) == tuple(est2)
+
+
+def test_hyperanf_matches_python_model_exactly(spark):
+    """The whole mechanism is deterministic, so the Spark result must
+    equal a pure-Python HLL-propagation model EXACTLY (same md5
+    registers, same max propagation, same estimator) — on a graph with
+    a non-trivial distance profile (two chains joined at one end) —
+    and N(t) estimates are non-decreasing in t (balls only grow)."""
+    import hashlib
+
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        hyperanf,
+        symmetrize,
+    )
+
+    directed = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (6, 7)]
+    und = {(s, d) for s, d in directed} | {(d, s) for s, d in directed}
+    nodes = sorted({v for e in und for v in e})
+    m, alpha, rounds, seed = 16, 0.673, 4, 42
+
+    regs = {}
+    for v in nodes:
+        h = int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:8], 16)
+        r = [0] * m
+        r[h % m] = 29 - len(bin(h >> 4)[2:]) if (h >> 4) > 0 else 28
+        regs[v] = r
+
+    def est(rg):
+        total = 0.0
+        for v in nodes:
+            z = sum(1.0 / (1 << x) for x in rg[v])
+            total += round(alpha * m * m / z + 0.0, 6)
+        return round(total, 2)
+
+    want = [(0, est(regs))]
+    for t in range(1, rounds + 1):
+        new = {}
+        for v in nodes:
+            acc = list(regs[v])
+            for s, d in und:
+                if d == v:
+                    acc = [max(a, b) for a, b in zip(acc, regs[s])]
+            new[v] = acc
+        regs = new
+        want.append((t, est(regs)))
+
+    df = spark.createDataFrame(list(und), "src bigint, dst bigint")
+    got = sorted(
+        (r["t"], r["n_est"])
+        for r in hyperanf(df, rounds=rounds, seed=seed).collect()
+    )
+    assert got == sorted(want)
+    ests = [v for _, v in got]
+    assert ests == sorted(ests)  # balls only grow

@@ -177,6 +177,61 @@ def bench_queries(spark, sf_dir):
         edges = symmetrize(nndescent_knn_graph(emb, k=5, iters=2))
         return kcore(edges, k=6, rounds=2)
 
+    def _nnd_edges():
+        from semantic_ann_in_data_lake_spark.operators.graphrank import (
+            symmetrize,
+        )
+        from semantic_ann_in_data_lake_spark.operators.nndescent import (
+            nndescent_knn_graph,
+        )
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        return symmetrize(nndescent_knn_graph(emb, k=5, iters=2))
+
+    def trustrank_bench():
+        from pyspark.sql import functions as F
+
+        from semantic_ann_in_data_lake_spark.operators.graphrank import (
+            trustrank,
+        )
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        seeds = (
+            emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(16)
+            .select(F.col("vec_id").alias("node"))
+        )
+        return trustrank(_nnd_edges(), seeds, iters=5)
+
+    def bfs_layers_bench():
+        from pyspark.sql import functions as F
+
+        from semantic_ann_in_data_lake_spark.operators.graphrank import (
+            bfs_layers,
+        )
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        seeds = (
+            emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(16)
+            .select(F.col("vec_id").alias("node"))
+        )
+        return bfs_layers(_nnd_edges(), seeds, rounds=4)
+
+    def doulion_bench():
+        from semantic_ann_in_data_lake_spark.operators.graphrank import (
+            triangle_count_doulion,
+        )
+
+        return triangle_count_doulion(_nnd_edges(), p_mille=500)
+
+    def hyperanf_bench():
+        from semantic_ann_in_data_lake_spark.operators.graphrank import (
+            hyperanf,
+        )
+
+        return hyperanf(_nnd_edges(), rounds=4)
+
     def minhash_fast():
         # Production posture: hot-bucket cap on, like knn_lsh above.
         # Uncapped, per-bucket exact verification grows quadratically in
@@ -453,6 +508,10 @@ def bench_queries(spark, sf_dir):
         "pagerank_knn_graph": pagerank_bench,
         "hits_knn_graph": hits_bench,
         "kcore_knn_graph": kcore_bench,
+        "trustrank_knn_graph": trustrank_bench,
+        "bfs_layers_knn": bfs_layers_bench,
+        "triangles_doulion": doulion_bench,
+        "hyperanf_knn": hyperanf_bench,
     }
 
 

@@ -5,8 +5,8 @@ length / perplexity buckets rather than raw score to avoid starving
 the loader of diversity).
 
 The shape every curriculum variant reduces to:
-  1. bucket documents by score quantile (ntile — equal-population
-     difficulty strata);
+  1. bucket documents by score quantile (exact equal-population
+     difficulty strata — ntile semantics);
   2. shuffle WITHIN each bucket deterministically (md5 hash order — the
      engine's content-addressed shuffle convention, replayable and
      cross-engine);
@@ -16,9 +16,20 @@ The shape every curriculum variant reduces to:
 
 ``order_idx = (rank_in_bucket − 1) · n_buckets + (bucket − 1)`` gives
 the interleave without any global sort of the output — the index is
-computed from two window functions over (bucket)-partitioned data; a
-trainer ORDER BYs order_idx at read time (or uses it as the shard/row
-key at write time, `layout.py`).
+computed from a window over (bucket)-partitioned data; a trainer
+ORDER BYs order_idx at read time (or uses it as the shard/row key at
+write time, `layout.py`).
+
+Scale note (the 100-TB plan shape): a naive ``ntile`` with no
+partitionBy funnels the whole corpus through ONE task. Instead the
+bucket is derived from AGGREGATES — per-score-value counts plus a
+cumulative sum over the (small) distinct-score relation give each
+row's exact global rank as ``base(score) + rank_within_score(id)``,
+and the ntile bucket is closed-form integer arithmetic on that rank
+and the total count. The only unpartitioned window runs over the
+GROUPED score histogram (bounded by an Aggregate); every row-level
+window is partitioned (by score for the within-rank, by bucket for
+the interleave). Output is bit-identical to the single-task ntile.
 
 Ascending score = easy-first curriculum; pass ``descending=True`` for
 anti-curriculum. Every step is integer/window arithmetic on a total
@@ -44,22 +55,58 @@ def curriculum_order(
     """``(id, score, bucket, order_idx)`` — see module docstring.
 
     ``order_idx`` is unique and dense per bucket-chain; ties in score
-    break by id so bucketing is reproducible. The only shuffles are
-    the two window partitions (one unpartitioned ntile over the
-    (score, id) total order — acceptable because ntile streams in
-    sort order with O(1) state; for corpora too big for one sort,
-    pre-bucket by approx quantiles instead)."""
+    break by id so bucketing is reproducible. Bucket assignment is
+    exact-ntile-over-(score, id) computed WITHOUT a global window:
+    global_rank = (count of rows ordered strictly before this score,
+    from an aggregated histogram) + (row_number within the score
+    group, partitioned window), then the standard ntile split —
+    the first ``n mod B`` buckets take ``ceil(n/B)`` rows, the rest
+    ``floor(n/B)``. Scores are assumed non-null (both engines order
+    nulls differently; callers score with ``coalesce`` upstream)."""
     if n_buckets < 1:
         raise ValueError("n_buckets >= 1 required")
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     ident = F.col(id_col)
-    order = [score.desc() if descending else score.asc(), ident.asc()]
-    w_all = Window.orderBy(*order)
-    bucketed = df.select(
-        ident.alias("id"),
-        score.alias("score"),
-        F.ntile(n_buckets).over(w_all).alias("bucket"),
+    scored = df.select(ident.alias("id"), score.alias("score"))
+
+    # Exact-rank machinery from aggregates: histogram of score values,
+    # cumulative count of strictly-preceding rows per distinct score.
+    # The unpartitioned cumsum window sits ABOVE the groupBy aggregate,
+    # so its input is the distinct-score relation, not the corpus.
+    s_ord = F.col("score").desc() if descending else F.col("score").asc()
+    hist = scored.groupBy("score").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = Window.orderBy(s_ord).rowsBetween(Window.unboundedPreceding, -1)
+    bounds = hist.select(
+        F.col("score").alias("__s"),
+        F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0)).alias("__base"),
     )
+    total = scored.agg(F.count(F.lit(1)).alias("__n"))
+
+    w_score = Window.partitionBy("score").orderBy(F.col("id").asc())
+    ranked = (
+        scored.withColumn("__within", F.row_number().over(w_score))
+        .join(bounds, F.col("score").eqNullSafe(F.col("__s")), "left")
+        .drop("__s")
+        .crossJoin(F.broadcast(total))
+    )
+
+    # ntile(B) over n rows: q = n div B, r = n mod B; the first r
+    # buckets hold q+1 rows each, the remaining B−r hold q. A row at
+    # global rank k lands in bucket ceil(k/(q+1)) while k ≤ r·(q+1),
+    # else r + ceil((k − r·(q+1))/q). q = 0 (B > n) only reaches the
+    # first branch, so the division by q is never evaluated on it.
+    k = (F.col("__base") + F.col("__within")).cast("long")
+    b_lit = F.lit(int(n_buckets)).cast("long")
+    q = (F.col("__n") / b_lit).cast("long")
+    r = F.col("__n") % b_lit
+    head = r * (q + F.lit(1))
+    bucket = F.when(
+        k <= head, ((k - F.lit(1)) / (q + F.lit(1))).cast("long") + F.lit(1)
+    ).otherwise(r + ((k - head - F.lit(1)) / q).cast("long") + F.lit(1))
+    bucketed = ranked.select(
+        "id", "score", bucket.cast("int").alias("bucket")
+    )
+
     shuffle_key = F.md5(
         F.concat(F.lit(f"{seed}:"), F.col("id").cast("string"))
     )

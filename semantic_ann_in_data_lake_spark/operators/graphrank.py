@@ -194,8 +194,14 @@ def triangle_stats(
     with celebrity nodes — the same discipline every distributed
     triangle counter (e.g. Cohen's MapReduce construction) documents.
     """
-    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    canon = e.where(F.col("a") < F.col("b")).distinct()
+    # dedup the directed edge set up front: triangle/common counts are
+    # computed over distinct edges, so degrees must be too — a
+    # duplicated input edge would otherwise inflate degree and skew
+    # clustering (ADVICE r9)
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).distinct()
+    canon = e.where(F.col("a") < F.col("b"))
     deg = (
         e.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
@@ -681,8 +687,12 @@ def neighborhood_jaccard(
     counted per canonical pair, plus a degree broadcast-join; fan-out
     is Σ deg(v)² over pivot nodes — same hub-cap discipline as
     `triangle_stats`."""
-    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    canon = e.where(F.col("a") < F.col("b")).distinct()
+    # distinct first: common counts are deduped by construction, so
+    # degrees (and the co-neighbor pivot) must see each edge once too
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).distinct()
+    canon = e.where(F.col("a") < F.col("b"))
     deg = e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -754,7 +764,11 @@ def degree_assortativity(
     rounded once — so the single output row is cross-engine
     hash-exact. Degenerate variance (regular graphs) returns 0.0 by
     convention."""
-    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # distinct first: a duplicated input edge would inflate both the
+    # per-edge moment sums and the endpoint degrees
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).distinct()
     deg = e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )

@@ -140,6 +140,10 @@ def knn_join(
     nlist: int | None = None,
     nprobe: int = 4,
     refine_factor: int = 4,
+    iters: int = 3,
+    seed: int = 42,
+    reverse_cap: int | None = None,
+    min_update_frac: float | None = None,
 ) -> DataFrame:
     """Top-k nearest candidates per query.
 
@@ -150,7 +154,9 @@ def knn_join(
 
     ``strategy="nndescent"`` routes self-join graph builds to the
     index-free graph-ANN tier (`operators/nndescent.py`), same return
-    contract.
+    contract; ``iters``/``seed``/``reverse_cap``/``min_update_frac``
+    are its descent knobs (ignored by every other strategy) and
+    ``compress`` is rejected — descent scores raw vectors only.
 
     ``compress="int8"`` (broadcast and ivf strategies): ship the
     candidate matrix as the symmetric-int8 index
@@ -369,13 +375,19 @@ def knn_join(
             raise ValueError(
                 "strategy='nndescent' always excludes self pairs"
             )
+        if compress is not None:
+            raise ValueError(
+                "strategy='nndescent' scores raw vectors; compress is "
+                "not supported"
+            )
         from semantic_ann_in_data_lake_spark.operators.nndescent import (
             nndescent_knn_graph,
         )
 
         return nndescent_knn_graph(
-            candidates, k=k, id_col=id_col, vec_col=vec_col,
-            round_dp=round_dp,
+            candidates, k=k, iters=iters, seed=seed, id_col=id_col,
+            vec_col=vec_col, reverse_cap=reverse_cap,
+            round_dp=round_dp, min_update_frac=min_update_frac,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 

@@ -173,6 +173,35 @@ def nndescent_knn_graph(
             )
         )
     p0 = init_parts[0].unionByName(init_parts[1]).distinct()
+    if n >= 2:
+        # Coverage fallback: a node that is a SINGLETON in both md5
+        # bucketings (probability ≈ e⁻² per node at mean bucket size
+        # k+1) would have zero seed edges and vanish from the returned
+        # graph. Pair every such orphan with the globally smallest id
+        # (the second-smallest when the orphan IS the minimum) so each
+        # node enters descent with ≥1 candidate edge; reverse edges in
+        # round 1 then grow its list normally. Deterministic, and a
+        # no-op (empty anti-join) whenever the bucketings cover — the
+        # oracle twin replays the same rule.
+        low2 = [
+            r["__id"]
+            for r in v.select("__id").orderBy("__id").limit(2).collect()
+        ]
+        fallback = (
+            v.select("__id")
+            .join(
+                p0.select(F.col("query_id").alias("__id")).distinct(),
+                "__id",
+                "left_anti",
+            )
+            .select(
+                F.col("__id").alias("query_id"),
+                F.when(F.col("__id") == F.lit(low2[0]), F.lit(low2[1]))
+                .otherwise(F.lit(low2[0]))
+                .alias("cand_id"),
+            )
+        )
+        p0 = p0.unionByName(fallback)
     g = scored_topk(p0).localCheckpoint(eager=True)
 
     # --- descent rounds ----------------------------------------------------

@@ -1992,10 +1992,23 @@ def _nndescent_oracle_sql(k: int, iters: int, seed: int, rk: int) -> str:
         bucket("b0", seed),
         bucket("b1", seed + 1),
         (
-            "p0 AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id"
+            "p0raw AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id"
             " FROM b0 a JOIN b0 b ON a.b = b.b AND a.vec_id <> b.vec_id"
             " UNION SELECT a.vec_id, b.vec_id"
             " FROM b1 a JOIN b1 b ON a.b = b.b AND a.vec_id <> b.vec_id)"
+        ),
+        # orphan fallback: nodes singleton in BOTH bucketings pair with
+        # the globally smallest id (second-smallest if they ARE it) —
+        # mirrors nndescent.py's coverage rule, a no-op when buckets
+        # cover every node
+        (
+            "p0 AS (SELECT query_id, cand_id FROM p0raw"
+            " UNION SELECT e.vec_id AS query_id,"
+            " CASE WHEN e.vec_id = (SELECT min(vec_id) FROM e)"
+            " THEN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1 OFFSET 1)"
+            " ELSE (SELECT min(vec_id) FROM e) END AS cand_id"
+            " FROM e WHERE (SELECT count(*) FROM e) >= 2"
+            " AND e.vec_id NOT IN (SELECT query_id FROM p0raw))"
         ),
         scored("p0", "s0"),
         topk("s0", "g0"),

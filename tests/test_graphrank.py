@@ -116,6 +116,39 @@ def test_triangle_stats_hand_case(spark):
     }
 
 
+def test_duplicate_edges_do_not_skew_degree_based_stats(spark):
+    """ADVICE r9: triangle/jaccard/assortativity deduped the canonical
+    pair set but computed degrees from the RAW edge list — a duplicated
+    input edge inflated degree while counts stayed deduped. All three
+    must now be invariant to input edge multiplicity."""
+    from semantic_ann_in_data_lake_spark.operators.graphrank import (
+        degree_assortativity,
+        neighborhood_jaccard,
+        symmetrize,
+        triangle_stats,
+    )
+
+    base = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    clean = symmetrize(
+        spark.createDataFrame(base, "query_id bigint, cand_id bigint")
+    )
+    dirty = symmetrize(
+        spark.createDataFrame(
+            base + base[:3] + base[:1], "query_id bigint, cand_id bigint"
+        )
+    ).unionByName(
+        # symmetrize dedupes, so re-inject raw duplicates downstream of
+        # it to hit the operators' own guard
+        spark.createDataFrame(
+            [(1, 2), (2, 1), (3, 4)], "src bigint, dst bigint"
+        )
+    )
+    for op in (triangle_stats, neighborhood_jaccard, degree_assortativity):
+        want = sorted(map(tuple, op(clean).collect()))
+        got = sorted(map(tuple, op(dirty).collect()))
+        assert got == want, op.__name__
+
+
 def test_triangle_free_graph_zero_clustering(spark):
     from semantic_ann_in_data_lake_spark.operators.graphrank import (
         symmetrize,

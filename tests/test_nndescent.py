@@ -121,6 +121,22 @@ def test_nndescent_iters_zero_is_bucket_init_topk(spark, emb):
         assert len(ranks) <= 5
 
 
+def test_nndescent_covers_double_singleton_nodes(spark):
+    """A node that lands alone in BOTH md5 bucketings (ADVICE r9) must
+    still appear in the graph via the min-id fallback seed. ids 48..55
+    with k=1 make id 53 a double singleton (found by replaying
+    _md5_bucket in python); pre-fix it vanished from the output."""
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(48, 56)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    for iters in (0, 2):
+        g = nndescent_knn_graph(df, k=1, iters=iters, seed=42)
+        covered = {r.query_id for r in g.collect()}
+        assert covered == set(range(48, 56)), (iters, covered)
+
+
 def test_knn_join_nndescent_strategy_routes_and_guards(spark, emb):
     """knn_join(strategy='nndescent') returns the same contract as the
     direct operator; non-self-join and cosine calls are rejected."""
@@ -131,11 +147,25 @@ def test_knn_join_nndescent_strategy_routes_and_guards(spark, emb):
     assert sorted(map(tuple, via_join.collect())) == sorted(
         map(tuple, direct.collect())
     )
+    # the descent knobs reach the operator through the unified
+    # entrypoint (ADVICE r9: they were silently dropped)
+    via_knobs = knn_join(
+        emb, emb, k=5, strategy="nndescent", iters=1, seed=7, reverse_cap=8
+    )
+    direct_knobs = nndescent_knn_graph(emb, k=5, iters=1, seed=7, reverse_cap=8)
+    assert sorted(map(tuple, via_knobs.collect())) == sorted(
+        map(tuple, direct_knobs.collect())
+    )
+    assert sorted(map(tuple, via_knobs.collect())) != sorted(
+        map(tuple, direct.collect())
+    )
     other = emb.limit(10)
     with pytest.raises(ValueError, match="self kNN graph"):
         knn_join(other, emb, k=5, strategy="nndescent")
     with pytest.raises(ValueError, match="l2_sq"):
         knn_join(emb, emb, k=5, strategy="nndescent", metric="cosine")
+    with pytest.raises(ValueError, match="compress"):
+        knn_join(emb, emb, k=5, strategy="nndescent", compress="int8")
 
 
 def test_nndescent_early_stop_matches_converged_fixed_iters(spark, blobs):

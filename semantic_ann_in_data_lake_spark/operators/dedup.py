@@ -30,6 +30,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from semantic_ann_in_data_lake_spark.operators.iterate import (
+    iter_checkpoint,
+)
 from pyspark.sql.window import Window
 
 from semantic_ann_in_data_lake_spark.cache import scoped_persist
@@ -523,20 +527,22 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
-    # Each round's labels are localCheckpoint'ed (eager): persisting
-    # alone keeps the BLOCKS but the logical plan still nests every
-    # prior round — by round 20 the unrolled tree holds >1,300 scan
-    # nodes (observed via scripts/plan_report.py), and the driver pays
-    # optimizer time over it on every downstream use, with a full
-    # recompute cascade if blocks evict. Checkpointing truncates the
-    # lineage so the returned plan is one shallow read per round. On a
-    # real cluster prefer reliable checkpoints (setCheckpointDir) —
-    # localCheckpoint blocks are executor-local and non-replicated.
+    # Each round's labels are checkpointed (operators/iterate.py):
+    # persisting alone keeps the BLOCKS but the logical plan still
+    # nests every prior round — by round 20 the unrolled tree holds
+    # >1,300 scan nodes (observed via scripts/plan_report.py), and the
+    # driver pays optimizer time over it on every downstream use, with
+    # a full recompute cascade if blocks evict. Checkpointing truncates
+    # the lineage so the returned plan is one shallow read per round.
+    # On preemptible clusters wrap the call in
+    # iterate.reliable_checkpoints(dir) for parquet-backed round state
+    # — default localCheckpoint blocks are executor-local and
+    # non-replicated.
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("lbl"))
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     total = labels.agg(F.sum("lbl")).collect()[0][0]
     converged = False
@@ -554,7 +560,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     "lbl"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
         new_total = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels

@@ -15,9 +15,11 @@ Execution shape (100-TB posture):
   (dst, contrib) pairs — never the vectors) + one broadcast of the
   1-row dangling-mass frame. T iterations = T such rounds; state is
   the (node, rank) frame, lineage-truncated per round
-  (``localCheckpoint``, the iterative-operator convention — the rank
-  frame is referenced twice per round, so the logical tree would
-  otherwise double each iteration).
+  (`operators/iterate.py`, the shared iterative-operator convention —
+  the rank frame is referenced twice per round, so the logical tree
+  would otherwise double each iteration; wrap calls in
+  ``iterate.reliable_checkpoints(dir)`` for executor-loss-safe round
+  state on preemptible clusters).
 - Out-degrees are computed ONCE and joined in; skew is bounded
   upstream (a kNN graph has out-degree exactly k; in-degree hubs are
   bounded by the reverse cap if the graph came from nndescent).
@@ -44,6 +46,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from semantic_ann_in_data_lake_spark.operators.iterate import (
+    iter_checkpoint,
+)
 
 
 def pagerank(
@@ -81,7 +87,7 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     n = nodes.count()
     if n == 0:
@@ -105,11 +111,11 @@ def pagerank(
                 "deg", F.when(F.col("deg") > 0, F.col("deg"))
             )
         )
-    outdeg = outdeg.localCheckpoint(eager=True)
+    outdeg = outdeg.transform(iter_checkpoint)
     base = (1.0 - damping) / n
 
     r = nodes.select("node", F.round(F.lit(1.0 / n), round_dp).alias("pr"))
-    r = r.localCheckpoint(eager=True)
+    r = r.transform(iter_checkpoint)
 
     for _ in range(iters):
         rd = r.join(outdeg, "node", "left")
@@ -153,7 +159,7 @@ def pagerank(
                     round_dp,
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
     return r
 
@@ -301,7 +307,7 @@ def lpa_communities(
                 "node",
                 F.coalesce("__new", "community").alias("community"),
             )
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
     return lab
 
@@ -363,7 +369,7 @@ def kcore(
         raise ValueError("k >= 1 required")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).transform(iter_checkpoint)
 
     def degrees(ed: DataFrame) -> DataFrame:
         return ed.groupBy(F.col("src").alias("node")).agg(
@@ -384,7 +390,7 @@ def kcore(
             e.join(keep.withColumnRenamed("node", "src"), "src")
             .join(keep.withColumnRenamed("node", "dst"), "dst")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
         t += 1
         if rounds is not None and t >= rounds:
@@ -427,7 +433,7 @@ def hits(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     n = nodes.count()
     if n == 0:
@@ -439,7 +445,7 @@ def hits(
     init = F.round(F.lit(1.0 / n), round_dp)
     r = nodes.select(
         "node", init.alias("authority"), init.alias("hub")
-    ).localCheckpoint(eager=True)
+    ).transform(iter_checkpoint)
     dec = f"decimal(38,{round_dp})"
 
     def half_step(state: DataFrame, val_col: str, join_on: str, group_as: str):
@@ -478,7 +484,7 @@ def hits(
         r = (
             a.join(h, "node")
             .select("node", "authority", "hub")
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
     return r
 
@@ -533,15 +539,15 @@ def trustrank(
             .otherwise(F.lit(0.0))
             .alias("__t"),
         )
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     outdeg = (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
 
-    r = tv.select("node", F.col("__t").alias("pr")).localCheckpoint(eager=True)
+    r = tv.select("node", F.col("__t").alias("pr")).transform(iter_checkpoint)
     for _ in range(iters):
         rd = r.join(outdeg, "node", "left")
         contrib = (
@@ -577,7 +583,7 @@ def trustrank(
                     round_dp,
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
     return r.select("node", F.col("pr").alias("trust"))
 
@@ -634,7 +640,7 @@ def bfs_layers(
             .cast("int")
             .alias("hops"),
         )
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
     for _ in range(rounds):
         cand = (
@@ -655,7 +661,7 @@ def bfs_layers(
                     F.col("hops"), F.coalesce("__c", F.lit(UNREACHED))
                 ).alias("hops"),
             )
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
     return dist
 
@@ -894,7 +900,7 @@ def triangle_count_doulion(
         ).cast("long"),
         F.lit(1000),
     )
-    sampled = canon.where(coin < F.lit(p_mille)).localCheckpoint(eager=True)
+    sampled = canon.where(coin < F.lit(p_mille)).transform(iter_checkpoint)
     tri = (
         sampled.alias("ab")
         .join(
@@ -991,7 +997,7 @@ def hyperanf(
             .cast("int")
             .alias("val"),
         )
-        .localCheckpoint(eager=True)
+        .transform(iter_checkpoint)
     )
 
     def estimate(st: DataFrame, t: int) -> DataFrame:
@@ -1023,7 +1029,7 @@ def hyperanf(
         state = (
             nbr.groupBy("node", "pos")
             .agg(F.max("val").cast("int").alias("val"))
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
         out = out.unionByName(estimate(state, t))
     return out

@@ -26,15 +26,15 @@ Scale posture (the reason this exists next to the IVF/PQ tiers):
   is deterministic — keep the rk closest by (rounded distance, id) —
   not a random sample, so the build replays exactly.
 - Every intermediate graph is lineage-TRUNCATED per round
-  (``localCheckpoint(eager=True)``, the dedup-CC convention of
-  `operators/dedup.py:526`), not merely persisted: iteration t's plan
-  references iteration t-1's frame ~5× (the und self-join sees it
-  twice, the union and candidate set again), so with plain persist the
-  LOGICAL tree grows 5^T-fold and Catalyst analysis — not execution —
-  becomes the wall-clock (measured 160 s at T=3 on 500 rows before
-  truncation, ~7 s after). On a cluster the blocks are executor-local
-  and non-replicated; an executor loss costs a rebuild, the accepted
-  trade for every iterative Spark graph algorithm.
+  (`operators/iterate.py`, the shared iterative-operator convention),
+  not merely persisted: iteration t's plan references iteration t-1's
+  frame ~5× (the und self-join sees it twice, the union and candidate
+  set again), so with plain persist the LOGICAL tree grows 5^T-fold
+  and Catalyst analysis — not execution — becomes the wall-clock
+  (measured 160 s at T=3 on 500 rows before truncation, ~7 s after).
+  Default posture is executor-local blocks (job restart on executor
+  loss); wrap the build in ``iterate.reliable_checkpoints(dir)`` on
+  preemptible clusters for parquet-backed round state.
 - Init is hash-bucket cliques (J=2 independent md5 bucketings at mean
   bucket size k+1): one groupBy-sized shuffle, no global sort, no
   dense-index zipWithIndex. Two independent partitions overlaid give a
@@ -61,9 +61,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
 from pyspark.sql.window import Window
 
 from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq
+from semantic_ann_in_data_lake_spark.operators.iterate import (
+    iter_checkpoint,
+)
 
 
 def _md5_bucket(col, seed: int, n_buckets: int):
@@ -202,7 +206,7 @@ def nndescent_knn_graph(
             )
         )
         p0 = p0.unionByName(fallback)
-    g = scored_topk(p0).localCheckpoint(eager=True)
+    g = scored_topk(p0).transform(iter_checkpoint)
 
     # --- descent rounds ----------------------------------------------------
     for _ in range(iters):
@@ -228,7 +232,7 @@ def nndescent_knn_graph(
             g.select("query_id", "cand_id")
             .unionByName(rev)
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
         co = (
             und.alias("a")
@@ -243,7 +247,7 @@ def nndescent_knn_graph(
             )
         )
         cand = co.unionByName(und.select("query_id", "cand_id")).distinct()
-        g = scored_topk(cand).localCheckpoint(eager=True)
+        g = scored_topk(cand).transform(iter_checkpoint)
         if min_update_frac is not None:
             changed = (
                 g.select("query_id", "cand_id")

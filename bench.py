@@ -61,6 +61,11 @@ EXACT_BASELINE_FAMILY = frozenset(
 )
 
 
+#: cross-call cache for the amortized-fit (*_warm) bench entries;
+#: keyed by sf_dir so the sf-curve pass refits on its own corpus
+_WARM_MODELS: dict = {}
+
+
 def bench_queries(spark, sf_dir):
     reg = registry.REGISTRY
 
@@ -125,6 +130,46 @@ def bench_queries(spark, sf_dir):
         return knn_join(
             emb, emb, k=10, strategy="opq_refine", nprobe=8,
             refine_factor=3,
+        )
+
+    def _prefit_models():
+        # amortized-fit posture (VERDICT r9 task #7): production callers
+        # fit the PCA/OPQ rotation once and reuse it across queries via
+        # model=. Fit here, at suite-construction time (UNTIMED), so the
+        # *_warm entries report the steady-state probe+refine cost while
+        # the cold entries keep tracking the honest fit-included number.
+        from semantic_ann_in_data_lake_spark.operators.embedproj import (
+            pca_fit,
+        )
+
+        if _WARM_MODELS.get("sf_dir") != sf_dir:
+            emb = read_table(spark, sf_dir, "embeddings")
+            _WARM_MODELS.clear()
+            _WARM_MODELS["sf_dir"] = sf_dir
+            _WARM_MODELS["pca32"] = pca_fit(emb, m=32)
+            _WARM_MODELS["pca_full"] = pca_fit(emb)
+        return _WARM_MODELS
+
+    def knn_pca_refine_warm():
+        from semantic_ann_in_data_lake_spark.operators.embedproj import (
+            knn_pca_refine,
+        )
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        return knn_pca_refine(
+            emb, emb, k=10, nprobe=8, refine_factor=3,
+            model=_prefit_models()["pca32"],
+        )
+
+    def knn_opq_refine_warm():
+        from semantic_ann_in_data_lake_spark.operators.embedproj import (
+            knn_opq_refine,
+        )
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        return knn_opq_refine(
+            emb, emb, k=10, nprobe=8, refine_factor=3,
+            model=_prefit_models()["pca_full"],
         )
 
     def knn_nndescent_bench():
@@ -383,6 +428,8 @@ def bench_queries(spark, sf_dir):
             metric="cosine", strategy="broadcast",
         )
 
+    _prefit_models()  # untimed: amortized rotations for the *_warm twins
+
     return {
         "q1_pricing_summary": from_registry("q1_pricing_summary"),
         "q3_top_orders": from_registry("q3_top_orders"),
@@ -504,6 +551,12 @@ def bench_queries(spark, sf_dir):
         # the mutual-kNN graph (5 decimal-exact power iterations on the
         # NN-descent edges — linear-in-n end to end, unlike the gated
         # exact-graph variant)
+        # round-10: amortized-fit twins — same probe+refine plan as the
+        # *_refine_k10 entries but with the PCA/OPQ rotation prefit
+        # (untimed, suite-construction time), tracking the steady-state
+        # number a model=-reusing production caller sees
+        "knn_pca_refine_warm_k10": knn_pca_refine_warm,
+        "knn_opq_refine_warm_k10": knn_opq_refine_warm,
         "knn_nndescent_k10": knn_nndescent_bench,
         "pagerank_knn_graph": pagerank_bench,
         "hits_knn_graph": hits_bench,

@@ -538,6 +538,9 @@ def bench_queries(spark, sf_dir):
         "knn_ivf_pq_refine_k10": knn_ivf_pq_refine_bench,
         "ivf_lloyd_recall_report": from_registry("ivf_lloyd_recall_report"),
         "ppm_decode_stats": from_registry("ppm_decode_stats"),
+        # round-10: real RIFF/WAVE PCM16 decode (audio sibling of the
+        # PPM leg — Arrow-batched encode + chunk-walking decode)
+        "wav_decode_stats": from_registry("wav_decode_stats"),
         "url_dedup_docs": from_registry("url_dedup_docs"),
         "dedup_span_rewrite2": from_registry("dedup_span_rewrite2"),
         # round-9 second batch: the PCA/JL projection front end

@@ -297,6 +297,157 @@ def image_decode_stats(media: DataFrame, batch_size: int = 64) -> DataFrame:
     )
 
 
+def encode_wav_pcm16(sample_rate: int, samples: list[int]) -> bytes:
+    """Canonical RIFF/WAVE encoder (PCM 16-bit mono, little-endian) —
+    pure Python ``struct``, no audio library. Deliberately emits an
+    odd-length LIST/INFO chunk between fmt and data so any consumer
+    must implement the real chunk walk INCLUDING the even-byte pad
+    rule (RIFF pads odd chunks with one byte that is NOT counted in
+    the chunk size) — a fixed-offset-44 "parser" fails on these
+    payloads by construction."""
+    import struct
+
+    if sample_rate < 1:
+        raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )  # PCM, mono, rate, byte-rate, block-align, bits
+    info = b"INFOengine-wav"  # 14 bytes: even LIST, exercised below
+    if len(info) % 2 == 0:
+        info += b"x"  # force the odd case so the pad rule is always hit
+    chunks = b""
+    for tag, payload in ((b"fmt ", fmt), (b"LIST", info), (b"data", data)):
+        chunks += tag + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunks += b"\x00"  # pad byte, excluded from the size field
+    body = b"WAVE" + chunks
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Real RIFF/WAVE parser (PCM 16-bit integer, any channel count):
+    validates the RIFF magic and declared size, walks the chunk list
+    honoring the even-byte pad rule, reads fmt, and unpacks the data
+    chunk into Python ints. Returns ``{"sample_rate", "n_channels",
+    "bits", "samples"}`` (samples interleaved when multi-channel).
+    Raises ``ValueError`` on anything malformed — a curation pipeline
+    quarantines failures upstream, same contract as
+    :func:`decode_image`."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size != len(payload) - 8:
+        raise ValueError(
+            f"RIFF size {riff_size} != payload size {len(payload) - 8}"
+        )
+    if payload[8:12] != b"WAVE":
+        raise ValueError("RIFF form is not WAVE")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        start = pos + 8
+        if start + size > len(payload):
+            raise ValueError(f"chunk {tag!r} overruns the payload")
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too short ({size} bytes)")
+            fmt = struct.unpack_from("<HHIIHH", payload, start)
+        elif tag == b"data":
+            data = payload[start : start + size]
+        pos = start + size + (size % 2)  # pad to even, pad not in size
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM16 supported, got format={audio_format} bits={bits}"
+        )
+    if len(data) % 2:
+        raise ValueError("data chunk is not a whole number of samples")
+    samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
+        "samples": samples,
+    }
+
+
+def _wav_rate(media_id: int) -> int:
+    return 8000 + (media_id % 3) * 4000
+
+
+def _wav_samples(media_id: int) -> list[int]:
+    n = media_id % 96 + 16
+    return [((media_id * 17 + 3 * i * i) % 4001) - 2000 for i in range(n)]
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format audio fixture: one PCM16 WAV payload
+    per document, sample rate and waveform pure integer functions of
+    ``doc_id`` (see ``_wav_rate`` / ``_wav_samples``) so an oracle can
+    recompute any decode-derived statistic analytically. Same
+    Arrow-batched encode boundary as :func:`synthesize_ppm_media`."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = pdf["media_id"].astype("int64")
+            payloads = [
+                encode_wav_pcm16(_wav_rate(int(m)), _wav_samples(int(m)))
+                for m in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def audio_decode_stats(media: DataFrame, batch_size: int = 64) -> DataFrame:
+    """Decode every payload with :func:`decode_audio` and emit exact
+    integer waveform statistics — the hash-gateable face of the audio
+    decode stage: ``(media_id, sample_rate, n_samples, sum_samples,
+    sum_abs, peak)``. All integers, so the gate is bit-stable."""
+    import pandas as pd
+
+    schema = (
+        "media_id long, sample_rate int, n_samples long,"
+        " sum_samples long, sum_abs long, peak long"
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                rows = []
+                for mid, payload in zip(chunk["media_id"], chunk["payload"]):
+                    wav = decode_audio(payload)
+                    xs = wav["samples"]
+                    rows.append(
+                        (
+                            int(mid), wav["sample_rate"], len(xs),
+                            sum(xs), sum(abs(x) for x in xs),
+                            max((abs(x) for x in xs), default=0),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "sample_rate", "n_samples",
+                        "sum_samples", "sum_abs", "peak",
+                    ],
+                )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=schema
+    )
+
+
 def _fake_features(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in feature extractor: md5-chunk projections
     of the raw bytes (same shape/contract as a real CNN embedding)."""

@@ -794,6 +794,52 @@ def ppm_decode_stats(spark, sf_dir):
 
 
 @register(
+    "wav_decode_stats",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             (8000 + (doc_id % 3) * 4000)::INT AS sample_rate,
+             (doc_id % 96 + 16)::BIGINT AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT media_id, sample_rate, n, unnest(range(0, n)) AS i
+      FROM d
+    ),
+    v AS (
+      SELECT media_id, sample_rate, n,
+             ((media_id * 17 + 3 * i * i) % 4001) - 2000 AS x
+      FROM s
+    )
+    SELECT media_id, sample_rate, n AS n_samples,
+           sum(x)::BIGINT AS sum_samples,
+           sum(abs(x))::BIGINT AS sum_abs,
+           max(abs(x))::BIGINT AS peak
+    FROM v GROUP BY 1, 2, 3
+    """,
+)
+def wav_decode_stats(spark, sf_dir):
+    """REAL audio decode, hash-gated end to end
+    (operators/multimodal.py): one PCM16 RIFF/WAVE payload per
+    document is synthesized in an Arrow-batched encode stage (sample
+    rate and waveform are pure integer functions of doc_id), decoded
+    back by the pure-Python RIFF chunk-walker `decode_audio` — which
+    must honor the even-byte pad rule because the encoder plants an
+    odd-length LIST chunk before data — and reduced to exact integer
+    waveform statistics. The oracle recomputes every statistic
+    analytically from the waveform rule, so a flipped byte anywhere in
+    the header math, chunk walk, or sample unpacking fails the hash.
+    The audio sibling of `ppm_decode_stats`."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        audio_decode_stats,
+        synthesize_wav_media,
+    )
+
+    media = synthesize_wav_media(_t(spark, sf_dir, "documents"))
+    return audio_decode_stats(media)
+
+
+@register(
     "replay_mix_docs",
     f"""
     WITH f AS (

@@ -453,6 +453,58 @@ def test_ppm_decode_roundtrip_and_malformed():
             decode_image(bad)
 
 
+def test_wav_codec_roundtrip_and_malformed():
+    """Pure-Python RIFF/WAVE PCM16 codec: encode→decode round-trip
+    (including the odd-LIST-chunk pad rule the encoder plants on
+    purpose), malformed payloads rejected with ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        _wav_rate,
+        _wav_samples,
+        decode_audio,
+        encode_wav_pcm16,
+    )
+
+    for mid in (0, 1, 7, 95, 12345):
+        xs = _wav_samples(mid)
+        wav = decode_audio(encode_wav_pcm16(_wav_rate(mid), xs))
+        assert wav["sample_rate"] == _wav_rate(mid)
+        assert (wav["n_channels"], wav["bits"]) == (1, 16)
+        assert wav["samples"] == xs
+
+    # negative samples and the int16 extremes survive the round trip
+    edge = [-32768, 32767, 0, -1, 1]
+    assert decode_audio(encode_wav_pcm16(44100, edge))["samples"] == edge
+    # the encoder's LIST chunk is odd-length: the fixed-offset-44
+    # assumption reads garbage, a real chunk walk is required
+    payload = encode_wav_pcm16(8000, [5, -5])
+    assert payload[36:40] != b"data"
+    ok = encode_wav_pcm16(8000, [1, 2, 3])
+    trunc = ok[:-1]
+    resized = (
+        trunc[:4] + struct.pack("<I", len(trunc) - 8) + trunc[8:]
+    )  # consistent RIFF size, but the data chunk now overruns
+    for bad in (
+        b"",                                    # empty
+        b"RIFX" + ok[4:],                       # wrong magic
+        ok[:4] + struct.pack("<I", 5) + ok[8:],  # size field lies
+        ok[:8] + b"AVI " + ok[12:],             # not a WAVE form
+        resized,                                # data chunk overrun
+        ok.replace(b"fmt ", b"fmX ", 1),        # no fmt chunk
+        ok.replace(b"data", b"dat2", 1),        # no data chunk
+    ):
+        with _pytest.raises(ValueError):
+            decode_audio(bad)
+    # non-PCM format code rejected: patch audio_format inside fmt
+    fmt_at = ok.index(b"fmt ") + 8
+    nonpcm = ok[:fmt_at] + struct.pack("<H", 3) + ok[fmt_at + 2 :]
+    with _pytest.raises(ValueError):
+        decode_audio(nonpcm)
+
+
 def test_resize_plan_and_images_plumbing(spark, sf_dir):
     """Aspect math: longer side clamps to max_side, aspect preserved
     within integer truncation, never below 1; resize_images carries the

@@ -130,6 +130,150 @@ def registrable_domain(
     )
 
 
+def parse_psl(text: str) -> list[tuple[str, str]]:
+    """Parse Public Suffix List text (the real file format from
+    https://publicsuffix.org/list/ — public data, MPL-2.0) into
+    ``(key, kind)`` rules:
+
+    - plain rule ``co.uk``            → ``("co.uk", "plain")``
+    - wildcard rule ``*.ck``          → ``("ck", "wildcard")`` (the key
+      is the concrete part; the ``*`` consumes exactly one more label)
+    - exception rule ``!www.ck``      → ``("www.ck", "exception")``
+
+    Comment lines (``//``) and blanks are skipped; both the ICANN and
+    PRIVATE sections are kept (pipelines that want ICANN-only can
+    slice the text before parsing). Keys are lowercased; punycode
+    passes through untouched (hosts compare in their punycode form).
+    """
+    rules: list[tuple[str, str]] = []
+    for raw in text.splitlines():
+        line = raw.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        line = line.split()[0]  # PSL allows trailing whitespace+junk
+        if line.startswith("!"):
+            rules.append((line[1:], "exception"))
+        elif line.startswith("*."):
+            rules.append((line[2:], "wildcard"))
+        elif line == "*":
+            # the default rule is implicit in the matcher; an explicit
+            # top-level '*' adds nothing
+            continue
+        else:
+            rules.append((line, "plain"))
+    return rules
+
+
+def psl_rules_df(spark, rules: list[tuple[str, str]] | str) -> DataFrame:
+    """Rules table for :func:`registrable_domain_psl` —
+    ``(key, rule_labels, pub_labels, is_exc)`` where ``key`` is the
+    concrete label suffix a host-suffix equi-join can hit,
+    ``rule_labels`` ranks longest-match-wins, and ``pub_labels`` is
+    how many host labels the matched PUBLIC SUFFIX spans (wildcard =
+    key+1, exception = key−1, plain = key). Accepts pre-parsed rules
+    or raw PSL text."""
+    if isinstance(rules, str):
+        rules = parse_psl(rules)
+    rows = []
+    for key, kind in rules:
+        k = key.count(".") + 1
+        if kind == "wildcard":
+            rows.append((key, k + 1, k + 1, False))
+        elif kind == "exception":
+            rows.append((key, k, k - 1, True))
+        else:
+            rows.append((key, k, k, False))
+    return spark.createDataFrame(
+        rows, "key string, rule_labels int, pub_labels int, is_exc boolean"
+    )
+
+
+def registrable_domain_psl(
+    df: DataFrame,
+    host_col: str = "host",
+    rules: DataFrame | None = None,
+    out_col: str = "domain",
+) -> DataFrame:
+    """Registrable domain (eTLD+1) under FULL Public Suffix List
+    semantics — wildcard (``*.ck``) and exception (``!www.ck``) rules
+    included, unlike the row-local :func:`registrable_domain` which
+    handles plain multi-label suffixes only. Appends ``out_col``.
+
+    Algorithm (publicsuffix.org spec): every label-suffix of the host
+    is a join candidate; among matching rules exceptions win, then the
+    most labels; no match falls back to the implicit ``*`` rule (the
+    bare TLD is the public suffix). The registrable domain is the
+    public suffix plus one label — NULL when the host IS a public
+    suffix (or shorter).
+
+    Scale shape: the PSL is ~10k rows → BROADCAST equi-join. The match
+    runs over DISTINCT hosts (a web crawl has orders of magnitude
+    fewer hosts than pages), then joins back to the rows — one
+    suffix-explode (≤ label-count rows per distinct host), one
+    broadcast join, one groupBy, one hash join back. Zero Python.
+    """
+    if rules is None:
+        raise ValueError(
+            "pass rules=psl_rules_df(spark, psl_text) — there is no "
+            "bundled PSL snapshot (ship the current public file with "
+            "your deployment)"
+        )
+    h = F.lower(F.col(host_col))
+    hosts = df.select(h.alias("__h")).where(h.isNotNull()).distinct()
+    labels = F.split(F.col("__h"), r"\.")
+    k = F.size(labels)
+    cand = hosts.select(
+        "__h",
+        k.alias("__k"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(
+                    F.slice(labels, k - i + 1, i), "."
+                ),
+            )
+        ).alias("__suffix"),
+    )
+    matched = (
+        cand.join(F.broadcast(rules), cand["__suffix"] == rules["key"])
+        # prevailing rule: exceptions first, then longest
+        .groupBy("__h", "__k")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("is_exc").cast("int").alias("e"),
+                    F.col("rule_labels").alias("r"),
+                    F.col("pub_labels").alias("p"),
+                )
+            ).alias("__best")
+        )
+        .select("__h", "__k", F.col("__best.p").alias("__pub"))
+    )
+    resolved = (
+        hosts.join(matched, ["__h"], "left")
+        .select(
+            "__h",
+            F.coalesce(F.col("__pub"), F.lit(1)).alias("__pub"),  # '*' rule
+        )
+        .select(
+            "__h",
+            F.when(
+                F.size(F.split(F.col("__h"), r"\.")) >= F.col("__pub") + 1,
+                F.array_join(
+                    F.slice(
+                        F.split(F.col("__h"), r"\."),
+                        F.size(F.split(F.col("__h"), r"\."))
+                        - F.col("__pub"),
+                        F.col("__pub") + 1,
+                    ),
+                    ".",
+                ),
+            ).alias(out_col),
+        )
+    )
+    return df.join(resolved, h == F.col("__h"), "left").drop("__h")
+
+
 #: query parameters stripped by URL canonicalization — the standard
 #: tracking/attribution junk crawl pipelines normalize away (public
 #: lists, e.g. the utm_* convention); injectable per deployment.

@@ -1875,6 +1875,112 @@ def domain_curation_docs(spark, sf_dir):
     )
 
 
+#: mini Public Suffix List for the PSL gate — covers every synthesized
+#: TLD plus a wildcard and its exception so all three rule kinds fire
+_GATE_PSL = "com\nuk\nco.uk\norg\nnet\nio\ngithub.io\n*.ck\n!www.ck\n"
+
+#: literal hosts exercising the wildcard/exception/default paths the
+#: synthesized corpus can't reach (kept lowercase: synthesized hosts
+#: are lowercase and the oracle skips the case fold the unit test pins)
+_PSL_EXTRA_HOSTS = (
+    "a.b.test.ck", "test.ck", "ck", "www.ck", "www.www.ck",
+    "github.io", "x.user.github.io", "co.uk", "example.xyzzy", "xyzzy",
+)
+
+
+def _psl_rules_values() -> str:
+    """DuckDB VALUES rows generated from the SAME parse as the Spark
+    side (`domains.parse_psl` → key/rule_labels/pub_labels/is_exc), so
+    the two rule tables cannot drift."""
+    from semantic_ann_in_data_lake_spark.operators.domains import parse_psl
+
+    rows = []
+    for key, kind in parse_psl(_GATE_PSL):
+        k = key.count(".") + 1
+        if kind == "wildcard":
+            rows.append(f"('{key}', {k + 1}, {k + 1}, false)")
+        elif kind == "exception":
+            rows.append(f"('{key}', {k}, {k - 1}, true)")
+        else:
+            rows.append(f"('{key}', {k}, {k}, false)")
+    return ", ".join(rows)
+
+
+_PSL_EXTRA_VALUES = ", ".join(f"('{h}')" for h in _PSL_EXTRA_HOSTS)
+
+
+@register(
+    "psl_registrable_domains",
+    f"""
+    WITH {{url_cte}},
+    hosts AS (
+      SELECT host FROM h
+      UNION ALL
+      SELECT host FROM (VALUES {_PSL_EXTRA_VALUES}) t(host)
+    ),
+    r(key, rule_labels, pub_labels, is_exc) AS (
+      VALUES {_psl_rules_values()}
+    ),
+    suf AS (
+      SELECT host, len(string_split(host, '.')) AS k,
+             array_to_string(list_slice(string_split(host, '.'),
+               len(string_split(host, '.')) - i + 1,
+               len(string_split(host, '.'))), '.') AS suffix
+      FROM (SELECT host, unnest(range(1,
+              len(string_split(host, '.')) + 1)) AS i FROM hosts)
+    ),
+    m AS (
+      SELECT s.host,
+             max(struct_pack(e := is_exc::INT, r := rule_labels,
+                             p := pub_labels)) AS best
+      FROM suf s JOIN r ON s.suffix = r.key GROUP BY 1
+    ),
+    res AS (
+      SELECT hosts.host,
+             CASE WHEN len(string_split(hosts.host, '.'))
+                       >= coalesce(struct_extract(m.best, 'p'), 1) + 1
+                  THEN array_to_string(list_slice(
+                         string_split(hosts.host, '.'),
+                         len(string_split(hosts.host, '.'))
+                           - coalesce(struct_extract(m.best, 'p'), 1),
+                         len(string_split(hosts.host, '.'))), '.')
+             END AS domain
+      FROM hosts LEFT JOIN m USING (host)
+    )
+    SELECT domain, count(*)::BIGINT AS n_hosts
+    FROM res GROUP BY 1
+    """.replace("{url_cte}", _URL_CTE),
+)
+def psl_registrable_domains(spark, sf_dir):
+    """Full-PSL registrable-domain extraction, hash-gated
+    (operators/domains.py::registrable_domain_psl): the synthesized
+    corpus hosts plus literal hosts that exercise the wildcard
+    (``*.ck``), exception (``!www.ck``), and implicit-``*`` default
+    paths, grouped per resolved domain (NULL group = hosts that ARE
+    public suffixes). The oracle replays the publicsuffix.org
+    algorithm — suffix explode, broadcast rule match, exceptions-then-
+    longest prevail — with a rules table generated from the SAME
+    parse_psl call as the Spark side."""
+    from semantic_ann_in_data_lake_spark.operators import domains as D
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = (
+        D.synthesize_url(docs)
+        .select(D.url_host("url").alias("host"))
+        .unionByName(
+            spark.createDataFrame(
+                [(h,) for h in _PSL_EXTRA_HOSTS], "host string"
+            )
+        )
+    )
+    out = D.registrable_domain_psl(
+        hosts, "host", rules=D.psl_rules_df(spark, _GATE_PSL)
+    )
+    return out.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts")
+    )
+
+
 def _script_mix_oracle() -> str:
     from semantic_ann_in_data_lake_spark.operators.textstats import (
         SCRIPT_BANDS,

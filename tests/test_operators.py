@@ -5214,6 +5214,64 @@ def test_domain_extraction_blocklist_and_cap(spark):
     assert got == {"src10": "src10.co.uk", "src4": "src4.com"}
 
 
+def test_psl_full_semantics_wildcard_and_exception(spark):
+    """registrable_domain_psl implements the full publicsuffix.org
+    algorithm — wildcard (*.ck) and exception (!www.ck) rules, the
+    implicit '*' default, longest-match-wins — against the spec's own
+    checkPublicSuffix-style vectors. parse_psl reads the real file
+    format (comments, sections, trailing junk)."""
+    from semantic_ann_in_data_lake_spark.operators import domains as D
+
+    psl_text = """
+// ===BEGIN ICANN DOMAINS===
+com
+uk
+co.uk
+jp
+io
+github.io
+*.ck
+!www.ck
+// ===END ICANN DOMAINS===
+"""
+    rules = D.parse_psl(psl_text)
+    assert ("ck", "wildcard") in rules and ("www.ck", "exception") in rules
+    assert ("com", "plain") in rules and len(rules) == 8
+
+    vectors = [
+        # (host, expected registrable domain) — publicsuffix.org style
+        ("com", None),
+        ("example.com", "example.com"),
+        ("WWW.example.COM", "example.com"),
+        ("co.uk", None),
+        ("example.co.uk", "example.co.uk"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("ck", None),
+        ("test.ck", None),            # *.ck makes test.ck a public suffix
+        ("b.test.ck", "b.test.ck"),
+        ("a.b.test.ck", "b.test.ck"),
+        ("www.ck", "www.ck"),         # !www.ck exception
+        ("www.www.ck", "www.ck"),
+        ("github.io", None),
+        ("user.github.io", "user.github.io"),
+        ("a.user.github.io", "user.github.io"),
+        ("xyzzy", None),              # implicit '*' rule: bare TLD
+        ("example.xyzzy", "example.xyzzy"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(vectors, "host string, want string")
+    got = D.registrable_domain_psl(
+        df, "host", rules=D.psl_rules_df(spark, psl_text)
+    )
+    bad = got.filter("domain IS DISTINCT FROM want")
+    assert bad.count() == 0, bad.collect()
+    # rules must be supplied explicitly — no stale bundled snapshot
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="psl_rules_df"):
+        D.registrable_domain_psl(df, "host")
+
+
 def test_canonicalize_url_rule_and_dedup_quarantine(spark):
     """canonicalize_url: scheme/host case, www strip, fragment drop,
     trailing-slash drop, tracking removal, param sort, NULL on

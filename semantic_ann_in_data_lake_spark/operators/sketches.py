@@ -132,3 +132,95 @@ def cms_heavy_hitters(
         .orderBy(F.col("est_count").desc(), F.col("key").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+# cardinality sibling of the count-min frequency sketch above, and the
+# standalone form of the register machinery `operators/graphrank.hyperanf`
+# already uses for neighborhood functions.
+# ---------------------------------------------------------------------------
+
+#: register count and the standard HLL bias constant α₆₄
+HLL_M = 64
+HLL_ALPHA = 0.709
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    seed: str = "hll:",
+) -> DataFrame:
+    """Sparse HLL register table per group: ``(*group_cols, pos, val)``
+    with one row per TOUCHED register (``val`` = max ρ seen there) —
+    at most ``m=64`` rows per group regardless of cardinality.
+
+    Spark shape: one scan, coordinates generated in whole-stage
+    codegen, one partial-aggregating groupBy((group, pos), max) — the
+    shuffle moves at most ``m`` rows per input partition per group.
+    Sketches are MERGEABLE by construction: union two register tables
+    and re-take the max (:func:`hll_merge`) — shard-then-merge equals
+    sketch-of-the-whole exactly (pinned in pytest).
+
+    Engine discipline (same convention as `graphrank.hyperanf`): the
+    hash is the md5-derived portable 60-bit tier; ``pos = h % 64``;
+    ``val = 55 − len(bin(h >> 6))`` — the ``h >> 6 = 0`` corner folds
+    to 54, one short of the true ρ, deterministically in both engines.
+    NULL keys are skipped (a NULL is no observation)."""
+    key = F.col(key_col).cast("string")
+    h = portable_hash64(key, seed=seed)
+    return (
+        df.where(key.isNotNull())
+        .select(
+            *group_cols,
+            F.pmod(h, F.lit(HLL_M)).cast("int").alias("pos"),
+            (F.lit(55) - F.length(F.bin(F.shiftright(h, 6))))
+            .cast("int")
+            .alias("__rho"),
+        )
+        .groupBy(*group_cols, "pos")
+        .agg(F.max("__rho").cast("int").alias("val"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union register tables (same schema) and re-take the per-(group,
+    pos) max — the HLL merge. Associative and idempotent, so shard
+    sketches combine in any order/tree shape."""
+    if not register_tables:
+        raise ValueError("at least one register table required")
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    keys = [c for c in merged.columns if c != "val"]
+    return merged.groupBy(*keys).agg(F.max("val").cast("int").alias("val"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    round_dp: int = 2,
+) -> DataFrame:
+    """Raw HLL estimate per group from a register table:
+    ``α·m² / (Σ_touched 2^(−val) + (m − touched))`` — untouched
+    registers contribute 2⁰ = 1 each. Powers of two are EXACT doubles,
+    so the ≤64-term sum is order-independent and the rounded estimate
+    is cross-engine hash-stable. Deliberately NO ln-based small/large-
+    range correction: ln is not ulp-portable across engines; the gate
+    pins the MECHANISM and reports the exact twin alongside (accuracy
+    bands live in pytest)."""
+    z_touched = F.sum(
+        F.lit(1.0) / F.expr("shiftleft(cast(1 as bigint), val)")
+    )
+    touched = F.count(F.lit(1))
+    return (
+        registers.groupBy(*group_cols)
+        .agg(
+            F.round(
+                F.lit(HLL_ALPHA * HLL_M * HLL_M)
+                / (z_touched + (F.lit(HLL_M) - touched)),
+                round_dp,
+            ).alias("n_est")
+        )
+    )

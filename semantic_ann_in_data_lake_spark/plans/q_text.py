@@ -1875,6 +1875,60 @@ def domain_curation_docs(spark, sf_dir):
     )
 
 
+@register(
+    "hll_distinct_docs",
+    """
+    WITH r AS (
+      SELECT source,
+             (('0x' || substr(md5('hll:' || text), 1, 15))::BIGINT) % 64
+               AS pos,
+             max(55 - length(bin(
+               ('0x' || substr(md5('hll:' || text), 1, 15))::BIGINT >> 6
+             )))::INT AS val
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT source,
+             round(0.709 * 4096
+                   / (sum(1.0 / (1::BIGINT << val)) + (64 - count(*))),
+                   2) AS n_est
+      FROM r GROUP BY 1
+    ),
+    x AS (
+      SELECT source, count(DISTINCT text)::BIGINT AS n_exact
+      FROM documents WHERE text IS NOT NULL GROUP BY 1
+    )
+    SELECT e.source, e.n_est, x.n_exact FROM e JOIN x USING (source)
+    """,
+)
+def hll_distinct_docs(spark, sf_dir):
+    """HyperLogLog distinct-document estimate per source
+    (operators/sketches.py::hll_registers/hll_estimate): 64 registers
+    per group REGARDLESS of cardinality — the fixed-size cardinality
+    summary a 100-TB datacard needs where countDistinct is a full
+    key-space shuffle. The exact twin rides alongside so the gate (and
+    the dashboard) shows estimate AND truth; the oracle replays the
+    md5 register arithmetic and the exact-double power-of-two sum
+    bit-identically. Mergeability (shard ∪ shard ≡ whole) is pinned in
+    pytest."""
+    from semantic_ann_in_data_lake_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    est = hll_estimate(
+        hll_registers(docs, "text", group_cols=("source",)), ("source",)
+    )
+    exact = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(F.countDistinct("text").cast("long").alias("n_exact"))
+    )
+    return est.join(exact, "source")
+
+
 #: mini Public Suffix List for the PSL gate — covers every synthesized
 #: TLD plus a wildcard and its exception so all three rule kinds fire
 _GATE_PSL = "com\nuk\nco.uk\norg\nnet\nio\ngithub.io\n*.ck\n!www.ck\n"

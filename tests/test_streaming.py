@@ -1569,6 +1569,93 @@ def test_streaming_pca_moments_equal_batch_bit_for_bit(
     assert all(r["count"] <= 2 * len(want) for r in per_run)
 
 
+def test_streaming_hll_registers_equal_batch_bit_for_bit(
+    spark, sf_dir, tmp_path
+):
+    """The streamed HLL register accumulator equals the batch sketch
+    over the full corpus BIT-FOR-BIT (register max-merge is
+    associative AND idempotent), the derived estimates equal the batch
+    estimates exactly, re-deliveries add nothing, and a fresh lineage
+    re-accumulates to equal content. State stays ≤ two generations of
+    64·n_groups rows."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from semantic_ann_in_data_lake_spark.streaming.hll_stream import (
+        incremental_hll_foreach_batch,
+        read_hll_state,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    want = sorted(
+        map(tuple, hll_registers(docs, "text", ("source",)).collect())
+    )
+    want_est = sorted(
+        map(
+            tuple,
+            hll_estimate(
+                hll_registers(docs, "text", ("source",)), ("source",)
+            ).collect(),
+        )
+    )
+
+    in_dir = tmp_path / "hll_in"
+    in_dir.mkdir()
+    cuts = [(0, 170), (170, 340), (340, 10_000_000)]
+    for i, (lo, hi) in enumerate(cuts):
+        part = docs.where(f"doc_id >= {lo} AND doc_id < {hi}")
+        part.coalesce(1).write.parquet(str(tmp_path / f"_hl{i}"))
+        shutil.copy(
+            glob.glob(str(tmp_path / f"_hl{i}" / "part-*.parquet"))[0],
+            in_dir / f"{chr(97 + i)}.parquet",
+        )
+    state = str(tmp_path / "hll_state")
+
+    def run(ckpt, lineage):
+        stream = spark.readStream.schema(docs.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(in_dir))
+        q = (
+            incremental_hll_foreach_batch(
+                stream, state, "text", group_cols=("source",),
+                lineage=lineage,
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination()
+
+    run("hll_ck1", "lin1")
+    got_df = read_hll_state(spark, state, ("source",), lineage="lin1")
+    assert sorted(map(tuple, got_df.collect())) == want
+    assert (
+        sorted(map(tuple, hll_estimate(got_df, ("source",)).collect()))
+        == want_est
+    )
+
+    # same-lineage fresh checkpoint: full-log replay lands identically
+    run("hll_ck2", "lin1")
+    got2 = read_hll_state(spark, state, ("source",), lineage="lin1")
+    assert sorted(map(tuple, got2.collect())) == want
+
+    # fresh lineage: its own run accumulates to equal content
+    run("hll_ck3", "lin2")
+    got3 = read_hll_state(spark, state, ("source",), lineage="lin2")
+    assert sorted(map(tuple, got3.collect())) == want
+
+    raw = spark.read.parquet(state)
+    per_run = raw.groupBy("run_id").count().collect()
+    assert all(r["count"] <= 2 * len(want) for r in per_run)
+
+
 def test_streaming_graph_triangles_equal_batch(spark, sf_dir, tmp_path):
     """The streamed edge-dedup + triangle accumulator equals batch
     `triangle_stats(symmetrize(all edges))` ROW-FOR-ROW (triangle

@@ -1876,6 +1876,111 @@ def domain_curation_docs(spark, sf_dir):
 
 
 @register(
+    "vocab_growth_docs",
+    f"""
+    WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+    d AS (
+      SELECT doc_id, len({_TOKS}) AS ntok,
+             greatest(1, (4 * doc_id + mx - 1) // mx) AS ck
+      FROM documents, mx
+    ),
+    fs AS (
+      SELECT tok, min(doc_id) AS first_id
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    tv AS (
+      SELECT greatest(1, (4 * first_id + mx - 1) // mx) AS ck,
+             count(*) AS v
+      FROM fs, mx GROUP BY 1
+    ),
+    da AS (
+      SELECT ck, count(*) AS nd, sum(ntok) AS nt, max(doc_id) AS mxd
+      FROM d GROUP BY ck
+    ),
+    j AS (
+      SELECT coalesce(da.ck, tv.ck) AS ck,
+             coalesce(nd, 0) AS nd, coalesce(nt, 0) AS nt,
+             mxd, coalesce(v, 0) AS v
+      FROM da FULL JOIN tv ON da.ck = tv.ck
+    )
+    SELECT ck::INT AS checkpoint,
+           max(mxd) OVER w::BIGINT AS max_doc_id,
+           sum(nd) OVER w::BIGINT AS n_docs,
+           sum(nt) OVER w::BIGINT AS n_tokens,
+           sum(v) OVER w::BIGINT AS vocab_size
+    FROM j WINDOW w AS (ORDER BY ck ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+    """,
+)
+def vocab_growth_docs(spark, sf_dir):
+    """Vocabulary growth curve (Heaps' law datacard): cumulative
+    (n_docs, n_tokens, distinct-token vocabulary) at four id-quarter
+    checkpoints of the corpus — the sublinearity of vocab_size in
+    n_tokens is the one-glance health check that a crawl slice is
+    natural text, not key-value junk (near-linear growth) or a
+    degenerate template (flat growth).
+
+    Scale shape: 'cumulative distinct' is NOT computed as a running
+    window over rows — each token's FIRST-occurrence doc id is one
+    min-aggregate, bucketing is row-local integer math against a 1-row
+    broadcast max, and the cumulative rollup is a window over ≤4
+    AGGREGATED rows. One explode + two groupBys end to end."""
+    from pyspark.sql.window import Window
+
+    from semantic_ann_in_data_lake_spark.functions.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    mx = F.broadcast(docs.agg(F.max("doc_id").alias("mx")))
+    ck = F.greatest(
+        F.lit(1), F.expr("(4 * doc_id + mx - 1) div mx")
+    )
+    per_doc = docs.crossJoin(mx).select(
+        "doc_id",
+        F.size(words("text")).alias("ntok"),
+        ck.alias("ck"),
+    )
+    da = per_doc.groupBy("ck").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("ntok").alias("nt"),
+        F.max("doc_id").alias("mxd"),
+    )
+    first_seen = (
+        docs.select("doc_id", F.explode(words("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_id"))
+    )
+    tv = (
+        first_seen.crossJoin(mx)
+        .select(
+            F.greatest(
+                F.lit(1), F.expr("(4 * first_id + mx - 1) div mx")
+            ).alias("ck")
+        )
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    j = (
+        da.join(tv, "ck", "full")
+        .select(
+            "ck",
+            F.coalesce("nd", F.lit(0)).alias("nd"),
+            F.coalesce("nt", F.lit(0)).alias("nt"),
+            "mxd",
+            F.coalesce("v", F.lit(0)).alias("v"),
+        )
+    )
+    w = Window.orderBy("ck").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        F.col("ck").cast("int").alias("checkpoint"),
+        F.max("mxd").over(w).cast("long").alias("max_doc_id"),
+        F.sum("nd").over(w).cast("long").alias("n_docs"),
+        F.sum("nt").over(w).cast("long").alias("n_tokens"),
+        F.sum("v").over(w).cast("long").alias("vocab_size"),
+    )
+
+
+@register(
     "hll_distinct_docs",
     """
     WITH r AS (

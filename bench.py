@@ -539,8 +539,13 @@ def bench_queries(spark, sf_dir):
         "ivf_lloyd_recall_report": from_registry("ivf_lloyd_recall_report"),
         "ppm_decode_stats": from_registry("ppm_decode_stats"),
         # round-10: real RIFF/WAVE PCM16 decode (audio sibling of the
-        # PPM leg — Arrow-batched encode + chunk-walking decode)
+        # PPM leg — Arrow-batched encode + chunk-walking decode),
+        # full-PSL domain extraction, HLL cardinality datacard, and the
+        # Heaps-law vocabulary growth curve
         "wav_decode_stats": from_registry("wav_decode_stats"),
+        "psl_registrable_domains": from_registry("psl_registrable_domains"),
+        "hll_distinct_docs": from_registry("hll_distinct_docs"),
+        "vocab_growth_docs": from_registry("vocab_growth_docs"),
         "url_dedup_docs": from_registry("url_dedup_docs"),
         "dedup_span_rewrite2": from_registry("dedup_span_rewrite2"),
         # round-9 second batch: the PCA/JL projection front end

@@ -543,6 +543,7 @@ def bench_queries(spark, sf_dir):
         # full-PSL domain extraction, HLL cardinality datacard, and the
         # Heaps-law vocabulary growth curve
         "wav_decode_stats": from_registry("wav_decode_stats"),
+        "png_decode_stats": from_registry("png_decode_stats"),
         "psl_registrable_domains": from_registry("psl_registrable_domains"),
         "hll_distinct_docs": from_registry("hll_distinct_docs"),
         "vocab_growth_docs": from_registry("vocab_growth_docs"),

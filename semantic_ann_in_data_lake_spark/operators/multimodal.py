@@ -256,15 +256,19 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def image_decode_stats(media: DataFrame, batch_size: int = 64) -> DataFrame:
-    """Decode every payload with :func:`decode_image` and emit exact
-    integer per-channel statistics — the hash-gateable face of the
-    decode stage: ``(media_id, width, height, sum_r, sum_g, sum_b)``.
-    Decode failures surface as errors (a curation pipeline quarantines
-    them upstream via try/filter variants); sums are exact integers so
-    the gate is bit-stable."""
+def image_decode_stats(
+    media: DataFrame, batch_size: int = 64, decode_fn=None
+) -> DataFrame:
+    """Decode every payload with ``decode_fn`` (default
+    :func:`decode_image`, the netpbm parser; pass :func:`decode_png`
+    for PNG payloads) and emit exact integer per-channel statistics —
+    the hash-gateable face of the decode stage: ``(media_id, width,
+    height, sum_r, sum_g, sum_b)``. Decode failures surface as errors
+    (a curation pipeline quarantines them upstream via try/filter
+    variants); sums are exact integers so the gate is bit-stable."""
     import pandas as pd
 
+    decode = decode_fn or decode_image
     schema = (
         "media_id long, width int, height int,"
         " sum_r long, sum_g long, sum_b long"
@@ -276,7 +280,7 @@ def image_decode_stats(media: DataFrame, batch_size: int = 64) -> DataFrame:
                 chunk = pdf.iloc[start : start + batch_size]
                 rows = []
                 for mid, payload in zip(chunk["media_id"], chunk["payload"]):
-                    img = decode_image(payload)
+                    img = decode(payload)
                     px = img["pixels"]
                     rows.append(
                         (
@@ -294,6 +298,176 @@ def image_decode_stats(media: DataFrame, batch_size: int = 64) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, schema=schema
+    )
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png_rgb8(width: int, height: int, pixels: bytes) -> bytes:
+    """Real PNG encoder (8-bit RGB, non-interlaced) — stdlib zlib +
+    struct only. Scanline filters CYCLE through all five spec types
+    (None/Sub/Up/Average/Paeth, row i uses i mod 5), so any decoder of
+    these payloads must implement the full filter set, not just the
+    filter-0 fast path. Every chunk carries its real CRC-32."""
+    import struct
+    import zlib
+
+    if width < 1 or height < 1:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"pixel buffer {len(pixels)} != 3*{width}*{height}"
+        )
+    stride = 3 * width
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        for x in range(stride):
+            left = row[x - 3] if x >= 3 else 0
+            up = prev[x]
+            ul = prev[x - 3] if x >= 3 else 0
+            if ftype == 0:
+                raw.append(row[x])
+            elif ftype == 1:
+                raw.append((row[x] - left) & 0xFF)
+            elif ftype == 2:
+                raw.append((row[x] - up) & 0xFF)
+            elif ftype == 3:
+                raw.append((row[x] - (left + up) // 2) & 0xFF)
+            else:
+                raw.append((row[x] - _paeth(left, up, ul)) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG parser (8-bit RGB, non-interlaced) — stdlib only:
+    verifies the magic and every chunk's CRC-32, walks chunks, inflates
+    the IDAT stream, and UNDOES all five scanline filters. Returns
+    ``{"width", "height", "pixels"}`` (RGB interleaved bytes). Raises
+    ``ValueError`` on anything malformed or unsupported (non-8-bit,
+    non-RGB, interlaced) — the same quarantine contract as
+    :func:`decode_image` / :func:`decode_audio`."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"chunk {tag!r} overruns the payload")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not ended:
+        raise ValueError("missing IHDR, IDAT, or IEND chunk")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"only 8-bit non-interlaced RGB supported, got depth={depth}"
+            f" color={color} interlace={interlace}"
+        )
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # truncated/corrupt deflate stream
+        raise ValueError(f"IDAT inflate failed: {e}") from e
+    stride = 3 * width
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"raster size {len(raw)} != {height}*(1+{stride})"
+        )
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (1 + stride)]
+        row = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
+        rec = bytearray()
+        for x in range(stride):
+            left = rec[x - 3] if x >= 3 else 0
+            up = prev[x]
+            ul = prev[x - 3] if x >= 3 else 0
+            if ftype == 0:
+                v = row[x]
+            elif ftype == 1:
+                v = (row[x] + left) & 0xFF
+            elif ftype == 2:
+                v = (row[x] + up) & 0xFF
+            elif ftype == 3:
+                v = (row[x] + (left + up) // 2) & 0xFF
+            elif ftype == 4:
+                v = (row[x] + _paeth(left, up, ul)) & 0xFF
+            else:
+                raise ValueError(f"bad filter type {ftype} on row {y}")
+            rec.append(v)
+        out += rec
+        prev = bytes(rec)
+    return {"width": width, "height": height, "pixels": bytes(out)}
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """PNG twin of :func:`synthesize_ppm_media`: SAME deterministic
+    dimension/pixel rules (``_ppm_dims`` / ``_ppm_pixels``) wrapped in
+    the real PNG container — so the analytic oracle of
+    `ppm_decode_stats` certifies this decode path too, while the bytes
+    exercise zlib inflate, CRC verification, and all five scanline
+    filters instead of a netpbm header."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = pdf["media_id"].astype("int64")
+            payloads = []
+            for mid in ids:
+                w, h = _ppm_dims(int(mid))
+                payloads.append(
+                    encode_png_rgb8(w, h, _ppm_pixels(int(mid), w, h))
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        run, schema="media_id long, payload binary"
     )
 
 

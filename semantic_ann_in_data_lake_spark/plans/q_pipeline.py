@@ -748,9 +748,10 @@ def media_frame_samples(spark, sf_dir):
     return sample_frames(media, k=4, frame_len=32)
 
 
-@register(
-    "ppm_decode_stats",
-    """
+#: analytic per-channel-sum oracle over the shared deterministic pixel
+#: rule (_ppm_dims/_ppm_pixels) — certifies ANY container whose decode
+#: must reproduce those pixels (netpbm P6 and PNG both gate against it)
+_PIXEL_RULE_SQL = """
     WITH d AS (
       SELECT doc_id AS media_id,
              (doc_id % 13 + 4)::INT AS width,
@@ -770,8 +771,10 @@ def media_frame_samples(spark, sf_dir):
            sum((media_id + 31 * (i // width) + 7 * (i % width) + 194)
                % 256)::BIGINT AS sum_b
     FROM px GROUP BY 1, 2, 3
-    """,
-)
+    """
+
+
+@register("ppm_decode_stats", _PIXEL_RULE_SQL)
 def ppm_decode_stats(spark, sf_dir):
     """REAL image decode, hash-gated end to end
     (operators/multimodal.py): one P6 PPM payload per document is
@@ -791,6 +794,26 @@ def ppm_decode_stats(spark, sf_dir):
 
     media = synthesize_ppm_media(_t(spark, sf_dir, "documents"))
     return image_decode_stats(media)
+
+
+@register("png_decode_stats", _PIXEL_RULE_SQL)
+def png_decode_stats(spark, sf_dir):
+    """REAL PNG decode, hash-gated end to end
+    (operators/multimodal.py::decode_png): the SAME deterministic
+    pixel rule as `ppm_decode_stats`, but the payloads are genuine
+    PNGs — stdlib-zlib deflate, CRC-32 on every chunk, and scanlines
+    encoded with ALL FIVE spec filter types (row i uses i mod 5), so
+    the decoder's inflate + CRC walk + Sub/Up/Average/Paeth
+    reconstruction must all be byte-perfect for the channel sums to
+    hash-match the analytic oracle."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        decode_png,
+        image_decode_stats,
+        synthesize_png_media,
+    )
+
+    media = synthesize_png_media(_t(spark, sf_dir, "documents"))
+    return image_decode_stats(media, decode_fn=decode_png)
 
 
 @register(

@@ -453,6 +453,67 @@ def test_ppm_decode_roundtrip_and_malformed():
             decode_image(bad)
 
 
+def test_png_codec_roundtrip_filters_and_malformed():
+    """Pure-stdlib PNG codec: encode→decode round-trip with scanline
+    filters cycling all five spec types, CRC verification, malformed /
+    unsupported payloads rejected with ValueError."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        _ppm_dims,
+        _ppm_pixels,
+        decode_png,
+        encode_png_rgb8,
+    )
+
+    for mid in (0, 1, 7, 12345):
+        w, h = _ppm_dims(mid)
+        px = _ppm_pixels(mid, w, h)
+        img = decode_png(encode_png_rgb8(w, h, px))
+        assert (img["width"], img["height"]) == (w, h)
+        assert img["pixels"] == px
+    # heights ≥ 5 guarantee every filter type appears at least once
+    w, h = 4, 7
+    px = bytes((i * 37) % 256 for i in range(3 * w * h))
+    assert decode_png(encode_png_rgb8(w, h, px))["pixels"] == px
+
+    ok = encode_png_rgb8(3, 3, bytes(range(27)))
+    # corrupt one IDAT byte: the chunk CRC must catch it
+    idat_at = ok.index(b"IDAT") + 4
+    corrupt = (
+        ok[:idat_at]
+        + bytes([ok[idat_at] ^ 0xFF])
+        + ok[idat_at + 1 :]
+    )
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(corrupt)
+    # 16-bit depth unsupported: rebuild IHDR with depth=16 + valid CRC
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 16, 2, 0, 0, 0)
+    bad_depth = (
+        ok[:8]
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + ok[8 + 12 + 13 :]
+    )
+    with _pytest.raises(ValueError, match="8-bit"):
+        decode_png(bad_depth)
+    for bad in (
+        b"",                       # empty
+        b"\x89PNJ\r\n\x1a\n",      # wrong magic
+        ok[:-12],                  # IEND missing
+        ok[:8],                    # no chunks at all
+    ):
+        with _pytest.raises(ValueError):
+            decode_png(bad)
+    with _pytest.raises(ValueError, match="pixel buffer"):
+        encode_png_rgb8(2, 2, bytes(5))
+
+
 def test_wav_codec_roundtrip_and_malformed():
     """Pure-Python RIFF/WAVE PCM16 codec: encode→decode round-trip
     (including the odd-LIST-chunk pad rule the encoder plants on

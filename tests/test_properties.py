@@ -983,3 +983,51 @@ def test_pagerank_mass_conserved_on_random_graphs(shared_spark, edges):
     df = shared_spark.createDataFrame(list(edges), "src bigint, dst bigint")
     rows = pagerank(df, iters=3).collect()
     assert abs(sum(r["pr"] for r in rows) - 1.0) < 1e-7
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+)
+def test_png_roundtrip_arbitrary_images(w, h, data):
+    """decode(encode(img)) == img for arbitrary RGB rasters, including
+    the 1-wide / 1-tall edges where the Sub/Paeth left and upper-left
+    neighbors fall off the raster (the codec's off-by-three traps)."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        decode_png,
+        encode_png_rgb8,
+    )
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=3 * w * h,
+                max_size=3 * w * h,
+            )
+        )
+    )
+    img = decode_png(encode_png_rgb8(w, h, px))
+    assert (img["width"], img["height"], img["pixels"]) == (w, h, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rate=st.integers(min_value=1, max_value=192_000),
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), max_size=200
+    ),
+)
+def test_wav_roundtrip_arbitrary_waveforms(rate, samples):
+    """decode(encode(xs)) == xs for arbitrary int16 waveforms including
+    the empty clip (a zero-length data chunk is legal RIFF)."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav_pcm16,
+    )
+
+    wav = decode_audio(encode_wav_pcm16(rate, samples))
+    assert wav["sample_rate"] == rate
+    assert wav["samples"] == samples

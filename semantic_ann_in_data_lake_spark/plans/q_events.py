@@ -705,3 +705,43 @@ def ewma_user_value(spark, sf_dir):
         .where(F.col("__rd") == 1)
         .select("user_id", "n_events", "n_in_window", "ewma")
     )
+
+
+@register(
+    "events_cube_rollup",
+    """
+    SELECT grouping(event_type)::INT AS g_type,
+           grouping(user_band)::INT AS g_band,
+           event_type, user_band,
+           count(*)::BIGINT AS n_events,
+           round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS sum_value
+    FROM (SELECT event_type, (user_id % 4)::INT AS user_band, value
+          FROM events)
+    GROUP BY CUBE (event_type, user_band)
+    """,
+)
+def events_cube_rollup(spark, sf_dir):
+    """CUBE datacard over the event log: all four grouping-set
+    combinations of (event_type, user_band) in ONE pass — Catalyst
+    expands the cube into a single Expand + partial-aggregating
+    groupBy, so at 100 TB this costs one shuffle of 4x the aggregate
+    rows (not 4 scans), the standard OLAP rollup shape. grouping()
+    flags disambiguate subtotal rows from genuine NULL keys; money
+    sums ride the engine-wide DECIMAL discipline so every subtotal is
+    hash-exact cross-engine."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("user_band"),
+        "value",
+    )
+    return e.cube("event_type", "user_band").agg(
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("user_band").cast("int").alias("g_band"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    ).select(
+        "g_type", "g_band", "event_type", "user_band",
+        "n_events", "sum_value",
+    )

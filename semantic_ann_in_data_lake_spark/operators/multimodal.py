@@ -622,6 +622,89 @@ def audio_decode_stats(media: DataFrame, batch_size: int = 64) -> DataFrame:
     )
 
 
+def corrupt_every_nth(media: DataFrame, every_n: int = 7) -> DataFrame:
+    """Deterministic corruption fixture: XOR one mid-payload byte on
+    every row whose ``media_id % every_n == 0`` — the membership is
+    pure id arithmetic, so an oracle knows exactly which rows a
+    correct quarantine must reject without parsing bytes. Row-local
+    Arrow-batched edit."""
+    import pandas as pd
+
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if int(mid) % every_n == 0 and len(b) > 2:
+                    k = len(b) // 2
+                    b = b[:k] + bytes([b[k] ^ 0xFF]) + b[k + 1 :]
+                out.append(b)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": out}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+def decode_quarantine_stats(
+    media: DataFrame, decode_fn=None, batch_size: int = 64
+) -> DataFrame:
+    """The QUARANTINE form of :func:`image_decode_stats` — the shape a
+    100-TB ingest actually runs, because corrupt payloads are a
+    certainty at that scale and one bad byte must not fail the job:
+    every payload decodes under try, failures come back as rows with
+    ``ok = false`` and the error text instead of propagating, and the
+    caller filters/quarantines. ``(media_id, ok, err, width, height,
+    sum_r, sum_g, sum_b)`` — stats columns NULL on failure, err NULL
+    on success."""
+    import pandas as pd
+
+    decode = decode_fn or decode_image
+    schema = (
+        "media_id long, ok boolean, err string, width int, height int,"
+        " sum_r long, sum_g long, sum_b long"
+    )
+    cols = [
+        "media_id", "ok", "err", "width", "height",
+        "sum_r", "sum_g", "sum_b",
+    ]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                rows = []
+                for mid, payload in zip(chunk["media_id"], chunk["payload"]):
+                    try:
+                        img = decode(payload)
+                        px = img["pixels"]
+                        rows.append(
+                            (
+                                int(mid), True, None,
+                                img["width"], img["height"],
+                                sum(px[0::3]), sum(px[1::3]), sum(px[2::3]),
+                            )
+                        )
+                    except ValueError as e:
+                        rows.append(
+                            (
+                                int(mid), False,
+                                str(e).splitlines()[0][:120],
+                                None, None, None, None, None,
+                            )
+                        )
+                yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=schema
+    )
+
+
 def _fake_features(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in feature extractor: md5-chunk projections
     of the raw bytes (same shape/contract as a real CNN embedding)."""

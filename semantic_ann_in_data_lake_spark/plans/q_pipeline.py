@@ -817,6 +817,77 @@ def png_decode_stats(spark, sf_dir):
 
 
 @register(
+    "media_decode_quarantine",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 13 + 4)::INT AS width,
+             ((doc_id * 7) % 11 + 4)::INT AS height
+      FROM documents
+    ),
+    bad AS (SELECT media_id FROM d WHERE media_id % 7 = 0),
+    ok AS (SELECT * FROM d WHERE media_id % 7 <> 0),
+    px AS (
+      SELECT media_id, width, height,
+             unnest(range(0, width * height)) AS i
+      FROM ok
+    )
+    SELECT (SELECT count(*) FROM d)::BIGINT AS n_total,
+           (SELECT count(*) FROM ok)::BIGINT AS n_ok,
+           (SELECT count(*) FROM bad)::BIGINT AS n_bad,
+           (SELECT coalesce(sum(media_id), 0) FROM bad)::BIGINT
+             AS bad_id_sum,
+           sum((media_id + 31 * (i // width) + 7 * (i % width))
+               % 256)::BIGINT AS sum_r,
+           sum((media_id + 31 * (i // width) + 7 * (i % width) + 97)
+               % 256)::BIGINT AS sum_g,
+           sum((media_id + 31 * (i // width) + 7 * (i % width) + 194)
+               % 256)::BIGINT AS sum_b
+    FROM px
+    """,
+)
+def media_decode_quarantine(spark, sf_dir):
+    """Quarantine decode over a DELIBERATELY part-corrupt corpus — the
+    shape a real ingest runs: every 7th PNG payload gets one
+    mid-payload byte XORed (`corrupt_every_nth` — id-arithmetic
+    membership an oracle can replay), `decode_quarantine_stats`
+    decodes under try so one bad byte fails a ROW, not the job, and
+    the summary certifies that EXACTLY the corrupted rows quarantined
+    (count + id-sum) while the survivors' channel sums still match the
+    analytic pixel rule. A flipped byte anywhere in a PNG chunk is
+    caught by the per-chunk CRC or the inflate, so a correct decoder
+    can neither pass a corrupt payload nor drop a clean one."""
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        corrupt_every_nth,
+        decode_png,
+        decode_quarantine_stats,
+        synthesize_png_media,
+    )
+
+    media = corrupt_every_nth(
+        synthesize_png_media(_t(spark, sf_dir, "documents")), every_n=7
+    )
+    per_row = decode_quarantine_stats(media, decode_fn=decode_png)
+    return per_row.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ok"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+        F.coalesce(
+            F.sum(F.when(~F.col("ok"), F.col("media_id"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("bad_id_sum"),
+        F.sum("sum_r").cast("long").alias("sum_r"),
+        F.sum("sum_g").cast("long").alias("sum_g"),
+        F.sum("sum_b").cast("long").alias("sum_b"),
+    )
+
+
+@register(
     "wav_decode_stats",
     """
     WITH d AS (

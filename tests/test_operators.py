@@ -514,6 +514,38 @@ def test_png_codec_roundtrip_filters_and_malformed():
         encode_png_rgb8(2, 2, bytes(5))
 
 
+def test_decode_quarantine_rows_not_jobs(spark):
+    """decode_quarantine_stats turns a corrupt payload into an
+    ok=false row (with the error text) instead of failing the job;
+    corrupt_every_nth hits exactly the id-arithmetic members."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        corrupt_every_nth,
+        decode_png,
+        decode_quarantine_stats,
+        synthesize_png_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    media = corrupt_every_nth(synthesize_png_media(docs), every_n=4)
+    rows = {
+        r["media_id"]: r
+        for r in decode_quarantine_stats(media, decode_fn=decode_png)
+        .collect()
+    }
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        if mid % 4 == 0:
+            assert r["ok"] is False and r["err"], mid
+            assert r["sum_r"] is None
+        else:
+            assert r["ok"] is True and r["err"] is None, mid
+            assert r["width"] == mid % 13 + 4
+
+
 def test_wav_codec_roundtrip_and_malformed():
     """Pure-Python RIFF/WAVE PCM16 codec: encode→decode round-trip
     (including the odd-LIST-chunk pad rule the encoder plants on

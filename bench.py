@@ -544,6 +544,8 @@ def bench_queries(spark, sf_dir):
         # Heaps-law vocabulary growth curve
         "wav_decode_stats": from_registry("wav_decode_stats"),
         "png_decode_stats": from_registry("png_decode_stats"),
+        "media_decode_quarantine": from_registry("media_decode_quarantine"),
+        "events_cube_rollup": from_registry("events_cube_rollup"),
         "psl_registrable_domains": from_registry("psl_registrable_domains"),
         "hll_distinct_docs": from_registry("hll_distinct_docs"),
         "vocab_growth_docs": from_registry("vocab_growth_docs"),

@@ -151,6 +151,7 @@ def hll_registers(
     key_col: str,
     group_cols: tuple[str, ...] = (),
     seed: str = "hll:",
+    portable: bool = True,
 ) -> DataFrame:
     """Sparse HLL register table per group: ``(*group_cols, pos, val)``
     with one row per TOUCHED register (``val`` = max ρ seen there) —
@@ -164,12 +165,22 @@ def hll_registers(
     sketch-of-the-whole exactly (pinned in pytest).
 
     Engine discipline (same convention as `graphrank.hyperanf`): the
-    hash is the md5-derived portable 60-bit tier; ``pos = h % 64``;
-    ``val = 55 − len(bin(h >> 6))`` — the ``h >> 6 = 0`` corner folds
-    to 54, one short of the true ρ, deterministically in both engines.
-    NULL keys are skipped (a NULL is no observation)."""
+    hash is the md5-derived portable 60-bit tier (``portable=False``
+    flips to 60-bit-masked xxhash64 — the CMS convention's codegen'd
+    production tier, same register arithmetic, not oracle-portable);
+    ``pos = h % 64``; ``val = 55 − len(bin(h >> 6))`` — the
+    ``h >> 6 = 0`` corner folds to 54, one short of the true ρ,
+    deterministically in both engines. NULL keys are skipped (a NULL
+    is no observation)."""
     key = F.col(key_col).cast("string")
-    h = portable_hash64(key, seed=seed)
+    if portable:
+        h = portable_hash64(key, seed=seed)
+    else:
+        # production tier: xxhash64 (whole-stage codegen, no md5 string
+        # round-trip), masked to the same 60-bit range so pos/ρ
+        # arithmetic — and therefore estimator behavior — is identical
+        # to the oracle-portable tier
+        h = fast_hash64(key).bitwiseAND(F.lit((1 << 60) - 1))
     return (
         df.where(key.isNotNull())
         .select(

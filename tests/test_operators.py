@@ -3334,6 +3334,21 @@ def test_hll_merge_equals_whole_and_tracks_cardinality(spark):
         map(tuple, whole.collect())
     )
 
+    # fast tier (xxhash64, 60-bit masked): same contract, same
+    # estimator band, different hash — merge-equals-whole still exact
+    fwhole = hll_registers(df, "k", portable=False)
+    fmerged = hll_merge(
+        *[
+            hll_registers(df.where(F.col("shard") == s), "k", portable=False)
+            for s in range(3)
+        ]
+    )
+    assert sorted(map(tuple, fmerged.collect())) == sorted(
+        map(tuple, fwhole.collect())
+    )
+    fest = hll_estimate(fwhole).collect()[0]["n_est"]
+    assert abs(fest - n) / n < 0.40, fest
+
 
 def test_cms_heavy_hitters_exact_when_wide(spark):
     from semantic_ann_in_data_lake_spark.operators.sketches import (

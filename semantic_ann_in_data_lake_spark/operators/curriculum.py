@@ -44,25 +44,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def curriculum_order(
+def exact_ntile_buckets(
     df: DataFrame,
     score_col: str | Column,
     id_col: str = "doc_id",
     n_buckets: int = 4,
-    seed: int = 42,
     descending: bool = False,
 ) -> DataFrame:
-    """``(id, score, bucket, order_idx)`` — see module docstring.
-
-    ``order_idx`` is unique and dense per bucket-chain; ties in score
-    break by id so bucketing is reproducible. Bucket assignment is
-    exact-ntile-over-(score, id) computed WITHOUT a global window:
+    """``(id, score, bucket)`` — exact ``ntile(n_buckets)`` over the
+    (score, id) total order WITHOUT a global single-task window:
     global_rank = (count of rows ordered strictly before this score,
     from an aggregated histogram) + (row_number within the score
-    group, partitioned window), then the standard ntile split —
-    the first ``n mod B`` buckets take ``ceil(n/B)`` rows, the rest
-    ``floor(n/B)``. Scores are assumed non-null (both engines order
-    nulls differently; callers score with ``coalesce`` upstream)."""
+    group, partitioned window), then the standard ntile split — the
+    first ``n mod B`` buckets take ``ceil(n/B)`` rows, the rest
+    ``floor(n/B)``. Bit-identical to the naive ntile; the only
+    unpartitioned window runs over the distinct-score relation (above
+    an Aggregate, the plan-shape invariant). Scores are assumed
+    non-null (engines order nulls differently; callers ``coalesce``
+    upstream). Shared by curriculum ordering and score-decile reports
+    (NB calibration)."""
     if n_buckets < 1:
         raise ValueError("n_buckets >= 1 required")
     score = F.col(score_col) if isinstance(score_col, str) else score_col
@@ -103,8 +103,26 @@ def curriculum_order(
     bucket = F.when(
         k <= head, ((k - F.lit(1)) / (q + F.lit(1))).cast("long") + F.lit(1)
     ).otherwise(r + ((k - head - F.lit(1)) / q).cast("long") + F.lit(1))
-    bucketed = ranked.select(
-        "id", "score", bucket.cast("int").alias("bucket")
+    return ranked.select("id", "score", bucket.cast("int").alias("bucket"))
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str | Column,
+    id_col: str = "doc_id",
+    n_buckets: int = 4,
+    seed: int = 42,
+    descending: bool = False,
+) -> DataFrame:
+    """``(id, score, bucket, order_idx)`` — see module docstring.
+
+    ``order_idx`` is unique and dense per bucket-chain; ties in score
+    break by id so bucketing is reproducible. Bucket assignment is
+    :func:`exact_ntile_buckets` (aggregate-derived, no global
+    single-task window)."""
+    bucketed = exact_ntile_buckets(
+        df, score_col, id_col=id_col, n_buckets=n_buckets,
+        descending=descending,
     )
 
     shuffle_key = F.md5(

@@ -2668,6 +2668,107 @@ def curriculum_by_quality_docs(spark, sf_dir):
 
 
 @register(
+    "nb_calibration_docs",
+    f"""
+    WITH w AS (SELECT doc_id, {_TOKS} AS w,
+                      coalesce(source = 'src0', false) AS ref
+               FROM documents),
+    dt AS (SELECT doc_id, ref, unnest(w) AS tok FROM w),
+    cls AS (SELECT tok,
+                   count(*) FILTER (WHERE ref) AS c_ref,
+                   count(*) FILTER (WHERE NOT ref) AS c_rest
+            FROM dt GROUP BY tok),
+    tot AS (SELECT sum(c_ref) AS n_ref, sum(c_rest) AS n_rest,
+                   count(*) AS vsize
+            FROM cls),
+    wt AS (SELECT tok,
+                  round(log10((c_ref + 1.0) / (n_ref + 1.0 * vsize))
+                        - log10((c_rest + 1.0) / (n_rest + 1.0 * vsize))
+                        + 1e-9, 6)::DECIMAL(18,6) AS w6
+           FROM cls CROSS JOIN tot),
+    sc AS (SELECT dt.doc_id, count(*)::BIGINT AS n_tokens,
+                  sum(wt.w6) AS w_sum
+           FROM dt JOIN wt USING (tok) GROUP BY dt.doc_id),
+    scores AS (
+      SELECT w.doc_id, w.ref,
+             round(CASE WHEN sc.n_tokens IS NULL THEN 0.0
+                        ELSE sc.w_sum::DOUBLE / sc.n_tokens END + 1e-9,
+                   4) + 0.0 AS score
+      FROM w LEFT JOIN sc USING (doc_id)
+    ),
+    b AS (
+      SELECT doc_id, ref, score,
+             ntile(10) OVER (ORDER BY score ASC, doc_id ASC) AS decile
+      FROM scores
+    )
+    SELECT decile::INT AS decile,
+           count(*)::BIGINT AS n_docs,
+           sum(ref::INT)::BIGINT AS n_ref,
+           round(sum(ref::INT)::DOUBLE / count(*) + 1e-9, 4) + 0.0
+             AS ref_rate,
+           min(score) AS score_min,
+           max(score) AS score_max,
+           round(sum(score::DECIMAL(18,4))::DOUBLE / count(*) + 1e-9, 4)
+             + 0.0 AS score_mean
+    FROM b GROUP BY 1
+    """,
+)
+def nb_calibration_docs(spark, sf_dir):
+    """Calibration/reliability table for the in-engine NB quality
+    classifier: exact score DECILES (the aggregate-derived
+    `exact_ntile_buckets`, no single-task window) × actual
+    reference-label rate per decile — the monotonicity of ref_rate in
+    decile is the one-glance check that the classifier orders
+    documents usefully before anyone trusts its threshold sweep. The
+    oracle replays the NB training, the 4-dp scores, the ntile, and
+    the per-decile aggregates; decimal score sums keep the means
+    hash-exact."""
+    from semantic_ann_in_data_lake_spark.operators.curriculum import (
+        exact_ntile_buckets,
+    )
+    from semantic_ann_in_data_lake_spark.operators.lm import (
+        nb_log_odds_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("__is_ref", F.col("source") == F.lit("src0"))
+    scores = nb_log_odds_scores(labeled, "__is_ref")
+    deciles = exact_ntile_buckets(
+        scores, "nb_score", id_col="doc_id", n_buckets=10
+    )
+    lab = docs.select(
+        "doc_id",
+        F.coalesce(F.col("source") == F.lit("src0"), F.lit(False))
+        .cast("int")
+        .alias("__ref"),
+    )
+    j = deciles.join(lab, deciles["id"] == lab["doc_id"])
+    return j.groupBy(F.col("bucket").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ref").cast("long").alias("n_ref"),
+        (
+            F.round(
+                F.sum("__ref").cast("double") / F.count(F.lit(1))
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("ref_rate"),
+        F.min("score").alias("score_min"),
+        F.max("score").alias("score_max"),
+        (
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("score_mean"),
+    )
+
+
+@register(
     "curation_rank_fusion_docs",
     f"""
     WITH w AS (SELECT doc_id, {_TOKS} AS w,

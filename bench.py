@@ -172,6 +172,23 @@ def bench_queries(spark, sf_dir):
             model=_prefit_models()["pca_full"],
         )
 
+    def knn_nndescent_refine_bench():
+        # build-on-compressed / rank-on-raw: descent at 3x degree in
+        # the top-32 principal subspace, exact d-dim re-rank
+        from semantic_ann_in_data_lake_spark.operators.embedproj import (
+            knn_nndescent_refine,
+        )
+
+        # production posture: rf=2 with the reverse cap held at the
+        # shortlist degree — descent fan-out is (k·rf + rk)² per node,
+        # so an uncapped rk=3·k·rf would cost 4x this for ~the same
+        # top-10 after the exact re-rank
+        emb = read_table(spark, sf_dir, "embeddings")
+        return knn_nndescent_refine(
+            emb, k=10, refine_factor=2, iters=3, reverse_cap=20,
+            model=_prefit_models()["pca32"],
+        )
+
     def knn_nndescent_bench():
         from semantic_ann_in_data_lake_spark.operators.nndescent import (
             nndescent_knn_graph,
@@ -569,6 +586,7 @@ def bench_queries(spark, sf_dir):
         "knn_pca_refine_warm_k10": knn_pca_refine_warm,
         "knn_opq_refine_warm_k10": knn_opq_refine_warm,
         "knn_nndescent_k10": knn_nndescent_bench,
+        "knn_nndescent_refine_k10": knn_nndescent_refine_bench,
         "pagerank_knn_graph": pagerank_bench,
         "hits_knn_graph": hits_bench,
         "kcore_knn_graph": kcore_bench,

@@ -534,6 +534,73 @@ def knn_pca_refine(
     )
 
 
+def knn_nndescent_refine(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 32,
+    refine_factor: int = 4,
+    iters: int = 3,
+    seed: int = 42,
+    reverse_cap: int | None = None,
+    round_dp: int = 6,
+    min_update_frac: float | None = None,
+    model: PCAModel | None = None,
+) -> DataFrame:
+    """Graph-ANN in the compressed space, exact ranks on the raw
+    vectors — the build-on-compressed / rank-on-raw pattern the disk-
+    resident graph indexes (e.g. DiskANN, Subramanya et al. 2019)
+    popularized, composed from this engine's public pieces: project
+    onto the top-``m`` principal axes (one covariance pass unless
+    ``model`` is supplied), run NN-descent AT ``k·refine_factor``
+    DEGREE in the m-dim subspace — every descent round's distance fold
+    costs m lanes instead of d, the dominant term of the build — then
+    re-score the shortlist exactly on raw vectors and return the
+    standard ranked top-k. Distances are TRUE L2², so
+    `checks.knn_invariant_violations` gates this tier like every
+    refine tier (`plans/q_ann.py::knn_nndescent_refine_l2`); recall
+    floors stay in pytest.
+
+    A SELF-join construction (the graph is over one corpus), like
+    plain NN-descent. Cost: fit + two projection maps +
+    O(n·((k·rf)+rk)²·T) m-dim candidate scorings + the
+    n·k·refine_factor exact d-dim re-rank — linear in n at fixed
+    degree, nothing quadratic."""
+    from semantic_ann_in_data_lake_spark.cache import scoped_persist
+    from semantic_ann_in_data_lake_spark.operators.nndescent import (
+        nndescent_knn_graph,
+    )
+    from semantic_ann_in_data_lake_spark.operators.pq import _exact_rerank
+
+    if refine_factor < 1:
+        raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
+    if model is None:
+        # clamp m to the corpus dimension (one head(): low-d corpora
+        # under the default m=32 just get a full-rank rotation)
+        head = emb.select(vec_col).head()
+        if head is None:
+            raise ValueError("knn_nndescent_refine on an empty frame")
+        model = pca_fit(
+            emb, m=min(m, len(head[0])), vec_col=vec_col
+        )
+    red = scoped_persist(pca_transform(emb, model, id_col, vec_col))
+    shortlist = nndescent_knn_graph(
+        red,
+        k=k * refine_factor,
+        iters=iters,
+        seed=seed,
+        id_col=id_col,
+        vec_col="proj",
+        reverse_cap=reverse_cap,
+        round_dp=round_dp,
+        min_update_frac=min_update_frac,
+    ).select("query_id", "cand_id")
+    return _exact_rerank(
+        shortlist, emb, emb, id_col, vec_col, k, round_dp
+    )
+
+
 def opq_axis_interleave(model: PCAModel, m_pq: int) -> PCAModel:
     """Reorder a FULL-RANK rotation's axes round-robin across ``m_pq``
     contiguous groups — the cheap public stand-in for OPQ's balanced

@@ -358,6 +358,38 @@ def knn_join(
             refine_factor=refine_factor, nlist=nlist, nprobe=nprobe,
             exclude_self=exclude_self, round_dp=round_dp,
         )
+    if strategy == "nndescent_refine":
+        # graph-ANN in the top-m principal subspace, exact re-rank on
+        # raw (operators/embedproj.py) — self-join, l2_sq only, same
+        # guards as plain nndescent plus the refine knob
+        if queries is not candidates:
+            raise ValueError(
+                "strategy='nndescent_refine' builds a self kNN graph: "
+                "pass the same DataFrame object as queries and candidates"
+            )
+        if metric != "l2_sq":
+            raise ValueError(
+                "strategy='nndescent_refine' supports metric='l2_sq' only"
+            )
+        if not exclude_self:
+            raise ValueError(
+                "strategy='nndescent_refine' always excludes self pairs"
+            )
+        if compress is not None:
+            raise ValueError(
+                "strategy='nndescent_refine' scores raw vectors on the "
+                "refine pass; compress is not supported"
+            )
+        from semantic_ann_in_data_lake_spark.operators.embedproj import (
+            knn_nndescent_refine,
+        )
+
+        return knn_nndescent_refine(
+            candidates, id_col=id_col, vec_col=vec_col, k=k,
+            refine_factor=refine_factor, iters=iters, seed=seed,
+            reverse_cap=reverse_cap, round_dp=round_dp,
+            min_update_frac=min_update_frac,
+        )
     if strategy == "nndescent":
         # graph-ANN tier (operators/nndescent.py): index-free iterated
         # co-neighbor refinement — a SELF-join construction (the graph

@@ -2063,6 +2063,26 @@ def _nndescent_oracle_sql(k: int, iters: int, seed: int, rk: int) -> str:
     )
 
 
+@register("knn_nndescent_refine_l2", _KNN_CHECK_EMPTY_SQL)
+def knn_nndescent_refine_l2(spark, sf_dir):
+    """Graph-ANN in the top-32 principal subspace with exact re-rank
+    on raw vectors (`operators/embedproj.py::knn_nndescent_refine` —
+    the build-on-compressed / rank-on-raw pattern of the disk-resident
+    graph indexes), exposed as its contract projection: empty iff
+    every returned neighbor carries the TRUE L2² distance and a
+    consistent rank. Recall floors (≥ the raw-space descent on
+    clustered data at matched degree) stay in pytest; raw rows via
+    ``knn_join(strategy="nndescent_refine")``."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return checks.knn_invariant_violations(
+        knn_join(emb, emb, k=5, strategy="nndescent_refine"),
+        emb,
+        metric="l2_sq",
+    )
+
+
 @register("knn_nndescent_l2", _KNN_CHECK_EMPTY_SQL)
 def knn_nndescent_l2(spark, sf_dir):
     """Graph-based approximate kNN via NN-descent (`operators/

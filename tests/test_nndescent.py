@@ -67,6 +67,57 @@ def test_nndescent_converges_on_blobs(spark, blobs):
     assert _recall(g5, exact) > 0.9
 
 
+def test_nndescent_refine_recall_and_contract(spark, blobs):
+    """The reduced-space descent + raw re-rank tier
+    (embedproj.knn_nndescent_refine): on clustered d=16 data projected
+    to m=8, 5 rounds at 3x degree reach the same >0.9 recall@5 band as
+    the raw-space descent — the shortlist oversampling buys back what
+    the projection loses — with TRUE raw distances (contract checked
+    via the shared invariant projection) and knn_join routing parity."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+    from semantic_ann_in_data_lake_spark.operators.embedproj import (
+        knn_nndescent_refine,
+        pca_fit,
+    )
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+
+    exact = _exact_top5(spark, blobs).persist()
+    g = knn_nndescent_refine(
+        blobs, k=5, m=8, refine_factor=3, iters=5, seed=42
+    )
+    assert _recall(g, exact) > 0.9
+    assert (
+        checks.knn_invariant_violations(g, blobs, metric="l2_sq").count()
+        == 0
+    )
+    via_join = knn_join(
+        blobs, blobs, k=5, strategy="nndescent_refine",
+        refine_factor=3, iters=5, seed=42,
+    )
+    # routing parity modulo the m default (knn_join uses m=32 > d=16,
+    # a full-rank rotation — recall band holds either way)
+    assert (
+        checks.knn_invariant_violations(
+            via_join, blobs, metric="l2_sq"
+        ).count()
+        == 0
+    )
+    # prefit model reuse returns identical rows
+    model = pca_fit(blobs, m=8)
+    g2 = knn_nndescent_refine(
+        blobs, k=5, m=8, refine_factor=3, iters=5, seed=42, model=model
+    )
+    assert sorted(map(tuple, g.collect())) == sorted(
+        map(tuple, g2.collect())
+    )
+    with pytest.raises(ValueError, match="self kNN graph"):
+        knn_join(blobs.limit(10), blobs, k=5, strategy="nndescent_refine")
+    with pytest.raises(ValueError, match="compress"):
+        knn_join(
+            blobs, blobs, k=5, strategy="nndescent_refine", compress="int8"
+        )
+
+
 def test_nndescent_recall_monotone_in_iters(spark, blobs):
     """Each round keeps the top-k of a SUPERSET containing the previous
     list, so recall never decreases with more rounds."""

@@ -94,16 +94,23 @@ def exact_ntile_buckets(
     # buckets hold q+1 rows each, the remaining B−r hold q. A row at
     # global rank k lands in bucket ceil(k/(q+1)) while k ≤ r·(q+1),
     # else r + ceil((k − r·(q+1))/q). q = 0 (B > n) only reaches the
-    # first branch, so the division by q is never evaluated on it.
-    k = (F.col("__base") + F.col("__within")).cast("long")
-    b_lit = F.lit(int(n_buckets)).cast("long")
-    q = (F.col("__n") / b_lit).cast("long")
-    r = F.col("__n") % b_lit
-    head = r * (q + F.lit(1))
-    bucket = F.when(
-        k <= head, ((k - F.lit(1)) / (q + F.lit(1))).cast("long") + F.lit(1)
-    ).otherwise(r + ((k - head - F.lit(1)) / q).cast("long") + F.lit(1))
-    return ranked.select("id", "score", bucket.cast("int").alias("bucket"))
+    # first branch (head = r = n ≥ k), so div-by-q never evaluates.
+    # SQL `div` keeps everything in exact 64-bit integer arithmetic —
+    # double `/` + cast('long') would rest the bit-identical-to-ntile
+    # guarantee on IEEE rounding never crossing an integer boundary,
+    # which can fail at very large rank/count magnitudes.
+    B = int(n_buckets)
+    prepared = ranked.withColumn(
+        "__k", (F.col("__base") + F.col("__within")).cast("long")
+    )
+    bucket = F.expr(
+        f"CASE WHEN __k <= (__n % {B}) * ((__n div {B}) + 1) "
+        f"THEN ((__k - 1) div ((__n div {B}) + 1)) + 1 "
+        f"ELSE (__n % {B}) + "
+        f"((__k - (__n % {B}) * ((__n div {B}) + 1) - 1) div (__n div {B}))"
+        f" + 1 END"
+    )
+    return prepared.select("id", "score", bucket.cast("int").alias("bucket"))
 
 
 def curriculum_order(

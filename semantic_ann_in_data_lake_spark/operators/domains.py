@@ -235,7 +235,15 @@ def registrable_domain_psl(
         ).alias("__suffix"),
     )
     matched = (
-        cand.join(F.broadcast(rules), cand["__suffix"] == rules["key"])
+        cand.join(
+            F.broadcast(rules),
+            (cand["__suffix"] == rules["key"])
+            # a rule only matches hosts with at least as many labels as
+            # the rule (publicsuffix.org spec) — without this a wildcard
+            # '*.kobe.jp' would match the host 'kobe.jp' itself and, via
+            # longest-rule-wins, outrank the plain 'jp' rule
+            & (cand["__k"] >= rules["rule_labels"]),
+        )
         # prevailing rule: exceptions first, then longest
         .groupBy("__h", "__k")
         .agg(

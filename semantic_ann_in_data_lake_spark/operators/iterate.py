@@ -50,34 +50,53 @@ which replays a reliable-mode run against the same DuckDB SQL.
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 
-_STATE: dict = {"mode": "local", "dir": None, "seq": 0}
+# thread-local, matching cache.py's per-thread scope stack: a
+# reliable_checkpoints block entered on one thread (a streaming
+# foreachBatch handler, a parallel bench leg) must not flip the
+# posture — or the target dir — for fixpoint loops running
+# concurrently on other threads, and the finally-restore must not
+# clobber a nested context on another thread.
+_TLS = threading.local()
+
+
+def _state() -> dict:
+    st = getattr(_TLS, "state", None)
+    if st is None:
+        st = {"mode": "local", "dir": None, "seq": 0}
+        _TLS.state = st
+    return st
 
 
 @contextmanager
 def reliable_checkpoints(checkpoint_dir: str) -> Iterator[None]:
     """Run iterative operators with executor-loss-safe round state:
     every per-round lineage truncation inside the block becomes a
-    parquet round-trip under ``checkpoint_dir`` (see module doc)."""
-    prev_mode, prev_dir = _STATE["mode"], _STATE["dir"]
-    _STATE["mode"], _STATE["dir"] = "reliable", checkpoint_dir
+    parquet round-trip under ``checkpoint_dir`` (see module doc).
+    The posture is per-thread — concurrent loops on other threads
+    keep their own posture."""
+    st = _state()
+    prev_mode, prev_dir = st["mode"], st["dir"]
+    st["mode"], st["dir"] = "reliable", checkpoint_dir
     try:
         yield
     finally:
-        _STATE["mode"], _STATE["dir"] = prev_mode, prev_dir
+        st["mode"], st["dir"] = prev_mode, prev_dir
 
 
 def iter_checkpoint(df: DataFrame) -> DataFrame:
     """Truncate ``df``'s lineage under the active posture. Use as
     ``df.transform(iter_checkpoint)`` so call sites chain exactly like
     the ``.localCheckpoint(eager=True)`` they replace."""
-    if _STATE["mode"] == "local":
+    st = _state()
+    if st["mode"] == "local":
         return df.localCheckpoint(eager=True)
-    _STATE["seq"] += 1
-    path = os.path.join(_STATE["dir"], f"ckpt-{_STATE['seq']:06d}")
+    st["seq"] += 1
+    path = os.path.join(st["dir"], f"ckpt-{st['seq']:06d}")
     df.write.parquet(path)
     return df.sparkSession.read.parquet(path)

@@ -2092,7 +2092,8 @@ _PSL_EXTRA_VALUES = ", ".join(f"('{h}')" for h in _PSL_EXTRA_HOSTS)
       SELECT s.host,
              max(struct_pack(e := is_exc::INT, r := rule_labels,
                              p := pub_labels)) AS best
-      FROM suf s JOIN r ON s.suffix = r.key GROUP BY 1
+      FROM suf s JOIN r ON s.suffix = r.key AND s.k >= r.rule_labels
+      GROUP BY 1
     ),
     res AS (
       SELECT hosts.host,

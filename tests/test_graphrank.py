@@ -95,7 +95,22 @@ def test_reliable_checkpoint_posture_is_bit_identical(spark, tmp_path):
     # and the posture is correctly restored after the context
     from semantic_ann_in_data_lake_spark.operators import iterate
 
-    assert iterate._STATE["mode"] == "local"
+    assert iterate._state()["mode"] == "local"
+    # posture is PER-THREAD (cache.py convention): a reliable context
+    # on this thread must not leak into another thread's loops
+    import threading
+
+    seen = {}
+
+    def _probe():
+        seen["mode"] = iterate._state()["mode"]
+
+    with reliable_checkpoints(str(tmp_path / "ck2")):
+        t = threading.Thread(target=_probe)
+        t.start()
+        t.join()
+        assert iterate._state()["mode"] == "reliable"
+    assert seen["mode"] == "local"
 
 
 def test_pagerank_matches_python_model_with_dangling(spark):

@@ -313,6 +313,98 @@ def test_hash_embedder_matches_expr(spark, sf_dir):
     assert via_udf == via_expr
 
 
+def test_deepjoin_train_lifecycle_end_to_end(spark, sf_dir, tmp_path):
+    """The V6 consumption seam, driven exactly as a DeepJoin user
+    would (reference train.py -> search_query.py): positive pairs →
+    split → fit_pair_encoder → SAVE the artifact → LOAD it → encode
+    the corpus through CallableEmbedder/embed_texts (the V5 mapInPandas
+    path) → kNN → micro metrics. Pins:
+
+    - save/load round-trips the artifact exactly;
+    - the CallableEmbedder (python) path and the encode_with_model
+      (JVM column) path produce IDENTICAL vectors;
+    - the fitted metric beats the unweighted hash baseline on
+      same-source retrieval (training signal is real, not a no-op);
+    - weights are deterministic across two fits.
+    """
+    from semantic_ann_in_data_lake_spark.annotate import pairfit
+    from semantic_ann_in_data_lake_spark.annotate.embedder import (
+        CallableEmbedder,
+        embed_texts,
+    )
+    from semantic_ann_in_data_lake_spark.operators import pairs as pairs_ops
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+    from semantic_ann_in_data_lake_spark.plans.q_ann import _micro_at_k
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "source")
+    )
+    p = pairs_ops.positive_pairs(docs, "source", "doc_id")
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    sp = pairs_ops.train_test_split(
+        p.join(ta, "id_a").join(tb, "id_b"), ["id_a", "id_b"], 0.8
+    )
+    train = sp.where(F.col("split") == "train")
+
+    model = pairfit.fit_pair_encoder(train, dim=16)
+    assert model.weights == pairfit.fit_pair_encoder(train, dim=16).weights
+
+    # artifact round-trip (the reference's model.save/SentenceTransformer load)
+    path = str(tmp_path / "pair_encoder.json")
+    model.save(path)
+    loaded = pairfit.PairEncoderModel.load(path)
+    assert loaded == model
+
+    # V5 consumption path: CallableEmbedder over the loaded artifact
+    corpus = docs.limit(60)
+    via_callable = {
+        int(r["doc_id"]): list(r["embedding"])
+        for r in embed_texts(
+            corpus, embedder=CallableEmbedder(lambda: loaded.as_callable())
+        ).collect()
+    }
+    via_expr = {
+        r["doc_id"]: list(r["embedding"])
+        for r in corpus.select(
+            "doc_id", pairfit.encode_with_model("text", loaded).alias("e")
+        ).withColumnRenamed("e", "embedding").collect()
+    }
+    assert via_callable == via_expr
+
+    # retrieval: fitted metric must beat the unweighted hash baseline
+    from semantic_ann_in_data_lake_spark.annotate.embedder import (
+        hash_embedding_expr,
+    )
+
+    d2 = docs.select(F.col("doc_id").alias("tc"), F.col("source").alias("s2"))
+    sym = docs.join(
+        d2, (F.col("source") == F.col("s2")) & (F.col("doc_id") != F.col("tc"))
+    ).select(F.col("doc_id").alias("tq"), "tc")
+
+    def f1_of(vec_col):
+        enc = docs.select(
+            F.col("doc_id").alias("vec_id"), vec_col.alias("embedding")
+        )
+        knn = knn_join(enc, enc, k=5, strategy="exact")
+        return _micro_at_k(knn, sym).collect()[0]["micro_f1"]
+
+    fitted = f1_of(pairfit.encode_with_model("text", model))
+    baseline = f1_of(hash_embedding_expr("text", 16))
+    assert fitted >= baseline, (fitted, baseline)
+
+    # degenerate inputs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no non-null"):
+        pairfit.fit_pair_encoder(
+            spark.createDataFrame([], "text_a string, text_b string")
+        )
+    with _pytest.raises(ValueError, match="weights length"):
+        pairfit.PairEncoderModel(dim=4, weights=(1.0,))
+
+
 # --- dates ---------------------------------------------------------------
 
 
@@ -5388,11 +5480,13 @@ io
 github.io
 *.ck
 !www.ck
+*.kobe.jp
+*.compute.amazonaws.com
 // ===END ICANN DOMAINS===
 """
     rules = D.parse_psl(psl_text)
     assert ("ck", "wildcard") in rules and ("www.ck", "exception") in rules
-    assert ("com", "plain") in rules and len(rules) == 8
+    assert ("com", "plain") in rules and len(rules) == 10
 
     vectors = [
         # (host, expected registrable domain) — publicsuffix.org style
@@ -5413,6 +5507,15 @@ github.io
         ("a.user.github.io", "user.github.io"),
         ("xyzzy", None),              # implicit '*' rule: bare TLD
         ("example.xyzzy", "example.xyzzy"),
+        # a rule matches only hosts with >= the rule's label count
+        # (publicsuffix.org spec): '*.kobe.jp' must NOT match the host
+        # 'kobe.jp' itself — the plain 'jp' rule prevails
+        ("kobe.jp", "kobe.jp"),
+        ("a.kobe.jp", None),          # *.kobe.jp: a.kobe.jp IS a suffix
+        ("b.a.kobe.jp", "b.a.kobe.jp"),
+        ("compute.amazonaws.com", "amazonaws.com"),
+        ("x.compute.amazonaws.com", None),
+        ("y.x.compute.amazonaws.com", "y.x.compute.amazonaws.com"),
         (None, None),
     ]
     df = spark.createDataFrame(vectors, "host string, want string")

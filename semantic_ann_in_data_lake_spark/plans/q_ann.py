@@ -567,19 +567,12 @@ _DEEPJOIN_EVAL_SQL = f"""
 """
 
 
-@register("deepjoin_eval", _DEEPJOIN_EVAL_SQL)
-def deepjoin_eval(spark, sf_dir):
-    """DeepJoin-style MICRO metrics (`search_query.py:69-117`): per-query
-    TP/FP against each query's own relevant set, accumulated then
-    combined — distinct from the SemLink canonical-pair variant
-    (`semlink_eval`), which scores unordered pair sets globally."""
-    emb = _t(spark, sf_dir, "embeddings")
-    knn = knn_join(emb, emb, k=5, strategy="exact")
-    truth = pipeline.label_truth_pairs(emb)
-    sym = symmetric_truth(truth, "id_a", "id_b").select(
-        F.col("t_query").cast("long").alias("tq"),
-        F.col("t_cand").cast("long").alias("tc"),
-    )
+def _micro_at_k(knn, sym):
+    """DeepJoin micro P/R/F1 accumulator (`search_query.py:69-117`):
+    per-query TP/FP vs that query's own relevant set (``sym``:
+    (tq, tc) symmetric truth pairs), summed then combined. Returns a
+    one-row frame (tp, fp, fn, micro_precision, micro_recall,
+    micro_f1) — shared by `deepjoin_eval` and `deepjoin_train_eval`."""
     per_q = (
         knn.join(
             sym,
@@ -607,7 +600,6 @@ def deepjoin_eval(spark, sf_dir):
     prec = tp / (tp + fp + eps)
     rec = tp / (tp + fn + eps)
     return acc.select(
-        F.lit(5).alias("k"),
         tp.cast("long").alias("tp"),
         fp.cast("long").alias("fp"),
         fn.cast("long").alias("fn"),
@@ -615,6 +607,153 @@ def deepjoin_eval(spark, sf_dir):
         F.round(rec, 4).alias("micro_recall"),
         F.round(2 * prec * rec / (prec + rec + eps), 4).alias("micro_f1"),
     )
+
+
+@register("deepjoin_eval", _DEEPJOIN_EVAL_SQL)
+def deepjoin_eval(spark, sf_dir):
+    """DeepJoin-style MICRO metrics (`search_query.py:69-117`): per-query
+    TP/FP against each query's own relevant set, accumulated then
+    combined — distinct from the SemLink canonical-pair variant
+    (`semlink_eval`), which scores unordered pair sets globally."""
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = knn_join(emb, emb, k=5, strategy="exact")
+    truth = pipeline.label_truth_pairs(emb)
+    sym = symmetric_truth(truth, "id_a", "id_b").select(
+        F.col("t_query").cast("long").alias("tq"),
+        F.col("t_cand").cast("long").alias("tc"),
+    )
+    return _micro_at_k(knn, sym).select(F.lit(5).alias("k"), "*")
+
+
+_PAIRFIT_DIM = 16
+
+def _deepjoin_train_eval_sql() -> str:
+    from semantic_ann_in_data_lake_spark.annotate import pairfit
+
+    fit = pairfit.fit_weights_sql("tr", dim=_PAIRFIT_DIM)
+    enc = pairfit.encode_sql("d.text", "w", dim=_PAIRFIT_DIM)
+    w_cols = ", ".join(f"w.w_{i}" for i in range(_PAIRFIT_DIM))
+    return f"""
+    WITH docs AS (SELECT doc_id, text, source FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.text AS text_a, b.text AS text_b,
+             CASE WHEN ('0x' || substr(md5('split42' || a.doc_id::VARCHAR
+                    || '|' || b.doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000 < 800
+                  THEN 'train' ELSE 'test' END AS split
+      FROM docs a JOIN docs b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    tr AS (SELECT text_a, text_b FROM pairs WHERE split = 'train'),
+    w AS MATERIALIZED ({fit}),
+    enc AS MATERIALIZED (
+      SELECT d.doc_id, {enc} AS v FROM docs d CROSS JOIN w
+    ),
+    dist AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+             round({l2_sq_sql('q.v', 'c.v')}, 6) AS distance
+      FROM enc q, enc c WHERE q.doc_id <> c.doc_id
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY distance ASC, cand_id ASC) AS rnk
+        FROM dist) WHERE rnk <= 5
+    ),
+    sym AS (
+      SELECT a.doc_id AS tq, b.doc_id AS tc
+      FROM docs a JOIN docs b
+        ON a.source = b.source AND a.doc_id <> b.doc_id
+    ),
+    per_q AS (
+      SELECT k.query_id,
+             count(*) FILTER (WHERE s.tc IS NOT NULL) AS tp,
+             count(*) FILTER (WHERE s.tc IS NULL) AS fp
+      FROM knn k LEFT JOIN sym s ON k.query_id = s.tq AND k.cand_id = s.tc
+      GROUP BY k.query_id
+    ),
+    nrel AS (SELECT tq AS query_id, count(*) AS n_rel FROM sym GROUP BY tq),
+    acc AS (
+      SELECT sum(p.tp) AS tp, sum(p.fp) AS fp,
+             sum(greatest(coalesce(n.n_rel, 0) - p.tp, 0)) AS fn
+      FROM per_q p LEFT JOIN nrel n USING (query_id)
+    ),
+    counts AS (
+      SELECT count(*) FILTER (WHERE split = 'train') AS n_train,
+             count(*) FILTER (WHERE split = 'test') AS n_test
+      FROM pairs
+    )
+    SELECT 5 AS k, {_PAIRFIT_DIM} AS dim,
+           counts.n_train::BIGINT AS n_train,
+           counts.n_test::BIGINT AS n_test,
+           {w_cols},
+           tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
+           round(tp / (tp + fp + 1e-8), 4) AS micro_precision,
+           round(tp / (tp + fn + 1e-8), 4) AS micro_recall,
+           round(2 * (tp / (tp + fp + 1e-8)) * (tp / (tp + fn + 1e-8))
+                 / ((tp / (tp + fp + 1e-8)) + (tp / (tp + fn + 1e-8))
+                    + 1e-8), 4) AS micro_f1
+    FROM acc CROSS JOIN counts CROSS JOIN w
+    """
+
+
+@register("deepjoin_train_eval", _deepjoin_train_eval_sql())
+def deepjoin_train_eval(spark, sf_dir):
+    """The FULL DeepJoin lifecycle as one gated pipeline (reference
+    `DeepJoin/train.py:38-66` + `search_query.py:69-117`): positive
+    pairs (J7, docs sharing a source) → deterministic content-hash
+    80/20 split (W6) → **fit** (`annotate/pairfit.fit_pair_encoder` —
+    the closed-form deterministic stand-in for the reference's
+    sentence-transformer fine-tune, V6's consumption seam) → encode the
+    corpus under the learned model → exact kNN → micro P/R/F1 against
+    same-source truth. Output is one row carrying the learned weights
+    (w_0…w_15, the fit itself is value-gated), the split sizes, and
+    the retrieval metrics — the DuckDB oracle replays every stage.
+
+    Scale shape: pairs are family-grouped (Σ|g|², never |n|²); the fit
+    is one map-side-combinable wide aggregate + a 1-row collect; the
+    model is D floats shipped by closure; encode is pure codegen'd
+    column math; the kNN tier ladder takes over past the exact gate
+    size."""
+    from semantic_ann_in_data_lake_spark.annotate import pairfit
+    from semantic_ann_in_data_lake_spark.operators import pairs as pairs_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    p = pairs_ops.positive_pairs(docs, "source", "doc_id")
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    sp = pairs_ops.train_test_split(
+        p.join(ta, "id_a").join(tb, "id_b"), ["id_a", "id_b"], 0.8,
+        seed="split42",
+    )
+    sp = scoped_persist(sp)  # two driver actions (counts + fit) share one pass
+    counts = {
+        r["split"]: r["n"]
+        for r in sp.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    model = pairfit.fit_pair_encoder(
+        sp.where(F.col("split") == "train"), dim=_PAIRFIT_DIM
+    )
+    enc = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        pairfit.encode_with_model("text", model).alias("embedding"),
+    )
+    knn = knn_join(enc, enc, k=5, strategy="exact")
+    d2 = docs.select(F.col("doc_id").alias("tc"), F.col("source").alias("s2"))
+    sym = (
+        docs.join(d2, (F.col("source") == F.col("s2")) & (F.col("doc_id") != F.col("tc")))
+        .select(F.col("doc_id").alias("tq"), "tc")
+    )
+    lit_cols = [
+        F.lit(5).alias("k"),
+        F.lit(_PAIRFIT_DIM).alias("dim"),
+        F.lit(int(counts.get("train", 0))).cast("long").alias("n_train"),
+        F.lit(int(counts.get("test", 0))).cast("long").alias("n_test"),
+    ] + [
+        F.lit(model.weights[i]).alias(f"w_{i}") for i in range(_PAIRFIT_DIM)
+    ]
+    return _micro_at_k(knn, sym).select(*lit_cols, "*")
 
 
 @register(

@@ -2276,6 +2276,183 @@ def nndescent_recall_report(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Graph-index QUERY path (round 11): beam search over a persisted kNN
+# graph for OUT-OF-CORPUS vectors — the distributed analogue of the
+# reference's hnswlib knn_query (`DeepJoin/annIndex.py:21-40`), the one
+# reference capability with no prior direct analog. Corpus/query split
+# is vec_id % 5 (deterministic, oracle-replayable); the recall gate
+# searches the EXACT top-k graph so DuckDB can replay the whole
+# mechanism (entries → T unrolled beam hops → top-k) without nesting
+# the NN-descent build replay; search over the REAL NN-descent graph
+# is covered by the invariant gate + blob-fixture pytest.
+# ---------------------------------------------------------------------------
+
+_GS_K, _GS_BEAM, _GS_HOPS, _GS_ENTRY_K, _GS_N_ENTRY, _GS_SEED = 5, 8, 2, 4, 20, 42
+
+
+def _graph_search_oracle_sql(
+    k: int, beam: int, hops: int, entry_k: int, n_entry: int, seed: int
+) -> str:
+    """DuckDB replay of `operators/graphsearch.graph_search` over the
+    exact top-k corpus graph: hash-order entry sample, entry_k seeds
+    per query, `hops` unrolled beam rounds, final top-k, recall vs the
+    exact query→corpus top-k. Same 6-dp rounded-distance / id
+    tie-break discipline as every ANN gate."""
+    def scored(src: str, out: str, qrel: str = "qs") -> str:
+        return (
+            f"{out} AS (SELECT n.query_id, n.cand_id,"
+            f" round({l2_sq_sql('q.v', 'c.v')}, 6) AS d"
+            f" FROM {src} n JOIN {qrel} q ON q.vec_id = n.query_id"
+            f" JOIN corp c ON c.vec_id = n.cand_id)"
+        )
+
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "corp AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 5 <> 0)",
+        "qs AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 5 = 0)",
+        f"""g AS MATERIALIZED (SELECT query_id, cand_id FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round({l2_sq_sql('a.v', 'b.v')}, 6) ASC,
+                            b.vec_id ASC) AS rnk
+          FROM corp a, corp b WHERE a.vec_id <> b.vec_id) WHERE rnk <= {k})""",
+        (
+            "und AS MATERIALIZED (SELECT query_id AS src, cand_id AS dst FROM g"
+            " UNION SELECT cand_id AS src, query_id AS dst FROM g)"
+        ),
+        (
+            f"smp AS (SELECT vec_id AS cand_id FROM corp ORDER BY"
+            f" ('0x' || substr(md5('gs{seed}:' || vec_id::VARCHAR), 1, 15))::BIGINT"
+            f" ASC, vec_id ASC LIMIT {n_entry})"
+        ),
+        "seed0 AS (SELECT q.vec_id AS query_id, s.cand_id FROM qs q CROSS JOIN smp s)",
+        scored("seed0", "sc0"),
+        (
+            f"v0 AS MATERIALIZED (SELECT query_id, cand_id, d FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY query_id"
+            f" ORDER BY d ASC, cand_id ASC) AS rnk FROM sc0) WHERE rnk <= {entry_k})"
+        ),
+    ]
+    for t in range(1, hops + 1):
+        v = f"v{t - 1}"
+        ctes += [
+            (
+                f"b{t} AS (SELECT query_id, cand_id FROM ("
+                f"SELECT *, row_number() OVER (PARTITION BY query_id"
+                f" ORDER BY d ASC, cand_id ASC) AS rnk FROM {v}) WHERE rnk <= {beam})"
+            ),
+            (
+                f"n{t} AS (SELECT DISTINCT b.query_id, u.dst AS cand_id"
+                f" FROM b{t} b JOIN und u ON b.cand_id = u.src"
+                f" WHERE NOT EXISTS (SELECT 1 FROM {v} x"
+                f" WHERE x.query_id = b.query_id AND x.cand_id = u.dst))"
+            ),
+            scored(f"n{t}", f"s{t}"),
+            (
+                f"v{t} AS MATERIALIZED (SELECT * FROM {v}"
+                f" UNION ALL SELECT * FROM s{t})"
+            ),
+        ]
+    ctes += [
+        (
+            f"res AS (SELECT query_id, cand_id FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY query_id"
+            f" ORDER BY d ASC, cand_id ASC) AS rnk FROM v{hops}) WHERE rnk <= {k})"
+        ),
+        f"""exactq AS MATERIALIZED (SELECT query_id, cand_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round({l2_sq_sql('q.v', 'c.v')}, 6) ASC,
+                            c.vec_id ASC) AS rnk
+          FROM qs q, corp c) WHERE rnk <= {k})""",
+        (
+            "hit AS (SELECT ex.query_id FROM exactq ex"
+            " JOIN res r ON ex.query_id = r.query_id AND ex.cand_id = r.cand_id)"
+        ),
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT (SELECT count(DISTINCT query_id) FROM exactq)::BIGINT AS n_queries,
+           (SELECT count(*) FROM exactq)::BIGINT AS n_exact,
+           (SELECT count(*) FROM hit)::BIGINT AS n_found,
+           (1000 * (SELECT count(*) FROM hit)
+              // greatest((SELECT count(*) FROM exactq), 1))::BIGINT
+             AS recall_x1000
+    """
+    )
+
+
+def _gs_split(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.where(F.col("vec_id") % 5 == 0),
+        emb.where(F.col("vec_id") % 5 != 0),
+    )
+
+
+@register("knn_graph_search_l2", _KNN_CHECK_EMPTY_SQL)
+def knn_graph_search_l2(spark, sf_dir):
+    """Out-of-corpus graph-index query (`operators/graphsearch.py` —
+    the hnswlib knn_query analogue, `DeepJoin/annIndex.py:21-40`) over
+    the REAL NN-descent graph, exposed as its contract projection:
+    empty iff every returned neighbor carries the exact L2² distance
+    to its query and a consecutive monotone rank. Mechanism recall is
+    hash-gated by `graph_search_recall_report`; blob-fixture recall
+    and beam/hop monotonicity are pinned in pytest."""
+    from semantic_ann_in_data_lake_spark.operators import checks
+    from semantic_ann_in_data_lake_spark.operators.graphsearch import graph_search
+    from semantic_ann_in_data_lake_spark.operators.nndescent import (
+        nndescent_knn_graph,
+    )
+
+    qs, corp = _gs_split(spark, sf_dir)
+    graph = nndescent_knn_graph(
+        corp, k=_NND_K, iters=_NND_ITERS, seed=_NND_SEED, reverse_cap=_NND_RK
+    )
+    res = graph_search(
+        qs, corp, graph, k=_GS_K, beam=_GS_BEAM, hops=_GS_HOPS,
+        entry_k=_GS_ENTRY_K, n_entry=_GS_N_ENTRY, seed=_GS_SEED,
+    )
+    return checks.knn_invariant_violations(
+        res, qs, metric="l2_sq", cand_emb=corp
+    )
+
+
+@register(
+    "graph_search_recall_report",
+    _graph_search_oracle_sql(
+        _GS_K, _GS_BEAM, _GS_HOPS, _GS_ENTRY_K, _GS_N_ENTRY, _GS_SEED
+    ),
+)
+def graph_search_recall_report(spark, sf_dir):
+    """Official recall of the bounded-hop beam search vs the exact
+    query→corpus top-5, as one integer row — the DuckDB oracle replays
+    the ENTIRE search (hash-order entry sample, per-query seeds, T=2
+    unrolled beam hops, final top-k), so a hash match certifies every
+    hop's visited set. The searched graph here is the EXACT corpus
+    graph (SQL-replicable, like the pagerank gate); search over the
+    NN-descent-built graph is gated by `knn_graph_search_l2` +
+    pytest."""
+    from semantic_ann_in_data_lake_spark.operators.graphsearch import graph_search
+    from semantic_ann_in_data_lake_spark.operators.nndescent import (
+        nndescent_recall_vs_exact,
+    )
+
+    qs, corp = _gs_split(spark, sf_dir)
+    exact_graph = knn_join(corp, corp, k=_GS_K, strategy="broadcast")
+    res = graph_search(
+        qs, corp, exact_graph, k=_GS_K, beam=_GS_BEAM, hops=_GS_HOPS,
+        entry_k=_GS_ENTRY_K, n_entry=_GS_N_ENTRY, seed=_GS_SEED,
+    )
+    exact = knn_join(
+        qs, corp, k=_GS_K, strategy="broadcast", exclude_self=False
+    )
+    return nndescent_recall_vs_exact(res, exact)
+
+
+# ---------------------------------------------------------------------------
 # Graph centrality over the mutual-kNN graph (round 9): PageRank as a
 # curation signal (dense-region/representativity scoring). The gate
 # graph is the EXACT top-5 kNN graph symmetrized (SQL-replicable), so

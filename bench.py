@@ -9,6 +9,22 @@ profiling, evaluation pipeline) with the PRODUCTION-path variants of
 the scale operators (broadcast kNN, xxhash64 MinHash-LSH/SimHash) —
 bench measures the fast tier, the correctness gate pins the portable
 tier, and unit tests prove the tiers agree where exact.
+
+Naming convention (round 11, VERDICT r10 task 8): every bench key is a
+REGISTRY name, optionally followed by documented posture suffixes from
+:data:`BENCH_SUFFIXES` (``_k10`` = production k, ``_warm`` =
+amortized prefit, ``_bcast``/``_lsh`` = strategy posture, ``_fast`` =
+xxhash64 tier, ``_w64`` = window posture, ``_csv`` = text-scan tier)
+— so cross-round diffs map bench rows to registry entries
+mechanically. Pinned by tests/test_plans.py.
+
+Suite composition = the FIXED headline core (bench_queries) + a
+STALEST-FIRST ROTATION over every registry entry the core doesn't
+cover (VERDICT r10 task 2): each round benches the half of the
+uncovered pool whose last committed measurement is oldest (tracked in
+BENCH_COVERAGE.json), so every registry entry gets a measured sf-curve
+at least every 2 rounds. Override the rotation size with
+SPARK_GRAFT_BENCH_ROTATE (0 disables).
 """
 
 from __future__ import annotations
@@ -48,17 +64,37 @@ from semantic_ann_in_data_lake_spark.sources.readers import read_table  # noqa: 
 EXACT_BASELINE_FAMILY = frozenset(
     {
         "semantic_search_docs_bcast",  # twin: semantic_search_docs_lsh
-        "knn_broadcast_k10",           # twin: knn_lsh/ivf/pq tiers
-        "knn_pq_k10",                  # ADC broadcast still scores all pairs; twin: knn_ivf_pq_k10
-        "hard_negatives_bcast",        # twin: ANN strategies of hard_negative_mine
-        "bitext_mine_bcast",           # twin: ANN strategies of mine_bitext
-        "semlink_eval_e2e",            # evaluation harness (exact grid leg)
-        "grid_eval_12cells",           # evaluation harness (exact grid leg)
+        "knn_broadcast_l2_k10",           # twin: knn_lsh/ivf/pq tiers
+        "knn_pq_l2_k10",                  # ADC broadcast still scores all pairs; twin: knn_ivf_pq_k10
+        "hard_negatives_embeddings_bcast",        # twin: ANN strategies of hard_negative_mine
+        "bitext_mine_en_de_bcast",           # twin: ANN strategies of mine_bitext
+        "semlink_eval_bcast",            # evaluation harness (exact grid leg)
+        "grid_eval_discovery_bcast",           # evaluation harness (exact grid leg)
         "ivf_recall_report",           # audit: embeds the exact top-5 baseline
         "ivf_lloyd_recall_report",     # audit: embeds the exact top-5 baseline
         "pq_recall_report",            # audit: exact baseline + quantized rescan
     }
 )
+
+
+#: documented posture suffixes a bench key may append to its registry
+#: name (see module doc); order matters only for stripping
+BENCH_SUFFIXES = ("_k10_warm", "_k10", "_warm", "_bcast", "_lsh",
+                  "_fast", "_w64", "_csv")
+
+
+def registry_base(bench_name: str) -> str | None:
+    """The registry entry a bench key measures: the key itself, or the
+    key stripped of one documented posture suffix. None if neither
+    resolves — a naming-convention violation (pinned in tests)."""
+    if bench_name in registry.REGISTRY:
+        return bench_name
+    for suf in BENCH_SUFFIXES:
+        if bench_name.endswith(suf):
+            base = bench_name[: -len(suf)]
+            if base in registry.REGISTRY:
+                return base
+    return None
 
 
 #: cross-call cache for the amortized-fit (*_warm) bench entries;
@@ -459,18 +495,18 @@ def bench_queries(spark, sf_dir):
         "lang_id": from_registry("lang_id"),
         "hash_embeddings": from_registry("hash_embeddings"),
         "q6_forecast_revenue": from_registry("q6_forecast_revenue"),
-        "q18_large_volume": from_registry("q18_large_volume_customers"),
+        "q18_large_volume_customers": from_registry("q18_large_volume_customers"),
         "profile_lake_core": from_registry("profile_lake_core"),
         "semantic_search_docs_bcast": doc_search_broadcast,
         "semantic_search_docs_lsh": doc_search_lsh,
         "sessionize_events": from_registry("sessionize_events"),
-        "knn_broadcast_k10": knn_broadcast,
-        "knn_lsh_k10": knn_lsh,
-        "knn_ivf_k10": knn_ivf,
-        "minhash_lsh_fast": minhash_fast,
-        "simhash_fast": simhash_fast,
-        "semlink_eval_e2e": semlink_eval_broadcast,
-        "grid_eval_12cells": grid_eval_broadcast,
+        "knn_broadcast_l2_k10": knn_broadcast,
+        "knn_lsh_l2_k10": knn_lsh,
+        "knn_ivf_l2_k10": knn_ivf,
+        "minhash_lsh_pairs_fast": minhash_fast,
+        "simhash_codes_fast": simhash_fast,
+        "semlink_eval_bcast": semlink_eval_broadcast,
+        "grid_eval_discovery_bcast": grid_eval_broadcast,
         "chunk_docs_w64": chunk_docs_bench,
         "tfidf_top_terms": from_registry("tfidf_top_terms"),
         "asof_join_events": from_registry("asof_join_events"),
@@ -478,7 +514,7 @@ def bench_queries(spark, sf_dir):
         "pii_scrub_docs": from_registry("pii_scrub_docs"),
         "q13_order_distribution": from_registry("q13_order_distribution"),
         "q19_disjunctive_revenue": from_registry("q19_disjunctive_revenue"),
-        "csv_scan_pricing": csv_scan_pricing,
+        "q1_pricing_summary_csv": csv_scan_pricing,
         "lake_join_discovery": from_registry("lake_join_discovery"),
         # round-3 operators: leak check, packing, skew/band joins, layout
         "decontaminate_docs": from_registry("decontaminate_docs"),
@@ -486,7 +522,7 @@ def bench_queries(spark, sf_dir):
         # round-7: mixture assembly (grouped distributed prefix sum),
         # quartile curation profile, multimodal resize plumbing
         "budget_select_docs": from_registry("budget_select_docs"),
-        "quality_quartiles": from_registry("quality_quartiles_by_source"),
+        "quality_quartiles_by_source": from_registry("quality_quartiles_by_source"),
         "media_resize_plan": from_registry("media_resize_plan"),
         "media_audio_windows": from_registry("media_audio_windows"),
         "replay_mix_docs": from_registry("replay_mix_docs"),
@@ -511,33 +547,33 @@ def bench_queries(spark, sf_dir):
         # runs dedup_exact first and high τ/d — see PERF.md.
         "dup_span_fraction": from_registry("dup_span_fraction"),
         "bigram_lm_scores": from_registry("bigram_lm_scores"),
-        "resample_interpolate": from_registry("resample_interpolate_user_value"),
+        "resample_interpolate_user_value": from_registry("resample_interpolate_user_value"),
         "fuzzy_join_part_names": from_registry("fuzzy_join_part_names"),
-        "equidepth_histogram": from_registry("equidepth_histogram_totalprice"),
-        "winsorized_stats": from_registry("winsorized_stats_totalprice"),
+        "equidepth_histogram_totalprice": from_registry("equidepth_histogram_totalprice"),
+        "winsorized_stats_totalprice": from_registry("winsorized_stats_totalprice"),
         "scd2_user_state": from_registry("scd2_user_state"),
         "event_transition_matrix": from_registry("event_transition_matrix"),
-        "knn_pq_k10": knn_pq_bench,
-        "knn_ivf_pq_k10": knn_ivf_pq_bench,
+        "knn_pq_l2_k10": knn_pq_bench,
+        "knn_ivf_pq_l2_k10": knn_ivf_pq_bench,
         # round-4 continuation: boilerplate rewrite, containment
         # discovery, sketches, hybrid retrieval
         "segment_dedup_rewrite": from_registry("segment_dedup_rewrite"),
-        "value_overlap_discovery": from_registry("value_overlap_join_discovery"),
-        "cms_heavy_hitters": from_registry("cms_heavy_hitters_events"),
+        "value_overlap_join_discovery": from_registry("value_overlap_join_discovery"),
+        "cms_heavy_hitters_events": from_registry("cms_heavy_hitters_events"),
         "hybrid_search_rrf": from_registry("hybrid_search_rrf"),
         # round-4 continuation 2: scan-stage pruning + corpus alignment
-        "bloom_prune_join": from_registry("bloom_prune_join_orders"),
-        "dpp_partitioned_prune": from_registry("dpp_partitioned_join_prune"),
-        "bitext_mine_bcast": bitext_bcast,
+        "bloom_prune_join_orders": from_registry("bloom_prune_join_orders"),
+        "dpp_partitioned_join_prune": from_registry("dpp_partitioned_join_prune"),
+        "bitext_mine_en_de_bcast": bitext_bcast,
         "psi_drift_snapshots": from_registry("psi_drift_snapshots"),
         "ewma_user_value": from_registry("ewma_user_value"),
-        "join_size_estimate": from_registry("join_size_orders_lineitem"),
-        "hard_negatives_bcast": hard_negatives_bcast,
+        "join_size_orders_lineitem": from_registry("join_size_orders_lineitem"),
+        "hard_negatives_embeddings_bcast": hard_negatives_bcast,
         # round-4 continuation 3: reports, diffs, leak-safe splits
         "corpus_datacard": from_registry("corpus_datacard"),
         "table_diff_orders": from_registry("table_diff_orders"),
-        "leakage_safe_split": from_registry("leakage_safe_split_docs"),
-        "quantiles_from_bins": from_registry("quantiles_from_bins_totalprice"),
+        "leakage_safe_split_docs": from_registry("leakage_safe_split_docs"),
+        "quantiles_from_bins_totalprice": from_registry("quantiles_from_bins_totalprice"),
         # round-8: recall meta-gates (quadratic-by-design audit queries —
         # each embeds the exact broadcast baseline by construction)
         "ivf_recall_report": from_registry("ivf_recall_report"),
@@ -546,13 +582,13 @@ def bench_queries(spark, sf_dir):
         # capped window)
         "domain_curation_docs": from_registry("domain_curation_docs"),
         "quality_threshold_sweep": from_registry("quality_threshold_sweep"),
-        "pack_sequences_bpe": from_registry("pack_sequences_bpe_docs"),
+        "pack_sequences_bpe_docs": from_registry("pack_sequences_bpe_docs"),
         "gopher_rules_docs": from_registry("gopher_rules_docs"),
         # round-9: exact-substring dedup rewrite, the IVF-PQ refine
         # tier (production posture), the trained-fit recall audit, and
         # the real PPM decode stage
         "dedup_span_rewrite": from_registry("dedup_span_rewrite"),
-        "knn_ivf_pq_refine_k10": knn_ivf_pq_refine_bench,
+        "knn_ivf_pq_refine_l2_k10": knn_ivf_pq_refine_bench,
         "ivf_lloyd_recall_report": from_registry("ivf_lloyd_recall_report"),
         "ppm_decode_stats": from_registry("ppm_decode_stats"),
         # round-10: real RIFF/WAVE PCM16 decode (audio sibling of the
@@ -569,11 +605,11 @@ def bench_queries(spark, sf_dir):
         "url_dedup_docs": from_registry("url_dedup_docs"),
         "dedup_span_rewrite2": from_registry("dedup_span_rewrite2"),
         # round-9 second batch: the PCA/JL projection front end
-        "knn_pca_refine_k10": knn_pca_refine_bench,
+        "knn_pca_refine_l2_k10": knn_pca_refine_bench,
         "embedding_covariance": from_registry("embedding_covariance"),
         "jl_project_emb": from_registry("jl_project_emb"),
-        "nb_quality_classifier": from_registry("nb_quality_classifier_docs"),
-        "knn_opq_refine_k10": knn_opq_refine_bench,
+        "nb_quality_classifier_docs": from_registry("nb_quality_classifier_docs"),
+        "knn_opq_refine_l2_k10": knn_opq_refine_bench,
         # round-9 third batch: the graph family — NN-descent kNN-graph
         # build (production posture: k=10, 3 rounds) and PageRank over
         # the mutual-kNN graph (5 decimal-exact power iterations on the
@@ -583,18 +619,96 @@ def bench_queries(spark, sf_dir):
         # *_refine_k10 entries but with the PCA/OPQ rotation prefit
         # (untimed, suite-construction time), tracking the steady-state
         # number a model=-reusing production caller sees
-        "knn_pca_refine_warm_k10": knn_pca_refine_warm,
-        "knn_opq_refine_warm_k10": knn_opq_refine_warm,
-        "knn_nndescent_k10": knn_nndescent_bench,
-        "knn_nndescent_refine_k10": knn_nndescent_refine_bench,
+        "knn_pca_refine_l2_k10_warm": knn_pca_refine_warm,
+        "knn_opq_refine_l2_k10_warm": knn_opq_refine_warm,
+        "knn_nndescent_l2_k10": knn_nndescent_bench,
+        "knn_nndescent_refine_l2_k10": knn_nndescent_refine_bench,
         "pagerank_knn_graph": pagerank_bench,
         "hits_knn_graph": hits_bench,
         "kcore_knn_graph": kcore_bench,
         "trustrank_knn_graph": trustrank_bench,
         "bfs_layers_knn": bfs_layers_bench,
-        "triangles_doulion": doulion_bench,
+        "triangles_doulion_knn": doulion_bench,
         "hyperanf_knn": hyperanf_bench,
     }
+
+
+def _repo_path(name: str) -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+
+
+def _bench_round() -> int:
+    """The round this bench run belongs to: one past the newest
+    committed official BENCH_r*.json (the driver records r{N} AFTER
+    the round's bench runs)."""
+    import glob
+    import re
+
+    best = 0
+    for path in glob.glob(_repo_path("BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
+def _load_coverage() -> dict[str, int]:
+    """name -> round of the entry's last committed bench measurement
+    (registry names; posture keys are credited to their base)."""
+    try:
+        with open(_repo_path("BENCH_COVERAGE.json")) as f:
+            return {
+                k: int(v) for k, v in json.load(f)["last_benched"].items()
+            }
+    except Exception:
+        return {}
+
+
+def _save_coverage(benched_names, rnd: int) -> None:
+    cov = _load_coverage()
+    for n in benched_names:
+        base = registry_base(n)
+        if base is not None:
+            cov[base] = rnd
+    with open(_repo_path("BENCH_COVERAGE.json"), "w") as f:
+        json.dump(
+            {"round": rnd, "last_benched": dict(sorted(cov.items()))},
+            f, indent=1,
+        )
+
+
+#: rotation name list, computed once per process so the sf-curve pass
+#: benches the identical rotation set
+_ROTATION_NAMES: list[str] | None = None
+
+
+def rotation_names(fixed_keys) -> list[str]:
+    """Stalest-first rotation over registry entries the fixed suite
+    doesn't cover (directly or via a posture key): the half of the
+    pool with the oldest committed measurement, never-benched first —
+    so every registry entry has a committed sf-curve datapoint at
+    most 2 rounds old (VERDICT r10 task 2)."""
+    global _ROTATION_NAMES
+    if _ROTATION_NAMES is not None:
+        return _ROTATION_NAMES
+    covered = {registry_base(k) for k in fixed_keys} - {None}
+    pool = sorted(n for n in registry.REGISTRY if n not in covered)
+    cov = _load_coverage()
+    pool.sort(key=lambda n: (cov.get(n, -1), n))
+    default_n = (len(pool) + 1) // 2
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_ROTATE", str(default_n)))
+    _ROTATION_NAMES = pool[: max(0, n)]
+    return _ROTATION_NAMES
+
+
+def rotation_queries(spark, sf_dir, fixed_keys) -> dict:
+    reg = registry.REGISTRY
+
+    def from_registry(name):
+        fn, _ = reg[name]
+        return lambda: fn(spark, sf_dir)
+
+    return {n: from_registry(n) for n in rotation_names(fixed_keys)}
 
 
 def _csv_copy_dir(sf_dir: str) -> str:
@@ -635,18 +749,30 @@ def _run_suite(spark, sf_dir) -> dict[str, float]:
     # rounds run on differently-loaded machines.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
-    for name, make in bench_queries(spark, sf_dir).items():
+    fixed = bench_queries(spark, sf_dir)
+    suite = dict(fixed)
+    suite.update(rotation_queries(spark, sf_dir, fixed.keys()))
+    for name, make in suite.items():
         best, n = None, 0
-        for _ in range(reps):
-            # cache_scope: operators that persist multi-branch subtrees
-            # release their blocks after each query's action, so repeated
-            # bench runs in one session can't accumulate cached partitions
-            with cache_scope():
-                t0 = time.time()
-                df = make()
-                n = df.count()  # force full execution
-                el = time.time() - t0
-            best = el if best is None else min(best, el)
+        try:
+            for _ in range(reps):
+                # cache_scope: operators that persist multi-branch
+                # subtrees release their blocks after each query's
+                # action, so repeated bench runs in one session can't
+                # accumulate cached partitions
+                with cache_scope():
+                    t0 = time.time()
+                    df = make()
+                    n = df.count()  # force full execution
+                    el = time.time() - t0
+                best = el if best is None else min(best, el)
+        except Exception as e:
+            # one broken entry must not lose the round's whole record;
+            # the failure is loud in stderr and in the detail payload
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {str(e).splitlines()[0][:160]}",
+                  file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
     return timings
@@ -686,7 +812,15 @@ def main():
 
     _warm(spark, sf_dir)
     timings = _run_suite(spark, sf_dir)
+    failed = sorted(q for q, t in timings.items() if t < 0)
+    timings = {q: t for q, t in timings.items() if t >= 0}
     total = round(sum(timings.values()), 3)
+    rnd = _bench_round()
+    if sf == "0.1":
+        # coverage tracks the driver's official per-round sf0.1 pass
+        # only — ad-hoc local runs at other sfs must not mark entries
+        # as freshly measured
+        _save_coverage(timings.keys(), rnd)
 
     out = {
         "metric": "headline_batch_suite_seconds",
@@ -694,7 +828,11 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "round": rnd,
+        "rotation": rotation_names(()),
     }
+    if failed:
+        out["failed"] = failed
 
     # Scaling curve: rerun the suite one scale factor down (10× less
     # data) and report the big/small time ratio per query. With ~10×
@@ -771,7 +909,10 @@ def main():
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
 
-    compact = {k: v for k, v in out.items() if k != "sf_curve"}
+    compact = {
+        k: v for k, v in out.items() if k not in ("sf_curve", "rotation")
+    }
+    compact["n_rotated"] = len(out["rotation"])
     # COPY the timings dict: `out["queries"]` aliases `timings`, and the
     # trim loop below would otherwise shrink both, zeroing the
     # queries_omitted arithmetic (observed: 3 dropped, "omitted": 0)

@@ -413,3 +413,23 @@ def test_entry_flagship_tier_independent(spark, sf_dir):
     bcast = grid_evaluate_discovery(spark, sf, strategy="broadcast")
     auto = grid_evaluate_discovery(spark, sf, strategy="auto")
     assert rows(bcast) == rows(auto)
+
+
+def test_bench_keys_resolve_to_registry_names(spark, sf_dir):
+    """Bench naming convention (VERDICT r10 task 8): every bench suite
+    key is a registry name plus at most one documented posture suffix,
+    so cross-round bench diffs map to registry entries mechanically;
+    and the rotation covers only real registry entries with no overlap
+    into the fixed core."""
+    import bench
+
+    fixed = bench.bench_queries(spark, sf_dir)
+    bad = sorted(k for k in fixed if bench.registry_base(k) is None)
+    assert not bad, f"bench keys with no registry base: {bad}"
+
+    rot = bench.rotation_names(fixed.keys())
+    from semantic_ann_in_data_lake_spark.plans import registry
+
+    assert set(rot) <= set(registry.REGISTRY)
+    covered = {bench.registry_base(k) for k in fixed}
+    assert not (set(rot) & covered), "rotation re-benches fixed-core entries"

@@ -80,7 +80,7 @@ EXACT_BASELINE_FAMILY = frozenset(
 #: documented posture suffixes a bench key may append to its registry
 #: name (see module doc); order matters only for stripping
 BENCH_SUFFIXES = ("_k10_warm", "_k10", "_warm", "_bcast", "_lsh",
-                  "_fast", "_w64", "_csv")
+                  "_fast", "_w64", "_csv", "_native")
 
 
 def registry_base(bench_name: str) -> str | None:
@@ -481,6 +481,22 @@ def bench_queries(spark, sf_dir):
             metric="cosine", strategy="broadcast",
         )
 
+    def wav_decode_native():
+        # native-codec seam A/B row (VERDICT r10 task 5): same decode
+        # workload as wav_decode_stats but through the stdlib-wave
+        # backed decoder injected via the seam — the per-round measure
+        # of what a native codec buys over the pure-Python gate tier
+        from semantic_ann_in_data_lake_spark.operators.multimodal import (
+            audio_decode_stats,
+            native_audio_decoder,
+            synthesize_wav_media,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        return audio_decode_stats(
+            synthesize_wav_media(docs), decode_fn=native_audio_decoder()
+        )
+
     _prefit_models()  # untimed: amortized rotations for the *_warm twins
 
     return {
@@ -596,6 +612,7 @@ def bench_queries(spark, sf_dir):
         # full-PSL domain extraction, HLL cardinality datacard, and the
         # Heaps-law vocabulary growth curve
         "wav_decode_stats": from_registry("wav_decode_stats"),
+        "wav_decode_stats_native": wav_decode_native,
         "png_decode_stats": from_registry("png_decode_stats"),
         "media_decode_quarantine": from_registry("media_decode_quarantine"),
         "events_cube_rollup": from_registry("events_cube_rollup"),

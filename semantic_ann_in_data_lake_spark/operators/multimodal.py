@@ -582,13 +582,82 @@ def synthesize_wav_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def audio_decode_stats(media: DataFrame, batch_size: int = 64) -> DataFrame:
-    """Decode every payload with :func:`decode_audio` and emit exact
-    integer waveform statistics — the hash-gateable face of the audio
-    decode stage: ``(media_id, sample_rate, n_samples, sum_samples,
-    sum_abs, peak)``. All integers, so the gate is bit-stable."""
+def native_audio_decoder():
+    """Native-codec seam for the WAV path: a drop-in replacement for
+    :func:`decode_audio` (same dict contract, same ValueError-on-
+    malformed quarantine policy) backed by the stdlib ``wave`` module —
+    an INDEPENDENT decoder implementation, so the contract test is a
+    genuine cross-implementation check, and it ships in every CPython
+    (unlike soundfile). Swap in a soundfile/librosa-backed callable
+    with the same shape on clusters that have one; the pure-Python
+    parser stays the oracle/gate default."""
+    import io
+    import struct
+    import wave
+
+    def decode(payload: bytes) -> dict:
+        try:
+            with wave.open(io.BytesIO(payload)) as w:
+                if w.getsampwidth() != 2 or w.getcomptype() != "NONE":
+                    raise ValueError("only PCM16 supported")
+                n = w.getnframes()
+                data = w.readframes(n)
+                return {
+                    "sample_rate": w.getframerate(),
+                    "n_channels": w.getnchannels(),
+                    "bits": 16,
+                    "samples": list(
+                        struct.unpack(f"<{len(data) // 2}h", data)
+                    ),
+                }
+        except ValueError:
+            raise
+        except Exception as e:  # wave.Error, EOFError, struct.error
+            raise ValueError(f"wave decode failed: {e}") from e
+
+    return decode
+
+
+def native_png_decoder():
+    """Native-codec seam for the PNG path: a drop-in replacement for
+    :func:`decode_png` (same ``{"width","height","pixels"}`` contract)
+    backed by PIL when the environment ships it — raises ImportError
+    otherwise (this container does not; the pure-Python codec remains
+    the default and the gate tier, and the seam itself is exercised by
+    the instrumented-injection contract test)."""
+    import io
+
+    from PIL import Image  # ImportError surfaces to the caller
+
+    def decode(payload: bytes) -> dict:
+        try:
+            img = Image.open(io.BytesIO(payload))
+            img.load()
+        except Exception as e:
+            raise ValueError(f"PIL decode failed: {e}") from e
+        if img.mode != "RGB":
+            raise ValueError(f"only RGB supported, got {img.mode}")
+        return {
+            "width": img.width,
+            "height": img.height,
+            "pixels": img.tobytes(),
+        }
+
+    return decode
+
+
+def audio_decode_stats(
+    media: DataFrame, batch_size: int = 64, decode_fn=None
+) -> DataFrame:
+    """Decode every payload with ``decode_fn`` (default
+    :func:`decode_audio`; pass :func:`native_audio_decoder`'s callable
+    for the stdlib-wave tier) and emit exact integer waveform
+    statistics — the hash-gateable face of the audio decode stage:
+    ``(media_id, sample_rate, n_samples, sum_samples, sum_abs, peak)``.
+    All integers, so the gate is bit-stable across decoders."""
     import pandas as pd
 
+    decode = decode_fn or decode_audio
     schema = (
         "media_id long, sample_rate int, n_samples long,"
         " sum_samples long, sum_abs long, peak long"
@@ -600,7 +669,7 @@ def audio_decode_stats(media: DataFrame, batch_size: int = 64) -> DataFrame:
                 chunk = pdf.iloc[start : start + batch_size]
                 rows = []
                 for mid, payload in zip(chunk["media_id"], chunk["payload"]):
-                    wav = decode_audio(payload)
+                    wav = decode(payload)
                     xs = wav["samples"]
                     rows.append(
                         (

@@ -690,6 +690,84 @@ def test_wav_codec_roundtrip_and_malformed():
         decode_audio(nonpcm)
 
 
+def test_native_audio_decoder_contract(spark, sf_dir):
+    """Native-codec seam (VERDICT r10 task 5): the stdlib-wave-backed
+    decoder is an INDEPENDENT implementation of the decode_audio
+    contract — identical dicts per payload on the synthetic corpus,
+    identical audio_decode_stats rows through the injected seam, and
+    the same ValueError quarantine on malformed bytes."""
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators.multimodal import (
+        _wav_rate,
+        _wav_samples,
+        audio_decode_stats,
+        decode_audio,
+        encode_wav_pcm16,
+        native_audio_decoder,
+        synthesize_wav_media,
+    )
+
+    native = native_audio_decoder()
+    for mid in (0, 1, 7, 95, 12345):
+        payload = encode_wav_pcm16(_wav_rate(mid), _wav_samples(mid))
+        assert native(payload) == decode_audio(payload)
+    with _pytest.raises(ValueError):
+        native(b"not a wav")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    media = synthesize_wav_media(docs).persist()
+    pure = sorted(map(tuple, audio_decode_stats(media).collect()))
+    via_native = sorted(
+        map(tuple, audio_decode_stats(media, decode_fn=native).collect())
+    )
+    assert pure == via_native
+    media.unpersist()
+
+
+def test_native_png_decoder_seam(spark, sf_dir):
+    """The PNG seam routes EVERY decode through the injected callable,
+    pinned with an instrumented wrapper so the test runs (and the seam
+    stays honest) in this PIL-less container; stats through the
+    wrapper equal the pure tier."""
+    from semantic_ann_in_data_lake_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(24)
+    media = MM.synthesize_png_media(docs).persist()
+    pure = sorted(map(tuple, MM.image_decode_stats(
+        media, decode_fn=MM.decode_png).collect()))
+
+    def instrumented(payload: bytes) -> dict:
+        out = MM.decode_png(payload)
+        out["pixels"] = bytes(out["pixels"])  # prove we own the value
+        return out
+
+    injected = sorted(map(tuple, MM.image_decode_stats(
+        media, decode_fn=instrumented).collect()))
+    assert pure == injected
+    media.unpersist()
+
+
+def test_native_png_decoder_pil_tier(spark, sf_dir):
+    """PIL tier of the PNG seam — only where the env ships PIL (this
+    container does not; the factory is import-gated by design)."""
+    import pytest as _pytest
+
+    from semantic_ann_in_data_lake_spark.operators import multimodal as MM
+
+    try:
+        native = MM.native_png_decoder()
+    except ImportError:
+        _pytest.skip("PIL not in this environment (documented)")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(24)
+    media = MM.synthesize_png_media(docs)
+    pure = sorted(map(tuple, MM.image_decode_stats(
+        media, decode_fn=MM.decode_png).collect()))
+    via_pil = sorted(map(tuple, MM.image_decode_stats(
+        media, decode_fn=native).collect()))
+    assert pure == via_pil
+
+
 def test_resize_plan_and_images_plumbing(spark, sf_dir):
     """Aspect math: longer side clamps to max_side, aspect preserved
     within integer truncation, never below 1; resize_images carries the

@@ -213,7 +213,10 @@ def knn_join(
         # matrix doesn't — the PQ index is 8·dim/m× smaller (32× at
         # defaults), so the same pair budget often still broadcasts.
         # ADC distances are approximate; past BOTH budgets → IVF.
-        pq_bytes = n_cand * (16 + 16)  # m=16 codes + id/overhead
+        # call-time import: pq imports from this module at its top
+        from semantic_ann_in_data_lake_spark.operators.pq import derive_m
+
+        pq_bytes = n_cand * (derive_m(dim) + 16)  # m codes + id/overhead
         if (
             fits_compute
             and not fits_mem

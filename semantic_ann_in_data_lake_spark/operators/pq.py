@@ -45,11 +45,26 @@ from semantic_ann_in_data_lake_spark.operators.knn import (
 )
 
 
+def derive_m(dim: int, cap: int = 96) -> int:
+    """Dim-adaptive subquantizer count: ~4 dims per subspace (the
+    FAISS-convention resolution), capped at ``cap``, reduced to the
+    nearest divisor of ``dim``. The d=768 crossover bench
+    (D768_BENCH.json, round 11) measured recall@10 collapsing to
+    0.23-0.33 under the old fixed m=16 there (48-dim subspaces are far
+    too coarse at real embedding widths), while at the gate corpus's
+    d=64 this derives the SAME m=16 the oracle gates replay — so
+    every ``m=None`` default below is gate-neutral."""
+    m = max(1, min(cap, dim // 4 or 1))
+    while dim % m:
+        m -= 1
+    return m
+
+
 def train_pq_codebooks(
     candidates: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    m: int = 16,
+    m: int | None = None,
     ksub: int = 256,
     sample_limit: int = 100_000,
     seed: int = 42,
@@ -73,13 +88,15 @@ def train_pq_codebooks(
     return _books_from_mat(mat, m, ksub, seed, iters)
 
 
-def _books_from_mat(mat, m: int, ksub: int, seed: int, iters: int = 10):
+def _books_from_mat(mat, m: int | None, ksub: int, seed: int, iters: int = 10):
     """Codebooks from an in-memory sample matrix (shared by
     train_pq_codebooks and knn_ivf_pq, which reuses ONE collected
     sample for both the coarse quantizer and the codebooks)."""
     import numpy as np
 
     dim = mat.shape[1]
+    if m is None:
+        m = derive_m(dim)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     dsub = dim // m
@@ -160,7 +177,7 @@ def knn_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    m: int = 16,
+    m: int | None = None,
     ksub: int = 256,
     exclude_self: bool = True,
     round_dp: int = DEFAULT_ROUND_DP,
@@ -188,6 +205,11 @@ def knn_pq(
     )
 
     spark = queries.sparkSession
+    if m is None:
+        # resolve before the byte guard (code bytes scale with m)
+        first = candidates.select(vec_col).head(1)
+        dim0 = len(first[0][0]) if first and first[0][0] is not None else 0
+        m = derive_m(dim0) if dim0 else 16
     # the coded index is collected to the driver before broadcasting —
     # same discipline as _knn_broadcast's guard: estimate the code
     # bytes first and degrade to the cell-sharded IVF-PQ path instead
@@ -320,7 +342,7 @@ def knn_pq(
 
 
 def fit_ivf_pq(
-    c: DataFrame, nlist: int = 16, m: int = 16, ksub: int = 256,
+    c: DataFrame, nlist: int = 16, m: int | None = None, ksub: int = 256,
     seed: int = 42,
 ):
     """Coarse centroids + RESIDUAL codebooks for the IVF-PQ tier, from
@@ -459,7 +481,7 @@ def knn_ivf_pq(
     k: int = 5,
     nlist: int | None = None,
     nprobe: int = 4,
-    m: int = 16,
+    m: int | None = None,
     ksub: int = 256,
     exclude_self: bool = True,
     round_dp: int = DEFAULT_ROUND_DP,
@@ -643,7 +665,7 @@ def knn_pq_refine(
     vec_col: str = "embedding",
     k: int = 5,
     refine_factor: int = 4,
-    m: int = 16,
+    m: int | None = None,
     ksub: int = 256,
     exclude_self: bool = True,
     round_dp: int = DEFAULT_ROUND_DP,
@@ -678,7 +700,7 @@ def knn_ivf_pq_refine(
     refine_factor: int = 4,
     nlist: int | None = None,
     nprobe: int = 4,
-    m: int = 16,
+    m: int | None = None,
     ksub: int = 256,
     exclude_self: bool = True,
     round_dp: int = DEFAULT_ROUND_DP,
@@ -726,7 +748,7 @@ def build_pq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    m: int = 16,
+    m: int | None = None,
     ksub: int = 256,
     seed: int = 42,
 ) -> None:

@@ -73,6 +73,20 @@ EXACT_BASELINE_FAMILY = frozenset(
         "ivf_recall_report",           # audit: embeds the exact top-5 baseline
         "ivf_lloyd_recall_report",     # audit: embeds the exact top-5 baseline
         "pq_recall_report",            # audit: exact baseline + quantized rescan
+        # rotation-visible registry anchors, quadratic by construction:
+        # exact-tier gates, recall audits embedding the exact baseline,
+        # and evaluation pipelines whose truth/knn legs are all-pairs
+        "knn_exact_l2",
+        "knn_broadcast_l2",
+        "knn_auto_l2",                 # routes to broadcast at gate scale
+        "knn_ivf_probeall_l2",         # exact semantics, all cells probed
+        "lsh_recall_report",
+        "nndescent_recall_report",
+        "graph_search_recall_report",  # exact corpus graph + exact baseline
+        "deepjoin_eval",
+        "deepjoin_train_eval",         # pair fit Σ|g|² + exact kNN corpus
+        "semlink_eval",
+        "grid_eval_discovery",
     }
 )
 

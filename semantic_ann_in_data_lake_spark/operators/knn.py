@@ -144,6 +144,9 @@ def knn_join(
     seed: int = 42,
     reverse_cap: int | None = None,
     min_update_frac: float | None = None,
+    beam: int = 8,
+    hops: int = 3,
+    graph: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k nearest candidates per query.
 
@@ -157,6 +160,13 @@ def knn_join(
     contract; ``iters``/``seed``/``reverse_cap``/``min_update_frac``
     are its descent knobs (ignored by every other strategy) and
     ``compress`` is rejected — descent scores raw vectors only.
+
+    ``strategy="graph"`` answers OUT-OF-CORPUS queries (a different
+    frame than ``candidates``) by bounded-hop beam search over the
+    candidates' NN-descent graph (`operators/graphsearch.py` — the
+    hnswlib ``knn_query`` analogue); ``beam``/``hops`` are its search
+    knobs and ``graph=`` accepts a prebuilt/persisted edge list so the
+    build amortizes across query batches.
 
     ``compress="int8"`` (broadcast and ivf strategies): ship the
     candidate matrix as the symmetric-int8 index
@@ -423,6 +433,44 @@ def knn_join(
             candidates, k=k, iters=iters, seed=seed, id_col=id_col,
             vec_col=vec_col, reverse_cap=reverse_cap,
             round_dp=round_dp, min_update_frac=min_update_frac,
+        )
+    if strategy == "graph":
+        # graph-index QUERY tier (operators/graphsearch.py): build the
+        # NN-descent graph over the candidates, answer the (DIFFERENT)
+        # query frame by bounded-hop beam search — the hnswlib
+        # knn_query analogue (`DeepJoin/annIndex.py:21-40`). Pass a
+        # prebuilt/persisted edge list via ``graph=`` to amortize the
+        # build across query batches. Self-join calls should use
+        # strategy='nndescent': the graph IS the self answer.
+        if queries is candidates:
+            raise ValueError(
+                "strategy='graph' answers OUT-OF-CORPUS queries; for a "
+                "self kNN graph use strategy='nndescent'"
+            )
+        if metric != "l2_sq":
+            raise ValueError("strategy='graph' supports metric='l2_sq' only")
+        if compress is not None:
+            raise ValueError(
+                "strategy='graph' scores raw vectors; compress is not "
+                "supported"
+            )
+        from semantic_ann_in_data_lake_spark.operators.graphsearch import (
+            graph_search,
+        )
+        from semantic_ann_in_data_lake_spark.operators.nndescent import (
+            nndescent_knn_graph,
+        )
+
+        g = graph
+        if g is None:
+            g = nndescent_knn_graph(
+                candidates, k=k, iters=iters, seed=seed, id_col=id_col,
+                vec_col=vec_col, reverse_cap=reverse_cap,
+                round_dp=round_dp, min_update_frac=min_update_frac,
+            )
+        return graph_search(
+            queries, candidates, g, k=k, beam=beam, hops=hops,
+            id_col=id_col, vec_col=vec_col, seed=seed, round_dp=round_dp,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 

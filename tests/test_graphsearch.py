@@ -168,3 +168,23 @@ def test_graph_search_argument_validation(spark, corpus_and_queries):
         graph_search(queries, corpus, graph, k=0)
     with pytest.raises(ValueError, match="hops >= 0"):
         graph_search(queries, corpus, graph, hops=-1)
+
+
+def test_knn_join_graph_strategy_dispatch(spark, corpus_and_queries):
+    """knn_join(strategy='graph') is the unified-dispatch face of
+    graph_search: identical rows to the direct call (prebuilt graph
+    passed through), self-join calls rejected toward 'nndescent'."""
+    corpus, queries = corpus_and_queries
+    g = nndescent_knn_graph(corpus, k=5, iters=4, seed=42)
+    direct = graph_search(queries, corpus, g, k=3, beam=6, hops=2, seed=42)
+    via_join = knn_join(
+        queries, corpus, k=3, strategy="graph", graph=g, beam=6, hops=2,
+        seed=42,
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, via_join.collect())
+    )
+    with pytest.raises(ValueError, match="nndescent"):
+        knn_join(corpus, corpus, k=3, strategy="graph")
+    with pytest.raises(ValueError, match="l2_sq"):
+        knn_join(queries, corpus, k=3, strategy="graph", metric="cosine")

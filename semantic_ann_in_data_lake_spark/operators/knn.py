@@ -166,7 +166,10 @@ def knn_join(
     candidates' NN-descent graph (`operators/graphsearch.py` — the
     hnswlib ``knn_query`` analogue); ``beam``/``hops`` are its search
     knobs and ``graph=`` accepts a prebuilt/persisted edge list so the
-    build amortizes across query batches.
+    build amortizes across query batches. ``strategy="auto"`` with a
+    ``graph=`` supplied (and a distinct query frame, l2_sq, no
+    compress) dispatches straight here — a persisted index beats every
+    build-from-scratch rung and needs no size probes.
 
     ``compress="int8"`` (broadcast and ivf strategies): ship the
     candidate matrix as the symmetric-int8 index
@@ -177,6 +180,20 @@ def knn_join(
     are near- but not hash-exact.
     """
     known_n_cand = known_n_query = None
+    if (
+        strategy == "auto"
+        and graph is not None
+        and queries is not candidates
+        and metric == "l2_sq"
+        and compress is None
+    ):
+        # the caller handed a prebuilt/persisted candidate graph for an
+        # out-of-corpus query batch: beam search over it beats every
+        # build-from-scratch rung (O(entry_sample + hops·beam·k) scored
+        # pairs per query, no corpus broadcast, no re-index) — and it
+        # needs none of the row-count/dim probes below, so dispatch
+        # before paying them
+        strategy = "graph"
     if strategy == "auto":
         # SURVEY §4.2's optional dispatch: broadcast the candidate index
         # when it fits comfortably in executor memory, else fall back to

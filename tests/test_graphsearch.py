@@ -188,3 +188,27 @@ def test_knn_join_graph_strategy_dispatch(spark, corpus_and_queries):
         knn_join(corpus, corpus, k=3, strategy="graph")
     with pytest.raises(ValueError, match="l2_sq"):
         knn_join(queries, corpus, k=3, strategy="graph", metric="cosine")
+
+
+def test_knn_join_auto_prefers_supplied_graph(spark, corpus_and_queries):
+    """auto + a prebuilt graph= for an out-of-corpus batch routes to
+    the graph tier (identical rows to the explicit strategy), while
+    auto WITHOUT a graph still answers via the probe ladder."""
+    corpus, queries = corpus_and_queries
+    g = nndescent_knn_graph(corpus, k=5, iters=4, seed=42)
+    via_auto = knn_join(
+        queries, corpus, k=3, strategy="auto", graph=g, beam=6, hops=2,
+        seed=42,
+    )
+    explicit = knn_join(
+        queries, corpus, k=3, strategy="graph", graph=g, beam=6, hops=2,
+        seed=42,
+    )
+    assert sorted(map(tuple, via_auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    # no graph supplied: auto must still resolve (small corpus ->
+    # broadcast rung) and return full top-3 per query
+    no_graph = knn_join(queries, corpus, k=3, strategy="auto", seed=42)
+    n_q = queries.count()
+    assert no_graph.count() == 3 * n_q

@@ -725,7 +725,22 @@ def rotation_names(fixed_keys) -> list[str]:
     covered = {registry_base(k) for k in fixed_keys} - {None}
     pool = sorted(n for n in registry.REGISTRY if n not in covered)
     cov = _load_coverage()
-    pool.sort(key=lambda n: (cov.get(n, -1), n))
+    # tie-break ties in staleness by a per-round deterministic salt,
+    # NOT by name: once a full-coverage round leaves every entry at
+    # the same vintage, an alphabetical tie-break would re-pin the
+    # identical (front-of-alphabet) half every round — including the
+    # ~500 s quadratic-by-construction audit anchors — while the back
+    # half ages forever. The salt spreads ties uniformly and differs
+    # each round, so tied entries alternate windows and the ≤2-round
+    # staleness promise actually holds.
+    import hashlib
+
+    rnd = _bench_round()
+
+    def _salt(name: str) -> str:
+        return hashlib.sha1(f"{rnd}:{name}".encode()).hexdigest()
+
+    pool.sort(key=lambda n: (cov.get(n, -1), _salt(n)))
     default_n = (len(pool) + 1) // 2
     n = int(os.environ.get("SPARK_GRAFT_BENCH_ROTATE", str(default_n)))
     _ROTATION_NAMES = pool[: max(0, n)]
@@ -856,7 +871,22 @@ def main():
     timings = _run_suite(spark, sf_dir)
     failed = sorted(q for q, t in timings.items() if t < 0)
     timings = {q: t for q, t in timings.items() if t >= 0}
-    total = round(sum(timings.values()), 3)
+    # the headline `value` covers the FIXED core only: the rotation
+    # window's composition changes every round (stalest-first) and
+    # deliberately includes quadratic-by-construction oracle anchors
+    # at sf0.1, so folding it into `value` would make the one number
+    # the driver compares across rounds depend on which entries
+    # happened to rotate in (observed: 280 s core + 1134 s rotation,
+    # of which two all-pairs recall audits were 1016 s). Rotation time
+    # is reported under its own key; per-query timings for BOTH sets
+    # stay in `queries` and BENCH_DETAIL.json — logged, not capped.
+    rot_set = set(rotation_names(()))
+    total = round(
+        sum(t for q, t in timings.items() if q not in rot_set), 3
+    )
+    rotation_total = round(
+        sum(t for q, t in timings.items() if q in rot_set), 3
+    )
     rnd = _bench_round()
     if sf == "0.1":
         # coverage tracks the driver's official per-round sf0.1 pass
@@ -872,6 +902,7 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "round": rnd,
         "rotation": rotation_names(()),
+        "rotation_seconds": rotation_total,
     }
     if failed:
         out["failed"] = failed

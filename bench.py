@@ -798,6 +798,12 @@ def _run_suite(spark, sf_dir) -> dict[str, float]:
     # 40 s pass over a quadratic oracle anchor buys noise reduction the
     # family tag already discounts, at real wall-clock cost
     rep_cutoff_s = float(os.environ.get("SPARK_GRAFT_BENCH_REP_CUTOFF", "20"))
+    # sub-floor entries earn up to 2 EXTRA reps: the round-11 close-out
+    # showed the sub-2 s class wobbling 3-13× in-suite (codegen/JVM
+    # warmth dominates at that scale — standalone best-of-3 retimes sat
+    # at 0.5-1.4 s where the suite recorded up to 5 s), and extra reps
+    # there cost ~1 s each while heavy entries are untouched
+    fast_floor_s = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_FLOOR", "2"))
     timings: dict[str, float] = {}
     fixed = bench_queries(spark, sf_dir)
     suite = dict(fixed)
@@ -809,8 +815,14 @@ def _run_suite(spark, sf_dir) -> dict[str, float]:
         # not for cross-round deltas (the fixed core keeps best-of-N),
         # and many are quadratic-by-design oracle anchors at sf0.1
         n_reps = 1 if name in rotation else reps
+        extra_fast = 0 if name in rotation else 2
         try:
-            for _ in range(n_reps):
+            done = 0
+            while done < n_reps or (
+                best is not None
+                and best < fast_floor_s
+                and done < n_reps + extra_fast
+            ):
                 # cache_scope: operators that persist multi-branch
                 # subtrees release their blocks after each query's
                 # action, so repeated bench runs in one session can't
@@ -821,6 +833,7 @@ def _run_suite(spark, sf_dir) -> dict[str, float]:
                     n = df.count()  # force full execution
                     el = time.time() - t0
                 best = el if best is None else min(best, el)
+                done += 1
                 if el > rep_cutoff_s:
                     break
         except Exception as e:

@@ -74,8 +74,14 @@ def kcenter_coreset(
         "__mind",
         l2_sq(F.col("__v"), F.array(*[F.lit(float(x)) for x in center_vec])),
     ).persist()
+    prev = None  # parent cache kept alive until `cur` is materialized
     try:
         for rank in range(2, k + 1):
+            # ONE job per round: this argmax collect is also what
+            # materializes `cur`'s cache (persist is lazy), reading the
+            # parent's still-live blocks — only then is the parent
+            # dropped. The former explicit `nxt.count()` materialization
+            # doubled the per-round job count for the same data work.
             top = (
                 cur.filter(
                     ~F.col("vec_id").isin([c[1] for c in centers])
@@ -84,6 +90,9 @@ def kcenter_coreset(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break  # fewer distinct points than k
             row = top[0]
@@ -94,10 +103,10 @@ def kcenter_coreset(
             nxt = cur.withColumn(
                 "__mind", F.least(F.col("__mind"), l2_sq(F.col("__v"), new_vec))
             ).persist()
-            nxt.count()  # materialize before dropping the parent cache
-            cur.unpersist()
-            cur = nxt
+            prev, cur = cur, nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         cur.unpersist()
     return base.sparkSession.createDataFrame(
         centers, "center_rank int, vec_id long, radius double"

@@ -158,6 +158,55 @@ def test_simhash_near_dups_banded_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ngram_jaccard_pairs_inverted_index_no_cartesian(spark, sf_dir):
+    """The exact all-pairs Jaccard baseline runs as a count-based
+    inverted index (round-11 optimization): an equi-join on the shingle
+    plus a pair-count aggregate — never the former nested-loop over all
+    n² document pairs, and the aggregate partial-aggregates map-side."""
+    plan = _plan(spark, sf_dir, "ngram_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final pair count
+
+
+def test_ngram_jaccard_pairs_matches_bruteforce(spark):
+    """Count-based inverted index == brute-force Jaccard on a corpus
+    with empty docs, sub-n-gram docs, disjoint docs and a τ-boundary
+    pair (the rewrite's exactness contract, incl. the 1e-9 bias)."""
+    from itertools import combinations
+
+    from semantic_ann_in_data_lake_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d z"),
+        (3, "q r s t u v"),
+        (4, ""),
+        (5, "x y"),          # shorter than the shingle width
+        (6, "a b c d e"),    # exact duplicate of 1
+        (7, "m n o p a b c"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for thr in (0.02, 1 / 3, 1.0):
+        got = sorted(
+            map(tuple, dedup.ngram_jaccard_pairs(docs, threshold=thr).collect())
+        )
+        # brute force on distinct 3-gram sets
+        sets = {}
+        for i, t in rows:
+            w = t.split()
+            sh = {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+            if sh:
+                sets[i] = sh
+        want = []
+        for a, b in combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter >= thr * max(union, 1) - 1e-9:
+                want.append((a, b, round(inter / max(union, 1), 6)))
+        assert got == sorted(want), f"thr={thr}: {got} != {sorted(want)}"
+
+
 def test_cross_corpus_near_dups_banded_no_cartesian(spark, sf_dir):
     """Cross-corpus dedup must stay a banded LSH equi-join between the
     two corpora (sub-quadratic): never a cartesian / nested-loop over

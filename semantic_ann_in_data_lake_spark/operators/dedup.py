@@ -516,13 +516,101 @@ def embedding_near_dups(
     if strategy == "exact":
         a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
         b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
-        return (
-            a.join(b, F.col("id_a") < F.col("id_b"))
-            .select(
+
+        def jvm_exact(pairs: DataFrame | None) -> DataFrame:
+            """The declarative exact tier; when ``pairs`` is given, the
+            same expressions run over that candidate set instead of the
+            full cross product — per-pair values are IDENTICAL either
+            way, since the scoring expression tree is shared."""
+            if pairs is None:
+                joined = a.join(b, F.col("id_a") < F.col("id_b"))
+            else:
+                joined = pairs.join(a, "id_a").join(b, "id_b")
+            return joined.select(
                 "id_a", "id_b", F.round(cosine_sim("va", "vb"), 6).alias("cosine")
-            )
-            .where(F.col("cosine") >= tau)
+            ).where(F.col("cosine") >= tau)
+
+        # Round-11 optimization (guide §8: decide with a cheap proxy,
+        # recompute exactly on survivors): when the corpus matrix fits
+        # the broadcast budget, a BLAS pass prefilters the n² pairs to
+        # a SUPERSET of the answer — unrounded cosine ≥ τ − 1e-6, a
+        # margin covering both the 6-dp rounding shift (≤ 5e-7) and
+        # BLAS-vs-sequential-fold summation noise (~1e-12 at d≤4096) —
+        # and the original JVM expressions then re-score only the
+        # survivors, so every emitted (pair, cosine) is bit-identical
+        # to the former full cross join (A/B-verified and hash-gated).
+        # Over budget, the declarative cross join stands unchanged.
+        from semantic_ann_in_data_lake_spark.operators.knn import (
+            _broadcast_byte_budget,
+            _estimate_rows,
         )
+
+        n = _estimate_rows(emb)
+        if n is None:
+            n = emb.count()
+        dim_row = emb.select(vec_col).head(1)
+        dim = (
+            len(dim_row[0][0])
+            if dim_row and dim_row[0][0] is not None
+            else 0
+        )
+        if n * dim * 8 + n * 16 > _broadcast_byte_budget() or dim == 0:
+            return jvm_exact(None)
+
+        import numpy as np
+
+        rows = (
+            emb.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .toPandas()
+        )
+        rows = rows[rows["v"].notna()]
+        ids = rows["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.asarray(list(rows["v"]), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        spark = emb.sparkSession
+        bc = spark.sparkContext.broadcast((ids, mat, norms))
+        margin = 1e-6
+
+        q = emb.select(F.col(id_col).alias("qid"))
+        target = spark.sparkContext.defaultParallelism
+        if q.rdd.getNumPartitions() < target:
+            q = q.repartition(target)
+
+        def prefilter(batches):
+            import pandas as pd
+
+            cids, cmat, cnorms = bc.value
+            pos = {int(i): p for p, i in enumerate(cids)}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qidx = np.asarray(
+                    [pos[i] for i in pdf["qid"] if i in pos], dtype=np.int64
+                )
+                if len(qidx) == 0:
+                    continue
+                qm, qn = cmat[qidx], cnorms[qidx]
+                cos = (qm @ cmat.T) / (
+                    qn[:, None] * cnorms[None, :] + 1e-12
+                )
+                keep = (cos >= tau - margin) & (
+                    cids[qidx][:, None] < cids[None, :]
+                )
+                qi, cj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_a": cids[qidx][qi],
+                        "id_b": cids[cj],
+                    }
+                )
+
+        cand = q.mapInPandas(prefilter, schema="id_a long, id_b long")
+        return jvm_exact(cand)
 
     from semantic_ann_in_data_lake_spark.operators.knn import knn_join
 

@@ -1297,6 +1297,43 @@ def test_embedding_near_dups_ann_recall(spark, sf_dir):
         assert len(ann & exact) / len(exact) >= 0.6, f"{strat} recall too low"
 
 
+def test_embedding_near_dups_exact_prefilter_matches_jvm(spark, monkeypatch):
+    """The exact tier's BLAS prefilter (round-11 optimization) is a
+    pure candidate-generation step: output must equal the declarative
+    cross join bit-for-bit, including pairs AT the 6-dp rounding
+    boundary of τ, and the over-budget fallback must take the JVM
+    path."""
+    from semantic_ann_in_data_lake_spark.operators import dedup, knn
+
+    # cos(v1, v2) lands a hair under τ=0.5 after rounding: boundary row
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.5, 0.8660254]),          # ~cos 0.5 vs id 1
+        (3, [0.8660254037844387, 0.5]), # cos 30° vs id 1
+        (4, [-1.0, 0.0]),
+        (5, None),
+        (6, [0.0, 0.0]),                # zero vector: eps guard path
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def jvm_only(e, tau):
+        # force the fallback by zeroing the broadcast budget
+        monkeypatch.setenv("SPARK_GRAFT_KNN_BCAST_BUDGET_MB", "0")
+        try:
+            return sorted(
+                map(tuple, dedup.embedding_near_dups(e, tau=tau).collect())
+            )
+        finally:
+            monkeypatch.delenv("SPARK_GRAFT_KNN_BCAST_BUDGET_MB")
+
+    for tau in (0.3, 0.5, 0.9):
+        fast = sorted(
+            map(tuple, dedup.embedding_near_dups(emb, tau=tau).collect())
+        )
+        slow = jvm_only(emb, tau)
+        assert fast == slow, f"tau={tau}: {fast} != {slow}"
+
+
 def test_token_truncate_bpe_seam(spark):
     """The exact-BPE seam: a fake tokenizer with tiktoken's interface
     (encode/decode) drives the pandas path; whitespace tier unchanged."""

@@ -67,6 +67,20 @@ def jaccard_prefix_join(
         .where(F.col("sz") > 0)
     )
 
+    # Round-11 optimization: the prefix filter is powerless exactly
+    # when the vocabulary is far smaller than the corpus (every token
+    # is hot, every posting list is ~n — the sf0.1 fixture is 31
+    # tokens over 5000 docs, where the prefix path cost 159 s for an
+    # answer that is 71% of all pairs, i.e. output-bound). In that
+    # regime the token sets pack into a few 64-bit words, and the
+    # EXACT intersection size is a vectorized popcount — the integers
+    # (i, u) then feed the same JVM divide/round/threshold expressions
+    # as the prefix path, so output is bit-identical (A/B-verified and
+    # hash-gated). Selective-vocabulary corpora never enter this path.
+    fast = _bitmask_exact_jaccard(toks, threshold)
+    if fast is not None:
+        return fast
+
     flat = toks.select("doc_id", "sz", F.explode("toks").alias("tok"))
     df_freq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
@@ -135,6 +149,149 @@ def jaccard_prefix_join(
         )
         .withColumn("jaccard", F.round(F.col("__inter") / F.col("__union"), 6))
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+#: vocabulary ceiling for the bitmask tier: above this the mask width
+#: (⌈V/64⌉ words) makes per-pair popcounts no cheaper than prefix
+#: postings, and a large vocabulary is precisely where prefix filtering
+#: works. Tunable per deployment.
+_BITMASK_VOCAB_CAP = int(__import__("os").environ.get(
+    "SPARK_GRAFT_SETJOIN_BITMASK_VOCAB_CAP", "2048"
+))
+
+
+def _bitmask_exact_jaccard(toks: DataFrame, threshold: float):
+    """Small-vocabulary exact tier of :func:`jaccard_prefix_join`:
+    token sets as packed bitmasks, pairwise |A ∩ B| by vectorized
+    popcount, the SAME JVM expressions producing the output values.
+
+    Returns None (caller falls through to the prefix path) unless the
+    vocabulary fits ``_BITMASK_VOCAB_CAP``, the mask matrix fits the
+    broadcast byte budget, and the n²·words pair work fits the pair
+    budget (``SPARK_GRAFT_KNN_PAIR_BUDGET`` — the same compute ceiling
+    the kNN broadcast tier obeys)."""
+    import os
+
+    import numpy as np
+
+    from semantic_ann_in_data_lake_spark.operators.knn import (
+        _broadcast_byte_budget,
+    )
+
+    vocab_rows = (
+        toks.select(F.explode("toks").alias("tok")).distinct().collect()
+    )
+    v = len(vocab_rows)
+    if v == 0 or v > _BITMASK_VOCAB_CAP:
+        return None
+    n = toks.count()
+    w = (v + 63) // 64
+    pair_budget = float(os.environ.get("SPARK_GRAFT_KNN_PAIR_BUDGET", "1e10"))
+    if n * (w * 8 + 16) > _broadcast_byte_budget() or n * n * w > pair_budget:
+        return None
+    bit = {r["tok"]: i for i, r in enumerate(sorted(vocab_rows))}
+    spark = toks.sparkSession
+    bc_bit = spark.sparkContext.broadcast(bit)
+
+    def to_masks(batches):
+        import pandas as pd
+
+        lut = bc_bit.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            masks = np.zeros((len(pdf), w), dtype=np.uint64)
+            for r, ts in enumerate(pdf["toks"]):
+                for t in ts:
+                    b = lut[t]
+                    masks[r, b >> 6] |= np.uint64(1) << np.uint64(b & 63)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sz": pdf["sz"],
+                    # int64 view: Arrow has no uint64-from-pandas fast
+                    # path; the bit pattern is what matters
+                    "words": list(masks.view(np.int64)),
+                }
+            )
+
+    packed = (
+        toks.mapInPandas(
+            to_masks, schema="doc_id long, sz int, words array<long>"
+        )
+        .toPandas()
+    )
+    ids = packed["doc_id"].to_numpy(dtype=np.int64)
+    sizes = packed["sz"].to_numpy(dtype=np.int64)
+    masks = np.asarray(list(packed["words"]), dtype=np.int64).view(np.uint64)
+    masks = masks.reshape(len(ids), w)
+    order = np.argsort(ids)
+    ids, sizes, masks = ids[order], sizes[order], masks[order]
+    bc = spark.sparkContext.broadcast((ids, sizes, masks))
+    # byte-wise popcount table (numpy < 2 has no bitwise_count)
+    popcnt8 = np.array(
+        [bin(x).count("1") for x in range(256)], dtype=np.int64
+    )
+
+    q = toks.select(F.col("doc_id").alias("qid"))
+    target = spark.sparkContext.defaultParallelism
+    if q.rdd.getNumPartitions() < target:
+        q = q.repartition(target)
+
+    def pair_counts(batches):
+        import pandas as pd
+
+        cids, csz, cmasks = bc.value
+        pos = {int(i): p for p, i in enumerate(cids)}
+        blk = max(1, 256 // max(w // 8, 1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qidx = np.asarray(
+                sorted(pos[i] for i in pdf["qid"] if i in pos),
+                dtype=np.int64,
+            )
+            for lo in range(0, len(qidx), blk):
+                sel = qidx[lo : lo + blk]
+                inter_and = (
+                    cmasks[sel][:, None, :] & cmasks[None, :, :]
+                )  # (B, n, w) uint64
+                i_cnt = popcnt8[
+                    inter_and.view(np.uint8)
+                ].reshape(len(sel), len(cids), w * 8).sum(
+                    axis=2, dtype=np.int64
+                )
+                u_cnt = csz[sel][:, None] + csz[None, :] - i_cnt
+                # the EXACT final predicate — same doubles the JVM
+                # filter evaluates (small ints are exact in float64)
+                keep = (
+                    (cids[sel][:, None] < cids[None, :])
+                    & (
+                        i_cnt.astype(np.float64)
+                        >= threshold * u_cnt.astype(np.float64) - 1e-9
+                    )
+                )
+                qi, cj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_a": cids[sel][qi],
+                        "id_b": cids[cj],
+                        "__inter": i_cnt[qi, cj],
+                        "__union": u_cnt[qi, cj],
+                    }
+                )
+
+    counted = q.mapInPandas(
+        pair_counts,
+        schema="id_a long, id_b long, __inter long, __union long",
+    )
+    # value-producing arithmetic stays in the JVM: identical divide +
+    # 6-dp round over identical integers ⇒ identical doubles
+    return counted.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("__inter") / F.col("__union"), 6).alias("jaccard"),
     )
 
 

@@ -2681,6 +2681,36 @@ def test_jaccard_prefix_join_equals_bruteforce(spark, sf_dir):
         assert got == expected, f"tau={tau}"
 
 
+def test_jaccard_bitmask_tier_equals_prefix_tier(spark, sf_dir, monkeypatch):
+    """The small-vocabulary bitmask tier (round-11 optimization) and
+    the prefix-filter tier emit identical rows — same pairs, same 6-dp
+    jaccard doubles — on the fixture corpus (small vocab → bitmask
+    engages) and on a synthetic large-vocab corpus (bitmask declines,
+    prefix path runs; dispatch is by vocabulary size)."""
+    import semantic_ann_in_data_lake_spark.operators.setjoin as sj
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for tau in (0.5, 1 / 3):
+        fast = sorted(
+            map(tuple, sj.jaccard_prefix_join(docs, threshold=tau).collect())
+        )
+        monkeypatch.setattr(sj, "_BITMASK_VOCAB_CAP", 0)
+        slow = sorted(
+            map(tuple, sj.jaccard_prefix_join(docs, threshold=tau).collect())
+        )
+        monkeypatch.undo()
+        assert fast == slow, f"tau={tau}"
+    # large-vocab corpus: per-doc unique tokens + a shared overlap core
+    rows = [
+        (i, " ".join([f"tok{i}_{j}" for j in range(6)] + ["common a b"]))
+        for i in range(40)
+    ]
+    big = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sj.jaccard_prefix_join(big, threshold=0.3).collect()
+    # J = 3/15 = 0.2 < 0.3 for every pair: prefix path ran and pruned
+    assert out == []
+
+
 def test_jaccard_prefix_join_validates_threshold(spark):
     import pytest as _pytest
     from semantic_ann_in_data_lake_spark.operators.setjoin import (

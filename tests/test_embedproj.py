@@ -365,6 +365,55 @@ def test_opq_interleave_and_refine_contract(spark, emb):
         knn_join(emb, emb, strategy="opq_refine", metric="cosine")
 
 
+def test_cov_moments_matmul_equals_explode_formulation(spark, emb):
+    """The int64 block-matmul kernel (round-11 optimization) returns
+    the SAME relation as the former explode+decimal-aggregate
+    formulation — bit-identical integer moments, including on a corpus
+    at the documented |x| ≤ ~3e3 envelope where the per-block row cap
+    collapses toward 1."""
+    from pyspark.sql import functions as F
+
+    from semantic_ann_in_data_lake_spark.operators import embedproj as ep
+
+    def explode_moments(df, vec_col="embedding"):
+        q = df.select(
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.round(
+                    x * F.lit(float(10**ep.COV_QUANT_DP))
+                ).cast("bigint"),
+            ).alias("q6")
+        )
+        pairs = q.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(q6) - 1), i -> "
+                    "transform(sequence(i, size(q6) - 1), j -> "
+                    "struct(i AS i, j AS j, q6[i] AS xi, q6[j] AS xj))))"
+                )
+            ).alias("p")
+        ).select("p.*")
+        return pairs.groupBy("i", "j").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("xj").cast("decimal(38,0)")).alias("sy"),
+            F.sum((F.col("xi") * F.col("xj")).cast("decimal(38,0)")).alias(
+                "sxy"
+            ),
+        )
+
+    for df in (
+        emb,
+        spark.createDataFrame(
+            [(i, [float(3000 - i), -2999.5, 0.123456]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        ),
+    ):
+        got = sorted(map(tuple, ep.embedding_cov_moments(df).collect()))
+        want = sorted(map(tuple, explode_moments(df).collect()))
+        assert got == want
+
+
 def test_merge_cov_moments_is_exact(spark, emb):
     """merge(moments(A), moments(B)) == moments(A ∪ B) bit-for-bit —
     the associativity property the streaming accumulator rests on."""

@@ -71,6 +71,33 @@ def exact_duplicates(
     )
 
 
+def _shingle_stream(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Positional word-``n``-gram stream ``(doc_id, __sh)`` (with
+    duplicates): ``posexplode`` the words ONCE, build each shingle with
+    ``lead()`` windows — pure codegen string concat, tokenization
+    evaluated exactly once per row. The shared front end of
+    :func:`minhash_signatures` and :func:`ngram_jaccard_pairs`; see
+    the former's docstring for why the HOF-array formulation loses."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(text_col)).alias("__pos", "__wd"),
+    )
+    if n > 1:
+        win = Window.partitionBy("doc_id").orderBy("__pos")
+        leads = [F.lead("__wd", j).over(win) for j in range(1, n)]
+        # concat_ws silently skips nulls → guard on the LAST lead so
+        # tail positions (< n words left) emit no truncated shingle
+        return w.select(
+            "doc_id",
+            F.when(
+                leads[-1].isNotNull(), F.concat_ws(" ", F.col("__wd"), *leads)
+            ).alias("__sh"),
+        ).where(F.col("__sh").isNotNull())
+    return w.select("doc_id", F.col("__wd").alias("__sh"))
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -94,24 +121,7 @@ def minhash_signatures(
     exactly once per row, and the window's hash-partitioning on doc_id
     is reused by the groupBy — ONE narrow (doc_id, shingle) shuffle
     total, linear and skew-free at cluster scale."""
-    n = shingle_n
-    w = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(words(text_col)).alias("__pos", "__wd"),
-    )
-    if n > 1:
-        win = Window.partitionBy("doc_id").orderBy("__pos")
-        leads = [F.lead("__wd", j).over(win) for j in range(1, n)]
-        # concat_ws silently skips nulls → guard on the LAST lead so
-        # tail positions (< n words left) emit no truncated shingle
-        sh = w.select(
-            "doc_id",
-            F.when(
-                leads[-1].isNotNull(), F.concat_ws(" ", F.col("__wd"), *leads)
-            ).alias("__sh"),
-        ).where(F.col("__sh").isNotNull())
-    else:
-        sh = w.select("doc_id", F.col("__wd").alias("__sh"))
+    sh = _shingle_stream(docs, id_col, text_col, shingle_n)
     agg = sh.groupBy("doc_id").agg(
         # sorted distinct set == array_sort(array_distinct(...)) of the
         # positional shingle stream (oracle-parity: DuckDB side is
@@ -306,26 +316,26 @@ def ngram_jaccard_pairs(
     use setjoin.py's prefix-filtered variant, which prunes postings
     by rarest-prefix before pairing.
     """
-    from semantic_ann_in_data_lake_spark.functions.text import (
-        word_shingles_from,
-        words,
-    )
-
     if threshold <= 0.0:
         raise ValueError(
             "threshold must be > 0: the inverted index enumerates only "
             f"pairs sharing a shingle, got {threshold}"
         )
 
-    sh = (
-        docs.select(F.col(id_col).alias("doc_id"), words(text_col).alias("__w"))
-        .select("doc_id", word_shingles_from(F.col("__w"), shingle_n).alias("sh"))
-        .where(F.size("sh") > 0)
+    # distinct postings + per-doc set size via the shared lead-window
+    # shingle stream and ONE doc-keyed aggregate (an Aggregate output
+    # column is a projection-collapse barrier: the former
+    # word_shingles_from staging got inlined into each of its FOUR
+    # references, re-splitting the document per shingle position —
+    # measured 10.8 s vs 2.6 s at sf0.1 for identical output). The
+    # persist covers both join sides below.
+    sets = (
+        _shingle_stream(docs, id_col, text_col, shingle_n)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("__sh")).alias("sh"))
     )
-    # persist the postings: they feed BOTH join sides, and re-deriving
-    # them re-runs the shingle expression over the full corpus per side
     flat = scoped_persist(
-        sh.select(
+        sets.select(
             "doc_id", F.size("sh").alias("__sz"), F.explode("sh").alias("__g")
         )
     )

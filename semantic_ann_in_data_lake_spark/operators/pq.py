@@ -118,10 +118,21 @@ def _books_from_mat(mat, m: int | None, ksub: int, seed: int, iters: int = 10):
                 + (cents * cents).sum(axis=1)[None, :]
             )
             assign = d2.argmin(axis=1)
-            for c in range(k_eff):
-                members = sub[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
+            # vectorized centroid update (round-11): the former
+            # per-cluster boolean-mask loop cost ~2.5 s of the 2.9 s
+            # fit at the 100k-sample posture (k_eff·iters·m mask scans
+            # of the sample). np.add.at accumulates deterministically
+            # in row order of the id-sorted sample, so the fit stays a
+            # pure function of the input (summation grouping differs
+            # from the old per-cluster mean at fp noise level — fit
+            # QUALITY is what's pinned, by the pytest recall floors;
+            # no oracle replays this fit, the recall meta-gates use
+            # the hash-picked codewords).
+            sums = np.zeros((k_eff, cents.shape[1]))
+            np.add.at(sums, assign, sub)
+            counts = np.bincount(assign, minlength=k_eff)
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz, None].astype(np.float64)
         if k_eff < ksub:  # degenerate tiny input: pad by repetition
             cents = np.concatenate(
                 [cents, np.repeat(cents[:1], ksub - k_eff, axis=0)]

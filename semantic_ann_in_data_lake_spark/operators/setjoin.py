@@ -318,70 +318,51 @@ def containment_prefix_join(
     Returns ``(id_contained, id_container, containment)`` (6 dp).
     Empty shingle sets never pair.
 
-    Prefix filter (the containment specialization of AllPairs):
-    C ≥ τ needs |A ∩ B| ≥ ⌈τ|A|⌉, so A must share a shingle with B
-    among A's first |A| − ⌈τ|A|⌉ + 1 RAREST shingles. Only the
-    contained side prefixes; the container side indexes all shingles —
-    but the join key is always one of A's rarest shingles, so posting
-    lists stay short on natural text (shingles are far more selective
-    than tokens). Size filter: |B| ≥ τ|A|. Verification is exact
-    (``array_intersect``), so the filter's slack never changes the
-    answer — same float-boundary bias discipline as
-    :func:`jaccard_prefix_join`.
+    Shape (round-11 optimization): count-based inverted index. C ≥ τ
+    with τ > 0 requires sharing ≥ 1 shingle, so the shingle postings
+    self-joined on the shingle enumerate every candidate ordered pair
+    once per SHARED shingle and the per-pair group count IS |A ∩ B|
+    exactly (shingle sets are distinct by construction) — the former
+    rare-prefix candidate stage already probed the container side's
+    FULL posting lists, so counting on the full join is at most ~1/τ×
+    more posting pairs while deleting the candidate `distinct`, the
+    two verification joins, and the per-pair ``array_intersect``
+    (measured 12.6 s → 2.6 s at sf0.1, identical rows). The integer
+    (i, |A|) columns feed the same threshold/round expressions as the
+    former verify step — bit-identical output. Posting-list fan-out is
+    bounded by shingle selectivity exactly as before (Σ df(g)² here vs
+    Σ prefix_df(g)·df(g) before; both explode together on degenerate
+    vocabularies, where the bitmask tier of :func:`jaccard_prefix_join`
+    is the precedent for a dedicated path if one is ever needed).
     """
-    from semantic_ann_in_data_lake_spark.functions.text import (
-        word_shingles_from,
+    from semantic_ann_in_data_lake_spark.operators.dedup import (
+        _shingle_stream,
     )
 
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sets = scoped_persist(
-        docs.select(
-            F.col(id_col).alias("doc_id"), words(text_col).alias("__w")
+    # distinct postings + per-doc set size via the shared lead-window
+    # shingle stream (one Aggregate = projection-collapse barrier; see
+    # dedup._shingle_stream)
+    sets = (
+        _shingle_stream(docs, id_col, text_col, shingle_n)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("__sh")).alias("sh"))
+    )
+    flat = scoped_persist(
+        sets.select(
+            "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("g")
         )
-        .select(
-            "doc_id",
-            word_shingles_from(F.col("__w"), shingle_n).alias("sh"),
-        )
-        .withColumn("sz", F.size("sh"))
-        .where(F.col("sz") > 0)
     )
-    flat = sets.select("doc_id", "sz", F.explode("sh").alias("g"))
-    df_freq = flat.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    w_doc = Window.partitionBy("doc_id").orderBy(
-        F.col("df").asc(), F.col("g").asc()
+    a = flat.select(
+        "g", F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")
     )
-    # prefix p = sz − ⌈τ·sz⌉ + 1; 1e-9 bias errs toward a LONGER
-    # prefix (more candidates, never fewer) — see jaccard_prefix_join
-    a_prefix = (
-        flat.join(df_freq, "g")
-        .withColumn("r", F.row_number().over(w_doc))
-        .where(
-            F.col("r")
-            <= F.col("sz")
-            - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9))
-            + 1
-        )
-        .select("g", F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    )
-    b_full = flat.select(
-        "g", F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")
-    )
-    cands = (
-        a_prefix.join(b_full, "g")
-        .where(F.col("id_a") != F.col("id_b"))
-        .where(F.col("sz_b") >= F.col("sz_a") * F.lit(threshold) - F.lit(1e-9))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"),
-                     F.col("sz").alias("sz_a"))
-    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    b = flat.select("g", F.col("doc_id").alias("id_b"))
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("__inter", inter)
+        a.join(b, "g")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a")
+        .agg(F.count(F.lit(1)).alias("__inter"))
         .where(
             F.col("__inter").cast("double")
             >= F.lit(threshold) * F.col("sz_a").cast("double") - F.lit(1e-9)

@@ -225,18 +225,27 @@ def test_grid_eval_single_knn_reuse(spark, sf_dir):
 
 
 def test_quality_filter_single_pass_no_shuffle(spark, sf_dir):
-    """The composed quality gate is a row-local predicate: its plan must
-    be one codegen scan+filter — zero exchanges, zero joins."""
+    """The composed quality gate tokenizes ONCE and aggregates by
+    doc_id (round-11 shape): exactly one data exchange (the doc-keyed
+    shingle/window shuffle, reused by the aggregate), zero joins, and
+    the tokenize split never multiplied back into the predicate — the
+    former 'zero-exchange row-local' shape inlined the words expression
+    TEN times after projection collapse, re-splitting the document per
+    shingle position (5.3 s → 1.1 s at sf0.1)."""
     from semantic_ann_in_data_lake_spark.plans.registry import quality_filter_docs
 
-    plan = (
-        quality_filter_docs(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert plan.count("Exchange") == 0
+    df = quality_filter_docs(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
     assert "Join" not in plan
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    simple = df._jdf.queryExecution().explainString(jmode)
+    # words() references the normalized string twice (empty guard +
+    # split) — the pinned floor; more means an expression got inlined
+    # into a second consumer again
+    assert simple.count("regexp_replace") == 2
 
 
 def test_tpch_additions_broadcast_no_cartesian(spark, sf_dir):

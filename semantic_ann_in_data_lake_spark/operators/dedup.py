@@ -567,6 +567,23 @@ def embedding_near_dups(
         if n * dim * 8 + n * 16 > _broadcast_byte_budget() or dim == 0:
             return jvm_exact(None)
 
+        # the prefilter keys its id→row map by int64 id value: decline
+        # non-integral id columns up front (ADVICE r11 — a string/
+        # decimal id would crash the int64 conversion the declarative
+        # path handles fine), and duplicate ids / ragged vectors below
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        id_type = emb.schema[id_col].dataType
+        if not isinstance(
+            id_type, (ByteType, ShortType, IntegerType, LongType)
+        ):
+            return jvm_exact(None)
+
         import numpy as np
 
         rows = (
@@ -578,6 +595,14 @@ def embedding_near_dups(
         )
         rows = rows[rows["v"].notna()]
         ids = rows["vec_id"].to_numpy(dtype=np.int64)
+        # duplicate ids would collapse in the id→row map (silently
+        # dropping pairs the declarative path emits); ragged vector
+        # lengths would crash the matrix build — both decline to the
+        # unchanged declarative cross join
+        if len(ids) != len(np.unique(ids)) or (
+            len(rows) and rows["v"].map(len).nunique() != 1
+        ):
+            return jvm_exact(None)
         mat = np.asarray(list(rows["v"]), dtype=np.float64)
         order = np.argsort(ids)
         ids, mat = ids[order], mat[order]

@@ -114,11 +114,9 @@ def embedding_cov_moments(
         import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            rows = [r for r in pdf["q6"] if r is not None]
-            if not rows:
-                continue
-            qm = np.asarray(rows, dtype=np.int64)
+        def dense_group(qm: "np.ndarray"):
+            """Int64 fast path over a rectangular no-null group —
+            unchanged from the round-11 kernel (bit-identical)."""
             d = qm.shape[1]
             iu, ju = np.triu_indices(d)
             maxq = int(np.abs(qm).max()) or 1
@@ -126,25 +124,118 @@ def embedding_cov_moments(
             # entry exact in int64 (≥ 1 whenever a single product
             # fits, the operator's documented envelope)
             blk = max(1, int((1 << 62) // (maxq * maxq)))
-            out = []
             for lo in range(0, len(qm), blk):
                 s = qm[lo : lo + blk]
                 g = s.T @ s  # (d, d) int64, exact by block sizing
                 cs = s.sum(axis=0)  # |blk·maxq| ≤ 2^62/maxq: exact
                 nb = np.int64(len(s))
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "i": iu,
-                            "j": ju,
-                            "n": nb,
-                            "sx": cs[iu],
-                            "sy": cs[ju],
-                            "sxy": g[iu, ju],
-                        }
-                    )
+                yield pd.DataFrame(
+                    {
+                        "i": iu,
+                        "j": ju,
+                        "n": nb,
+                        "sx": cs[iu],
+                        "sy": cs[ju],
+                        "sxy": g[iu, ju],
+                    }
                 )
-            yield pd.concat(out, ignore_index=True)
+
+        def masked_group(vals: list):
+            """Null-lane group: exact integer sums with the explode
+            formulation's null semantics — n counts every row of the
+            group at every key, sx/sy skip null lanes, sxy skips pairs
+            where either lane is null, and a key with ZERO valid
+            contributions ships a NULL partial (so the final SUM stays
+            NULL when every batch is empty-valid, exactly like
+            SUM(xi) over all-null input)."""
+            d = len(vals[0])
+            iu, ju = np.triu_indices(d)
+            qf = np.asarray(
+                [[np.nan if x is None else float(x) for x in r] for r in vals],
+                dtype=np.float64,
+            )
+            mask = ~np.isnan(qf)
+            x = np.where(mask, qf, 0.0).astype(np.int64)
+            maxq = int(np.abs(x).max()) or 1
+            blk = max(1, int((1 << 62) // (maxq * maxq)))
+            for lo in range(0, len(x), blk):
+                s, m = x[lo : lo + blk], mask[lo : lo + blk]
+                g = s.T @ s  # invalid lanes are 0 ⇒ both-valid sum
+                cs = s.sum(axis=0)
+                nvx = m.sum(axis=0)  # valid count per lane
+                nv = m.astype(np.int64).T @ m.astype(np.int64)
+                sx = [int(cs[i]) if nvx[i] else None for i in iu]
+                sy = [int(cs[j]) if nvx[j] else None for j in ju]
+                sxy = [
+                    int(g[i, j]) if nv[i, j] else None
+                    for i, j in zip(iu, ju)
+                ]
+                yield pd.DataFrame(
+                    {
+                        "i": iu,
+                        "j": ju,
+                        "n": np.int64(len(s)),
+                        "sx": pd.array(sx, dtype="Int64"),
+                        "sy": pd.array(sy, dtype="Int64"),
+                        "sxy": pd.array(sxy, dtype="Int64"),
+                    }
+                )
+
+        for pdf in batches:
+            rows = [r for r in pdf["q6"] if r is not None]
+            if not rows:
+                continue
+            # group rows by dimension: the explode formulation emitted
+            # keys (i ≤ j < len(row)) PER ROW, so a ragged batch is a
+            # union of per-dim-group rectangular kernels with the same
+            # per-(i,j) counts — the common all-same-d case is one
+            # group and takes the unchanged fast path
+            by_dim: dict[int, list] = {}
+            for r in rows:
+                by_dim.setdefault(len(r), []).append(r)
+            out = []
+            for d, vals in sorted(by_dim.items()):
+                if d == 0:
+                    # explode-formulation degenerate keys for an EMPTY
+                    # q6 array: sequence(0, -1) is the descending
+                    # [0, -1], yielding keys (0,0), (0,-1), (-1,-1)
+                    # with null value lanes — replicated so an empty-
+                    # vector corpus stays bit-identical to the old
+                    # shape instead of crashing the kernel
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "i": [0, 0, -1],
+                                "j": [0, -1, -1],
+                                "n": np.int64(len(vals)),
+                                "sx": pd.array(
+                                    [None] * 3, dtype="Int64"
+                                ),
+                                "sy": pd.array(
+                                    [None] * 3, dtype="Int64"
+                                ),
+                                "sxy": pd.array(
+                                    [None] * 3, dtype="Int64"
+                                ),
+                            }
+                        )
+                    )
+                    continue
+                # null lanes surface as None (object lanes) or NaN
+                # (float lanes) depending on Arrow's conversion; the
+                # int64 cast rejects both, routing to the masked path
+                try:
+                    dense = np.asarray(vals, dtype=np.int64)
+                except (TypeError, ValueError):
+                    dense = None
+                gen = (
+                    dense_group(dense)
+                    if dense is not None
+                    else masked_group(vals)
+                )
+                out.extend(gen)
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
     part = q.mapInPandas(
         partials, schema="i int, j int, n long, sx long, sy long, sxy long"

@@ -179,8 +179,19 @@ def _bitmask_exact_jaccard(toks: DataFrame, threshold: float):
         _broadcast_byte_budget,
     )
 
+    # BOUNDED dispatch probe (round-12, ADVICE r11): collect at most
+    # cap+1 distinct tokens — enough to decide "vocabulary exceeds the
+    # cap" without ever materializing a large corpus's full vocabulary
+    # on the driver (an unbounded distinct().collect() here was a
+    # driver-OOM hazard on exactly the corpora that must DECLINE the
+    # tier). When the probe comes back within the cap it IS the full
+    # vocabulary (limit didn't truncate), so the bit assignment below
+    # is unchanged.
     vocab_rows = (
-        toks.select(F.explode("toks").alias("tok")).distinct().collect()
+        toks.select(F.explode("toks").alias("tok"))
+        .distinct()
+        .limit(_BITMASK_VOCAB_CAP + 1)
+        .collect()
     )
     v = len(vocab_rows)
     if v == 0 or v > _BITMASK_VOCAB_CAP:
@@ -229,9 +240,10 @@ def _bitmask_exact_jaccard(toks: DataFrame, threshold: float):
     order = np.argsort(ids)
     ids, sizes, masks = ids[order], sizes[order], masks[order]
     bc = spark.sparkContext.broadcast((ids, sizes, masks))
-    # byte-wise popcount table (numpy < 2 has no bitwise_count)
+    # byte-wise popcount table (numpy < 2 has no bitwise_count);
+    # uint8 so the gathered table stays 1 byte/lookup
     popcnt8 = np.array(
-        [bin(x).count("1") for x in range(256)], dtype=np.int64
+        [bin(x).count("1") for x in range(256)], dtype=np.uint8
     )
 
     q = toks.select(F.col("doc_id").alias("qid"))
@@ -244,7 +256,11 @@ def _bitmask_exact_jaccard(toks: DataFrame, threshold: float):
 
         cids, csz, cmasks = bc.value
         pos = {int(i): p for p, i in enumerate(cids)}
-        blk = max(1, 256 // max(w // 8, 1))
+        # block rows so the popcount scratch (B·n·w·8 uint8 lookups)
+        # stays ~32 MB per task instead of scaling with the pair
+        # budget: at n near the 1e10-pair budget the former fixed
+        # blk=256 materialized a multi-GB int64 scratch (ADVICE r11)
+        blk = max(1, int((32 << 20) // max(len(cids) * w * 8, 1)))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -257,6 +273,10 @@ def _bitmask_exact_jaccard(toks: DataFrame, threshold: float):
                 inter_and = (
                     cmasks[sel][:, None, :] & cmasks[None, :, :]
                 )  # (B, n, w) uint64
+                # uint8 table keeps the gathered popcounts 1 byte per
+                # lookup (8x less scratch than an int64 gather); the
+                # per-word sums are ≤ 64·w so the int64-accumulated
+                # sum is exact regardless
                 i_cnt = popcnt8[
                     inter_and.view(np.uint8)
                 ].reshape(len(sel), len(cids), w * 8).sum(

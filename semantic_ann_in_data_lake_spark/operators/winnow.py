@@ -90,9 +90,13 @@ def winnow_fingerprints(
     # construction (same 40-bit Karp-Rabin terms, same packed
     # rightmost-min tie-break, same int64 envelope; A/B-pinned in
     # tests and hash-gated). Normalization stays a JVM expression so
-    # lower/trim semantics are untouched; codes are UTF-16 code units,
-    # exactly what the former split('')+ascii() chain hashed. Measured
-    # 3.1 s → 0.9 s at sf0.1 for the fingerprint pass.
+    # lower/trim semantics are untouched; codes are Unicode CODE
+    # POINTS (utf-32 decode), exactly what the split('')+ascii() HOF
+    # twin and the DuckDB ord() oracle hash — a utf-16 decode would
+    # split astral characters (emoji) into surrogate pairs and diverge
+    # from both (verified: Spark ascii() and DuckDB ord() agree on
+    # U+1F600 = 128512). Measured 3.1 s → 0.9 s at sf0.1 for the
+    # fingerprint pass.
     import numpy as np
 
     pows = np.asarray(_POLY_POWS[:k], dtype=np.int64)
@@ -109,7 +113,7 @@ def winnow_fingerprints(
                 if s is None:
                     continue
                 codes = np.frombuffer(
-                    s.encode("utf-16-le"), dtype=np.uint16
+                    s.encode("utf-32-le"), dtype=np.uint32
                 ).astype(np.int64)
                 nk = len(codes) - (k - 1)
                 if nk < 1:

@@ -5115,7 +5115,8 @@ def test_winnow_kernel_equals_expression_formulation(spark, sf_dir):
     bit-identical to the pure-expression twin — same packed keys, same
     rightmost-min tie-break — on the fixture corpus and on edge docs
     (shorter than k, shorter than w grams, empty, NULL, non-ASCII,
-    all-repeated chars)."""
+    non-BMP/astral — where a utf-16 decode would split surrogate
+    pairs — and all-repeated chars)."""
     import semantic_ann_in_data_lake_spark.operators.winnow as W
 
     fixture = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -5127,6 +5128,8 @@ def test_winnow_kernel_equals_expression_formulation(spark, sf_dir):
             (4, None),
             (5, "日本語のテキスト — ü ø"),
             (6, "aaaaaaaaaaaa"),
+            (7, "emoji \U0001F600\U0001F680 inside and \U0001F9E0 text"),
+            (8, "\U0001F600\U0001F601\U0001F602\U0001F603\U0001F604"),
         ],
         ["doc_id", "text"],
     )

@@ -47,9 +47,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from semantic_ann_in_data_lake_spark.cache import scoped_persist
 from semantic_ann_in_data_lake_spark.operators.iterate import (
     iter_checkpoint,
 )
+
+# Round-12 optimization (guide §5, VERDICT r11 item 3): every operator
+# in this module references its (projected) edge frame several times —
+# iterative ones once per ROUND (T+2 plan sites for T rounds), the
+# analytics ones 3-5 times across join branches. Catalyst does not CSE
+# across branches, so without a persist the caller's whole edge-
+# producing subtree (typically an exact-kNN scoring join or an
+# NN-descent window) re-executes at every site — measured 34.9 → ~9 s
+# on pagerank_weighted_knn (5 rounds over a broadcast-kNN edge list).
+# scoped_persist keeps the blocks for the caller's consuming action and
+# releases them with the enclosing cache_scope (bench/oracle runs);
+# output is bit-identical (a persist changes evaluation count, not
+# values).
 
 
 def pagerank(
@@ -82,7 +96,9 @@ def pagerank(
     cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("double").alias("w"))
-    e = edges.select(*cols)
+    # persisted: referenced by nodes/outdeg plus once per round (the
+    # contrib join) — see module-level round-12 note
+    e = scoped_persist(edges.select(*cols))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -203,10 +219,13 @@ def triangle_stats(
     # dedup the directed edge set up front: triangle/common counts are
     # computed over distinct edges, so degrees must be too — a
     # duplicated input edge would otherwise inflate degree and skew
-    # clustering (ADVICE r9)
-    e = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).distinct()
+    # clustering (ADVICE r9). Persisted: deg + the three join legs of
+    # the triangle enumeration are 4 plan sites (module round-12 note).
+    e = scoped_persist(
+        edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+        ).distinct()
+    )
     canon = e.where(F.col("a") < F.col("b"))
     deg = (
         e.groupBy(F.col("a").alias("node"))
@@ -276,7 +295,10 @@ def lpa_communities(
     the label frame is lineage-truncated per round."""
     if iters < 0:
         raise ValueError("iters >= 0 required")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # persisted: one plan site per round (see module round-12 note)
+    e = scoped_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -428,7 +450,11 @@ def hits(
     state frame is lineage-truncated per round."""
     if iters < 0:
         raise ValueError("iters >= 0 required")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # persisted: TWO plan sites per round (both half-steps) — see
+    # module round-12 note
+    e = scoped_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -517,7 +543,10 @@ def trustrank(
     """
     if iters < 0:
         raise ValueError("iters >= 0 required")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # persisted: one plan site per round (see module round-12 note)
+    e = scoped_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
     s = seeds.select(F.col(seed_col).alias("node")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -623,7 +652,10 @@ def bfs_layers(
     diameter."""
     if rounds < 0:
         raise ValueError("rounds >= 0 required")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # persisted: one plan site per round (see module round-12 note)
+    e = scoped_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
     s = seeds.select(F.col(seed_col).alias("node")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -694,10 +726,14 @@ def neighborhood_jaccard(
     is Σ deg(v)² over pivot nodes — same hub-cap discipline as
     `triangle_stats`."""
     # distinct first: common counts are deduped by construction, so
-    # degrees (and the co-neighbor pivot) must see each edge once too
-    e = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).distinct()
+    # degrees (and the co-neighbor pivot) must see each edge once too.
+    # Persisted: canon + deg + both pivot legs are 4 plan sites
+    # (module round-12 note).
+    e = scoped_persist(
+        edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+        ).distinct()
+    )
     canon = e.where(F.col("a") < F.col("b"))
     deg = e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -771,10 +807,14 @@ def degree_assortativity(
     hash-exact. Degenerate variance (regular graphs) returns 0.0 by
     convention."""
     # distinct first: a duplicated input edge would inflate both the
-    # per-edge moment sums and the endpoint degrees
-    e = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).distinct()
+    # per-edge moment sums and the endpoint degrees. Persisted: the
+    # moment join references e + both degree sides (module round-12
+    # note).
+    e = scoped_persist(
+        edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+        ).distinct()
+    )
     deg = e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -825,6 +865,10 @@ def graph_datacard(
     so DECIMAL(38,6) accumulates it without information loss);
     assortativity comes from `degree_assortativity`. Single row,
     hash-exact cross-engine."""
+    # persisted: triangle_stats and degree_assortativity each derive
+    # their own deduped frame from the same caller subtree — one
+    # upstream evaluation instead of two (module round-12 note)
+    edges = scoped_persist(edges)
     ts = triangle_stats(edges, src_col, dst_col)
     agg = ts.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
@@ -880,7 +924,9 @@ def triangle_count_doulion(
     if not (0 < p_mille <= 1000):
         raise ValueError("p_mille in (0, 1000] required")
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    canon = e.where(F.col("a") < F.col("b")).distinct()
+    # persisted: the sampled checkpoint and the n_edges count are two
+    # plan sites over the same dedup (module round-12 note)
+    canon = scoped_persist(e.where(F.col("a") < F.col("b")).distinct())
     coin = F.pmod(
         F.conv(
             F.substring(
@@ -963,7 +1009,10 @@ def hyperanf(
     if rounds < 0:
         raise ValueError("rounds >= 0 required")
     m, alpha = 16, 0.673
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # persisted: one plan site per round (see module round-12 note)
+    e = scoped_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -140,23 +140,45 @@ def nndescent_knn_graph(
     n = v.count()
     n_buckets = max(1, (n + k) // (k + 1))
 
+    # Round-12 optimization (guide §4.2): the candidate scorings are
+    # the dominant build cost — O(n·(k+rk)²) pairs per round, each
+    # paying an INTERPRETED 64-lane aggregate/zip_with fold plus two
+    # shuffle joins. The pairscore kernel computes the same unrounded
+    # L2² bit-identically (sequential lane loop — same add chain) over
+    # the broadcast vector matrix; round stays a JVM expression on the
+    # returned column, so graph trajectories are unchanged (A/B-pinned
+    # and oracle-gated). Over budget / non-integral ids / NULL or
+    # ragged vectors: scorer is None and the join path stands.
+    from semantic_ann_in_data_lake_spark.operators.pairscore import (
+        exact_l2_pair_scorer,
+    )
+
+    scorer = exact_l2_pair_scorer(v, v, "__id", "__v")
+
     def scored_topk(pairs: DataFrame) -> DataFrame:
         """(query_id, cand_id) -> top-k (query_id, cand_id, d)."""
-        s = (
-            pairs.join(
-                v.select(F.col("__id").alias("query_id"), F.col("__v").alias("__qv")),
-                "query_id",
-            )
-            .join(
-                v.select(F.col("__id").alias("cand_id"), F.col("__v").alias("__cv")),
-                "cand_id",
-            )
-            .select(
+        if scorer is not None:
+            s = scorer(pairs, "query_id", "cand_id").select(
                 "query_id",
                 "cand_id",
-                F.round(l2_sq("__qv", "__cv"), round_dp).alias("d"),
+                F.round(F.col("d"), round_dp).alias("d"),
             )
-        )
+        else:
+            s = (
+                pairs.join(
+                    v.select(F.col("__id").alias("query_id"), F.col("__v").alias("__qv")),
+                    "query_id",
+                )
+                .join(
+                    v.select(F.col("__id").alias("cand_id"), F.col("__v").alias("__cv")),
+                    "cand_id",
+                )
+                .select(
+                    "query_id",
+                    "cand_id",
+                    F.round(l2_sq("__qv", "__cv"), round_dp).alias("d"),
+                )
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.col("d").asc(), F.col("cand_id").asc()
         )

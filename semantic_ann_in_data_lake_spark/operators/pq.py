@@ -646,7 +646,16 @@ def _exact_rerank(
 ) -> DataFrame:
     """Shared refine stage: re-score a (query_id, cand_id) shortlist
     exactly on the raw vectors (two n·k′-row equi-joins + the
-    declarative L2² fold) and return the standard ranked top-k."""
+    declarative L2² fold) and return the standard ranked top-k.
+
+    Round-12 negative result, kept honest: routing this through the
+    pairscore kernel (operators/pairscore.py — a clear win inside the
+    NN-descent rounds) measured a WASH here (interleaved best-of-3 at
+    sf0.1: 3.88 s kernel vs 3.60 s joins on knn_ivf_pq_refine_l2_k10,
+    similar on pca/opq/lloyd) — the shortlist is only n·k·rf rows, so
+    the per-call driver collect of the vector matrix costs what the
+    join + fold saves. The declarative path stays; the kernel remains
+    the NN-descent scorer where the pair volume justifies it."""
     from semantic_ann_in_data_lake_spark.functions.vectors import l2_sq
 
     qv = queries.select(

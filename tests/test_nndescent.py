@@ -67,6 +67,7 @@ def test_nndescent_converges_on_blobs(spark, blobs):
     assert _recall(g5, exact) > 0.9
 
 
+@pytest.mark.slow  # >20s; default run budget (VERDICT r11 item 1)
 def test_nndescent_refine_recall_and_contract(spark, blobs):
     """The reduced-space descent + raw re-rank tier
     (embedproj.knn_nndescent_refine): on clustered d=16 data projected
@@ -238,3 +239,69 @@ def test_nndescent_early_stop_matches_converged_fixed_iters(spark, blobs):
     assert sorted(map(tuple, g_early.collect())) == sorted(
         map(tuple, g_early2.collect())
     )
+
+
+@pytest.mark.slow  # >20s; default run budget (VERDICT r11 item 1)
+def test_pairscore_kernel_bit_identical_to_join_fold(spark, sf_dir, blobs, monkeypatch):
+    """The round-12 pairscore kernel (vectorized rows, sequential
+    lanes) produces BIT-identical graphs to the declarative
+    join + l2_sq fold path — on the fixture corpus and the clustered
+    blobs, including edge rows (NULL vector, odd dims)."""
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    fixture = read_table(spark, sf_dir, "embeddings")
+    edge = spark.createDataFrame(
+        [
+            (1, [0.1, 0.25, -3.5]),
+            (2, [0.100000001, 0.25, -3.5]),
+            (3, None),
+            (4, [7.0, -2.0, 0.5]),
+            (5, [0.0, 0.0, 0.0]),
+            (6, [1e-9, -1e-9, 1e9]),
+            (7, [2.5, 2.5, 2.5]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    for docs, k, iters in ((fixture, 5, 2), (blobs, 4, 2), (edge, 2, 2)):
+        got = sorted(
+            map(tuple, nndescent_knn_graph(docs, k=k, iters=iters).collect())
+        )
+        monkeypatch.setenv("SPARK_GRAFT_PAIRSCORE_KERNEL", "0")
+        want = sorted(
+            map(tuple, nndescent_knn_graph(docs, k=k, iters=iters).collect())
+        )
+        monkeypatch.delenv("SPARK_GRAFT_PAIRSCORE_KERNEL")
+        assert got == want
+
+
+def test_pairscore_kernel_declines_ungated_frames(spark):
+    """The pairscore kernel's engagement gates: non-integral ids, NULL
+    vectors, ragged dims, and duplicate ids each return None (callers
+    keep the declarative join path)."""
+    from semantic_ann_in_data_lake_spark.operators.pairscore import (
+        exact_l2_pair_scorer,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert exact_l2_pair_scorer(ok, ok, "vec_id", "embedding") is not None
+
+    strid = spark.createDataFrame(
+        [("a", [0.1, 0.2])], "vec_id string, embedding array<double>"
+    )
+    nullvec = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    ragged = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3])],
+        "vec_id bigint, embedding array<double>",
+    )
+    dup = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (1, [0.3, 0.4])],
+        "vec_id bigint, embedding array<double>",
+    )
+    for bad in (strid, nullvec, ragged, dup):
+        assert exact_l2_pair_scorer(bad, bad, "vec_id", "embedding") is None

@@ -19,12 +19,18 @@ xxhash64 tier, ``_w64`` = window posture, ``_csv`` = text-scan tier)
 mechanically. Pinned by tests/test_plans.py.
 
 Suite composition = the FIXED headline core (bench_queries) + a
-STALEST-FIRST ROTATION over every registry entry the core doesn't
-cover (VERDICT r10 task 2): each round benches the half of the
-uncovered pool whose last committed measurement is oldest (tracked in
-BENCH_COVERAGE.json), so every registry entry gets a measured sf-curve
-at least every 2 rounds. Override the rotation size with
-SPARK_GRAFT_BENCH_ROTATE (0 disables).
+CONTINUITY set (every key of the previous round's official inline
+record, re-measured as core so consecutive official records and the
+driver's same-round c8/c32 scaling pair share a stable inline key set
+— VERDICT r11 item 2) + a STALEST-FIRST ROTATION over every registry
+entry the core doesn't cover (VERDICT r10 task 2): each round benches
+the half of the uncovered pool whose last committed measurement is
+oldest (tracked in BENCH_COVERAGE.json), so every registry entry gets
+a measured sf-curve at least every 2 rounds. Override the rotation
+size with SPARK_GRAFT_BENCH_ROTATE (0 disables). The inline stdout
+record carries core + continuity keys only (rotation membership is
+per-round; its timings live in BENCH_DETAIL.json); the headline
+``value`` covers the FIXED core alone, unchanged.
 """
 
 from __future__ import annotations
@@ -683,27 +689,54 @@ def _bench_round() -> int:
     return best + 1
 
 
-def _load_coverage() -> dict[str, int]:
-    """name -> round of the entry's last committed bench measurement
-    (registry names; posture keys are credited to their base)."""
+def _load_coverage_raw() -> dict:
     try:
         with open(_repo_path("BENCH_COVERAGE.json")) as f:
-            return {
-                k: int(v) for k, v in json.load(f)["last_benched"].items()
-            }
+            return json.load(f)
     except Exception:
         return {}
 
 
+def _load_coverage(rnd: int | None = None) -> dict[str, int]:
+    """name -> round of the entry's last committed bench measurement
+    (registry names; posture keys are credited to their base).
+
+    When ``rnd`` is given and equals the coverage file's own round, this
+    is a SAME-ROUND RERUN (the driver's lower-core scaling pass, or a
+    local re-run before the round closes): entries credited this round
+    fall back to their PREVIOUS vintage so the rerun resolves the SAME
+    stalest-first rotation window as the round's first run — round 11's
+    c8 pass resolved a disjoint window, emptying the driver's scaling
+    table (VERDICT r11 item 2)."""
+    raw = _load_coverage_raw()
+    cov = {k: int(v) for k, v in raw.get("last_benched", {}).items()}
+    if rnd is not None and raw.get("round") == rnd:
+        prev = {k: int(v) for k, v in raw.get("prev_benched", {}).items()}
+        for k, v in list(cov.items()):
+            if v == rnd:
+                cov[k] = prev.get(k, -1)
+    return cov
+
+
 def _save_coverage(benched_names, rnd: int) -> None:
-    cov = _load_coverage()
+    raw = _load_coverage_raw()
+    cov = {k: int(v) for k, v in raw.get("last_benched", {}).items()}
+    prev = {k: int(v) for k, v in raw.get("prev_benched", {}).items()}
+    if raw.get("round") != rnd:
+        prev = {}  # fresh round: previous vintages start from this state
     for n in benched_names:
         base = registry_base(n)
         if base is not None:
+            if cov.get(base) is not None and cov[base] != rnd:
+                prev[base] = cov[base]
             cov[base] = rnd
     with open(_repo_path("BENCH_COVERAGE.json"), "w") as f:
         json.dump(
-            {"round": rnd, "last_benched": dict(sorted(cov.items()))},
+            {
+                "round": rnd,
+                "last_benched": dict(sorted(cov.items())),
+                "prev_benched": dict(sorted(prev.items())),
+            },
             f, indent=1,
         )
 
@@ -724,7 +757,8 @@ def rotation_names(fixed_keys) -> list[str]:
         return _ROTATION_NAMES
     covered = {registry_base(k) for k in fixed_keys} - {None}
     pool = sorted(n for n in registry.REGISTRY if n not in covered)
-    cov = _load_coverage()
+    rnd = _bench_round()
+    cov = _load_coverage(rnd)
     # tie-break ties in staleness by a per-round deterministic salt,
     # NOT by name: once a full-coverage round leaves every entry at
     # the same vintage, an alphabetical tie-break would re-pin the
@@ -734,8 +768,6 @@ def rotation_names(fixed_keys) -> list[str]:
     # each round, so tied entries alternate windows and the ≤2-round
     # staleness promise actually holds.
     import hashlib
-
-    rnd = _bench_round()
 
     def _salt(name: str) -> str:
         return hashlib.sha1(f"{rnd}:{name}".encode()).hexdigest()
@@ -755,6 +787,34 @@ def rotation_queries(spark, sf_dir, fixed_keys) -> dict:
         return lambda: fn(spark, sf_dir)
 
     return {n: from_registry(n) for n in rotation_names(fixed_keys)}
+
+
+#: continuity name list, computed once per process (same pattern as
+#: _ROTATION_NAMES) so the sf-curve and same-round reruns agree
+_CONTINUITY_NAMES: list[str] | None = None
+
+
+def continuity_names(fixed_keys) -> list[str]:
+    """Cross-round comparability set (VERDICT r11 item 2): every query
+    name the PREVIOUS round's official inline record carried — and that
+    isn't already a fixed-core key — is re-measured as a CORE entry
+    (best-of-N) this round. The driver's per-query PERF diff and the
+    lower-core scaling rerun both read the inline stdout record, so
+    carrying last round's inline keys forward guarantees a large stable
+    key intersection (rotation debuts drop out of the inline set after
+    one round otherwise, which zeroed PERF_r11's n_common). Continuity
+    entries do NOT fold into the headline ``value`` (that stays the
+    fixed core, same set as prior rounds); they are reported under
+    ``continuity_seconds``."""
+    global _CONTINUITY_NAMES
+    if _CONTINUITY_NAMES is None:
+        fixed = set(fixed_keys)
+        _CONTINUITY_NAMES = sorted(
+            n
+            for n in _prev_round_inlined()
+            if n not in fixed and n in registry.REGISTRY
+        )
+    return _CONTINUITY_NAMES
 
 
 def _csv_copy_dir(sf_dir: str) -> str:
@@ -806,8 +866,13 @@ def _run_suite(spark, sf_dir) -> dict[str, float]:
     fast_floor_s = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_FLOOR", "2"))
     timings: dict[str, float] = {}
     fixed = bench_queries(spark, sf_dir)
-    suite = dict(fixed)
-    rotation = rotation_queries(spark, sf_dir, fixed.keys())
+    reg = registry.REGISTRY
+    core = dict(fixed)
+    for cname in continuity_names(fixed.keys()):
+        fn, _ = reg[cname]
+        core[cname] = (lambda f: lambda: f(spark, sf_dir))(fn)
+    suite = dict(core)
+    rotation = rotation_queries(spark, sf_dir, core.keys())
     suite.update(rotation)
     for name, make in suite.items():
         best, n = None, 0
@@ -894,11 +959,24 @@ def main():
     # is reported under its own key; per-query timings for BOTH sets
     # stay in `queries` and BENCH_DETAIL.json — logged, not capped.
     rot_set = set(rotation_names(()))
+    cont_set = set(continuity_names(()))
+    # value stays the FIXED core only (same key set as prior rounds):
+    # continuity entries are re-measures of last round's inline keys
+    # and would double-count rotation-class work into the one number
+    # the driver compares across rounds
     total = round(
-        sum(t for q, t in timings.items() if q not in rot_set), 3
+        sum(
+            t
+            for q, t in timings.items()
+            if q not in rot_set and q not in cont_set
+        ),
+        3,
     )
     rotation_total = round(
         sum(t for q, t in timings.items() if q in rot_set), 3
+    )
+    continuity_total = round(
+        sum(t for q, t in timings.items() if q in cont_set), 3
     )
     rnd = _bench_round()
     if sf == "0.1":
@@ -916,6 +994,7 @@ def main():
         "round": rnd,
         "rotation": rotation_names(()),
         "rotation_seconds": rotation_total,
+        "continuity_seconds": continuity_total,
     }
     if failed:
         out["failed"] = failed
@@ -1001,22 +1080,29 @@ def main():
     compact["n_rotated"] = len(out["rotation"])
     # COPY the timings dict: `out["queries"]` aliases `timings`, and the
     # trim loop below would otherwise shrink both, zeroing the
-    # queries_omitted arithmetic (observed: 3 dropped, "omitted": 0)
-    compact["queries"] = dict(compact["queries"])
+    # queries_omitted arithmetic (observed: 3 dropped, "omitted": 0).
+    # The INLINE record carries core + continuity keys only: rotation
+    # membership is salt/vintage-dependent per round, and inlining it
+    # made consecutive official records share zero keys (PERF_r11
+    # n_common: 0). Rotation timings stay in BENCH_DETAIL.json.
+    compact["queries"] = {
+        q: t for q, t in compact["queries"].items() if q not in rot_set
+    }
     compact["detail_file"] = "BENCH_DETAIL.json"
     n_total = len(timings)
     compact["n_queries"] = n_total
+    compact["queries_omitted"] = n_total - len(compact["queries"])
     prev_inlined = _prev_round_inlined()
     line = json.dumps(compact, separators=(",", ":"))
     while len(line.encode()) > 1500 and compact["queries"]:
-        # Rotate the inline set across rounds: drop queries that DID
-        # make the previous official round's inline record first
-        # (fastest within that class), so every suite query appears in
-        # the official BENCH_r{N} record at least once per two
-        # consecutive rounds; the complete payload is always in the
-        # committed BENCH_DETAIL.json.
+        # KEEP the previous round's inline keys, drop the fastest of
+        # the rest first (VERDICT r11 item 2): the inline set then
+        # converges to a stable slowest-N core the driver can diff
+        # round-over-round and across the same-round c8/c32 scaling
+        # pair; the complete payload is always in the committed
+        # BENCH_DETAIL.json.
         qs = compact["queries"]
-        pool = [q for q in qs if q in prev_inlined] or list(qs)
+        pool = [q for q in qs if q not in prev_inlined] or list(qs)
         fastest = min(pool, key=qs.get)
         del qs[fastest]
         compact["queries_omitted"] = n_total - len(qs)

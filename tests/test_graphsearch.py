@@ -56,6 +56,7 @@ def _recall(res, exact) -> float:
     return row["n_found"] / row["n_exact"]
 
 
+@pytest.mark.slow  # >20s; default run budget (VERDICT r11 item 1)
 def test_graph_search_high_recall_on_blobs(spark, corpus_and_queries):
     """Entry-coverage contract on a DISCONNECTED graph (30 blob
     components): with an entry budget covering the components
@@ -98,6 +99,7 @@ def test_graph_search_navigates_connected_graph(spark):
     assert _recall(res, exact) >= 0.95
 
 
+@pytest.mark.slow  # >20s; default run budget (VERDICT r11 item 1)
 def test_graph_search_contract_and_monotone_knobs(spark, corpus_and_queries):
     """Contract projection empty (exact distances, consecutive
     monotone ranks) and recall non-decreasing in hops and beam — each

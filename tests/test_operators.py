@@ -313,6 +313,7 @@ def test_hash_embedder_matches_expr(spark, sf_dir):
     assert via_udf == via_expr
 
 
+@pytest.mark.slow  # >20s; default run budget (VERDICT r11 item 1)
 def test_deepjoin_train_lifecycle_end_to_end(spark, sf_dir, tmp_path):
     """The V6 consumption seam, driven exactly as a DeepJoin user
     would (reference train.py -> search_query.py): positive pairs →
@@ -1297,6 +1298,7 @@ def test_embedding_near_dups_ann_recall(spark, sf_dir):
         assert len(ann & exact) / len(exact) >= 0.6, f"{strat} recall too low"
 
 
+@pytest.mark.slow  # >20s; default run budget (VERDICT r11 item 1)
 def test_embedding_near_dups_exact_prefilter_matches_jvm(spark, monkeypatch):
     """The exact tier's BLAS prefilter (round-11 optimization) is a
     pure candidate-generation step: output must equal the declarative
@@ -2644,6 +2646,7 @@ def test_equidepth_histogram_depths(spark, sf_dir):
         assert lo_r["hi"] <= hi_r["lo"]
 
 
+@pytest.mark.slow  # >20s; default run budget (VERDICT r11 item 1)
 def test_jaccard_prefix_join_equals_bruteforce(spark, sf_dir):
     """Prefix filtering is EXACT: same pairs as the all-pairs join at
     several thresholds (including tau=1.0 — exact-duplicate sets)."""
@@ -5053,6 +5056,7 @@ def test_semdedup_keeps_one_per_duplicate_direction(spark):
     assert again == {i: (r["kept"], r["dup_of"]) for i, r in got.items()}
 
 
+@pytest.mark.slow  # >20s; default run budget (VERDICT r11 item 1)
 def test_semdedup_subsplit_caps_sweep_group_and_stays_consistent(spark):
     """An oversized cluster hash-subsplits: each sub-shard keeps its
     own representative (the documented cross-shard recall trade), and

@@ -10,6 +10,11 @@ from tests._compare import compare
 
 _NAMES = sorted(registry.REGISTRY)
 
+# full-suite wall-time guard (VERDICT r11 item 1): this suite is
+# deselected by the default `-m "not slow"` run; run it with -m ""
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.mark.parametrize("name", _NAMES)
 def test_query_matches_oracle(spark, duck, sf_dir, name):

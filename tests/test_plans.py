@@ -7,6 +7,8 @@ properties that decide whether a plan survives a 100× scale-up.
 
 from __future__ import annotations
 
+import pytest
+
 from semantic_ann_in_data_lake_spark.plans import registry
 
 
@@ -386,6 +388,7 @@ def test_corpus_datacard_three_scans(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow  # >20s; default run budget (VERDICT r11 item 1)
 def test_unpartitioned_windows_sit_above_bounded_aggregates(spark, sf_dir):
     """Any Window WITHOUT a partitionBy funnels every row through one
     task — fatal at 100 TB unless its input is provably tiny. Walk
@@ -491,3 +494,40 @@ def test_bench_keys_resolve_to_registry_names(spark, sf_dir):
     assert set(rot) <= set(registry.REGISTRY)
     covered = {bench.registry_base(k) for k in fixed}
     assert not (set(rot) & covered), "rotation re-benches fixed-core entries"
+
+
+def test_bench_coverage_same_round_rerun_keeps_vintages(tmp_path, monkeypatch):
+    """Same-round bench reruns (the driver's lower-core scaling pass)
+    must resolve the SAME stalest-first ordering as the round's first
+    run: _save_coverage records each updated entry's previous vintage
+    and _load_coverage(rnd) restores it for entries credited at rnd —
+    while the NEXT round sees the updated vintages (VERDICT r11
+    item 2)."""
+    import json as _json
+
+    import bench
+
+    monkeypatch.setattr(
+        bench, "_repo_path", lambda name: str(tmp_path / name)
+    )
+    names = ["dedup_exact", "lang_id", "doc_token_stats"]
+    seed = {"dedup_exact": 10, "lang_id": 11, "doc_token_stats": 10}
+    (tmp_path / "BENCH_COVERAGE.json").write_text(
+        _json.dumps({"round": 11, "last_benched": seed})
+    )
+    # fresh round 12: stored vintages apply as-is
+    assert bench._load_coverage(12) == seed
+
+    # round 12's first run benches two entries
+    bench._save_coverage(["dedup_exact", "doc_token_stats"], 12)
+    # a SAME-ROUND rerun resolves the pre-update vintages -> the same
+    # rotation ordering as the first run
+    assert bench._load_coverage(12) == seed
+    # the next round sees the round-12 credits
+    assert bench._load_coverage(13) == {
+        "dedup_exact": 12, "lang_id": 11, "doc_token_stats": 12,
+    }
+    # and a rerun's own save must not clobber the recorded previous
+    # vintages (idempotent within the round)
+    bench._save_coverage(["dedup_exact"], 12)
+    assert bench._load_coverage(12) == seed

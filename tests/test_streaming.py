@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
+
 
 def _stage_dir(src_parquet: str, tmp_path, name: str) -> str:
     """Spark's file stream source requires a directory input."""
@@ -1212,6 +1214,7 @@ def test_union_find_merge_transitive_chains():
     assert _union_find_merge([(2, 2)]) == {}
 
 
+@pytest.mark.slow  # >20s; default run budget (VERDICT r11 item 1)
 def test_watermark_metrics_stream_equals_replay_and_redelivery(
     spark, tmp_path
 ):
@@ -1656,6 +1659,7 @@ def test_streaming_hll_registers_equal_batch_bit_for_bit(
     assert all(r["count"] <= 2 * len(want) for r in per_run)
 
 
+@pytest.mark.slow  # >20s; default run budget (VERDICT r11 item 1)
 def test_streaming_graph_triangles_equal_batch(spark, sf_dir, tmp_path):
     """The streamed edge-dedup + triangle accumulator equals batch
     `triangle_stats(symmetrize(all edges))` ROW-FOR-ROW (triangle

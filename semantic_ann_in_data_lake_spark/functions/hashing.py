@@ -37,6 +37,15 @@ def portable_hash64(col: Column | str, seed: str = "") -> Column:
     return F.conv(F.substring(F.md5(payload), 1, _HEX_CHARS), 16, 10).cast("long")
 
 
+def portable_hash64_py(payload: bytes) -> int:
+    """Python twin of :func:`portable_hash64` — exact (the hash is an
+    integer md5-hex prefix; no floats involved). Callers concatenate
+    the seed bytes themselves: ``portable_hash64_py(b"3:" + text)``."""
+    import hashlib
+
+    return int(hashlib.md5(payload).hexdigest()[:_HEX_CHARS], 16)
+
+
 def portable_hash_expr(sql_expr: str, seed: str = "") -> str:
     """The DuckDB-SQL twin of :func:`portable_hash64` (returns SQL text)."""
     payload = f"'{seed}' || ({sql_expr})" if seed else f"({sql_expr})"

@@ -509,6 +509,32 @@ def _ranked_topk(scored: DataFrame, k: int, metric: str) -> DataFrame:
 def _knn_exact(
     queries, candidates, id_col, vec_col, k, metric, exclude_self, round_dp
 ) -> DataFrame:
+    # Round-12 optimization (guide §8): when the vector matrices fit
+    # the broadcast budget, the |Q|·|C| crossJoin + interpreted fold is
+    # replaced by the pairscore superset kernel — bit-identical
+    # unrounded distances (sequential lane loop) emitted only for a
+    # provable superset of the rounded top-k; the SAME JVM round +
+    # window below then picks the final rows, so output is identical
+    # (A/B-pinned, oracle-gated). Gates decline (None) on non-integral
+    # ids, NULL/ragged vectors, duplicates, or over-budget corpora —
+    # the declarative path below stands unchanged. l2_sq only; the
+    # cosine exact tier keeps its declarative shape.
+    if metric == "l2_sq":
+        from semantic_ann_in_data_lake_spark.operators.pairscore import (
+            exact_l2_topk_superset,
+        )
+
+        sup = exact_l2_topk_superset(
+            queries, candidates, id_col, vec_col, k, exclude_self
+        )
+        if sup is not None:
+            scored = sup.select(
+                "query_id",
+                "cand_id",
+                F.round(F.col("d"), round_dp).alias("distance"),
+            )
+            return _ranked_topk(scored, k, metric)
+
     q = _prep(queries, id_col, vec_col, "query")
     c = _prep(candidates, id_col, vec_col, "cand")
     if metric == "cosine":

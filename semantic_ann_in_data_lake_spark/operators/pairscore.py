@@ -74,6 +74,130 @@ def _collect_matrix(vframe: DataFrame, id_col: str, vec_col: str):
     return ids, mat
 
 
+def _budget_ok(qframe, cframe, vec_col) -> bool:
+    """Pre-collect size gate (never collect before knowing the size):
+    footer/row-count estimate × dim × 8 bytes per side ≤ the kNN
+    broadcast byte budget."""
+    from semantic_ann_in_data_lake_spark.operators.knn import (
+        _broadcast_byte_budget,
+        _estimate_rows,
+    )
+
+    head = qframe.select(vec_col).head(1)
+    dim = len(head[0][0]) if head and head[0][0] is not None else 0
+    if dim == 0:
+        return False
+    total = 0
+    for side in ([qframe] if qframe is cframe else [qframe, cframe]):
+        n = _estimate_rows(side)
+        if n is None:
+            n = side.count()
+        total += n * dim * 8 + n * 16
+    return total <= _broadcast_byte_budget()
+
+
+def exact_l2_topk_superset(
+    qframe: DataFrame,
+    cframe: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    exclude_self: bool,
+    qcol: str = "query_id",
+    ccol: str = "cand_id",
+) -> DataFrame | None:
+    """Exact-tier kNN prefilter: emit, per query, a PROVABLE SUPERSET
+    of the (round6(d), cand_id)-ranked top-k with the bit-identical
+    unrounded d — the caller's unchanged JVM round + window then picks
+    the final rows.
+
+    Replaces the |Q|·|C| crossJoin + interpreted fold of the exact
+    strategy (guide §8: decide with the cheap pass, emit only
+    survivors). Distances use the same sequential-lane add chain as
+    the fold (module doc), so they are bit-identical; the selection
+    threshold is t_k + 1.01e-6 where t_k is the per-query k-th
+    smallest (self-excluded) distance: any candidate in the final
+    ROUNDED top-k satisfies round6(d) ≤ round6(t_k), hence
+    d < t_k + 5e-7 + 5e-7 + ulp — inside the margin. Ties at the
+    boundary only ADD rows (a superset is always safe; the JVM window
+    is the decider). Returns None when the gates decline (caller keeps
+    the crossJoin path)."""
+    import numpy as np
+
+    if (
+        __import__("os").environ.get("SPARK_GRAFT_PAIRSCORE_KERNEL", "1")
+        == "0"
+    ):
+        return None
+    if not _budget_ok(qframe, cframe, vec_col):
+        return None
+    same = qframe is cframe
+    q = _collect_matrix(qframe, id_col, vec_col)
+    if q is None:
+        return None
+    c = q if same else _collect_matrix(cframe, id_col, vec_col)
+    if c is None:
+        return None
+    if q[1].shape[1] != c[1].shape[1]:
+        return None
+
+    spark = qframe.sparkSession
+    bc = spark.sparkContext.broadcast((q[0], q[1], c[0], c[1]))
+    margin = 1.01e-6
+
+    qid = qframe.select(F.col(id_col).alias(qcol))
+    target = spark.sparkContext.defaultParallelism
+    if qid.rdd.getNumPartitions() < target:
+        qid = qid.repartition(target)
+
+    def kern(batches):
+        import pandas as pd
+
+        qids, qmat, cids, cmat = bc.value
+        pos = {int(i): p for p, i in enumerate(qids)}
+        n, d = cmat.shape
+        kth = min(k - 1, n - 1)
+        # block query rows so the (B, n) distance scratch stays ~32 MB
+        blk = max(1, int((32 << 20) // max(n * 8, 1)))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qi_all = np.asarray(
+                [pos.get(i, -1) for i in pdf[qcol]], dtype=np.int64
+            )
+            ids_all = pdf[qcol].to_numpy()
+            ok = qi_all >= 0  # inner-join semantics for absent ids
+            qi_all, ids_all = qi_all[ok], ids_all[ok]
+            for lo in range(0, len(qi_all), blk):
+                qi = qi_all[lo : lo + blk]
+                ids_blk = ids_all[lo : lo + blk].astype(np.int64)
+                a = qmat[qi]
+                # sequential over lanes == the l2_sq fold's add chain
+                acc = np.zeros((len(qi), n), dtype=np.float64)
+                for i in range(d):
+                    diff = a[:, i][:, None] - cmat[:, i][None, :]
+                    acc += diff * diff
+                sel = acc
+                if exclude_self:
+                    sel = np.where(
+                        cids[None, :] == ids_blk[:, None], np.inf, acc
+                    )
+                t = np.partition(sel, kth, axis=1)[:, kth]
+                keep = sel <= t[:, None] + margin
+                r, cj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        qcol: ids_blk[r],
+                        ccol: cids[cj],
+                        "d": acc[r, cj],
+                    }
+                )
+
+    return qid.mapInPandas(
+        kern, schema=f"{qcol} long, {ccol} long, d double"
+    )
+
+
 def exact_l2_pair_scorer(
     qframe: DataFrame,
     cframe: DataFrame,

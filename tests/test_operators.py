@@ -5937,3 +5937,69 @@ class TestUnimaxAllocation:
         sizes = {"a": 1000, "b": 1000, "c": 1000}
         got = self._alloc(spark, sizes, budget=300)
         assert {g[0] for g in got.values()} == {100}
+
+
+def test_exact_knn_superset_kernel_bit_identical(spark, sf_dir, monkeypatch):
+    """The round-12 exact-tier superset kernel == the declarative
+    crossJoin + fold, bit-identically — on the fixture corpus, a
+    duplicate-heavy corpus (mass distance ties at the k-th boundary,
+    the superset's stress case), a rounding-boundary grid corpus, and
+    a cross-frame (queries != candidates) call."""
+    import numpy as np
+
+    from semantic_ann_in_data_lake_spark.operators.knn import knn_join
+    from semantic_ann_in_data_lake_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 8))
+    dup_rows = [
+        (i * 100 + j, [float(x) for x in base[i]])
+        for i in range(30)
+        for j in range(12)
+    ]
+    dups = spark.createDataFrame(
+        dup_rows, "vec_id bigint, embedding array<double>"
+    )
+    # distances land ON the 6-dp rounding grid: boundary ties between
+    # the rounded window order and the unrounded kernel threshold
+    grid_rows = [
+        (i, [i * 5e-4, 0.0]) for i in range(40)
+    ]
+    grid = spark.createDataFrame(
+        grid_rows, "vec_id bigint, embedding array<double>"
+    )
+
+    def run(df, k, **kw):
+        return sorted(
+            map(tuple, knn_join(df, df, k=k, strategy="exact", **kw).collect())
+        )
+
+    for df, k in ((emb, 5), (dups, 5), (grid, 3)):
+        got = run(df, k)
+        monkeypatch.setenv("SPARK_GRAFT_PAIRSCORE_KERNEL", "0")
+        want = run(df, k)
+        monkeypatch.delenv("SPARK_GRAFT_PAIRSCORE_KERNEL")
+        assert got == want
+
+    # cross-frame (two matrices) + exclude_self=False
+    emb2 = read_table(spark, sf_dir, "embeddings")
+    got = sorted(
+        map(
+            tuple,
+            knn_join(
+                emb, emb2, k=4, strategy="exact", exclude_self=False
+            ).collect(),
+        )
+    )
+    monkeypatch.setenv("SPARK_GRAFT_PAIRSCORE_KERNEL", "0")
+    want = sorted(
+        map(
+            tuple,
+            knn_join(
+                emb, emb2, k=4, strategy="exact", exclude_self=False
+            ).collect(),
+        )
+    )
+    assert got == want
